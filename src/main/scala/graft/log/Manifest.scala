@@ -1,0 +1,142 @@
+package graft.log
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** One segment's metadata: base offset (first offset it holds), the next
+  * offset after its last record, store bytes and record count (the two roll
+  * inputs, reference: internal/log/segment.go:81-83), and whether it is
+  * sealed (no further part files may be added).
+  */
+final case class SegmentMeta(
+    base: Long,
+    next: Long,
+    bytes: Long,
+    records: Long,
+    sealed_ : Boolean
+) {
+  def maxOffset: Long = next - 1
+  def isEmpty: Boolean = next == base
+}
+
+/** Log-level metadata: ordered segment list + next offset to assign.
+  *
+  * The manifest replaces the reference's mmap'd per-segment index files
+  * (reference: internal/log/index.go) at the *log* level: O(1)
+  * lowest/highest-offset answers (reference: internal/log/log.go:137-153) and
+  * O(log #segments) segment location for point reads (the reference scans
+  * linearly, internal/log/log.go:99-104). Within a segment, Parquet footer
+  * min/max statistics on `offset` replace the per-record index entries.
+  */
+final case class LogManifest(segments: Vector[SegmentMeta], nextOffset: Long) {
+
+  /** Segment holding `off`, if any: binary search over ordered bases. */
+  def segmentFor(off: Long): Option[SegmentMeta] = {
+    if (segments.isEmpty) return None
+    var lo = 0
+    var hi = segments.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (segments(mid).base <= off) lo = mid else hi = mid - 1
+    }
+    val s = segments(lo)
+    if (s.base <= off && off < s.next) Some(s) else None
+  }
+
+  def lowestOffset: Long = segments.headOption.map(_.base).getOrElse(nextOffset)
+  def highestOffset: Long = math.max(nextOffset - 1, 0L)
+  def isEmpty: Boolean = segments.forall(_.isEmpty)
+}
+
+/** Flat-JSON (de)serialization with atomic rename publish, so a crash never
+  * leaves a torn manifest — the analog of the reference's index
+  * truncate-to-used + fsync on close (reference: internal/log/index.go:68-79).
+  * Recovery without a manifest re-lists segment directories, mirroring
+  * `Log.setup`'s directory scan (reference: internal/log/log.go:39-68).
+  */
+object LogManifest {
+  private val FileName = "_manifest.json" // leading '_' => invisible to Spark file listing
+
+  def path(dir: String): Path = Paths.get(dir, FileName)
+
+  def write(dir: String, m: LogManifest): Unit = {
+    val segs = m.segments
+      .map(s =>
+        s"""{"base":${s.base},"next":${s.next},"bytes":${s.bytes},"records":${s.records},"sealed":${s.sealed_}}"""
+      )
+      .mkString("[", ",", "]")
+    val json = s"""{"nextOffset":${m.nextOffset},"segments":$segs}"""
+    val tmp = Paths.get(dir, FileName + ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(
+      tmp,
+      path(dir),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING
+    )
+  }
+
+  def read(dir: String): Option[LogManifest] = {
+    val p = path(dir)
+    if (!Files.exists(p)) None
+    else Some(parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+  }
+
+  // Minimal parser for the exact flat shape written above (no external json
+  // deps are resolvable in this environment).
+  private[log] def parse(json: String): LogManifest = {
+    def longField(src: String, name: String): Long = {
+      val i = src.indexOf("\"" + name + "\":")
+      require(i >= 0, s"manifest missing $name")
+      val start = i + name.length + 3
+      var end = start
+      while (end < src.length && (src.charAt(end).isDigit || src.charAt(end) == '-')) end += 1
+      src.substring(start, end).toLong
+    }
+    def boolField(src: String, name: String): Boolean = {
+      val i = src.indexOf("\"" + name + "\":")
+      require(i >= 0, s"manifest missing $name")
+      src.startsWith("true", i + name.length + 3)
+    }
+    val next = longField(json, "nextOffset")
+    val arrStart = json.indexOf('[')
+    val arrEnd = json.lastIndexOf(']')
+    val body = json.substring(arrStart + 1, arrEnd).trim
+    val segs =
+      if (body.isEmpty) Vector.empty[SegmentMeta]
+      else
+        body
+          .split("\\},\\s*\\{")
+          .toVector
+          .map { raw =>
+            SegmentMeta(
+              base = longField(raw, "base"),
+              next = longField(raw, "next"),
+              bytes = longField(raw, "bytes"),
+              records = longField(raw, "records"),
+              sealed_ = boolField(raw, "sealed")
+            )
+          }
+    LogManifest(segs, next)
+  }
+
+  /** Manifest-less recovery: list `segment=<base>` directories, read each
+    * segment's record count and max offset from Parquet footers (via a Spark
+    * scan of the metadata columns would be heavier; we only need counts, so
+    * the caller supplies a counting function). Mirrors the reference's
+    * recovery sort of base offsets (reference: internal/log/log.go:54-56).
+    */
+  def listSegmentBases(dir: String): Vector[Long] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Vector.empty
+    Files
+      .list(d)
+      .iterator()
+      .asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("segment="))
+      .map(_.getFileName.toString.stripPrefix("segment=").toLong)
+      .toVector
+      .sorted
+  }
+}

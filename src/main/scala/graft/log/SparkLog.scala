@@ -1,0 +1,401 @@
+package graft.log
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Spark-native commit log — the heart of the engine.
+  *
+  * Re-expresses the reference's segmented append-only log
+  * (reference: internal/log/log.go, segment.go, store.go, index.go) on
+  * Parquet + a JSON manifest:
+  *
+  *   - a log is a directory of `segment=<baseOffset>` sub-directories, each
+  *     holding one or more Parquet part files (the analog of a
+  *     `<base>.store` file, reference: internal/log/segment.go:24-31);
+  *   - offsets are assigned contiguously by this single-writer commit path —
+  *     the total-order property the reference obtains from Raft
+  *     (reference: internal/log/distributed.go:99-131) falls out of the Spark
+  *     driver being the one commit point, no consensus needed;
+  *   - the per-record mmap index (reference: internal/log/index.go) is
+  *     replaced by Parquet row-group min/max statistics on `offset` plus the
+  *     manifest's segment map: a point read opens exactly one segment
+  *     directory and prunes row groups via footer stats;
+  *   - publish is atomic: part files are written to a `_tmp-*` staging dir
+  *     (hidden from Spark's file listing) and renamed into the segment dir,
+  *     then the manifest swaps via atomic rename. Readers never observe a
+  *     torn segment — the property the reference gets from
+  *     index-truncate-on-close (reference: internal/log/index.go:68-79).
+  *
+  * Scale notes (100 TB design): reads are pure Spark scans (filter pushdown,
+  * partition-value pruning on `segment`, row-group skipping); `appendDF` is
+  * the bulk-ingest path that writes a full batch in parallel across
+  * executors with per-partition offset ranges computed from one counting
+  * pass — no driver collect of data, no global sort, no shuffle.
+  */
+class SparkLog(
+    val spark: SparkSession,
+    val dir: String,
+    val config: LogConfig = LogConfig()
+) {
+  import SparkLog._
+
+  Files.createDirectories(Paths.get(dir))
+
+  @volatile private var manifest: LogManifest =
+    LogManifest.read(dir).map(reconcile).getOrElse(recover())
+
+  // ---------------------------------------------------------------- append
+
+  /** Append a single record, returning its assigned offset.
+    * (reference: internal/log/log.go:80-92, segment.go:46-64)
+    */
+  def appendOne(value: Array[Byte]): Long = append(Seq(value))
+
+  /** Append a batch of records; returns the offset of the first.
+    *
+    * Records are chunked into segments with the reference's roll rule: a
+    * record lands in the active segment, and the segment seals once its
+    * store bytes or record count reach the configured maxima
+    * (reference: internal/log/segment.go:81-83, log.go:88-90). Store-byte
+    * accounting mirrors the reference's 8-byte length prefix per record
+    * (reference: internal/log/store.go:14-16).
+    */
+  def append(values: Seq[Array[Byte]]): Long = synchronized {
+    require(values.nonEmpty, "append of empty batch")
+    val first = manifest.nextOffset
+    var m = manifest
+    var off = first
+
+    // Active (unsealed, non-empty) trailing segment, if any.
+    var active: SegmentMeta = m.segments.lastOption.filter(s => !s.sealed_) match {
+      case Some(s) => s
+      case None    => SegmentMeta(off, off, 0L, 0L, sealed_ = false)
+    }
+    var pending = Vector.newBuilder[LogRecord]
+    var pendingFor = active.base
+
+    def flush(): Unit = {
+      val recs = pending.result()
+      if (recs.nonEmpty) writePart(pendingFor, recs)
+      pending = Vector.newBuilder[LogRecord]
+    }
+
+    def sealAndRoll(): Unit = {
+      flush()
+      active = active.copy(sealed_ = true)
+      m = m.copy(segments = upsert(m.segments, active))
+      active = SegmentMeta(off, off, 0L, 0L, sealed_ = false)
+      pendingFor = off
+    }
+
+    values.foreach { v =>
+      pending += LogRecord(v, off)
+      off += 1
+      active = active.copy(
+        next = off,
+        bytes = active.bytes + v.length + LenWidth,
+        records = active.records + 1
+      )
+      if (active.bytes >= config.maxStoreBytes || active.records >= config.maxRecordsPerSegment)
+        sealAndRoll()
+    }
+    flush()
+    m = m.copy(
+      segments = upsert(m.segments, active).filterNot(_.isEmpty),
+      nextOffset = off
+    )
+    LogManifest.write(dir, m)
+    manifest = m
+    first
+  }
+
+  /** Bulk-ingest path: append every row of `df`'s `value` (binary) column,
+    * assigning contiguous offsets, written in parallel as ONE new sealed
+    * segment (split into bounded part files). Returns (firstOffset, count).
+    *
+    * Contiguity across a distributed batch needs per-partition bases, which
+    * needs per-partition counts — one lightweight counting job, then the
+    * write job. `monotonically_increasing_id` would leave gaps and is
+    * therefore wrong here (SURVEY.md §7.4).
+    */
+  def appendDF(df: DataFrame): (Long, Long) = synchronized {
+    val base = manifest.nextOffset
+    val values = df.select(col("value").cast("binary")).rdd.map(_.getAs[Array[Byte]](0))
+    val counts = values
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)), preservesPartitioning = true)
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val total = counts.sum
+    if (total == 0L) return (base, 0L)
+    val starts = counts.scanLeft(base)(_ + _)
+    val bcStarts = spark.sparkContext.broadcast(starts)
+    val withOffsets = values.mapPartitionsWithIndex { (i, it) =>
+      var o = bcStarts.value(i)
+      it.map { v =>
+        val r = LogRecord(if (v == null) Array.emptyByteArray else v, o); o += 1; r
+      }
+    }
+    val session = spark
+    import session.implicits._
+    val ds: Dataset[LogRecord] = spark.createDataset(withOffsets)
+    val staging = stagingDir()
+    ds.write
+      .option("maxRecordsPerFile", config.maxRecordsPerSegment)
+      .parquet(staging.toString)
+    val bytes = publishParts(staging, base)
+    val seg = SegmentMeta(base, base + total, bytes, total, sealed_ = true)
+    val m0 = manifest
+    val sealedPrev = m0.segments.lastOption.filter(!_.sealed_) match {
+      case Some(last) => upsert(m0.segments, last.copy(sealed_ = true))
+      case None       => m0.segments
+    }
+    val m = LogManifest(sealedPrev :+ seg, base + total)
+    LogManifest.write(dir, m)
+    manifest = m
+    (base, total)
+  }
+
+  // ----------------------------------------------------------------- reads
+
+  /** Point lookup by offset (reference: internal/log/log.go:94-109).
+    * Opens exactly one segment directory (manifest binary search replaces
+    * the reference's linear segment scan) and lets Parquet row-group stats
+    * skip within it. Throws the typed 404 error past either end.
+    */
+  def read(offset: Long): LogRecord = {
+    val seg = manifest
+      .segmentFor(offset)
+      .getOrElse(throw OffsetOutOfRangeException(offset))
+    val session = spark
+    import session.implicits._
+    val rows = spark.read
+      .schema(LogRecord.schema)
+      .parquet(segmentPath(seg.base).toString)
+      .filter(col("offset") === offset)
+      .as[LogRecord]
+      .take(1)
+    if (rows.isEmpty) throw OffsetOutOfRangeException(offset)
+    rows.head
+  }
+
+  /** First available offset (reference: internal/log/log.go:137-142). O(1). */
+  def lowestOffset: Long = manifest.lowestOffset
+
+  /** Last assigned offset, 0 when empty (reference: internal/log/log.go:144-153). O(1). */
+  def highestOffset: Long = manifest.highestOffset
+
+  /** Batch view of the whole log as a DataFrame with the partition column
+    * `segment` (Catalyst prunes segments on it). Unordered, like any scan;
+    * use [[reader]] for the ordered export view.
+    */
+  def toDF: DataFrame = {
+    val segs = manifest.segments
+    if (segs.isEmpty) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        LogRecord.schema
+      )
+    } else {
+      spark.read
+        .option("basePath", dir)
+        .schema(LogRecord.schema)
+        .parquet(segs.map(s => segmentPath(s.base).toString): _*)
+        .drop("segment")
+    }
+  }
+
+  /** Offset-range scan `[from, until)` with segment pruning done driver-side
+    * from the manifest, so Spark never lists non-matching segment dirs.
+    */
+  def range(from: Long, until: Long): DataFrame = {
+    val segs = manifest.segments.filter(s => s.next > from && s.base < until)
+    if (segs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], LogRecord.schema)
+    else
+      spark.read
+        .option("basePath", dir)
+        .schema(LogRecord.schema)
+        .parquet(segs.map(s => segmentPath(s.base).toString): _*)
+        .drop("segment")
+        .filter(col("offset") >= from && col("offset") < until)
+  }
+
+  /** Ordered full-log view — the analog of `Log.Reader`'s concatenated
+    * stream used for snapshots/export (reference: internal/log/log.go:173-193).
+    */
+  def reader: DataFrame = toDF.orderBy("offset")
+
+  /** Streaming tail from `offset` onward — the `ConsumeStream` analog
+    * (reference: internal/server/server.go:138-158). The reference busy-polls
+    * for the next record; Structured Streaming's micro-batch file source
+    * subsumes the poll loop (SURVEY.md §2.6).
+    */
+  def tail(from: Long = 0L): DataFrame =
+    spark.readStream
+      .schema(LogRecord.schema)
+      .option("maxFilesPerTrigger", 1000)
+      .parquet(s"$dir/segment=*")
+      .filter(col("offset") >= from)
+
+  // ------------------------------------------------------------- retention
+
+  /** Remove every segment whose highest offset is ≤ `lowest` — deliberately
+    * segment-granular, exactly like the reference (`nextOffset <= lowest+1`,
+    * reference: internal/log/log.go:155-171): a segment survives if ANY of
+    * its records is newer than the truncation point.
+    */
+  def truncate(lowest: Long): Unit = synchronized {
+    val (drop, keep) = manifest.segments.partition(_.next <= lowest + 1)
+    val m = manifest.copy(segments = keep)
+    LogManifest.write(dir, m)
+    manifest = m
+    drop.foreach(s => deleteRecursively(segmentPath(s.base)))
+  }
+
+  /** Delete the log directory (reference: internal/log/log.go:119-127). */
+  def remove(): Unit = synchronized {
+    deleteRecursively(Paths.get(dir))
+  }
+
+  /** Delete and recreate empty (reference: internal/log/log.go:129-135). */
+  def reset(): Unit = synchronized {
+    remove()
+    Files.createDirectories(Paths.get(dir))
+    manifest = LogManifest(Vector.empty, config.initialOffset)
+    LogManifest.write(dir, manifest)
+  }
+
+  def segmentCount: Int = manifest.segments.size
+  def currentManifest: LogManifest = manifest
+
+  // -------------------------------------------------------------- plumbing
+
+  private def segmentPath(base: Long): Path = Paths.get(dir, s"segment=$base")
+
+  // Spark's Parquet writer insists on creating the output path itself.
+  private def stagingDir(): Path =
+    Paths.get(dir, s"_tmp-${UUID.randomUUID().toString.take(12)}")
+
+  /** Write a driver-side chunk as one Parquet part file inside its segment
+    * dir: stage → rename (atomic publish).
+    */
+  private def writePart(base: Long, recs: Vector[LogRecord]): Unit = {
+    val session = spark
+    import session.implicits._
+    val staging = stagingDir()
+    spark.createDataset(recs).coalesce(1).write.parquet(staging.toString)
+    publishParts(staging, base)
+  }
+
+  /** Move every part file from `staging` into `segment=<base>/`, returning
+    * total bytes moved. Deletes the staging dir.
+    */
+  private def publishParts(staging: Path, base: Long): Long = {
+    val target = segmentPath(base)
+    Files.createDirectories(target)
+    var bytes = 0L
+    Files
+      .list(staging)
+      .iterator()
+      .asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toVector
+      .sortBy(_.getFileName.toString)
+      .foreach { p =>
+        bytes += Files.size(p)
+        val name = s"part-${UUID.randomUUID().toString.take(16)}.parquet"
+        Files.move(p, target.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      }
+    deleteRecursively(staging)
+    bytes
+  }
+
+  /** Manifest-less recovery: list segment dirs (sorted by base, the only
+    * sort in the reference, internal/log/log.go:54-56) and rebuild metadata
+    * from one Spark scan per segment.
+    */
+  private def recover(): LogManifest = {
+    val bases = LogManifest.listSegmentBases(dir)
+    if (bases.isEmpty) {
+      val m = LogManifest(Vector.empty, config.initialOffset)
+      LogManifest.write(dir, m)
+      return m
+    }
+    val segs = bases.map(rebuildSegmentMeta)
+    val m = LogManifest(segs, segs.last.next)
+    LogManifest.write(dir, m)
+    m
+  }
+
+  /** Post-crash reconciliation: the publish order is data-then-manifest, so
+    * a crash can leave the TAIL segment(s) ahead of the manifest. Recount
+    * only the trailing segment plus any dirs the manifest doesn't know —
+    * bounded work, like the reference recovering nextOffset from the last
+    * index entry (reference: internal/log/segment.go:38-42).
+    */
+  private def reconcile(m: LogManifest): LogManifest = {
+    val onDisk = LogManifest.listSegmentBases(dir)
+    val known = m.segments.map(_.base).toSet
+    val unknown = onDisk.filterNot(known)
+    val needsTail = m.segments.lastOption.exists(s => !s.sealed_)
+    if (unknown.isEmpty && !needsTail) return m
+    val fixedTail = m.segments.lastOption.filter(_ => needsTail) match {
+      case Some(last) => upsert(m.segments, rebuildSegmentMeta(last.base).copy(sealed_ = last.sealed_))
+      case None       => m.segments
+    }
+    val extra = unknown.map(rebuildSegmentMeta)
+    val segs = (fixedTail ++ extra).sortBy(_.base)
+    val m2 = LogManifest(segs, math.max(m.nextOffset, segs.lastOption.map(_.next).getOrElse(m.nextOffset)))
+    LogManifest.write(dir, m2)
+    m2
+  }
+
+  private def rebuildSegmentMeta(base: Long): SegmentMeta = {
+    val p = segmentPath(base)
+    val stats = spark.read
+      .schema(LogRecord.schema)
+      .parquet(p.toString)
+      .agg(count(lit(1)).as("n"), max(col("offset")).as("hi"))
+      .head()
+    val n = stats.getLong(0)
+    val hi = if (n == 0) base - 1 else stats.getLong(1)
+    val bytes = Files
+      .list(p)
+      .iterator()
+      .asScala
+      .filter(f => f.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size)
+      .sum
+    SegmentMeta(base, hi + 1, bytes, n, sealed_ = true)
+  }
+
+  private def upsert(segs: Vector[SegmentMeta], s: SegmentMeta): Vector[SegmentMeta] =
+    segs.indexWhere(_.base == s.base) match {
+      case -1 => segs :+ s
+      case i  => segs.updated(i, s)
+    }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}
+
+object SparkLog {
+  /** Per-record store overhead the reference charges against MaxStoreBytes:
+    * the 8-byte BigEndian length prefix (reference: internal/log/store.go:14-16).
+    * We charge the same so roll points line up with the reference's tests.
+    */
+  val LenWidth: Int = 8
+
+  /** Open (or create) a log at `dir` — recovery included, mirroring
+    * `NewLog` + `setup` (reference: internal/log/log.go:25-68).
+    */
+  def apply(spark: SparkSession, dir: String, config: LogConfig = LogConfig()): SparkLog =
+    new SparkLog(spark, dir, config)
+}

@@ -1,0 +1,176 @@
+package graft.log
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Scenario tests mirroring the reference's log tests
+  * (reference: internal/log/log_test.go:13-119, segment_test.go, store_test.go).
+  */
+class SparkLogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val hello = "hello world".getBytes("UTF-8") // store_test.go:12
+
+  // Tiny thresholds force multi-segment logs like log_test.go:27
+  // (MaxStoreBytes=32 → two 19-byte records seal a segment).
+  private def tinyConfig = LogConfig(maxStoreBytes = 32, maxRecordsPerSegment = 1024)
+
+  test("append then read round-trips (log_test.go:36-45)") {
+    val log = SparkLog(spark, TestSpark.tempDir("log-rt"))
+    val off = log.appendOne(hello)
+    assert(off == 0)
+    val rec = log.read(0)
+    assert(new String(rec.value, "UTF-8") == "hello world")
+    assert(rec.offset == 0)
+  }
+
+  test("read past end raises typed 404 (log_test.go:47-53)") {
+    val log = SparkLog(spark, TestSpark.tempDir("log-oor"))
+    log.appendOne(hello)
+    val e = intercept[OffsetOutOfRangeException](log.read(1))
+    assert(e.offset == 1)
+    assert(e.code == 404)
+    assert(e.getMessage == "offset out of range: 1")
+  }
+
+  test("read on empty log raises 404") {
+    val log = SparkLog(spark, TestSpark.tempDir("log-empty"))
+    intercept[OffsetOutOfRangeException](log.read(0))
+  }
+
+  test("batch append assigns contiguous offsets and rolls segments") {
+    val log = SparkLog(spark, TestSpark.tempDir("log-roll"), tinyConfig)
+    val first = log.append((0 until 5).map(i => s"record-$i".getBytes))
+    assert(first == 0)
+    assert(log.lowestOffset == 0)
+    assert(log.highestOffset == 4)
+    assert(log.segmentCount > 1) // 32-byte threshold forces rolling
+    (0 until 5).foreach { i =>
+      assert(new String(log.read(i.toLong).value) == s"record-$i")
+    }
+  }
+
+  test("reopen preserves lowest/highest (log_test.go:55-80)") {
+    val dir = TestSpark.tempDir("log-reopen")
+    val log = SparkLog(spark, dir, tinyConfig)
+    (0 until 3).foreach(_ => log.appendOne(hello))
+    assert(log.lowestOffset == 0)
+    assert(log.highestOffset == 2)
+
+    val reopened = SparkLog(spark, dir, tinyConfig)
+    assert(reopened.lowestOffset == 0)
+    assert(reopened.highestOffset == 2)
+    assert(new String(reopened.read(2).value) == "hello world")
+  }
+
+  test("recovery without manifest rebuilds from segment files (log.go:39-68)") {
+    val dir = TestSpark.tempDir("log-recover")
+    val log = SparkLog(spark, dir, tinyConfig)
+    (0 until 4).foreach(i => log.appendOne(s"v$i".getBytes))
+    java.nio.file.Files.delete(LogManifest.path(dir))
+
+    val recovered = SparkLog(spark, dir, tinyConfig)
+    assert(recovered.lowestOffset == 0)
+    assert(recovered.highestOffset == 3)
+    assert(new String(recovered.read(3).value) == "v3")
+    assert(recovered.appendOne("v4".getBytes) == 4)
+  }
+
+  test("truncate is segment-granular (log_test.go:98-118)") {
+    val dir = TestSpark.tempDir("log-trunc")
+    // maxStoreBytes=32: records 0,1 share a segment (19+19=38≥32 seals it),
+    // record 2 starts the next — exactly the reference's roll points.
+    val log = SparkLog(spark, dir, tinyConfig)
+    (0 until 3).foreach(_ => log.appendOne(hello))
+    log.truncate(1)
+    intercept[OffsetOutOfRangeException](log.read(0))
+    intercept[OffsetOutOfRangeException](log.read(1))
+    assert(new String(log.read(2).value) == "hello world")
+    assert(log.lowestOffset == 2)
+    assert(log.highestOffset == 2)
+  }
+
+  test("truncate keeps a segment containing any surviving record") {
+    val log = SparkLog(spark, TestSpark.tempDir("log-trunc2"), tinyConfig)
+    (0 until 4).foreach(i => log.appendOne(s"r$i-${"x" * 30}".getBytes)) // 8+34B ≥ 32 → 1 record/segment
+    log.truncate(0)
+    intercept[OffsetOutOfRangeException](log.read(0))
+    assert(new String(log.read(1).value).startsWith("r1"))
+  }
+
+  test("toDF exposes the full log; reader is offset-ordered (log.go:173-193)") {
+    val log = SparkLog(spark, TestSpark.tempDir("log-df"), tinyConfig)
+    log.append((0 until 10).map(i => s"m$i".getBytes))
+    val df = log.toDF
+    assert(df.count() == 10)
+    import org.apache.spark.sql.functions._
+    val row = df.agg(min(col("offset")), max(col("offset"))).head()
+    assert(row.getLong(0) == 0 && row.getLong(1) == 9)
+    val ordered = log.reader.select("offset").collect().map(_.getLong(0))
+    assert(ordered.toSeq == (0L until 10L))
+  }
+
+  test("range scan prunes to [from, until)") {
+    val log = SparkLog(spark, TestSpark.tempDir("log-range"), tinyConfig)
+    log.append((0 until 8).map(i => s"m$i".getBytes))
+    val got = log.range(2, 5).select("offset").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("appendDF bulk-ingest assigns contiguous offsets (scale path)") {
+    val session = spark
+    import session.implicits._
+    val log = SparkLog(spark, TestSpark.tempDir("log-bulk"))
+    log.appendOne("seed".getBytes) // non-zero base for the bulk batch
+    val df = (0 until 1000).map(i => s"bulk-$i".getBytes).toDF("value").repartition(7)
+    val (base, n) = log.appendDF(df)
+    assert(base == 1 && n == 1000)
+    assert(log.highestOffset == 1000)
+    val offs = log.toDF.select("offset").collect().map(_.getLong(0)).sorted
+    assert(offs.toSeq == (0L to 1000L)) // gap-free
+    // round-trip integrity: every value still readable at its offset
+    val rec = log.read(500)
+    assert(new String(rec.value).startsWith("bulk-"))
+  }
+
+  test("initialOffset honored like segment base 16 (segment_test.go:21-37)") {
+    val log = SparkLog(spark, TestSpark.tempDir("log-base16"), LogConfig(initialOffset = 16))
+    val off = log.appendOne(hello)
+    assert(off == 16)
+    assert(log.lowestOffset == 16)
+    assert(log.read(16).offset == 16)
+    intercept[OffsetOutOfRangeException](log.read(0))
+  }
+
+  test("reset empties the log (log.go:129-135)") {
+    val log = SparkLog(spark, TestSpark.tempDir("log-reset"), tinyConfig)
+    log.append(Seq("a".getBytes, "b".getBytes))
+    log.reset()
+    assert(log.segmentCount == 0)
+    intercept[OffsetOutOfRangeException](log.read(0))
+    assert(log.appendOne("c".getBytes) == 0)
+  }
+
+  test("manifest JSON round-trips") {
+    val m = LogManifest(
+      Vector(SegmentMeta(0, 2, 38, 2, sealed_ = true), SegmentMeta(2, 3, 19, 1, sealed_ = false)),
+      3
+    )
+    val dir = TestSpark.tempDir("manifest")
+    LogManifest.write(dir, m)
+    assert(LogManifest.read(dir).contains(m))
+  }
+
+  test("manifest segmentFor binary search") {
+    val m = LogManifest(
+      Vector(SegmentMeta(0, 5, 0, 5, true), SegmentMeta(5, 9, 0, 4, true), SegmentMeta(9, 12, 0, 3, false)),
+      12
+    )
+    assert(m.segmentFor(0).get.base == 0)
+    assert(m.segmentFor(4).get.base == 0)
+    assert(m.segmentFor(5).get.base == 5)
+    assert(m.segmentFor(11).get.base == 9)
+    assert(m.segmentFor(12).isEmpty)
+    assert(m.segmentFor(-1).isEmpty)
+  }
+}
