@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q.t
+
+/** Deduplication suite for training-data curation over `documents`:
+  *
+  *   - exact dedup: hash-groupBy on normalized text — one shuffle on the
+  *     digest, the canonical 100 TB-safe exact pass;
+  *   - n-gram (word-set) Jaccard dedup: explode → self-join on token with
+  *     language blocking, count-based exact Jaccard — the oracle-checkable
+  *     exact twin of MinHash;
+  *   - SimHash: portable 60-bit fingerprint built from md5-derived word
+  *     hashes and bit-majority voting (fully SQL-expressible, so the DuckDB
+  *     oracle verifies every fingerprint bit-for-bit);
+  *   - MinHash/LSH: MLlib `MinHashLSH` banding with a fixed seed
+  *     (approximate by construction — no SQL oracle, rows-only check);
+  *   - embedding near-dup: cosine pairs over `embeddings` with label
+  *     blocking (exact twin of the ANN path in Similarity.scala).
+  *
+  * Scale notes: every pair-producing query blocks (by lang / label / LSH
+  * bucket) so candidate pairs stay ~O(n·k), never the all-pairs O(n²);
+  * the word→id hashing is `conv(md5)` so it is identical in any engine and
+  * needs no dictionary broadcast.
+  */
+object Dedup {
+
+  /** Distinct lowercased words per doc, with lang kept for blocking. */
+  private def docWords(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(array_distinct(split(lower(trim(col("text"))), " "))).as("word")
+      )
+
+  val all: Seq[Q] = Seq(
+    // --- exact dedup via normalized-text digest ---
+    Q(
+      "dedup_exact",
+      (s, d) => {
+        t(s, d, "documents")
+          .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("text_hash")
+      },
+      Some("""
+        SELECT md5(lower(trim(text))) AS text_hash,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY text_hash
+      """)
+    ),
+
+    // --- exact word-set Jaccard near-dup pairs (lang-blocked) ---
+    Q(
+      "dedup_jaccard",
+      (s, d) => {
+        val w = docWords(s, d)
+        val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val a = w.select(col("doc_id").as("d1"), col("lang"), col("word"))
+        val b = w.select(col("doc_id").as("d2"), col("lang").as("lang2"), col("word").as("word2"))
+        val inter = a
+          .join(b, col("word") === col("word2") && col("lang") === col("lang2") && col("d1") < col("d2"))
+          .groupBy("d1", "d2")
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+          .select(
+            col("d1"),
+            col("d2"),
+            (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard")
+          )
+          .filter(col("jaccard") >= 0.6)
+          .orderBy("d1", "d2")
+      },
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT doc_id, lang, word FROM (
+            SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
+        sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+        p AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT d1, d2,
+               CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+        FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+        WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6
+        ORDER BY d1, d2
+      """)
+    ),
+
+    // --- SimHash 60-bit fingerprint per document ---
+    Q(
+      "dedup_simhash",
+      (s, d) => {
+        docWords(s, d)
+          .withColumn("wh", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("bigint"))
+          .withColumn("b", explode(sequence(lit(0), lit(59))))
+          .withColumn("v", when(expr("shiftright(wh, b) & CAST(1 AS BIGINT)") === 1L, 1).otherwise(-1))
+          .groupBy("doc_id", "b")
+          .agg(sum(col("v")).as("vote"))
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("simhash")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS wh FROM w),
+        bits AS (
+          SELECT doc_id, t.b,
+                 CASE WHEN (wh >> CAST(t.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END AS v
+          FROM h CROSS JOIN range(0, 60) t(b)),
+        votes AS (
+          SELECT doc_id, b, CAST(sum(v) AS BIGINT) AS vote FROM bits GROUP BY doc_id, b)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id
+      """)
+    ),
+
+    // --- SimHash near-dup pairs: hamming distance over lang-blocked pairs ---
+    Q(
+      "dedup_simhash_pairs",
+      (s, d) => {
+        val sims = docWords(s, d)
+          .withColumn("wh", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("bigint"))
+          .withColumn("b", explode(sequence(lit(0), lit(59))))
+          .withColumn("v", when(expr("shiftright(wh, b) & CAST(1 AS BIGINT)") === 1L, 1).otherwise(-1))
+          .groupBy("doc_id", "lang", "b")
+          .agg(sum(col("v")).as("vote"))
+          .groupBy("doc_id", "lang")
+          .agg(
+            sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("simhash")
+          )
+        val x = sims.select(col("doc_id").as("d1"), col("lang"), col("simhash").as("h1"))
+        val y = sims.select(col("doc_id").as("d2"), col("lang").as("lang2"), col("simhash").as("h2"))
+        x.join(y, col("lang") === col("lang2") && col("d1") < col("d2"))
+          .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+          .filter(col("hamming") <= 14)
+          .select("d1", "d2", "hamming")
+          .orderBy("d1", "d2")
+      },
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT doc_id, lang, word FROM (
+            SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
+        h AS (
+          SELECT doc_id, lang, ('0x' || substr(md5(word), 1, 15))::BIGINT AS wh FROM w),
+        bits AS (
+          SELECT doc_id, lang, t.b,
+                 CASE WHEN (wh >> CAST(t.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END AS v
+          FROM h CROSS JOIN range(0, 60) t(b)),
+        votes AS (
+          SELECT doc_id, lang, b, CAST(sum(v) AS BIGINT) AS vote FROM bits GROUP BY 1, 2, 3),
+        sims AS (
+          SELECT doc_id, lang,
+                 CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY 1, 2)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sims a JOIN sims b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 14
+        ORDER BY d1, d2
+      """)
+    ),
+
+    // --- embedding cosine near-dup pairs (label-blocked exact pass) ---
+    Q(
+      "dedup_embedding",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(
+            col("vec_id"),
+            col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v")
+          )
+        val a = e.select(col("vec_id").as("i"), col("label"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("j"), col("label").as("label2"), col("v").as("vb"))
+        a.join(b, col("label") === col("label2") && col("i") < col("j"))
+          .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+          .withColumn("na", aggregate(zip_with(col("va"), col("va"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+          .withColumn("nb", aggregate(zip_with(col("vb"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+          .withColumn("cos", round(col("dot") / sqrt(col("na") * col("nb")), 4))
+          .filter(col("cos") >= 0.35)
+          .select("i", "j", "cos")
+          .orderBy("i", "j")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS i, b.vec_id AS j,
+                 round(list_dot_product(a.v, b.v) /
+                       sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4) AS cos
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT i, j, cos FROM p WHERE cos >= 0.35 ORDER BY i, j
+      """)
+    ),
+
+    // --- MinHash + LSH banding (approximate; rows-only check) ---
+    Q(
+      "dedup_minhash",
+      (s, d) => {
+        import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH, Tokenizer}
+        val docs = t(s, d, "documents").select(col("doc_id"), lower(trim(col("text"))).as("text"))
+        val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+        val tokenized = tok.transform(docs)
+        val cv = new CountVectorizer()
+          .setInputCol("words")
+          .setOutputCol("features")
+          .setBinary(true)
+          .fit(tokenized)
+        val vectorized = cv.transform(tokenized)
+        val mh = new MinHashLSH()
+          .setInputCol("features")
+          .setOutputCol("hashes")
+          .setNumHashTables(8)
+          .setSeed(42L)
+          .fit(vectorized)
+        mh.approxSimilarityJoin(vectorized, vectorized, 0.6, "jaccard_dist")
+          .select(
+            col("datasetA.doc_id").as("d1"),
+            col("datasetB.doc_id").as("d2"),
+            round(col("jaccard_dist"), 4).as("jaccard_dist")
+          )
+          .filter(col("d1") < col("d2"))
+          .orderBy("d1", "d2")
+      },
+      None
+    ),
+
+    // --- keep-one projection after exact dedup (the "apply" step) ---
+    Q(
+      "dedup_keep_first",
+      (s, d) => {
+        val w = Window.partitionBy(md5(lower(trim(col("text"))))).orderBy("doc_id")
+        t(s, d, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1 ORDER BY doc_id
+      """)
+    )
+  )
+}

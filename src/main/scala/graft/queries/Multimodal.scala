@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.types._
+
+import Q.t
+
+/** Multimodal-column plumbing: media payloads are opaque `binary` columns
+  * plus typed metadata. The container has no image/audio codecs, so the
+  * decode step is a clearly-marked deterministic STUB — but everything
+  * Spark-side is real: binary schema, batched per-partition processing
+  * (`mapPartitions`, the Scala analog of `mapInPandas` batches), typed
+  * output schema, and fingerprinting for dedup of media blobs.
+  */
+object Multimodal {
+
+  /** STUB decoder: stands in for an image/audio codec. Deterministic fake —
+    * "decodes" a blob into (width, height, n_frames) derived from its bytes.
+    * Swap for a real codec (JNI/Pandas-UDF) in production; the Spark-side
+    * contract (binary in, fixed struct out, batch-shaped execution) is what
+    * this exercises.
+    */
+  private def stubDecode(bytes: Array[Byte]): (Int, Int, Int) = {
+    val n = if (bytes == null) 0 else bytes.length
+    (n % 640, (n * 7) % 480, n % 30)
+  }
+
+  private val featSchema = StructType(
+    Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("byte_hist", ArrayType(LongType, containsNull = false), nullable = false)
+    )
+  )
+
+  val all: Seq[Q] = Seq(
+    // --- media metadata projection: binary length + content hash + stub dims ---
+    Q(
+      "media_meta",
+      (s, d) => {
+        val blob = col("text").cast("binary")
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            length(blob).as("n_bytes"),
+            sha2(blob, 256).as("sha256"),
+            (col("n_chars") % 640).cast("int").as("width"),
+            ((col("n_chars") * 7) % 480).cast("int").as("height"),
+            (col("n_chars") % 30).cast("int").as("n_frames")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               sha256(text) AS sha256,
+               CAST(n_chars % 640 AS INTEGER) AS width,
+               CAST((n_chars * 7) % 480 AS INTEGER) AS height,
+               CAST(n_chars % 30 AS INTEGER) AS n_frames
+        FROM documents ORDER BY doc_id
+      """)
+    ),
+
+    // --- batched feature extraction over binary blobs (mapPartitions) ---
+    Q(
+      "media_features",
+      (s, d) => {
+        val rows = t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        val out = rows
+          .mapPartitions { it =>
+            // Batch-shaped processing: one decoder instance per partition,
+            // records streamed through it — the mapInPandas execution shape.
+            it.map { r =>
+              val id = r.getLong(0)
+              val blob = r.getAs[Array[Byte]](1)
+              val (w, h, f) = stubDecode(blob)
+              val hist = new Array[Long](16)
+              if (blob != null) blob.foreach(b => hist((b & 0xff) % 16) += 1)
+              Row(id, if (blob == null) 0 else blob.length, w, h, f, hist.toSeq)
+            }
+          }(Encoders.row(featSchema))
+          .orderBy("doc_id")
+        out
+      },
+      None
+    ),
+
+    // --- blob-level exact dedup (content-hash groupBy over binary) ---
+    Q(
+      "media_dedup",
+      (s, d) => {
+        t(s, d, "documents")
+          .groupBy(sha2(col("text").cast("binary"), 256).as("content_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("content_hash")
+      },
+      Some("""
+        SELECT sha256(text) AS content_hash,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY content_hash
+      """)
+    )
+  )
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** One named query: a Spark builder plus (when SQL-expressible) the ANSI SQL
+  * a DuckDB oracle runs over the same parquet tables. Column names/order and
+  * row order MUST agree between the two — the driver hash-compares values
+  * with columns sorted by name.
+  */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String]
+)
+
+object Q {
+
+  /** Load one testdata table (TESTDATA.md: `<dir>/<name>.parquet`). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark 4 refuses to read natively (PARQUET_TYPE_ILLEGAL). Read the
+    * column as raw nanos (legacy long) and convert to NTZ micros with
+    * integer division — `ts div 1000` stays exact where a double division
+    * would lose precision above 2^53 ns.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+  }
+
+  /** Order-insensitive exact money sum: round to cents in DECIMAL (exact
+    * arithmetic in both Spark and DuckDB, immune to partition-order FP
+    * drift), surface as DOUBLE (identical final rounding in both engines).
+    * Oracle twin: `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** dsum over a window spec. */
+  def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(DecimalType(18, 2))).over(w).cast(DoubleType)
+
+  /** Money column as exact cents. Inputs are cast to DECIMAL *before* any
+    * arithmetic: rounding a double PRODUCT to cents differs between engines
+    * (binary-expansion vs scaled rounding) by one ulp-cent often enough to
+    * shift a 60k-row sum by ~0.2 — rounding the raw 2-decimal inputs never
+    * does. Oracle twin: `CAST(x AS DECIMAL(12,2))`.
+    */
+  def money(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Discount/tax rate as exact 4-decimal fraction (`DECIMAL(6,4)` twin). */
+  def rate(c: Column): Column = c.cast(DecimalType(6, 4))
+}

@@ -1,0 +1,564 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+
+import Q.{t, dsum, dsumOver, money, rate}
+
+/** Relational operator coverage over the TPC-H-ish testdata: scan, filter,
+  * projection, aggregation, joins (inner/semi/anti/multi-way), window
+  * functions, rollup/cube, sort/limit/top-k, set ops, distinct, having,
+  * scalar subquery, scalar/date/JSON functions, time bucketing and
+  * sessionization (gaps-and-islands).
+  *
+  * The reference engine has none of these (SURVEY.md §2.11) — its only
+  * predicates are offset equality/range (reference: internal/log/log.go:94-109,
+  * internal/server/server.go:138-158), mirrored here by the point-lookup /
+  * range-scan / min-max queries over `events`. Everything else is the
+  * analytics surface Spark provides over the log table.
+  *
+  * Plans stay fully declarative: filters and projections reach the parquet
+  * scan (pushdown + pruning), small dimension tables are broadcast, and all
+  * money aggregates use exact DECIMAL accumulation (Q.dsum) so results are
+  * bit-stable at any partitioning.
+  */
+object Relational {
+
+  val all: Seq[Q] = Seq(
+    // --- aggregation (TPC-H Q1 pattern): scan + filter pushdown + groupBy ---
+    Q(
+      "q1_agg",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .filter(expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            (sum(round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .cast("double") / 10000.0).as("sum_disc_price"),
+            (sum(round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")) *
+              (lit(100L) + round(col("l_tax") * 100).cast("long")))
+              .cast("double") / 1000000.0).as("sum_charge"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
+               CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """)
+    ),
+
+    // --- join + agg + top-k (TPC-H Q3 pattern), dimension side broadcast ---
+    Q(
+      "q3_top_orders",
+      (s, d) => {
+        val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val orders = t(s, d, "orders")
+        val li = t(s, d, "lineitem")
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .cast("double") / 10000.0).as("revenue"))
+          .orderBy(desc("revenue"), asc("o_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT o_orderkey, o_orderdate,
+               CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+      """)
+    ),
+
+    // --- multi-way join through the full dimension chain (TPC-H Q5 shape) ---
+    Q(
+      "q5_region_revenue",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(
+            (sum(round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .cast("double") / 10000.0).as("revenue"),
+            count(lit(1)).as("n_items")
+          )
+          .orderBy("r_name")
+      },
+      Some("""
+        SELECT r_name,
+               CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+      """)
+    ),
+
+    // --- semi join: customers holding at least one high-value order ---
+    Q(
+      "q_semi_join",
+      (s, d) => {
+        val big = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+        t(s, d, "customer")
+          .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        ORDER BY c_custkey
+      """)
+    ),
+
+    // --- anti join: customers with no orders at all ---
+    Q(
+      "q_anti_join",
+      (s, d) => {
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+      """)
+    ),
+
+    // --- window: top order per customer by rank ---
+    Q(
+      "q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders) WHERE rn = 1
+        ORDER BY o_custkey
+      """)
+    ),
+
+    // --- window: running revenue per customer (explicit ROWS frame) ---
+    Q(
+      "q_window_running",
+      (s, d) => {
+        val w = Window
+          .partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders")
+          .filter(col("o_custkey") < 100)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            col("o_orderdate"),
+            dsumOver(col("o_totalprice"), w).as("running_spend")
+          )
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_spend
+        FROM orders WHERE o_custkey < 100
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+      """)
+    ),
+
+    // --- grouping sets: rollup ---
+    Q(
+      "q_rollup",
+      (s, d) => {
+        t(s, d, "orders")
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """)
+    ),
+
+    // --- grouping sets: cube ---
+    Q(
+      "q_cube",
+      (s, d) => {
+        t(s, d, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """)
+    ),
+
+    // --- set ops ---
+    Q(
+      "q_set_union",
+      (s, d) => {
+        val a = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+        val b = t(s, d, "orders").filter(col("o_totalprice") > 450000.0).select(col("o_custkey").as("k"))
+        a.union(b).distinct().orderBy("k")
+      },
+      Some("""
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000.0
+        ORDER BY k
+      """)
+    ),
+    Q(
+      "q_set_intersect",
+      (s, d) => {
+        val a = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+        val b = t(s, d, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+        a.intersect(b).orderBy("k")
+      },
+      Some("""
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY k
+      """)
+    ),
+    Q(
+      "q_set_except",
+      (s, d) => {
+        val a = t(s, d, "customer").select(col("c_custkey").as("k"))
+        val b = t(s, d, "orders").select(col("o_custkey").as("k"))
+        a.except(b).orderBy("k")
+      },
+      Some("""
+        SELECT c_custkey AS k FROM customer
+        EXCEPT
+        SELECT o_custkey AS k FROM orders
+        ORDER BY k
+      """)
+    ),
+
+    // --- distinct aggregation ---
+    Q(
+      "q_distinct_count",
+      (s, d) => {
+        t(s, d, "orders").agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_pri"),
+          count(lit(1)).as("n_orders")
+        )
+      },
+      Some("""
+        SELECT count(DISTINCT o_custkey) AS n_cust,
+               count(DISTINCT o_orderpriority) AS n_pri,
+               count(*) AS n_orders
+        FROM orders
+      """)
+    ),
+
+    // --- HAVING ---
+    Q(
+      "q_having",
+      (s, d) => {
+        t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("spend"))
+          .filter(col("n") >= 15)
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+        ORDER BY o_custkey
+      """)
+    ),
+
+    // --- uncorrelated scalar subquery ---
+    Q(
+      "q_scalar_subquery",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val avgBal = cust.agg(avg(col("c_acctbal"))).head().getDouble(0)
+        cust
+          .filter(col("c_acctbal") > lit(avgBal) * 1.8)
+          .select("c_custkey", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) * 1.8
+        ORDER BY c_custkey
+      """)
+    ),
+
+    // --- scalar functions: string/math ---
+    Q(
+      "q_scalar_funcs",
+      (s, d) => {
+        t(s, d, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("name_up"),
+            length(col("p_name")).as("name_len"),
+            substring(col("p_type"), 1, 5).as("type_pfx"),
+            concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+            abs(col("p_size") - lit(25)).as("size_dist"),
+            round(col("p_retailprice") * 1.1, 2).as("uplift")
+          )
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, upper(p_name) AS name_up,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               substring(p_type, 1, 5) AS type_pfx,
+               p_brand || '-' || p_type AS brand_type,
+               CAST(abs(p_size - 25) AS INTEGER) AS size_dist,
+               round(p_retailprice * 1.1, 2) AS uplift
+        FROM part ORDER BY p_partkey
+      """)
+    ),
+
+    // --- date functions ---
+    Q(
+      "q_date_funcs",
+      (s, d) => {
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            expr("o_orderdate + INTERVAL '30' DAY").as("due_ts")
+          )
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(day(o_orderdate) AS INTEGER) AS dom,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               o_orderdate + INTERVAL 30 DAY AS due_ts
+        FROM orders ORDER BY o_orderkey
+      """)
+    ),
+
+    // --- JSON extraction from the events props column ---
+    Q(
+      "q_json_extract",
+      (s, d) => {
+        t(s, d, "events")
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("bigint").as("k")
+          )
+          .filter(col("k") % 7 === 0)
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+        ORDER BY event_id
+      """)
+    ),
+
+    // --- CASE bucketing + aggregation ---
+    Q(
+      "q_case_buckets",
+      (s, d) => {
+        t(s, d, "orders")
+          .withColumn(
+            "bucket",
+            when(col("o_totalprice") < 50000.0, "small")
+              .when(col("o_totalprice") < 200000.0, "medium")
+              .otherwise("large")
+          )
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("bucket")
+      },
+      Some("""
+        SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+                    WHEN o_totalprice < 200000.0 THEN 'medium'
+                    ELSE 'large' END AS bucket,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1 ORDER BY bucket
+      """)
+    ),
+
+    // --- log-parity analogs over events (SURVEY §2.2: L2/L3/L4/R4) ---
+    Q(
+      "log_point_lookup",
+      (s, d) =>
+        t(s, d, "events")
+          .filter(col("event_id") === 424)
+          .select("event_id", "user_id", "event_type", "value", "props"),
+      Some("""
+        SELECT event_id, user_id, event_type, value, props
+        FROM events WHERE event_id = 424
+      """)
+    ),
+    Q(
+      "log_min_max",
+      (s, d) =>
+        t(s, d, "events").agg(
+          min(col("event_id")).as("lowest"),
+          max(col("event_id")).as("highest"),
+          count(lit(1)).as("n")
+        ),
+      Some("""
+        SELECT min(event_id) AS lowest, max(event_id) AS highest, count(*) AS n
+        FROM events
+      """)
+    ),
+    Q(
+      "log_range_scan",
+      (s, d) =>
+        t(s, d, "events")
+          .filter(col("event_id") >= 100 && col("event_id") < 200)
+          .select("event_id", "event_type", "value")
+          .orderBy("event_id"),
+      Some("""
+        SELECT event_id, event_type, value FROM events
+        WHERE event_id >= 100 AND event_id < 200
+        ORDER BY event_id
+      """)
+    ),
+
+    // --- sort + limit (top-k) ---
+    Q(
+      "q_topk",
+      (s, d) =>
+        t(s, d, "orders")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .limit(10),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+      """)
+    ),
+
+    // --- event-time tumbling bucket (batch twin of the streaming window) ---
+    Q(
+      "q_time_bucket",
+      (s, d) => {
+        t(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""
+        SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+      """)
+    ),
+
+    // --- sessionization: gaps-and-islands with a 30-minute inactivity gap ---
+    Q(
+      "q_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn(
+            "new_sess",
+            when(
+              col("prev_ts").isNull ||
+                (col("ts") - col("prev_ts")) > expr("INTERVAL '30' MINUTE"),
+              1
+            ).otherwise(0)
+          )
+          .withColumn("session_id", sum("new_sess").over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"), min("ts").as("start_ts"), max("ts").as("end_ts"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""
+        WITH x AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        y AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM x),
+        z AS (
+          SELECT user_id, ts,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM y)
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS start_ts, max(ts) AS end_ts
+        FROM z GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+      """)
+    ),
+
+    // --- approximate distinct (sketch; no exact oracle by construction) ---
+    Q(
+      "q_approx_distinct",
+      (s, d) =>
+        t(s, d, "events")
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users")),
+      None
+    )
+  )
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q.t
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *   - `knn_brute`: exact cosine top-k for a query set — the correctness
+  *     baseline, one broadcast of the (small) query side, map-side scoring,
+  *     per-query top-k via window rank. At 100 TB the candidate side stays
+  *     fully partition-parallel; only k rows per query cross the shuffle.
+  *   - `knn_lsh`: the scale path — sign-random-projection LSH buckets from
+  *     deterministic hyperplanes (hash-derived, no RNG state to ship),
+  *     candidates meet in their bucket (shuffle on bucket id ⇒ O(n·k)
+  *     candidate pairs instead of O(n²)), then exact re-rank inside buckets.
+  *   - `knn_ivf`: IVF-style variant — label is the (given) coarse centroid
+  *     assignment; probe = the query's own cell.
+  *
+  * Cosines are computed in double precision (element-wise promoted) with a
+  * left-to-right fold, matching DuckDB's `list_dot_product` on `DOUBLE[]`
+  * bit-for-bit, then rounded to 6 dp with vec_id tie-breaks so rank order is
+  * engine-independent.
+  */
+object Similarity {
+
+  /** Promote a float array column to double for exact cross-engine math. */
+  private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** All (query, candidate) cosine pairs for queries `vec_id < nQueries`. */
+  private def scoredPairs(s: SparkSession, d: String, nQueries: Int): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), dbl(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < nQueries).select(col("vec_id").as("qid"), col("v").as("qv"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(dot(col("qv"), col("v")) / sqrt(dot(col("qv"), col("qv")) * dot(col("v"), col("v"))), 6))
+  }
+
+  val all: Seq[Q] = Seq(
+    // --- exact brute-force cosine top-k ---
+    Q(
+      "knn_brute",
+      (s, d) => {
+        val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+        scoredPairs(s, d, nQueries = 8)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("qid", "vec_id", "rank", "cos")
+          .orderBy("qid", "rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        p AS (
+          SELECT qid, vec_id,
+                 round(list_dot_product(qv, v) /
+                       sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)), 6) AS cos
+          FROM e CROSS JOIN q WHERE vec_id <> qid),
+        r AS (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM p)
+        SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM r WHERE rank <= 5 ORDER BY qid, rank
+      """)
+    ),
+
+    // --- LSH-bucketed ANN: sign random projection with deterministic planes ---
+    Q(
+      "knn_lsh",
+      (s, d) => {
+        val nPlanes = 6
+        // Deterministic pseudo-random hyperplane weights: plane p, dim i →
+        // fract(sin(p*64+i) * 43758.5453) - 0.5, a classic hash-to-unit trick.
+        // No RNG object, so executors rebuild planes locally for free.
+        val e = t(s, d, "embeddings").select(col("vec_id"), dbl(col("embedding")).as("v"))
+        val withBits = (0 until nPlanes).foldLeft(e) { (df, p) =>
+          val proj = aggregate(
+            zip_with(
+              col("v"),
+              sequence(lit(0), lit(63)),
+              (x, i) => {
+                val seed = sin(i.cast("double") + lit(p * 64.0)) * 43758.5453
+                x * (seed - floor(seed) - 0.5)
+              }
+            ),
+            lit(0.0),
+            (acc, x) => acc + x
+          )
+          df.withColumn(s"bit_$p", when(proj >= 0, 1).otherwise(0))
+        }
+        val bucketed = withBits.withColumn(
+          "bucket",
+          (0 until nPlanes).map(p => col(s"bit_$p") * (1 << p)).reduce(_ + _)
+        )
+        val q = bucketed
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
+        val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+        bucketed
+          .join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(dot(col("qv"), col("v")) / sqrt(dot(col("qv"), col("qv")) * dot(col("v"), col("v"))), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("qid", "vec_id", "rank", "cos")
+          .orderBy("qid", "rank")
+      },
+      None
+    ),
+
+    // --- IVF-style ANN: coarse cells = label, probe own cell, exact re-rank ---
+    Q(
+      "knn_ivf",
+      (s, d) => {
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+        val q = e
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+        val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+        e.join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(dot(col("qv"), col("v")) / sqrt(dot(col("qv"), col("qv")) * dot(col("v"), col("v"))), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("qid", "vec_id", "rank", "cos")
+          .orderBy("qid", "rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 8),
+        p AS (
+          SELECT qid, vec_id,
+                 round(list_dot_product(qv, v) /
+                       sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)), 6) AS cos
+          FROM e JOIN q ON label = qlabel WHERE vec_id <> qid),
+        r AS (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM p)
+        SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM r WHERE rank <= 5 ORDER BY qid, rank
+      """)
+    ),
+
+    // --- vector norms / stats (sanity surface for the vector column) ---
+    Q(
+      "vec_stats",
+      (s, d) => {
+        t(s, d, "embeddings")
+          .select(
+            col("vec_id"),
+            size(col("embedding")).as("dim"),
+            round(sqrt(dot(dbl(col("embedding")), dbl(col("embedding")))), 6).as("l2_norm")
+          )
+          .orderBy("vec_id")
+      },
+      Some("""
+        SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+               round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+        FROM embeddings ORDER BY vec_id
+      """)
+    )
+  )
+}

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import Q.t
+
+/** Text analysis for a large-scale training-data pipeline, over the
+  * `documents` table: token counting (whitespace + regex tokenization),
+  * quality scoring (length/stopword heuristics), per-language corpus stats,
+  * document fingerprinting (normalized bag-of-words hash), and a stoplist
+  * n-gram language-ID heuristic.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (split/filter/transform/md5/...) — no UDFs — so the whole pipeline stays
+  * inside WholeStageCodegen and scales linearly with executors.
+  */
+object TextOps {
+
+  /** Lowercased whitespace words of the trimmed text. */
+  private def words(c: Column): Column = split(lower(trim(c)), " ")
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val deStop = Seq("der", "die", "das", "und", "ist", "nicht")
+  private val esStop = Seq("el", "la", "de", "y", "que", "los")
+  private val frStop = Seq("le", "la", "de", "et", "les", "des")
+  private val zhStop = Seq("的", "是", "不", "了", "在")
+
+  private def stopCount(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stops.map(x => x: Any): _*)))
+
+  private def sqlStopCount(stops: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN (${stops
+        .map(s => s"'$s'")
+        .mkString(", ")}))) AS INTEGER)"
+
+  val all: Seq[Q] = Seq(
+    // --- token counting: whitespace tokens + BPE-ish regex tokens ---
+    Q(
+      "text_token_stats",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(split(trim(col("text")), " ")).as("n_ws_tokens"),
+            expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+              .as("n_re_tokens"),
+            length(col("text")).as("text_len"),
+            (length(regexp_replace(col("text"), " ", "")).cast("double") /
+              size(split(trim(col("text")), " "))).as("avg_word_len")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_re_tokens,
+               CAST(length(text) AS INTEGER) AS text_len,
+               CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) /
+                 len(string_split(trim(text), ' ')) AS avg_word_len
+        FROM documents ORDER BY doc_id
+      """)
+    ),
+
+    // --- quality scoring: length + stopword-ratio heuristic, bucketed ---
+    Q(
+      "text_quality",
+      (s, d) => {
+        val ws = words(col("text"))
+        val nWords = size(ws).cast("double")
+        val stopRatio = stopCount(ws, enStop).cast("double") / nWords
+        val score = least(nWords / lit(50.0), lit(1.0)) * 0.5 + (lit(1.0) - stopRatio) * 0.5
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            stopRatio.as("stop_ratio"),
+            score.as("quality_score"),
+            when(score >= 0.8, "high").when(score >= 0.5, "medium").otherwise("low").as("quality_bucket")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH x AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) AS n_words,
+                 CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                      w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS n_stop
+          FROM documents),
+        y AS (
+          SELECT doc_id, n_stop / n_words AS stop_ratio,
+                 least(n_words / 50.0, 1.0) * 0.5 + (1.0 - n_stop / n_words) * 0.5 AS quality_score
+          FROM x)
+        SELECT doc_id, stop_ratio, quality_score,
+               CASE WHEN quality_score >= 0.8 THEN 'high'
+                    WHEN quality_score >= 0.5 THEN 'medium'
+                    ELSE 'low' END AS quality_bucket
+        FROM y ORDER BY doc_id
+      """)
+    ),
+
+    // --- per-language corpus statistics ---
+    Q(
+      "text_lang_stats",
+      (s, d) => {
+        t(s, d, "documents")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+            countDistinct(col("source")).as("n_sources")
+          )
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+               count(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang ORDER BY lang
+      """)
+    ),
+
+    // --- document fingerprint: order-insensitive normalized bag-of-words hash ---
+    Q(
+      "text_fingerprint",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            md5(array_join(array_sort(words(col("text"))), " ")).as("fingerprint")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(string_split(lower(trim(text)), ' ')), ' ')) AS fingerprint
+        FROM documents ORDER BY doc_id
+      """)
+    ),
+
+    // --- language ID: stoplist-count argmax with deterministic tie-break ---
+    Q(
+      "lang_id",
+      (s, d) => {
+        val ws = words(col("text"))
+        val cEn = stopCount(ws, enStop)
+        val cDe = stopCount(ws, deStop)
+        val cEs = stopCount(ws, esStop)
+        val cFr = stopCount(ws, frStop)
+        val cZh = stopCount(ws, zhStop)
+        val pred = when(cEn >= cDe && cEn >= cEs && cEn >= cFr && cEn >= cZh, "en")
+          .when(cDe >= cEs && cDe >= cFr && cDe >= cZh, "de")
+          .when(cEs >= cFr && cEs >= cZh, "es")
+          .when(cFr >= cZh, "fr")
+          .otherwise("zh")
+        t(s, d, "documents")
+          .select(col("doc_id"), pred.as("pred_lang"), (pred === col("lang")).as("is_match"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH x AS (
+          SELECT doc_id, lang,
+                 ${sqlStopCount(enStop)} AS c_en,
+                 ${sqlStopCount(deStop)} AS c_de,
+                 ${sqlStopCount(esStop)} AS c_es,
+                 ${sqlStopCount(frStop)} AS c_fr,
+                 ${sqlStopCount(zhStop)} AS c_zh
+          FROM documents),
+        y AS (
+          SELECT doc_id, lang,
+                 CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                      WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                      WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                      WHEN c_fr >= c_zh THEN 'fr'
+                      ELSE 'zh' END AS pred_lang
+          FROM x)
+        SELECT doc_id, pred_lang, pred_lang = lang AS is_match
+        FROM y ORDER BY doc_id
+      """)
+    )
+  )
+}

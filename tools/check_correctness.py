@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle_sql in
+DuckDB over the testdata tables and compare against the Verify parquet dumps
+(columns sorted by name, rows sorted, exact value equality)."""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify-out"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+results = {}
+for name in sorted(os.listdir(out_dir)):
+    p = os.path.join(out_dir, name)
+    if not os.path.isdir(p):
+        continue
+    files = glob.glob(f"{p}/*.parquet")
+    if not files:
+        results[name] = "NO-OUTPUT"
+        continue
+    mine = pq.read_table(files[0]).to_pandas()
+    if name not in oracle:
+        results[name] = f"rows-only ({len(mine)} rows)"
+        continue
+    try:
+        ref = con.sql(oracle[name]).df()
+    except Exception as e:
+        results[name] = f"ORACLE-ERROR: {str(e)[:120]}"
+        continue
+    mine = mine.reindex(sorted(mine.columns), axis=1)
+    ref = ref.reindex(sorted(ref.columns), axis=1)
+    if list(mine.columns) != list(ref.columns):
+        results[name] = f"SCHEMA-NAMES: mine={list(mine.columns)} ref={list(ref.columns)}"
+        continue
+    if len(mine) != len(ref):
+        results[name] = f"ROWCOUNT: mine={len(mine)} ref={len(ref)}"
+        continue
+    ms = mine.sort_values(list(mine.columns)).reset_index(drop=True)
+    rs = ref.sort_values(list(ref.columns)).reset_index(drop=True)
+    mismatch = []
+    for c in ms.columns:
+        a, b = ms[c], rs[c]
+        try:
+            eq = (a == b) | (a.isna() & b.isna())
+        except Exception:
+            eq = a.astype(str) == b.astype(str)
+        if not eq.all():
+            i = int((~eq).idxmax())
+            mismatch.append(f"{c}[{i}]: {a[i]!r} vs {b[i]!r} (dtype {a.dtype}/{b.dtype})")
+    if mismatch:
+        results[name] = "VALUES: " + "; ".join(mismatch[:3])
+    else:
+        dt = [f"{c}:{ms[c].dtype}!={rs[c].dtype}" for c in ms.columns if ms[c].dtype != rs[c].dtype]
+        results[name] = f"OK ({len(mine)} rows)" + (f" [dtype-diff {dt}]" if dt else "")
+
+ok = sum(1 for v in results.values() if v.startswith("OK"))
+ro = sum(1 for v in results.values() if v.startswith("rows-only"))
+for k, v in sorted(results.items()):
+    flag = "  " if v.startswith(("OK", "rows-only")) else "✗ "
+    print(f"{flag}{k}: {v}")
+print(f"\n{ok} exact-match, {ro} rows-only, {len(results) - ok - ro} FAILING of {len(results)}")
