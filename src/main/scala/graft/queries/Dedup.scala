@@ -58,17 +58,52 @@ object Dedup {
     Q(
       "dedup_jaccard",
       (s, d) => {
-        val w = docWords(s, d)
-        val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val a = w.select(col("doc_id").as("d1"), col("lang"), col("word"))
-        val b = w.select(col("doc_id").as("d2"), col("lang").as("lang2"), col("word").as("word2"))
-        val inter = a
-          .join(b, col("word") === col("word2") && col("lang") === col("lang2") && col("d1") < col("d2"))
-          .groupBy("d1", "d2")
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        // Set-similarity join as bitmap intersection, not a token⋈token
+        // shuffle: dictionary-encode the corpus vocabulary to dense ids,
+        // pack each doc's distinct-word set into ⌈|V|/64⌉ longs, then probe
+        // lang-blocked candidate pairs surviving the Jaccard size bound
+        // (J ≤ min/max ⇒ 5·|A| ≥ 3·|B| and vice versa at τ=0.6) with
+        // bit_count(a & b) per block — word-independent O(|V|/64) per pair.
+        // The compact doc-signature side is broadcast; shuffling on the
+        // 5-value `lang` key would collapse to 5 skewed partitions.
+        val docs = t(s, d, "documents").select(
+          col("doc_id"),
+          col("lang"),
+          array_distinct(split(lower(trim(col("text"))), " ")).as("words")
+        )
+        val vocab = docs
+          .select(explode(col("words")).as("word"))
+          .distinct()
+          .withColumn("wid", row_number().over(Window.orderBy("word")) - 1)
+        // Tiny driver-side action for the block count (vocabulary is
+        // metadata-scale; at huge vocab swap row_number for zipWithIndex).
+        val nBlocks = math.max(1L, (vocab.count() + 63) / 64).toInt
+        val enc = docs
+          .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+          .join(broadcast(vocab), "word")
+          .groupBy("doc_id", "lang")
+          .agg(collect_list(col("wid")).as("wids"), count(lit(1)).as("sz"))
+          .withColumn(
+            "masks",
+            expr(
+              s"""transform(sequence(0, ${nBlocks - 1}),
+                 i -> aggregate(filter(wids, w -> w div 64 = i),
+                                CAST(0 AS BIGINT),
+                                (acc, w) -> acc | shiftleft(CAST(1 AS BIGINT), w % 64)))"""
+            )
+          )
+        val a = enc.select(col("doc_id").as("d1"), col("lang"), col("masks").as("ma"), col("sz").as("sz1"))
+        val b = enc.select(col("doc_id").as("d2"), col("lang").as("lang2"), col("masks").as("mb"), col("sz").as("sz2"))
+        a.join(
+          broadcast(b),
+          col("lang") === col("lang2") && col("d1") < col("d2") &&
+            col("sz1") * 5 >= col("sz2") * 3 && col("sz2") * 5 >= col("sz1") * 3
+        )
+          .withColumn(
+            "inter",
+            expr("""aggregate(zip_with(ma, mb, (x, y) -> CAST(bit_count(x & y) AS BIGINT)),
+                              CAST(0 AS BIGINT), (acc, x) -> acc + x)""")
+          )
           .select(
             col("d1"),
             col("d2"),
@@ -178,18 +213,19 @@ object Dedup {
     Q(
       "dedup_embedding",
       (s, d) => {
+        def dot2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
         val e = t(s, d, "embeddings")
           .select(
             col("vec_id"),
             col("label"),
             transform(col("embedding"), x => x.cast("double")).as("v")
           )
-        val a = e.select(col("vec_id").as("i"), col("label"), col("v").as("va"))
-        val b = e.select(col("vec_id").as("j"), col("label").as("label2"), col("v").as("vb"))
-        a.join(b, col("label") === col("label2") && col("i") < col("j"))
-          .withColumn("dot", aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
-          .withColumn("na", aggregate(zip_with(col("va"), col("va"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
-          .withColumn("nb", aggregate(zip_with(col("vb"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+          .withColumn("n2", dot2(col("v"), col("v")))
+        val a = e.select(col("vec_id").as("i"), col("label"), col("v").as("va"), col("n2").as("na"))
+        val b = e.select(col("vec_id").as("j"), col("label").as("label2"), col("v").as("vb"), col("n2").as("nb"))
+        a.join(broadcast(b), col("label") === col("label2") && col("i") < col("j"))
+          .withColumn("dot", dot2(col("va"), col("vb")))
           .withColumn("cos", round(col("dot") / sqrt(col("na") * col("nb")), 4))
           .filter(col("cos") >= 0.35)
           .select("i", "j", "cos")

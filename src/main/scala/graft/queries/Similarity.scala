@@ -32,12 +32,19 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** All (query, candidate) cosine pairs for queries `vec_id < nQueries`. */
+  /** All (query, candidate) cosine pairs for queries `vec_id < nQueries`.
+    * Squared norms are computed once per vector in the scan projection, not
+    * per pair; `sqrt(qn2 * n2)` keeps the oracle's exact expression tree so
+    * the rounded cosine stays bit-identical.
+    */
   private def scoredPairs(s: SparkSession, d: String, nQueries: Int): DataFrame = {
-    val e = t(s, d, "embeddings").select(col("vec_id"), dbl(col("embedding")).as("v"))
-    val q = e.filter(col("vec_id") < nQueries).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), dbl(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(dot(col("qv"), col("v")) / sqrt(dot(col("qv"), col("qv")) * dot(col("v"), col("v"))), 6))
+      .withColumn("cos", round(dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")), 6))
   }
 
   val all: Seq[Q] = Seq(
@@ -116,13 +123,15 @@ object Similarity {
     Q(
       "knn_ivf",
       (s, d) => {
-        val e = t(s, d, "embeddings").select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+          .withColumn("n2", dot(col("v"), col("v")))
         val q = e
           .filter(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"), col("n2").as("qn2"))
         val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
         e.join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
-          .withColumn("cos", round(dot(col("qv"), col("v")) / sqrt(dot(col("qv"), col("qv")) * dot(col("v"), col("v"))), 6))
+          .withColumn("cos", round(dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")), 6))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select("qid", "vec_id", "rank", "cos")
