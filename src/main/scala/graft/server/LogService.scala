@@ -1,0 +1,130 @@
+package graft.server
+
+import org.apache.spark.sql.DataFrame
+
+import graft.log.{LogRecord, OffsetOutOfRangeException, SparkLog}
+
+/** Request/response surface mirroring the reference wire schema
+  * (reference: api/v1/log.proto:22-48) as plain Scala — the engine is
+  * library-first; a network layer can wrap these 1:1.
+  */
+final case class ProduceRequest(value: Array[Byte])
+final case class ProduceResponse(offset: Long)
+final case class ConsumeRequest(offset: Long)
+final case class ConsumeResponse(record: LogRecord)
+
+/** Cluster-topology row (reference: api/v1/log.proto:41-48). */
+final case class ServerInfo(id: String, rpcAddr: String, isLeader: Boolean)
+
+/** Denied action — carries gRPC PermissionDenied(7) semantics and the exact
+  * message shape of the reference's Casbin deny path
+  * (reference: internal/auth/authorizer.go:20-27: "%s not permitted to %s to %s").
+  */
+final case class PermissionDeniedException(subject: String, action: String, obj: String = "*")
+    extends RuntimeException(s"$subject not permitted to $action to $obj") {
+  val code: Int = 7 // gRPC PermissionDenied
+}
+
+/** Action names (reference: internal/server/server.go:42-46). */
+object Action {
+  val Produce = "produce"
+  val Consume = "consume"
+}
+
+/** Map-based ACL standing in for the reference's Casbin model/policy files
+  * (reference: test/model.conf, test/policy.csv — `root` may produce/consume
+  * on object `*`; `nobody` may do nothing). Objects collapse to `*` exactly
+  * as the reference uses them (reference: internal/server/server.go:101,112).
+  */
+final case class Acl(policy: Map[String, Set[String]]) {
+  def isPermitted(subject: String, action: String): Boolean =
+    policy.getOrElse(subject, Set.empty).contains(action)
+
+  /** Throws PermissionDeniedException on deny, like Authorizer.Authorize
+    * (reference: internal/auth/authorizer.go:20-27).
+    */
+  def authorize(subject: String, action: String): Unit =
+    if (!isPermitted(subject, action)) throw PermissionDeniedException(subject, action)
+}
+
+object Acl {
+  /** The reference test policy: root → produce+consume, everyone else → ∅. */
+  def rootOnly: Acl = Acl(Map("root" -> Set(Action.Produce, Action.Consume)))
+}
+
+/** The gRPC server's operator surface (reference: internal/server/server.go)
+  * re-expressed over SparkLog. Authentication (mTLS CN → subject,
+  * reference: server.go:160-178) is out of engine scope: callers pass the
+  * already-authenticated subject.
+  */
+class LogService(
+    val log: SparkLog,
+    val acl: Acl = Acl.rootOnly,
+    val nodeName: String = "driver-0",
+    val rpcAddr: String = "local[*]"
+) {
+
+  /** R1 Produce (reference: internal/server/server.go:100-109). */
+  def produce(subject: String, req: ProduceRequest): ProduceResponse = {
+    acl.authorize(subject, Action.Produce)
+    ProduceResponse(log.appendOne(req.value))
+  }
+
+  /** R2 Consume — typed 404 past the end (reference: server.go:111-120). */
+  def consume(subject: String, req: ConsumeRequest): ConsumeResponse = {
+    acl.authorize(subject, Action.Consume)
+    ConsumeResponse(log.read(req.offset))
+  }
+
+  /** R3 ProduceStream: per-record acks carrying each assigned offset
+    * (reference: server.go:122-136). The whole iterator commits through the
+    * single-writer path in batches; acks preserve per-record granularity.
+    */
+  def produceStream(
+      subject: String,
+      requests: Iterator[ProduceRequest],
+      batchSize: Int = 1024
+  ): Iterator[ProduceResponse] = {
+    acl.authorize(subject, Action.Produce)
+    requests.grouped(batchSize).flatMap { batch =>
+      val first = log.append(batch.map(_.value))
+      batch.indices.map(i => ProduceResponse(first + i))
+    }
+  }
+
+  /** R4 ConsumeStream, catch-up portion: every record from `offset` to the
+    * current end, in order (reference: server.go:138-158 loops per record;
+    * the batch read subsumes the loop). For the unbounded tail use [[tail]].
+    */
+  def consumeStream(subject: String, offset: Long): Iterator[LogRecord] = {
+    acl.authorize(subject, Action.Consume)
+    val hi = log.highestOffset
+    if (log.currentManifest.segments.isEmpty || offset > hi) Iterator.empty
+    else {
+      val session = log.spark
+      import session.implicits._
+      import scala.jdk.CollectionConverters._
+      log
+        .range(offset, hi + 1)
+        .orderBy("offset")
+        .as[LogRecord]
+        .toLocalIterator()
+        .asScala
+    }
+  }
+
+  /** R4 ConsumeStream, unbounded tail: the streaming DataFrame view — the
+    * reference busy-polls for the next offset (reference: server.go:147-150),
+    * Structured Streaming micro-batches replace the poll loop (SURVEY §2.6).
+    */
+  def tail(subject: String, from: Long = 0L): DataFrame = {
+    acl.authorize(subject, Action.Consume)
+    log.tail(from)
+  }
+
+  /** R5 GetServers: single-node topology — the driver is the leader, there
+    * are no followers without a cluster manager (reference: server.go:180-190,
+    * internal/log/distributed.go:188-202).
+    */
+  def getServers: Seq[ServerInfo] = Seq(ServerInfo(nodeName, rpcAddr, isLeader = true))
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+  test("windowed counts aggregate by tumbling event-time window") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams
+      .windowedCounts(input.toDF(), "ts", "event_type", "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("wc")
+      .outputMode("complete")
+      .start()
+    try {
+      input.addData(Ev(ts(1), "click", 1.0), Ev(ts(2), "click", 2.0), Ev(ts(11), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark
+        .sql("select window.start, n, total_value from wc order by window.start")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.0)
+      assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 4.0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated keys within the watermark horizon") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams
+      .streamingDedup(input.toDF(), "ts", Seq("event_type"))
+      .writeStream
+      .format("memory")
+      .queryName("dd")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(Ev(ts(1), "a", 1.0), Ev(ts(1), "a", 1.0), Ev(ts(1), "b", 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(ts(1), "a", 1.0)) // duplicate across batches: still dropped
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from dd").head().getLong(0) == 2)
+    } finally q.stop()
+  }
+
+  test("session_window groups by inactivity gap") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case object _marker
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = EventStreams
+      .sessionWindows(df, "ts", "user_id", gap = "5 minutes", watermarkDelay = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("sw")
+      .outputMode("complete")
+      .start()
+    try {
+      // user 7: events at 10:01,10:03 (one session), 10:20 (a second one)
+      input.addData((ts(1), 7L), (ts(3), 7L), (ts(20), 7L))
+      q.processAllAvailable()
+      val rows = spark.sql("select n_events from sw order by session_window.start").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions on timeout") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams
+      .sessionize(input.toDS(), gapMs = 5 * 60 * 1000, watermarkDelay = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("fs")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(EventStreams.Event(9L, ts(1)), EventStreams.Event(9L, ts(3)))
+      q.processAllAvailable()
+      // No session yet: watermark at 10:03, timeout at 10:08.
+      assert(spark.sql("select count(*) from fs").head().getLong(0) == 0)
+      // A much later event pushes the watermark past the timeout.
+      input.addData(EventStreams.Event(1L, ts(30)))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(1L, ts(45))) // advance again to flush timers
+      q.processAllAvailable()
+      val rows = spark
+        .sql("select user_id, n_events from fs where user_id = 9")
+        .collect()
+      assert(rows.length == 1 && rows.head.getLong(1) == 2)
+    } finally q.stop()
+  }
+}
