@@ -1,0 +1,79 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 60-bit SimHash of a token array as one per-row expression.
+  *
+  * Why custom (SURVEY §4.3): the declarative formulation explodes every
+  * (token, bit) pair — 60× the token count — through two shuffled
+  * aggregations. This expression computes the same fingerprint in a single
+  * pass per row: per-token 60-bit hash from the md5 hex prefix (identical
+  * to `conv(substr(md5(w),1,15),16,10)`, so the DuckDB oracle still
+  * hash-matches bit-for-bit), ±1 bit votes accumulated in a local array,
+  * majority sign packed into a long. No shuffle, no row explosion.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash60.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash60.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  private val hexDigits = "0123456789abcdef".getBytes(StandardCharsets.US_ASCII)
+
+  /** 60-bit token hash = first 15 hex chars of md5, parsed base-16 —
+    * byte-for-byte the portable SQL formulation used by the oracle.
+    */
+  private def tokenHash(s: UTF8String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val digest = md.digest(s.getBytes)
+    // First 15 hex chars = 7 full bytes + the high nibble of byte 8.
+    var h = 0L
+    var i = 0
+    while (i < 7) {
+      h = (h << 8) | (digest(i) & 0xffL)
+      i += 1
+    }
+    (h << 4) | ((digest(7) & 0xf0L) >> 4)
+  }
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(tokens: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val h = tokenHash(tokens.getUTF8String(t))
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sim |= 1L << b
+      b += 1
+    }
+    sim
+  }
+}

@@ -28,15 +28,6 @@ import Q.t
   */
 object Dedup {
 
-  /** Distinct lowercased words per doc, with lang kept for blocking. */
-  private def docWords(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .select(
-        col("doc_id"),
-        col("lang"),
-        explode(array_distinct(split(lower(trim(col("text"))), " "))).as("word")
-      )
-
   val all: Seq[Q] = Seq(
     // --- exact dedup via normalized-text digest ---
     Q(
@@ -78,22 +69,34 @@ object Dedup {
         // Tiny driver-side action for the block count (vocabulary is
         // metadata-scale; at huge vocab swap row_number for zipWithIndex).
         val nBlocks = math.max(1L, (vocab.count() + 63) / 64).toInt
-        val enc = docs
-          .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
-          .join(broadcast(vocab), "word")
-          .groupBy("doc_id", "lang")
-          .agg(collect_list(col("wid")).as("wids"), count(lit(1)).as("sz"))
-          .withColumn(
-            "masks",
-            expr(
-              s"""transform(sequence(0, ${nBlocks - 1}),
-                 i -> aggregate(filter(wids, w -> w div 64 = i),
-                                CAST(0 AS BIGINT),
-                                (acc, w) -> acc | shiftleft(CAST(1 AS BIGINT), w % 64)))"""
+        // One scalar long column per 64-word block: the per-pair intersection
+        // below stays entirely inside whole-stage codegen (AND + popcount
+        // per block), where an array column would run interpreted lambdas
+        // per candidate pair.
+        val enc = (0 until nBlocks)
+          .foldLeft(
+            docs
+              .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+              .join(broadcast(vocab), "word")
+              .groupBy("doc_id", "lang")
+              .agg(collect_list(col("wid")).as("wids"), count(lit(1)).as("sz"))
+          ) { (df, i) =>
+            df.withColumn(
+              s"m_$i",
+              expr(
+                s"""aggregate(filter(wids, w -> w div 64 = $i),
+                              CAST(0 AS BIGINT),
+                              (acc, w) -> acc | shiftleft(CAST(1 AS BIGINT), w % 64))"""
+              )
             )
-          )
-        val a = enc.select(col("doc_id").as("d1"), col("lang"), col("masks").as("ma"), col("sz").as("sz1"))
-        val b = enc.select(col("doc_id").as("d2"), col("lang").as("lang2"), col("masks").as("mb"), col("sz").as("sz2"))
+          }
+          .drop("wids")
+        val aCols = col("doc_id").as("d1") +: col("lang") +: col("sz").as("sz1") +:
+          (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i"))
+        val bCols = col("doc_id").as("d2") +: col("lang").as("lang2") +: col("sz").as("sz2") +:
+          (0 until nBlocks).map(i => col(s"m_$i").as(s"mb_$i"))
+        val a = enc.select(aCols: _*)
+        val b = enc.select(bCols: _*)
         a.join(
           broadcast(b),
           col("lang") === col("lang2") && col("d1") < col("d2") &&
@@ -101,8 +104,9 @@ object Dedup {
         )
           .withColumn(
             "inter",
-            expr("""aggregate(zip_with(ma, mb, (x, y) -> CAST(bit_count(x & y) AS BIGINT)),
-                              CAST(0 AS BIGINT), (acc, x) -> acc + x)""")
+            (0 until nBlocks)
+              .map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)"))
+              .reduce(_ + _)
           )
           .select(
             col("d1"),
@@ -133,15 +137,15 @@ object Dedup {
     Q(
       "dedup_simhash",
       (s, d) => {
-        docWords(s, d)
-          .withColumn("wh", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("bigint"))
-          .withColumn("b", explode(sequence(lit(0), lit(59))))
-          .withColumn("v", when(expr("shiftright(wh, b) & CAST(1 AS BIGINT)") === 1L, 1).otherwise(-1))
-          .groupBy("doc_id", "b")
-          .agg(sum(col("v")).as("vote"))
-          .groupBy("doc_id")
-          .agg(
-            sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("simhash")
+        // One codegen'd expression per row (graft.functions.SimHash60) in
+        // place of the 60×-token explode + two shuffled aggregations; the
+        // md5-prefix token hash is identical, so the oracle still matches
+        // bit-for-bit.
+        graft.functions.GraftFunctions.register(s)
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            expr("simhash60(array_distinct(split(lower(trim(text)), ' ')))").as("simhash")
           )
           .orderBy("doc_id")
       },
@@ -167,15 +171,12 @@ object Dedup {
     Q(
       "dedup_simhash_pairs",
       (s, d) => {
-        val sims = docWords(s, d)
-          .withColumn("wh", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("bigint"))
-          .withColumn("b", explode(sequence(lit(0), lit(59))))
-          .withColumn("v", when(expr("shiftright(wh, b) & CAST(1 AS BIGINT)") === 1L, 1).otherwise(-1))
-          .groupBy("doc_id", "lang", "b")
-          .agg(sum(col("v")).as("vote"))
-          .groupBy("doc_id", "lang")
-          .agg(
-            sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("simhash")
+        graft.functions.GraftFunctions.register(s)
+        val sims = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("lang"),
+            expr("simhash60(array_distinct(split(lower(trim(text)), ' ')))").as("simhash")
           )
         val x = sims.select(col("doc_id").as("d1"), col("lang"), col("simhash").as("h1"))
         val y = sims.select(col("doc_id").as("d2"), col("lang").as("lang2"), col("simhash").as("h2"))
@@ -213,20 +214,17 @@ object Dedup {
     Q(
       "dedup_embedding",
       (s, d) => {
-        def dot2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        graft.functions.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
           .select(
             col("vec_id"),
             col("label"),
             transform(col("embedding"), x => x.cast("double")).as("v")
           )
-          .withColumn("n2", dot2(col("v"), col("v")))
-        val a = e.select(col("vec_id").as("i"), col("label"), col("v").as("va"), col("n2").as("na"))
-        val b = e.select(col("vec_id").as("j"), col("label").as("label2"), col("v").as("vb"), col("n2").as("nb"))
+        val a = e.select(col("vec_id").as("i"), col("label"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("j"), col("label").as("label2"), col("v").as("vb"))
         a.join(broadcast(b), col("label") === col("label2") && col("i") < col("j"))
-          .withColumn("dot", dot2(col("va"), col("vb")))
-          .withColumn("cos", round(col("dot") / sqrt(col("na") * col("nb")), 4))
+          .withColumn("cos", round(expr("cosine_similarity(va, vb)"), 4))
           .filter(col("cos") >= 0.35)
           .select("i", "j", "cos")
           .orderBy("i", "j")

@@ -38,13 +38,11 @@ object Similarity {
     * the rounded cosine stays bit-identical.
     */
   private def scoredPairs(s: SparkSession, d: String, nQueries: Int): DataFrame = {
-    val e = t(s, d, "embeddings")
-      .select(col("vec_id"), dbl(col("embedding")).as("v"))
-      .withColumn("n2", dot(col("v"), col("v")))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    graft.functions.GraftFunctions.register(s)
+    val e = t(s, d, "embeddings").select(col("vec_id"), dbl(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < nQueries).select(col("vec_id").as("qid"), col("v").as("qv"))
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")), 6))
+      .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
   }
 
   val all: Seq[Q] = Seq(
@@ -80,6 +78,7 @@ object Similarity {
     Q(
       "knn_lsh",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val nPlanes = 6
         // Deterministic pseudo-random hyperplane weights: plane p, dim i →
         // fract(sin(p*64+i) * 43758.5453) - 0.5, a classic hash-to-unit trick.
@@ -110,7 +109,7 @@ object Similarity {
         val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
         bucketed
           .join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-          .withColumn("cos", round(dot(col("qv"), col("v")) / sqrt(dot(col("qv"), col("qv")) * dot(col("v"), col("v"))), 6))
+          .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select("qid", "vec_id", "rank", "cos")
@@ -123,15 +122,15 @@ object Similarity {
     Q(
       "knn_ivf",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
-          .withColumn("n2", dot(col("v"), col("v")))
         val q = e
           .filter(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"), col("n2").as("qn2"))
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
         val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
         e.join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
-          .withColumn("cos", round(dot(col("qv"), col("v")) / sqrt(col("qn2") * col("n2")), 6))
+          .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select("qid", "vec_id", "rank", "cos")

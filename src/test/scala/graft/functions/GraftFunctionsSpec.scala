@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraftFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("cosine_similarity matches the built-in fold bit-for-bit") {
+    GraftFunctions.register(spark)
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val pairs = df
+      .select(col("vec_id").as("i"), col("v").as("a"))
+      .crossJoin(df.select(col("vec_id").as("j"), col("v").as("b")))
+      .filter(col("i") < col("j"))
+      .limit(500)
+      .withColumn("native", expr("cosine_similarity(a, b)"))
+      .withColumn(
+        "builtin",
+        expr("""aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) /
+                sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x) *
+                     aggregate(zip_with(b, b, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x))""")
+      )
+    // exact double equality: same left-to-right accumulation order
+    assert(pairs.filter(col("native") =!= col("builtin")).count() == 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("cosine_similarity handles float arrays and self-similarity") {
+    GraftFunctions.register(spark)
+    val row = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("cosine_similarity(embedding, embedding) as c")
+      .agg(min("c"), max("c"))
+      .head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-6)
+  }
+
+  test("simhash60 matches the explode/conv SQL formulation exactly") {
+    GraftFunctions.register(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(25)
+      .select(col("doc_id"), expr("array_distinct(split(lower(trim(text)), ' '))").as("words"))
+      .cache()
+    val native = docs.selectExpr("doc_id", "simhash60(words) as h")
+    val declarative = docs
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .withColumn("wh", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("bigint"))
+      .withColumn("b", explode(sequence(lit(0), lit(59))))
+      .withColumn("v", when(expr("shiftright(wh, b) & CAST(1 AS BIGINT)") === 1L, 1).otherwise(-1))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("v")).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("h"))
+    val joined = native.as("n").join(declarative.as("d"), "doc_id")
+    assert(joined.filter(expr("n.h <> d.h")).count() == 0)
+    assert(joined.count() == 25)
+  }
+
+  test("expressions run inside whole-stage codegen (no fallback)") {
+    GraftFunctions.register(spark)
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("cosine_similarity(embedding, embedding) as c")
+    // The `*(n)` prefix marks operators fused into WholeStageCodegen; a
+    // CodegenFallback expression would force a plain (unstarred) Project.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosine_similarity"), s"expected codegen'd Project in plan:\n$plan")
+  }
+}
