@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.log.{LogConfig, SparkLog}
+import graft.server.{Acl, LogService}
+
+/** Composition root — the analog of the reference's Agent
+  * (reference: internal/agent/agent.go:49-68): wires the session, the
+  * commit log, the service surface, and streaming ingest into one handle.
+  * Raft/Serf/cmux collapse into Spark's driver/executor model (SURVEY §2.5):
+  * the driver is the single writer (total order without consensus), any
+  * executor serves relaxed reads, and the cluster manager owns membership.
+  */
+class Engine(
+    val spark: SparkSession,
+    val dataDir: String,
+    val config: LogConfig = LogConfig(),
+    val acl: Acl = Acl.rootOnly,
+    val nodeName: String = "driver-0"
+) {
+  val log: SparkLog = SparkLog(spark, dataDir, config)
+  val service: LogService = new LogService(log, acl, nodeName)
+
+  graft.functions.GraftFunctions.register(spark)
+
+  /** Streaming ingest: every micro-batch of `stream`'s `value` column
+    * commits through the single-writer append path — the fsm.Apply of our
+    * write path (reference: internal/log/distributed_fsm.go:25-46). With a
+    * checkpoint location the source side is replayed-once per epoch; the
+    * append itself is at-least-once on crash between write and manifest
+    * swap (documented deviation: the reference's Raft apply is
+    * exactly-once-ordered, our batch commit is idempotent per epoch only
+    * if the caller dedups on a key).
+    */
+  def ingest(
+      stream: DataFrame,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery =
+    stream
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val batch = df.select(col("value").cast("binary").as("value"))
+        log.appendDF(batch)
+        ()
+      }
+      .start()
+
+  /** Batch view of the whole log (L6). */
+  def toDF: DataFrame = log.toDF
+
+  /** Shutdown in reverse boot order (reference: agent.go:175-182) — the
+    * session is caller-owned, so only engine state closes here.
+    */
+  def close(): Unit = ()
+}
+
+object Engine {
+  def apply(spark: SparkSession, dataDir: String): Engine = new Engine(spark, dataDir)
+}

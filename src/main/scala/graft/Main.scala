@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.log.OffsetOutOfRangeException
+import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
+
+/** CLI entry point — the analog of the reference's cobra/viper command
+  * (reference: cmd/proglog/main.go:44-73): flags + a handful of verbs over
+  * one engine instance.
+  *
+  * Usage:
+  * {{{
+  *   graft.Main --data-dir DIR [--subject root] <command> [args]
+  *   commands:
+  *     produce <value>...     append values, print assigned offsets
+  *     consume <offset>       read one record
+  *     stat                   lowest/highest offset + segment count
+  *     servers                cluster topology
+  *     truncate <lowest>      drop whole segments at or below <lowest>
+  * }}}
+  */
+object Main {
+  private def usage(): Nothing = {
+    System.err.println(
+      "usage: graft.Main --data-dir DIR [--subject S] (produce <v>... | consume <off> | stat | servers | truncate <low>)"
+    )
+    sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    var dataDir: Option[String] = None
+    var subject = "root"
+    var rest = List.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--data-dir" => dataDir = Some(args(i + 1)); i += 2
+        case "--subject"  => subject = args(i + 1); i += 2
+        case other        => rest = rest :+ other; i += 1
+      }
+    }
+    val dir = dataDir.getOrElse(usage())
+    if (rest.isEmpty) usage()
+
+    val spark = SparkSession
+      .builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val engine = Engine(spark, dir)
+
+    try {
+      rest match {
+        case "produce" :: values if values.nonEmpty =>
+          val acks = engine.service
+            .produceStream(subject, values.iterator.map(v => ProduceRequest(v.getBytes("UTF-8"))))
+            .toSeq
+          acks.foreach(a => println(s"offset: ${a.offset}"))
+        case "consume" :: off :: Nil =>
+          val rec = engine.service.consume(subject, ConsumeRequest(off.toLong)).record
+          println(s"offset: ${rec.offset} value: ${new String(rec.value, "UTF-8")}")
+        case "stat" :: Nil =>
+          println(
+            s"lowest: ${engine.log.lowestOffset} highest: ${engine.log.highestOffset} " +
+              s"segments: ${engine.log.segmentCount}"
+          )
+        case "servers" :: Nil =>
+          engine.service.getServers.foreach(s =>
+            println(s"id: ${s.id} addr: ${s.rpcAddr} leader: ${s.isLeader}")
+          )
+        case "truncate" :: low :: Nil =>
+          engine.log.truncate(low.toLong)
+          println(s"truncated below ${low.toLong}; lowest now ${engine.log.lowestOffset}")
+        case _ => usage()
+      }
+    } catch {
+      case e: OffsetOutOfRangeException =>
+        System.err.println(s"error 404: ${e.getMessage}"); sys.exit(1)
+      case e: PermissionDeniedException =>
+        System.err.println(s"error 403: ${e.getMessage}"); sys.exit(1)
+    } finally {
+      spark.stop()
+    }
+  }
+}

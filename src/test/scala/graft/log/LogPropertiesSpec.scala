@@ -1,0 +1,68 @@
+package graft.log
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property tests (SURVEY §5 port): random batches ⇒ contiguous offsets,
+  * round-trip reads, truncate keeps segment granularity. Generators are
+  * sampled on fixed seeds (the scalatest–scalacheck bridge isn't in the
+  * offline cache) and case counts stay small — every op is a Spark job.
+  */
+class LogPropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val batchesGen: Gen[List[List[String]]] =
+    Gen.resize(
+      8,
+      Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.alphaNumStr.map(s => "v" + s.take(12))))
+    )
+
+  private def cases[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("offsets are contiguous and gap-free across any batch sequence") {
+    cases(batchesGen, 5).foreach { batches =>
+      val log = SparkLog(spark, TestSpark.tempDir("prop-contig"), LogConfig(maxStoreBytes = 96))
+      var expected = 0L
+      batches.foreach { batch =>
+        val first = log.append(batch.map(_.getBytes))
+        assert(first == expected, s"batch sizes ${batches.map(_.size)}")
+        expected += batch.size
+      }
+      assert(log.highestOffset == expected - 1)
+      assert(log.lowestOffset == 0)
+      val offs = log.toDF.select("offset").collect().map(_.getLong(0)).sorted
+      assert(offs.toSeq == (0L until expected))
+    }
+  }
+
+  test("read(i) round-trips sampled records from any batch sequence") {
+    cases(batchesGen, 4).foreach { batches =>
+      val values = batches.flatten
+      val log = SparkLog(spark, TestSpark.tempDir("prop-rt"), LogConfig(maxStoreBytes = 96))
+      batches.foreach(b => log.append(b.map(_.getBytes)))
+      val idx = (values.size - 1) / 2
+      assert(new String(log.read(idx.toLong).value) == values(idx))
+      assert(new String(log.read(values.size - 1L).value) == values.last)
+    }
+  }
+
+  test("truncate drops only whole segments at or below the boundary") {
+    cases(Gen.chooseNum(0, 10), 5).foreach { cut =>
+      val log = SparkLog(spark, TestSpark.tempDir("prop-trunc"), LogConfig(maxStoreBytes = 48))
+      log.append((0 until 12).map(i => s"record-$i".getBytes))
+      log.truncate(cut.toLong)
+      val low = log.lowestOffset
+      // nothing newer than the cut was lost...
+      assert(low <= cut + 1, s"cut=$cut low=$low")
+      // ...and everything still present reads back
+      (low to log.highestOffset).foreach { i =>
+        assert(new String(log.read(i).value) == s"record-$i")
+      }
+      if (low > 0) intercept[OffsetOutOfRangeException](log.read(low - 1))
+    }
+  }
+}
