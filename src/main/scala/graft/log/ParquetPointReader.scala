@@ -1,0 +1,122 @@
+package graft.log
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+
+/** Driver-side point read straight through parquet-java, bypassing Spark's
+  * job machinery for single-record lookups.
+  *
+  * The reference answers a point read with one mmap index probe + one
+  * positional file read (reference: internal/log/segment.go:66-79,
+  * internal/log/index.go:40-56). Our analog: parquet footer min/max
+  * statistics on `offset` select the part file and row group (skipped
+  * groups cost zero page I/O via `skipNextRowGroup`), and — because the
+  * writer emits offsets in ascending contiguous order — the matching group
+  * is scanned only up to the target record.
+  */
+private[log] object ParquetPointReader {
+
+  /** `part-<minOffset>-<maxOffset>-<uuid>.parquet` — range baked into the
+    * name by the writer so file selection needs no I/O at all.
+    */
+  private val RangedName = """part-(\d+)-(\d+)-.*\.parquet""".r
+
+  /** Read the record at `offset` from one `segment=<base>` directory.
+    * Returns None when no part file covers the offset.
+    */
+  def readOffset(segmentDir: Path, offset: Long): Option[LogRecord] = {
+    if (!Files.isDirectory(segmentDir)) return None
+    val parts = Files
+      .list(segmentDir)
+      .iterator()
+      .asScala
+      .filter { p =>
+        p.getFileName.toString match {
+          case RangedName(mn, mx)                      => mn.toLong <= offset && offset <= mx.toLong
+          case n if n.endsWith(".parquet")             => true // unranged: must inspect
+          case _                                       => false
+        }
+      }
+      .toVector
+      .sortBy(_.getFileName.toString)
+    val conf = new Configuration()
+    parts.iterator.flatMap(p => readFromFile(p, offset, conf)).nextOption()
+  }
+
+  /** (min, max) of the `offset` column across a file's row groups, from
+    * footer statistics only (no page I/O).
+    */
+  def offsetRange(file: Path): Option[(Long, Long)] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), new Configuration())
+    )
+    try {
+      val ranges = reader.getFooter.getBlocks.asScala.flatMap { block =>
+        block.getColumns.asScala
+          .find(_.getPath.toDotString == "offset")
+          .map(_.getStatistics)
+          .collect {
+            case st if st != null && !st.isEmpty =>
+              (
+                st.genericGetMin.asInstanceOf[Number].longValue(),
+                st.genericGetMax.asInstanceOf[Number].longValue()
+              )
+          }
+      }
+      if (ranges.isEmpty) None else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    } finally reader.close()
+  }
+
+  private def readFromFile(file: Path, offset: Long, conf: Configuration): Option[LogRecord] = {
+    val reader =
+      ParquetFileReader.open(HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val colIO = new ColumnIOFactory().getColumnIO(schema)
+      val blocks = reader.getFooter.getBlocks.asScala
+      var result: Option[LogRecord] = None
+      val it = blocks.iterator
+      while (result.isEmpty && it.hasNext) {
+        val block = it.next()
+        val offsetStats = block.getColumns.asScala
+          .find(_.getPath.toDotString == "offset")
+          .map(_.getStatistics)
+        val mayContain = offsetStats match {
+          case Some(st) if st != null && !st.isEmpty =>
+            val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+            val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+            offset >= mn && offset <= mx
+          case _ => true // no stats: must scan
+        }
+        if (!mayContain) reader.skipNextRowGroup()
+        else {
+          val pages = reader.readNextRowGroup()
+          val rr = colIO.getRecordReader(pages, new GroupRecordConverter(schema))
+          var i = 0L
+          val n = pages.getRowCount
+          while (result.isEmpty && i < n) {
+            val g = rr.read()
+            if (g.getLong("offset", 0) == offset) {
+              val value =
+                if (g.getFieldRepetitionCount("value") == 0) Array.emptyByteArray
+                else g.getBinary("value", 0).getBytes
+              val term = if (g.getFieldRepetitionCount("term") == 0) 0L else g.getLong("term", 0)
+              val recordType =
+                if (g.getFieldRepetitionCount("recordType") == 0) 0
+                else g.getInteger("recordType", 0)
+              result = Some(LogRecord(value, offset, term, recordType))
+            }
+            i += 1
+          }
+        }
+      }
+      result
+    } finally reader.close()
+  }
+}

@@ -118,6 +118,12 @@ class SparkLog(
     * assigning contiguous offsets, written in parallel as ONE new sealed
     * segment (split into bounded part files). Returns (firstOffset, count).
     *
+    * Offset order follows the DataFrame's partition layout (a DataFrame has
+    * no intrinsic row order): offsets are contiguous and each row gets
+    * exactly one, but callers needing a specific record↔offset mapping must
+    * order the input first (e.g. `df.orderBy(...).coalesce(1)` or a
+    * range-partitioned sort).
+    *
     * Contiguity across a distributed batch needs per-partition bases, which
     * needs per-partition counts — one lightweight counting job, then the
     * write job. `monotonically_increasing_id` would leave gaps and is
@@ -164,24 +170,35 @@ class SparkLog(
   // ----------------------------------------------------------------- reads
 
   /** Point lookup by offset (reference: internal/log/log.go:94-109).
-    * Opens exactly one segment directory (manifest binary search replaces
-    * the reference's linear segment scan) and lets Parquet row-group stats
-    * skip within it. Throws the typed 404 error past either end.
+    *
+    * Fast path: the manifest's binary search picks the one segment
+    * (replacing the reference's linear segment scan), then the record is
+    * read driver-side straight through parquet-java — footer min/max stats
+    * skip part files and row groups the way the reference's mmap index
+    * skips store bytes — so a warm point read costs file-footer I/O, not a
+    * Spark job (~100 ms scheduling floor). Falls back to a Spark scan on
+    * any reader surprise. Throws the typed 404 error past either end.
     */
   def read(offset: Long): LogRecord = {
     val seg = manifest
       .segmentFor(offset)
       .getOrElse(throw OffsetOutOfRangeException(offset))
+    val fast =
+      try ParquetPointReader.readOffset(segmentPath(seg.base), offset)
+      catch { case scala.util.control.NonFatal(_) => sparkRead(seg.base, offset) }
+    fast.getOrElse(throw OffsetOutOfRangeException(offset))
+  }
+
+  private def sparkRead(base: Long, offset: Long): Option[LogRecord] = {
     val session = spark
     import session.implicits._
-    val rows = spark.read
+    spark.read
       .schema(LogRecord.schema)
-      .parquet(segmentPath(seg.base).toString)
+      .parquet(segmentPath(base).toString)
       .filter(col("offset") === offset)
       .as[LogRecord]
       .take(1)
-    if (rows.isEmpty) throw OffsetOutOfRangeException(offset)
-    rows.head
+      .headOption
   }
 
   /** First available offset (reference: internal/log/log.go:137-142). O(1). */
@@ -283,18 +300,28 @@ class SparkLog(
     Paths.get(dir, s"_tmp-${UUID.randomUUID().toString.take(12)}")
 
   /** Write a driver-side chunk as one Parquet part file inside its segment
-    * dir: stage → rename (atomic publish).
+    * dir: stage → rename (atomic publish). Goes straight through
+    * parquet-java (no Spark job — the chunk already lives on the driver,
+    * reference: internal/log/log.go:80-92 is a plain buffered write) and
+    * embeds the chunk's offset range in the file name so point reads pick
+    * the file without opening footers.
     */
   private def writePart(base: Long, recs: Vector[LogRecord]): Unit = {
-    val session = spark
-    import session.implicits._
-    val staging = stagingDir()
-    spark.createDataset(recs).coalesce(1).write.parquet(staging.toString)
-    publishParts(staging, base)
+    val target = segmentPath(base)
+    Files.createDirectories(target)
+    val tmp = Paths.get(dir, s"_tmp-${UUID.randomUUID().toString.take(12)}.parquet")
+    ParquetPartWriter.write(tmp, recs)
+    val name =
+      s"part-${recs.head.offset}-${recs.last.offset}-${UUID.randomUUID().toString.take(8)}.parquet"
+    Files.move(tmp, target.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    Files.deleteIfExists(tmp.resolveSibling("." + tmp.getFileName.toString + ".crc"))
   }
 
   /** Move every part file from `staging` into `segment=<base>/`, returning
-    * total bytes moved. Deletes the staging dir.
+    * total bytes moved. Each file is renamed to carry its offset range
+    * (one cheap footer read per file at publish time) — the analog of the
+    * reference's per-segment index file, paid once at write so point reads
+    * are O(1) in file selection. Deletes the staging dir.
     */
   private def publishParts(staging: Path, base: Long): Long = {
     val target = segmentPath(base)
@@ -309,7 +336,11 @@ class SparkLog(
       .sortBy(_.getFileName.toString)
       .foreach { p =>
         bytes += Files.size(p)
-        val name = s"part-${UUID.randomUUID().toString.take(16)}.parquet"
+        val u = UUID.randomUUID().toString.take(8)
+        val name = ParquetPointReader.offsetRange(p) match {
+          case Some((mn, mx)) => s"part-$mn-$mx-$u.parquet"
+          case None           => s"part-$u.parquet"
+        }
         Files.move(p, target.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       }
     deleteRecursively(staging)
