@@ -51,6 +51,17 @@ final case class LogConfig(
     initialOffset: Long = 0L
 )
 
+object LogConfig {
+  /** The reference's literal defaults — 1024-byte store cap and the
+    * 1024-byte index cap's 85-entry record bound
+    * (reference: internal/log/log.go:26-31, index entryWidth=12
+    * internal/log/index.go:10-14). Pathological for Parquet; provided for
+    * behavioral parity tests only.
+    */
+  val referenceDefaults: LogConfig =
+    LogConfig(maxStoreBytes = 1024L, maxRecordsPerSegment = 1024L / 12)
+}
+
 /** Typed error for reads past the log end, carrying HTTP-404 semantics like
   * the reference's `ErrOffsetOutOfRange` (reference: api/v1/error.go:10-30,
   * raised internal/log/log.go:105-107). Message text matches the gRPC status

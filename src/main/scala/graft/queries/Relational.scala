@@ -552,6 +552,87 @@ object Relational {
       """)
     ),
 
+    // --- UNION ALL (bag semantics, no dedup shuffle) ---
+    Q(
+      "q_union_all",
+      (s, d) => {
+        val a = t(s, d, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+        val b = t(s, d, "orders").filter(col("o_totalprice") > 450000.0).select(col("o_custkey").as("k"))
+        a.union(b).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+      },
+      Some("""
+        SELECT k, count(*) AS n FROM (
+          SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL
+          SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000.0)
+        GROUP BY k ORDER BY k
+      """)
+    ),
+
+    // --- LIKE / regex predicates ---
+    Q(
+      "q_like_filter",
+      (s, d) =>
+        t(s, d, "part")
+          .filter(col("p_name").like("%bolt%") || col("p_type").rlike("^(PROMO|STANDARD)$"))
+          .select("p_partkey", "p_name", "p_type")
+          .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey, p_name, p_type FROM part
+        WHERE p_name LIKE '%bolt%' OR regexp_matches(p_type, '^(PROMO|STANDARD)$')
+        ORDER BY p_partkey
+      """)
+    ),
+
+    // --- IN subquery ---
+    Q(
+      "q_in_subquery",
+      (s, d) => {
+        val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+        t(s, d, "lineitem")
+          .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("l_orderkey")
+      },
+      Some("""
+        SELECT l_orderkey, count(*) AS n_lines,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        GROUP BY l_orderkey ORDER BY l_orderkey
+      """)
+    ),
+
+    // --- null handling: nullif / coalesce / null-aware aggregation ---
+    Q(
+      "q_null_funcs",
+      (s, d) =>
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            coalesce(nullif(col("o_orderstatus"), lit("F")), lit("finished")).as("status_or_default"),
+            when(col("o_totalprice") > 250000.0, col("o_totalprice")).as("big_or_null")
+          )
+          .groupBy("status_or_default")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("big_or_null")).as("n_big"),
+            dsum(coalesce(col("big_or_null"), lit(0.0))).as("big_total")
+          )
+          .orderBy("status_or_default"),
+      Some("""
+        WITH x AS (
+          SELECT o_orderkey,
+                 coalesce(nullif(o_orderstatus, 'F'), 'finished') AS status_or_default,
+                 CASE WHEN o_totalprice > 250000.0 THEN o_totalprice END AS big_or_null
+          FROM orders)
+        SELECT status_or_default, count(*) AS n_rows, count(big_or_null) AS n_big,
+               CAST(sum(CAST(coalesce(big_or_null, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+        FROM x GROUP BY 1 ORDER BY status_or_default
+      """)
+    ),
+
     // --- approximate distinct (sketch; no exact oracle by construction) ---
     Q(
       "q_approx_distinct",
