@@ -41,6 +41,11 @@ object GraftFunctions {
       "simhash60",
       "simhash60(tokens) - 60-bit SimHash fingerprint of a token array",
       arity("simhash60", 1)(args => SimHash60(args(0)))
+    ),
+    (
+      "minhash16",
+      "minhash16(tokens) - 16-function MinHash signature of a token array",
+      arity("minhash16", 1)(args => MinHash16(args(0)))
     )
   )
 

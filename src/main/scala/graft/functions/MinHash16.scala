@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** 16-function MinHash signature of a token array as one per-row expression.
+  *
+  * Hash family: `h_i(w) = (a_i · (H(w) mod p) + b_i) mod p` with
+  * `p = 2^31 − 1`, `a_i = 2i + 3`, `b_i = (104729 · (i+1)) mod p`, and
+  * `H(w)` the shared 60-bit md5-prefix token hash — every term is exactly
+  * reproducible in portable SQL (the DuckDB oracle computes identical
+  * signatures), and all intermediates stay under 2^63 (a_i ≤ 33,
+  * H mod p < 2^31 ⇒ product < 2^36).
+  *
+  * Like [[SimHash60]], this replaces an explode × 16 shuffle-aggregate
+  * formulation with one fused per-row pass inside whole-stage codegen.
+  *
+  * An empty token array yields the `Long.MaxValue` sentinel in every slot
+  * (SQL `min()` over an empty group would give NULL) — callers hashing
+  * possibly-empty docs should filter first.
+  */
+case class MinHash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "minhash16"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHash16.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash16.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHash16 {
+  val K = 16
+  val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  def a(i: Int): Long = 2L * i + 3
+  def b(i: Int): Long = (104729L * (i + 1)) % P
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(tokens: ArrayData): ArrayData = {
+    val mins = Array.fill(K)(Long.MaxValue)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val h = TokenHash.hash60(tokens.getUTF8String(t)) % P
+      var i = 0
+      while (i < K) {
+        val v = (a(i) * h + b(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+}

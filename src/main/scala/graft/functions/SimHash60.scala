@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -35,13 +34,13 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-object SimHash60 {
-  private val hexDigits = "0123456789abcdef".getBytes(StandardCharsets.US_ASCII)
-
-  /** 60-bit token hash = first 15 hex chars of md5, parsed base-16 —
-    * byte-for-byte the portable SQL formulation used by the oracle.
-    */
-  private def tokenHash(s: UTF8String): Long = {
+/** Portable 60-bit token hash shared by the hashing expressions: first 15
+  * hex chars of md5, parsed base-16 — byte-for-byte the SQL formulation
+  * `conv(substr(md5(w),1,15),16,10)` / `('0x'||substr(md5(w),1,15))::BIGINT`
+  * so every engine derives identical values.
+  */
+private[functions] object TokenHash {
+  def hash60(s: UTF8String): Long = {
     val md = MessageDigest.getInstance("MD5")
     val digest = md.digest(s.getBytes)
     // First 15 hex chars = 7 full bytes + the high nibble of byte 8.
@@ -53,6 +52,9 @@ object SimHash60 {
     }
     (h << 4) | ((digest(7) & 0xf0L) >> 4)
   }
+}
+
+object SimHash60 {
 
   /** Called from both interpreted eval and generated code. */
   def compute(tokens: ArrayData): Long = {
@@ -60,7 +62,7 @@ object SimHash60 {
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
-      val h = tokenHash(tokens.getUTF8String(t))
+      val h = TokenHash.hash60(tokens.getUTF8String(t))
       var b = 0
       while (b < 60) {
         if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -240,6 +240,83 @@ object Dedup {
       """)
     ),
 
+    // --- MinHash signatures: portable hash family, exact oracle ---
+    Q(
+      "dedup_minhash_sig",
+      (s, d) => {
+        // h_i(w) = ((2i+3)·(H(w) mod p) + 104729·(i+1) mod p) mod p,
+        // p = 2^31−1, H = md5-prefix hash — one codegen'd pass per row
+        // (graft.functions.MinHash16), bit-identical to the SQL family.
+        graft.functions.GraftFunctions.register(s)
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            expr("minhash16(array_distinct(split(lower(trim(text)), ' ')))").as("mh")
+          )
+          .select(col("doc_id"), posexplode(col("mh")).as(Seq("i", "mh")))
+          .select(col("doc_id"), col("i").cast("int").as("i"), col("mh"))
+          .orderBy("doc_id", "i")
+      },
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS hh FROM w),
+        x AS (
+          SELECT doc_id, t.i,
+                 min(((2*t.i + 3) * hh + (104729*(t.i + 1)) % 2147483647) % 2147483647) AS mh
+          FROM h CROSS JOIN range(0, 16) t(i) GROUP BY 1, 2)
+        SELECT doc_id, CAST(i AS INTEGER) AS i, CAST(mh AS BIGINT) AS mh
+        FROM x ORDER BY doc_id, i
+      """)
+    ),
+
+    // --- MinHash LSH banding: candidate pairs sharing any 4-row band ---
+    Q(
+      "dedup_minhash_lsh",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val sigs = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            expr("minhash16(array_distinct(split(lower(trim(text)), ' ')))").as("mh")
+          )
+        // 4 bands × 4 rows: a pair is a candidate iff some band matches —
+        // the join meets only within (band, signature) buckets, so
+        // candidates are O(Σ bucket²), never all-pairs.
+        val banded = sigs
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, 3), b -> struct(b AS band, slice(mh, b*4 + 1, 4) AS sig))"
+          )).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val x = banded.select(col("doc_id").as("d1"), col("band"), col("sig"))
+        val y = banded.select(col("doc_id").as("d2"), col("band").as("band2"), col("sig").as("sig2"))
+        x.join(y, col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
+          .select("d1", "d2")
+          .distinct()
+          .orderBy("d1", "d2")
+      },
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS hh FROM w),
+        x AS (
+          SELECT doc_id, t.i,
+                 min(((2*t.i + 3) * hh + (104729*(t.i + 1)) % 2147483647) % 2147483647) AS mh
+          FROM h CROSS JOIN range(0, 16) t(i) GROUP BY 1, 2),
+        banded AS (
+          SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS sig
+          FROM x GROUP BY doc_id, i // 4)
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ORDER BY d1, d2
+      """)
+    ),
+
     // --- MinHash + LSH banding (approximate; rows-only check) ---
     Q(
       "dedup_minhash",
