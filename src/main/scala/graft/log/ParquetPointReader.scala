@@ -20,7 +20,7 @@ import org.apache.parquet.io.ColumnIOFactory
   * writer emits offsets in ascending contiguous order — the matching group
   * is scanned only up to the target record.
   */
-private[log] object ParquetPointReader {
+private[graft] object ParquetPointReader {
 
   /** `part-<minOffset>-<maxOffset>-<uuid>.parquet` — range baked into the
     * name by the writer so file selection needs no I/O at all.
@@ -71,6 +71,80 @@ private[log] object ParquetPointReader {
       }
       if (ranges.isEmpty) None else Some((ranges.map(_._1).min, ranges.map(_._2).max))
     } finally reader.close()
+  }
+
+  /** Iterate every record with `lo <= offset <= hi` in one part file, in
+    * file order. Row groups outside the range are skipped via footer stats
+    * (zero page I/O). Used by the "graft" DataSource V2 partition readers —
+    * runs executor-side there.
+    */
+  def readRange(file: Path, lo: Long, hi: Long): Iterator[LogRecord] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), new Configuration())
+    )
+    val schema = reader.getFooter.getFileMetaData.getSchema
+    val colIO = new ColumnIOFactory().getColumnIO(schema)
+    val blocks = reader.getFooter.getBlocks.asScala.toVector
+
+    new Iterator[LogRecord] {
+      private var blockIdx = 0
+      private var rowsLeft = 0L
+      private var rr: org.apache.parquet.io.RecordReader[org.apache.parquet.example.data.Group] = _
+      private var nextRec: LogRecord = _
+      private var closed = false
+
+      private def blockInRange(i: Int): Boolean = {
+        val stats = blocks(i).getColumns.asScala
+          .find(_.getPath.toDotString == "offset")
+          .map(_.getStatistics)
+        stats match {
+          case Some(st) if st != null && !st.isEmpty =>
+            val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+            val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+            hi >= mn && lo <= mx
+          case _ => true
+        }
+      }
+
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && !closed) {
+          if (rowsLeft > 0) {
+            val g = rr.read()
+            rowsLeft -= 1
+            val off = g.getLong("offset", 0)
+            if (off >= lo && off <= hi) {
+              val value =
+                if (g.getFieldRepetitionCount("value") == 0) Array.emptyByteArray
+                else g.getBinary("value", 0).getBytes
+              val term = if (g.getFieldRepetitionCount("term") == 0) 0L else g.getLong("term", 0)
+              val rt =
+                if (g.getFieldRepetitionCount("recordType") == 0) 0
+                else g.getInteger("recordType", 0)
+              nextRec = LogRecord(value, off, term, rt)
+            }
+          } else if (blockIdx < blocks.length) {
+            if (blockInRange(blockIdx)) {
+              val pages = reader.readNextRowGroup()
+              rr = colIO.getRecordReader(pages, new GroupRecordConverter(schema))
+              rowsLeft = pages.getRowCount
+            } else reader.skipNextRowGroup()
+            blockIdx += 1
+          } else {
+            reader.close()
+            closed = true
+          }
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): LogRecord = {
+        val r = nextRec
+        advance()
+        r
+      }
+    }
   }
 
   private def readFromFile(file: Path, offset: Long, conf: Configuration): Option[LogRecord] = {

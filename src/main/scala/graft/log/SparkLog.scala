@@ -250,14 +250,15 @@ class SparkLog(
 
   /** Streaming tail from `offset` onward — the `ConsumeStream` analog
     * (reference: internal/server/server.go:138-158). The reference busy-polls
-    * for the next record; Structured Streaming's micro-batch file source
-    * subsumes the poll loop (SURVEY.md §2.6).
+    * for the next record; our micro-batch stream's cursors ARE log offsets
+    * (the "graft" DataSource V2 MicroBatchStream): each trigger reads
+    * exactly `[lastCommitted, nextOffset)` from the manifest — no
+    * file-listing, no duplicates, in-order within a batch.
     */
   def tail(from: Long = 0L): DataFrame =
     spark.readStream
-      .schema(LogRecord.schema)
-      .option("maxFilesPerTrigger", 1000)
-      .parquet(s"$dir/segment=*")
+      .format("graft")
+      .load(dir)
       .filter(col("offset") >= from)
 
   // ------------------------------------------------------------- retention

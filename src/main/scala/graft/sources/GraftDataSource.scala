@@ -1,0 +1,202 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.{
+  DataSourceRegister,
+  EqualTo,
+  Filter,
+  GreaterThan,
+  GreaterThanOrEqual,
+  LessThan,
+  LessThanOrEqual
+}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.log.{LogManifest, LogRecord, ParquetPointReader}
+
+/** DataSource V2 "graft" format over a SparkLog directory — the optional
+  * `TableProvider` SURVEY §4.3 sketches, done properly:
+  *
+  *   - `spark.read.format("graft").load(dir)` — batch scan with offset
+  *     predicates pushed into partition planning: the manifest prunes
+  *     segments, offset-range part names prune files, footer stats prune
+  *     row groups. A point lookup plans exactly one input partition.
+  *   - `spark.readStream.format("graft").load(dir)` — a MicroBatchStream
+  *     whose streaming offsets ARE log offsets (reference:
+  *     `ConsumeStream`'s `req.Offset` cursor, internal/server/server.go:
+  *     138-158): each trigger reads `[lastCommitted, nextOffset)` exactly
+  *     once, replacing glob-based file listing with manifest reads.
+  *
+  * Readers run executor-side through parquet-java (`ParquetPointReader.
+  * readRange`), one partition per part file overlapping the wanted range.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = LogRecord.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = {
+    val dir = Option(properties.get("path"))
+      .getOrElse(throw new IllegalArgumentException("graft source requires a path"))
+    if (!Files.isDirectory(Paths.get(dir)))
+      throw new IllegalArgumentException(s"graft source path does not exist: $dir")
+    new GraftTable(dir)
+  }
+}
+
+class GraftTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft:$dir"
+  override def schema(): StructType = LogRecord.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir)
+}
+
+/** Accepts offset bound filters; everything else stays post-scan. */
+class GraftScanBuilder(dir: String) extends ScanBuilder with SupportsPushDownFilters {
+  private var lo = Long.MinValue
+  private var hi = Long.MaxValue
+  private var pushed = Array.empty[Filter]
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition {
+      case EqualTo("offset", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThan("offset", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThanOrEqual("offset", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThan("offset", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThanOrEqual("offset", _: java.lang.Long | _: java.lang.Integer) => true
+      case _ => false
+    }
+    supported.foreach {
+      case EqualTo(_, v) =>
+        lo = math.max(lo, num(v)); hi = math.min(hi, num(v))
+      case GreaterThan(_, v)        => lo = math.max(lo, num(v) + 1)
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, num(v))
+      case LessThan(_, v)           => hi = math.min(hi, num(v) - 1)
+      case LessThanOrEqual(_, v)    => hi = math.min(hi, num(v))
+      case _                        => ()
+    }
+    pushed = supported
+    rest // Spark re-applies all filters post-scan; pruning is our win
+  }
+
+  private def num(v: Any): Long = v.asInstanceOf[Number].longValue()
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GraftScan(dir, lo, hi)
+}
+
+/** One input partition = one part file restricted to [lo, hi]. */
+case class GraftInputPartition(file: String, lo: Long, hi: Long) extends InputPartition
+
+class GraftScan(dir: String, lo: Long, hi: Long) extends Scan {
+  override def readSchema(): StructType = LogRecord.schema
+  override def description(): String = s"GraftScan(dir=$dir, offsets=[$lo, $hi])"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      GraftPlanning.partitionsFor(dir, lo, hi)
+    override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(dir, startAt = math.max(lo, 0L))
+}
+
+/** Shared partition planning: manifest segments ∩ [lo,hi] → ranged part
+  * files ∩ [lo,hi].
+  */
+object GraftPlanning {
+  def partitionsFor(dir: String, lo: Long, hi: Long): Array[InputPartition] = {
+    if (lo > hi) return Array.empty
+    val manifest = LogManifest.read(dir).getOrElse(return Array.empty)
+    val ranged = """part-(\d+)-(\d+)-.*\.parquet""".r
+    manifest.segments.iterator
+      .filter(s => s.next > lo && s.base <= hi)
+      .flatMap { s =>
+        val segDir = Paths.get(dir, s"segment=${s.base}")
+        if (!Files.isDirectory(segDir)) Iterator.empty
+        else
+          Files
+            .list(segDir)
+            .iterator()
+            .asScala
+            .filter { p =>
+              p.getFileName.toString match {
+                case ranged(mn, mx)              => mn.toLong <= hi && mx.toLong >= lo
+                case n if n.endsWith(".parquet") => true
+                case _                           => false
+              }
+            }
+            .map(p => GraftInputPartition(p.toString, lo, hi): InputPartition)
+            .toVector
+            .iterator
+      }
+      .toArray
+  }
+}
+
+object GraftReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it = ParquetPointReader.readRange(Paths.get(p.file), p.lo, p.hi)
+      private var current: LogRecord = _
+      override def next(): Boolean = {
+        if (it.hasNext) { current = it.next(); true } else false
+      }
+      override def get(): InternalRow =
+        new GenericInternalRow(
+          Array[Any](current.value, current.offset, current.term, current.recordType)
+        )
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Streaming cursor carrying a log offset (exclusive end of what's read). */
+case class GraftStreamOffset(offset: Long) extends Offset {
+  override def json(): String = s"""{"offset":$offset}"""
+}
+
+/** Micro-batch tail: each trigger covers log offsets [start, end). */
+class GraftMicroBatchStream(dir: String, startAt: Long) extends MicroBatchStream {
+
+  private def nextOffset: Long = LogManifest.read(dir).map(_.nextOffset).getOrElse(startAt)
+
+  override def initialOffset(): Offset = GraftStreamOffset(startAt)
+
+  override def latestOffset(): Offset = GraftStreamOffset(nextOffset)
+
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.replaceAll("[^0-9-]", "")
+    GraftStreamOffset(if (n.isEmpty) startAt else n.toLong)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GraftStreamOffset].offset
+    val hi = end.asInstanceOf[GraftStreamOffset].offset - 1
+    GraftPlanning.partitionsFor(dir, lo, hi)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
