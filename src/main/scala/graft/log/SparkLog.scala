@@ -276,6 +276,72 @@ class SparkLog(
     drop.foreach(s => deleteRecursively(segmentPath(s.base)))
   }
 
+  /** Compact adjacent small sealed segments into larger ones — the analog
+    * of the reference's snapshot/compaction surface (reference:
+    * internal/log/distributed_fsm.go:48-51 streams the whole log into one
+    * snapshot) and the standing answer to small-file pressure from
+    * per-record appends and streaming ingest.
+    *
+    * Each run of ≥2 adjacent sealed segments whose bytes sum to at most
+    * `targetBytes` is rewritten (offset-ordered, bounded part files) into a
+    * fresh directory, then swapped in: old dir renamed away → new dir
+    * renamed in → manifest update → old data deleted. Offsets, order, and
+    * content are unchanged — only the file layout. Like the reference's
+    * `Truncate`, compaction is a maintenance operation: in-flight scans
+    * holding the old file list can fail over the brief swap window.
+    *
+    * Interaction with [[truncate]]: truncation is segment-granular, so
+    * merging segments coarsens it — a merged segment survives truncation if
+    * ANY of its records is newer than the cut. Retention-sensitive logs
+    * should truncate before compacting, or cap `targetBytes`.
+    */
+  def compact(targetBytes: Long = config.maxStoreBytes): Unit = synchronized {
+    val session = spark
+    import session.implicits._
+    val segs = manifest.segments
+    // Greedy runs of adjacent sealed segments under the byte target.
+    val runs = Vector.newBuilder[Vector[SegmentMeta]]
+    var run = Vector.empty[SegmentMeta]
+    var runBytes = 0L
+    def flushRun(): Unit = { if (run.size >= 2) runs += run; run = Vector.empty; runBytes = 0L }
+    segs.foreach { s =>
+      if (s.sealed_ && (run.isEmpty || runBytes + s.bytes <= targetBytes)) {
+        run :+= s; runBytes += s.bytes
+      } else { flushRun(); if (s.sealed_) { run = Vector(s); runBytes = s.bytes } }
+    }
+    flushRun()
+
+    runs.result().foreach { r =>
+      val lo = r.head.base
+      val records = r.map(_.records).sum
+      val staging = stagingDir()
+      spark.read
+        .schema(LogRecord.schema)
+        .parquet(r.map(s => segmentPath(s.base).toString): _*)
+        .as[LogRecord]
+        .orderBy("offset")
+        .coalesce(1)
+        .write
+        .option("maxRecordsPerFile", config.maxRecordsPerSegment)
+        .parquet(staging.toString)
+      val newSeg = Paths.get(dir, s"_compact-$lo-${UUID.randomUUID().toString.take(8)}")
+      val bytes = publishPartsTo(staging, newSeg)
+      // swap: old dirs out of the way, new dir in, manifest, then delete
+      val olds = r.map { s =>
+        val moved = Paths.get(dir, s"_old-${s.base}-${UUID.randomUUID().toString.take(8)}")
+        Files.move(segmentPath(s.base), moved, StandardCopyOption.ATOMIC_MOVE)
+        moved
+      }
+      Files.move(newSeg, segmentPath(lo), StandardCopyOption.ATOMIC_MOVE)
+      val merged = SegmentMeta(lo, r.last.next, bytes, records, sealed_ = true)
+      val kept = manifest.segments.filterNot(s => r.exists(_.base == s.base))
+      val m = manifest.copy(segments = (kept :+ merged).sortBy(_.base))
+      LogManifest.write(dir, m)
+      manifest = m
+      olds.foreach(deleteRecursively)
+    }
+  }
+
   /** Delete the log directory (reference: internal/log/log.go:119-127). */
   def remove(): Unit = synchronized {
     deleteRecursively(Paths.get(dir))
@@ -324,8 +390,10 @@ class SparkLog(
     * reference's per-segment index file, paid once at write so point reads
     * are O(1) in file selection. Deletes the staging dir.
     */
-  private def publishParts(staging: Path, base: Long): Long = {
-    val target = segmentPath(base)
+  private def publishParts(staging: Path, base: Long): Long =
+    publishPartsTo(staging, segmentPath(base))
+
+  private def publishPartsTo(staging: Path, target: Path): Long = {
     Files.createDirectories(target)
     var bytes = 0L
     Files

@@ -173,4 +173,32 @@ class SparkLogSpec extends AnyFunSuite {
     assert(m.segmentFor(12).isEmpty)
     assert(m.segmentFor(-1).isEmpty)
   }
+
+  test("compact merges adjacent small segments preserving content (snapshot analog)") {
+    val dir = TestSpark.tempDir("log-compact")
+    val log = SparkLog(spark, dir, tinyConfig)
+    (0 until 10).foreach(i => log.appendOne(s"c$i".getBytes)) // many tiny segments
+    val before = log.segmentCount
+    assert(before >= 3)
+    log.compact(targetBytes = 1024 * 1024)
+    assert(log.segmentCount < before)
+    assert(log.lowestOffset == 0 && log.highestOffset == 9)
+    (0 until 10).foreach(i => assert(new String(log.read(i.toLong).value) == s"c$i"))
+    assert(log.toDF.count() == 10)
+    // reopen after compact: manifest + layout consistent
+    val reopened = SparkLog(spark, dir, tinyConfig)
+    assert(reopened.highestOffset == 9)
+    assert(new String(reopened.read(5).value) == "c5")
+    // appends continue after compaction
+    assert(reopened.appendOne("post-compact".getBytes) == 10)
+  }
+
+  test("compact leaves the unsealed tail segment alone") {
+    val log = SparkLog(spark, TestSpark.tempDir("log-compact2"), LogConfig(maxStoreBytes = 1024 * 1024))
+    log.append((0 until 5).map(i => s"t$i".getBytes)) // single unsealed segment
+    val before = log.segmentCount
+    log.compact()
+    assert(log.segmentCount == before)
+    assert(new String(log.read(4).value) == "t4")
+  }
 }
