@@ -90,6 +90,57 @@ object Multimodal {
       None
     ),
 
+    // --- aspect-preserving resize planning (stub decoder dims) ---
+    Q(
+      "media_resize",
+      (s, d) => {
+        val w = greatest((col("n_chars") % 640).cast("int"), lit(1))
+        val h = greatest(((col("n_chars") * 7) % 480).cast("int"), lit(1))
+        val scale = least(lit(224.0) / w, lit(224.0) / h)
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            w.as("in_w"),
+            h.as("in_h"),
+            floor(w * scale).cast("int").as("out_w"),
+            floor(h * scale).cast("int").as("out_h")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH x AS (
+          SELECT doc_id,
+                 CAST(greatest(n_chars % 640, 1) AS INTEGER) AS in_w,
+                 CAST(greatest((n_chars * 7) % 480, 1) AS INTEGER) AS in_h
+          FROM documents)
+        SELECT doc_id, in_w, in_h,
+               CAST(floor(in_w * least(224.0 / in_w, 224.0 / in_h)) AS INTEGER) AS out_w,
+               CAST(floor(in_h * least(224.0 / in_w, 224.0 / in_h)) AS INTEGER) AS out_h
+        FROM x ORDER BY doc_id
+      """)
+    ),
+
+    // --- frame sampling: every 5th frame of each clip ---
+    Q(
+      "media_frames",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"), (col("n_chars") % 30).cast("int").as("n_frames"))
+          .filter(col("n_frames") > 0)
+          .select(
+            col("doc_id"),
+            explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx")
+          )
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""
+        SELECT doc_id, CAST(f AS INTEGER) AS frame_idx FROM (
+          SELECT doc_id, unnest(range(0, CAST(n_chars % 30 AS BIGINT), 5)) AS f
+          FROM documents WHERE n_chars % 30 > 0)
+        ORDER BY doc_id, frame_idx
+      """)
+    ),
+
     // --- blob-level exact dedup (content-hash groupBy over binary) ---
     Q(
       "media_dedup",
