@@ -35,9 +35,10 @@ object Main {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--data-dir" => dataDir = Some(args(i + 1)); i += 2
-        case "--subject"  => subject = args(i + 1); i += 2
-        case other        => rest = rest :+ other; i += 1
+        case "--data-dir" if i + 1 < args.length => dataDir = Some(args(i + 1)); i += 2
+        case "--subject" if i + 1 < args.length  => subject = args(i + 1); i += 2
+        case "--data-dir" | "--subject"          => usage()
+        case other                               => rest = rest :+ other; i += 1
       }
     }
     val dir = dataDir.getOrElse(usage())

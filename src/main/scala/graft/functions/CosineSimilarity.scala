@@ -19,13 +19,21 @@ import org.apache.spark.sql.types._
   * to the built-in composition and to DuckDB's `list_dot_product` on
   * `DOUBLE[]` — the correctness oracle keeps hash-matching.
   *
-  * Semantics: null if either array is null; NaN on zero-norm inputs
-  * (0/0 — same as the built-in formula).
+  * Semantics: null if either array is null OR the dimensions differ (a
+  * corrupt vector must surface as missing data, not a plausible score
+  * computed over a truncated prefix — matching `zip_with`'s null-padding
+  * behavior which also nulls the fold); NaN on zero-norm inputs (0/0 —
+  * same as the built-in formula).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // Nullable regardless of input nullability: dimension mismatch yields
+  // null, and Spark would otherwise optimize the null slot away for
+  // non-null inputs (turning our null into 0.0).
+  override def nullable: Boolean = true
 
   override def prettyName: String = "cosine_similarity"
 
@@ -35,9 +43,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -68,14 +77,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
         val xi = ctx.freshName("xi")
         val yi = ctx.freshName("yi")
         s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = (double) $a.$leftGet($i);
-          double $yi = (double) $b.$rightGet($i);
-          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xi = (double) $a.$leftGet($i);
+            double $yi = (double) $b.$rightGet($i);
+            $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+          }
+          ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
         }
-        ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
         """
       }
     )

@@ -45,6 +45,12 @@ final case class LogManifest(segments: Vector[SegmentMeta], nextOffset: Long) {
   }
 
   def lowestOffset: Long = segments.headOption.map(_.base).getOrElse(nextOffset)
+
+  /** Last assigned offset. Empty-log quirk inherited verbatim from the
+    * reference (internal/log/log.go:144-153 returns `nextOffset - 1` even
+    * when nothing was appended): an empty log with initialOffset=16 reports
+    * highest=15. Check `isEmpty` before trusting it on fresh logs.
+    */
   def highestOffset: Long = math.max(nextOffset - 1, 0L)
   def isEmpty: Boolean = segments.forall(_.isEmpty)
 }
@@ -130,13 +136,76 @@ object LogManifest {
   def listSegmentBases(dir: String): Vector[Long] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Vector.empty
-    Files
-      .list(d)
-      .iterator()
-      .asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("segment="))
-      .map(_.getFileName.toString.stripPrefix("segment=").toLong)
-      .toVector
-      .sorted
+    val s = Files.list(d)
+    try
+      s.iterator()
+        .asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("segment="))
+        .map(_.getFileName.toString.stripPrefix("segment=").toLong)
+        .toVector
+        .sorted
+    finally s.close()
   }
+}
+
+/** Write-ahead journal for a compaction swap: written before any directory
+  * moves, deleted after the swap fully lands. On open, a surviving journal
+  * means a crash mid-swap — [[graft.log.SparkLog]] rolls the swap back
+  * (manifest not yet updated) or forward (it was), so committed offsets
+  * never strand in `_old-*` / `_compact-*` directories.
+  */
+final case class CompactJournal(
+    lo: Long,
+    next: Long,
+    newDir: String,
+    olds: Seq[(Long, String)]
+)
+
+object CompactJournal {
+  private val FileName = "_compact_journal.json"
+
+  def path(dir: String): Path = Paths.get(dir, FileName)
+
+  def write(dir: String, j: CompactJournal): Unit = {
+    val olds = j.olds
+      .map { case (b, d) => s"""{"base":$b,"dir":"$d"}""" }
+      .mkString("[", ",", "]")
+    val json = s"""{"lo":${j.lo},"next":${j.next},"newDir":"${j.newDir}","olds":$olds}"""
+    val tmp = Paths.get(dir, FileName + ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path(dir), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def read(dir: String): Option[CompactJournal] = {
+    val p = path(dir)
+    if (!Files.exists(p)) None
+    else {
+      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      def longField(src: String, name: String): Long = {
+        val i = src.indexOf("\"" + name + "\":")
+        val start = i + name.length + 3
+        var end = start
+        while (end < src.length && (src.charAt(end).isDigit || src.charAt(end) == '-')) end += 1
+        src.substring(start, end).toLong
+      }
+      def strField(src: String, name: String): String = {
+        val i = src.indexOf("\"" + name + "\":\"")
+        val start = i + name.length + 4
+        src.substring(start, src.indexOf('"', start))
+      }
+      val arrStart = json.indexOf('[')
+      val arrEnd = json.lastIndexOf(']')
+      val body = json.substring(arrStart + 1, arrEnd).trim
+      val olds =
+        if (body.isEmpty) Vector.empty[(Long, String)]
+        else
+          body
+            .split("\\},\\s*\\{")
+            .toVector
+            .map(raw => (longField(raw, "base"), strField(raw, "dir")))
+      Some(CompactJournal(longField(json, "lo"), longField(json, "next"), strField(json, "newDir"), olds))
+    }
+  }
+
+  def delete(dir: String): Unit = Files.deleteIfExists(path(dir))
 }

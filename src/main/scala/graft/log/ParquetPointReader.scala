@@ -32,9 +32,8 @@ private[graft] object ParquetPointReader {
     */
   def readOffset(segmentDir: Path, offset: Long): Option[LogRecord] = {
     if (!Files.isDirectory(segmentDir)) return None
-    val parts = Files
-      .list(segmentDir)
-      .iterator()
+    val listing = Files.list(segmentDir)
+    val parts = try listing.iterator()
       .asScala
       .filter { p =>
         p.getFileName.toString match {
@@ -45,6 +44,7 @@ private[graft] object ParquetPointReader {
       }
       .toVector
       .sortBy(_.getFileName.toString)
+    finally listing.close()
     val conf = new Configuration()
     parts.iterator.flatMap(p => readFromFile(p, offset, conf)).nextOption()
   }
@@ -78,7 +78,13 @@ private[graft] object ParquetPointReader {
     * (zero page I/O). Used by the "graft" DataSource V2 partition readers —
     * runs executor-side there.
     */
-  def readRange(file: Path, lo: Long, hi: Long): Iterator[LogRecord] = {
+  /** Iterator over a range that can release its file handle early —
+    * partition readers must close it when Spark stops consuming (limit,
+    * cancelled stream) before exhaustion.
+    */
+  trait RangeIterator extends Iterator[LogRecord] with AutoCloseable
+
+  def readRange(file: Path, lo: Long, hi: Long): RangeIterator = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), new Configuration())
     )
@@ -86,7 +92,7 @@ private[graft] object ParquetPointReader {
     val colIO = new ColumnIOFactory().getColumnIO(schema)
     val blocks = reader.getFooter.getBlocks.asScala.toVector
 
-    new Iterator[LogRecord] {
+    new RangeIterator {
       private var blockIdx = 0
       private var rowsLeft = 0L
       private var rr: org.apache.parquet.io.RecordReader[org.apache.parquet.example.data.Group] = _
@@ -144,6 +150,8 @@ private[graft] object ParquetPointReader {
         advance()
         r
       }
+      override def close(): Unit =
+        if (!closed) { closed = true; reader.close() }
     }
   }
 

@@ -45,9 +45,56 @@ class SparkLog(
   import SparkLog._
 
   Files.createDirectories(Paths.get(dir))
+  recoverCompaction()
 
   @volatile private var manifest: LogManifest =
     LogManifest.read(dir).map(reconcile).getOrElse(recover())
+
+  /** Finish or undo a compaction swap interrupted by a crash, then clear
+    * stale working directories (`_tmp-*`, `_compact-*`, `_old-*` — safe
+    * under the single-writer assumption). Idempotent under repeated
+    * crashes: the journal is only removed once the log is consistent.
+    */
+  private def recoverCompaction(): Unit = {
+    CompactJournal.read(dir).foreach { j =>
+      val mOpt = LogManifest.read(dir)
+      val forward = mOpt.exists(_.segments.exists(s => s.base == j.lo && s.next == j.next))
+      if (forward) {
+        // Manifest already points at the merged segment: finish deletions.
+        j.olds.foreach { case (_, d) => deleteRecursively(Paths.get(dir, d)) }
+      } else {
+        // Roll back. If the merged dir was already swapped in (old lo moved
+        // away and the staging name is gone), segment=<lo> holds NEW data —
+        // remove it before restoring the originals.
+        val newDirPath = Paths.get(dir, j.newDir)
+        val loMoved = j.olds.find(_._1 == j.lo).map(o => Paths.get(dir, o._2))
+        if (
+          loMoved.exists(Files.isDirectory(_)) && !Files.isDirectory(newDirPath) &&
+          Files.isDirectory(segmentPath(j.lo))
+        )
+          deleteRecursively(segmentPath(j.lo))
+        j.olds.foreach { case (b, d) =>
+          val src = Paths.get(dir, d)
+          if (Files.isDirectory(src) && !Files.isDirectory(segmentPath(b)))
+            Files.move(src, segmentPath(b), StandardCopyOption.ATOMIC_MOVE)
+        }
+        if (Files.isDirectory(newDirPath)) deleteRecursively(newDirPath)
+      }
+      CompactJournal.delete(dir)
+    }
+    val d = Paths.get(dir)
+    val s = Files.list(d)
+    try
+      s.iterator()
+        .asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("_tmp-") || n.startsWith("_compact-") || n.startsWith("_old-")
+        }
+        .toVector
+        .foreach(deleteRecursively)
+    finally s.close()
+  }
 
   // ---------------------------------------------------------------- append
 
@@ -131,40 +178,50 @@ class SparkLog(
     */
   def appendDF(df: DataFrame): (Long, Long) = synchronized {
     val base = manifest.nextOffset
-    val values = df.select(col("value").cast("binary")).rdd.map(_.getAs[Array[Byte]](0))
-    val counts = values
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)), preservesPartitioning = true)
-      .collect()
-      .sortBy(_._1)
-      .map(_._2)
-    val total = counts.sum
-    if (total == 0L) return (base, 0L)
-    val starts = counts.scanLeft(base)(_ + _)
-    val bcStarts = spark.sparkContext.broadcast(starts)
-    val withOffsets = values.mapPartitionsWithIndex { (i, it) =>
-      var o = bcStarts.value(i)
-      it.map { v =>
-        val r = LogRecord(if (v == null) Array.emptyByteArray else v, o); o += 1; r
+    // Persisted: the count job and the write job must see the SAME rows —
+    // an unpersisted nondeterministic source (sample(), rand() filters)
+    // could produce different partitions on the second traversal and
+    // silently break offset contiguity/uniqueness.
+    val values = df
+      .select(col("value").cast("binary"))
+      .rdd
+      .map(_.getAs[Array[Byte]](0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = values
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)), preservesPartitioning = true)
+        .collect()
+        .sortBy(_._1)
+        .map(_._2)
+      val total = counts.sum
+      if (total == 0L) return (base, 0L)
+      val starts = counts.scanLeft(base)(_ + _)
+      val bcStarts = spark.sparkContext.broadcast(starts)
+      val withOffsets = values.mapPartitionsWithIndex { (i, it) =>
+        var o = bcStarts.value(i)
+        it.map { v =>
+          val r = LogRecord(if (v == null) Array.emptyByteArray else v, o); o += 1; r
+        }
       }
-    }
-    val session = spark
-    import session.implicits._
-    val ds: Dataset[LogRecord] = spark.createDataset(withOffsets)
-    val staging = stagingDir()
-    ds.write
-      .option("maxRecordsPerFile", config.maxRecordsPerSegment)
-      .parquet(staging.toString)
-    val bytes = publishParts(staging, base)
-    val seg = SegmentMeta(base, base + total, bytes, total, sealed_ = true)
-    val m0 = manifest
-    val sealedPrev = m0.segments.lastOption.filter(!_.sealed_) match {
-      case Some(last) => upsert(m0.segments, last.copy(sealed_ = true))
-      case None       => m0.segments
-    }
-    val m = LogManifest(sealedPrev :+ seg, base + total)
-    LogManifest.write(dir, m)
-    manifest = m
-    (base, total)
+      val session = spark
+      import session.implicits._
+      val ds: Dataset[LogRecord] = spark.createDataset(withOffsets)
+      val staging = stagingDir()
+      ds.write
+        .option("maxRecordsPerFile", config.maxRecordsPerSegment)
+        .parquet(staging.toString)
+      val bytes = publishParts(staging, base)
+      val seg = SegmentMeta(base, base + total, bytes, total, sealed_ = true)
+      val m0 = manifest
+      val sealedPrev = m0.segments.lastOption.filter(!_.sealed_) match {
+        case Some(last) => upsert(m0.segments, last.copy(sealed_ = true))
+        case None       => m0.segments
+      }
+      val m = LogManifest(sealedPrev :+ seg, base + total)
+      LogManifest.write(dir, m)
+      manifest = m
+      (base, total)
+    } finally values.unpersist(blocking = false)
   }
 
   // ----------------------------------------------------------------- reads
@@ -258,6 +315,10 @@ class SparkLog(
   def tail(from: Long = 0L): DataFrame =
     spark.readStream
       .format("graft")
+      // Streaming scans never receive filter pushdown (batch-only in
+      // Spark), so the start position travels as a read option; the filter
+      // stays as a semantic guard.
+      .option("startOffset", from)
       .load(dir)
       .filter(col("offset") >= from)
 
@@ -326,11 +387,17 @@ class SparkLog(
         .parquet(staging.toString)
       val newSeg = Paths.get(dir, s"_compact-$lo-${UUID.randomUUID().toString.take(8)}")
       val bytes = publishPartsTo(staging, newSeg)
-      // swap: old dirs out of the way, new dir in, manifest, then delete
-      val olds = r.map { s =>
-        val moved = Paths.get(dir, s"_old-${s.base}-${UUID.randomUUID().toString.take(8)}")
-        Files.move(segmentPath(s.base), moved, StandardCopyOption.ATOMIC_MOVE)
-        moved
+      // Crash-safe swap: journal FIRST, then olds out → new in → manifest →
+      // delete olds → delete journal. Recovery (recoverCompaction) rolls a
+      // half-done swap back (manifest not yet written) or forward (it was),
+      // so committed offsets never strand in _old-*/ _compact-* dirs.
+      val olds = r.map(s =>
+        s.base -> Paths.get(dir, s"_old-${s.base}-${UUID.randomUUID().toString.take(8)}")
+      )
+      CompactJournal.write(dir, CompactJournal(lo, r.last.next, newSeg.getFileName.toString,
+        olds.map { case (b, p) => b -> p.getFileName.toString }))
+      olds.foreach { case (b, moved) =>
+        Files.move(segmentPath(b), moved, StandardCopyOption.ATOMIC_MOVE)
       }
       Files.move(newSeg, segmentPath(lo), StandardCopyOption.ATOMIC_MOVE)
       val merged = SegmentMeta(lo, r.last.next, bytes, records, sealed_ = true)
@@ -338,7 +405,8 @@ class SparkLog(
       val m = manifest.copy(segments = (kept :+ merged).sortBy(_.base))
       LogManifest.write(dir, m)
       manifest = m
-      olds.foreach(deleteRecursively)
+      olds.foreach { case (_, p) => deleteRecursively(p) }
+      CompactJournal.delete(dir)
     }
   }
 
@@ -396,12 +464,11 @@ class SparkLog(
   private def publishPartsTo(staging: Path, target: Path): Long = {
     Files.createDirectories(target)
     var bytes = 0L
-    Files
-      .list(staging)
-      .iterator()
-      .asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .toVector
+    val listing = Files.list(staging)
+    val parts =
+      try listing.iterator().asScala.filter(p => p.getFileName.toString.endsWith(".parquet")).toVector
+      finally listing.close()
+    parts
       .sortBy(_.getFileName.toString)
       .foreach { p =>
         bytes += Files.size(p)
@@ -465,13 +532,10 @@ class SparkLog(
       .head()
     val n = stats.getLong(0)
     val hi = if (n == 0) base - 1 else stats.getLong(1)
-    val bytes = Files
-      .list(p)
-      .iterator()
-      .asScala
-      .filter(f => f.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size)
-      .sum
+    val listing = Files.list(p)
+    val bytes =
+      try listing.iterator().asScala.filter(f => f.getFileName.toString.endsWith(".parquet")).map(Files.size).sum
+      finally listing.close()
     SegmentMeta(base, hi + 1, bytes, n, sealed_ = true)
   }
 
@@ -482,8 +546,11 @@ class SparkLog(
     }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally walk.close()
+    }
 }
 
 object SparkLog {

@@ -91,10 +91,6 @@ object Dedup {
             )
           }
           .drop("wids")
-          // Both join sides and the broadcast derive from this 1-row-per-doc
-          // table; persist so the explode→join→aggregate pipeline runs once
-          // (doc-count-scale rows — negligible memory, 2× less compute).
-          .persist()
         val aCols = col("doc_id").as("d1") +: col("lang") +: col("sz").as("sz1") +:
           (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i"))
         val bCols = col("doc_id").as("d2") +: col("lang").as("lang2") +: col("sz").as("sz2") +:

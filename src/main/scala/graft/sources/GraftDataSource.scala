@@ -63,12 +63,18 @@ class GraftTable(dir: String) extends Table with SupportsRead {
   override def schema(): StructType = LogRecord.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Spark only invokes pushFilters for BATCH scans; streaming readers pass
+    // the start position as a read option instead (see SparkLog.tail).
+    val startOffset = Option(options.get("startOffset")).map(_.toLong)
+    new GraftScanBuilder(dir, startOffset)
+  }
 }
 
 /** Accepts offset bound filters; everything else stays post-scan. */
-class GraftScanBuilder(dir: String) extends ScanBuilder with SupportsPushDownFilters {
+class GraftScanBuilder(dir: String, startOffset: Option[Long] = None)
+    extends ScanBuilder
+    with SupportsPushDownFilters {
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var pushed = Array.empty[Filter]
@@ -99,7 +105,7 @@ class GraftScanBuilder(dir: String) extends ScanBuilder with SupportsPushDownFil
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftScan(dir, lo, hi)
+  override def build(): Scan = new GraftScan(dir, startOffset.map(math.max(_, lo)).getOrElse(lo), hi)
 }
 
 /** One input partition = one part file restricted to [lo, hi]. */
@@ -117,6 +123,8 @@ class GraftScan(dir: String, lo: Long, hi: Long) extends Scan {
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(dir, startAt = math.max(lo, 0L))
+
+  private[sources] def bounds: (Long, Long) = (lo, hi)
 }
 
 /** Shared partition planning: manifest segments ∩ [lo,hi] → ranged part
@@ -132,21 +140,25 @@ object GraftPlanning {
       .flatMap { s =>
         val segDir = Paths.get(dir, s"segment=${s.base}")
         if (!Files.isDirectory(segDir)) Iterator.empty
-        else
-          Files
-            .list(segDir)
-            .iterator()
-            .asScala
-            .filter { p =>
-              p.getFileName.toString match {
-                case ranged(mn, mx)              => mn.toLong <= hi && mx.toLong >= lo
-                case n if n.endsWith(".parquet") => true
-                case _                           => false
-              }
-            }
-            .map(p => GraftInputPartition(p.toString, lo, hi): InputPartition)
-            .toVector
-            .iterator
+        else {
+          val listing = Files.list(segDir)
+          val parts =
+            try
+              listing
+                .iterator()
+                .asScala
+                .filter { p =>
+                  p.getFileName.toString match {
+                    case ranged(mn, mx)              => mn.toLong <= hi && mx.toLong >= lo
+                    case n if n.endsWith(".parquet") => true
+                    case _                           => false
+                  }
+                }
+                .map(p => GraftInputPartition(p.toString, lo, hi): InputPartition)
+                .toVector
+            finally listing.close()
+          parts.iterator
+        }
       }
       .toArray
   }
@@ -165,7 +177,9 @@ object GraftReaderFactory extends PartitionReaderFactory {
         new GenericInternalRow(
           Array[Any](current.value, current.offset, current.term, current.recordType)
         )
-      override def close(): Unit = ()
+      // Release the parquet reader even when Spark stops early (limit,
+      // cancelled stream) — otherwise each truncated partition leaks an fd.
+      override def close(): Unit = it.close()
     }
   }
 }

@@ -29,14 +29,16 @@ object EventStreams {
       keyCol: String,
       windowDur: String,
       slide: Option[String] = None,
-      watermarkDelay: String = "10 minutes"
+      watermarkDelay: String = "10 minutes",
+      valueCol: String = "value"
   ): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDur, slide.getOrElse(windowDur)), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
 
-  /** Streaming exact dedup on `keyCols` within the watermark horizon —
+  /** Streaming exact dedup on `keyCols` + event time within the watermark
+    * horizon (same key at a different timestamp is a distinct event) —
     * `dropDuplicates` keeps per-key state only until the watermark passes,
     * the standard unbounded-stream dedup pattern for ingest pipelines.
     */

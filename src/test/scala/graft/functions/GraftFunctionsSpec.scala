@@ -64,6 +64,14 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(joined.count() == 25)
   }
 
+  test("cosine_similarity returns null on dimension mismatch (no silent truncation)") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT cosine_similarity(array(1.0d,2.0d), array(1.0d,2.0d,3.0d))").head().isNullAt(0))
+    // and via the interpreted path too
+    val r = spark.sql("SELECT cosine_similarity(a, b) FROM VALUES (array(1.0d), array(1.0d,2.0d)) t(a, b)")
+    assert(r.head().isNullAt(0))
+  }
+
   test("expressions run inside whole-stage codegen (no fallback)") {
     GraftFunctions.register(spark)
     val df = spark.read

@@ -37,6 +37,26 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(range.select("offset").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L, 7L, 8L))
   }
 
+  test("tail(from) starts at the requested offset - no full-log replay in batch 1") {
+    val log = newLog(30)
+    val q = log
+      .tail(from = 28)
+      .writeStream
+      .format("memory")
+      .queryName("tail_start")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // startOffset travels as a read option (streaming scans get no filter
+      // pushdown): the first batch must read only [28, 30), not all 30 rows
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progress.nonEmpty)
+      assert(progress.map(_.numInputRows).sum == 2, s"read ${progress.map(_.numInputRows).toSeq}")
+      assert(spark.sql("select count(*) from tail_start").head().getLong(0) == 2)
+    } finally q.stop()
+  }
+
   test("micro-batch stream tails the log with exact offset cursors") {
     val log = newLog(3)
     val q = spark.readStream
