@@ -48,22 +48,30 @@ object Bench {
     try SparkEntry.queries("log_min_max")(spark, sfDir).collect()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
-    val results = headline.map { name =>
+    // Two runs per query: the first pays one-time planning + codegen (the
+    // cold number is reported as an aux metric), the second is the
+    // steady-state engine cost the headline figure tracks.
+    def run(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-        } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val results = headline.map { name =>
+      val cold = run(name)
+      val warm = if (cold >= 0) run(name) else -1.0
+      (name, cold, warm)
+    }
+    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + f"$w%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._3).filter(_ >= 0).sum
+    val coldTotal = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total":$coldTotal%.3f,"sf":"$sfDir"}"""
     )
     spark.stop()
   }
