@@ -28,25 +28,24 @@ class Engine(
 
   /** Streaming ingest: every micro-batch of `stream`'s `value` column
     * commits through the single-writer append path — the fsm.Apply of our
-    * write path (reference: internal/log/distributed_fsm.go:25-46). With a
-    * checkpoint location the source side is replayed-once per epoch; the
-    * append itself is at-least-once on crash between write and manifest
-    * swap (documented deviation: the reference's Raft apply is
-    * exactly-once-ordered, our batch commit is idempotent per epoch only
-    * if the caller dedups on a key).
+    * write path (reference: internal/log/distributed_fsm.go:25-46).
+    * Exactly-once: the batch id commits inside the same atomic manifest
+    * swap as the data (`appendDF` idempotence token), so a foreachBatch
+    * retry after a crash between append and checkpoint re-applies nothing.
     */
   def ingest(
       stream: DataFrame,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      sourceName: String = "ingest"
   ): StreamingQuery =
     stream
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (df: DataFrame, _: Long) =>
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
         val batch = df.select(col("value").cast("binary").as("value"))
-        log.appendDF(batch)
+        log.appendDF(batch, Some(sourceName -> batchId))
         ()
       }
       .start()

@@ -29,7 +29,17 @@ final case class SegmentMeta(
   * linearly, internal/log/log.go:99-104). Within a segment, Parquet footer
   * min/max statistics on `offset` replace the per-record index entries.
   */
-final case class LogManifest(segments: Vector[SegmentMeta], nextOffset: Long) {
+final case class LogManifest(
+    segments: Vector[SegmentMeta],
+    nextOffset: Long,
+    /** Idempotence tokens: source name → last applied epoch/batch id. A
+      * token travels in the SAME atomic manifest swap as the data it
+      * commits, so "was this batch applied?" and "is the data visible?"
+      * can never disagree — exactly-once appends for checkpointed
+      * streaming sources (SURVEY §2.6).
+      */
+    tokens: Map[String, Long] = Map.empty
+) {
 
   /** Segment holding `off`, if any: binary search over ordered bases. */
   def segmentFor(off: Long): Option[SegmentMeta] = {
@@ -72,7 +82,15 @@ object LogManifest {
         s"""{"base":${s.base},"next":${s.next},"bytes":${s.bytes},"records":${s.records},"sealed":${s.sealed_}}"""
       )
       .mkString("[", ",", "]")
-    val json = s"""{"nextOffset":${m.nextOffset},"segments":$segs}"""
+    // Token names are caller-chosen identifiers: restrict to a safe charset
+    // rather than implementing JSON string escaping in the minimal codec.
+    m.tokens.keys.foreach { k =>
+      require(k.matches("[A-Za-z0-9_.-]+"), s"invalid token name: $k")
+    }
+    val toks = m.tokens.toVector.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"nextOffset":${m.nextOffset},"tokens":$toks,"segments":$segs}"""
     val tmp = Paths.get(dir, FileName + ".tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(
@@ -106,6 +124,25 @@ object LogManifest {
       src.startsWith("true", i + name.length + 3)
     }
     val next = longField(json, "nextOffset")
+    // Optional flat tokens object (absent in pre-token manifests).
+    val tokens: Map[String, Long] = {
+      val ti = json.indexOf("\"tokens\":{")
+      if (ti < 0) Map.empty
+      else {
+        val start = ti + 10
+        val end = json.indexOf('}', start)
+        val body = json.substring(start, end).trim
+        if (body.isEmpty) Map.empty
+        else
+          body
+            .split(",")
+            .map { kv =>
+              val Array(k, v) = kv.split(":", 2)
+              k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toLong
+            }
+            .toMap
+      }
+    }
     val arrStart = json.indexOf('[')
     val arrEnd = json.lastIndexOf(']')
     val body = json.substring(arrStart + 1, arrEnd).trim
@@ -124,7 +161,7 @@ object LogManifest {
               sealed_ = boolField(raw, "sealed")
             )
           }
-    LogManifest(segs, next)
+    LogManifest(segs, next, tokens)
   }
 
   /** Manifest-less recovery: list `segment=<base>` directories, read each

@@ -176,7 +176,22 @@ class SparkLog(
     * write job. `monotonically_increasing_id` would leave gaps and is
     * therefore wrong here (SURVEY.md §7.4).
     */
-  def appendDF(df: DataFrame): (Long, Long) = synchronized {
+  def appendDF(df: DataFrame): (Long, Long) = appendDF(df, None)
+
+  /** appendDF with an idempotence token `(source, epoch)`: the token commits
+    * in the SAME atomic manifest swap as the data, so re-applying an
+    * already-committed epoch (foreachBatch retry after a crash between
+    * append and checkpoint) is a no-op — exactly-once ingest
+    * (SURVEY §2.6). Returns (nextOffset, 0) when skipped.
+    */
+  def appendDF(df: DataFrame, token: Option[(String, Long)]): (Long, Long) = synchronized {
+    token.foreach { case (name, epoch) =>
+      // Validate the name BEFORE any data lands — failing in the final
+      // manifest write would leave published files without their token.
+      require(name.matches("[A-Za-z0-9_.-]+"), s"invalid token name: $name")
+      if (manifest.tokens.get(name).exists(_ >= epoch))
+        return (manifest.nextOffset, 0L)
+    }
     val base = manifest.nextOffset
     // Persisted: the count job and the write job must see the SAME rows —
     // an unpersisted nondeterministic source (sample(), rand() filters)
@@ -217,7 +232,11 @@ class SparkLog(
         case Some(last) => upsert(m0.segments, last.copy(sealed_ = true))
         case None       => m0.segments
       }
-      val m = LogManifest(sealedPrev :+ seg, base + total)
+      val newTokens = token match {
+        case Some((name, epoch)) => manifest.tokens + (name -> epoch)
+        case None                => manifest.tokens
+      }
+      val m = LogManifest(sealedPrev :+ seg, base + total, newTokens)
       LogManifest.write(dir, m)
       manifest = m
       (base, total)

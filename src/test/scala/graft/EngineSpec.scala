@@ -26,6 +26,28 @@ class EngineSpec extends AnyFunSuite {
     assert(new String(engine.service.consume("root", ConsumeRequest(1)).record.value) == "b")
   }
 
+  test("appendDF idempotence token makes epoch re-application a no-op (exactly-once)") {
+    val session = spark
+    import session.implicits._
+    val engine = Engine(spark, TestSpark.tempDir("engine-once"))
+    val batch = Seq("e1", "e2", "e3").map(_.getBytes).toDF("value")
+    val (b0, n0) = engine.log.appendDF(batch, Some("src-a" -> 7L))
+    assert(b0 == 0 && n0 == 3)
+    // same epoch again: the retry after a crash-between-append-and-checkpoint
+    val (b1, n1) = engine.log.appendDF(batch, Some("src-a" -> 7L))
+    assert(n1 == 0 && b1 == 3)
+    assert(engine.log.toDF.count() == 3)
+    // older epoch: also skipped
+    assert(engine.log.appendDF(batch, Some("src-a" -> 5L))._2 == 0)
+    // newer epoch: applied; other source names independent
+    assert(engine.log.appendDF(batch, Some("src-a" -> 8L))._2 == 3)
+    assert(engine.log.appendDF(batch, Some("src-b" -> 0L))._2 == 3)
+    assert(engine.log.toDF.count() == 9)
+    // tokens survive reopen (same atomic swap as the data)
+    val reopened = graft.log.SparkLog(spark, engine.dataDir)
+    assert(reopened.appendDF(batch, Some("src-a" -> 8L))._2 == 0)
+  }
+
   test("engine registers native functions on the session") {
     Engine(spark, TestSpark.tempDir("engine-fn"))
     val r = spark.sql("SELECT cosine_similarity(array(3.0d,4.0d), array(3.0d,4.0d))").head().getDouble(0)

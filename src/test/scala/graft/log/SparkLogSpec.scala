@@ -154,11 +154,15 @@ class SparkLogSpec extends AnyFunSuite {
   test("manifest JSON round-trips") {
     val m = LogManifest(
       Vector(SegmentMeta(0, 2, 38, 2, sealed_ = true), SegmentMeta(2, 3, 19, 1, sealed_ = false)),
-      3
+      3,
+      tokens = Map("ingest" -> 41L, "other.src-2" -> 0L)
     )
     val dir = TestSpark.tempDir("manifest")
     LogManifest.write(dir, m)
     assert(LogManifest.read(dir).contains(m))
+    // tokenless (pre-token) manifests still parse
+    val legacy = LogManifest.parse("""{"nextOffset":3,"segments":[{"base":0,"next":3,"bytes":1,"records":3,"sealed":true}]}""")
+    assert(legacy.tokens.isEmpty && legacy.nextOffset == 3)
   }
 
   test("manifest segmentFor binary search") {
