@@ -633,6 +633,72 @@ object Relational {
       """)
     ),
 
+    // --- window function zoo: lead/lag/ntile/percent_rank ---
+    Q(
+      "q_window_funcs",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        t(s, d, "orders")
+          .filter(col("o_custkey") < 40)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            lag("o_totalprice", 1).over(w).as("prev_price"),
+            lead("o_totalprice", 1).over(w).as("next_price"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank")
+          )
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice, 1) OVER w AS prev_price,
+               lead(o_totalprice, 1) OVER w AS next_price,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank
+        FROM orders WHERE o_custkey < 40
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+      """)
+    ),
+
+    // --- ordered string aggregation ---
+    Q(
+      "q_string_agg",
+      (s, d) => {
+        t(s, d, "nation")
+          .groupBy("n_regionkey")
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+          .orderBy("n_regionkey")
+      },
+      Some("""
+        SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+      """)
+    ),
+
+    // --- percentiles (linear interpolation) ---
+    Q(
+      "q_percentiles",
+      (s, d) => {
+        t(s, d, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            expr("round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)").as("median_price"),
+            expr("round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4)").as("p90_price"),
+            count(lit(1)).as("n")
+          )
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """)
+    ),
+
     // --- approximate distinct (sketch; no exact oracle by construction) ---
     Q(
       "q_approx_distinct",
