@@ -153,6 +153,37 @@ object Similarity {
       """)
     ),
 
+    // --- IVF with *computed* coarse centroids (k-means, fixed seed) ---
+    Q(
+      "knn_ivf_kmeans",
+      (s, d) => {
+        // The honest IVF pipeline: learn the coarse quantizer instead of
+        // borrowing the dataset's label column. Seeded k-means → cell
+        // assignment → probe the query's own cell → exact re-rank.
+        // Approximate by construction (cell boundaries) → rows-only check.
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), dbl(col("embedding")).as("v"))
+          .withColumn("features", array_to_vector(col("v")))
+        val km = new KMeans().setK(16).setSeed(42L).setFeaturesCol("features").setPredictionCol("cell")
+        val cells = km.fit(e).transform(e).select(col("vec_id"), col("v"), col("cell"))
+        val q = cells
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell").as("qcell"))
+        val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+        cells
+          .join(broadcast(q), col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("qid", "vec_id", "rank", "cos")
+          .orderBy("qid", "rank")
+      },
+      None
+    ),
+
     // --- vector norms / stats (sanity surface for the vector column) ---
     Q(
       "vec_stats",
