@@ -65,6 +65,33 @@ final case class LogManifest(
   def isEmpty: Boolean = segments.forall(_.isEmpty)
 }
 
+/** Micro-helpers for the flat hand-rolled JSON the log metadata uses (no
+  * external JSON deps resolve in this offline environment).
+  */
+private[log] object JsonFields {
+  def long(src: String, name: String): Long = {
+    val i = src.indexOf("\"" + name + "\":")
+    require(i >= 0, s"missing field $name")
+    val start = i + name.length + 3
+    var end = start
+    while (end < src.length && (src.charAt(end).isDigit || src.charAt(end) == '-')) end += 1
+    src.substring(start, end).toLong
+  }
+
+  def bool(src: String, name: String): Boolean = {
+    val i = src.indexOf("\"" + name + "\":")
+    require(i >= 0, s"missing field $name")
+    src.startsWith("true", i + name.length + 3)
+  }
+
+  def str(src: String, name: String): String = {
+    val i = src.indexOf("\"" + name + "\":\"")
+    require(i >= 0, s"missing field $name")
+    val start = i + name.length + 4
+    src.substring(start, src.indexOf('"', start))
+  }
+}
+
 /** Flat-JSON (de)serialization with atomic rename publish, so a crash never
   * leaves a torn manifest — the analog of the reference's index
   * truncate-to-used + fsync on close (reference: internal/log/index.go:68-79).
@@ -110,19 +137,7 @@ object LogManifest {
   // Minimal parser for the exact flat shape written above (no external json
   // deps are resolvable in this environment).
   private[log] def parse(json: String): LogManifest = {
-    def longField(src: String, name: String): Long = {
-      val i = src.indexOf("\"" + name + "\":")
-      require(i >= 0, s"manifest missing $name")
-      val start = i + name.length + 3
-      var end = start
-      while (end < src.length && (src.charAt(end).isDigit || src.charAt(end) == '-')) end += 1
-      src.substring(start, end).toLong
-    }
-    def boolField(src: String, name: String): Boolean = {
-      val i = src.indexOf("\"" + name + "\":")
-      require(i >= 0, s"manifest missing $name")
-      src.startsWith("true", i + name.length + 3)
-    }
+    import JsonFields.{long => longField, bool => boolField}
     val next = longField(json, "nextOffset")
     // Optional flat tokens object (absent in pre-token manifests).
     val tokens: Map[String, Long] = {
@@ -218,18 +233,7 @@ object CompactJournal {
     if (!Files.exists(p)) None
     else {
       val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      def longField(src: String, name: String): Long = {
-        val i = src.indexOf("\"" + name + "\":")
-        val start = i + name.length + 3
-        var end = start
-        while (end < src.length && (src.charAt(end).isDigit || src.charAt(end) == '-')) end += 1
-        src.substring(start, end).toLong
-      }
-      def strField(src: String, name: String): String = {
-        val i = src.indexOf("\"" + name + "\":\"")
-        val start = i + name.length + 4
-        src.substring(start, src.indexOf('"', start))
-      }
+      import JsonFields.{long => longField, str => strField}
       val arrStart = json.indexOf('[')
       val arrEnd = json.lastIndexOf(']')
       val body = json.substring(arrStart + 1, arrEnd).trim

@@ -25,7 +25,7 @@ private[graft] object ParquetPointReader {
   /** `part-<minOffset>-<maxOffset>-<uuid>.parquet` — range baked into the
     * name by the writer so file selection needs no I/O at all.
     */
-  private val RangedName = """part-(\d+)-(\d+)-.*\.parquet""".r
+  private[graft] val RangedName = """part-(\d+)-(\d+)-.*\.parquet""".r
 
   /** Read the record at `offset` from one `segment=<base>` directory.
     * Returns None when no part file covers the offset.
@@ -45,8 +45,11 @@ private[graft] object ParquetPointReader {
       .toVector
       .sortBy(_.getFileName.toString)
     finally listing.close()
-    val conf = new Configuration()
-    parts.iterator.flatMap(p => readFromFile(p, offset, conf)).nextOption()
+    parts.iterator.flatMap { p =>
+      val it = readRange(p, offset, offset)
+      try it.nextOption()
+      finally it.close()
+    }.nextOption()
   }
 
   /** (min, max) of the `offset` column across a file's row groups, from
@@ -119,7 +122,13 @@ private[graft] object ParquetPointReader {
             val g = rr.read()
             rowsLeft -= 1
             val off = g.getLong("offset", 0)
-            if (off >= lo && off <= hi) {
+            if (off > hi) {
+              // Writers emit offsets in ascending file order, so nothing
+              // past `hi` can follow — stop instead of draining the row
+              // group (a point read would otherwise scan to segment end).
+              reader.close()
+              closed = true
+            } else if (off >= lo && off <= hi) {
               val value =
                 if (g.getFieldRepetitionCount("value") == 0) Array.emptyByteArray
                 else g.getBinary("value", 0).getBytes
@@ -155,50 +164,4 @@ private[graft] object ParquetPointReader {
     }
   }
 
-  private def readFromFile(file: Path, offset: Long, conf: Configuration): Option[LogRecord] = {
-    val reader =
-      ParquetFileReader.open(HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), conf))
-    try {
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      val colIO = new ColumnIOFactory().getColumnIO(schema)
-      val blocks = reader.getFooter.getBlocks.asScala
-      var result: Option[LogRecord] = None
-      val it = blocks.iterator
-      while (result.isEmpty && it.hasNext) {
-        val block = it.next()
-        val offsetStats = block.getColumns.asScala
-          .find(_.getPath.toDotString == "offset")
-          .map(_.getStatistics)
-        val mayContain = offsetStats match {
-          case Some(st) if st != null && !st.isEmpty =>
-            val mn = st.genericGetMin.asInstanceOf[Number].longValue()
-            val mx = st.genericGetMax.asInstanceOf[Number].longValue()
-            offset >= mn && offset <= mx
-          case _ => true // no stats: must scan
-        }
-        if (!mayContain) reader.skipNextRowGroup()
-        else {
-          val pages = reader.readNextRowGroup()
-          val rr = colIO.getRecordReader(pages, new GroupRecordConverter(schema))
-          var i = 0L
-          val n = pages.getRowCount
-          while (result.isEmpty && i < n) {
-            val g = rr.read()
-            if (g.getLong("offset", 0) == offset) {
-              val value =
-                if (g.getFieldRepetitionCount("value") == 0) Array.emptyByteArray
-                else g.getBinary("value", 0).getBytes
-              val term = if (g.getFieldRepetitionCount("term") == 0) 0L else g.getLong("term", 0)
-              val recordType =
-                if (g.getFieldRepetitionCount("recordType") == 0) 0
-                else g.getInteger("recordType", 0)
-              result = Some(LogRecord(value, offset, term, recordType))
-            }
-            i += 1
-          }
-        }
-      }
-      result
-    } finally reader.close()
-  }
 }

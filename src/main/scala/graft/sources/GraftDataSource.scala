@@ -123,8 +123,6 @@ class GraftScan(dir: String, lo: Long, hi: Long) extends Scan {
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(dir, startAt = math.max(lo, 0L))
-
-  private[sources] def bounds: (Long, Long) = (lo, hi)
 }
 
 /** Shared partition planning: manifest segments ∩ [lo,hi] → ranged part
@@ -134,7 +132,7 @@ object GraftPlanning {
   def partitionsFor(dir: String, lo: Long, hi: Long): Array[InputPartition] = {
     if (lo > hi) return Array.empty
     val manifest = LogManifest.read(dir).getOrElse(return Array.empty)
-    val ranged = """part-(\d+)-(\d+)-.*\.parquet""".r
+    val ranged = ParquetPointReader.RangedName
     manifest.segments.iterator
       .filter(s => s.next > lo && s.base <= hi)
       .flatMap { s =>
