@@ -168,13 +168,36 @@ object Similarity {
           .select(col("vec_id"), dbl(col("embedding")).as("v"))
           .withColumn("features", array_to_vector(col("v")))
         val km = new KMeans().setK(16).setSeed(42L).setFeaturesCol("features").setPredictionCol("cell")
-        val cells = km.fit(e).transform(e).select(col("vec_id"), col("v"), col("cell"))
-        val q = cells
-          .filter(col("vec_id") < 8)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell").as("qcell"))
+        val model = km.fit(e)
+        val cells = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
+        // Multi-probe: each query searches its nProbe nearest cells (by
+        // centroid cosine), not just its own — the standard IVF recall
+        // lever. Centroids are driver-resident model state (k × dim,
+        // metadata-scale), so probe sets compute locally and broadcast.
+        val nProbe = 4
+        val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
+        def cosArr(a: Array[Double], b: Array[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < math.min(a.length, b.length)) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          dot / math.sqrt(na * nb)
+        }
+        val session = s
+        import session.implicits._
+        val qVecs = cells.filter(col("vec_id") < 8).select(col("vec_id"), col("v")).collect()
+        val probes = qVecs.flatMap { r =>
+          val qid = r.getLong(0)
+          val qv = r.getSeq[Double](1).toArray
+          centroids
+            .map { case (c, idx) => (idx, cosArr(qv, c)) }
+            .sortBy(-_._2)
+            .take(nProbe)
+            .map { case (cellIdx, _) => (qid, qv, cellIdx) }
+        }.toSeq.toDF("qid", "qv", "qcell")
         val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
         cells
-          .join(broadcast(q), col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+          .join(broadcast(probes), col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
           .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
