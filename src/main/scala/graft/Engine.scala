@@ -53,6 +53,15 @@ class Engine(
   /** Batch view of the whole log (L6). */
   def toDF: DataFrame = log.toDF
 
+  /** Register the log as a SQL temp view so `spark.sql("... FROM <name>")`
+    * works directly; pairs with the native functions the engine registers
+    * at construction. Returns the view name for convenience.
+    */
+  def registerView(name: String = "graft_log"): String = {
+    spark.read.format("graft").load(dataDir).createOrReplaceTempView(name)
+    name
+  }
+
   /** Shutdown in reverse boot order (reference: agent.go:175-182) — the
     * session is caller-owned, so only engine state closes here.
     */

@@ -48,6 +48,18 @@ class EngineSpec extends AnyFunSuite {
     assert(reopened.appendDF(batch, Some("src-a" -> 8L))._2 == 0)
   }
 
+  test("registerView exposes the log to SQL") {
+    val engine = Engine(spark, TestSpark.tempDir("engine-view"))
+    engine.log.append(Seq("sql-a".getBytes, "sql-b".getBytes))
+    val view = engine.registerView("test_log")
+    val rows = spark
+      .sql(s"SELECT offset, cast(value as string) v FROM $view ORDER BY offset")
+      .collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("sql-a", "sql-b"))
+    // filters through SQL hit the pushdown path
+    assert(spark.sql(s"SELECT count(*) FROM $view WHERE offset = 1").head().getLong(0) == 1)
+  }
+
   test("engine registers native functions on the session") {
     Engine(spark, TestSpark.tempDir("engine-fn"))
     val r = spark.sql("SELECT cosine_similarity(array(3.0d,4.0d), array(3.0d,4.0d))").head().getDouble(0)
