@@ -87,11 +87,57 @@ private[graft] object ParquetPointReader {
     */
   trait RangeIterator extends Iterator[LogRecord] with AutoCloseable
 
-  def readRange(file: Path, lo: Long, hi: Long): RangeIterator = {
+  /** Projected variant for the DSv2 readers: yields one `Array[Any]` per
+    * record holding exactly `fields` (in order), decoding ONLY those
+    * columns — the parquet reader gets a pruned requested schema, so a
+    * `SELECT offset` never pays for the value bytes. `offset` is always
+    * read internally for range filtering.
+    */
+  trait RangeRowIterator extends Iterator[Array[Any]] with AutoCloseable
+
+  def readRangeRows(file: Path, lo: Long, hi: Long, fields: Array[String]): RangeRowIterator = {
+    val withOffset = if (fields.contains("offset")) fields else fields :+ "offset"
+    val inner = openRange(file, lo, hi, Some(withOffset))
+    new RangeRowIterator {
+      override def hasNext: Boolean = inner.hasNext
+      override def next(): Array[Any] = {
+        val g = inner.next()
+        fields.map {
+          case "offset" => g.offset
+          case "value"  => g.value
+          case "term"   => g.term
+          case _        => g.recordType
+        }
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  def readRange(file: Path, lo: Long, hi: Long): RangeIterator =
+    openRange(file, lo, hi, None)
+
+  private def openRange(
+      file: Path,
+      lo: Long,
+      hi: Long,
+      projection: Option[Array[String]]
+  ): RangeIterator = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), new Configuration())
     )
-    val schema = reader.getFooter.getFileMetaData.getSchema
+    val fileSchema = reader.getFooter.getFileMetaData.getSchema
+    // Projection pushdown: request only the needed columns so the reader
+    // never decompresses/decodes the others' pages.
+    val schema = projection match {
+      case Some(fields) =>
+        val kept = fields.filter(fileSchema.containsField)
+        new org.apache.parquet.schema.MessageType(
+          fileSchema.getName,
+          kept.map(f => fileSchema.getType(Seq(f): _*)): _*
+        )
+      case None => fileSchema
+    }
+    reader.setRequestedSchema(schema)
     val colIO = new ColumnIOFactory().getColumnIO(schema)
     val blocks = reader.getFooter.getBlocks.asScala.toVector
 
@@ -129,13 +175,11 @@ private[graft] object ParquetPointReader {
               reader.close()
               closed = true
             } else if (off >= lo && off <= hi) {
-              val value =
-                if (g.getFieldRepetitionCount("value") == 0) Array.emptyByteArray
-                else g.getBinary("value", 0).getBytes
-              val term = if (g.getFieldRepetitionCount("term") == 0) 0L else g.getLong("term", 0)
-              val rt =
-                if (g.getFieldRepetitionCount("recordType") == 0) 0
-                else g.getInteger("recordType", 0)
+              def has(f: String) =
+                schema.containsField(f) && g.getFieldRepetitionCount(f) > 0
+              val value = if (has("value")) g.getBinary("value", 0).getBytes else Array.emptyByteArray
+              val term = if (has("term")) g.getLong("term", 0) else 0L
+              val rt = if (has("recordType")) g.getInteger("recordType", 0) else 0
               nextRec = LogRecord(value, off, term, rt)
             }
           } else if (blockIdx < blocks.length) {

@@ -71,13 +71,24 @@ class GraftTable(dir: String) extends Table with SupportsRead {
   }
 }
 
-/** Accepts offset bound filters; everything else stays post-scan. */
+/** Accepts offset bound filters and column pruning; everything else stays
+  * post-scan.
+  */
 class GraftScanBuilder(dir: String, startOffset: Option[Long] = None)
     extends ScanBuilder
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var pushed = Array.empty[Filter]
+  private var requiredSchema: StructType = LogRecord.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark hands us the post-projection schema; empty (count(*)-style)
+    // still needs one column to drive row iteration — keep offset.
+    this.requiredSchema =
+      if (requiredSchema.isEmpty) StructType(LogRecord.schema.filter(_.name == "offset"))
+      else requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) = filters.partition {
@@ -105,24 +116,28 @@ class GraftScanBuilder(dir: String, startOffset: Option[Long] = None)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftScan(dir, startOffset.map(math.max(_, lo)).getOrElse(lo), hi)
+  override def build(): Scan =
+    new GraftScan(dir, startOffset.map(math.max(_, lo)).getOrElse(lo), hi, requiredSchema)
 }
 
 /** One input partition = one part file restricted to [lo, hi]. */
 case class GraftInputPartition(file: String, lo: Long, hi: Long) extends InputPartition
 
-class GraftScan(dir: String, lo: Long, hi: Long) extends Scan {
-  override def readSchema(): StructType = LogRecord.schema
-  override def description(): String = s"GraftScan(dir=$dir, offsets=[$lo, $hi])"
+class GraftScan(dir: String, lo: Long, hi: Long, schema: StructType = LogRecord.schema)
+    extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"GraftScan(dir=$dir, offsets=[$lo, $hi], columns=[${schema.fieldNames.mkString(",")}])"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       GraftPlanning.partitionsFor(dir, lo, hi)
-    override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory
+    override def createReaderFactory(): PartitionReaderFactory =
+      GraftReaderFactory(schema.fieldNames)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(dir, startAt = math.max(lo, 0L))
+    new GraftMicroBatchStream(dir, startAt = math.max(lo, 0L), fields = schema.fieldNames)
 }
 
 /** Shared partition planning: manifest segments ∩ [lo,hi] → ranged part
@@ -162,19 +177,17 @@ object GraftPlanning {
   }
 }
 
-object GraftReaderFactory extends PartitionReaderFactory {
+case class GraftReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new PartitionReader[InternalRow] {
-      private val it = ParquetPointReader.readRange(Paths.get(p.file), p.lo, p.hi)
-      private var current: LogRecord = _
+      // Projected read: only the pruned columns' pages are decoded.
+      private val it = ParquetPointReader.readRangeRows(Paths.get(p.file), p.lo, p.hi, fields)
+      private var current: Array[Any] = _
       override def next(): Boolean = {
         if (it.hasNext) { current = it.next(); true } else false
       }
-      override def get(): InternalRow =
-        new GenericInternalRow(
-          Array[Any](current.value, current.offset, current.term, current.recordType)
-        )
+      override def get(): InternalRow = new GenericInternalRow(current)
       // Release the parquet reader even when Spark stops early (limit,
       // cancelled stream) — otherwise each truncated partition leaks an fd.
       override def close(): Unit = it.close()
@@ -188,7 +201,11 @@ case class GraftStreamOffset(offset: Long) extends Offset {
 }
 
 /** Micro-batch tail: each trigger covers log offsets [start, end). */
-class GraftMicroBatchStream(dir: String, startAt: Long) extends MicroBatchStream {
+class GraftMicroBatchStream(
+    dir: String,
+    startAt: Long,
+    fields: Array[String] = LogRecord.schema.fieldNames
+) extends MicroBatchStream {
 
   private def nextOffset: Long = LogManifest.read(dir).map(_.nextOffset).getOrElse(startAt)
 
@@ -207,7 +224,7 @@ class GraftMicroBatchStream(dir: String, startAt: Long) extends MicroBatchStream
     GraftPlanning.partitionsFor(dir, lo, hi)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory(fields)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
