@@ -28,27 +28,11 @@ import Q.t
   */
 object Dedup {
 
-  val all: Seq[Q] = Seq(
-    // --- exact dedup via normalized-text digest ---
-    Q(
-      "dedup_exact",
-      (s, d) => {
-        t(s, d, "documents")
-          .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
-          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-          .orderBy("text_hash")
-      },
-      Some("""
-        SELECT md5(lower(trim(text))) AS text_hash,
-               min(doc_id) AS keep_id, count(*) AS n_copies
-        FROM documents GROUP BY 1 ORDER BY text_hash
-      """)
-    ),
+  /** Lang-blocked exact Jaccard pairs (τ=0.6) via dictionary-encoded bitmap
+    * signatures — shared by the pair listing and the clustering queries.
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
 
-    // --- exact word-set Jaccard near-dup pairs (lang-blocked) ---
-    Q(
-      "dedup_jaccard",
-      (s, d) => {
         // Set-similarity join as bitmap intersection, not a token⋈token
         // shuffle: dictionary-encode the corpus vocabulary to dense ids,
         // pack each doc's distinct-word set into ⌈|V|/64⌉ longs, then probe
@@ -114,6 +98,30 @@ object Dedup {
             (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard")
           )
           .filter(col("jaccard") >= 0.6)
+  }
+
+  val all: Seq[Q] = Seq(
+    // --- exact dedup via normalized-text digest ---
+    Q(
+      "dedup_exact",
+      (s, d) => {
+        t(s, d, "documents")
+          .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("text_hash")
+      },
+      Some("""
+        SELECT md5(lower(trim(text))) AS text_hash,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY text_hash
+      """)
+    ),
+
+    // --- exact word-set Jaccard near-dup pairs (lang-blocked) ---
+    Q(
+      "dedup_jaccard",
+      (s, d) => {
+        jaccardPairs(s, d)
           .orderBy("d1", "d2")
       },
       Some("""
@@ -130,6 +138,78 @@ object Dedup {
         FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
         WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6
         ORDER BY d1, d2
+      """)
+    ),
+
+    // --- near-dup clustering: connected components over Jaccard pairs ---
+    Q(
+      "dedup_clusters",
+      (s, d) => {
+        // The "apply" step of near-dup dedup at scale: group pairs into
+        // canonical clusters via iterative min-label propagation (the
+        // DataFrame formulation of connected components — O(diameter)
+        // rounds, each one join + partial-min aggregate). Lineage is
+        // truncated per round with localCheckpoint so plans stay bounded.
+        // The oracle computes the same fixpoint with a recursive CTE.
+        val pairs = jaccardPairs(s, d).select(col("d1"), col("d2"))
+        val edges = pairs
+          .union(pairs.select(col("d2"), col("d1")))
+          .toDF("a", "b")
+          .localCheckpoint(true)
+        var labels = edges
+          .select(col("a").as("node"))
+          .distinct()
+          .withColumn("label", col("node"))
+          .localCheckpoint(true)
+        var converged = edges.isEmpty
+        var iter = 0
+        while (!converged && iter < 20) {
+          val prop = edges
+            .join(labels.select(col("node").as("bn"), col("label")), col("b") === col("bn"))
+            .groupBy("a")
+            .agg(min("label").as("nbr"))
+          val updated = labels
+            .join(prop, col("node") === col("a"), "left")
+            .select(
+              col("node"),
+              least(col("label"), coalesce(col("nbr"), col("label"))).as("label")
+            )
+            .localCheckpoint(true)
+          val changed = updated
+            .join(labels.select(col("node").as("n2"), col("label").as("old")), col("node") === col("n2"))
+            .filter(col("label") =!= col("old"))
+            .count()
+          labels = updated
+          converged = changed == 0
+          iter += 1
+        }
+        t(s, d, "documents")
+          .select(col("doc_id"))
+          .join(labels, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH RECURSIVE w AS (
+          SELECT DISTINCT doc_id, lang, word FROM (
+            SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
+        sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+        p AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT d1, d2 FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+        comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        ORDER BY d.doc_id
       """)
     ),
 
