@@ -16,8 +16,11 @@ import Q.t
   *   - SimHash: portable 60-bit fingerprint built from md5-derived word
   *     hashes and bit-majority voting (fully SQL-expressible, so the DuckDB
   *     oracle verifies every fingerprint bit-for-bit);
-  *   - MinHash/LSH: MLlib `MinHashLSH` banding with a fixed seed
-  *     (approximate by construction — no SQL oracle, rows-only check);
+  *   - MinHash: the portable 16-function family (native `minhash16`) with
+  *     exact-oracle signatures and banded LSH candidates, plus the MLlib
+  *     `MinHashLSH` variant (approximate — rows-only check);
+  *   - clustering: connected components over near-dup pairs (min-label
+  *     propagation ≡ the oracle's recursive CTE);
   *   - embedding near-dup: cosine pairs over `embeddings` with label
   *     blocking (exact twin of the ANN path in Similarity.scala).
   *

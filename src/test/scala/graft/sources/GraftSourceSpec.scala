@@ -57,6 +57,19 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("column pruning reaches the scan (projected columns only)") {
+    val log = newLog(15)
+    val df = spark.read.format("graft").load(log.dir).select("offset")
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("GraftScan")).getOrElse("")
+    assert(scanLine.contains("columns=[offset]"), s"scan not pruned: $scanLine")
+    // values correct under pruning
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (0L until 15L))
+    // pruning composes with predicate pushdown
+    val one = spark.read.format("graft").load(log.dir).select("offset").filter(col("offset") === 9)
+    assert(one.rdd.getNumPartitions == 1 && one.head().getLong(0) == 9L)
+  }
+
   test("micro-batch stream tails the log with exact offset cursors") {
     val log = newLog(3)
     val q = spark.readStream
