@@ -699,6 +699,51 @@ object Relational {
       """)
     ),
 
+    // --- PIVOT: order counts by status × priority ---
+    Q(
+      "q_pivot",
+      (s, d) => {
+        t(s, d, "orders")
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .count()
+          .withColumnRenamed("1-URGENT", "urgent")
+          .withColumnRenamed("2-HIGH", "high")
+          .withColumnRenamed("3-MEDIUM", "medium")
+          .withColumnRenamed("4-NOT SPECIFIED", "unspecified")
+          .withColumnRenamed("5-LOW", "low")
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """)
+    ),
+
+    // --- deterministic sampling: portable hash-mod, no engine RNG ---
+    Q(
+      "q_sample",
+      (s, d) => {
+        // TABLESAMPLE/rand() can never oracle-match across engines; a
+        // md5-derived bucket is the portable deterministic equivalent and
+        // the right tool for reproducible pipeline sampling anyway.
+        t(s, d, "events")
+          .filter(conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10).cast("int") % 10 === 0)
+          .select("event_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, event_type, value FROM events
+        WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::INTEGER % 10 = 0
+        ORDER BY event_id
+      """)
+    ),
+
     // --- approximate distinct (sketch; no exact oracle by construction) ---
     Q(
       "q_approx_distinct",
