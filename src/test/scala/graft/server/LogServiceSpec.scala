@@ -95,4 +95,34 @@ class LogServiceSpec extends AnyFunSuite {
     assert(servers.head.isLeader)
     assert(servers.head.id == "driver-0")
   }
+
+  test("produce stream batches large iterators without losing ack order") {
+    val svc = newService()
+    val n = 3000 // > one internal batch (1024)
+    val acks = svc.produceStream("root", (0 until n).iterator.map(i => ProduceRequest(s"big-$i".getBytes))).toSeq
+    assert(acks.map(_.offset) == (0L until n.toLong))
+    assert(new String(svc.consume("root", ConsumeRequest(2999)).record.value) == "big-2999")
+  }
+
+  test("acl isPermitted reflects the policy map without throwing") {
+    val acl = Acl(Map("alice" -> Set(Action.Consume)))
+    assert(acl.isPermitted("alice", Action.Consume))
+    assert(!acl.isPermitted("alice", Action.Produce))
+    assert(!acl.isPermitted("mallory", Action.Consume))
+  }
+
+  test("tail continues past a truncation boundary") {
+    val svc = newService()
+    svc.produceStream("root", (0 until 6).map(i => ProduceRequest(s"t$i".getBytes)).iterator).foreach(_ => ())
+    svc.log.truncate(2)
+    val q = svc.tail("root", from = svc.log.highestOffset + 1)
+      .writeStream.format("memory").queryName("svc_tail_trunc").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      svc.produce("root", ProduceRequest("after-trunc".getBytes))
+      q.processAllAvailable()
+      val rows = spark.sql("select offset, cast(value as string) v from svc_tail_trunc").collect()
+      assert(rows.length == 1 && rows.head.getString(1) == "after-trunc")
+    } finally q.stop()
+  }
 }
