@@ -139,6 +139,32 @@ object TextOps {
       """)
     ),
 
+    // --- array functions over tokenized text (scalar outputs) ---
+    Q(
+      "text_array_funcs",
+      (s, d) => {
+        val ws = words(col("text"))
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            array_contains(ws, "the").as("has_the"),
+            array_join(slice(array_sort(ws), 1, 3), ",").as("first3_sorted"),
+            size(array_distinct(ws)).as("n_distinct"),
+            coalesce(nullif(array_position(ws, "data"), lit(0L)), lit(0L)).cast("int").as("pos_data")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH x AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents)
+        SELECT doc_id,
+               list_contains(ws, 'the') AS has_the,
+               array_to_string(list_sort(ws)[1:3], ',') AS first3_sorted,
+               CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct,
+               CAST(coalesce(list_position(ws, 'data'), 0) AS INTEGER) AS pos_data
+        FROM x ORDER BY doc_id
+      """)
+    ),
+
     // --- language ID: stoplist-count argmax with deterministic tie-break ---
     Q(
       "lang_id",
