@@ -341,6 +341,30 @@ object Relational {
       """)
     ),
 
+    // --- correlated scalar subquery (Catalyst decorrelates to a join) ---
+    Q(
+      "q_correlated_subquery",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_corr")
+        s.sql("""
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders_corr o
+          WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                                    FROM orders_corr o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey
+        """)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                                  FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+      """)
+    ),
+
     // --- scalar functions: string/math ---
     Q(
       "q_scalar_funcs",
