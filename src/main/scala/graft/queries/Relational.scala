@@ -243,6 +243,64 @@ object Relational {
       """)
     ),
 
+    // --- explicit GROUPING SETS with grouping() disambiguation ---
+    Q(
+      "q_grouping_sets",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                 CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+                 count(*) AS n
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """)
+    ),
+
+    // --- moving average over a sliding ROWS frame (decimal-exact sums) ---
+    Q(
+      "q_moving_avg",
+      (s, d) => {
+        val w = Window
+          .partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(-3, Window.currentRow)
+        t(s, d, "orders")
+          .filter(col("o_custkey") < 60)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            // decimal inner sum: incremental frame updates vs recompute
+            // would drift in double; exact decimal is engine-independent
+            (sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double") /
+              count(lit(1)).over(w)).as("moving_avg")
+          )
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+               count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
+        FROM orders WHERE o_custkey < 60
+        ORDER BY o_custkey, o_orderkey
+      """)
+    ),
+
     // --- set ops ---
     Q(
       "q_set_union",
