@@ -94,4 +94,20 @@ class GraftSourceSpec extends AnyFunSuite {
       assert(rows.last.getString(1) == "late-2")
     } finally q.stop()
   }
+
+  test("graft source agrees with the native read path on randomized logs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.resize(6, Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.alphaNumStr.map(s => "p" + s.take(10)))))
+    (0 until 3).flatMap(i => gen.apply(Gen.Parameters.default, Seed(99L + i))).foreach { batches =>
+      val log = SparkLog(spark, TestSpark.tempDir("gsrc-prop"), LogConfig(maxStoreBytes = 80))
+      batches.foreach(b => log.append(b.map(_.getBytes)))
+      val native = log.toDF.select(col("offset"), col("value").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val viaSource = spark.read.format("graft").load(log.dir)
+        .select(col("offset"), col("value").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(viaSource.toSeq == native.toSeq, s"batches=${batches.map(_.size)}")
+    }
+  }
 }
