@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -19,11 +20,13 @@ import org.apache.spark.sql.types._
   * to the built-in composition and to DuckDB's `list_dot_product` on
   * `DOUBLE[]` — the correctness oracle keeps hash-matching.
   *
-  * Semantics: null if either array is null OR the dimensions differ (a
-  * corrupt vector must surface as missing data, not a plausible score
-  * computed over a truncated prefix — matching `zip_with`'s null-padding
-  * behavior which also nulls the fold); NaN on zero-norm inputs (0/0 —
-  * same as the built-in formula).
+  * Semantics: null if either array is null, the dimensions differ, OR any
+  * element is null (a corrupt vector must surface as missing data, not a
+  * plausible score computed over a truncated prefix — matching `zip_with`'s
+  * behavior, where a null element nulls the product and the whole
+  * `aggregate` fold); NaN on zero-norm inputs (0/0 — same as the built-in
+  * formula). Non-`array<float|double>` inputs are rejected at analysis time
+  * via [[checkInputDataTypes]].
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,8 +40,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_similarity"
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}"
+      )
+  }
+
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -46,12 +66,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (x.numElements() != y.numElements()) return null
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
+    val checkNulls = mayHaveNullElems
     val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
@@ -76,6 +98,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
         val nb = ctx.freshName("nb")
         val xi = ctx.freshName("xi")
         val yi = ctx.freshName("yi")
+        // Only pay the per-element null check when the input type says null
+        // elements are possible; the common containsNull=false path keeps
+        // the branch-free fused loop.
+        val nullElemCheck =
+          if (mayHaveNullElems)
+            s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          else ""
         s"""
         if ($a.numElements() != $b.numElements()) {
           ${ev.isNull} = true;
@@ -83,11 +112,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
           int $n = $a.numElements();
           double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
+            $nullElemCheck
             double $xi = (double) $a.$leftGet($i);
             double $yi = (double) $b.$rightGet($i);
             $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
           }
-          ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+          if (!${ev.isNull}) {
+            ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+          }
         }
         """
       }

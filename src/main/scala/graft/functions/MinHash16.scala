@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -27,6 +28,9 @@ case class MinHash16(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "minhash16"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.requireStringArray(prettyName, child)
+
   override def nullSafeEval(input: Any): Any =
     MinHash16.compute(input.asInstanceOf[ArrayData])
 
@@ -44,18 +48,23 @@ object MinHash16 {
   def a(i: Int): Long = 2L * i + 3
   def b(i: Int): Long = (104729L * (i + 1)) % P
 
-  /** Called from both interpreted eval and generated code. */
+  /** Called from both interpreted eval and generated code. Null tokens are
+    * skipped — in the SQL twin `md5(NULL)` is NULL and drops out of the
+    * per-function `min()` the same way.
+    */
   def compute(tokens: ArrayData): ArrayData = {
     val mins = Array.fill(K)(Long.MaxValue)
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
-      val h = TokenHash.hash60(tokens.getUTF8String(t)) % P
-      var i = 0
-      while (i < K) {
-        val v = (a(i) * h + b(i)) % P
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      if (!tokens.isNullAt(t)) {
+        val h = TokenHash.hash60(tokens.getUTF8String(t)) % P
+        var i = 0
+        while (i < K) {
+          val v = (a(i) * h + b(i)) % P
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       t += 1
     }

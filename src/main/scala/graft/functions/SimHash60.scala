@@ -2,6 +2,7 @@ package graft.functions
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -24,6 +25,9 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "simhash60"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.requireStringArray(prettyName, child)
+
   override def nullSafeEval(input: Any): Any =
     SimHash60.compute(input.asInstanceOf[ArrayData])
 
@@ -39,6 +43,18 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   * `conv(substr(md5(w),1,15),16,10)` / `('0x'||substr(md5(w),1,15))::BIGINT`
   * so every engine derives identical values.
   */
+/** Shared analysis-time input checks for the token-hashing expressions. */
+private[functions] object GraftTypeChecks {
+  def requireStringArray(name: String, child: Expression): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name requires an array<string> argument, got ${other.catalogString}"
+        )
+    }
+}
+
 private[functions] object TokenHash {
   def hash60(s: UTF8String): Long = {
     val md = MessageDigest.getInstance("MD5")
@@ -56,12 +72,17 @@ private[functions] object TokenHash {
 
 object SimHash60 {
 
-  /** Called from both interpreted eval and generated code. */
+  /** Called from both interpreted eval and generated code. Null tokens are
+    * skipped — in the SQL twin `md5(NULL)` is NULL and drops out of the
+    * per-bit vote aggregate the same way.
+    */
   def compute(tokens: ArrayData): Long = {
     val votes = new Array[Int](60)
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
+      if (tokens.isNullAt(t)) { t += 1 }
+      else {
       val h = TokenHash.hash60(tokens.getUTF8String(t))
       var b = 0
       while (b < 60) {
@@ -69,6 +90,7 @@ object SimHash60 {
         b += 1
       }
       t += 1
+      }
     }
     var sim = 0L
     var b = 0

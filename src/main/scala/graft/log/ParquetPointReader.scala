@@ -177,7 +177,10 @@ private[graft] object ParquetPointReader {
             } else if (off >= lo && off <= hi) {
               def has(f: String) =
                 schema.containsField(f) && g.getFieldRepetitionCount(f) > 0
-              val value = if (has("value")) g.getBinary("value", 0).getBytes else Array.emptyByteArray
+              // A null payload is written with repetition count 0 (the field
+              // is optional); surface it as null — NOT empty bytes — so this
+              // path round-trips identically to the native parquet scan.
+              val value = if (has("value")) g.getBinary("value", 0).getBytes else null
               val term = if (has("term")) g.getLong("term", 0) else 0L
               val rt = if (has("recordType")) g.getInteger("recordType", 0) else 0
               nextRec = LogRecord(value, off, term, rt)

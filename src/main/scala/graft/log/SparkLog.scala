@@ -145,7 +145,7 @@ class SparkLog(
       off += 1
       active = active.copy(
         next = off,
-        bytes = active.bytes + v.length + LenWidth,
+        bytes = active.bytes + (if (v == null) 0 else v.length) + LenWidth,
         records = active.records + 1
       )
       if (active.bytes >= config.maxStoreBytes || active.records >= config.maxRecordsPerSegment)

@@ -166,7 +166,13 @@ object Dedup {
           .localCheckpoint(true)
         var converged = edges.isEmpty
         var iter = 0
-        while (!converged && iter < 20) {
+        // Convergence needs O(graph diameter) rounds, which is data-dependent
+        // and unbounded in principle — so iterate to the fixpoint and treat
+        // the cap purely as an infinite-loop guard that FAILS LOUDLY rather
+        // than silently returning non-converged cluster ids (a scale-
+        // dependent correctness bug the small-SF gate could never surface).
+        val maxIters = 1000
+        while (!converged && iter < maxIters) {
           val prop = edges
             .join(labels.select(col("node").as("bn"), col("label")), col("b") === col("bn"))
             .groupBy("a")
@@ -186,6 +192,10 @@ object Dedup {
           converged = changed == 0
           iter += 1
         }
+        if (!converged)
+          throw new IllegalStateException(
+            s"dedup_clusters: min-label propagation did not converge in $maxIters rounds"
+          )
         t(s, d, "documents")
           .select(col("doc_id"))
           .join(labels, col("doc_id") === col("node"), "left")

@@ -33,7 +33,10 @@ object Multimodal {
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("n_frames", IntegerType, nullable = false),
-      StructField("byte_hist", ArrayType(LongType, containsNull = false), nullable = false)
+      // Scalar fingerprint of the 16-bucket byte histogram: the driver's
+      // result-compare sorts column values in pandas, where array cells are
+      // unhashable — scalar outputs only (same rule as the array functions).
+      StructField("hist_fp", StringType, nullable = false)
     )
   )
 
@@ -81,7 +84,7 @@ object Multimodal {
               val (w, h, f) = stubDecode(blob)
               val hist = new Array[Long](16)
               if (blob != null) blob.foreach(b => hist((b & 0xff) % 16) += 1)
-              Row(id, if (blob == null) 0 else blob.length, w, h, f, hist.toSeq)
+              Row(id, if (blob == null) 0 else blob.length, w, h, f, hist.mkString(","))
             }
           }(Encoders.row(featSchema))
           .orderBy("doc_id")

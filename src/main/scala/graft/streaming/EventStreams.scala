@@ -99,18 +99,26 @@ object EventStreams {
           state.remove()
           Iterator.single(Session(user, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
         } else {
-          val times = evts.map(_.ts.getTime).toSeq
-          val prev = state.getOption.getOrElse(SessionState(times.min, times.min, 0))
-          val next = SessionState(
-            math.min(prev.startMs, times.min),
-            math.max(prev.endMs, times.max),
-            prev.n + times.size
-          )
-          state.update(next)
-          // Close the session once the watermark passes last-event + gap.
-          val timeoutAt = math.max(next.endMs + gapMs, state.getCurrentWatermarkMs() + 1)
+          // Merge the open session (if any) with this batch's events in time
+          // order, splitting wherever the inactivity gap is exceeded — the
+          // same gaps-and-islands semantics as the batch q_sessionize. This
+          // matters whenever a batch carries events spanning more than one
+          // session (catch-up from the log tail being the primary case): the
+          // timeout alone would glue them into one session.
+          val incoming = evts.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)).toArray
+          val items = (state.getOption.toArray ++ incoming).sortBy(s => (s.startMs, s.endMs))
+          val merged = items.foldLeft(List.empty[SessionState]) {
+            case (cur :: closed, it) if it.startMs <= cur.endMs + gapMs =>
+              SessionState(cur.startMs, math.max(cur.endMs, it.endMs), cur.n + it.n) :: closed
+            case (acc, it) => it :: acc
+          }.reverse
+          val open = merged.last
+          state.update(open)
+          // Close the open session once the watermark passes last-event + gap.
+          val timeoutAt = math.max(open.endMs + gapMs, state.getCurrentWatermarkMs() + 1)
           state.setTimeoutTimestamp(timeoutAt)
-          Iterator.empty
+          merged.init.iterator
+            .map(s => Session(user, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
         }
       }
   }

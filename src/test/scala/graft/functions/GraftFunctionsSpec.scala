@@ -72,6 +72,41 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.head().isNullAt(0))
   }
 
+  test("wrong input types are rejected at analysis time, not at runtime") {
+    GraftFunctions.register(spark)
+    def analysisFails(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).queryExecution.analyzed)
+      assert(
+        e.getMessage.contains("requires a") && e.getMessage.contains("array"),
+        s"expected our type-check message, got: ${e.getMessage.take(300)}"
+      )
+    }
+    analysisFails("SELECT cosine_similarity(array(1, 2), array(1, 2))") // int elems
+    analysisFails("SELECT cosine_similarity('abc', array(1.0d))")
+    analysisFails("SELECT simhash60('not an array')")
+    analysisFails("SELECT minhash16(array(1, 2, 3))")
+  }
+
+  test("null array elements: cosine nulls the result, hashes skip the token") {
+    GraftFunctions.register(spark)
+    // zip_with-equivalence: a null element nulls the whole fold.
+    val c = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, cast(null as double)), array(1.0d, 2.0d))"
+    )
+    assert(c.head().isNullAt(0))
+    // Interpreted path (eval) agrees with codegen.
+    val ci = spark.sql(
+      "SELECT cosine_similarity(a, b) FROM VALUES (array(1.0d, cast(null as double)), array(1.0d, 2.0d)) t(a, b)"
+    )
+    assert(ci.head().isNullAt(0))
+    // Hash expressions: null token drops out (md5(NULL) is NULL in the SQL twin).
+    val h = spark
+      .sql("""SELECT simhash60(array('a', cast(null as string), 'b')) = simhash60(array('a', 'b')),
+                     minhash16(array('a', cast(null as string), 'b')) = minhash16(array('a', 'b'))""")
+      .head()
+    assert(h.getBoolean(0) && h.getBoolean(1))
+  }
+
   test("expressions run inside whole-stage codegen (no fallback)") {
     GraftFunctions.register(spark)
     val df = spark.read

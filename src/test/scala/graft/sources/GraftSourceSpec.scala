@@ -110,4 +110,22 @@ class GraftSourceSpec extends AnyFunSuite {
       assert(viaSource.toSeq == native.toSeq, s"batches=${batches.map(_.size)}")
     }
   }
+
+  test("null payloads round-trip as NULL on every read path") {
+    val log = SparkLog(spark, TestSpark.tempDir("gsrc-null"), LogConfig())
+    log.append(Seq("before".getBytes, null, "after".getBytes))
+    // Point read through parquet-java.
+    assert(log.read(0).value.sameElements("before".getBytes))
+    assert(log.read(1).value == null)
+    // Native parquet scan.
+    val native = log.toDF.select("offset", "value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    // Graft DSv2 source.
+    val viaSource = spark.read.format("graft").load(log.dir)
+      .select("offset", "value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    assert(native(1)._2.isEmpty, "native scan must see NULL")
+    assert(viaSource(1)._2.isEmpty, "graft source must see NULL")
+    assert(native.map(_._1).toSeq == viaSource.map(_._1).toSeq)
+  }
 }

@@ -111,4 +111,43 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(rows.length == 1 && rows.head.getLong(1) == 2)
     } finally q.stop()
   }
+
+  test("sessionizer splits gap-separated events arriving in one batch") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams
+      .sessionize(input.toDS(), gapMs = 5 * 60 * 1000, watermarkDelay = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("fs2")
+      .outputMode("append")
+      .start()
+    try {
+      // Catch-up batch: three sessions' worth of events for one user at once
+      // (10:01-10:03, 10:15, 10:30-10:31). The first two must close and emit
+      // immediately — gap-splitting within the batch, not timeout-merged.
+      input.addData(
+        EventStreams.Event(4L, ts(1)), EventStreams.Event(4L, ts(3)),
+        EventStreams.Event(4L, ts(15)),
+        EventStreams.Event(4L, ts(30)), EventStreams.Event(4L, ts(31))
+      )
+      q.processAllAvailable()
+      val closed = spark
+        .sql("select start, end, n_events from fs2 where user_id = 4 order by start")
+        .collect()
+      assert(closed.length == 2, s"expected the 2 earlier sessions closed, got ${closed.toSeq}")
+      assert(closed(0).getTimestamp(0) == ts(1) && closed(0).getTimestamp(1) == ts(3))
+      assert(closed(0).getLong(2) == 2)
+      assert(closed(1).getTimestamp(0) == ts(15) && closed(1).getLong(2) == 1)
+      // The open 10:30 session closes once the watermark passes its timeout.
+      input.addData(EventStreams.Event(1L, ts(50)))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(1L, ts(55)))
+      q.processAllAvailable()
+      val all = spark.sql("select n_events from fs2 where user_id = 4 order by start").collect()
+      assert(all.length == 3 && all(2).getLong(0) == 2)
+    } finally q.stop()
+  }
 }
