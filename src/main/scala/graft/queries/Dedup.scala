@@ -49,12 +49,21 @@ object Dedup {
           col("lang"),
           array_distinct(split(lower(trim(col("text"))), " ")).as("words")
         )
+        // Dense word ids via distributed sort + zipWithIndex — NOT a global
+        // window row_number, which would funnel the whole vocabulary through
+        // one partition. Any dense bijection works (ids are only bitmap
+        // positions); sortBy makes the assignment deterministic under
+        // lineage re-evaluation and task retries.
+        import s.implicits._
         val vocab = docs
           .select(explode(col("words")).as("word"))
           .distinct()
-          .withColumn("wid", row_number().over(Window.orderBy("word")) - 1)
-        // Tiny driver-side action for the block count (vocabulary is
-        // metadata-scale; at huge vocab swap row_number for zipWithIndex).
+          .as[String]
+          .rdd
+          .sortBy(identity)
+          .zipWithIndex()
+          .toDF("word", "wid")
+          .withColumn("wid", col("wid").cast("int"))
         val nBlocks = math.max(1L, (vocab.count() + 63) / 64).toInt
         // One scalar long column per 64-word block: the per-pair intersection
         // below stays entirely inside whole-stage codegen (AND + popcount
@@ -356,6 +365,48 @@ object Dedup {
             SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
         h AS (
           SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS hh FROM w),
+        x AS (
+          SELECT doc_id, t.i,
+                 min(((2*t.i + 3) * hh + (104729*(t.i + 1)) % 2147483647) % 2147483647) AS mh
+          FROM h CROSS JOIN range(0, 16) t(i) GROUP BY 1, 2)
+        SELECT doc_id, CAST(i AS INTEGER) AS i, CAST(mh AS BIGINT) AS mh
+        FROM x ORDER BY doc_id, i
+      """)
+    ),
+
+    // --- character 5-gram (shingle) MinHash signatures ---
+    Q(
+      "dedup_shingle_sig",
+      (s, d) => {
+        // N-gram dedup at the character level: 5-char shingles catch
+        // reorderings and near-identical boilerplate that word-token
+        // MinHash misses. Same portable hash family as dedup_minhash_sig,
+        // so the oracle reproduces signatures bit-for-bit; shingling is one
+        // codegen'd transform over a sequence — no explode of the corpus.
+        graft.functions.GraftFunctions.register(s)
+        t(s, d, "documents")
+          .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+          .select(
+            col("doc_id"),
+            expr(
+              """minhash16(array_distinct(
+                   transform(sequence(1, greatest(length(t) - 4, 1)),
+                             i -> substring(t, i, 5))))""").as("mh")
+          )
+          .select(col("doc_id"), posexplode(col("mh")).as(Seq("i", "mh")))
+          .select(col("doc_id"), col("i").cast("int").as("i"), col("mh"))
+          .orderBy("doc_id", "i")
+      },
+      Some("""
+        WITH dt AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, sg FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                                         i -> substr(t, CAST(i AS INTEGER), 5))) AS sg
+            FROM dt)),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(sg), 1, 15))::BIGINT % 2147483647 AS hh FROM sh),
         x AS (
           SELECT doc_id, t.i,
                  min(((2*t.i + 3) * hh + (104729*(t.i + 1)) % 2147483647) % 2147483647) AS mh

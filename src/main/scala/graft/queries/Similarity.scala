@@ -207,6 +207,97 @@ object Similarity {
       None
     ),
 
+    // --- int8 quantization planning (scale + exact integer checksums) ---
+    Q(
+      "vec_quantize",
+      (s, d) => {
+        // Symmetric int8 quantization: scale = 127/max|x|, q_i = round(x_i·s).
+        // The emitted checksums are integer sums — order-independent, so the
+        // oracle matches exactly; the scale itself is one IEEE divide on an
+        // exact max, identical in both engines.
+        t(s, d, "embeddings")
+          .select(col("vec_id"), dbl(col("embedding")).as("v"))
+          .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+          .filter(col("amax") > 0)
+          .withColumn("scale", lit(127.0) / col("amax"))
+          .withColumn("q", transform(col("v"), x => round(x * col("scale")).cast("long")))
+          .select(
+            col("vec_id"),
+            round(col("scale"), 6).as("scale"),
+            expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("q_sum"),
+            expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))").as("q_l1")
+          )
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+          FROM embeddings),
+        sc AS (SELECT vec_id, e, 127.0 / amax AS scale FROM v WHERE amax > 0),
+        q AS (SELECT vec_id, scale,
+                     list_transform(e, x -> CAST(round(x * scale) AS BIGINT)) AS q
+              FROM sc)
+        SELECT vec_id, round(scale, 6) AS scale,
+               CAST(list_sum(q) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
+        FROM q ORDER BY vec_id
+      """)
+    ),
+
+    // --- mean-pooled per-label centroids + nearest-centroid assignment ---
+    Q(
+      "knn_centroid",
+      (s, d) => {
+        // Centroids via posexplode + avg per (label, dim) — one shuffle of
+        // n·dim rows keyed by (label, pos), fully partition-parallel at any
+        // scale. The k×dim centroid table is metadata-sized, so assignment
+        // is a broadcast cross join scored inside codegen; only the argmin
+        // window shuffles, keyed by vec_id. Distances are rounded to 4 dp
+        // so engine-order FP drift in the avg can't flip the compare.
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+        val cent = e
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          .agg(avg("x").as("cx"))
+          .groupBy("label")
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("cx")))),
+              st => st.getField("cx")
+            ).as("cv")
+          )
+          .select(col("label").as("clabel"), col("cv"))
+        val w = Window.partitionBy("vec_id").orderBy(asc("d2"), asc("clabel"))
+        e.crossJoin(broadcast(cent))
+          .withColumn(
+            "d2",
+            expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)")
+          )
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("vec_id"),
+            col("clabel").as("nearest_label"),
+            round(sqrt(col("d2")), 4).as("dist")
+          )
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        u AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        c AS (SELECT label AS clabel, pos, avg(x) AS cx FROM u GROUP BY 1, 2),
+        dd AS (SELECT u.vec_id, c.clabel, sum((u.x - c.cx) * (u.x - c.cx)) AS d2
+               FROM u JOIN c ON u.pos = c.pos GROUP BY 1, 2),
+        r AS (SELECT vec_id, clabel, d2,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+              FROM dd)
+        SELECT vec_id, clabel AS nearest_label, round(sqrt(d2), 4) AS dist
+        FROM r WHERE rn = 1 ORDER BY vec_id
+      """)
+    ),
+
     // --- vector norms / stats (sanity surface for the vector column) ---
     Q(
       "vec_stats",

@@ -68,6 +68,35 @@ object EventStreams {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Watermarked stream-stream interval join: each left row pairs with
+    * right rows of the same key whose time falls in
+    * `[leftTs, leftTs + within]`. Both sides carry watermarks and the join
+    * condition bounds event time in both directions, so Spark can size the
+    * join state and evict it as the watermark advances — the unbounded-
+    * state trap of a naive stream-stream equi-join never opens. State and
+    * shuffle are keyed, horizontally scalable.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      within: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(
+      r,
+      expr(
+        s"""l.$keyCol = r.$keyCol AND
+            r.$rightTs >= l.$leftTs AND
+            r.$rightTs <= l.$leftTs + interval $within"""
+      )
+    )
+  }
+
   // ------------------------------------------------------- custom state
 
   final case class Event(user_id: Long, ts: Timestamp)

@@ -14,12 +14,14 @@ class EngineSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val engine = Engine(spark, TestSpark.tempDir("engine-ingest"))
     val input = MemoryStream[String]
+    // Data must land before the query starts: AvailableNow snapshots the
+    // available end offset at start, so later addData may be skipped.
+    input.addData("a", "b", "c")
     val q = engine.ingest(
       input.toDF().selectExpr("cast(value as binary) as value"),
       checkpoint = TestSpark.tempDir("engine-ckpt"),
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()
     )
-    input.addData("a", "b", "c")
     q.processAllAvailable()
     q.awaitTermination(30000)
     assert(engine.log.highestOffset == 2)

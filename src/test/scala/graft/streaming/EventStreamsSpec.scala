@@ -112,6 +112,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs keys within the time bound") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val joined = EventStreams.intervalJoin(
+      clicks.toDF().toDF("cts", "user_id"),
+      buys.toDF().toDF("bts", "uid").withColumnRenamed("uid", "user_id"),
+      keyCol = "user_id",
+      leftTs = "cts",
+      rightTs = "bts",
+      within = "10 minutes",
+      watermarkDelay = "0 seconds"
+    )
+    val q = joined
+      .selectExpr("l.user_id AS user_id", "cts", "bts")
+      .writeStream
+      .format("memory")
+      .queryName("ij")
+      .outputMode("append")
+      .start()
+    try {
+      // user 5 clicks at 10:01; buys at 10:05 (within) and 10:20 (outside);
+      // user 6 buys at 10:02 with no click — never emitted.
+      clicks.addData((ts(1), 5L))
+      buys.addData((ts(5), 5L), (ts(20), 5L), (ts(2), 6L))
+      q.processAllAvailable()
+      // Advance both watermarks so results finalize.
+      clicks.addData((ts(50), 1L)); buys.addData((ts(50), 1L))
+      q.processAllAvailable()
+      val rows = spark.sql("select user_id, bts from ij where user_id = 5").collect()
+      assert(rows.length == 1 && rows.head.getTimestamp(1) == ts(5))
+      assert(spark.sql("select count(*) from ij where user_id = 6").head().getLong(0) == 0)
+    } finally q.stop()
+  }
+
   test("sessionizer splits gap-separated events arriving in one batch") {
     val session = spark
     import session.implicits._
