@@ -48,10 +48,11 @@ object LogBench {
     val singleSec = (System.nanoTime() - t1) / 1e9
     println(f"single_append: $iters in $singleSec%.2f s = ${singleSec / iters * 1000}%.1f ms/record")
 
-    // 3. point-read latency (warm, 20 random offsets)
-    log.read(0) // warm
+    // 3. point-read latency (steady state: 10 warm-up reads amortize JIT +
+    //    footer-cache fill, then 100 timed reads over varied offsets/pages)
+    (0 until 10).foreach(i => log.read((i * 131L) % n))
     val t2 = System.nanoTime()
-    val reads = 20
+    val reads = 100
     (0 until reads).foreach(i => log.read((i * 997L) % n))
     val readSec = (System.nanoTime() - t2) / 1e9
     println(f"point_read: $reads in $readSec%.2f s = ${readSec / reads * 1000}%.1f ms/read")

@@ -30,14 +30,31 @@ private[log] object ParquetPartWriter {
       |}""".stripMargin
   )
 
-  /** Write `recs` as one snappy parquet file at `file`. */
+  /** Write `recs` as one snappy parquet file at `file`.
+    *
+    * LocalOutputFile = plain NIO writes: skips the Hadoop LocalFileSystem
+    * layer and its `.crc` sidecar files (parquet pages carry their own CRCs)
+    * — measurably cheaper per small append, and keeps the log directory free
+    * of checksum litter.
+    */
+  /** Built once: the schema property never changes and Configuration
+    * construction re-scans default resources (~5 ms) per instance.
+    */
+  private val writeConf: Configuration = {
+    val c = new Configuration()
+    GroupWriteSupport.setSchema(schema, c)
+    c
+  }
+
   def write(file: Path, recs: Seq[LogRecord]): Unit = {
-    val conf = new Configuration()
-    GroupWriteSupport.setSchema(schema, conf)
+    val conf = writeConf
     val writer = ExampleParquetWriter
-      .builder(new org.apache.hadoop.fs.Path(file.toUri))
+      .builder(new org.apache.parquet.io.LocalOutputFile(file))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
+      // Same page bound as appendDF: keeps the column index fine-grained so
+      // point reads scan at most ~2k rows after page skipping.
+      .withPageRowCountLimit(2048)
       .build()
     try {
       recs.foreach { r =>

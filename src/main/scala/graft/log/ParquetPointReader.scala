@@ -4,21 +4,25 @@ import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.HadoopReadOptions
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
 import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.io.{ColumnIOFactory, LocalInputFile}
 
 /** Driver-side point read straight through parquet-java, bypassing Spark's
   * job machinery for single-record lookups.
   *
   * The reference answers a point read with one mmap index probe + one
   * positional file read (reference: internal/log/segment.go:66-79,
-  * internal/log/index.go:40-56). Our analog: parquet footer min/max
-  * statistics on `offset` select the part file and row group (skipped
-  * groups cost zero page I/O via `skipNextRowGroup`), and — because the
-  * writer emits offsets in ascending contiguous order — the matching group
-  * is scanned only up to the target record.
+  * internal/log/index.go:40-56). Our analog: offset-range part file names
+  * select the file with zero I/O, a filter2 predicate on `offset` drops
+  * row groups via footer stats and non-matching pages via the parquet
+  * column index, and — because the writer emits offsets in ascending
+  * contiguous order — the surviving page is scanned only up to the target
+  * record. Files are opened through `LocalInputFile` (plain NIO), skipping
+  * the Hadoop FileSystem layer entirely.
   */
 private[graft] object ParquetPointReader {
 
@@ -26,6 +30,30 @@ private[graft] object ParquetPointReader {
     * name by the writer so file selection needs no I/O at all.
     */
   private[graft] val RangedName = """part-(\d+)-(\d+)-.*\.parquet""".r
+
+  /** LRU cache of parsed footers. Part files are IMMUTABLE once published
+    * (atomic rename into place, uuid-suffixed names that are never reused —
+    * truncate deletes, compaction writes new names), so a parsed footer
+    * stays valid for the file's lifetime and a stale entry for a deleted
+    * path is merely dead weight. Footer thrift parsing measured ~10 ms on a
+    * 100k-row part — the dominant cost of a warm point read.
+    */
+  /** One shared read-only Configuration: constructing a Configuration per
+    * read re-scans the default resource XMLs (~5 ms measured) for nothing —
+    * the options built from it never mutate it.
+    */
+  private val sharedConf = new Configuration()
+
+  private val footerCache =
+    new java.util.LinkedHashMap[String, org.apache.parquet.hadoop.metadata.ParquetMetadata](
+      64,
+      0.75f,
+      true
+    ) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.parquet.hadoop.metadata.ParquetMetadata]
+      ): Boolean = size() > 64
+    }
 
   /** Read the record at `offset` from one `segment=<base>` directory.
     * Returns None when no part file covers the offset.
@@ -56,24 +84,38 @@ private[graft] object ParquetPointReader {
     * footer statistics only (no page I/O).
     */
   def offsetRange(file: Path): Option[(Long, Long)] = {
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), new Configuration())
-    )
-    try {
-      val ranges = reader.getFooter.getBlocks.asScala.flatMap { block =>
-        block.getColumns.asScala
-          .find(_.getPath.toDotString == "offset")
-          .map(_.getStatistics)
-          .collect {
-            case st if st != null && !st.isEmpty =>
-              (
-                st.genericGetMin.asInstanceOf[Number].longValue(),
-                st.genericGetMax.asInstanceOf[Number].longValue()
-              )
-          }
-      }
-      if (ranges.isEmpty) None else Some((ranges.map(_._1).min, ranges.map(_._2).max))
-    } finally reader.close()
+    val ranges = footerOf(file).getBlocks.asScala.flatMap { block =>
+      block.getColumns.asScala
+        .find(_.getPath.toDotString == "offset")
+        .map(_.getStatistics)
+        .collect {
+          case st if st != null && !st.isEmpty =>
+            (
+              st.genericGetMin.asInstanceOf[Number].longValue(),
+              st.genericGetMax.asInstanceOf[Number].longValue()
+            )
+        }
+    }
+    if (ranges.isEmpty) None else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+  }
+
+  /** Parse-once footer access through the LRU cache. LocalInputFile = plain
+    * NIO reads: no Hadoop FileSystem dispatch and no .crc sidecar
+    * verification. (The log core is POSIX-filesystem-scoped by design — see
+    * README "Known limitations".)
+    */
+  private def footerOf(file: Path): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val k = file.toAbsolutePath.toString
+    val c = footerCache.synchronized(footerCache.get(k))
+    if (c != null) c
+    else {
+      val r = ParquetFileReader.open(new LocalInputFile(file))
+      try {
+        val f = r.getFooter
+        footerCache.synchronized(footerCache.put(k, f))
+        f
+      } finally r.close()
+    }
   }
 
   /** Iterate every record with `lo <= offset <= hi` in one part file, in
@@ -122,9 +164,26 @@ private[graft] object ParquetPointReader {
       hi: Long,
       projection: Option[Array[String]]
   ): RangeIterator = {
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toUri), new Configuration())
+    // Push the offset range into the reader as a filter2 predicate: the
+    // constructor drops whole row groups via footer stats, and
+    // readNextFilteredRowGroup() uses the parquet COLUMN INDEX (page-level
+    // min/max written by the part writer) to decode only the pages whose
+    // offset range overlaps [lo, hi]. A point read in a large sealed
+    // segment touches one page (~a few thousand rows) per column instead
+    // of every page up to the target — the analog of the reference's O(1)
+    // mmap index probe (reference: internal/log/index.go:40-56) at page
+    // granularity.
+    val rowFilter = FilterCompat.get(
+      FilterApi.and(
+        FilterApi.gtEq(FilterApi.longColumn("offset"), java.lang.Long.valueOf(lo)),
+        FilterApi.ltEq(FilterApi.longColumn("offset"), java.lang.Long.valueOf(hi))
+      )
     )
+    val opts = HadoopReadOptions.builder(sharedConf).withRecordFilter(rowFilter).build()
+    val in = new LocalInputFile(file)
+    // Footer from the LRU cache (parse-once); the constructor still applies
+    // the row-group filters for THIS call's offset range.
+    val reader = new ParquetFileReader(in, footerOf(file), opts, in.newStream())
     val fileSchema = reader.getFooter.getFileMetaData.getSchema
     // Projection pushdown: request only the needed columns so the reader
     // never decompresses/decodes the others' pages.
@@ -139,27 +198,12 @@ private[graft] object ParquetPointReader {
     }
     reader.setRequestedSchema(schema)
     val colIO = new ColumnIOFactory().getColumnIO(schema)
-    val blocks = reader.getFooter.getBlocks.asScala.toVector
 
     new RangeIterator {
-      private var blockIdx = 0
       private var rowsLeft = 0L
       private var rr: org.apache.parquet.io.RecordReader[org.apache.parquet.example.data.Group] = _
       private var nextRec: LogRecord = _
       private var closed = false
-
-      private def blockInRange(i: Int): Boolean = {
-        val stats = blocks(i).getColumns.asScala
-          .find(_.getPath.toDotString == "offset")
-          .map(_.getStatistics)
-        stats match {
-          case Some(st) if st != null && !st.isEmpty =>
-            val mn = st.genericGetMin.asInstanceOf[Number].longValue()
-            val mx = st.genericGetMax.asInstanceOf[Number].longValue()
-            hi >= mn && lo <= mx
-          case _ => true
-        }
-      }
 
       private def advance(): Unit = {
         nextRec = null
@@ -167,34 +211,36 @@ private[graft] object ParquetPointReader {
           if (rowsLeft > 0) {
             val g = rr.read()
             rowsLeft -= 1
-            val off = g.getLong("offset", 0)
-            if (off > hi) {
-              // Writers emit offsets in ascending file order, so nothing
-              // past `hi` can follow — stop instead of draining the row
-              // group (a point read would otherwise scan to segment end).
+            if (g == null || rr.shouldSkipCurrentRecord()) {
+              // record-level filter miss inside a kept page — keep scanning
+            } else {
+              val off = g.getLong("offset", 0)
+              if (off > hi) {
+                // Writers emit offsets in ascending file order, so nothing
+                // past `hi` can follow — stop instead of draining the group.
+                reader.close()
+                closed = true
+              } else if (off >= lo) {
+                def has(f: String) =
+                  schema.containsField(f) && g.getFieldRepetitionCount(f) > 0
+                // A null payload is written with repetition count 0 (the
+                // field is optional); surface it as null — NOT empty bytes —
+                // so this path round-trips identically to the native scan.
+                val value = if (has("value")) g.getBinary("value", 0).getBytes else null
+                val term = if (has("term")) g.getLong("term", 0) else 0L
+                val rt = if (has("recordType")) g.getInteger("recordType", 0) else 0
+                nextRec = LogRecord(value, off, term, rt)
+              }
+            }
+          } else {
+            val pages = reader.readNextFilteredRowGroup()
+            if (pages == null) {
               reader.close()
               closed = true
-            } else if (off >= lo && off <= hi) {
-              def has(f: String) =
-                schema.containsField(f) && g.getFieldRepetitionCount(f) > 0
-              // A null payload is written with repetition count 0 (the field
-              // is optional); surface it as null — NOT empty bytes — so this
-              // path round-trips identically to the native parquet scan.
-              val value = if (has("value")) g.getBinary("value", 0).getBytes else null
-              val term = if (has("term")) g.getLong("term", 0) else 0L
-              val rt = if (has("recordType")) g.getInteger("recordType", 0) else 0
-              nextRec = LogRecord(value, off, term, rt)
-            }
-          } else if (blockIdx < blocks.length) {
-            if (blockInRange(blockIdx)) {
-              val pages = reader.readNextRowGroup()
-              rr = colIO.getRecordReader(pages, new GroupRecordConverter(schema))
+            } else {
+              rr = colIO.getRecordReader(pages, new GroupRecordConverter(schema), rowFilter)
               rowsLeft = pages.getRowCount
-            } else reader.skipNextRowGroup()
-            blockIdx += 1
-          } else {
-            reader.close()
-            closed = true
+            }
           }
         }
       }

@@ -215,7 +215,8 @@ class SparkLog(
       val withOffsets = values.mapPartitionsWithIndex { (i, it) =>
         var o = bcStarts.value(i)
         it.map { v =>
-          val r = LogRecord(if (v == null) Array.emptyByteArray else v, o); o += 1; r
+          // Null payloads stay null — every read path surfaces them as NULL.
+          val r = LogRecord(v, o); o += 1; r
         }
       }
       val session = spark
@@ -224,6 +225,10 @@ class SparkLog(
       val staging = stagingDir()
       ds.write
         .option("maxRecordsPerFile", config.maxRecordsPerSegment)
+        // Bound pages to 2k rows: the parquet column index then localizes a
+        // point read to a ≤2k-row page instead of a default ~20k-row page —
+        // the in-page sequential scan is the tail cost of read(offset).
+        .option("parquet.page.row.count.limit", "2048")
         .parquet(staging.toString)
       val bytes = publishParts(staging, base)
       val seg = SegmentMeta(base, base + total, bytes, total, sealed_ = true)

@@ -97,6 +97,22 @@ object EventStreams {
     )
   }
 
+  /** Stream-static enrichment join: the streaming side joins a batch
+    * dimension table. Stateless — the static side is re-planned per
+    * micro-batch (broadcast when small), so no watermark or join state is
+    * needed; the standard pattern for decorating an event stream with
+    * slowly-changing dimensions.
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      keyCols: Seq[String],
+      broadcastDim: Boolean = true
+  ): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    stream.join(d, keyCols, "left")
+  }
+
   // ------------------------------------------------------- custom state
 
   final case class Event(user_id: Long, ts: Timestamp)

@@ -112,6 +112,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrich joins the dimension per micro-batch") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val dim = Seq(("click", "interaction"), ("purchase", "conversion"))
+      .toDF("event_type", "category")
+    val q = EventStreams
+      .enrich(input.toDF(), dim, Seq("event_type"))
+      .writeStream
+      .format("memory")
+      .queryName("en")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(Ev(ts(1), "click", 1.0), Ev(ts(2), "purchase", 2.0), Ev(ts(3), "error", 0.0))
+      q.processAllAvailable()
+      val rows = spark
+        .sql("select event_type, category from en order by event_type")
+        .collect()
+        .map(r => (r.getString(0), Option(r.getString(1))))
+      assert(rows.toSeq == Seq(
+        ("click", Some("interaction")),
+        ("error", None),
+        ("purchase", Some("conversion"))
+      ))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs keys within the time bound") {
     val session = spark
     import session.implicits._
