@@ -47,10 +47,15 @@ object Temporal {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         clicks
           .unionByName(purchases)
-          .withColumn("last_click_ts", max(when(col("tag") === 0, col("tm"))).over(w))
-          .withColumn("last_click_value",
-            last(when(col("tag") === 0, col("click_value")), ignoreNulls = true).over(w))
-          .withColumn("n_clicks_before", count(when(col("tag") === 0, lit(1))).over(w))
+          // One projection for all three window aggregates so CollapseWindow
+          // fuses them into a single Window operator — one sort, one pass.
+          .select(
+            col("*"),
+            max(when(col("tag") === 0, col("tm"))).over(w).as("last_click_ts"),
+            last(when(col("tag") === 0, col("click_value")), ignoreNulls = true)
+              .over(w).as("last_click_value"),
+            count(when(col("tag") === 0, lit(1))).over(w).as("n_clicks_before")
+          )
           .filter(col("tag") === 1)
           .select(
             col("event_id"),
