@@ -64,6 +64,42 @@ object Skew {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM events GROUP BY user_id ORDER BY user_id
       """)
+    ),
+
+    // --- salted join ≡ plain join (replicate-the-small-side salting) ---
+    Q(
+      "q_salted_join",
+      (s, d) => {
+        // The manual skew-join rewrite for when AQE can't help (e.g. the
+        // skewed key is known upfront, or the join feeds a stateful op):
+        // salt the big side with a deterministic per-row hash, replicate
+        // the small side once per salt, join on (key, salt). Each hot key's
+        // rows spread over `nSalts` partitions; result set is EXACTLY the
+        // unsalted join, which is why the oracle is the plain join.
+        val nSalts = 8
+        val ord = t(s, d, "orders")
+          .withColumn("_s_big", pmod(hash(col("o_orderkey")), lit(nSalts)))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .withColumn("_s_rep", explode(sequence(lit(0), lit(nSalts - 1))))
+        ord
+          .join(
+            cust,
+            col("o_custkey") === col("c_custkey") && col("_s_big") === col("_s_rep")
+          )
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            Q.dsum(col("o_totalprice")).as("total_price")
+          )
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """)
     )
   )
 }
