@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Physical-plan regression guards: the properties that make the headline
+  * queries scale are asserted here, so a refactor that silently loses a
+  * broadcast, leaks a cartesian product, or drops filter pushdown fails the
+  * suite instead of surfacing as a 100× slowdown at deployment scale.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("dimension-chain joins broadcast the small sides (q5)") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension joins must not sort-merge at this size")
+  }
+
+  test("no unintended cartesian products in pair-producing queries") {
+    // knn_brute/knn_centroid broadcast a deliberately tiny side; the
+    // corpus-scale pair producers must never plan a cartesian of the corpus
+    // against itself.
+    for (q <- Seq("dedup_jaccard", "dedup_simhash_pairs", "dedup_minhash_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product:\n$p")
+    }
+  }
+
+  test("as-of join is one keyed shuffle + one Window operator") {
+    val p = plan("q_asof_join")
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    assert(windows == 1, s"expected a single fused Window operator, got $windows:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("range join keeps a hash join on the equality key") {
+    val p = plan("q_range_join")
+    assert(
+      p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"range join must join on the equality key, not nested-loop:\n$p"
+    )
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"interval condition became the join strategy:\n$p")
+  }
+
+  test("point-lookup filter pushes down to the parquet scan") {
+    val p = plan("log_point_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
+  }
+
+  test("projection prunes the parquet read schema (q1 over lineitem)") {
+    val p = plan("q1_agg")
+    // q1 touches 4 lineitem columns; the scan must not read the rest.
+    val scan = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("l_returnflag"), s"scan line missing:\n$p")
+    assert(!scan.contains("l_comment") && !scan.contains("l_shipmode"),
+      s"scan reads pruned columns:\n$scan")
+  }
+}
