@@ -807,6 +807,44 @@ object Relational {
       """)
     ),
 
+    // --- UNPIVOT (wide → long), the inverse of q_pivot ---
+    Q(
+      "q_unpivot",
+      (s, d) => {
+        // Aggregate to a small wide table, then melt the metric columns to
+        // (metric, value) rows with the native unpivot operator — a
+        // Generate/Expand in the plan, no joins, partition-parallel.
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            Q.dsum(col("l_quantity")).as("sum_qty"),
+            Q.dsum(col("l_extendedprice")).as("sum_price"),
+            Q.dsum(col("l_discount")).as("sum_disc")
+          )
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+            "metric",
+            "value"
+          )
+          .orderBy("l_returnflag", "metric")
+      },
+      Some("""
+        WITH w AS (
+          SELECT l_returnflag,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                 CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM w
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+        ORDER BY l_returnflag, metric
+      """)
+    ),
+
     // --- deterministic sampling: portable hash-mod, no engine RNG ---
     Q(
       "q_sample",
