@@ -344,6 +344,39 @@ object Relational {
         ORDER BY k
       """)
     ),
+    // Bag semantics (ALL variants): duplicates preserved by multiplicity —
+    // a different operator under the hood (counted anti/semi aggregation,
+    // not dedup), hence their own inventory entries.
+    Q(
+      "q_set_intersect_all",
+      (s, d) => {
+        val a = t(s, d, "orders").select(col("o_custkey").as("k"))
+        val b = t(s, d, "events").select(col("user_id").as("k"))
+        a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+      },
+      Some("""
+        SELECT k, count(*) AS n FROM (
+          SELECT o_custkey AS k FROM orders
+          INTERSECT ALL
+          SELECT user_id AS k FROM events)
+        GROUP BY k ORDER BY k
+      """)
+    ),
+    Q(
+      "q_set_except_all",
+      (s, d) => {
+        val a = t(s, d, "orders").select(col("o_custkey").as("k"))
+        val b = t(s, d, "events").select(col("user_id").as("k"))
+        a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+      },
+      Some("""
+        SELECT k, count(*) AS n FROM (
+          SELECT o_custkey AS k FROM orders
+          EXCEPT ALL
+          SELECT user_id AS k FROM events)
+        GROUP BY k ORDER BY k
+      """)
+    ),
 
     // --- distinct aggregation ---
     Q(
