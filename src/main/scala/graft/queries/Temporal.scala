@@ -128,6 +128,41 @@ object Temporal {
         GROUP BY e.event_id
         ORDER BY e.event_id
       """)
+    ),
+
+    // --- time-series gap fill: emit every hour in range, zero-filled ---
+    Q(
+      "q_gap_fill",
+      (s, d) => {
+        // Downstream time-series consumers (dashboards, anomaly detectors)
+        // need dense series; `sequence` generates the calendar from the
+        // aggregated bounds — one row per hour, no driver round-trip — and
+        // a left join zero-fills the quiet hours.
+        val ev = t(s, d, "events")
+        val buckets = ev
+          .select(date_trunc("hour", col("ts")).as("h"))
+          .groupBy("h")
+          .agg(count(lit(1)).as("n"))
+        val cal = buckets
+          .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+        cal
+          .join(buckets, Seq("h"), "left")
+          .select(
+            date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+            coalesce(col("n"), lit(0L)).as("n")
+          )
+          .orderBy("hour")
+      },
+      Some("""
+        WITH b AS (
+          SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1),
+        r AS (
+          SELECT unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h FROM b)
+        SELECT strftime(r.h, '%Y-%m-%d %H:00') AS hour, COALESCE(b.n, 0) AS n
+        FROM r LEFT JOIN b ON r.h = b.h
+        ORDER BY hour
+      """)
     )
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Q.t
@@ -203,6 +204,51 @@ object TextOps {
           FROM x)
         SELECT doc_id, pred_lang, pred_lang = lang AS is_match
         FROM y ORDER BY doc_id
+      """)
+    ),
+
+    // --- top word bigrams per language (n-gram frequency analysis) ---
+    Q(
+      "text_bigrams",
+      (s, d) => {
+        // Bigrams built per row with one codegen'd transform over the token
+        // array (no corpus-wide explode-join), then a keyed count + per-lang
+        // top-5 via WindowGroupLimit — both shuffles are keyed, the window
+        // keeps only 5 rows per partition key.
+        val docs = t(s, d, "documents")
+          .select(col("lang"), split(lower(trim(col("text"))), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+        val w = Window.partitionBy("lang").orderBy(desc("n"), asc("bigram"))
+        docs
+          .select(
+            col("lang"),
+            explode(
+              expr("""transform(sequence(1, size(w) - 1),
+                                i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))""")
+            ).as("bigram")
+          )
+          .groupBy("lang", "bigram")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("bigram"), col("n"), col("rk").cast("int").as("rk"))
+          .orderBy("lang", "rk")
+      },
+      Some("""
+        WITH t AS (
+          SELECT lang, string_split(lower(trim(text)), ' ') AS w FROM documents),
+        f AS (SELECT lang, w FROM t WHERE len(w) >= 2),
+        bg AS (
+          SELECT lang,
+                 unnest(list_transform(range(1, len(w)),
+                        i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1])) AS bigram
+          FROM f),
+        c AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+        r AS (SELECT lang, bigram, n,
+                     row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+              FROM c)
+        SELECT lang, bigram, n, CAST(rk AS INTEGER) AS rk
+        FROM r WHERE rk <= 5 ORDER BY lang, rk
       """)
     )
   )
