@@ -9,7 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream,
+  Offset,
+  ReadLimit,
+  ReadMaxRows,
+  SupportsAdmissionControl
+}
 import org.apache.spark.sql.sources.{
   DataSourceRegister,
   EqualTo,
@@ -67,15 +73,19 @@ class GraftTable(dir: String) extends Table with SupportsRead {
     // Spark only invokes pushFilters for BATCH scans; streaming readers pass
     // the start position as a read option instead (see SparkLog.tail).
     val startOffset = Option(options.get("startOffset")).map(_.toLong)
-    new GraftScanBuilder(dir, startOffset)
+    val maxPerBatch = Option(options.get("maxRecordsPerBatch")).map(_.toLong)
+    new GraftScanBuilder(dir, startOffset, maxPerBatch)
   }
 }
 
 /** Accepts offset bound filters and column pruning; everything else stays
   * post-scan.
   */
-class GraftScanBuilder(dir: String, startOffset: Option[Long] = None)
-    extends ScanBuilder
+class GraftScanBuilder(
+    dir: String,
+    startOffset: Option[Long] = None,
+    maxPerBatch: Option[Long] = None
+) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var lo = Long.MinValue
@@ -117,17 +127,56 @@ class GraftScanBuilder(dir: String, startOffset: Option[Long] = None)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new GraftScan(dir, startOffset.map(math.max(_, lo)).getOrElse(lo), hi, requiredSchema)
+    new GraftScan(
+      dir,
+      startOffset.map(math.max(_, lo)).getOrElse(lo),
+      hi,
+      requiredSchema,
+      maxPerBatch
+    )
 }
 
 /** One input partition = one part file restricted to [lo, hi]. */
 case class GraftInputPartition(file: String, lo: Long, hi: Long) extends InputPartition
 
-class GraftScan(dir: String, lo: Long, hi: Long, schema: StructType = LogRecord.schema)
-    extends Scan {
+class GraftScan(
+    dir: String,
+    lo: Long,
+    hi: Long,
+    schema: StructType = LogRecord.schema,
+    maxPerBatch: Option[Long] = None
+) extends Scan
+    with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"GraftScan(dir=$dir, offsets=[$lo, $hi], columns=[${schema.fieldNames.mkString(",")}])"
+
+  /** Manifest-derived size/row estimates, prorated by the pushed offset
+    * range's overlap with each segment — Catalyst's CBO (join-side
+    * selection, broadcast decisions) sees an accurate size for log-table
+    * joins instead of a default-huge unknown. Metadata-only: no file I/O.
+    */
+  override def estimateStatistics(): Statistics = {
+    val m = LogManifest.read(dir)
+    new Statistics {
+      private val (bytes, rows) = m match {
+        case None => (0L, 0L)
+        case Some(manifest) =>
+          manifest.segments.foldLeft((0L, 0L)) { case ((b, r), s) =>
+            val overlap =
+              math.min(hi, s.next - 1) - math.max(lo, s.base) + 1
+            if (overlap <= 0) (b, r)
+            else {
+              val total = s.next - s.base
+              val frac = overlap.toDouble / math.max(total, 1L)
+              (b + (s.bytes * frac).toLong, r + (s.records * frac).toLong)
+            }
+          }
+      }
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -137,7 +186,12 @@ class GraftScan(dir: String, lo: Long, hi: Long, schema: StructType = LogRecord.
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(dir, startAt = math.max(lo, 0L), fields = schema.fieldNames)
+    new GraftMicroBatchStream(
+      dir,
+      startAt = math.max(lo, 0L),
+      fields = schema.fieldNames,
+      maxRecordsPerBatch = maxPerBatch
+    )
 }
 
 /** Shared partition planning: manifest segments ∩ [lo,hi] → ranged part
@@ -200,18 +254,42 @@ case class GraftStreamOffset(offset: Long) extends Offset {
   override def json(): String = s"""{"offset":$offset}"""
 }
 
-/** Micro-batch tail: each trigger covers log offsets [start, end). */
+/** Micro-batch tail: each trigger covers log offsets [start, end).
+  *
+  * Admission control: `maxRecordsPerBatch` caps how far a trigger's end
+  * offset may advance past its start — the backpressure lever for catch-up
+  * from a deep log tail (the analog of the Kafka source's
+  * `maxOffsetsPerTrigger`). Without it, the first batch after a long pause
+  * would try to process the entire backlog at once.
+  */
 class GraftMicroBatchStream(
     dir: String,
     startAt: Long,
-    fields: Array[String] = LogRecord.schema.fieldNames
-) extends MicroBatchStream {
+    fields: Array[String] = LogRecord.schema.fieldNames,
+    maxRecordsPerBatch: Option[Long] = None
+) extends MicroBatchStream
+    with SupportsAdmissionControl {
 
   private def nextOffset: Long = LogManifest.read(dir).map(_.nextOffset).getOrElse(startAt)
 
   override def initialOffset(): Offset = GraftStreamOffset(startAt)
 
   override def latestOffset(): Offset = GraftStreamOffset(nextOffset)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecordsPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftStreamOffset].offset
+    val available = nextOffset
+    val end = limit match {
+      case mr: ReadMaxRows => math.min(available, from + mr.maxRows())
+      case _               => available
+    }
+    GraftStreamOffset(math.max(end, from))
+  }
+
+  override def reportLatestOffset(): Offset = GraftStreamOffset(nextOffset)
 
   override def deserializeOffset(json: String): Offset = {
     val n = json.replaceAll("[^0-9-]", "")

@@ -111,6 +111,42 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("scan reports manifest-derived statistics to the optimizer") {
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val log = newLog(20)
+    val full = spark.read.format("graft").load(log.dir)
+    val scan = full.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b.scan }.get
+    val stats = scan.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(stats.numRows.getAsLong == 20)
+    assert(stats.sizeInBytes.getAsLong > 0)
+    // A pushed point filter prorates the estimate down to ~one record.
+    val point = full.filter(col("offset") === 3)
+    val pscan = point.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b.scan }.get
+    val pstats = pscan.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(pstats.numRows.getAsLong <= 2, s"expected ~1 row, got ${pstats.numRows}")
+  }
+
+  test("maxRecordsPerBatch paces catch-up into bounded micro-batches") {
+    val log = newLog(30)
+    val q = spark.readStream
+      .format("graft")
+      .option("maxRecordsPerBatch", 10)
+      .load(log.dir)
+      .writeStream
+      .format("memory")
+      .queryName("paced")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from paced").head().getLong(0) == 30)
+      val sized = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(sized.nonEmpty && sized.forall(_ <= 10), s"batch sizes: ${sized.toSeq}")
+      assert(sized.length >= 3, s"expected >= 3 paced batches, got ${sized.toSeq}")
+    } finally q.stop()
+  }
+
   test("null payloads round-trip as NULL on every read path") {
     val log = SparkLog(spark, TestSpark.tempDir("gsrc-null"), LogConfig())
     log.append(Seq("before".getBytes, null, "after".getBytes))
