@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream,
@@ -22,6 +22,7 @@ import org.apache.spark.sql.sources.{
   Filter,
   GreaterThan,
   GreaterThanOrEqual,
+  In,
   LessThan,
   LessThanOrEqual
 }
@@ -141,12 +142,43 @@ case class GraftInputPartition(file: String, lo: Long, hi: Long) extends InputPa
 
 class GraftScan(
     dir: String,
-    lo: Long,
-    hi: Long,
+    lo0: Long,
+    hi0: Long,
     schema: StructType = LogRecord.schema,
     maxPerBatch: Option[Long] = None
 ) extends Scan
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  // Narrowed in place by runtime filters (below) before partition planning.
+  private var lo = lo0
+  private var hi = hi0
+
+  /** Runtime (DPP-style) filtering: when the log table is joined and the
+    * other side resolves first, Spark hands us the join keys at runtime —
+    * we narrow the offset window before `planInputPartitions`, so part
+    * files outside the runtime bounds are never even planned. The analog
+    * of dynamic partition pruning for the offset dimension.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("offset"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("offset", vs) if vs.nonEmpty =>
+      val nums = vs.collect { case n: Number => n.longValue() }
+      if (nums.nonEmpty) {
+        lo = math.max(lo, nums.min)
+        hi = math.min(hi, nums.max)
+      }
+    case EqualTo("offset", v: Number) =>
+      lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue())
+    case GreaterThan("offset", v: Number)        => lo = math.max(lo, v.longValue() + 1)
+    case GreaterThanOrEqual("offset", v: Number) => lo = math.max(lo, v.longValue())
+    case LessThan("offset", v: Number)           => hi = math.min(hi, v.longValue() - 1)
+    case LessThanOrEqual("offset", v: Number)    => hi = math.min(hi, v.longValue())
+    case _                                       => ()
+  }
+
   override def readSchema(): StructType = schema
   override def description(): String =
     s"GraftScan(dir=$dir, offsets=[$lo, $hi], columns=[${schema.fieldNames.mkString(",")}])"

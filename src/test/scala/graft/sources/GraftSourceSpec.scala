@@ -127,6 +127,23 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(pstats.numRows.getAsLong <= 2, s"expected ~1 row, got ${pstats.numRows}")
   }
 
+  test("runtime filters narrow partition planning (DPP analog)") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.sources.In
+    val log = newLog(20) // tiny store cap → several part files
+    val full = spark.read.format("graft").load(log.dir)
+    val scan = full.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b.scan }.get
+    val rf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.describe()).toSeq == Seq("offset"))
+    val before = scan.toBatch.planInputPartitions().length
+    // Simulate the runtime join-key delivery Spark performs for DPP.
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](In("offset", Array(3L, 4L))))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(before > 1 && after < before, s"runtime filter did not prune: $before -> $after")
+  }
+
   test("maxRecordsPerBatch paces catch-up into bounded micro-batches") {
     val log = newLog(30)
     val q = spark.readStream
