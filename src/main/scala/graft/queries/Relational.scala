@@ -840,6 +840,38 @@ object Relational {
       """)
     ),
 
+    // --- map-typed column construction + lookup ---
+    Q(
+      "q_map_funcs",
+      (s, d) => {
+        // Build a map column from aggregated entries, then look keys up —
+        // the map type round-trip (map_from_entries / element_at / size).
+        // Output stays scalar: map-typed cells don't survive the driver's
+        // pandas-based compare.
+        val c = t(s, d, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+        c.agg(
+          map_from_entries(
+            sort_array(collect_list(struct(col("event_type"), col("n"))))
+          ).as("mp")
+        ).select(
+          element_at(col("mp"), "click").as("clicks"),
+          element_at(col("mp"), "purchase").as("purchases"),
+          size(col("mp")).as("n_keys")
+        )
+      },
+      Some("""
+        WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        m AS (SELECT map(list(event_type ORDER BY event_type),
+                         list(n ORDER BY event_type)) AS mp FROM c)
+        SELECT mp['click'][1] AS clicks,
+               mp['purchase'][1] AS purchases,
+               CAST(cardinality(mp) AS INTEGER) AS n_keys
+        FROM m
+      """)
+    ),
+
     // --- UNPIVOT (wide → long), the inverse of q_pivot ---
     Q(
       "q_unpivot",
