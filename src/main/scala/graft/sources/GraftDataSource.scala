@@ -137,8 +137,12 @@ class GraftScanBuilder(
     )
 }
 
-/** One input partition = one part file restricted to [lo, hi]. */
-case class GraftInputPartition(file: String, lo: Long, hi: Long) extends InputPartition
+/** One input partition = one part file restricted to [lo, hi]. `dir` rides
+  * along so a reader can re-plan its range if the file is compacted away
+  * between planning and open.
+  */
+case class GraftInputPartition(dir: String, file: String, lo: Long, hi: Long)
+    extends InputPartition
 
 class GraftScan(
     dir: String,
@@ -253,7 +257,7 @@ object GraftPlanning {
                     case _                           => false
                   }
                 }
-                .map(p => GraftInputPartition(p.toString, lo, hi): InputPartition)
+                .map(p => GraftInputPartition(dir, p.toString, lo, hi): InputPartition)
                 .toVector
             finally listing.close()
           parts.iterator
@@ -268,15 +272,46 @@ case class GraftReaderFactory(fields: Array[String]) extends PartitionReaderFact
     val p = partition.asInstanceOf[GraftInputPartition]
     new PartitionReader[InternalRow] {
       // Projected read: only the pruned columns' pages are decoded.
-      private val it = ParquetPointReader.readRangeRows(Paths.get(p.file), p.lo, p.hi, fields)
+      private var open = Vector.empty[ParquetPointReader.RangeRowIterator]
+      private var its: Iterator[Array[Any]] =
+        try {
+          val it0 = ParquetPointReader.readRangeRows(Paths.get(p.file), p.lo, p.hi, fields)
+          open :+= it0
+          it0
+        } catch {
+          case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+            // The planned file was compacted away between planning and open.
+            // Compaction preserves offsets and part names carry their
+            // ranges, so this partition's exact row set — the vanished
+            // file's range ∩ [lo, hi] — can be re-read from the fresh
+            // layout. Opened files never vanish mid-read (POSIX fds survive
+            // unlink); only this list→open window needs the retry.
+            val name = Paths.get(p.file).getFileName.toString
+            name match {
+              case ParquetPointReader.RangedName(mn, mx) =>
+                val flo = math.max(p.lo, mn.toLong)
+                val fhi = math.min(p.hi, mx.toLong)
+                GraftPlanning
+                  .partitionsFor(p.dir, flo, fhi)
+                  .iterator
+                  .map(_.asInstanceOf[GraftInputPartition])
+                  .flatMap { np =>
+                    val it = ParquetPointReader
+                      .readRangeRows(Paths.get(np.file), flo, fhi, fields)
+                    open :+= it
+                    it
+                  }
+              case _ => throw new java.io.FileNotFoundException(p.file)
+            }
+        }
       private var current: Array[Any] = _
       override def next(): Boolean = {
-        if (it.hasNext) { current = it.next(); true } else false
+        if (its.hasNext) { current = its.next(); true } else false
       }
       override def get(): InternalRow = new GenericInternalRow(current)
-      // Release the parquet reader even when Spark stops early (limit,
+      // Release the parquet readers even when Spark stops early (limit,
       // cancelled stream) — otherwise each truncated partition leaks an fd.
-      override def close(): Unit = it.close()
+      override def close(): Unit = open.foreach(_.close())
     }
   }
 }

@@ -164,6 +164,31 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("reader recovers when its planned file is compacted away (swap race)") {
+    import graft.log.ParquetPointReader
+    val log = SparkLog(spark, TestSpark.tempDir("gsrc-compact"), LogConfig(maxStoreBytes = 96))
+    log.append((0 until 20).map(i => s"rec-$i".getBytes)) // several sealed parts
+    // Plan against the PRE-compaction layout (the in-flight scan).
+    val stale = GraftPlanning.partitionsFor(log.dir, 0, 19).map(_.asInstanceOf[GraftInputPartition])
+    assert(stale.length > 1)
+    log.compact(targetBytes = Long.MaxValue) // renames every planned file away
+    val factory = GraftReaderFactory(Array("offset", "value"))
+    val rows = stale.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = Vector.newBuilder[(Long, String)]
+      while (r.next()) {
+        val row = r.get()
+        buf += ((row.getLong(0), new String(row.getBinary(1))))
+      }
+      r.close()
+      buf.result()
+    }.sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 20L), s"lost/duplicated rows: ${rows.map(_._1).toSeq}")
+    assert(rows.head._2 == "rec-0" && rows.last._2 == "rec-19")
+    // silence unused warning for import
+    assert(ParquetPointReader.RangedName.pattern.pattern().nonEmpty)
+  }
+
   test("null payloads round-trip as NULL on every read path") {
     val log = SparkLog(spark, TestSpark.tempDir("gsrc-null"), LogConfig())
     log.append(Seq("before".getBytes, null, "after".getBytes))
