@@ -46,6 +46,11 @@ object GraftFunctions {
       "minhash16",
       "minhash16(tokens) - 16-function MinHash signature of a token array",
       arity("minhash16", 1)(args => MinHash16(args(0)))
+    ),
+    (
+      "winnow_hashes",
+      "winnow_hashes(text) - winnowed Rabin-Karp 8-gram fingerprints (window 4)",
+      arity("winnow_hashes", 1)(args => WinnowHash(args(0)))
     )
   )
 

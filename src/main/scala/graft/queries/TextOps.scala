@@ -140,6 +140,60 @@ object TextOps {
       """)
     ),
 
+    // --- rolling-hash winnowing fingerprints (MOSS-style) ---
+    Q(
+      "text_winnow",
+      (s, d) => {
+        // Rabin-Karp polynomial rolling hash over character 8-grams
+        // (h = fold (acc*256 + c) mod p, exactly reproducible in SQL),
+        // then winnowing: keep the min hash of each 4-hash window — the
+        // classic plagiarism/near-dup fingerprint selection that
+        // guarantees a shared fingerprint for any sufficiently long
+        // shared substring. Hashing + window minima run in ONE native
+        // codegen'd pass per row (graft.functions.WinnowHash) — the
+        // declarative transform/aggregate formulation executes interpreted
+        // and costs minutes per 10⁵ docs. Emitted as per-doc scalars.
+        graft.functions.GraftFunctions.register(s)
+        t(s, d, "documents")
+          .select(col("doc_id"), expr("winnow_hashes(lower(trim(text)))").as("fps"))
+          .filter(size(col("fps")) > 0)
+          .select(col("doc_id"), explode(col("fps")).as("wmin"))
+          .distinct()
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_fp"),
+            min(col("wmin")).as("fp_min"),
+            max(col("wmin")).as("fp_max")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents
+          WHERE length(lower(trim(text))) >= 11),
+        hp AS (
+          SELECT doc_id, i,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(0, 8),
+                       j -> CAST(ascii(substr(t, CAST(i + j AS INTEGER), 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 256 + x) % 2147483647) AS h
+          FROM (SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS i FROM d)),
+        ww AS (
+          SELECT doc_id, i,
+                 count(*) OVER (PARTITION BY doc_id) AS n_pos,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+          FROM hp),
+        sel AS (
+          -- positions are 1-based here, 0-based on the Spark side: a full
+          -- window needs i+3 <= n_pos
+          SELECT DISTINCT doc_id, wmin FROM ww WHERE i <= n_pos - 3)
+        SELECT doc_id, count(*) AS n_fp, min(wmin) AS fp_min, max(wmin) AS fp_max
+        FROM sel GROUP BY doc_id ORDER BY doc_id
+      """)
+    ),
+
     // --- array functions over tokenized text (scalar outputs) ---
     Q(
       "text_array_funcs",

@@ -107,6 +107,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(h.getBoolean(0) && h.getBoolean(1))
   }
 
+  test("winnow_hashes matches the declarative transform/aggregate formulation") {
+    GraftFunctions.register(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(20)
+      .selectExpr("doc_id", "lower(trim(text)) AS t")
+      .filter("length(t) >= 11")
+      .cache()
+    val native = docs.selectExpr("doc_id", "winnow_hashes(t) AS fps")
+    val declarative = docs.selectExpr(
+      "doc_id",
+      """transform(sequence(0, length(t) - 11),
+           p -> array_min(transform(sequence(p + 1, p + 4),
+                  i -> aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+                         (acc, j) -> (acc * 256 + ascii(substring(t, i + j, 1))) % 2147483647))))
+         AS fps"""
+    )
+    val joined = native.as("n").join(declarative.as("d"), "doc_id")
+    assert(joined.filter(expr("n.fps <> d.fps")).count() == 0)
+    assert(joined.count() == 20)
+    // Short strings: empty array, not an error; null stays null.
+    assert(spark.sql("SELECT size(winnow_hashes('tiny'))").head().getInt(0) == 0)
+    assert(spark.sql("SELECT winnow_hashes(cast(null as string))").head().isNullAt(0))
+  }
+
   test("expressions run inside whole-stage codegen (no fallback)") {
     GraftFunctions.register(spark)
     val df = spark.read
