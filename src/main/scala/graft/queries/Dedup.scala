@@ -416,6 +416,54 @@ object Dedup {
       """)
     ),
 
+    // --- winnowing near-dup pairs: docs sharing >= 5 fingerprints ---
+    Q(
+      "dedup_winnow_pairs",
+      (s, d) => {
+        // The winnowing application: two documents sharing any long-enough
+        // substring share winnowed fingerprints, so pair candidates meet on
+        // a fingerprint-equality shuffle key — O(n·k) candidates like the
+        // LSH variants, never all-pairs. Fingerprints come from the native
+        // winnow_hashes pass; the count of shared fingerprints ranks pairs.
+        graft.functions.GraftFunctions.register(s)
+        val fps = t(s, d, "documents")
+          .select(col("doc_id"), explode(expr("winnow_hashes(lower(trim(text)))")).as("fp"))
+          .distinct()
+        fps
+          .select(col("doc_id").as("d1"), col("fp"))
+          .join(fps.select(col("doc_id").as("d2"), col("fp")), "fp")
+          .filter(col("d1") < col("d2"))
+          .groupBy("d1", "d2")
+          .agg(count(lit(1)).as("shared_fp"))
+          .filter(col("shared_fp") >= 5)
+          .orderBy("d1", "d2")
+      },
+      Some("""
+        WITH dd AS (
+          SELECT doc_id, lower(trim(text)) AS t FROM documents
+          WHERE length(lower(trim(text))) >= 11),
+        hp AS (
+          SELECT doc_id, i,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(0, 8),
+                       j -> CAST(ascii(substr(t, CAST(i + j AS INTEGER), 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 256 + x) % 2147483647) AS h
+          FROM (SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS i FROM dd)),
+        ww AS (
+          SELECT doc_id, i,
+                 count(*) OVER (PARTITION BY doc_id) AS n_pos,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM hp),
+        sel AS (SELECT DISTINCT doc_id, fp FROM ww WHERE i <= n_pos - 3)
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_fp
+        FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 5
+        ORDER BY d1, d2
+      """)
+    ),
+
     // --- MinHash LSH banding: candidate pairs sharing any 4-row band ---
     Q(
       "dedup_minhash_lsh",

@@ -840,6 +840,38 @@ object Relational {
       """)
     ),
 
+    // --- event-time RANGE frame (interval-bounded, not row-counted) ---
+    Q(
+      "q_range_frame",
+      (s, d) => {
+        // RANGE BETWEEN INTERVAL: the frame is bounded by event-time
+        // distance, not row count — trailing-hour stats per event. The
+        // aggregates are order-independent (count/min/max), so peer-row
+        // ordering inside the frame can't cause engine divergence.
+        t(s, d, "events").createOrReplaceTempView("ev_range_frame")
+        s.sql("""
+          SELECT event_id,
+                 count(*) OVER w AS n_1h,
+                 min(value) OVER w AS min_1h,
+                 max(value) OVER w AS max_1h
+          FROM ev_range_frame
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          ORDER BY event_id
+        """)
+      },
+      Some("""
+        SELECT event_id,
+               count(*) OVER w AS n_1h,
+               min(value) OVER w AS min_1h,
+               max(value) OVER w AS max_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+      """)
+    ),
+
     // --- map-typed column construction + lookup ---
     Q(
       "q_map_funcs",
