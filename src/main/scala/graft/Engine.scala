@@ -50,6 +50,32 @@ class Engine(
       }
       .start()
 
+  /** Pull replication from a peer log (reference: the legacy Replicator,
+    * internal/log/replicator.go:25-100 — a per-peer goroutine draining
+    * `ConsumeStream(0)` into local `Produce`, which the reference's own
+    * tests acknowledge can duplicate records, internal/agent/agent_test
+    * .go:74). Our composition is strictly stronger: the graft streaming
+    * source tails the peer with exact offset cursors, and ingest's
+    * idempotence tokens make every batch exactly-once across restarts —
+    * no dedup gap. Records are re-sequenced into LOCAL offsets, like the
+    * reference's replicator (produce-side append, not offset cloning).
+    */
+  def replicateFrom(
+      peerDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      maxRecordsPerBatch: Option[Long] = None
+  ): StreamingQuery = {
+    val reader = spark.readStream.format("graft")
+    maxRecordsPerBatch.foreach(n => reader.option("maxRecordsPerBatch", n))
+    ingest(
+      reader.load(peerDir).select(col("value")),
+      checkpoint,
+      trigger,
+      sourceName = s"replicate-${java.lang.Integer.toHexString(peerDir.hashCode)}"
+    )
+  }
+
   /** Batch view of the whole log (L6). */
   def toDF: DataFrame = log.toDF
 

@@ -50,6 +50,34 @@ class EngineSpec extends AnyFunSuite {
     assert(reopened.appendDF(batch, Some("src-a" -> 8L))._2 == 0)
   }
 
+  test("replicateFrom tails a peer log exactly-once (Replicator analog)") {
+    val peer = Engine(spark, TestSpark.tempDir("engine-peer"))
+    val local = Engine(spark, TestSpark.tempDir("engine-replica"))
+    peer.log.append(Seq("r0".getBytes, "r1".getBytes, "r2".getBytes))
+    val ckpt = TestSpark.tempDir("engine-repl-ckpt")
+    val q = local.replicateFrom(
+      peer.dataDir,
+      checkpoint = ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    )
+    q.processAllAvailable()
+    q.awaitTermination(30000)
+    assert(local.log.toDF.count() == 3)
+    assert(new String(local.log.read(1).value) == "r1")
+    // New appends on the peer flow through a restarted replication stream,
+    // and already-replicated batches re-apply as no-ops (exactly-once).
+    peer.log.append(Seq("r3".getBytes))
+    val q2 = local.replicateFrom(
+      peer.dataDir,
+      checkpoint = ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+    )
+    q2.processAllAvailable()
+    q2.awaitTermination(30000)
+    assert(local.log.toDF.count() == 4, "restart must not duplicate replicated records")
+    assert(new String(local.log.read(3).value) == "r3")
+  }
+
   test("registerView exposes the log to SQL") {
     val engine = Engine(spark, TestSpark.tempDir("engine-view"))
     engine.log.append(Seq("sql-a".getBytes, "sql-b".getBytes))
