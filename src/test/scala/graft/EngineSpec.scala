@@ -78,6 +78,31 @@ class EngineSpec extends AnyFunSuite {
     assert(new String(local.log.read(3).value) == "r3")
   }
 
+  test("3-log cluster analog: replicate everywhere, leave stops one replica") {
+    // The reference's distributed test vector (FIXTURES §2 "cluster
+    // vector"): ["first","second"] reach every node; after node 1 leaves,
+    // "third" reaches only the remaining follower.
+    def drain(e: Engine, peer: String, ckpt: String): Unit = {
+      val q = e.replicateFrom(peer, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.processAllAvailable(); q.awaitTermination(30000)
+    }
+    val leader = Engine(spark, TestSpark.tempDir("cl-leader"))
+    val f1 = Engine(spark, TestSpark.tempDir("cl-f1"))
+    val f2 = Engine(spark, TestSpark.tempDir("cl-f2"))
+    val (c1, c2) = (TestSpark.tempDir("cl-ck1"), TestSpark.tempDir("cl-ck2"))
+    leader.log.append(Seq("first".getBytes, "second".getBytes))
+    drain(f1, leader.dataDir, c1)
+    drain(f2, leader.dataDir, c2)
+    assert(f1.log.toDF.count() == 2 && f2.log.toDF.count() == 2)
+    // f1 "leaves" (its replication stream is simply not restarted).
+    leader.log.append(Seq("third".getBytes))
+    drain(f2, leader.dataDir, c2)
+    assert(f2.log.toDF.count() == 3)
+    assert(new String(f2.log.read(2).value) == "third")
+    assert(f1.log.toDF.count() == 2, "departed follower must miss new appends")
+  }
+
   test("registerView exposes the log to SQL") {
     val engine = Engine(spark, TestSpark.tempDir("engine-view"))
     engine.log.append(Seq("sql-a".getBytes, "sql-b".getBytes))
