@@ -18,12 +18,15 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
   *     stat                   lowest/highest offset + segment count
   *     servers                cluster topology
   *     truncate <lowest>      drop whole segments at or below <lowest>
+  *     replicate <peerDir> <checkpointDir>
+  *                            catch-up pull replication from a peer log
+  *                            (exactly-once; resumes from the checkpoint)
   * }}}
   */
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] (produce <v>... | consume <off> | stat | servers | truncate <low>)"
+      "usage: graft.Main --data-dir DIR [--subject S] (produce <v>... | consume <off> | stat | servers | truncate <low> | replicate <peerDir> <ckptDir>)"
     )
     sys.exit(2)
   }
@@ -76,6 +79,15 @@ object Main {
         case "truncate" :: low :: Nil =>
           engine.log.truncate(low.toLong)
           println(s"truncated below ${low.toLong}; lowest now ${engine.log.lowestOffset}")
+        case "replicate" :: peer :: ckpt :: Nil =>
+          val q = engine.replicateFrom(
+            peer,
+            checkpoint = ckpt,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          )
+          q.processAllAvailable()
+          q.awaitTermination()
+          println(s"replicated from $peer; highest now ${engine.log.highestOffset}")
         case _ => usage()
       }
     } catch {

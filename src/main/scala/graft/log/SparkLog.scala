@@ -336,15 +336,19 @@ class SparkLog(
     * exactly `[lastCommitted, nextOffset)` from the manifest — no
     * file-listing, no duplicates, in-order within a batch.
     */
-  def tail(from: Long = 0L): DataFrame =
-    spark.readStream
+  def tail(from: Long = 0L, maxRecordsPerBatch: Option[Long] = None): DataFrame = {
+    val reader = spark.readStream
       .format("graft")
       // Streaming scans never receive filter pushdown (batch-only in
       // Spark), so the start position travels as a read option; the filter
-      // stays as a semantic guard.
+      // stays as a semantic guard. maxRecordsPerBatch paces catch-up from
+      // a deep tail into bounded micro-batches (admission control).
       .option("startOffset", from)
+    maxRecordsPerBatch.foreach(n => reader.option("maxRecordsPerBatch", n))
+    reader
       .load(dir)
       .filter(col("offset") >= from)
+  }
 
   // ------------------------------------------------------------- retention
 
