@@ -422,16 +422,26 @@ object Dedup {
       (s, d) => {
         // The winnowing application: two documents sharing any long-enough
         // substring share winnowed fingerprints, so pair candidates meet on
-        // a fingerprint-equality shuffle key — O(n·k) candidates like the
-        // LSH variants, never all-pairs. Fingerprints come from the native
-        // winnow_hashes pass; the count of shared fingerprints ranks pairs.
+        // a fingerprint-equality shuffle key. The HOT-KEY GUARD is load-
+        // bearing at scale: boilerplate n-grams put one fingerprint in most
+        // of the corpus (measured max df = 3826/5000 docs at sf0.1 →
+        // Σdf² = 252M join rows), so fingerprints with document frequency
+        // > 50 are dropped before the self-join — they carry no near-dup
+        // signal and their groups grow quadratically. After the cap the
+        // join is ~1M rows at sf0.1.
         graft.functions.GraftFunctions.register(s)
         val fps = t(s, d, "documents")
           .select(col("doc_id"), explode(expr("winnow_hashes(lower(trim(text)))")).as("fp"))
           .distinct()
-        fps
+        val rare = fps
+          .groupBy("fp")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50)
+          .select("fp")
+        val kept = fps.join(rare, "fp")
+        kept
           .select(col("doc_id").as("d1"), col("fp"))
-          .join(fps.select(col("doc_id").as("d2"), col("fp")), "fp")
+          .join(kept.select(col("doc_id").as("d2"), col("fp")), "fp")
           .filter(col("d1") < col("d2"))
           .groupBy("d1", "d2")
           .agg(count(lit(1)).as("shared_fp"))
@@ -456,9 +466,11 @@ object Dedup {
                  min(h) OVER (PARTITION BY doc_id ORDER BY i
                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
           FROM hp),
-        sel AS (SELECT DISTINCT doc_id, fp FROM ww WHERE i <= n_pos - 3)
+        sel AS (SELECT DISTINCT doc_id, fp FROM ww WHERE i <= n_pos - 3),
+        rare AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50),
+        kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare r ON s.fp = r.fp)
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared_fp
-        FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 5
         ORDER BY d1, d2
       """)
