@@ -1,8 +1,6 @@
 package graft.log
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /** One segment's metadata: base offset (first offset it holds), the next
   * offset after its last record, store bytes and record count (the two roll
@@ -92,16 +90,15 @@ private[log] object JsonFields {
   }
 }
 
-/** Flat-JSON (de)serialization with atomic rename publish, so a crash never
-  * leaves a torn manifest — the analog of the reference's index
+/** Flat-JSON (de)serialization with atomic publish (NIO rename locally, the
+  * versioned single-object protocol on Hadoop filesystems — [[LogFs]]), so a
+  * crash never leaves a torn manifest — the analog of the reference's index
   * truncate-to-used + fsync on close (reference: internal/log/index.go:68-79).
   * Recovery without a manifest re-lists segment directories, mirroring
   * `Log.setup`'s directory scan (reference: internal/log/log.go:39-68).
   */
 object LogManifest {
   private val FileName = "_manifest.json" // leading '_' => invisible to Spark file listing
-
-  def path(dir: String): Path = Paths.get(dir, FileName)
 
   def write(dir: String, m: LogManifest): Unit = {
     val segs = m.segments
@@ -118,21 +115,12 @@ object LogManifest {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val json = s"""{"nextOffset":${m.nextOffset},"tokens":$toks,"segments":$segs}"""
-    val tmp = Paths.get(dir, FileName + ".tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(
-      tmp,
-      path(dir),
-      StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING
-    )
+    LogFs.forPath(dir).writeMeta(dir, FileName, json.getBytes(StandardCharsets.UTF_8))
   }
 
-  def read(dir: String): Option[LogManifest] = {
-    val p = path(dir)
-    if (!Files.exists(p)) None
-    else Some(parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
-  }
+  def read(dir: String): Option[LogManifest] =
+    LogFs.forPath(dir).readMeta(dir, FileName)
+      .map(b => parse(new String(b, StandardCharsets.UTF_8)))
 
   // Minimal parser for the exact flat shape written above (no external json
   // deps are resolvable in this environment).
@@ -186,17 +174,11 @@ object LogManifest {
     * recovery sort of base offsets (reference: internal/log/log.go:54-56).
     */
   def listSegmentBases(dir: String): Vector[Long] = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) return Vector.empty
-    val s = Files.list(d)
-    try
-      s.iterator()
-        .asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("segment="))
-        .map(_.getFileName.toString.stripPrefix("segment=").toLong)
-        .toVector
-        .sorted
-    finally s.close()
+    val fs = LogFs.forPath(dir)
+    fs.list(dir)
+      .filter(p => fs.fileName(p).startsWith("segment=") && fs.isDir(p))
+      .map(p => fs.fileName(p).stripPrefix("segment=").toLong)
+      .sorted
   }
 }
 
@@ -216,23 +198,17 @@ final case class CompactJournal(
 object CompactJournal {
   private val FileName = "_compact_journal.json"
 
-  def path(dir: String): Path = Paths.get(dir, FileName)
-
   def write(dir: String, j: CompactJournal): Unit = {
     val olds = j.olds
       .map { case (b, d) => s"""{"base":$b,"dir":"$d"}""" }
       .mkString("[", ",", "]")
     val json = s"""{"lo":${j.lo},"next":${j.next},"newDir":"${j.newDir}","olds":$olds}"""
-    val tmp = Paths.get(dir, FileName + ".tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, path(dir), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    LogFs.forPath(dir).writeMeta(dir, FileName, json.getBytes(StandardCharsets.UTF_8))
   }
 
-  def read(dir: String): Option[CompactJournal] = {
-    val p = path(dir)
-    if (!Files.exists(p)) None
-    else {
-      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+  def read(dir: String): Option[CompactJournal] =
+    LogFs.forPath(dir).readMeta(dir, FileName).map { bytes =>
+      val json = new String(bytes, StandardCharsets.UTF_8)
       import JsonFields.{long => longField, str => strField}
       val arrStart = json.indexOf('[')
       val arrEnd = json.lastIndexOf(']')
@@ -244,9 +220,8 @@ object CompactJournal {
             .split("\\},\\s*\\{")
             .toVector
             .map(raw => (longField(raw, "base"), strField(raw, "dir")))
-      Some(CompactJournal(longField(json, "lo"), longField(json, "next"), strField(json, "newDir"), olds))
+      CompactJournal(longField(json, "lo"), longField(json, "next"), strField(json, "newDir"), olds)
     }
-  }
 
-  def delete(dir: String): Unit = Files.deleteIfExists(path(dir))
+  def delete(dir: String): Unit = LogFs.forPath(dir).deleteMeta(dir, FileName)
 }

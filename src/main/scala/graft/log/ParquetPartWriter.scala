@@ -1,7 +1,5 @@
 package graft.log
 
-import java.nio.file.Path
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.example.data.simple.SimpleGroup
 import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
@@ -32,10 +30,11 @@ private[log] object ParquetPartWriter {
 
   /** Write `recs` as one snappy parquet file at `file`.
     *
-    * LocalOutputFile = plain NIO writes: skips the Hadoop LocalFileSystem
-    * layer and its `.crc` sidecar files (parquet pages carry their own CRCs)
-    * — measurably cheaper per small append, and keeps the log directory free
-    * of checksum litter.
+    * The output handle comes from [[LogFs]]: plain local paths get
+    * `LocalOutputFile` (plain NIO writes — skips the Hadoop LocalFileSystem
+    * layer and its `.crc` sidecar files; parquet pages carry their own
+    * CRCs), `scheme://` paths get `HadoopOutputFile` on the shared
+    * filesystem.
     */
   /** Built once: the schema property never changes and Configuration
     * construction re-scans default resources (~5 ms) per instance.
@@ -46,10 +45,10 @@ private[log] object ParquetPartWriter {
     c
   }
 
-  def write(file: Path, recs: Seq[LogRecord]): Unit = {
+  def write(file: String, recs: Seq[LogRecord]): Unit = {
     val conf = writeConf
     val writer = ExampleParquetWriter
-      .builder(new org.apache.parquet.io.LocalOutputFile(file))
+      .builder(LogFs.forPath(file).outputFile(file))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       // Same page bound as appendDF: keeps the column index fine-grained so

@@ -1,6 +1,5 @@
 package graft.log
 
-import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
@@ -9,7 +8,7 @@ import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.filter2.predicate.FilterApi
 import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.io.{ColumnIOFactory, LocalInputFile}
+import org.apache.parquet.io.ColumnIOFactory
 
 /** Driver-side point read straight through parquet-java, bypassing Spark's
   * job machinery for single-record lookups.
@@ -21,8 +20,9 @@ import org.apache.parquet.io.{ColumnIOFactory, LocalInputFile}
   * row groups via footer stats and non-matching pages via the parquet
   * column index, and — because the writer emits offsets in ascending
   * contiguous order — the surviving page is scanned only up to the target
-  * record. Files are opened through `LocalInputFile` (plain NIO), skipping
-  * the Hadoop FileSystem layer entirely.
+  * record. File handles come from [[LogFs]]: plain NIO (`LocalInputFile`,
+  * no Hadoop dispatch) for local paths, `HadoopInputFile` for `scheme://`
+  * paths — this same code runs executor-side against shared filesystems.
   */
 private[graft] object ParquetPointReader {
 
@@ -58,21 +58,18 @@ private[graft] object ParquetPointReader {
   /** Read the record at `offset` from one `segment=<base>` directory.
     * Returns None when no part file covers the offset.
     */
-  def readOffset(segmentDir: Path, offset: Long): Option[LogRecord] = {
-    if (!Files.isDirectory(segmentDir)) return None
-    val listing = Files.list(segmentDir)
-    val parts = try listing.iterator()
-      .asScala
+  def readOffset(segmentDir: String, offset: Long): Option[LogRecord] = {
+    val fs = LogFs.forPath(segmentDir)
+    val parts = fs
+      .list(segmentDir)
       .filter { p =>
-        p.getFileName.toString match {
-          case RangedName(mn, mx)                      => mn.toLong <= offset && offset <= mx.toLong
-          case n if n.endsWith(".parquet")             => true // unranged: must inspect
-          case _                                       => false
+        fs.fileName(p) match {
+          case RangedName(mn, mx)          => mn.toLong <= offset && offset <= mx.toLong
+          case n if n.endsWith(".parquet") => true // unranged: must inspect
+          case _                           => false
         }
       }
-      .toVector
-      .sortBy(_.getFileName.toString)
-    finally listing.close()
+      .sortBy(fs.fileName)
     parts.iterator.flatMap { p =>
       val it = readRange(p, offset, offset)
       try it.nextOption()
@@ -83,7 +80,7 @@ private[graft] object ParquetPointReader {
   /** (min, max) of the `offset` column across a file's row groups, from
     * footer statistics only (no page I/O).
     */
-  def offsetRange(file: Path): Option[(Long, Long)] = {
+  def offsetRange(file: String): Option[(Long, Long)] = {
     val ranges = footerOf(file).getBlocks.asScala.flatMap { block =>
       block.getColumns.asScala
         .find(_.getPath.toDotString == "offset")
@@ -99,20 +96,18 @@ private[graft] object ParquetPointReader {
     if (ranges.isEmpty) None else Some((ranges.map(_._1).min, ranges.map(_._2).max))
   }
 
-  /** Parse-once footer access through the LRU cache. LocalInputFile = plain
-    * NIO reads: no Hadoop FileSystem dispatch and no .crc sidecar
-    * verification. (The log core is POSIX-filesystem-scoped by design — see
-    * README "Known limitations".)
+  /** Parse-once footer access through the LRU cache. Local paths read via
+    * plain NIO (`LocalInputFile`): no Hadoop FileSystem dispatch and no
+    * .crc sidecar verification.
     */
-  private def footerOf(file: Path): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
-    val k = file.toAbsolutePath.toString
-    val c = footerCache.synchronized(footerCache.get(k))
+  private def footerOf(file: String): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    val c = footerCache.synchronized(footerCache.get(file))
     if (c != null) c
     else {
-      val r = ParquetFileReader.open(new LocalInputFile(file))
+      val r = ParquetFileReader.open(LogFs.forPath(file).inputFile(file))
       try {
         val f = r.getFooter
-        footerCache.synchronized(footerCache.put(k, f))
+        footerCache.synchronized(footerCache.put(file, f))
         f
       } finally r.close()
     }
@@ -137,7 +132,7 @@ private[graft] object ParquetPointReader {
     */
   trait RangeRowIterator extends Iterator[Array[Any]] with AutoCloseable
 
-  def readRangeRows(file: Path, lo: Long, hi: Long, fields: Array[String]): RangeRowIterator = {
+  def readRangeRows(file: String, lo: Long, hi: Long, fields: Array[String]): RangeRowIterator = {
     val withOffset = if (fields.contains("offset")) fields else fields :+ "offset"
     val inner = openRange(file, lo, hi, Some(withOffset))
     new RangeRowIterator {
@@ -155,11 +150,11 @@ private[graft] object ParquetPointReader {
     }
   }
 
-  def readRange(file: Path, lo: Long, hi: Long): RangeIterator =
+  def readRange(file: String, lo: Long, hi: Long): RangeIterator =
     openRange(file, lo, hi, None)
 
   private def openRange(
-      file: Path,
+      file: String,
       lo: Long,
       hi: Long,
       projection: Option[Array[String]]
@@ -180,7 +175,7 @@ private[graft] object ParquetPointReader {
       )
     )
     val opts = HadoopReadOptions.builder(sharedConf).withRecordFilter(rowFilter).build()
-    val in = new LocalInputFile(file)
+    val in = LogFs.forPath(file).inputFile(file)
     // Footer from the LRU cache (parse-once); the constructor still applies
     // the row-group filters for THIS call's offset range.
     val reader = new ParquetFileReader(in, footerOf(file), opts, in.newStream())

@@ -1,9 +1,6 @@
 package graft.log
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,15 +24,19 @@ import org.apache.spark.sql.functions._
   *     directory and prunes row groups via footer stats;
   *   - publish is atomic: part files are written to a `_tmp-*` staging dir
   *     (hidden from Spark's file listing) and renamed into the segment dir,
-  *     then the manifest swaps via atomic rename. Readers never observe a
-  *     torn segment — the property the reference gets from
-  *     index-truncate-on-close (reference: internal/log/index.go:68-79).
+  *     then the manifest swaps atomically ([[LogFs]] picks the protocol per
+  *     backend). Readers never observe a torn segment — the property the
+  *     reference gets from index-truncate-on-close
+  *     (reference: internal/log/index.go:68-79).
   *
   * Scale notes (100 TB design): reads are pure Spark scans (filter pushdown,
   * partition-value pruning on `segment`, row-group skipping); `appendDF` is
   * the bulk-ingest path that writes a full batch in parallel across
   * executors with per-partition offset ranges computed from one counting
-  * pass — no driver collect of data, no global sort, no shuffle.
+  * pass — no driver collect of data, no global sort, no shuffle. The log
+  * directory may live on any Hadoop-supported filesystem (`hdfs://`,
+  * `s3a://`, …): all file I/O routes through [[LogFs]], so executors never
+  * need a shared POSIX mount.
   */
 class SparkLog(
     val spark: SparkSession,
@@ -44,7 +45,9 @@ class SparkLog(
 ) {
   import SparkLog._
 
-  Files.createDirectories(Paths.get(dir))
+  private val fs: LogFs = LogFs.forPath(dir)
+
+  fs.mkdirs(dir)
   recoverCompaction()
 
   @volatile private var manifest: LogManifest =
@@ -61,39 +64,33 @@ class SparkLog(
       val forward = mOpt.exists(_.segments.exists(s => s.base == j.lo && s.next == j.next))
       if (forward) {
         // Manifest already points at the merged segment: finish deletions.
-        j.olds.foreach { case (_, d) => deleteRecursively(Paths.get(dir, d)) }
+        j.olds.foreach { case (_, d) => fs.deleteRecursively(fs.child(dir, d)) }
       } else {
         // Roll back. If the merged dir was already swapped in (old lo moved
         // away and the staging name is gone), segment=<lo> holds NEW data —
         // remove it before restoring the originals.
-        val newDirPath = Paths.get(dir, j.newDir)
-        val loMoved = j.olds.find(_._1 == j.lo).map(o => Paths.get(dir, o._2))
+        val newDirPath = fs.child(dir, j.newDir)
+        val loMoved = j.olds.find(_._1 == j.lo).map(o => fs.child(dir, o._2))
         if (
-          loMoved.exists(Files.isDirectory(_)) && !Files.isDirectory(newDirPath) &&
-          Files.isDirectory(segmentPath(j.lo))
+          loMoved.exists(fs.isDir) && !fs.isDir(newDirPath) &&
+          fs.isDir(segmentPath(j.lo))
         )
-          deleteRecursively(segmentPath(j.lo))
+          fs.deleteRecursively(segmentPath(j.lo))
         j.olds.foreach { case (b, d) =>
-          val src = Paths.get(dir, d)
-          if (Files.isDirectory(src) && !Files.isDirectory(segmentPath(b)))
-            Files.move(src, segmentPath(b), StandardCopyOption.ATOMIC_MOVE)
+          val src = fs.child(dir, d)
+          if (fs.isDir(src) && !fs.isDir(segmentPath(b)))
+            fs.move(src, segmentPath(b))
         }
-        if (Files.isDirectory(newDirPath)) deleteRecursively(newDirPath)
+        if (fs.isDir(newDirPath)) fs.deleteRecursively(newDirPath)
       }
       CompactJournal.delete(dir)
     }
-    val d = Paths.get(dir)
-    val s = Files.list(d)
-    try
-      s.iterator()
-        .asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("_tmp-") || n.startsWith("_compact-") || n.startsWith("_old-")
-        }
-        .toVector
-        .foreach(deleteRecursively)
-    finally s.close()
+    fs.list(dir)
+      .filter { p =>
+        val n = fs.fileName(p)
+        n.startsWith("_tmp-") || n.startsWith("_compact-") || n.startsWith("_old-")
+      }
+      .foreach(fs.deleteRecursively)
   }
 
   // ---------------------------------------------------------------- append
@@ -229,7 +226,7 @@ class SparkLog(
         // point read to a ≤2k-row page instead of a default ~20k-row page —
         // the in-page sequential scan is the tail cost of read(offset).
         .option("parquet.page.row.count.limit", "2048")
-        .parquet(staging.toString)
+        .parquet(staging)
       val bytes = publishParts(staging, base)
       val seg = SegmentMeta(base, base + total, bytes, total, sealed_ = true)
       val m0 = manifest
@@ -275,7 +272,7 @@ class SparkLog(
     import session.implicits._
     spark.read
       .schema(LogRecord.schema)
-      .parquet(segmentPath(base).toString)
+      .parquet(segmentPath(base))
       .filter(col("offset") === offset)
       .as[LogRecord]
       .take(1)
@@ -303,7 +300,7 @@ class SparkLog(
       spark.read
         .option("basePath", dir)
         .schema(LogRecord.schema)
-        .parquet(segs.map(s => segmentPath(s.base).toString): _*)
+        .parquet(segs.map(s => segmentPath(s.base)): _*)
         .drop("segment")
     }
   }
@@ -319,7 +316,7 @@ class SparkLog(
       spark.read
         .option("basePath", dir)
         .schema(LogRecord.schema)
-        .parquet(segs.map(s => segmentPath(s.base).toString): _*)
+        .parquet(segs.map(s => segmentPath(s.base)): _*)
         .drop("segment")
         .filter(col("offset") >= from && col("offset") < until)
   }
@@ -362,7 +359,7 @@ class SparkLog(
     val m = manifest.copy(segments = keep)
     LogManifest.write(dir, m)
     manifest = m
-    drop.foreach(s => deleteRecursively(segmentPath(s.base)))
+    drop.foreach(s => fs.deleteRecursively(segmentPath(s.base)))
   }
 
   /** Compact adjacent small sealed segments into larger ones — the analog
@@ -406,47 +403,47 @@ class SparkLog(
       val staging = stagingDir()
       spark.read
         .schema(LogRecord.schema)
-        .parquet(r.map(s => segmentPath(s.base).toString): _*)
+        .parquet(r.map(s => segmentPath(s.base)): _*)
         .as[LogRecord]
         .orderBy("offset")
         .coalesce(1)
         .write
         .option("maxRecordsPerFile", config.maxRecordsPerSegment)
-        .parquet(staging.toString)
-      val newSeg = Paths.get(dir, s"_compact-$lo-${UUID.randomUUID().toString.take(8)}")
+        .parquet(staging)
+      val newSeg = fs.child(dir, s"_compact-$lo-${UUID.randomUUID().toString.take(8)}")
       val bytes = publishPartsTo(staging, newSeg)
       // Crash-safe swap: journal FIRST, then olds out → new in → manifest →
       // delete olds → delete journal. Recovery (recoverCompaction) rolls a
       // half-done swap back (manifest not yet written) or forward (it was),
       // so committed offsets never strand in _old-*/ _compact-* dirs.
       val olds = r.map(s =>
-        s.base -> Paths.get(dir, s"_old-${s.base}-${UUID.randomUUID().toString.take(8)}")
+        s.base -> fs.child(dir, s"_old-${s.base}-${UUID.randomUUID().toString.take(8)}")
       )
-      CompactJournal.write(dir, CompactJournal(lo, r.last.next, newSeg.getFileName.toString,
-        olds.map { case (b, p) => b -> p.getFileName.toString }))
+      CompactJournal.write(dir, CompactJournal(lo, r.last.next, fs.fileName(newSeg),
+        olds.map { case (b, p) => b -> fs.fileName(p) }))
       olds.foreach { case (b, moved) =>
-        Files.move(segmentPath(b), moved, StandardCopyOption.ATOMIC_MOVE)
+        fs.move(segmentPath(b), moved)
       }
-      Files.move(newSeg, segmentPath(lo), StandardCopyOption.ATOMIC_MOVE)
+      fs.move(newSeg, segmentPath(lo))
       val merged = SegmentMeta(lo, r.last.next, bytes, records, sealed_ = true)
       val kept = manifest.segments.filterNot(s => r.exists(_.base == s.base))
       val m = manifest.copy(segments = (kept :+ merged).sortBy(_.base))
       LogManifest.write(dir, m)
       manifest = m
-      olds.foreach { case (_, p) => deleteRecursively(p) }
+      olds.foreach { case (_, p) => fs.deleteRecursively(p) }
       CompactJournal.delete(dir)
     }
   }
 
   /** Delete the log directory (reference: internal/log/log.go:119-127). */
   def remove(): Unit = synchronized {
-    deleteRecursively(Paths.get(dir))
+    fs.deleteRecursively(dir)
   }
 
   /** Delete and recreate empty (reference: internal/log/log.go:129-135). */
   def reset(): Unit = synchronized {
     remove()
-    Files.createDirectories(Paths.get(dir))
+    fs.mkdirs(dir)
     manifest = LogManifest(Vector.empty, config.initialOffset)
     LogManifest.write(dir, manifest)
   }
@@ -456,11 +453,11 @@ class SparkLog(
 
   // -------------------------------------------------------------- plumbing
 
-  private def segmentPath(base: Long): Path = Paths.get(dir, s"segment=$base")
+  private def segmentPath(base: Long): String = fs.child(dir, s"segment=$base")
 
   // Spark's Parquet writer insists on creating the output path itself.
-  private def stagingDir(): Path =
-    Paths.get(dir, s"_tmp-${UUID.randomUUID().toString.take(12)}")
+  private def stagingDir(): String =
+    fs.child(dir, s"_tmp-${UUID.randomUUID().toString.take(12)}")
 
   /** Write a driver-side chunk as one Parquet part file inside its segment
     * dir: stage → rename (atomic publish). Goes straight through
@@ -471,13 +468,14 @@ class SparkLog(
     */
   private def writePart(base: Long, recs: Vector[LogRecord]): Unit = {
     val target = segmentPath(base)
-    Files.createDirectories(target)
-    val tmp = Paths.get(dir, s"_tmp-${UUID.randomUUID().toString.take(12)}.parquet")
+    fs.mkdirs(target)
+    val tmp = fs.child(dir, s"_tmp-${UUID.randomUUID().toString.take(12)}.parquet")
     ParquetPartWriter.write(tmp, recs)
     val name =
       s"part-${recs.head.offset}-${recs.last.offset}-${UUID.randomUUID().toString.take(8)}.parquet"
-    Files.move(tmp, target.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-    Files.deleteIfExists(tmp.resolveSibling("." + tmp.getFileName.toString + ".crc"))
+    fs.move(tmp, fs.child(target, name))
+    // Checksum sidecar (Hadoop local FS only; the NIO path never writes one).
+    fs.delete(fs.child(dir, "." + fs.fileName(tmp) + ".crc"))
   }
 
   /** Move every part file from `staging` into `segment=<base>/`, returning
@@ -486,28 +484,25 @@ class SparkLog(
     * reference's per-segment index file, paid once at write so point reads
     * are O(1) in file selection. Deletes the staging dir.
     */
-  private def publishParts(staging: Path, base: Long): Long =
+  private def publishParts(staging: String, base: Long): Long =
     publishPartsTo(staging, segmentPath(base))
 
-  private def publishPartsTo(staging: Path, target: Path): Long = {
-    Files.createDirectories(target)
+  private def publishPartsTo(staging: String, target: String): Long = {
+    fs.mkdirs(target)
     var bytes = 0L
-    val listing = Files.list(staging)
-    val parts =
-      try listing.iterator().asScala.filter(p => p.getFileName.toString.endsWith(".parquet")).toVector
-      finally listing.close()
-    parts
-      .sortBy(_.getFileName.toString)
+    fs.list(staging)
+      .filter(p => fs.fileName(p).endsWith(".parquet"))
+      .sortBy(fs.fileName)
       .foreach { p =>
-        bytes += Files.size(p)
+        bytes += fs.size(p)
         val u = UUID.randomUUID().toString.take(8)
         val name = ParquetPointReader.offsetRange(p) match {
           case Some((mn, mx)) => s"part-$mn-$mx-$u.parquet"
           case None           => s"part-$u.parquet"
         }
-        Files.move(p, target.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        fs.move(p, fs.child(target, name))
       }
-    deleteRecursively(staging)
+    fs.deleteRecursively(staging)
     bytes
   }
 
@@ -555,15 +550,15 @@ class SparkLog(
     val p = segmentPath(base)
     val stats = spark.read
       .schema(LogRecord.schema)
-      .parquet(p.toString)
+      .parquet(p)
       .agg(count(lit(1)).as("n"), max(col("offset")).as("hi"))
       .head()
     val n = stats.getLong(0)
     val hi = if (n == 0) base - 1 else stats.getLong(1)
-    val listing = Files.list(p)
-    val bytes =
-      try listing.iterator().asScala.filter(f => f.getFileName.toString.endsWith(".parquet")).map(Files.size).sum
-      finally listing.close()
+    val bytes = fs.list(p)
+      .filter(f => fs.fileName(f).endsWith(".parquet"))
+      .map(fs.size)
+      .sum
     SegmentMeta(base, hi + 1, bytes, n, sealed_ = true)
   }
 
@@ -571,13 +566,6 @@ class SparkLog(
     segs.indexWhere(_.base == s.base) match {
       case -1 => segs :+ s
       case i  => segs.updated(i, s)
-    }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      finally walk.close()
     }
 }
 

@@ -1,8 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
 import java.util
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -29,7 +27,7 @@ import org.apache.spark.sql.sources.{
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.log.{LogManifest, LogRecord, ParquetPointReader}
+import graft.log.{LogFs, LogManifest, LogRecord, ParquetPointReader}
 
 /** DataSource V2 "graft" format over a SparkLog directory — the optional
   * `TableProvider` SURVEY §4.3 sketches, done properly:
@@ -59,7 +57,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   ): Table = {
     val dir = Option(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException("graft source requires a path"))
-    if (!Files.isDirectory(Paths.get(dir)))
+    if (!LogFs.forPath(dir).isDir(dir))
       throw new IllegalArgumentException(s"graft source path does not exist: $dir")
     new GraftTable(dir)
   }
@@ -238,30 +236,21 @@ object GraftPlanning {
     if (lo > hi) return Array.empty
     val manifest = LogManifest.read(dir).getOrElse(return Array.empty)
     val ranged = ParquetPointReader.RangedName
+    val fs = LogFs.forPath(dir)
     manifest.segments.iterator
       .filter(s => s.next > lo && s.base <= hi)
       .flatMap { s =>
-        val segDir = Paths.get(dir, s"segment=${s.base}")
-        if (!Files.isDirectory(segDir)) Iterator.empty
-        else {
-          val listing = Files.list(segDir)
-          val parts =
-            try
-              listing
-                .iterator()
-                .asScala
-                .filter { p =>
-                  p.getFileName.toString match {
-                    case ranged(mn, mx)              => mn.toLong <= hi && mx.toLong >= lo
-                    case n if n.endsWith(".parquet") => true
-                    case _                           => false
-                  }
-                }
-                .map(p => GraftInputPartition(dir, p.toString, lo, hi): InputPartition)
-                .toVector
-            finally listing.close()
-          parts.iterator
-        }
+        val segDir = fs.child(dir, s"segment=${s.base}")
+        fs.list(segDir)
+          .filter { p =>
+            fs.fileName(p) match {
+              case ranged(mn, mx)              => mn.toLong <= hi && mx.toLong >= lo
+              case n if n.endsWith(".parquet") => true
+              case _                           => false
+            }
+          }
+          .map(p => GraftInputPartition(dir, p, lo, hi): InputPartition)
+          .iterator
       }
       .toArray
   }
@@ -275,7 +264,7 @@ case class GraftReaderFactory(fields: Array[String]) extends PartitionReaderFact
       private var open = Vector.empty[ParquetPointReader.RangeRowIterator]
       private var its: Iterator[Array[Any]] =
         try {
-          val it0 = ParquetPointReader.readRangeRows(Paths.get(p.file), p.lo, p.hi, fields)
+          val it0 = ParquetPointReader.readRangeRows(p.file, p.lo, p.hi, fields)
           open :+= it0
           it0
         } catch {
@@ -286,7 +275,7 @@ case class GraftReaderFactory(fields: Array[String]) extends PartitionReaderFact
             // file's range ∩ [lo, hi] — can be re-read from the fresh
             // layout. Opened files never vanish mid-read (POSIX fds survive
             // unlink); only this list→open window needs the retry.
-            val name = Paths.get(p.file).getFileName.toString
+            val name = LogFs.forPath(p.file).fileName(p.file)
             name match {
               case ParquetPointReader.RangedName(mn, mx) =>
                 val flo = math.max(p.lo, mn.toLong)
@@ -297,7 +286,7 @@ case class GraftReaderFactory(fields: Array[String]) extends PartitionReaderFact
                   .map(_.asInstanceOf[GraftInputPartition])
                   .flatMap { np =>
                     val it = ParquetPointReader
-                      .readRangeRows(Paths.get(np.file), flo, fhi, fields)
+                      .readRangeRows(np.file, flo, fhi, fields)
                     open :+= it
                     it
                   }

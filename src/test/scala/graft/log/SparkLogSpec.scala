@@ -67,7 +67,7 @@ class SparkLogSpec extends AnyFunSuite {
     val dir = TestSpark.tempDir("log-recover")
     val log = SparkLog(spark, dir, tinyConfig)
     (0 until 4).foreach(i => log.appendOne(s"v$i".getBytes))
-    java.nio.file.Files.delete(LogManifest.path(dir))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_manifest.json"))
 
     val recovered = SparkLog(spark, dir, tinyConfig)
     assert(recovered.lowestOffset == 0)
