@@ -113,6 +113,42 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(
+    // --- edit-distance near-dup: prefix-blocked Levenshtein ---
+    // Levenshtein is O(len²) per pair and all-pairs is O(n²) — neither
+    // survives scale. Blocking on a 16-char normalized prefix keeps the
+    // shuffle key cheap and candidate groups tiny (near-dup docs share
+    // prefixes; at sf0.01: 473 blocks, max block 3, 28 candidate pairs
+    // from 500 docs), and the distance runs on an 80-char head, not the
+    // full text. The standard trade: prefix-divergent near-dups are
+    // missed here and caught by the shingle-based variants.
+    Q(
+      "dedup_edit_distance",
+      (s, d) => {
+        val p = t(s, d, "documents").select(
+          col("doc_id"),
+          substring(lower(trim(col("text"))), 1, 80).as("head"),
+          substring(lower(trim(col("text"))), 1, 16).as("blk")
+        )
+        p.select(col("doc_id").as("d1"), col("head").as("h1"), col("blk"))
+          .join(p.select(col("doc_id").as("d2"), col("head").as("h2"), col("blk")), "blk")
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"), levenshtein(col("h1"), col("h2")).as("dist"))
+          .filter(col("dist") <= 10)
+          .orderBy("d1", "d2")
+      },
+      Some("""
+        WITH p AS (SELECT doc_id,
+                          substr(lower(trim(text)), 1, 80) AS head,
+                          substr(lower(trim(text)), 1, 16) AS blk
+                   FROM documents)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
+        FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.head, b.head) <= 10
+        ORDER BY d1, d2
+      """)
+    ),
+
     // --- exact dedup via normalized-text digest ---
     Q(
       "dedup_exact",

@@ -158,6 +158,44 @@ object Relational {
       """)
     ),
 
+    // --- full outer join: deep-debt customers ⟗ big spenders ---
+    // Both sides are partial (negative balances vs high aggregate spend),
+    // so the result exercises null-bearing rows from each side plus the
+    // COALESCE'd key. The aggregate side reduces orders BEFORE the join —
+    // at scale the outer join then shuffles ~#customers rows, not #orders.
+    Q(
+      "q_full_outer_join",
+      (s, d) => {
+        val debtors = t(s, d, "customer")
+          .filter(col("c_acctbal") < -900.0)
+          .select(col("c_custkey"), col("c_acctbal").as("acctbal"))
+        val spenders = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(Q.dsum(col("o_totalprice")).as("spend"))
+          .filter(col("spend") > 900000.0)
+        debtors
+          .join(spenders, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("acctbal"),
+            col("spend")
+          )
+          .orderBy("custkey")
+      },
+      Some("""
+        SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.acctbal, o.spend
+        FROM (SELECT c_custkey, c_acctbal AS acctbal FROM customer
+              WHERE c_acctbal < -900.0) c
+        FULL OUTER JOIN
+             (SELECT o_custkey,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+              FROM orders GROUP BY o_custkey
+              HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 900000.0) o
+        ON c.c_custkey = o.o_custkey
+        ORDER BY custkey
+      """)
+    ),
+
     // --- window: top order per customer by rank ---
     Q(
       "q_window_rank",

@@ -36,6 +36,61 @@ object TextOps {
         .mkString(", ")}))) AS INTEGER)"
 
   val all: Seq[Q] = Seq(
+    // --- PII scrubbing: regex redaction before text lands in a corpus ---
+    // Emails → [EMAIL], international-format phones → [PHONE], any
+    // surviving digit → '#'. Order matters (the email/phone patterns must
+    // see the digits); the patterns stay in the RE2 ∩ Java-regex common
+    // subset so the oracle semantics are identical. The synthetic corpus
+    // ships no raw PII, so contact strings are derived deterministically
+    // from customer columns — the op under test is the scrub pipeline, a
+    // pure codegen'd row-map that fuses into one WholeStageCodegen span
+    // (no shuffle, no UDF).
+    Q(
+      "text_pii_scrub",
+      (s, d) => {
+        val contact = concat(
+          col("c_name"),
+          lit(" reach "),
+          lower(col("c_mktsegment")),
+          col("c_custkey").cast("string"),
+          lit("@example.com or +1-800-"),
+          (col("c_custkey") % 10000).cast("string")
+        )
+        t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  contact,
+                  lit("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""),
+                  lit("[EMAIL]")
+                ),
+                lit("""\+[0-9]{1,3}-[0-9]{3}-[0-9]+"""),
+                lit("[PHONE]")
+              ),
+              lit("[0-9]"),
+              lit("#")
+            ).as("scrubbed")
+          )
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     c_name || ' reach ' || lower(c_mktsegment) ||
+                       CAST(c_custkey AS VARCHAR) || '@example.com or +1-800-' ||
+                       CAST(c_custkey % 10000 AS VARCHAR),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\+[0-9]{1,3}-[0-9]{3}-[0-9]+', '[PHONE]', 'g'),
+                 '[0-9]', '#', 'g') AS scrubbed
+        FROM customer
+        ORDER BY c_custkey
+      """)
+    ),
+
     // --- token counting: whitespace tokens + BPE-ish regex tokens ---
     Q(
       "text_token_stats",
