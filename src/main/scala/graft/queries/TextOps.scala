@@ -154,6 +154,97 @@ object TextOps {
       """)
     ),
 
+    // --- end-to-end corpus curation: the composed training-data pipeline ---
+    // Language allowlist → quality threshold → exact-dup removal (keep
+    // lowest doc_id) → per-language corpus stats. Each stage is the same
+    // operator proven standalone (lang_id allowlist, text_quality score,
+    // dedup_keep_first) — this query is the evidence they COMPOSE into one
+    // Catalyst plan: the filters run inside the scan's codegen stage, the
+    // dedup is one hash aggregate, the stats another; nothing materializes
+    // between stages. Quality sums go through DECIMAL so the per-language
+    // totals are partition-order-independent (doubles would drift).
+    Q(
+      "corpus_curate",
+      (s, d) => {
+        val ws = words(col("text"))
+        val nWords = size(ws).cast("double")
+        val stopRatio = stopCount(ws, enStop).cast("double") / nWords
+        val score = least(nWords / lit(50.0), lit(1.0)) * 0.5 + (lit(1.0) - stopRatio) * 0.5
+        val scored = t(s, d, "documents")
+          .filter(col("lang").isin("en", "de", "fr"))
+          .select(
+            col("doc_id"),
+            col("lang"),
+            col("n_chars"),
+            size(ws).as("n_tokens"),
+            md5(lower(trim(col("text")))).as("text_hash"),
+            score.as("q")
+          )
+          .filter(col("q") >= 0.5)
+        val keep = scored
+          .groupBy("text_hash")
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        scored
+          .join(keep, "doc_id")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("n_tokens")).cast("long").as("total_tokens"),
+            sum(col("q").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+              .cast("double")
+              .as("sum_quality")
+          )
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(len(string_split(lower(trim(text)), ' ')) AS INTEGER) AS n_tokens,
+                 md5(lower(trim(text))) AS text_hash,
+                 least(CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
+                   (1.0 - CAST(${sqlStopCount(enStop)} AS DOUBLE) /
+                     CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE)) * 0.5 AS q
+          FROM documents
+          WHERE lang IN ('en', 'de', 'fr')),
+        qual AS (SELECT * FROM scored WHERE q >= 0.5),
+        keep AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY text_hash)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CAST(q AS DECIMAL(28,10))) AS DOUBLE) AS sum_quality
+        FROM qual JOIN keep USING (doc_id)
+        GROUP BY lang ORDER BY lang
+      """)
+    ),
+
+    // --- stratified corpus sampling: per-language rates, zero shuffles ---
+    // Downsample the dominant language, keep more of the rest — the usual
+    // corpus-balancing move. The stratum rate is a CASE over a stable
+    // md5-derived bucket of doc_id, so the sample is reproducible, needs
+    // no counting pass, and runs entirely map-side: at 100 TB this is a
+    // pure scan+filter with NO shuffle, where a row_number()-per-language
+    // design would funnel each stratum through one reducer.
+    Q(
+      "q_stratified_sample",
+      (s, d) => {
+        val bucket =
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") % 1000
+        val rate = when(col("lang") === "en", 100L).otherwise(300L)
+        t(s, d, "documents")
+          .filter(bucket < rate)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <
+              CASE WHEN lang = 'en' THEN 100 ELSE 300 END
+        ORDER BY doc_id
+      """)
+    ),
+
     // --- per-language corpus statistics ---
     Q(
       "text_lang_stats",
