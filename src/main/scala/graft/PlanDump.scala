@@ -58,7 +58,22 @@ object PlanDump {
       "expression inside the scan projection; the rest is keyed " +
       "dedup + aggregation."),
     "q_unpivot" -> ("Wide→long melt is an Expand over the aggregated " +
-      "table — no joins, partition-parallel.")
+      "table — no joins, partition-parallel."),
+    "q_full_outer_join" -> ("Orders aggregate BEFORE the outer join, so the " +
+      "full outer shuffles customer-scale rows, not order-scale; both " +
+      "null-bearing sides flow through one SortMergeJoin."),
+    "dedup_edit_distance" -> ("Prefix-blocked Levenshtein: candidates meet on " +
+      "a 16-char block key (one shuffle), the O(len²) distance runs only " +
+      "inside tiny blocks on 80-char heads — never all-pairs."),
+    "corpus_curate" -> ("The composed curation pipeline stays ONE plan: lang " +
+      "allowlist + quality gate evaluate inside the scan's codegen stage, " +
+      "then two hash aggregates (dedup keep-first, per-lang stats). Nothing " +
+      "materializes between stages."),
+    "q_stratified_sample" -> ("Per-language sampling rates over a stable md5 " +
+      "bucket: the sample itself is pure scan+filter (the predicate runs " +
+      "inside the FileScan's codegen stage) — the only exchange below is " +
+      "the presentation ORDER BY for the oracle compare, which a real " +
+      "pipeline would drop.")
   )
 
   def main(args: Array[String]): Unit = {
