@@ -90,7 +90,23 @@ object Multimodal {
           .orderBy("doc_id")
         out
       },
-      None
+      // The stub decoder is deterministic arithmetic over the blob bytes,
+      // so the whole mapPartitions output — byte histogram included — has
+      // an exact SQL twin (the corpus is ASCII, so char positions ARE byte
+      // positions; octet_length(encode(...)) keeps the byte semantics
+      // honest either way).
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+               CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+               CAST(octet_length(encode(text)) % 30 AS INTEGER) AS n_frames,
+               array_to_string(
+                 [ len(list_filter(range(1, length(text)+1),
+                                   i -> ord(substr(text, i, 1)) % 16 = b))
+                   FOR b IN range(0, 16) ], ',') AS hist_fp
+        FROM documents ORDER BY doc_id
+      """)
     ),
 
     // --- aspect-preserving resize planning (stub decoder dims) ---
