@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.log.{LogConfig, SparkLog}
 import graft.server.{Acl, LogService}
@@ -73,6 +74,54 @@ class Engine(
       checkpoint,
       trigger,
       sourceName = s"replicate-${java.lang.Integer.toHexString(peerDir.hashCode)}"
+    )
+  }
+
+  /** Streaming corpus curation: tail a raw document log (JSON payloads
+    * `{"lang":…,"text":…}`), apply the training-data gates — language
+    * allowlist, minimum length — drop exact duplicates ACROSS micro-batches
+    * (stateful streaming dedup keyed on the normalized content hash), and
+    * commit the survivors into THIS engine's log exactly-once. The
+    * streaming twin of the batch `corpus_curate` query: a curated corpus
+    * that stays current as raw documents keep arriving, with the same
+    * offset-cursor tail + idempotence-token commit as [[replicateFrom]].
+    *
+    * Scale notes: the gates are stateless row filters (scan-stage codegen);
+    * only the hash — 32 bytes per distinct kept document, not the text —
+    * enters the dedup state store. The state is unbounded by design (a
+    * duplicate is a duplicate forever); production deployments at corpus
+    * scale should pair this with the RocksDB state store provider rather
+    * than the in-memory default.
+    */
+  def curateFrom(
+      peerDir: String,
+      checkpoint: String,
+      langs: Seq[String] = Seq("en"),
+      minChars: Int = 50,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery = {
+    val docSchema = StructType(
+      Seq(StructField("lang", StringType), StructField("text", StringType))
+    )
+    val curated = spark.readStream
+      .format("graft")
+      .load(peerDir)
+      .select(
+        col("value"),
+        from_json(col("value").cast("string"), docSchema).as("doc")
+      )
+      .filter(
+        col("doc.lang").isin(langs.map(x => x: Any): _*) &&
+          length(trim(col("doc.text"))) >= minChars
+      )
+      .withColumn("text_hash", md5(lower(trim(col("doc.text")))))
+      .dropDuplicates("text_hash")
+      .select(col("value"))
+    ingest(
+      curated,
+      checkpoint,
+      trigger,
+      sourceName = s"curate-${java.lang.Integer.toHexString(peerDir.hashCode)}"
     )
   }
 

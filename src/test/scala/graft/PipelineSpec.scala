@@ -66,4 +66,42 @@ class PipelineSpec extends AnyFunSuite {
       assert(n2 == Seq(3, 3), s"second window must absorb the tailed append: $n2")
     } finally q.stop()
   }
+
+  test("streaming curation: raw log → gates → cross-batch dedup → curated log") {
+    val raw = SparkLog(spark, TestSpark.tempDir("curate-raw"), LogConfig())
+    def doc(lang: String, text: String): Array[Byte] =
+      s"""{"lang":"$lang","text":"$text"}""".getBytes
+    val filler = "spark shuffles the corpus while the corpus shuffles back "
+    raw.append(
+      Seq(
+        doc("en", "too short"),            // fails the length gate
+        doc("de", filler + "germanisch"),  // fails the language allowlist
+        doc("en", filler + "one"),         // kept
+        doc("en", filler + "one"),         // exact dup, same batch
+        doc("en", filler + "two")          // kept
+      )
+    )
+
+    val engine = Engine(spark, TestSpark.tempDir("curate-out"))
+    val q = engine.curateFrom(raw.dir, TestSpark.tempDir("curate-ckpt"))
+    def curatedTexts(): Set[String] =
+      engine.toDF
+        .collect()
+        .map(r => new String(r.getAs[Array[Byte]]("value")))
+        .toSet
+    try {
+      q.processAllAvailable()
+      assert(curatedTexts() == Set(doc("en", filler + "one"), doc("en", filler + "two")).map(new String(_)))
+
+      // A later batch re-sends "one" (cross-batch duplicate — the dedup
+      // state must remember it) plus one genuinely new document.
+      raw.append(Seq(doc("en", filler + "one"), doc("en", filler + "three")))
+      q.processAllAvailable()
+      assert(
+        curatedTexts() == Set("one", "two", "three").map(s => new String(doc("en", filler + s))),
+        "cross-batch duplicate leaked into the curated corpus"
+      )
+      assert(engine.log.highestOffset == 2)
+    } finally q.stop()
+  }
 }

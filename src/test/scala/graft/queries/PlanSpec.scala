@@ -61,4 +61,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!scan.contains("l_comment") && !scan.contains("l_shipmode"),
       s"scan reads pruned columns:\n$scan")
   }
+
+  test("runtime bloom filter reaches the fact scan for selective joins") {
+    // At production scale Spark injects a bloom filter from a selective
+    // build side into the fact-table scan (runtime row-group skipping on
+    // the join key — the shuffle-side complement of static pushdown). The
+    // default size thresholds (10 MB build / 10 GB probe) are tuned for
+    // clusters, so lower them to exercise the mechanism at test scale.
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // Creation side must be SMALLER than this bound; probe side LARGER
+      // than its bound — widen both so test-scale tables qualify.
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // Injection targets shuffled joins (a broadcast probe never shuffles,
+      // so there is nothing to pre-filter) — force the SMJ shape a
+      // fact⋈fact join has at scale.
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    )
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val orders = graft.queries.Q.t(spark, d, "orders").filter(col("o_totalprice") > 500000.0)
+      val joined = graft.queries.Q
+        .t(spark, d, "lineitem")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(
+        p.contains("might_contain") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected on the fact side:\n$p"
+      )
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
