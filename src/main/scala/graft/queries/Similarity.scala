@@ -74,6 +74,75 @@ object Similarity {
       """)
     ),
 
+    // --- scalar-quantized ANN: int8 candidate generation + exact re-rank ---
+    // The memory-bandwidth scale path: candidates rank by an INTEGER dot
+    // product over symmetric-int8 codes (4× smaller vectors, exact
+    // arithmetic → exact oracle, unlike the seeded/bucketed variants), then
+    // only the top candidates pay the full-precision cosine. Quantization
+    // preserves direction (unlike bucketing), so recall survives even on
+    // near-random embeddings where LSH/IVF recall collapses.
+    Q(
+      "knn_quantized",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), dbl(col("embedding")).as("v"))
+          .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+          .filter(col("amax") > 0)
+          .withColumn("scale", lit(127.0) / col("amax"))
+          .withColumn("q8", transform(col("v"), x => round(x * col("scale")).cast("long")))
+          .drop("amax", "scale")
+        val qs = e
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("q8").as("qq"))
+        val wCand = Window.partitionBy("qid").orderBy(desc("idot"), asc("vec_id"))
+        val wFinal = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+        e.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .withColumn(
+            "idot",
+            expr("aggregate(zip_with(q8, qq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          )
+          .withColumn("crank", row_number().over(wCand))
+          .filter(col("crank") <= 32)
+          .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
+          .withColumn("rank", row_number().over(wFinal))
+          .filter(col("rank") <= 5)
+          .select("qid", "vec_id", "rank", "cos")
+          .orderBy("qid", "rank")
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+          FROM embeddings),
+        q8 AS (
+          SELECT vec_id, e,
+                 list_transform(e, x -> CAST(round(x * (127.0 / amax)) AS BIGINT)) AS q
+          FROM v WHERE amax > 0),
+        qs AS (SELECT vec_id AS qid, e AS qe, q AS qq FROM q8 WHERE vec_id < 8),
+        scored AS (
+          SELECT qs.qid, q8.vec_id, q8.e, qs.qe,
+                 CAST(list_dot_product(
+                        list_transform(q8.q, x -> CAST(x AS DOUBLE)),
+                        list_transform(qs.qq, x -> CAST(x AS DOUBLE))) AS BIGINT) AS idot
+          FROM q8 CROSS JOIN qs WHERE q8.vec_id <> qs.qid),
+        cand AS (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY idot DESC, vec_id ASC) AS crank
+          FROM scored),
+        rer AS (
+          SELECT qid, vec_id,
+                 round(list_dot_product(qe, e) /
+                       sqrt(list_dot_product(qe, qe) * list_dot_product(e, e)), 6) AS cos
+          FROM cand WHERE crank <= 32),
+        fin AS (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM rer)
+        SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM fin WHERE rank <= 5 ORDER BY qid, rank
+      """)
+    ),
+
     // --- LSH-bucketed ANN: sign random projection with deterministic planes ---
     Q(
       "knn_lsh",
