@@ -18,6 +18,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
   *     stat                   lowest/highest offset + segment count
   *     servers                cluster topology
   *     truncate <lowest>      drop whole segments at or below <lowest>
+  *     compact [targetBytes]  merge adjacent small sealed segments
   *     replicate <peerDir> <checkpointDir>
   *                            catch-up pull replication from a peer log
   *                            (exactly-once; resumes from the checkpoint)
@@ -26,7 +27,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] (produce <v>... | consume <off> | stat | servers | truncate <low> | replicate <peerDir> <ckptDir>)"
+      "usage: graft.Main --data-dir DIR [--subject S] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | replicate <peerDir> <ckptDir>)"
     )
     sys.exit(2)
   }
@@ -79,6 +80,13 @@ object Main {
         case "truncate" :: low :: Nil =>
           engine.log.truncate(low.toLong)
           println(s"truncated below ${low.toLong}; lowest now ${engine.log.lowestOffset}")
+        case "compact" :: restArgs if restArgs.length <= 1 =>
+          val before = engine.log.segmentCount
+          restArgs.headOption match {
+            case Some(b) => engine.log.compact(b.toLong)
+            case None    => engine.log.compact()
+          }
+          println(s"compacted: ${before} -> ${engine.log.segmentCount} segments")
         case "replicate" :: peer :: ckpt :: Nil =>
           val q = engine.replicateFrom(
             peer,

@@ -62,6 +62,43 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads pruned columns:\n$scan")
   }
 
+  test("AQE splits skewed join partitions (automatic complement of manual salting)") {
+    // q_salted_agg/q_salted_join are the MANUAL skew answer (deterministic,
+    // oracle-checkable). This guard proves the automatic one stays armed:
+    // with a 90%-hot key, adaptive execution must re-plan the sort-merge
+    // join with skew=true (hot partition split across tasks). Thresholds
+    // are lowered to make test-scale partitions count as skewed.
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val conf = spark.conf
+    val overrides = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    )
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    overrides.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val big = spark
+        .range(200000)
+        .select(when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("k"), col("id").as("payload"))
+      val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("attr"))
+      val joined = big.join(dim, "k")
+      // Execute THIS DataFrame's plan (count() would build its own
+      // QueryExecution and leave `joined`'s adaptive plan unfinalized).
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+      assert(p.contains("skew=true"), s"skewed partition was not split:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter reaches the fact scan for selective joins") {
     // At production scale Spark injects a bloom filter from a selective
     // build side into the fact-table scan (runtime row-group skipping on
