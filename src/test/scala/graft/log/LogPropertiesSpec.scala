@@ -65,4 +65,29 @@ class LogPropertiesSpec extends AnyFunSuite {
       if (low > 0) intercept[OffsetOutOfRangeException](log.read(low - 1))
     }
   }
+
+  test("NIO and Hadoop backends agree on any batch sequence (file:// twin)") {
+    // The same random op sequence against a plain-path log and a file://
+    // URI log (which routes every byte through HadoopLogFs) must produce
+    // identical observable state — offsets, round-trips, layout counts,
+    // and full content.
+    cases(batchesGen, 3).foreach { batches =>
+      val cfg = LogConfig(maxStoreBytes = 96)
+      val nio = SparkLog(spark, TestSpark.tempDir("prop-agree-nio"), cfg)
+      val had = SparkLog(spark, "file://" + TestSpark.tempDir("prop-agree-hfs"), cfg)
+      batches.foreach { batch =>
+        val bytes = batch.map(_.getBytes("UTF-8"))
+        assert(nio.append(bytes) == had.append(bytes))
+      }
+      assert(nio.highestOffset == had.highestOffset)
+      assert(nio.segmentCount == had.segmentCount)
+      val n = nio.highestOffset
+      Seq(0L, n / 2, n).distinct.foreach { i =>
+        assert(java.util.Arrays.equals(nio.read(i).value, had.read(i).value), s"offset $i")
+      }
+      val a = nio.toDF.select("offset", "value").collect().map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1)))).sortBy(_._1)
+      val b = had.toDF.select("offset", "value").collect().map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1)))).sortBy(_._1)
+      assert(a.toSeq == b.toSeq)
+    }
+  }
 }
