@@ -86,11 +86,23 @@ class GraftScanBuilder(
     maxPerBatch: Option[Long] = None
 ) extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var pushed = Array.empty[Filter]
   private var requiredSchema: StructType = LogRecord.schema
+  private var limit: Option[Int] = None
+
+  /** Limit pushdown reaches PARTITION PLANNING: ranged part names carry
+    * exact record counts (offsets are contiguous within a part), so
+    * planning stops as soon as the planned files provably cover the limit
+    * — a `limit(10)` on a million-file log plans one partition. Reported
+    * as partially pushed: Spark keeps its own Limit operator, we just
+    * avoid planning (and opening) files that cannot contribute.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands us the post-projection schema; empty (count(*)-style)
@@ -131,7 +143,8 @@ class GraftScanBuilder(
       startOffset.map(math.max(_, lo)).getOrElse(lo),
       hi,
       requiredSchema,
-      maxPerBatch
+      maxPerBatch,
+      limit
     )
 }
 
@@ -147,7 +160,8 @@ class GraftScan(
     lo0: Long,
     hi0: Long,
     schema: StructType = LogRecord.schema,
-    maxPerBatch: Option[Long] = None
+    maxPerBatch: Option[Long] = None,
+    limit: Option[Int] = None
 ) extends Scan
     with SupportsReportStatistics
     with SupportsRuntimeFiltering {
@@ -214,7 +228,7 @@ class GraftScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      GraftPlanning.partitionsFor(dir, lo, hi)
+      GraftPlanning.partitionsFor(dir, lo, hi, limit)
     override def createReaderFactory(): PartitionReaderFactory =
       GraftReaderFactory(schema.fieldNames)
   }
@@ -232,12 +246,17 @@ class GraftScan(
   * files ∩ [lo,hi].
   */
 object GraftPlanning {
-  def partitionsFor(dir: String, lo: Long, hi: Long): Array[InputPartition] = {
+  def partitionsFor(
+      dir: String,
+      lo: Long,
+      hi: Long,
+      limit: Option[Int] = None
+  ): Array[InputPartition] = {
     if (lo > hi) return Array.empty
     val manifest = LogManifest.read(dir).getOrElse(return Array.empty)
     val ranged = ParquetPointReader.RangedName
     val fs = LogFs.forPath(dir)
-    manifest.segments.iterator
+    val all = manifest.segments.iterator
       .filter(s => s.next > lo && s.base <= hi)
       .flatMap { s =>
         val segDir = fs.child(dir, s"segment=${s.base}")
@@ -252,7 +271,27 @@ object GraftPlanning {
           .map(p => GraftInputPartition(dir, p, lo, hi): InputPartition)
           .iterator
       }
-      .toArray
+    limit match {
+      case None => all.toArray
+      case Some(n) =>
+        // Early-stop planning once the planned files PROVABLY cover the
+        // limit. Offsets are contiguous within a ranged part, so its
+        // overlap with [lo, hi] is an exact record count; unranged files
+        // count as zero (pessimistic — never stops too early).
+        var covered = 0L
+        val out = Array.newBuilder[InputPartition]
+        while (all.hasNext && covered < n) {
+          val p = all.next()
+          out += p
+          val ip = p.asInstanceOf[GraftInputPartition]
+          fs.fileName(ip.file) match {
+            case ranged(mn, mx) =>
+              covered += math.min(hi, mx.toLong) - math.max(lo, mn.toLong) + 1
+            case _ => ()
+          }
+        }
+        out.result()
+    }
   }
 }
 

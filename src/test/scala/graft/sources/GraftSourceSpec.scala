@@ -37,6 +37,20 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(range.select("offset").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L, 7L, 8L))
   }
 
+  test("limit pushdown stops partition planning early") {
+    val log = newLog(20) // 96-byte cap → several part files
+    val limited = spark.read.format("graft").load(log.dir).limit(3)
+    // Ranged part names give exact per-file record counts, so planning
+    // stops at the first file(s) that provably cover the limit.
+    assert(limited.rdd.getNumPartitions < spark.read.format("graft").load(log.dir).rdd.getNumPartitions)
+    assert(limited.count() == 3)
+    // Direct planning check: 3 rows fit in the first part file.
+    val planned = GraftPlanning.partitionsFor(log.dir, Long.MinValue, Long.MaxValue, Some(3))
+    assert(planned.length == 1, s"expected 1 planned partition, got ${planned.length}")
+    // Limit larger than the log: planning covers everything, count unharmed.
+    assert(spark.read.format("graft").load(log.dir).limit(100).count() == 20)
+  }
+
   test("tail(from) starts at the requested offset - no full-log replay in batch 1") {
     val log = newLog(30)
     val q = log
