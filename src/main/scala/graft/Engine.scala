@@ -73,7 +73,7 @@ class Engine(
       reader.load(peerDir).select(col("value")),
       checkpoint,
       trigger,
-      sourceName = s"replicate-${java.lang.Integer.toHexString(peerDir.hashCode)}"
+      sourceName = s"replicate-${Engine.tokenSafe(peerDir)}"
     )
   }
 
@@ -121,7 +121,7 @@ class Engine(
       curated,
       checkpoint,
       trigger,
-      sourceName = s"curate-${java.lang.Integer.toHexString(peerDir.hashCode)}"
+      sourceName = s"curate-${Engine.tokenSafe(peerDir)}"
     )
   }
 
@@ -145,4 +145,20 @@ class Engine(
 
 object Engine {
   def apply(spark: SparkSession, dataDir: String): Engine = new Engine(spark, dataDir)
+
+  /** Collision-free idempotence-token namespace for a peer directory: the
+    * sanitized path keeps tokens readable, the md5 suffix disambiguates
+    * paths that sanitize identically (a bare 32-bit hashCode could collide
+    * across peers, silently cross-wiring their exactly-once bookkeeping).
+    */
+  private[graft] def tokenSafe(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9_.-]", "_").takeRight(48)
+    val digest = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(6)
+      .map(b => f"$b%02x")
+      .mkString
+    s"$safe-$digest"
+  }
 }

@@ -175,9 +175,14 @@ object LogManifest {
     */
   def listSegmentBases(dir: String): Vector[Long] = {
     val fs = LogFs.forPath(dir)
+    // Name-shape filtering only: `segment=<digits>` children are only ever
+    // created as directories, and a per-child isDir probe would cost one
+    // extra round-trip per segment on object stores (N+1 on the recovery
+    // path).
     fs.list(dir)
-      .filter(p => fs.fileName(p).startsWith("segment=") && fs.isDir(p))
-      .map(p => fs.fileName(p).stripPrefix("segment=").toLong)
+      .map(fs.fileName)
+      .filter(n => n.startsWith("segment=") && n.stripPrefix("segment=").forall(_.isDigit) && n.length > 8)
+      .map(_.stripPrefix("segment=").toLong)
       .sorted
   }
 }

@@ -541,7 +541,14 @@ class SparkLog(
     }
     val extra = unknown.map(rebuildSegmentMeta)
     val segs = (fixedTail ++ extra).sortBy(_.base)
-    val m2 = LogManifest(segs, math.max(m.nextOffset, segs.lastOption.map(_.next).getOrElse(m.nextOffset)))
+    // Tokens ride along: dropping them here would re-enable duplicate
+    // application of an already-committed streaming batch after a crash —
+    // exactly the window the tokens exist to close.
+    val m2 = LogManifest(
+      segs,
+      math.max(m.nextOffset, segs.lastOption.map(_.next).getOrElse(m.nextOffset)),
+      m.tokens
+    )
     LogManifest.write(dir, m2)
     m2
   }

@@ -115,6 +115,34 @@ class HadoopFsLogSpec extends AnyFunSuite {
     assert(log.highestOffset == 7)
   }
 
+  test("backend migration round-trips preserve manifest state and tokens") {
+    val local = TestSpark.tempDir("hfs-migrate")
+    val session = spark
+    import session.implicits._
+
+    // NIO phase: data plus an idempotence token in the manifest.
+    val nio1 = SparkLog(spark, local)
+    nio1.appendDF(Seq("a", "b").map(_.getBytes).toDF("value"), Some("src" -> 5L))
+
+    // Hadoop phase: same dir as file:// — token visible, append goes
+    // through the versioned protocol (which also retires the legacy file).
+    val had = SparkLog(spark, "file://" + local)
+    assert(had.currentManifest.tokens.get("src").contains(5L))
+    had.appendOne("c".getBytes)
+
+    // Back to the plain path: NIO must read the VERSIONED manifest (no
+    // token-dropping rebuild) and its next write must prune the versioned
+    // copies so a later scheme-addressed open can't read them stale.
+    val nio2 = SparkLog(spark, local)
+    assert(nio2.highestOffset == 2, "NIO reopen missed the Hadoop-written manifest")
+    assert(nio2.currentManifest.tokens.get("src").contains(5L), "token lost in migration")
+    nio2.appendOne("d".getBytes)
+
+    val had2 = SparkLog(spark, "file://" + local)
+    assert(had2.highestOffset == 3, "Hadoop reopen read a stale versioned manifest")
+    assert(new String(had2.read(3).value) == "d")
+  }
+
   test("streaming tail over file:// (manifest-cursor micro-batches)") {
     val dir = uriDir("hfs-tail")
     val log = SparkLog(spark, dir)
