@@ -815,6 +815,37 @@ object Relational {
       """)
     ),
 
+    // --- boundary window values: first/last/nth over an unbounded frame ---
+    Q(
+      "q_window_firstlast",
+      (s, d) => {
+        val w = Window
+          .partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders")
+          .filter(col("o_custkey") < 40)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            first("o_totalprice").over(w).as("first_price"),
+            last("o_totalprice").over(w).as("last_price"),
+            nth_value(col("o_totalprice"), 2).over(w).as("second_price")
+          )
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER w AS last_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders WHERE o_custkey < 40
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey
+      """)
+    ),
+
     // --- ordered string aggregation ---
     Q(
       "q_string_agg",
