@@ -37,6 +37,24 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(range.select("offset").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L, 7L, 8L))
   }
 
+  test("the log registers as a SQL catalog table (CREATE TABLE USING graft)") {
+    val log = newLog(12)
+    spark.sql(s"CREATE TABLE graft_ddl USING graft OPTIONS (path '${log.dir}')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_ddl").head().getLong(0) == 12)
+      assert(
+        spark
+          .sql("SELECT cast(value AS STRING) v FROM graft_ddl WHERE offset = 7")
+          .head()
+          .getString(0) == "rec-7"
+      )
+      // Appends are visible to the catalog table (planning re-reads the
+      // manifest — no cached file listing).
+      log.append(Seq("rec-12".getBytes))
+      assert(spark.sql("SELECT count(*) FROM graft_ddl").head().getLong(0) == 13)
+    } finally spark.sql("DROP TABLE graft_ddl")
+  }
+
   test("limit pushdown stops partition planning early") {
     val log = newLog(20) // 96-byte cap → several part files
     val limited = spark.read.format("graft").load(log.dir).limit(3)
