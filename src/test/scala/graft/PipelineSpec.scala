@@ -104,4 +104,33 @@ class PipelineSpec extends AnyFunSuite {
       assert(engine.log.highestOffset == 2)
     } finally q.stop()
   }
+
+  test("curation dedup state survives a query restart (checkpoint recovery)") {
+    val raw = SparkLog(spark, TestSpark.tempDir("curate2-raw"), LogConfig())
+    def doc(text: String): Array[Byte] = s"""{"lang":"en","text":"$text"}""".getBytes
+    val filler = "the corpus remembers what the corpus has seen before it "
+    raw.append(Seq(doc(filler + "alpha"), doc(filler + "beta")))
+
+    val engine = Engine(spark, TestSpark.tempDir("curate2-out"))
+    val ckpt = TestSpark.tempDir("curate2-ckpt")
+    val q1 = engine.curateFrom(raw.dir, ckpt)
+    try {
+      q1.processAllAvailable()
+      assert(engine.log.highestOffset == 1)
+    } finally q1.stop()
+
+    // New query, same checkpoint: the dropDuplicates state store recovers,
+    // so a re-sent "alpha" is still a duplicate while "gamma" lands —
+    // exactly-once curation across restarts, not just across batches.
+    raw.append(Seq(doc(filler + "alpha"), doc(filler + "gamma")))
+    val q2 = engine.curateFrom(raw.dir, ckpt)
+    try {
+      q2.processAllAvailable()
+      val texts = engine.toDF
+        .collect()
+        .map(r => new String(r.getAs[Array[Byte]]("value")))
+        .toSet
+      assert(texts == Set("alpha", "beta", "gamma").map(s => new String(doc(filler + s))))
+    } finally q2.stop()
+  }
 }
