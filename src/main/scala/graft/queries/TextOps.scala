@@ -248,15 +248,18 @@ object TextOps {
     // --- modern aggregates: max_by/min_by, count_if, bool_and/bool_or ---
     // The arg-extreme score folds doc_id into the low digits so ties on
     // n_chars break deterministically in both engines (max_by's tie choice
-    // is otherwise engine-defined).
+    // is otherwise engine-defined; neither engine accepts a struct score).
+    // Collision-free while doc_id < 1e10 (10 B docs) and n_chars < 9e8 —
+    // both orders of magnitude past any shipped corpus; the product stays
+    // inside int64.
     Q(
       "q_arg_extremes",
       (s, d) => {
         t(s, d, "documents")
           .groupBy("lang")
           .agg(
-            expr("max_by(doc_id, n_chars * 100000 + doc_id)").as("longest_doc"),
-            expr("min_by(doc_id, n_chars * 100000 + doc_id)").as("shortest_doc"),
+            expr("max_by(doc_id, n_chars * 10000000000 + doc_id)").as("longest_doc"),
+            expr("min_by(doc_id, n_chars * 10000000000 + doc_id)").as("shortest_doc"),
             expr("count_if(n_chars >= 400)").as("n_long"),
             expr("bool_and(n_chars > 10)").as("all_nontrivial"),
             expr("bool_or(n_chars > 2000)").as("any_huge")
@@ -265,8 +268,8 @@ object TextOps {
       },
       Some("""
         SELECT lang,
-               max_by(doc_id, n_chars * 100000 + doc_id) AS longest_doc,
-               min_by(doc_id, n_chars * 100000 + doc_id) AS shortest_doc,
+               max_by(doc_id, n_chars * 10000000000 + doc_id) AS longest_doc,
+               min_by(doc_id, n_chars * 10000000000 + doc_id) AS shortest_doc,
                CAST(count_if(n_chars >= 400) AS BIGINT) AS n_long,
                bool_and(n_chars > 10) AS all_nontrivial,
                bool_or(n_chars > 2000) AS any_huge

@@ -124,22 +124,28 @@ class HadoopFsLogSpec extends AnyFunSuite {
     val nio1 = SparkLog(spark, local)
     nio1.appendDF(Seq("a", "b").map(_.getBytes).toDF("value"), Some("src" -> 5L))
 
-    // Hadoop phase: same dir as file:// — token visible, append goes
-    // through the versioned protocol (which also retires the legacy file).
+    // Hadoop phase: same dir as file:// — token visible, and the token
+    // ADVANCES in this phase (the regression shape: a later phase must
+    // never resurrect an older epoch from a stale representation).
     val had = SparkLog(spark, "file://" + local)
     assert(had.currentManifest.tokens.get("src").contains(5L))
-    had.appendOne("c".getBytes)
+    had.appendDF(Seq("c").map(_.getBytes).toDF("value"), Some("src" -> 6L))
 
-    // Back to the plain path: NIO must read the VERSIONED manifest (no
-    // token-dropping rebuild) and its next write must prune the versioned
-    // copies so a later scheme-addressed open can't read them stale.
+    // Back to the plain path: newest (versioned) manifest wins, token 6
+    // intact; advance again through NIO.
     val nio2 = SparkLog(spark, local)
     assert(nio2.highestOffset == 2, "NIO reopen missed the Hadoop-written manifest")
-    assert(nio2.currentManifest.tokens.get("src").contains(5L), "token lost in migration")
-    nio2.appendOne("d".getBytes)
+    assert(nio2.currentManifest.tokens.get("src").contains(6L), "token lost in migration")
+    nio2.appendDF(Seq("d").map(_.getBytes).toDF("value"), Some("src" -> 7L))
 
+    // Hadoop once more: must see token 7 (both backends share ONE
+    // monotonic version sequence — no cross-backend staleness), and the
+    // exactly-once guard must still reject the replayed epoch.
     val had2 = SparkLog(spark, "file://" + local)
     assert(had2.highestOffset == 3, "Hadoop reopen read a stale versioned manifest")
+    assert(had2.currentManifest.tokens.get("src").contains(7L), "stale token resurrected")
+    val (_, n) = had2.appendDF(Seq("d-again").map(_.getBytes).toDF("value"), Some("src" -> 7L))
+    assert(n == 0L, "replayed epoch was re-applied after migration")
     assert(new String(had2.read(3).value) == "d")
   }
 

@@ -67,7 +67,14 @@ class SparkLogSpec extends AnyFunSuite {
     val dir = TestSpark.tempDir("log-recover")
     val log = SparkLog(spark, dir, tinyConfig)
     (0 until 4).foreach(i => log.appendOne(s"v$i".getBytes))
-    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_manifest.json"))
+    // Remove every manifest representation (versioned + legacy).
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try
+      listing.iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.startsWith("_manifest.json"))
+          java.nio.file.Files.delete(p)
+      }
+    finally listing.close()
 
     val recovered = SparkLog(spark, dir, tinyConfig)
     assert(recovered.lowestOffset == 0)
