@@ -401,12 +401,20 @@ class SparkLog(
       val lo = r.head.base
       val records = r.map(_.records).sum
       val staging = stagingDir()
+      // Parallel rewrite: range-partition on offset so every task writes a
+      // DISJOINT contiguous offset span (sorted within its partition) — the
+      // ranged part names stay non-overlapping, which is all point reads
+      // and scan planning require. A coalesce(1) would funnel the whole
+      // merged segment through one task: fine for kilobytes, unusable for
+      // a multi-TB compaction.
+      val nParts = math.max(1L, (records + config.maxRecordsPerSegment - 1) /
+        config.maxRecordsPerSegment).toInt
       spark.read
         .schema(LogRecord.schema)
         .parquet(r.map(s => segmentPath(s.base)): _*)
         .as[LogRecord]
-        .orderBy("offset")
-        .coalesce(1)
+        .repartitionByRange(nParts, col("offset"))
+        .sortWithinPartitions("offset")
         .write
         .option("maxRecordsPerFile", config.maxRecordsPerSegment)
         .parquet(staging)

@@ -204,6 +204,39 @@ class SparkLogSpec extends AnyFunSuite {
     assert(reopened.appendOne("post-compact".getBytes) == 10)
   }
 
+  test("compact writes the merged segment in parallel with disjoint ranged parts") {
+    val dir = TestSpark.tempDir("log-compact-par")
+    val log = SparkLog(spark, dir, LogConfig(maxStoreBytes = 48, maxRecordsPerSegment = 3))
+    log.append((0 until 12).map(i => s"rec-$i".getBytes))
+    val before = log.segmentCount
+    log.compact(targetBytes = Long.MaxValue)
+    assert(log.segmentCount < before)
+
+    // The merged segment is written by multiple range-partitioned tasks:
+    // several part files whose offset ranges are disjoint and contiguous.
+    val lo = log.currentManifest.segments.head.base
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir, s"segment=$lo"))
+    val ranges =
+      try {
+        import scala.jdk.CollectionConverters._
+        listing
+          .iterator()
+          .asScala
+          .map(_.getFileName.toString)
+          .collect { case ParquetPointReader.RangedName(mn, mx) => (mn.toLong, mx.toLong) }
+          .toVector
+          .sorted
+      } finally listing.close()
+    assert(ranges.size > 1, s"expected a multi-file merged segment, got $ranges")
+    ranges.sliding(2).foreach {
+      case Vector((_, aHi), (bLo, _)) => assert(bLo == aHi + 1, s"ranges not contiguous: $ranges")
+      case _                          => ()
+    }
+
+    (0 until 12).foreach(i => assert(new String(log.read(i.toLong).value) == s"rec-$i"))
+    assert(spark.read.format("graft").load(dir).count() >= 12)
+  }
+
   test("compact leaves the unsealed tail segment alone") {
     val log = SparkLog(spark, TestSpark.tempDir("log-compact2"), LogConfig(maxStoreBytes = 1024 * 1024))
     log.append((0 until 5).map(i => s"t$i".getBytes)) // single unsealed segment
