@@ -68,8 +68,12 @@ class PlanSpec extends AnyFunSuite {
     // with a 90%-hot key, adaptive execution must re-plan the sort-merge
     // join with skew=true (hot partition split across tasks). Thresholds
     // are lowered to make test-scale partitions count as skewed.
+    // newSession(): suites run in parallel against one shared SparkSession,
+    // so these conf overrides must live in an isolated SQLConf — mutating
+    // the shared one races concurrently-planning suites.
     import org.apache.spark.sql.functions.{col, lit, when}
-    val conf = spark.conf
+    val session = spark.newSession()
+    val conf = session.conf
     val overrides = Seq(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
@@ -79,24 +83,18 @@ class PlanSpec extends AnyFunSuite {
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1"
     )
-    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
     overrides.foreach { case (k, v) => conf.set(k, v) }
-    try {
-      val big = spark
-        .range(200000)
-        .select(when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("k"), col("id").as("payload"))
-      val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("attr"))
-      val joined = big.join(dim, "k")
-      // Execute THIS DataFrame's plan (count() would build its own
-      // QueryExecution and leave `joined`'s adaptive plan unfinalized).
-      joined.collect()
-      val p = joined.queryExecution.executedPlan.toString
-      assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
-      assert(p.contains("skew=true"), s"skewed partition was not split:\n$p")
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None)    => conf.unset(k)
-    }
+    val big = session
+      .range(200000)
+      .select(when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("k"), col("id").as("payload"))
+    val dim = session.range(1000).select(col("id").as("k"), (col("id") * 2).as("attr"))
+    val joined = big.join(dim, "k")
+    // Execute THIS DataFrame's plan (count() would build its own
+    // QueryExecution and leave `joined`'s adaptive plan unfinalized).
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+    assert(p.contains("skew=true"), s"skewed partition was not split:\n$p")
   }
 
   test("runtime bloom filter reaches the fact scan for selective joins") {
@@ -105,8 +103,10 @@ class PlanSpec extends AnyFunSuite {
     // the join key — the shuffle-side complement of static pushdown). The
     // default size thresholds (10 MB build / 10 GB probe) are tuned for
     // clusters, so lower them to exercise the mechanism at test scale.
+    // newSession(): isolated SQLConf — see the skew test above.
     import org.apache.spark.sql.functions.col
-    val conf = spark.conf
+    val session = spark.newSession()
+    val conf = session.conf
     val overrides = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       // Creation side must be SMALLER than this bound; probe side LARGER
@@ -118,22 +118,18 @@ class PlanSpec extends AnyFunSuite {
       // fact⋈fact join has at scale.
       "spark.sql.autoBroadcastJoinThreshold" -> "-1"
     )
-    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
     overrides.foreach { case (k, v) => conf.set(k, v) }
-    try {
-      val orders = graft.queries.Q.t(spark, d, "orders").filter(col("o_totalprice") > 500000.0)
-      val joined = graft.queries.Q
-        .t(spark, d, "lineitem")
-        .join(orders, col("l_orderkey") === col("o_orderkey"))
-        .select("l_orderkey", "l_quantity", "o_totalprice")
-      val p = joined.queryExecution.executedPlan.toString
-      assert(
-        p.contains("might_contain") || p.contains("BloomFilter"),
-        s"no runtime bloom filter injected on the fact side:\n$p"
-      )
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None)    => conf.unset(k)
-    }
+    // Load through the ISOLATED session — a DataFrame plans under the
+    // session it was created from.
+    val orders = graft.queries.Q.t(session, d, "orders").filter(col("o_totalprice") > 500000.0)
+    val joined = graft.queries.Q
+      .t(session, d, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_quantity", "o_totalprice")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(
+      p.contains("might_contain") || p.contains("BloomFilter"),
+      s"no runtime bloom filter injected on the fact side:\n$p"
+    )
   }
 }
