@@ -861,6 +861,66 @@ object Relational {
       """)
     ),
 
+    // --- statistical aggregates from exact integer moments ---
+    // stddev/variance/corr computed the scale-safe way: the AGGREGATION is
+    // exact BIGINT moment sums (partial-aggregable, partition-order
+    // independent — where built-in stddev/corr merge float state and drift
+    // in the low bits between engines), and the floating point happens once
+    // per group in an expression tree mirrored verbatim in the oracle
+    // (IEEE ops incl. correctly-rounded sqrt ⇒ bit-identical).
+    Q(
+      "q_stats_moments",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(
+            col("l_returnflag"),
+            col("l_quantity").cast("long").as("q"),
+            col("l_linenumber").cast("long").as("l")
+          )
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("q")).as("sq"),
+            sum(col("q") * col("q")).as("sq2"),
+            sum(col("l")).as("sl"),
+            sum(col("l") * col("l")).as("sl2"),
+            sum(col("q") * col("l")).as("sxy")
+          )
+          .select(
+            col("l_returnflag"),
+            col("n"),
+            expr("""round((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)""").as("var_qty"),
+            expr("""round(sqrt((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)""").as("stddev_qty"),
+            expr("""round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sl AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(sl2 AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))), 6)""")
+              .as("corr_qty_line")
+          )
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+                 CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq2,
+                 CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sl,
+                 CAST(sum(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sl2,
+                 CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS var_qty,
+               round(sqrt((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS stddev_qty,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sl AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sl2 AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))), 6) AS corr_qty_line
+        FROM m ORDER BY l_returnflag
+      """)
+    ),
+
     // --- percentiles (linear interpolation) ---
     Q(
       "q_percentiles",
