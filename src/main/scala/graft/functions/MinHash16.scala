@@ -18,13 +18,16 @@ import org.apache.spark.sql.types._
   * Like [[SimHash60]], this replaces an explode × 16 shuffle-aggregate
   * formulation with one fused per-row pass inside whole-stage codegen.
   *
-  * An empty token array yields the `Long.MaxValue` sentinel in every slot
-  * (SQL `min()` over an empty group would give NULL) — callers hashing
-  * possibly-empty docs should filter first.
+  * An empty (or all-null) token array yields NULL — the same value the SQL
+  * twin's per-function `min()` over zero rows produces.
   */
 case class MinHash16(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // Null even for a non-null child: an all-null / empty token array hashes
+  // nothing, matching the SQL twin where min() over zero rows is NULL.
+  override def nullable: Boolean = true
 
   override def prettyName: String = "minhash16"
 
@@ -35,7 +38,15 @@ case class MinHash16(child: Expression) extends UnaryExpression {
     MinHash16.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash16.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sig")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.MinHash16.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -50,14 +61,18 @@ object MinHash16 {
 
   /** Called from both interpreted eval and generated code. Null tokens are
     * skipped — in the SQL twin `md5(NULL)` is NULL and drops out of the
-    * per-function `min()` the same way.
+    * per-function `min()` the same way. When NO non-null token was hashed
+    * the result is null, matching min() over zero rows yielding NULL
+    * (rather than a silent all-Long.MaxValue sentinel signature).
     */
   def compute(tokens: ArrayData): ArrayData = {
     val mins = Array.fill(K)(Long.MaxValue)
     val n = tokens.numElements()
+    var any = false
     var t = 0
     while (t < n) {
       if (!tokens.isNullAt(t)) {
+        any = true
         val h = TokenHash.hash60(tokens.getUTF8String(t)) % P
         var i = 0
         while (i < K) {
@@ -68,6 +83,7 @@ object MinHash16 {
       }
       t += 1
     }
+    if (!any) return null
     new GenericArrayData(mins)
   }
 }

@@ -23,6 +23,11 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // Null even for a non-null child: an all-null / empty token array has no
+  // votes, matching the SQL twin where the per-bit aggregate over zero rows
+  // is NULL (md5(NULL) drops every token out).
+  override def nullable: Boolean = true
+
   override def prettyName: String = "simhash60"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -32,7 +37,14 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     SimHash60.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash60.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sim")
+      s"""
+         |java.lang.Long $tmp = graft.functions.SimHash60.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -74,15 +86,19 @@ object SimHash60 {
 
   /** Called from both interpreted eval and generated code. Null tokens are
     * skipped — in the SQL twin `md5(NULL)` is NULL and drops out of the
-    * per-bit vote aggregate the same way.
+    * per-bit vote aggregate the same way. When NO non-null token remains
+    * the result is null (boxed), matching the SQL aggregate over zero rows
+    * yielding NULL rather than an arbitrary all-zero fingerprint.
     */
-  def compute(tokens: ArrayData): Long = {
+  def compute(tokens: ArrayData): java.lang.Long = {
     val votes = new Array[Int](60)
     val n = tokens.numElements()
+    var any = false
     var t = 0
     while (t < n) {
       if (tokens.isNullAt(t)) { t += 1 }
       else {
+      any = true
       val h = TokenHash.hash60(tokens.getUTF8String(t))
       var b = 0
       while (b < 60) {
@@ -92,12 +108,13 @@ object SimHash60 {
       t += 1
       }
     }
+    if (!any) return null
     var sim = 0L
     var b = 0
     while (b < 60) {
       if (votes(b) > 0) sim |= 1L << b
       b += 1
     }
-    sim
+    java.lang.Long.valueOf(sim)
   }
 }

@@ -177,8 +177,21 @@ private[graft] object ParquetPointReader {
     val opts = HadoopReadOptions.builder(sharedConf).withRecordFilter(rowFilter).build()
     val in = LogFs.forPath(file).inputFile(file)
     // Footer from the LRU cache (parse-once); the constructor still applies
-    // the row-group filters for THIS call's offset range.
-    val reader = new ParquetFileReader(in, footerOf(file), opts, in.newStream())
+    // the row-group filters for THIS call's offset range. Resolve the footer
+    // BEFORE opening the stream, and close the stream if the constructor
+    // throws (corrupt footer, file vanished after a cached-footer hit) —
+    // otherwise every failed open, including each compaction-race retry,
+    // leaks one fd.
+    val footer = footerOf(file)
+    val stream = in.newStream()
+    val reader =
+      try new ParquetFileReader(in, footer, opts, stream)
+      catch {
+        case t: Throwable =>
+          try stream.close()
+          catch { case suppressed: Throwable => t.addSuppressed(suppressed) }
+          throw t
+      }
     val fileSchema = reader.getFooter.getFileMetaData.getSchema
     // Projection pushdown: request only the needed columns so the reader
     // never decompresses/decodes the others' pages.

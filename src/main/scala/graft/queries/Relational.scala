@@ -1017,8 +1017,12 @@ object Relational {
             sort_array(collect_list(struct(col("event_type"), col("n"))))
           ).as("mp")
         ).select(
-          element_at(col("mp"), "click").as("clicks"),
-          element_at(col("mp"), "purchase").as("purchases"),
+          // try_element_at, not element_at: under ANSI mode a missing key
+          // throws MAP_KEY_DOES_NOT_EXIST, while the DuckDB twin's
+          // mp['purchase'][1] yields NULL — both engines must degrade to
+          // NULL on a dataset with no purchase/click events.
+          try_element_at(col("mp"), lit("click")).as("clicks"),
+          try_element_at(col("mp"), lit("purchase")).as("purchases"),
           size(col("mp")).as("n_keys")
         )
       },

@@ -301,37 +301,53 @@ case class GraftReaderFactory(fields: Array[String]) extends PartitionReaderFact
     new PartitionReader[InternalRow] {
       // Projected read: only the pruned columns' pages are decoded.
       private var open = Vector.empty[ParquetPointReader.RangeRowIterator]
-      private var its: Iterator[Array[Any]] =
+
+      // Open one planned file; if it was compacted away between planning
+      // and open, re-plan its remaining range against the fresh layout and
+      // recurse — bounded, so back-to-back compactions racing each retry
+      // can't loop forever. Compaction preserves offsets and part names
+      // carry their ranges, so the vanished file's range ∩ [lo, hi] is
+      // exactly re-readable. Opened files never vanish mid-read (POSIX fds
+      // survive unlink); only the list→open window needs this. The
+      // recursion covers files opened lazily inside the re-planned flatMap
+      // too — each gets its own `replansLeft` budget decrement. A file with
+      // an unranged (legacy) name can't be range-recovered: rethrow and let
+      // Spark's task retry re-plan the whole partition (the documented
+      // second-level recovery).
+      private def openPlanned(
+          file: String,
+          lo: Long,
+          hi: Long,
+          replansLeft: Int
+      ): Iterator[Array[Any]] =
         try {
-          val it0 = ParquetPointReader.readRangeRows(p.file, p.lo, p.hi, fields)
+          val it0 = ParquetPointReader.readRangeRows(file, lo, hi, fields)
           open :+= it0
           it0
         } catch {
-          case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
-            // The planned file was compacted away between planning and open.
-            // Compaction preserves offsets and part names carry their
-            // ranges, so this partition's exact row set — the vanished
-            // file's range ∩ [lo, hi] — can be re-read from the fresh
-            // layout. Opened files never vanish mid-read (POSIX fds survive
-            // unlink); only this list→open window needs the retry.
-            val name = LogFs.forPath(p.file).fileName(p.file)
-            name match {
-              case ParquetPointReader.RangedName(mn, mx) =>
-                val flo = math.max(p.lo, mn.toLong)
-                val fhi = math.min(p.hi, mx.toLong)
+          case e @ (_: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException) =>
+            LogFs.forPath(file).fileName(file) match {
+              case ParquetPointReader.RangedName(mn, mx) if replansLeft > 0 =>
+                val flo = math.max(lo, mn.toLong)
+                val fhi = math.min(hi, mx.toLong)
                 GraftPlanning
                   .partitionsFor(p.dir, flo, fhi)
                   .iterator
                   .map(_.asInstanceOf[GraftInputPartition])
                   .flatMap { np =>
-                    val it = ParquetPointReader
-                      .readRangeRows(np.file, flo, fhi, fields)
-                    open :+= it
-                    it
+                    openPlanned(
+                      np.file,
+                      math.max(np.lo, flo),
+                      math.min(np.hi, fhi),
+                      replansLeft - 1
+                    )
                   }
-              case _ => throw new java.io.FileNotFoundException(p.file)
+              case _ => throw e
             }
         }
+
+      private var its: Iterator[Array[Any]] =
+        openPlanned(p.file, p.lo, p.hi, replansLeft = 4)
       private var current: Array[Any] = _
       override def next(): Boolean = {
         if (its.hasNext) { current = its.next(); true } else false

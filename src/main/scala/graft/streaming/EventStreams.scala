@@ -124,6 +124,15 @@ object EventStreams {
     * the watermark passes — the escape hatch for session logic
     * `session_window` can't express (per-session enrichment, caps, early
     * emission). State is per-key and watermark-bounded like the built-in.
+    *
+    * State holds EVERY not-yet-final session (a list, oldest first), not
+    * just the open one: a session is only immutable — and only emitted —
+    * once the watermark passes `end + gap`, because until then an
+    * out-of-order event above the watermark (possible whenever
+    * watermarkDelay > gap) can still extend it or merge into it. Emitting
+    * gap-closed sessions as soon as the batch splits them (the previous
+    * behaviour) produced split/duplicate session rows for the same user
+    * interval in exactly that case.
     */
   def sessionize(
       events: Dataset[Event],
@@ -135,36 +144,33 @@ object EventStreams {
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[List[SessionState], Session](
         OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout
-      ) { (user: Long, evts: Iterator[Event], state: GroupState[SessionState]) =>
-        if (state.hasTimedOut) {
-          val s = state.get
-          state.remove()
-          Iterator.single(Session(user, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
-        } else {
-          // Merge the open session (if any) with this batch's events in time
-          // order, splitting wherever the inactivity gap is exceeded — the
-          // same gaps-and-islands semantics as the batch q_sessionize. This
-          // matters whenever a batch carries events spanning more than one
-          // session (catch-up from the log tail being the primary case): the
-          // timeout alone would glue them into one session.
-          val incoming = evts.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)).toArray
-          val items = (state.getOption.toArray ++ incoming).sortBy(s => (s.startMs, s.endMs))
-          val merged = items.foldLeft(List.empty[SessionState]) {
-            case (cur :: closed, it) if it.startMs <= cur.endMs + gapMs =>
-              SessionState(cur.startMs, math.max(cur.endMs, it.endMs), cur.n + it.n) :: closed
-            case (acc, it) => it :: acc
-          }.reverse
-          val open = merged.last
-          state.update(open)
-          // Close the open session once the watermark passes last-event + gap.
-          val timeoutAt = math.max(open.endMs + gapMs, state.getCurrentWatermarkMs() + 1)
-          state.setTimeoutTimestamp(timeoutAt)
-          merged.init.iterator
-            .map(s => Session(user, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
+      ) { (user: Long, evts: Iterator[Event], state: GroupState[List[SessionState]]) =>
+        // Merge pending sessions with this batch's events in time order,
+        // splitting wherever the inactivity gap is exceeded — the same
+        // gaps-and-islands semantics as the batch q_sessionize. The timeout
+        // path (evts empty) reuses the same code: merged == pending.
+        val incoming = evts.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)).toArray
+        val items = (state.getOption.getOrElse(Nil) ++ incoming).sortBy(s => (s.startMs, s.endMs))
+        val merged = items.foldLeft(List.empty[SessionState]) {
+          case (cur :: closed, it) if it.startMs <= cur.endMs + gapMs =>
+            SessionState(cur.startMs, math.max(cur.endMs, it.endMs), cur.n + it.n) :: closed
+          case (acc, it) => it :: acc
+        }.reverse
+        // Finalized = the watermark passed end + gap: the watermark filter
+        // guarantees no future event can fall inside or adjacent to it.
+        val wm = state.getCurrentWatermarkMs()
+        val (finalized, pending) = merged.partition(_.endMs + gapMs < wm)
+        if (pending.isEmpty) state.remove()
+        else {
+          state.update(pending)
+          // Wake when the earliest pending session becomes finalizable.
+          state.setTimeoutTimestamp(math.max(pending.map(_.endMs + gapMs).min, wm + 1))
         }
+        finalized.iterator
+          .map(s => Session(user, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
       }
   }
 }

@@ -192,13 +192,18 @@ class EventStreamsSpec extends AnyFunSuite {
       .start()
     try {
       // Catch-up batch: three sessions' worth of events for one user at once
-      // (10:01-10:03, 10:15, 10:30-10:31). The first two must close and emit
-      // immediately — gap-splitting within the batch, not timeout-merged.
+      // (10:01-10:03, 10:15, 10:30-10:31). The first two must come out as
+      // separate sessions — gap-splitting within the batch, not
+      // timeout-merged — once the watermark passes their end + gap.
       input.addData(
         EventStreams.Event(4L, ts(1)), EventStreams.Event(4L, ts(3)),
         EventStreams.Event(4L, ts(15)),
         EventStreams.Event(4L, ts(30)), EventStreams.Event(4L, ts(31))
       )
+      q.processAllAvailable()
+      // Nudge batch: runs with the watermark at 10:31, past the first two
+      // sessions' end + gap (10:08, 10:20) but not the third's (10:36).
+      input.addData(EventStreams.Event(1L, ts(32)))
       q.processAllAvailable()
       val closed = spark
         .sql("select start, end, n_events from fs2 where user_id = 4 order by start")
@@ -214,6 +219,47 @@ class EventStreamsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val all = spark.sql("select n_events from fs2 where user_id = 4 order by start").collect()
       assert(all.length == 3 && all(2).getLong(0) == 2)
+    } finally q.stop()
+  }
+
+  test("sessionizer merges an out-of-order event into a gap-closed session") {
+    // watermarkDelay (30 min) > gap (5 min): an event may arrive after the
+    // batch that gap-closed its session but before the watermark finalized
+    // it. It must merge/extend that session, not start a duplicate one.
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams
+      .sessionize(input.toDS(), gapMs = 5 * 60 * 1000, watermarkDelay = "30 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("fs3")
+      .outputMode("append")
+      .start()
+    try {
+      // Batch 1: session A (10:01-10:03) and a gap-separated 10:20 event.
+      input.addData(
+        EventStreams.Event(8L, ts(1)), EventStreams.Event(8L, ts(3)),
+        EventStreams.Event(8L, ts(20))
+      )
+      q.processAllAvailable()
+      // Batch 2: out-of-order 10:05 — above the watermark (10:20 - 30 min),
+      // inside session A's gap horizon. Must extend A to 10:01-10:05, n=3.
+      input.addData(EventStreams.Event(8L, ts(5)))
+      q.processAllAvailable()
+      // Advance the watermark far past everything to flush both sessions.
+      input.addData(EventStreams.Event(1L, ts(90)))
+      q.processAllAvailable()
+      input.addData(EventStreams.Event(1L, ts(95)))
+      q.processAllAvailable()
+      val rows = spark
+        .sql("select start, end, n_events from fs3 where user_id = 8 order by start")
+        .collect()
+      assert(rows.length == 2, s"expected 2 sessions, got ${rows.toSeq}")
+      assert(rows(0).getTimestamp(0) == ts(1) && rows(0).getTimestamp(1) == ts(5))
+      assert(rows(0).getLong(2) == 3, s"out-of-order event not merged: ${rows.toSeq}")
+      assert(rows(1).getTimestamp(0) == ts(20) && rows(1).getLong(2) == 1)
     } finally q.stop()
   }
 }
