@@ -31,79 +31,129 @@ import Q.t
   */
 object Dedup {
 
-  /** Lang-blocked exact Jaccard pairs (τ=0.6) via dictionary-encoded bitmap
-    * signatures — shared by the pair listing and the clustering queries.
+  /** Above this many 64-word bitmap blocks (512 blocks = 32,768 words) the
+    * per-doc signature stops being scalar columns: a million-word vocabulary
+    * would otherwise plan ~15k long columns. Past the cap the exact verify
+    * falls back to `array_intersect` over the sorted dense-id arrays —
+    * same result, array-sized rows instead of wide ones.
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] val MaxBitmapBlocks = 512
 
-        // Set-similarity join as bitmap intersection, not a token⋈token
-        // shuffle: dictionary-encode the corpus vocabulary to dense ids,
-        // pack each doc's distinct-word set into ⌈|V|/64⌉ longs, then probe
-        // lang-blocked candidate pairs surviving the Jaccard size bound
-        // (J ≤ min/max ⇒ 5·|A| ≥ 3·|B| and vice versa at τ=0.6) with
-        // bit_count(a & b) per block — word-independent O(|V|/64) per pair.
-        // The compact doc-signature side is broadcast; shuffling on the
-        // 5-value `lang` key would collapse to 5 skewed partitions.
-        val docs = t(s, d, "documents").select(
+  /** Lang-blocked exact Jaccard pairs (τ=0.6) — shared by the pair listing
+    * and the clustering queries. Callers pass the `documents` table.
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsFrom(s, t(s, d, "documents"))
+
+  /** Exact set-similarity self-join (Jaccard ≥ 0.6) without broadcasting
+    * the corpus, in two distributed stages:
+    *
+    * 1. CANDIDATES by prefix filtering (the AllPairs/PPJoin scheme): order
+    *    the vocabulary rarest-first and dictionary-encode to dense ids, so
+    *    each document's smallest ids are its rarest words. Any pair with
+    *    J(A,B) ≥ τ shares ≥ ⌈τ·max(|A|,|B|)⌉ tokens, hence provably shares
+    *    at least one token among each side's first |X| − ⌈τ·|X|⌉ + 1 ids —
+    *    the candidate join meets only on those prefix tokens. Completeness
+    *    is a theorem, not a probability (unlike MinHash banding, whose
+    *    per-pair recall < 1 would silently drop true pairs), and the join
+    *    key is the token id: rare-first ordering keeps buckets small and
+    *    the shuffle spreads over the whole vocabulary — no 5-value lang
+    *    key, no broadcast of the signature table. The Jaccard size bound
+    *    (5·|A| ≥ 3·|B| and vice versa at τ=0.6) prunes inside the join.
+    *
+    * 2. VERIFY exactly: candidates re-join the signature table (two keyed
+    *    shuffle joins on doc id) and compute |A∩B| with bit_count over
+    *    packed 64-word blocks — scalar long columns, so the per-pair loop
+    *    stays inside whole-stage codegen. Above [[MaxBitmapBlocks]] the
+    *    signatures switch to sorted dense-id arrays and
+    *    `array_intersect` — exact at any vocabulary size.
+    *
+    * No step broadcasts data proportional to the corpus; AQE may still
+    * broadcast genuinely small sides at small scale factors, which is the
+    * adaptive behaviour we want rather than a hint forcing it at 100 TB.
+    */
+  private[queries] def jaccardPairsFrom(s: SparkSession, documents: DataFrame): DataFrame = {
+        import s.implicits._
+        val docs = documents.select(
           col("doc_id"),
           col("lang"),
           array_distinct(split(lower(trim(col("text"))), " ")).as("words")
         )
-        // Dense word ids via distributed sort + zipWithIndex — NOT a global
-        // window row_number, which would funnel the whole vocabulary through
-        // one partition. Any dense bijection works (ids are only bitmap
-        // positions); sortBy makes the assignment deterministic under
-        // lineage re-evaluation and task retries.
-        import s.implicits._
-        val vocab = docs
-          .select(explode(col("words")).as("word"))
-          .distinct()
-          .as[String]
+        val wordRows = docs.select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+        // Dense word ids ordered by (document frequency, word) via
+        // distributed sort + zipWithIndex — NOT a global window row_number,
+        // which would funnel the whole vocabulary through one partition.
+        // Rarest-first ids make each doc's prefix its rarest words (small
+        // candidate buckets); the (df, word) sort keeps the assignment
+        // deterministic under lineage re-evaluation and task retries.
+        val vocab = wordRows
+          .groupBy("word")
+          .agg(count(lit(1)).as("df"))
+          .as[(String, Long)]
           .rdd
-          .sortBy(identity)
+          .sortBy { case (w, n) => (n, w) }
+          .map(_._1)
           .zipWithIndex()
           .toDF("word", "wid")
           .withColumn("wid", col("wid").cast("int"))
         val nBlocks = math.max(1L, (vocab.count() + 63) / 64).toInt
-        // One scalar long column per 64-word block: the per-pair intersection
-        // below stays entirely inside whole-stage codegen (AND + popcount
-        // per block), where an array column would run interpreted lambdas
-        // per candidate pair.
-        val enc = (0 until nBlocks)
-          .foldLeft(
-            docs
-              .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
-              .join(broadcast(vocab), "word")
-              .groupBy("doc_id", "lang")
-              .agg(collect_list(col("wid")).as("wids"), count(lit(1)).as("sz"))
-          ) { (df, i) =>
-            df.withColumn(
-              s"m_$i",
-              expr(
-                s"""aggregate(filter(wids, w -> w div 64 = $i),
-                              CAST(0 AS BIGINT),
-                              (acc, w) -> acc | shiftleft(CAST(1 AS BIGINT), w % 64))"""
+        val useBitmaps = nBlocks <= MaxBitmapBlocks
+        // Per-doc signature: sorted dense-id array + size (+ bitmap blocks
+        // when the vocabulary fits the scalar-column budget). The word→id
+        // join carries no hint: vocab shuffles like any dimension and AQE
+        // broadcasts it only when it is actually small.
+        val base = wordRows
+          .join(vocab.select("word", "wid"), "word")
+          .groupBy("doc_id", "lang")
+          .agg(sort_array(collect_list(col("wid"))).as("wids"), count(lit(1)).as("sz"))
+        val enc = (
+          if (!useBitmaps) base
+          else
+            (0 until nBlocks).foldLeft(base) { (df, i) =>
+              df.withColumn(
+                s"m_$i",
+                expr(
+                  s"""aggregate(filter(wids, w -> w div 64 = $i),
+                                CAST(0 AS BIGINT),
+                                (acc, w) -> acc | shiftleft(CAST(1 AS BIGINT), w % 64))"""
+                )
               )
-            )
-          }
-          .drop("wids")
-        val aCols = col("doc_id").as("d1") +: col("lang") +: col("sz").as("sz1") +:
-          (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i"))
-        val bCols = col("doc_id").as("d2") +: col("lang").as("lang2") +: col("sz").as("sz2") +:
-          (0 until nBlocks).map(i => col(s"m_$i").as(s"mb_$i"))
-        val a = enc.select(aCols: _*)
-        val b = enc.select(bCols: _*)
-        a.join(
-          broadcast(b),
-          col("lang") === col("lang2") && col("d1") < col("d2") &&
-            col("sz1") * 5 >= col("sz2") * 3 && col("sz2") * 5 >= col("sz1") * 3
+            }
         )
-          .withColumn(
-            "inter",
+          // Prefix length |X| − ⌈τ·|X|⌉ + 1 in exact integer arithmetic:
+          // ⌈3·sz/5⌉ = (3·sz + 4) div 5 at τ = 0.6.
+          .withColumn("pref", expr("slice(wids, 1, greatest(sz - ((sz * 3 + 4) div 5) + 1, 1))"))
+        val prefA = enc.select(
+          col("doc_id").as("d1"), col("lang"), col("sz").as("psz1"),
+          explode(col("pref")).as("wid"))
+        val prefB = enc.select(
+          col("doc_id").as("d2"), col("lang").as("lang2"), col("sz").as("psz2"),
+          explode(col("pref")).as("wid"))
+        val cand = prefA
+          .join(
+            prefB,
+            prefA("wid") === prefB("wid") && col("lang") === col("lang2") &&
+              col("d1") < col("d2") &&
+              col("psz1") * 5 >= col("psz2") * 3 && col("psz2") * 5 >= col("psz1") * 3
+          )
+          .select("d1", "d2")
+          .distinct()
+        val aCols = col("doc_id").as("d1") +: col("sz").as("sz1") +:
+          (if (useBitmaps) (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i"))
+           else Seq(col("wids").as("wa")))
+        val bCols = col("doc_id").as("d2") +: col("sz").as("sz2") +:
+          (if (useBitmaps) (0 until nBlocks).map(i => col(s"m_$i").as(s"mb_$i"))
+           else Seq(col("wids").as("wb")))
+        val inter =
+          if (useBitmaps)
             (0 until nBlocks)
               .map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)"))
               .reduce(_ + _)
-          )
+          else expr("CAST(cardinality(array_intersect(wa, wb)) AS BIGINT)")
+        cand
+          .join(enc.select(aCols: _*), "d1")
+          .join(enc.select(bCols: _*), "d2")
+          .withColumn("inter", inter)
           .select(
             col("d1"),
             col("d2"),

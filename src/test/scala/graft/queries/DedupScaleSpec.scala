@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Vocabulary-scale behaviour of the exact-Jaccard pipeline: above
+  * [[Dedup.MaxBitmapBlocks]] the verify step must switch from scalar bitmap
+  * columns to sorted-array intersection WITHOUT changing results. The
+  * sf-testdata corpora never cross the cap, so this spec builds a synthetic
+  * corpus whose vocabulary (>100k words) forces the array path and checks
+  * the emitted pairs against a brute-force Jaccard computed in plain Scala.
+  */
+class DedupScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("jaccard pairs are exact on a 100k-word vocabulary (array fallback path)") {
+    import spark.implicits._
+    // 200 docs x 520 mostly-unique words = ~104k distinct words >> the
+    // 32,768-word bitmap cap. Every even doc 2k shares 90% of its words
+    // with doc 2k+1 (a true near-dup pair); odd-even neighbours across
+    // pair boundaries share nothing.
+    val docs = (0 until 200).map { i =>
+      val base = (i / 2) * 1000
+      val words =
+        if (i % 2 == 0) (0 until 520).map(j => s"w${base + j}")
+        else (0 until 468).map(j => s"w${base + j}") ++ (0 until 52).map(j => s"x${base + j}")
+      (i.toLong, "en", words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "lang", "text")
+
+    // The corpus really crosses the bitmap cap.
+    val vocabSize = df
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .count()
+    assert(vocabSize > Dedup.MaxBitmapBlocks * 64L, s"vocab $vocabSize does not exercise the fallback")
+
+    val got = Dedup
+      .jaccardPairsFrom(spark, df)
+      .select("d1", "d2", "jaccard")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSet
+
+    // Brute-force oracle over the word sets (n=200 is fine driver-side).
+    val sets = docs.map { case (id, _, text) => id -> text.split(" ").toSet }
+    val expected = (for {
+      (i, a) <- sets
+      (j, b) <- sets
+      if i < j
+      inter = (a & b).size
+      jac = inter.toDouble / (a.size + b.size - inter)
+      if jac >= 0.6
+    } yield (i, j, jac)).toSet
+
+    assert(expected.nonEmpty, "synthetic corpus produced no expected pairs")
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+  }
+}

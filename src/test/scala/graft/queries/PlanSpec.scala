@@ -32,6 +32,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-jaccard carries no forced broadcast; candidates join on the token id") {
+    // The scale contract of the PPJoin rewrite: nothing hints a broadcast of
+    // the corpus (AQE may still broadcast a genuinely small side at this sf
+    // — that is adaptive, not forced), and the candidate self-join meets on
+    // the dense token id so the shuffle spreads over the vocabulary instead
+    // of a handful of lang keys.
+    val df = SparkEntry.queries("dedup_jaccard")(spark, d)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), s"a broadcast hint crept back in:\n$analyzed")
+    val joins = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") && l.contains("wid"))
+    assert(joins.nonEmpty, "candidate join no longer keyed on the token id")
+  }
+
   test("as-of join is one keyed shuffle + one Window operator") {
     val p = plan("q_asof_join")
     val windows = p.linesIterator.count(_.contains("- Window ["))
