@@ -355,10 +355,24 @@ object Dedup {
       """)
     ),
 
-    // --- SimHash near-dup pairs: hamming distance over lang-blocked pairs ---
+    // --- SimHash near-dup pairs: band-blocked hamming join ---
     Q(
       "dedup_simhash_pairs",
       (s, d) => {
+        // Candidate generation joins on (band index, 4-bit band value, lang)
+        // instead of bare `lang` (5 keys — a skew collapse at scale: every
+        // same-lang pair met in one reducer). Splitting the 60-bit simhash
+        // into FIFTEEN 4-bit bands is the pigeonhole-COMPLETE blocking at
+        // τ=14: ≤14 differing bits dirty at most 14 bands, so a true pair
+        // always shares one intact band — the result set is provably
+        // unchanged and the oracle keeps hash-matching. (4×15-bit bands
+        // would NOT be complete here: 14 diffs can touch all 4 bands.)
+        // Each doc explodes to 15 band rows; the join key space is
+        // |lang|·15·16 = 240× the old one, and both simhashes ride through
+        // the join so the exact hamming filter needs no signature re-join.
+        // At τ this loose (14/60) any complete method admits many random
+        // candidates — production dedup runs τ≤3, where the same banding
+        // prunes sharply; the τ here is pinned by the reference semantics.
         graft.functions.GraftFunctions.register(s)
         val sims = t(s, d, "documents")
           .select(
@@ -366,12 +380,30 @@ object Dedup {
             col("lang"),
             expr("simhash60(array_distinct(split(lower(trim(text)), ' ')))").as("simhash")
           )
-        val x = sims.select(col("doc_id").as("d1"), col("lang"), col("simhash").as("h1"))
-        val y = sims.select(col("doc_id").as("d2"), col("lang").as("lang2"), col("simhash").as("h2"))
-        x.join(y, col("lang") === col("lang2") && col("d1") < col("d2"))
+        val banded = sims.select(
+          col("doc_id"),
+          col("lang"),
+          col("simhash"),
+          explode(expr(
+            "transform(sequence(0, 14), b -> struct(b AS band, CAST(shiftright(simhash, b*4) & 15 AS INT) AS bv))"
+          )).as("bb")
+        ).select(col("doc_id"), col("lang"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+        val x = banded.select(
+          col("doc_id").as("d1"), col("lang"), col("simhash").as("h1"), col("band"), col("bv"))
+        val y = banded.select(
+          col("doc_id").as("d2"), col("lang").as("lang2"), col("simhash").as("h2"),
+          col("band").as("band2"), col("bv").as("bv2"))
+        x.join(
+            y,
+            col("band") === col("band2") && col("bv") === col("bv2") &&
+              col("lang") === col("lang2") && col("d1") < col("d2")
+          )
           .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
           .filter(col("hamming") <= 14)
+          // A pair sharing k intact bands meets k times — dedup after the
+          // exact filter (hamming is functionally dependent on d1,d2).
           .select("d1", "d2", "hamming")
+          .distinct()
           .orderBy("d1", "d2")
       },
       Some("""
@@ -398,20 +430,39 @@ object Dedup {
       """)
     ),
 
-    // --- embedding cosine near-dup pairs (label-blocked exact pass) ---
+    // --- embedding cosine near-dup pairs (salted label-blocked exact pass) ---
     Q(
       "dedup_embedding",
       (s, d) => {
+        // Exact all-pairs-within-label without broadcasting the corpus:
+        // side A carries a deterministic salt (vec_id mod S) and side B is
+        // replicated across all S salt values, so the self-join shuffles on
+        // (label, salt) — S× the key entropy of a bare label key, no
+        // executor ever holds more than a 1/S slice of A per bucket, and
+        // the pair set (hence the oracle) is untouched. Replicating B S×
+        // is linear, tunable cost; a sign-RP LSH pre-filter cannot be used
+        // here because at τ=0.35 (per-bit collision ≈ 0.61) no probe
+        // budget makes bucket recall provably 1.0, and this query's
+        // contract is the EXACT pair list. The approximate scale path is
+        // knn_lsh/knn_quantized in Similarity.scala.
         graft.functions.GraftFunctions.register(s)
+        val S = 16
         val e = t(s, d, "embeddings")
           .select(
             col("vec_id"),
             col("label"),
             transform(col("embedding"), x => x.cast("double")).as("v")
           )
-        val a = e.select(col("vec_id").as("i"), col("label"), col("v").as("va"))
-        val b = e.select(col("vec_id").as("j"), col("label").as("label2"), col("v").as("vb"))
-        a.join(broadcast(b), col("label") === col("label2") && col("i") < col("j"))
+        val a = e.select(
+          col("vec_id").as("i"), col("label"), col("v").as("va"),
+          (col("vec_id") % S).cast("int").as("salt"))
+        val b = e
+          .withColumn("salt2", explode(sequence(lit(0), lit(S - 1))))
+          .select(col("vec_id").as("j"), col("label").as("label2"), col("v").as("vb"), col("salt2"))
+        a.join(
+            b,
+            col("label") === col("label2") && col("salt") === col("salt2") && col("i") < col("j")
+          )
           .withColumn("cos", round(expr("cosine_similarity(va, vb)"), 4))
           .filter(col("cos") >= 0.35)
           .select("i", "j", "cos")

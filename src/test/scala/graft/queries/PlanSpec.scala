@@ -46,6 +46,21 @@ class PlanSpec extends AnyFunSuite {
     assert(joins.nonEmpty, "candidate join no longer keyed on the token id")
   }
 
+  test("simhash pairs join on the band columns, not bare lang") {
+    val p = plan("dedup_simhash_pairs")
+    val joins = p.linesIterator.filter(l => l.contains("Join") && l.contains("band")).toList
+    assert(joins.nonEmpty, s"candidate join lost the band key:\n$p")
+  }
+
+  test("embedding pairs shuffle on (label, salt) with no forced broadcast") {
+    val df = SparkEntry.queries("dedup_embedding")(spark, d)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), s"a broadcast hint crept back in:\n$analyzed")
+    val p = df.queryExecution.executedPlan.toString
+    val joins = p.linesIterator.filter(l => l.contains("Join") && l.contains("salt")).toList
+    assert(joins.nonEmpty, s"candidate join lost the salt key:\n$p")
+  }
+
   test("as-of join is one keyed shuffle + one Window operator") {
     val p = plan("q_asof_join")
     val windows = p.linesIterator.count(_.contains("- Window ["))
