@@ -12,7 +12,8 @@ import org.apache.spark.sql.connector.read.streaming.{
   Offset,
   ReadLimit,
   ReadMaxRows,
-  SupportsAdmissionControl
+  SupportsAdmissionControl,
+  SupportsTriggerAvailableNow
 }
 import org.apache.spark.sql.sources.{
   DataSourceRegister,
@@ -379,20 +380,38 @@ class GraftMicroBatchStream(
     fields: Array[String] = LogRecord.schema.fieldNames,
     maxRecordsPerBatch: Option[Long] = None
 ) extends MicroBatchStream
-    with SupportsAdmissionControl {
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def nextOffset: Long = LogManifest.read(dir).map(_.nextOffset).getOrElse(startAt)
 
+  /** `Trigger.AvailableNow` support — the batch-drain twin of the
+    * reference's ConsumeStream catch-up phase (reference: internal/server/
+    * server.go:138-158): the end offset is PINNED here, at trigger start,
+    * and every subsequent micro-batch drains toward it in
+    * `maxRecordsPerBatch` chunks, terminating exactly at the pinned end.
+    * Records appended after the pin belong to the next run — without the
+    * pin (Spark's single-batch wrapper fallback), a restart with an
+    * uncommitted batch could under-deliver the drain.
+    */
+  @volatile private var pinnedEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = pinnedEnd = Some(nextOffset)
+
+  /** Offsets available to a running trigger: the pinned snapshot under
+    * AvailableNow, the live manifest tail otherwise.
+    */
+  private def available: Long = pinnedEnd.getOrElse(nextOffset)
+
   override def initialOffset(): Offset = GraftStreamOffset(startAt)
 
-  override def latestOffset(): Offset = GraftStreamOffset(nextOffset)
+  override def latestOffset(): Offset = GraftStreamOffset(available)
 
   override def getDefaultReadLimit: ReadLimit =
     maxRecordsPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftStreamOffset].offset
-    val available = nextOffset
     val end = limit match {
       case mr: ReadMaxRows => math.min(available, from + mr.maxRows())
       case _               => available

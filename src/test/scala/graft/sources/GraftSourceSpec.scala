@@ -127,6 +127,47 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains a pre-populated log in bounded batches, then terminates") {
+    // Native SupportsTriggerAvailableNow (reference: ConsumeStream's
+    // catch-up phase, internal/server/server.go:138-158): the drain honors
+    // the admission cap — ceil(30/8) = 4 paced batches — and the query
+    // terminates on its own instead of tailing forever.
+    val log = newLog(30)
+    val q = spark.readStream
+      .format("graft")
+      .option("maxRecordsPerBatch", "8")
+      .load(log.dir)
+      .writeStream
+      .format("memory")
+      .queryName("graft_avail_now")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+      val rows = spark.sql("select offset from graft_avail_now order by offset").collect()
+      assert(rows.map(_.getLong(0)).toSeq == (0L until 30L))
+      val withRows = q.recentProgress.filter(_.numInputRows > 0)
+      assert(withRows.map(_.numInputRows).sum == 30)
+      assert(withRows.length == 4, s"expected 4 paced batches, got ${withRows.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
+  test("prepareForTriggerAvailableNow pins the end offset against later appends") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val log = newLog(10)
+    val s = new GraftMicroBatchStream(log.dir, startAt = 0L)
+    s.prepareForTriggerAvailableNow()
+    log.append(Seq("after-pin-1".getBytes, "after-pin-2".getBytes))
+    val end = s
+      .latestOffset(GraftStreamOffset(0L), ReadLimit.allAvailable())
+      .asInstanceOf[GraftStreamOffset]
+      .offset
+    assert(end == 10, s"drain end must stay at the pinned snapshot, got $end")
+    // Monitoring still sees the true tail past the pin.
+    assert(s.reportLatestOffset().asInstanceOf[GraftStreamOffset].offset == 12)
+  }
+
   test("graft source agrees with the native read path on randomized logs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
