@@ -658,12 +658,22 @@ object Dedup {
       """)
     ),
 
-    // --- MinHash + LSH banding (approximate; rows-only check) ---
+    // --- MLlib MinHashLSH, quantified against the exact pair set ---
     Q(
       "dedup_minhash",
       (s, d) => {
+        // QUANTIFIED check instead of rows-only: the seeded MLlib sketch is
+        // engine-specific, but its CONTRACT against the exact τ=0.6 Jaccard
+        // pairs (dedup_jaccard's, which the oracle computes independently)
+        // is checkable — recall of the exact pairs through the 8-table
+        // OR-amplified candidate join (P(miss) ≈ 0.4^8 per pair at τ=0.6),
+        // and precision of its emitted same-lang pairs (approxSimilarityJoin
+        // verifies candidates with the TRUE Jaccard distance, so every
+        // same-lang pair at dist ≤ 0.4 must be in the exact set — anything
+        // else means the tokenizations diverged).
         import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH, Tokenizer}
-        val docs = t(s, d, "documents").select(col("doc_id"), lower(trim(col("text"))).as("text"))
+        val documents = t(s, d, "documents")
+        val docs = documents.select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("text"))
         val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
         val tokenized = tok.transform(docs)
         val cv = new CountVectorizer()
@@ -672,22 +682,44 @@ object Dedup {
           .setBinary(true)
           .fit(tokenized)
         val vectorized = cv.transform(tokenized)
-        val mh = new MinHashLSH()
+        val model = new MinHashLSH()
           .setInputCol("features")
           .setOutputCol("hashes")
           .setNumHashTables(8)
           .setSeed(42L)
           .fit(vectorized)
-        mh.approxSimilarityJoin(vectorized, vectorized, 0.6, "jaccard_dist")
-          .select(
-            col("datasetA.doc_id").as("d1"),
-            col("datasetB.doc_id").as("d2"),
-            round(col("jaccard_dist"), 4).as("jaccard_dist")
-          )
+        // dist <= 0.4 ⟺ Jaccard similarity >= 0.6, same-lang: the exact
+        // pair set's blocking, so found ⊆ exact is the precision contract.
+        val found = model
+          .approxSimilarityJoin(vectorized, vectorized, 0.4, "jaccard_dist")
+          .filter(col("datasetA.lang") === col("datasetB.lang"))
+          .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"))
           .filter(col("d1") < col("d2"))
-          .orderBy("d1", "d2")
+          .distinct()
+        val exact = jaccardPairsFrom(s, documents).select(col("d1"), col("d2"))
+        val nExact = exact.count()
+        val nHit = exact.join(found, Seq("d1", "d2")).count()
+        val nSpurious = found.join(exact, Seq("d1", "d2"), "left_anti").count()
+        val session = s
+        import session.implicits._
+        Seq((nExact, nHit.toDouble >= 0.9 * nExact, nSpurious == 0L))
+          .toDF("n_exact", "recall_ok", "precision_ok")
       },
-      None
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT doc_id, lang, word FROM (
+            SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
+        sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+        p AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT d1, d2 FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6)
+        SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok, true AS precision_ok
+        FROM pairs
+      """)
     ),
 
     // --- keep-one projection after exact dedup (the "apply" step) ---

