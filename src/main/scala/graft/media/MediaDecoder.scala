@@ -1,0 +1,61 @@
+package graft.media
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+/** Real image decoding for multimodal binary columns — the pure-JVM subset
+  * (`javax.imageio`: PNG, BMP, GIF, JPEG readers ship with the JDK, no
+  * native codecs needed). Container formats the JDK cannot decode — and
+  * arbitrary non-image blobs — fall back to the caller's stub, so pipelines
+  * over mixed corpora keep flowing instead of failing on the first
+  * unsupported payload.
+  *
+  * Executor-side usage is batch-shaped: callers invoke this from
+  * `mapPartitions` so any per-partition decoder state amortizes across the
+  * batch (`ImageIO` itself is stateless; the shape is the contract).
+  */
+object MediaDecoder {
+
+  /** Decoded image facts: pixel dimensions and the decoding format. */
+  final case class Decoded(width: Int, height: Int, format: String)
+
+  /** Magic-byte sniff — cheap rejection of non-image blobs before paying
+    * for a full decode attempt.
+    */
+  def sniffFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes == null || bytes.length < 8) None
+    else if (
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G' &&
+      (bytes(4) & 0xff) == 0x0d && (bytes(5) & 0xff) == 0x0a &&
+      (bytes(6) & 0xff) == 0x1a && (bytes(7) & 0xff) == 0x0a
+    ) Some("png")
+    else if (bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') Some("gif")
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) Some("jpeg")
+    else None
+
+  /** Decode a blob if it carries a recognized image signature; `None` for
+    * non-image payloads AND for corrupt blobs whose signature lied (a
+    * truncated PNG must degrade to the stub path, not kill the task).
+    */
+  def decode(bytes: Array[Byte]): Option[Decoded] =
+    sniffFormat(bytes).flatMap { fmt =>
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) None else Some(Decoded(img.getWidth, img.getHeight, fmt))
+      } catch { case _: Exception => None }
+    }
+
+  /** Full pixel read for fidelity checks: the packed 0xRRGGBB value at
+    * (x, y), or None when the blob does not decode.
+    */
+  def pixelAt(bytes: Array[Byte], x: Int, y: Int): Option[Int] =
+    sniffFormat(bytes).flatMap { _ =>
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null || x >= img.getWidth || y >= img.getHeight) None
+        else Some(img.getRGB(x, y) & 0xffffff)
+      } catch { case _: Exception => None }
+    }
+}

@@ -7,24 +7,37 @@ import org.apache.spark.sql.types._
 import Q.t
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
-  * plus typed metadata. The container has no image/audio codecs, so the
-  * decode step is a clearly-marked deterministic STUB — but everything
-  * Spark-side is real: binary schema, batched per-partition processing
-  * (`mapPartitions`, the Scala analog of `mapInPandas` batches), typed
-  * output schema, and fingerprinting for dedup of media blobs.
+  * plus typed metadata. Decoding is two-tier: blobs with a recognized image
+  * signature decode FOR REAL through `graft.media.MediaDecoder`
+  * (`javax.imageio` — pure JVM, no native codecs), everything else falls
+  * back to a clearly-marked deterministic STUB so mixed corpora keep
+  * flowing. The Spark-side contract is real throughout: binary schema,
+  * batched per-partition processing (`mapPartitions`, the Scala analog of
+  * `mapInPandas` batches), typed output schema, and fingerprinting for
+  * dedup of media blobs. The sf testdata corpus is text-only, so its
+  * oracle rows exercise the stub tier; `media_decode` synthesizes real
+  * PNGs in-executor to drive the `ImageIO` tier under the same oracle
+  * regime, and `MultimodalSpec` unit-tests both tiers directly.
   */
 object Multimodal {
 
-  /** STUB decoder: stands in for an image/audio codec. Deterministic fake —
-    * "decodes" a blob into (width, height, n_frames) derived from its bytes.
-    * Swap for a real codec (JNI/Pandas-UDF) in production; the Spark-side
-    * contract (binary in, fixed struct out, batch-shaped execution) is what
-    * this exercises.
+  /** STUB decoder tier: deterministic fake for blobs that are not decodable
+    * images — "decodes" a blob into (width, height, n_frames) derived from
+    * its byte length, keeping the pipeline total over arbitrary payloads.
     */
   private def stubDecode(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = if (bytes == null) 0 else bytes.length
     (n % 640, (n * 7) % 480, n % 30)
   }
+
+  /** Real-first decode: `ImageIO` facts for genuine images (single frame),
+    * stub arithmetic otherwise.
+    */
+  private def decodeOrStub(bytes: Array[Byte]): (Int, Int, Int) =
+    graft.media.MediaDecoder.decode(bytes) match {
+      case Some(d) => (d.width, d.height, 1)
+      case None    => stubDecode(bytes)
+    }
 
   private val featSchema = StructType(
     Seq(
@@ -81,7 +94,7 @@ object Multimodal {
             it.map { r =>
               val id = r.getLong(0)
               val blob = r.getAs[Array[Byte]](1)
-              val (w, h, f) = stubDecode(blob)
+              val (w, h, f) = decodeOrStub(blob)
               val hist = new Array[Long](16)
               if (blob != null) blob.foreach(b => hist((b & 0xff) % 16) += 1)
               Row(id, if (blob == null) 0 else blob.length, w, h, f, hist.mkString(","))
@@ -157,6 +170,66 @@ object Multimodal {
           SELECT doc_id, unnest(range(0, CAST(n_chars % 30 AS BIGINT), 5)) AS f
           FROM documents WHERE n_chars % 30 > 0)
         ORDER BY doc_id, frame_idx
+      """)
+    ),
+
+    // --- REAL ImageIO decode, end-to-end through the batch pipeline ---
+    Q(
+      "media_decode",
+      (s, d) => {
+        // Drives the real decoder tier under the oracle regime despite the
+        // text-only corpus: each partition synthesizes a deterministic
+        // solid-color PNG per doc_id (dims and color are pure functions of
+        // the id), writes it with ImageIO, then round-trips it through the
+        // SAME MediaDecoder the production path uses. The emitted facts —
+        // decoded dims and the center pixel — must equal the generation
+        // arithmetic, which the SQL oracle recomputes independently: a
+        // decoder that mangles headers, strides, or color channels breaks
+        // the hash-match. PNG is lossless, so pixel equality is exact.
+        import org.apache.spark.sql.{Encoders, Row}
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("width", IntegerType, nullable = false),
+          StructField("height", IntegerType, nullable = false),
+          StructField("center_px", LongType, nullable = false)
+        ))
+        t(s, d, "documents")
+          .select(col("doc_id"))
+          .mapPartitions { it =>
+            it.map { r =>
+              val id = r.getLong(0)
+              val w = (id % 48 + 8).toInt
+              val h = (id % 32 + 8).toInt
+              val rgb = ((id * 2654435761L) % 16777216L).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+                y += 1
+              }
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", baos)
+              val blob = baos.toByteArray
+              val dec = graft.media.MediaDecoder
+                .decode(blob)
+                .getOrElse(sys.error(s"synthesized PNG for doc $id did not decode"))
+              val px = graft.media.MediaDecoder
+                .pixelAt(blob, w / 2, h / 2)
+                .getOrElse(sys.error(s"pixel read failed for doc $id"))
+              Row(id, dec.width, dec.height, px.toLong)
+            }
+          }(Encoders.row(schema))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(doc_id % 48 + 8 AS INTEGER) AS width,
+               CAST(doc_id % 32 + 8 AS INTEGER) AS height,
+               CAST((doc_id * 2654435761) % 16777216 AS BIGINT) AS center_px
+        FROM documents ORDER BY doc_id
       """)
     ),
 

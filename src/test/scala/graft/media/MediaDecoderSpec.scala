@@ -1,0 +1,57 @@
+package graft.media
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class MediaDecoderSpec extends AnyFunSuite {
+
+  private def image(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val baos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, baos), s"JDK lacks a $fmt writer")
+    baos.toByteArray
+  }
+
+  test("PNG blobs decode with exact dims, format, and pixels") {
+    val blob = image(37, 21, 0xabcdef, "png")
+    assert(MediaDecoder.sniffFormat(blob).contains("png"))
+    val d = MediaDecoder.decode(blob).get
+    assert(d.width == 37 && d.height == 21 && d.format == "png")
+    assert(MediaDecoder.pixelAt(blob, 18, 10).contains(0xabcdef))
+  }
+
+  test("BMP blobs decode with exact dims and pixels") {
+    val blob = image(16, 9, 0x102030, "bmp")
+    assert(MediaDecoder.sniffFormat(blob).contains("bmp"))
+    val d = MediaDecoder.decode(blob).get
+    assert(d.width == 16 && d.height == 9 && d.format == "bmp")
+    assert(MediaDecoder.pixelAt(blob, 0, 0).contains(0x102030))
+  }
+
+  test("GIF blobs decode with exact dims") {
+    val blob = image(12, 8, 0x000000, "gif")
+    assert(MediaDecoder.sniffFormat(blob).contains("gif"))
+    val d = MediaDecoder.decode(blob).get
+    assert(d.width == 12 && d.height == 8 && d.format == "gif")
+  }
+
+  test("non-image payloads and corrupt images degrade to None, never throw") {
+    assert(MediaDecoder.decode(null).isEmpty)
+    assert(MediaDecoder.decode(Array.emptyByteArray).isEmpty)
+    assert(MediaDecoder.decode("plain text document body".getBytes("UTF-8")).isEmpty)
+    // Valid PNG signature, garbage body: the sniff passes, the decode must
+    // still degrade instead of killing the task.
+    val lyingHeader =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++ Array.fill[Byte](32)(7)
+    assert(MediaDecoder.sniffFormat(lyingHeader).contains("png"))
+    assert(MediaDecoder.decode(lyingHeader).isEmpty)
+    // Truncated real PNG: header intact, data stream cut.
+    val truncated = image(30, 30, 0x123456, "png").take(40)
+    assert(MediaDecoder.decode(truncated).isEmpty)
+  }
+}
