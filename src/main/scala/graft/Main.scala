@@ -19,6 +19,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
   *     servers                cluster topology
   *     truncate <lowest>      drop whole segments at or below <lowest>
   *     compact [targetBytes]  merge adjacent small sealed segments
+  *     serve [port]           HTTP/JSON server (produce/consume/stat/servers/tail)
   *     replicate <peerDir> <checkpointDir>
   *                            catch-up pull replication from a peer log
   *                            (exactly-once; resumes from the checkpoint)
@@ -27,7 +28,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | replicate <peerDir> <ckptDir>)"
+      "usage: graft.Main --data-dir DIR [--subject S] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | replicate <peerDir> <ckptDir>)"
     )
     sys.exit(2)
   }
@@ -87,6 +88,15 @@ object Main {
             case None    => engine.log.compact()
           }
           println(s"compacted: ${before} -> ${engine.log.segmentCount} segments")
+        case "serve" :: restArgs if restArgs.length <= 1 =>
+          // HTTP/JSON front end (reference: internal/server/http.go) —
+          // blocks until killed.
+          val srv = new graft.server.HttpLogServer(
+            engine.service,
+            restArgs.headOption.map(_.toInt).getOrElse(8080)
+          ).start()
+          println(s"serving HTTP on port ${srv.boundPort}")
+          Thread.currentThread.join()
         case "replicate" :: peer :: ckpt :: Nil =>
           val q = engine.replicateFrom(
             peer,
