@@ -39,6 +39,17 @@ object Dedup {
     */
   private[queries] val MaxBitmapBlocks = 512
 
+  /** At or below this many blocks (8 × 64 = 512 words) the vocabulary is so
+    * small that token-based candidate generation is information-free — every
+    * same-lang pair shares common tokens, so a prefix join degenerates to a
+    * blown-up all-pairs (measured: 80M candidate rows at sf0.1's 31-word
+    * vocabulary vs 12.5M true comparisons). Tiny universes instead take the
+    * salted all-pairs-within-lang bitmap join: each comparison is a handful
+    * of AND+popcount ops on scalar longs, evenly spread over (lang, salt)
+    * shuffle keys with bounded S× replication — no broadcast, no skew.
+    */
+  private[queries] val SmallVocabBlocks = 8
+
   /** Lang-blocked exact Jaccard pairs (τ=0.6) — shared by the pair listing
     * and the clustering queries. Callers pass the `documents` table.
     */
@@ -68,6 +79,16 @@ object Dedup {
     *    signatures switch to sorted dense-id arrays and
     *    `array_intersect` — exact at any vocabulary size.
     *
+    * DEGENERATE-UNIVERSE ESCAPE ([[SmallVocabBlocks]]): prefix filtering's
+    * power comes from rare tokens, so a vocabulary of a few hundred words
+    * (like the synthetic corpus's 31) has none to offer — every candidate
+    * bucket holds a large fraction of the corpus and the "pruned" join
+    * emits more rows than brute force compares. Tiny universes therefore
+    * skip candidate generation: a salted all-pairs-within-lang join whose
+    * per-pair cost is a couple of AND+popcounts on ≤8 longs, shuffled on
+    * (lang, salt) with S× bounded replication. The strategy switch keys on
+    * the measured vocabulary, the same count that sizes the bitmap.
+    *
     * No step broadcasts data proportional to the corpus; AQE may still
     * broadcast genuinely small sides at small scale factors, which is the
     * adaptive behaviour we want rather than a hint forcing it at 100 TB.
@@ -80,6 +101,73 @@ object Dedup {
           array_distinct(split(lower(trim(col("text"))), " ")).as("words")
         )
         val wordRows = docs.select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+        // One bounded job decides the strategy AND fetches the tiny
+        // dictionary when it applies: a limited distinct-collect is
+        // metadata-sized by construction (≤ 512 words + 1 sentinel row).
+        val smallVocab = wordRows
+          .select("word")
+          .distinct()
+          .limit(SmallVocabBlocks * 64 + 1)
+          .as[String]
+          .collect()
+
+        if (smallVocab.length <= SmallVocabBlocks * 64) {
+          // Tiny universe (see Scaladoc): the dictionary is METADATA — at
+          // most 512 words — so it collects to the driver and ships inside
+          // the projection as a literal, like a broadcast of a config, not
+          // of data. Encoding becomes one map-side projection (no vocab
+          // join, no pre-join shuffle): wid = array_position(literal),
+          // bitmap blocks fold over the wids in codegen.
+          val words = smallVocab.sorted
+          val nBlocks = math.max(1, (words.length + 63) / 64)
+          val enc = docs
+            .withColumn(
+              "wids",
+              transform(col("words"), w => (array_position(typedlit(words), w) - 1).cast("int"))
+            )
+            .select(
+              col("doc_id") +: col("lang") +: size(col("words")).as("sz") +:
+                (0 until nBlocks).map(i =>
+                  expr(
+                    s"""aggregate(filter(wids, w -> w div 64 = $i),
+                                  CAST(0 AS BIGINT),
+                                  (acc, w) -> acc | shiftleft(CAST(1 AS BIGINT), w % 64))"""
+                  ).as(s"m_$i")
+                ): _*
+            )
+          val inter = (0 until nBlocks)
+            .map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)"))
+            .reduce(_ + _)
+          // Salted all-pairs within lang: (lang, salt) shuffle keys, S×
+          // bounded replication of the compact signature rows, per-pair
+          // cost a handful of AND+popcounts inside whole-stage codegen.
+          val S = 16
+          val a = enc.select(
+            col("doc_id").as("d1") +: col("lang") +: col("sz").as("sz1") +:
+              (col("doc_id") % S).cast("int").as("salt") +:
+              (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i")): _*)
+          val b = enc
+            .withColumn("salt2", explode(sequence(lit(0), lit(S - 1))))
+            .select(
+              col("doc_id").as("d2") +: col("lang").as("lang2") +: col("sz").as("sz2") +:
+                col("salt2") +:
+                (0 until nBlocks).map(i => col(s"m_$i").as(s"mb_$i")): _*)
+          return a
+            .join(
+              b,
+              col("lang") === col("lang2") && col("salt") === col("salt2") &&
+                col("d1") < col("d2") &&
+                col("sz1") * 5 >= col("sz2") * 3 && col("sz2") * 5 >= col("sz1") * 3
+            )
+            .withColumn("inter", inter)
+            .select(
+              col("d1"),
+              col("d2"),
+              (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard")
+            )
+            .filter(col("jaccard") >= 0.6)
+        }
+
         // Dense word ids ordered by (document frequency, word) via
         // distributed sort + zipWithIndex — NOT a global window row_number,
         // which would funnel the whole vocabulary through one partition.
@@ -120,40 +208,45 @@ object Dedup {
               )
             }
         )
-          // Prefix length |X| − ⌈τ·|X|⌉ + 1 in exact integer arithmetic:
-          // ⌈3·sz/5⌉ = (3·sz + 4) div 5 at τ = 0.6.
-          .withColumn("pref", expr("slice(wids, 1, greatest(sz - ((sz * 3 + 4) div 5) + 1, 1))"))
-        val prefA = enc.select(
-          col("doc_id").as("d1"), col("lang"), col("sz").as("psz1"),
-          explode(col("pref")).as("wid"))
-        val prefB = enc.select(
-          col("doc_id").as("d2"), col("lang").as("lang2"), col("sz").as("psz2"),
-          explode(col("pref")).as("wid"))
-        val cand = prefA
-          .join(
-            prefB,
-            prefA("wid") === prefB("wid") && col("lang") === col("lang2") &&
-              col("d1") < col("d2") &&
-              col("psz1") * 5 >= col("psz2") * 3 && col("psz2") * 5 >= col("psz1") * 3
-          )
-          .select("d1", "d2")
-          .distinct()
-        val aCols = col("doc_id").as("d1") +: col("sz").as("sz1") +:
-          (if (useBitmaps) (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i"))
-           else Seq(col("wids").as("wa")))
-        val bCols = col("doc_id").as("d2") +: col("sz").as("sz2") +:
-          (if (useBitmaps) (0 until nBlocks).map(i => col(s"m_$i").as(s"mb_$i"))
-           else Seq(col("wids").as("wb")))
         val inter =
           if (useBitmaps)
             (0 until nBlocks)
               .map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)"))
               .reduce(_ + _)
           else expr("CAST(cardinality(array_intersect(wa, wb)) AS BIGINT)")
-        cand
-          .join(enc.select(aCols: _*), "d1")
-          .join(enc.select(bCols: _*), "d2")
-          .withColumn("inter", inter)
+        val sigA = (if (useBitmaps) (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i"))
+                    else Seq(col("wids").as("wa")))
+        val sigB = (if (useBitmaps) (0 until nBlocks).map(i => col(s"m_$i").as(s"mb_$i"))
+                    else Seq(col("wids").as("wb")))
+
+        val verified = {
+            // Prefix length |X| − ⌈τ·|X|⌉ + 1 in exact integer arithmetic:
+            // ⌈3·sz/5⌉ = (3·sz + 4) div 5 at τ = 0.6.
+            val pref = enc.withColumn(
+              "pref",
+              expr("slice(wids, 1, greatest(sz - ((sz * 3 + 4) div 5) + 1, 1))")
+            )
+            val prefA = pref.select(
+              col("doc_id").as("d1"), col("lang"), col("sz").as("psz1"),
+              explode(col("pref")).as("wid"))
+            val prefB = pref.select(
+              col("doc_id").as("d2"), col("lang").as("lang2"), col("sz").as("psz2"),
+              explode(col("pref")).as("wid"))
+            val cand = prefA
+              .join(
+                prefB,
+                prefA("wid") === prefB("wid") && col("lang") === col("lang2") &&
+                  col("d1") < col("d2") &&
+                  col("psz1") * 5 >= col("psz2") * 3 && col("psz2") * 5 >= col("psz1") * 3
+              )
+              .select("d1", "d2")
+              .distinct()
+            cand
+              .join(enc.select(col("doc_id").as("d1") +: col("sz").as("sz1") +: sigA: _*), "d1")
+              .join(enc.select(col("doc_id").as("d2") +: col("sz").as("sz2") +: sigB: _*), "d2")
+              .withColumn("inter", inter)
+          }
+        verified
           .select(
             col("d1"),
             col("d2"),
@@ -219,7 +312,13 @@ object Dedup {
     Q(
       "dedup_jaccard",
       (s, d) => {
+        // localCheckpoint before the deterministic output sort: a global
+        // orderBy samples its child to build range bounds, which would
+        // RE-EXECUTE the whole pair join (measured 2.9× the query cost at
+        // sf0.1's 1.8M pairs). Materializing the pairs once makes the
+        // sampling pass a cheap scan of the checkpointed rows.
         jaccardPairs(s, d)
+          .localCheckpoint(true)
           .orderBy("d1", "d2")
       },
       Some("""

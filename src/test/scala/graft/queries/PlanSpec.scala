@@ -32,18 +32,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("exact-jaccard carries no forced broadcast; candidates join on the token id") {
-    // The scale contract of the PPJoin rewrite: nothing hints a broadcast of
-    // the corpus (AQE may still broadcast a genuinely small side at this sf
-    // — that is adaptive, not forced), and the candidate self-join meets on
-    // the dense token id so the shuffle spreads over the vocabulary instead
-    // of a handful of lang keys.
-    val df = SparkEntry.queries("dedup_jaccard")(spark, d)
+  test("exact-jaccard carries no forced broadcast; pair join is salted") {
+    // The scale contract of the de-broadcast rewrite: nothing hints a
+    // broadcast of the corpus (AQE may still broadcast a genuinely small
+    // side at this sf — that is adaptive, not forced), and on this tiny-
+    // vocabulary corpus the pair join shuffles on (lang, salt) — S× the key
+    // entropy of bare lang. The large-vocabulary prefix-filtered path is
+    // exercised by DedupScaleSpec's 100k-word corpus. Inspects the pair
+    // pipeline directly: the query wrapper localCheckpoints before its
+    // output sort, which hides the join from the final plan.
+    val df = Dedup.jaccardPairsFrom(spark, graft.queries.Q.t(spark, d, "documents"))
     val analyzed = df.queryExecution.analyzed.toString
     assert(!analyzed.contains("ResolvedHint"), s"a broadcast hint crept back in:\n$analyzed")
     val joins = df.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("Join") && l.contains("wid"))
-    assert(joins.nonEmpty, "candidate join no longer keyed on the token id")
+      .filter(l => l.contains("Join") && l.contains("salt"))
+    assert(joins.nonEmpty, "pair join no longer keyed on the salt")
   }
 
   test("simhash pairs join on the band columns, not bare lang") {
