@@ -6,7 +6,14 @@ import java.util.Base64
 import java.util.concurrent.Executors
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{
+  HttpExchange,
+  HttpServer,
+  HttpsConfigurator,
+  HttpsExchange,
+  HttpsParameters,
+  HttpsServer
+}
 
 import graft.log.OffsetOutOfRangeException
 
@@ -32,21 +39,48 @@ import graft.log.OffsetOutOfRangeException
   * subjects are 403 carrying the exact Casbin deny message
   * (server_test.go:286-308).
   *
-  * Authentication is out of engine scope (mTLS CN extraction is a
-  * documented deviation): the caller-asserted `X-Subject` header names the
-  * subject, defaulting to `root` like the CLI. Bytes travel as base64, the
+  * Authentication: with [[MtlsConfig]] the server REQUIRES a verified
+  * client certificate and the subject IS the certificate's CN — the
+  * reference's authenticate interceptor (reference: internal/server/
+  * server.go:160-178, config/tls.go:36-40); a spoofed `X-Subject` header
+  * cannot override it. Without TLS the caller-asserted `X-Subject` header
+  * names the subject (defaulting to `root` like the CLI) — the plaintext
+  * mode for already-authenticated perimeters. Bytes travel as base64, the
   * standard JSON mapping for proto `bytes` fields.
   */
-class HttpLogServer(service: LogService, port: Int = 0) {
+class HttpLogServer(service: LogService, port: Int = 0, tls: Option[MtlsConfig] = None) {
   private val mapper = new ObjectMapper()
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val server = tls match {
+    case None => HttpServer.create(new InetSocketAddress(port), 0)
+    case Some(cfg) =>
+      val s = HttpsServer.create(new InetSocketAddress(port), 0)
+      val ctx = Mtls.sslContext(cfg)
+      s.setHttpsConfigurator(new HttpsConfigurator(ctx) {
+        override def configure(p: HttpsParameters): Unit = {
+          // setSSLParameters is the variant the JDK server actually honors
+          // for client auth — setNeedClientAuth alone is dropped once any
+          // other parameter is set.
+          val params = ctx.getDefaultSSLParameters
+          params.setNeedClientAuth(true) // RequireAndVerifyClientCert (tls.go:38)
+          p.setSSLParameters(params)
+        }
+      })
+      s
+  }
   server.setExecutor(Executors.newFixedThreadPool(4))
 
   /** Bound port (useful when constructed with port 0 for tests). */
   def boundPort: Int = server.getAddress.getPort
 
-  private def subjectOf(ex: HttpExchange): String =
-    Option(ex.getRequestHeaders.getFirst("X-Subject")).getOrElse("root")
+  private def subjectOf(ex: HttpExchange): String = ex match {
+    case https: HttpsExchange if tls.isDefined =>
+      // The verified client certificate IS the identity; header spoofing
+      // is inert once mTLS is on.
+      Mtls
+        .commonName(https.getSSLSession.getPeerPrincipal.getName)
+        .getOrElse(throw PermissionDeniedException("unidentified", "connect"))
+    case _ => Option(ex.getRequestHeaders.getFirst("X-Subject")).getOrElse("root")
+  }
 
   private def respond(ex: HttpExchange, status: Int, body: String, cType: String = "application/json"): Unit = {
     val bytes = body.getBytes(UTF_8)
