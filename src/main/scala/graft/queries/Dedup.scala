@@ -138,31 +138,41 @@ object Dedup {
           val inter = (0 until nBlocks)
             .map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)"))
             .reduce(_ + _)
-          // Salted all-pairs within lang: (lang, salt) shuffle keys, S×
-          // bounded replication of the compact signature rows, per-pair
-          // cost a handful of AND+popcounts inside whole-stage codegen.
-          val S = 16
-          val a = enc.select(
-            col("doc_id").as("d1") +: col("lang") +: col("sz").as("sz1") +:
-              (col("doc_id") % S).cast("int").as("salt") +:
-              (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i")): _*)
-          val b = enc
-            .withColumn("salt2", explode(sequence(lit(0), lit(S - 1))))
+          // TRIANGLE-partitioned all-pairs within lang: docs hash into G
+          // groups; every unordered group pair (p ≤ q) is one shuffle
+          // bucket, the left role covers buckets (g, q≥g) and the right
+          // role buckets (p≤g, g), so each doc pair meets EXACTLY once —
+          // no d1<d2 half-discard (that filter only applies on diagonal
+          // buckets), half the condition evaluations of a salted join,
+          // and ~(G+1)/2-fold bounded replication per side. Shuffle keys:
+          // |lang| · G(G+1)/2.
+          val G = 8
+          val a = enc
+            .withColumn("tri_p", (col("doc_id") % G).cast("int"))
+            .withColumn("tri_q", explode(sequence(col("tri_p"), lit(G - 1))))
             .select(
-              col("doc_id").as("d2") +: col("lang").as("lang2") +: col("sz").as("sz2") +:
-                col("salt2") +:
+              col("doc_id").as("ida") +: col("lang") +: col("sz").as("sz1") +:
+                col("tri_p") +: col("tri_q") +:
+                (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i")): _*)
+          val b = enc
+            .withColumn("tri_q2", (col("doc_id") % G).cast("int"))
+            .withColumn("tri_p2", explode(sequence(lit(0), col("tri_q2"))))
+            .select(
+              col("doc_id").as("idb") +: col("lang").as("lang2") +: col("sz").as("sz2") +:
+                col("tri_p2") +: col("tri_q2") +:
                 (0 until nBlocks).map(i => col(s"m_$i").as(s"mb_$i")): _*)
           return a
             .join(
               b,
-              col("lang") === col("lang2") && col("salt") === col("salt2") &&
-                col("d1") < col("d2") &&
+              col("lang") === col("lang2") &&
+                col("tri_p") === col("tri_p2") && col("tri_q") === col("tri_q2") &&
+                (col("tri_p") =!= col("tri_q") || col("ida") < col("idb")) &&
                 col("sz1") * 5 >= col("sz2") * 3 && col("sz2") * 5 >= col("sz1") * 3
             )
             .withColumn("inter", inter)
             .select(
-              col("d1"),
-              col("d2"),
+              least(col("ida"), col("idb")).as("d1"),
+              greatest(col("ida"), col("idb")).as("d2"),
               (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard")
             )
             .filter(col("jaccard") >= 0.6)

@@ -32,12 +32,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("exact-jaccard carries no forced broadcast; pair join is salted") {
+  test("exact-jaccard carries no forced broadcast; pair join is triangle-partitioned") {
     // The scale contract of the de-broadcast rewrite: nothing hints a
     // broadcast of the corpus (AQE may still broadcast a genuinely small
     // side at this sf — that is adaptive, not forced), and on this tiny-
-    // vocabulary corpus the pair join shuffles on (lang, salt) — S× the key
-    // entropy of bare lang. The large-vocabulary prefix-filtered path is
+    // vocabulary corpus the pair join shuffles on (lang, group-pair) —
+    // G(G+1)/2 × the key entropy of bare lang with each unordered pair
+    // meeting exactly once. The large-vocabulary prefix-filtered path is
     // exercised by DedupScaleSpec's 100k-word corpus. Inspects the pair
     // pipeline directly: the query wrapper localCheckpoints before its
     // output sort, which hides the join from the final plan.
@@ -45,8 +46,8 @@ class PlanSpec extends AnyFunSuite {
     val analyzed = df.queryExecution.analyzed.toString
     assert(!analyzed.contains("ResolvedHint"), s"a broadcast hint crept back in:\n$analyzed")
     val joins = df.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("Join") && l.contains("salt"))
-    assert(joins.nonEmpty, "pair join no longer keyed on the salt")
+      .filter(l => l.contains("Join") && l.contains("tri_"))
+    assert(joins.nonEmpty, "pair join no longer keyed on the triangle group pair")
   }
 
   test("simhash pairs join on the band columns, not bare lang") {
