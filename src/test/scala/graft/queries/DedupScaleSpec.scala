@@ -15,6 +15,46 @@ import graft.TestSpark
 class DedupScaleSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("jaccard pairs are exact on a mid-size vocabulary (prefix + bitmap path)") {
+    // Covers the middle strategy branch: > 512 words (so the tiny-universe
+    // all-pairs path is skipped) but << 32k (so verification uses packed
+    // bitmap columns, not the array fallback).
+    import spark.implicits._
+    val docs = (0 until 80).map { i =>
+      val base = (i / 2) * 40
+      val words =
+        if (i % 2 == 0) (0 until 36).map(j => s"w${base + j}")
+        else (0 until 32).map(j => s"w${base + j}") ++ (0 until 4).map(j => s"y${base + j}")
+      (i.toLong, "en", words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "lang", "text")
+    val vocabSize = df
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .count()
+    assert(
+      vocabSize > Dedup.SmallVocabBlocks * 64L && vocabSize <= Dedup.MaxBitmapBlocks * 64L,
+      s"vocab $vocabSize does not exercise the middle branch"
+    )
+    val got = Dedup
+      .jaccardPairsFrom(spark, df)
+      .select("d1", "d2", "jaccard")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSet
+    val sets = docs.map { case (id, _, text) => id -> text.split(" ").toSet }
+    val expected = (for {
+      (i, a) <- sets
+      (j, b) <- sets
+      if i < j
+      inter = (a & b).size
+      jac = inter.toDouble / (a.size + b.size - inter)
+      if jac >= 0.6
+    } yield (i, j, jac)).toSet
+    assert(expected.nonEmpty, "synthetic corpus produced no expected pairs")
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+  }
+
   test("jaccard pairs are exact on a 100k-word vocabulary (array fallback path)") {
     import spark.implicits._
     // 200 docs x 520 mostly-unique words = ~104k distinct words >> the
