@@ -539,6 +539,67 @@ object Dedup {
       """)
     ),
 
+    // --- SimHash near-identical pairs: production-threshold banding ---
+    Q(
+      "dedup_simhash_near",
+      (s, d) => {
+        // The tight-threshold variant (hamming ≤ 3 — near-identical docs,
+        // the threshold production simhash dedup actually runs): FOUR
+        // 15-bit bands are pigeonhole-complete here (≤3 differing bits
+        // leave ≥1 of 4 bands intact), and unlike the loose τ=14 twin the
+        // banding now PRUNES — a random pair collides on a 15-bit band
+        // w.p. ~4·2⁻¹⁵ ≈ 0.012%, so candidates are a vanishing fraction
+        // of all pairs and the join scales to corpus sizes where the
+        // τ=14 query's ~62% admission rate cannot. Same oracle regime:
+        // DuckDB recomputes fingerprints and bands bit-for-bit.
+        graft.functions.GraftFunctions.register(s)
+        val sims = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            expr("simhash60(array_distinct(split(lower(trim(text)), ' ')))").as("simhash")
+          )
+        val banded = sims.select(
+          col("doc_id"),
+          col("simhash"),
+          explode(expr(
+            "transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(simhash, b*15) & 32767 AS INT) AS bv))"
+          )).as("bb")
+        ).select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+        val x = banded.select(col("doc_id").as("d1"), col("simhash").as("h1"), col("band"), col("bv"))
+        val y = banded.select(
+          col("doc_id").as("d2"), col("simhash").as("h2"),
+          col("band").as("band2"), col("bv").as("bv2"))
+        x.join(y, col("band") === col("band2") && col("bv") === col("bv2") && col("d1") < col("d2"))
+          .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+          .filter(col("hamming") <= 3)
+          .select("d1", "d2", "hamming")
+          .distinct()
+          .orderBy("d1", "d2")
+      },
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS wh FROM w),
+        bits AS (
+          SELECT doc_id, t.b,
+                 CASE WHEN (wh >> CAST(t.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END AS v
+          FROM h CROSS JOIN range(0, 60) t(b)),
+        votes AS (
+          SELECT doc_id, b, CAST(sum(v) AS BIGINT) AS vote FROM bits GROUP BY 1, 2),
+        sims AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY 1)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY d1, d2
+      """)
+    ),
+
     // --- embedding cosine near-dup pairs (salted label-blocked exact pass) ---
     Q(
       "dedup_embedding",
@@ -799,13 +860,16 @@ object Dedup {
           .fit(vectorized)
         // dist <= 0.4 ⟺ Jaccard similarity >= 0.6, same-lang: the exact
         // pair set's blocking, so found ⊆ exact is the precision contract.
+        // Both pair sets feed three count actions — materialize once so
+        // the LSH join and the exact pipeline don't re-execute per count.
         val found = model
           .approxSimilarityJoin(vectorized, vectorized, 0.4, "jaccard_dist")
           .filter(col("datasetA.lang") === col("datasetB.lang"))
           .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"))
           .filter(col("d1") < col("d2"))
           .distinct()
-        val exact = jaccardPairsFrom(s, documents).select(col("d1"), col("d2"))
+          .localCheckpoint(true)
+        val exact = jaccardPairsFrom(s, documents).select(col("d1"), col("d2")).localCheckpoint(true)
         val nExact = exact.count()
         val nHit = exact.join(found, Seq("d1", "d2")).count()
         val nSpurious = found.join(exact, Seq("d1", "d2"), "left_anti").count()
