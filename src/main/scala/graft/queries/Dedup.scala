@@ -148,14 +148,14 @@ object Dedup {
           // |lang| · G(G+1)/2.
           val G = 8
           val a = enc
-            .withColumn("tri_p", (col("doc_id") % G).cast("int"))
+            .withColumn("tri_p", pmod(col("doc_id"), lit(G)).cast("int"))
             .withColumn("tri_q", explode(sequence(col("tri_p"), lit(G - 1))))
             .select(
               col("doc_id").as("ida") +: col("lang") +: col("sz").as("sz1") +:
                 col("tri_p") +: col("tri_q") +:
                 (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i")): _*)
           val b = enc
-            .withColumn("tri_q2", (col("doc_id") % G).cast("int"))
+            .withColumn("tri_q2", pmod(col("doc_id"), lit(G)).cast("int"))
             .withColumn("tri_p2", explode(sequence(lit(0), col("tri_q2"))))
             .select(
               col("doc_id").as("idb") +: col("lang").as("lang2") +: col("sz").as("sz2") +:
@@ -625,7 +625,7 @@ object Dedup {
           )
         val a = e.select(
           col("vec_id").as("i"), col("label"), col("v").as("va"),
-          (col("vec_id") % S).cast("int").as("salt"))
+          pmod(col("vec_id"), lit(S)).cast("int").as("salt"))
         val b = e
           .withColumn("salt2", explode(sequence(lit(0), lit(S - 1))))
           .select(col("vec_id").as("j"), col("label").as("label2"), col("v").as("vb"), col("salt2"))
@@ -850,6 +850,11 @@ object Dedup {
           .setInputCol("words")
           .setOutputCol("features")
           .setBinary(true)
+          // Default vocabSize (2^18) silently TRUNCATES larger vocabularies,
+          // inflating the verify-step Jaccard on the dropped-word mass and
+          // breaking the precision contract exactly at scale; 2^22 covers
+          // any corpus this engine's exact twin handles.
+          .setVocabSize(1 << 22)
           .fit(tokenized)
         val vectorized = cv.transform(tokenized)
         val model = new MinHashLSH()
@@ -860,10 +865,17 @@ object Dedup {
           .fit(vectorized)
         // dist <= 0.4 ⟺ Jaccard similarity >= 0.6, same-lang: the exact
         // pair set's blocking, so found ⊆ exact is the precision contract.
+        // The threshold carries +1e-6 because approxSimilarityJoin filters
+        // STRICTLY (dist < t): bare 0.4 would structurally exclude pairs at
+        // exactly J = 0.6 — which the exact set includes — regardless of
+        // hash luck. The epsilon cannot admit a sub-0.6 pair: J values are
+        // rationals i/u with u bounded by the doc vocabulary, so the nearest
+        // J ≠ 3/5 sits at least 1/(5u) away — far beyond 1e-6 for any
+        // realistic document.
         // Both pair sets feed three count actions — materialize once so
         // the LSH join and the exact pipeline don't re-execute per count.
         val found = model
-          .approxSimilarityJoin(vectorized, vectorized, 0.4, "jaccard_dist")
+          .approxSimilarityJoin(vectorized, vectorized, 0.4 + 1e-6, "jaccard_dist")
           .filter(col("datasetA.lang") === col("datasetB.lang"))
           .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"))
           .filter(col("d1") < col("d2"))

@@ -1111,8 +1111,11 @@ object Relational {
           )
           .select(
             col("exact_users"),
-            (abs(col("approx") - col("exact_users")).cast("double") / col("exact_users") <= 0.05)
-              .as("approx_ok")
+            // Multiplicative form of |approx-exact|/exact <= 0.05: no
+            // division, so an empty table (exact = 0) degrades to the
+            // correct `approx == 0` check instead of an ANSI DIVIDE_BY_ZERO.
+            (abs(col("approx") - col("exact_users")).cast("double") <=
+              col("exact_users").cast("double") * 0.05).as("approx_ok")
           ),
       Some("""
         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, true AS approx_ok

@@ -314,12 +314,17 @@ object Similarity {
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select("qid", "vec_id")
+        // MEASURED counts, not hardcoded 8×5: a degenerate table with fewer
+        // than 8 vectors (or brute lists shorter than 5) would otherwise
+        // mismatch the oracle's count or make the gate unreachable.
+        val nq = qVecs.length.toLong
+        val nBrute = brute5.count()
         ivf5
           .join(brute5, Seq("qid", "vec_id"))
           .agg(count(lit(1)).as("total_hits"))
           .select(
-            lit(8L).as("n_queries"),
-            (col("total_hits") >= lit(0.4 * 8 * 5)).as("recall_ok")
+            lit(nq).as("n_queries"),
+            (col("total_hits") >= lit(math.ceil(0.4 * nBrute))).as("recall_ok")
           )
       },
       Some("""

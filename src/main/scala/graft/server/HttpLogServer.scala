@@ -50,6 +50,7 @@ import graft.log.OffsetOutOfRangeException
   */
 class HttpLogServer(service: LogService, port: Int = 0, tls: Option[MtlsConfig] = None) {
   private val mapper = new ObjectMapper()
+  private val pool = Executors.newFixedThreadPool(4)
   private val server = tls match {
     case None => HttpServer.create(new InetSocketAddress(port), 0)
     case Some(cfg) =>
@@ -67,7 +68,7 @@ class HttpLogServer(service: LogService, port: Int = 0, tls: Option[MtlsConfig] 
       })
       s
   }
-  server.setExecutor(Executors.newFixedThreadPool(4))
+  server.setExecutor(pool)
 
   /** Bound port (useful when constructed with port 0 for tests). */
   def boundPort: Int = server.getAddress.getPort
@@ -194,16 +195,26 @@ class HttpLogServer(service: LogService, port: Int = 0, tls: Option[MtlsConfig] 
         ex.getResponseHeaders.set("Content-Type", "text/event-stream")
         ex.sendResponseHeaders(200, 0) // chunked
         val os = ex.getResponseBody
+        // Once the 200 went out, a mid-stream failure (Spark task error,
+        // client disconnect) can only END the stream — letting it escape to
+        // handle() would make respond() re-send headers on a committed
+        // exchange and mask the original error with an IllegalStateException.
         try {
           records.foreach { rec =>
             os.write(s"data: ${mapper.writeValueAsString(recordJson(rec))}\n\n".getBytes(UTF_8))
             os.flush()
           }
-        } finally os.close()
+        } catch { case _: Exception => () }
+        finally os.close()
       }
   )
 
   def start(): HttpLogServer = { server.start(); this }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // The pool is non-daemon: without shutdown every construct/stop cycle
+    // leaks 4 live threads and an embedder's main() never exits.
+    pool.shutdown()
+  }
 }
