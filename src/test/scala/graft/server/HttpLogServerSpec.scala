@@ -106,6 +106,31 @@ class HttpLogServerSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent producers get unique contiguous offsets (4-thread pool)") {
+    // The HTTP layer is the first CONCURRENT caller of SparkLog (the CLI
+    // and driver are single-threaded): 32 parallel produces across the
+    // 4-thread pool must serialize through the synchronized append path
+    // into unique, gap-free offsets.
+    withServer { (c, base, _) =>
+      import java.util.concurrent.{Callable, Executors}
+      val pool = Executors.newFixedThreadPool(8)
+      try {
+        val tasks = (0 until 32).map { i =>
+          new Callable[Long] {
+            override def call(): Long = {
+              val r = post(c, s"$base/", s"""{"record":{"value":"${b64(s"c$i")}"}}""")
+              assert(r.statusCode() == 200, r.body())
+              """"offset":(\d+)""".r.findFirstMatchIn(r.body()).get.group(1).toLong
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        val offsets = pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+        assert(offsets.sorted == (0L until 32L), s"offsets not contiguous/unique: $offsets")
+      } finally pool.shutdown()
+    }
+  }
+
   test("malformed bodies keep the reference's status quirks (http.go:33-37,55-59)") {
     withServer { (c, base, _) =>
       assert(post(c, s"$base/", "{not json").statusCode() == 500)
