@@ -140,7 +140,22 @@ private[graft] trait LogFs {
           catch { case _: java.io.FileNotFoundException => i += 1 }
         case None =>
           val legacy = child(dir, name)
-          return if (exists(legacy)) Some(readFileBytes(legacy)) else None
+          if (exists(legacy)) {
+            try return Some(readFileBytes(legacy))
+            // Legacy file retired by a concurrent first versioned publish
+            // between the exists check and the open — loop re-lists for
+            // the version that replaced it.
+            catch { case _: java.io.FileNotFoundException => () }
+          } else if (versionsOf(dir, name).isEmpty) {
+            // Re-listed and still nothing: either genuinely no metadata, or
+            // we'd be racing ANOTHER upgrade publish — but the legacy→
+            // versioned upgrade happens once per log lifetime, so a second
+            // empty sighting is conclusive. (Returning None off the FIRST
+            // sighting raced the writer's publish-v1-then-delete-legacy
+            // sequence and reported an upgraded log as metadata-less.)
+            return None
+          }
+          i += 1
       }
     }
     throw new java.io.IOException(s"metadata read lost the publish race $i times: $dir/$name")

@@ -140,10 +140,13 @@ private[graft] object ParquetPointReader {
       override def next(): Array[Any] = {
         val g = inner.next()
         fields.map {
-          case "offset" => g.offset
-          case "value"  => g.value
-          case "term"   => g.term
-          case _        => g.recordType
+          case "offset"     => g.offset
+          case "value"      => g.value
+          case "term"       => g.term
+          case "recordType" => g.recordType
+          // Fail loud: silently substituting recordType for an unknown
+          // requested column would materialize wrong data into every row.
+          case other => throw new IllegalArgumentException(s"unknown log column: $other")
         }
       }
       override def close(): Unit = inner.close()

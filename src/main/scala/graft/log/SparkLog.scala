@@ -122,10 +122,11 @@ class SparkLog(
     }
     var pending = Vector.newBuilder[LogRecord]
     var pendingFor = active.base
+    val published = Vector.newBuilder[String]
 
     def flush(): Unit = {
       val recs = pending.result()
-      if (recs.nonEmpty) writePart(pendingFor, recs)
+      if (recs.nonEmpty) published += writePart(pendingFor, recs)
       pending = Vector.newBuilder[LogRecord]
     }
 
@@ -153,7 +154,16 @@ class SparkLog(
       segments = upsert(m.segments, active).filterNot(_.isEmpty),
       nextOffset = off
     )
-    LogManifest.write(dir, m)
+    // Publish order is data-then-manifest; if the manifest write fails the
+    // published parts must not stay behind — the in-memory nextOffset is
+    // unchanged, so a retry would mint the SAME offsets again and a later
+    // reconcile() would surface both copies as duplicate records.
+    try LogManifest.write(dir, m)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        published.result().foreach(p => try fs.delete(p) catch { case _: Exception => () })
+        throw e
+    }
     manifest = m
     first
   }
@@ -227,6 +237,17 @@ class SparkLog(
         // the in-page sequential scan is the tail cost of read(offset).
         .option("parquet.page.row.count.limit", "2048")
         .parquet(staging)
+      // The pending-token marker lands in the segment dir BEFORE any data:
+      // if we crash after parts publish but before the manifest commit,
+      // reconcile() resurrects the segment — and must resurrect its token
+      // with it, or a foreachBatch retry would re-append the now-visible
+      // batch and break exactly-once. The marker is deleted once the
+      // manifest (which carries the token authoritatively) commits.
+      val segDir = segmentPath(base)
+      token.foreach { case (name, epoch) =>
+        fs.mkdirs(segDir)
+        fs.writeMeta(segDir, PendingTokenFile, s"$name\n$epoch".getBytes("UTF-8"))
+      }
       val bytes = publishParts(staging, base)
       val seg = SegmentMeta(base, base + total, bytes, total, sealed_ = true)
       val m0 = manifest
@@ -239,8 +260,19 @@ class SparkLog(
         case None                => manifest.tokens
       }
       val m = LogManifest(sealedPrev :+ seg, base + total, newTokens)
-      LogManifest.write(dir, m)
+      // Data-then-manifest: on a manifest-write failure the whole segment
+      // dir is ours and unmanifested — remove it so a caller retry cannot
+      // mint duplicate offsets (`segment=<nextOffset>` is never a
+      // manifested dir: empty segments are filtered out of the manifest).
+      try LogManifest.write(dir, m)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          try fs.deleteRecursively(segDir)
+          catch { case _: Exception => () }
+          throw e
+      }
       manifest = m
+      token.foreach(_ => try fs.deleteMeta(segDir, PendingTokenFile) catch { case _: Exception => () })
       (base, total)
     } finally values.unpersist(blocking = false)
   }
@@ -258,13 +290,33 @@ class SparkLog(
     * any reader surprise. Throws the typed 404 error past either end.
     */
   def read(offset: Long): LogRecord = {
-    val seg = manifest
-      .segmentFor(offset)
-      .getOrElse(throw OffsetOutOfRangeException(offset))
-    val fast =
-      try ParquetPointReader.readOffset(segmentPath(seg.base), offset)
-      catch { case scala.util.control.NonFatal(_) => sparkRead(seg.base, offset) }
-    fast.getOrElse(throw OffsetOutOfRangeException(offset))
+    // Reads are deliberately lock-free against the @volatile manifest, so a
+    // concurrent compact() can swap a segment dir away between our manifest
+    // snapshot and the file listing — readOffset then sees an empty/missing
+    // dir and reports None, which must NOT become a 404: offsets inside a
+    // manifested segment are contiguous, so None for one of them can only
+    // mean the swap race (compaction preserves every offset — the fresh
+    // manifest resolves it). Bounded retries, then fail loud.
+    var attempt = 0
+    while (attempt < 5) {
+      val seg = manifest
+        .segmentFor(offset)
+        .getOrElse(throw OffsetOutOfRangeException(offset))
+      val fast =
+        try ParquetPointReader.readOffset(segmentPath(seg.base), offset)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            try sparkRead(seg.base, offset)
+            catch { case scala.util.control.NonFatal(_) => None }
+        }
+      fast match {
+        case Some(r) => return r
+        case None =>
+          attempt += 1
+          if (attempt < 5) Thread.sleep(5L * attempt)
+      }
+    }
+    throw OffsetOutOfRangeException(offset)
   }
 
   private def sparkRead(base: Long, offset: Long): Option[LogRecord] = {
@@ -417,6 +469,10 @@ class SparkLog(
         .sortWithinPartitions("offset")
         .write
         .option("maxRecordsPerFile", config.maxRecordsPerSegment)
+        // Same 2k-row pages as the append paths: without this the rewrite
+        // would regress point reads into compacted (i.e. the oldest,
+        // largest) segments back to ~20k-row default pages.
+        .option("parquet.page.row.count.limit", "2048")
         .parquet(staging)
       val newSeg = fs.child(dir, s"_compact-$lo-${UUID.randomUUID().toString.take(8)}")
       val bytes = publishPartsTo(staging, newSeg)
@@ -474,16 +530,18 @@ class SparkLog(
     * embeds the chunk's offset range in the file name so point reads pick
     * the file without opening footers.
     */
-  private def writePart(base: Long, recs: Vector[LogRecord]): Unit = {
+  private def writePart(base: Long, recs: Vector[LogRecord]): String = {
     val target = segmentPath(base)
     fs.mkdirs(target)
     val tmp = fs.child(dir, s"_tmp-${UUID.randomUUID().toString.take(12)}.parquet")
     ParquetPartWriter.write(tmp, recs)
     val name =
       s"part-${recs.head.offset}-${recs.last.offset}-${UUID.randomUUID().toString.take(8)}.parquet"
-    fs.move(tmp, fs.child(target, name))
+    val dest = fs.child(target, name)
+    fs.move(tmp, dest)
     // Checksum sidecar (Hadoop local FS only; the NIO path never writes one).
     fs.delete(fs.child(dir, "." + fs.fileName(tmp) + ".crc"))
+    dest
   }
 
   /** Move every part file from `staging` into `segment=<base>/`, returning
@@ -547,17 +605,39 @@ class SparkLog(
       case Some(last) => upsert(m.segments, rebuildSegmentMeta(last.base).copy(sealed_ = last.sealed_))
       case None       => m.segments
     }
-    val extra = unknown.map(rebuildSegmentMeta)
+    // Empty unknown dirs (a failed append's mkdirs with its parts cleaned
+    // up) carry no data — don't resurrect zero-record segments.
+    val extra = unknown.map(rebuildSegmentMeta).filterNot(_.isEmpty)
     val segs = (fixedTail ++ extra).sortBy(_.base)
     // Tokens ride along: dropping them here would re-enable duplicate
     // application of an already-committed streaming batch after a crash —
-    // exactly the window the tokens exist to close.
+    // exactly the window the tokens exist to close. A resurrected appendDF
+    // segment additionally carries its own pending-token marker (written
+    // before its parts): merge it, or the resurrected DATA would be visible
+    // while the token check still said "not applied" and a foreachBatch
+    // retry would append the batch twice.
+    val resurrected = extra.flatMap { s =>
+      val segDir = segmentPath(s.base)
+      try fs.readMeta(segDir, PendingTokenFile).map(new String(_, "UTF-8")).flatMap { txt =>
+        txt.split("\n", 2) match {
+          case Array(name, epoch) => Some(name -> epoch.trim.toLong)
+          case _                  => None
+        }
+      } catch { case _: Exception => None }
+    }
+    val mergedTokens = resurrected.foldLeft(m.tokens) { case (acc, (name, epoch)) =>
+      acc + (name -> math.max(acc.getOrElse(name, Long.MinValue), epoch))
+    }
     val m2 = LogManifest(
       segs,
       math.max(m.nextOffset, segs.lastOption.map(_.next).getOrElse(m.nextOffset)),
-      m.tokens
+      mergedTokens
     )
     LogManifest.write(dir, m2)
+    extra.foreach(s =>
+      try fs.deleteMeta(segmentPath(s.base), PendingTokenFile)
+      catch { case _: Exception => () }
+    )
     m2
   }
 
@@ -590,6 +670,14 @@ object SparkLog {
     * We charge the same so roll points line up with the reference's tests.
     */
   val LenWidth: Int = 8
+
+  /** Marker carrying an appendDF idempotence token between parts-publish and
+    * manifest-commit (versioned via the LogFs metadata protocol; format
+    * `<name>\n<epoch>`). Read back only by reconcile(). Lives on the
+    * companion: reconcile runs during CONSTRUCTION, before any class val
+    * declared below the manifest field would be initialized.
+    */
+  private[log] val PendingTokenFile = "_pending_token"
 
   /** Open (or create) a log at `dir` — recovery included, mirroring
     * `NewLog` + `setup` (reference: internal/log/log.go:25-68).

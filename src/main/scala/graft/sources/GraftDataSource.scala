@@ -312,9 +312,13 @@ case class GraftReaderFactory(fields: Array[String]) extends PartitionReaderFact
       // survive unlink); only the list→open window needs this. The
       // recursion covers files opened lazily inside the re-planned flatMap
       // too — each gets its own `replansLeft` budget decrement. A file with
-      // an unranged (legacy) name can't be range-recovered: rethrow and let
-      // Spark's task retry re-plan the whole partition (the documented
-      // second-level recovery).
+      // an unranged (legacy) name can't be range-recovered — its offset
+      // coverage is unknown, so a re-plan could double-read rows owned by
+      // sibling partitions. Rethrow: the failure is permanent for this
+      // query (Spark task retries re-execute the SAME serialized partition;
+      // they do not re-plan), which is the honest trade — unranged names
+      // only arise from pre-range-naming legacy writers, and any compact()
+      // rewrites them to ranged names, shrinking this exposure to nothing.
       private def openPlanned(
           file: String,
           lo: Long,

@@ -284,4 +284,30 @@ class SparkLogSpec extends AnyFunSuite {
     assert(CompactJournal.read(dir).isEmpty)
     assert(!Files.exists(Paths.get(dir, "_old-999-test")))
   }
+  test("reconcile resurrects a half-committed appendDF segment WITH its token") {
+    val session = spark
+    import session.implicits._
+    val dir = TestSpark.tempDir("log-token-crash")
+    val log = SparkLog(spark, dir)
+    log.appendDF(Seq("a", "b").map(_.getBytes).toDF("value"), Some(("src", 1L)))
+    val preCrash = LogManifest.read(dir).get // manifest as of epoch 1
+    val base2 = log.currentManifest.nextOffset
+    log.appendDF(Seq("c", "d", "e").map(_.getBytes).toDF("value"), Some(("src", 2L)))
+    // Simulate a crash between epoch 2's parts-publish and manifest-commit:
+    // roll the manifest back to the epoch-1 version and restore the
+    // pending-token marker that the successful commit path deleted.
+    LogManifest.write(dir, preCrash)
+    LogFs.forPath(dir).writeMeta(s"$dir/segment=$base2", "_pending_token", "src\n2".getBytes("UTF-8"))
+
+    // Reopen: reconcile must resurrect the segment AND its token together.
+    val re = SparkLog(spark, dir)
+    assert(re.highestOffset == 4, "resurrected data must be visible")
+    assert(re.currentManifest.tokens.get("src").contains(2L),
+      s"pending token lost in resurrection: ${re.currentManifest.tokens}")
+    // The foreachBatch retry of epoch 2 is now a no-op, not a duplicate.
+    val (_, n) = re.appendDF(Seq("c", "d", "e").map(_.getBytes).toDF("value"), Some(("src", 2L)))
+    assert(n == 0, "epoch 2 retry must be skipped")
+    assert(re.highestOffset == 4)
+  }
+
 }
