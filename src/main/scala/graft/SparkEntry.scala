@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Dedup, Multimodal, Q, Relational, Similarity, Skew, Temporal, TextOps}
+import graft.queries.{Corpus, Dedup, Multimodal, Q, Relational, Similarity, Skew, Temporal, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,8 +15,8 @@ import graft.queries.{Dedup, Multimodal, Q, Relational, Similarity, Skew, Tempor
 object SparkEntry {
 
   val allQueries: Seq[Q] =
-    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
-      Skew.all ++ Temporal.all
+    Relational.all ++ TextOps.all ++ Corpus.all ++ Dedup.all ++ Similarity.all ++
+      Multimodal.all ++ Skew.all ++ Temporal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Region revenue through the full dimension chain (TPC-H Q5 shape).

@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q.t
+
+/** Corpus-construction operators a large-scale training-data pipeline runs
+  * after per-document analysis (TextOps) and dedup (Dedup): benchmark
+  * decontamination, repetition-based quality filtering (Gopher rules), and
+  * token-budget mixture sampling.
+  *
+  * Scale posture is the design driver for all three:
+  *  - decontamination broadcasts only the BENCHMARK n-gram set (eval suites
+  *    are ~1e5 examples; the corpus side streams map-side and aggregates on
+  *    doc_id — one keyed shuffle);
+  *  - repetition metrics are pure per-row higher-order-function maps (zero
+  *    shuffles before the output sort);
+  *  - budget sampling shards its running token sums over (lang, bucket)
+  *    keys so no single language funnels through one reducer — the
+  *    per-language prefix table that stitches buckets together is
+  *    metadata-sized (|langs|×|buckets| rows) and broadcasts.
+  */
+object Corpus {
+
+  private def ws = split(lower(trim(col("text"))), " ")
+
+  /** Deterministic 0..buckets-1 shard of a doc id (md5-derived, so both
+    * engines and every run agree). Doc ids are non-negative, but pmod keeps
+    * the contract explicit.
+    */
+  private def bucketOf(buckets: Int) =
+    pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(buckets))
+
+  val all: Seq[Q] = Seq(
+    // --- benchmark decontamination: n-gram overlap against an eval set ---
+    // The standard GPT-3/PaLM recipe: a training document is contaminated
+    // if it shares any n-gram with a held-out benchmark. The benchmark here
+    // is a deterministic pseudo-eval slice (doc_id % 97 == 0); real
+    // pipelines substitute their eval suites. n=3 is scaled to the
+    // synthetic 31-word vocabulary so every SF yields non-trivial overlap
+    // (production uses 8-13-gram windows — the plan is unchanged).
+    //
+    // Plan: benchmark n-grams -> distinct (small) -> BROADCAST; corpus
+    // n-grams explode map-side, join map-side against the broadcast, and
+    // the only shuffle is the per-doc hit count on doc_id. At 100 TB the
+    // corpus side never shuffles its text.
+    Q(
+      "text_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ngrams = expr(
+          """transform(sequence(1, size(w) - 2),
+                       i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
+                                   element_at(w, i + 2)))"""
+        )
+        // array_distinct BEFORE the explode: per-doc dedup happens map-side
+        // inside codegen, so distinct (doc_id, gram) pairs materialize with
+        // NO corpus-wide shuffle (an explode-then-distinct would exchange
+        // every n-gram of every document — ~10x the corpus — just to drop
+        // within-doc repeats that the array op removes for free).
+        val withGrams = docs
+          .select(col("doc_id"), ws.as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(array_distinct(ngrams)).as("gram"))
+        val bench = broadcast(
+          withGrams
+            .filter(col("doc_id") % 97 === 0)
+            .select(col("gram"))
+            .distinct()
+        )
+        val train = withGrams.filter(col("doc_id") % 97 =!= 0)
+        val hits = train
+          .join(bench, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+        docs
+          .filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            coalesce(col("n_hits") > 0, lit(false)).as("contaminated")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - 1),
+                        i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] || ' ' ||
+                             w[CAST(i AS INTEGER) + 2])) AS gram
+          FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
+          WHERE len(w) >= 3),
+        g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        hits AS (
+          SELECT g.doc_id, count(*) AS n_hits
+          FROM g JOIN bench USING (gram)
+          WHERE g.doc_id % 97 <> 0
+          GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_hits > 0, false) AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 97 <> 0
+        ORDER BY d.doc_id
+      """)
+    ),
+
+    // --- Gopher repetition rules: per-doc duplication metrics + gate ---
+    // Rae et al. 2021 (Gopher, appendix A1.1) drop documents dominated by
+    // repeated content. Word-level analogs of their rules, each a pure
+    // per-row expression over the token array (the whole computation is one
+    // WholeStageCodegen span; cost is O(distinct * n) per row, bounded by
+    // the document length — no corpus-wide state, no shuffle):
+    //   dup_word_frac   1 - distinct/total words
+    //   top_word_frac   occurrences of the most frequent word / total
+    //   top_bigram_frac occurrences of the most frequent bigram / bigrams
+    // The keep gate mirrors Gopher's thresholds (0.2 / 0.18), tightened to
+    // word level.
+    Q(
+      "text_repetition",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), ws.as("w"))
+          .filter(size(col("w")) >= 2)
+        val nW = size(col("w")).cast("double")
+        val topWord = expr(
+          "array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))"
+        ).cast("double")
+        val grams = expr(
+          """transform(sequence(1, size(w) - 1),
+                       i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""
+        )
+        docs
+          .withColumn("bg", grams)
+          .select(
+            col("doc_id"),
+            (lit(1.0) - size(array_distinct(col("w"))) / nW).as("dup_word_frac"),
+            (topWord / nW).as("top_word_frac"),
+            (expr("array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
+              .cast("double") / size(col("bg"))).as("top_bigram_frac")
+          )
+          .withColumn(
+            "keep",
+            col("top_word_frac") <= 0.2 && col("top_bigram_frac") <= 0.18
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH x AS (
+          SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+          FROM documents
+          WHERE len(string_split(lower(trim(text)), ' ')) >= 2),
+        y AS (
+          SELECT doc_id, w,
+                 list_transform(range(1, len(w)),
+                   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]) AS bg
+          FROM x),
+        m AS (
+          SELECT doc_id,
+                 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
+                 CAST(list_max(list_transform(list_distinct(w),
+                        x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w) AS top_word_frac,
+                 CAST(list_max(list_transform(list_distinct(bg),
+                        x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) AS top_bigram_frac
+          FROM y)
+        SELECT doc_id, dup_word_frac, top_word_frac, top_bigram_frac,
+               top_word_frac <= 0.2 AND top_bigram_frac <= 0.18 AS keep
+        FROM m ORDER BY doc_id
+      """)
+    ),
+
+    // --- token-budget mixture sampling: fill per-language quotas ---
+    // The training-mix operator: given mixture weights and a global token
+    // budget (here 50% of the corpus, weights en .5 / de .2 / fr .15 /
+    // es .1 / zh .05), take documents in a deterministic hash order until
+    // each language's quota fills. A single window over lang would funnel
+    // every language through one reducer at 100 TB, so the running sums are
+    // sharded: docs land in (lang, md5-bucket) partitions (|langs|×32 keys
+    // here; dial buckets up with corpus size), the intra-bucket cumulative
+    // sum is a keyed window, and the cross-bucket offsets come from a
+    // metadata-sized per-bucket total table that broadcasts back. A doc is
+    // kept iff the tokens BEFORE it (bucket prefix + intra-bucket running
+    // sum) sit inside the quota — the greedy prefix rule, evaluated
+    // map-side after the broadcast join.
+    Q(
+      "corpus_token_budget",
+      (s, d) => {
+        // The projected doc table (no text column, ~60 B/row) feeds three
+        // consumers: the grand total, the per-bucket sums, and the windowed
+        // running sum. Checkpointing it reads the expensive text column
+        // ONCE — un-checkpointed, Catalyst re-derives each consumer from
+        // the scan and tokenizes the corpus three times.
+        val docs = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("lang"),
+            size(ws).cast("long").as("n_tokens"),
+            bucketOf(32).as("bucket"),
+            md5(col("doc_id").cast("string")).as("h")
+          )
+          .localCheckpoint()
+        val total = docs.agg(sum(col("n_tokens")).as("grand_total"))
+        // Per-(lang,bucket) totals -> per-bucket prefix within each lang:
+        // |langs| * 32 rows, window cost is trivial, result broadcasts.
+        val bucketPrefix = docs
+          .groupBy("lang", "bucket")
+          .agg(sum(col("n_tokens")).as("bucket_tokens"))
+          .withColumn(
+            "bucket_prefix",
+            coalesce(
+              sum(col("bucket_tokens")).over(
+                Window.partitionBy("lang").orderBy("bucket")
+                  .rowsBetween(Window.unboundedPreceding, -1)
+              ),
+              lit(0L)
+            )
+          )
+          .select("lang", "bucket", "bucket_prefix")
+        val intra = Window.partitionBy("lang", "bucket").orderBy("h", "doc_id")
+        docs
+          .withColumn(
+            "cum_before",
+            coalesce(
+              sum(col("n_tokens")).over(intra.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)
+            )
+          )
+          .join(broadcast(bucketPrefix), Seq("lang", "bucket"))
+          .crossJoin(broadcast(total))
+          .withColumn("tokens_before", col("bucket_prefix") + col("cum_before"))
+          .withColumn(
+            "kept",
+            // try_element_at: ANSI element_at throws on a missing map key
+            // (a lang outside the mix would error the job); the oracle's
+            // CASE falls back to the same 0.05 default.
+            col("tokens_before").cast("double") <
+              coalesce(expr("try_element_at(map('en', 0.50D, 'de', 0.20D, 'fr', 0.15D, 'es', 0.10D, 'zh', 0.05D), lang)"), lit(0.05)) *
+              col("grand_total") * lit(0.5)
+          )
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept")
+          )
+          .orderBy("lang")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS bucket,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        total AS (SELECT sum(n_tokens) AS grand_total FROM docs),
+        bp AS (
+          SELECT lang, bucket,
+                 coalesce(sum(sum(n_tokens)) OVER (
+                   PARTITION BY lang ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bucket_prefix
+          FROM docs GROUP BY lang, bucket),
+        cum AS (
+          SELECT d.doc_id, d.lang, d.n_tokens,
+                 bp.bucket_prefix + coalesce(sum(d.n_tokens) OVER (
+                   PARTITION BY d.lang, d.bucket ORDER BY d.h, d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+          FROM docs d JOIN bp ON d.lang = bp.lang AND d.bucket = bp.bucket),
+        flagged AS (
+          SELECT c.lang, c.n_tokens,
+                 CAST(c.tokens_before AS DOUBLE) <
+                   CASE c.lang WHEN 'en' THEN 0.50 WHEN 'de' THEN 0.20
+                               WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.10
+                               ELSE 0.05 END * t.grand_total * 0.5 AS kept
+          FROM cum c CROSS JOIN total t)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+        FROM flagged GROUP BY lang ORDER BY lang
+      """)
+    )
+  )
+}

@@ -81,6 +81,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"interval condition became the join strategy:\n$p")
   }
 
+  test("decontamination broadcasts only the benchmark n-gram set") {
+    // The corpus side must never shuffle its n-grams for the within-doc
+    // dedup (array_distinct handles that map-side); the only broadcast
+    // builds are the benchmark gram set and the bounded per-doc hit
+    // counts. Guard: every Generate (explode) feeds a join/aggregate with
+    // no Exchange keyed on the gram BETWEEN them on the train side —
+    // concretely, no hashpartitioning exchange whose keys include both
+    // doc_id and gram (the shape the explode-then-distinct anti-pattern
+    // plans).
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"gram probe lost its broadcast:\n$p")
+    val corpusGramShuffle = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(l => l.contains("doc_id") && l.contains("gram"))
+    assert(!corpusGramShuffle, s"corpus n-grams are being shuffled for dedup:\n$p")
+  }
+
+  test("repetition metrics plan no shuffle before the output sort") {
+    val p = plan("text_repetition")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(
+      exchanges.forall(_.contains("rangepartitioning")),
+      s"per-row metrics must not shuffle (only the output sort may):\n$p"
+    )
+  }
+
+  test("token-budget sampling shards its running sums over (lang, bucket)") {
+    val p = plan("corpus_token_budget")
+    // The doc-level window must partition on (lang, bucket) — a bare-lang
+    // window is the single-reducer-per-language scale collapse.
+    val w = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(
+      w.exists(l => l.contains("lang") && l.contains("bucket") && l.contains("doc_id")),
+      s"doc-level running sum lost its bucket sharding:\n$p"
+    )
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
