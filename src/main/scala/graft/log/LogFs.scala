@@ -77,6 +77,12 @@ private[graft] trait LogFs {
     p.substring(p.lastIndexOf('/') + 1)
   }
 
+  /** Parent directory path ('/'-separated on every backend we construct). */
+  def parent(path: String): String = {
+    val p = path.stripSuffix("/")
+    p.substring(0, p.lastIndexOf('/'))
+  }
+
   // ---------------------------------------------------- versioned metadata
 
   /** Read a small file fully. */

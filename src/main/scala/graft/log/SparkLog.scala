@@ -248,33 +248,119 @@ class SparkLog(
         fs.mkdirs(segDir)
         fs.writeMeta(segDir, PendingTokenFile, s"$name\n$epoch".getBytes("UTF-8"))
       }
-      val bytes = publishParts(staging, base)
-      val seg = SegmentMeta(base, base + total, bytes, total, sealed_ = true)
-      val m0 = manifest
-      val sealedPrev = m0.segments.lastOption.filter(!_.sealed_) match {
-        case Some(last) => upsert(m0.segments, last.copy(sealed_ = true))
-        case None       => m0.segments
-      }
-      val newTokens = token match {
-        case Some((name, epoch)) => manifest.tokens + (name -> epoch)
-        case None                => manifest.tokens
-      }
-      val m = LogManifest(sealedPrev :+ seg, base + total, newTokens)
-      // Data-then-manifest: on a manifest-write failure the whole segment
-      // dir is ours and unmanifested — remove it so a caller retry cannot
-      // mint duplicate offsets (`segment=<nextOffset>` is never a
-      // manifested dir: empty segments are filtered out of the manifest).
-      try LogManifest.write(dir, m)
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          try fs.deleteRecursively(segDir)
-          catch { case _: Exception => () }
-          throw e
-      }
-      manifest = m
-      token.foreach(_ => try fs.deleteMeta(segDir, PendingTokenFile) catch { case _: Exception => () })
-      (base, total)
+      publishAndCommit(staging, base, total, token)
     } finally values.unpersist(blocking = false)
+  }
+
+  /** Shared tail of the bulk-ingest paths (`appendDF`, `appendStaged`):
+    * publish staged parts into `segment=<base>`, seal it, and commit the
+    * manifest (with the token, when present) in one atomic swap. Assumes
+    * the pending-token marker is already in place (see appendDF).
+    */
+  private def publishAndCommit(
+      staging: String,
+      base: Long,
+      total: Long,
+      token: Option[(String, Long)]
+  ): (Long, Long) = {
+    val segDir = segmentPath(base)
+    val bytes = publishParts(staging, base)
+    val seg = SegmentMeta(base, base + total, bytes, total, sealed_ = true)
+    val m0 = manifest
+    val sealedPrev = m0.segments.lastOption.filter(!_.sealed_) match {
+      case Some(last) => upsert(m0.segments, last.copy(sealed_ = true))
+      case None       => m0.segments
+    }
+    val newTokens = token match {
+      case Some((name, epoch)) => manifest.tokens + (name -> epoch)
+      case None                => manifest.tokens
+    }
+    val m = LogManifest(sealedPrev :+ seg, base + total, newTokens)
+    // Data-then-manifest: on a manifest-write failure the whole segment
+    // dir is ours and unmanifested — remove it so a caller retry cannot
+    // mint duplicate offsets (`segment=<nextOffset>` is never a
+    // manifested dir: empty segments are filtered out of the manifest).
+    try LogManifest.write(dir, m)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        try fs.deleteRecursively(segDir)
+        catch { case _: Exception => () }
+        throw e
+    }
+    manifest = m
+    token.foreach(_ => try fs.deleteMeta(segDir, PendingTokenFile) catch { case _: Exception => () })
+    (base, total)
+  }
+
+  /** Sink-commit path (DSv2 graft sink): append pre-staged value-only
+    * parquet files, each with its writer-reported row count, assigning
+    * contiguous offsets IN THE GIVEN FILE ORDER. Row counts come from the
+    * sink tasks' commit messages, so — unlike `appendDF` — there is no
+    * count pass and no driver-side cache of the batch: one distributed
+    * rewrite job (one task per staged file, streaming I/O, constant
+    * memory) turns staged values into final offset-carrying parts, then
+    * the usual data-then-manifest publish commits them. The record↔offset
+    * mapping is deterministic: file order × row order within each file.
+    */
+  private[graft] def appendStaged(
+      files: Seq[(String, Long)],
+      token: Option[(String, Long)]
+  ): (Long, Long) = synchronized {
+    token.foreach { case (name, epoch) =>
+      require(name.matches("[A-Za-z0-9_.-]+"), s"invalid token name: $name")
+      if (manifest.tokens.get(name).exists(_ >= epoch))
+        return (manifest.nextOffset, 0L)
+    }
+    val base = manifest.nextOffset
+    val nonEmpty = files.filter(_._2 > 0L)
+    val total = nonEmpty.map(_._2).sum
+    if (total == 0L) {
+      // An empty commit still advances the token: a post-crash replay of
+      // this epoch must be a provable no-op against a log that moved on.
+      token.foreach { case (name, epoch) => commitToken(name, epoch) }
+      return (base, 0L)
+    }
+    val starts = nonEmpty.map(_._2).scanLeft(base)(_ + _)
+    val specs = nonEmpty.zip(starts).map { case ((f, n), s) => (f, n, s) }
+    // Pending-token marker BEFORE any data, same reasoning as appendDF.
+    val segDir = segmentPath(base)
+    token.foreach { case (name, epoch) =>
+      fs.mkdirs(segDir)
+      fs.writeMeta(segDir, PendingTokenFile, s"$name\n$epoch".getBytes("UTF-8"))
+    }
+    val staging = stagingDir()
+    fs.mkdirs(staging)
+    val maxPer = config.maxRecordsPerSegment
+    try {
+      spark.sparkContext
+        .parallelize(specs, specs.size)
+        .foreach { case (f, _, start) =>
+          StagedParquet.rewriteToParts(f, staging, start, maxPer)
+        }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try fs.deleteRecursively(staging)
+        catch { case _: Exception => () }
+        token.foreach(_ =>
+          try fs.deleteMeta(segDir, PendingTokenFile)
+          catch { case _: Exception => () }
+        )
+        throw e
+    }
+    publishAndCommit(staging, base, total, token)
+  }
+
+  /** Commit an idempotence token WITHOUT data — the empty-batch leg of an
+    * exactly-once sink: an empty epoch must still advance the token so a
+    * post-crash replay of it is a provable no-op. Monotonic: an epoch at or
+    * below the recorded one leaves the manifest untouched.
+    */
+  def commitToken(name: String, epoch: Long): Unit = synchronized {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"invalid token name: $name")
+    if (manifest.tokens.get(name).exists(_ >= epoch)) return
+    val m = manifest.copy(tokens = manifest.tokens + (name -> epoch))
+    LogManifest.write(dir, m)
+    manifest = m
   }
 
   // ----------------------------------------------------------------- reads

@@ -1,0 +1,151 @@
+package graft.log
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.HadoopReadOptions
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+
+/** Value-only staged parquet files — the intermediate the DSv2 sink's
+  * executor tasks write and the commit job re-reads. Separate from the
+  * final LogRecord part format on purpose: a staged file has no offsets
+  * (they don't exist until commit assigns them), so nothing about it can
+  * be mistaken for published log data.
+  */
+private[graft] object StagedParquet {
+
+  val valueSchema: MessageType = MessageTypeParser.parseMessageType(
+    "message graft_staged_value { optional binary value; }"
+  )
+
+  private val writeConf: Configuration = {
+    val c = new Configuration()
+    GroupWriteSupport.setSchema(valueSchema, c)
+    c
+  }
+
+  private val readConf = new Configuration()
+
+  /** Incremental writer for one staged file (executor-side; LogFs handles
+    * route local paths through plain NIO, `scheme://` through Hadoop).
+    */
+  final class ValueWriter(path: String) {
+    private val writer = ExampleParquetWriter
+      .builder(LogFs.forPath(path).outputFile(path))
+      .withConf(writeConf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    def write(value: Array[Byte]): Unit = {
+      val g = new SimpleGroup(valueSchema)
+      if (value != null) g.add("value", Binary.fromConstantByteArray(value))
+      writer.write(g)
+    }
+    def close(): Unit = writer.close()
+  }
+
+  /** Sequential full read of a staged file's values, in file order (null
+    * payloads surface as null). Caller must exhaust or close.
+    */
+  def readValues(file: String): Iterator[Array[Byte]] with AutoCloseable = {
+    val in = LogFs.forPath(file).inputFile(file)
+    val reader = ParquetFileReader.open(in, HadoopReadOptions.builder(readConf).build())
+    val schema = reader.getFooter.getFileMetaData.getSchema
+    val colIO = new ColumnIOFactory().getColumnIO(schema)
+
+    new Iterator[Array[Byte]] with AutoCloseable {
+      private var rowsLeft = 0L
+      private var rr: org.apache.parquet.io.RecordReader[org.apache.parquet.example.data.Group] = _
+      private var closed = false
+      private var nextVal: Array[Byte] = _
+      private var hasPending = false
+
+      private def advance(): Unit = {
+        hasPending = false
+        while (!hasPending && !closed) {
+          if (rowsLeft > 0) {
+            val g = rr.read()
+            rowsLeft -= 1
+            if (g != null) {
+              nextVal = if (g.getFieldRepetitionCount("value") > 0) g.getBinary("value", 0).getBytes else null
+              hasPending = true
+            }
+          } else {
+            val pages = reader.readNextRowGroup()
+            if (pages == null) { reader.close(); closed = true }
+            else {
+              rr = colIO.getRecordReader(pages, new GroupRecordConverter(schema))
+              rowsLeft = pages.getRowCount
+            }
+          }
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = hasPending
+      override def next(): Array[Byte] = {
+        val v = nextVal
+        advance()
+        v
+      }
+      override def close(): Unit = if (!closed) { closed = true; reader.close() }
+    }
+  }
+
+  /** Rewrite one staged file into final LogRecord part file(s) under
+    * `outDir`, assigning offsets `start..start+n-1` in file order. Rolls a
+    * new part every `maxRecordsPerPart` records so a single huge writer
+    * task cannot produce an unboundedly large part file. Streaming:
+    * constant memory regardless of file size. Returns parts written.
+    */
+  def rewriteToParts(
+      stagedFile: String,
+      outDir: String,
+      start: Long,
+      maxRecordsPerPart: Long
+  ): Int = {
+    val fs = LogFs.forPath(outDir)
+    val values = readValues(stagedFile)
+    var off = start
+    var parts = 0
+    var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = null
+    var inPart = 0L
+    try {
+      while (values.hasNext) {
+        if (writer == null) {
+          val name = f"staged-$start%020d-$parts%05d.parquet"
+          val conf = new Configuration()
+          GroupWriteSupport.setSchema(ParquetPartWriter.schema, conf)
+          writer = ExampleParquetWriter
+            .builder(fs.outputFile(fs.child(outDir, name)))
+            .withConf(conf)
+            .withCompressionCodec(CompressionCodecName.SNAPPY)
+            // Same page bound as every other writer: keeps the column index
+            // fine-grained so point reads stay page-local.
+            .withPageRowCountLimit(2048)
+            .build()
+          parts += 1
+          inPart = 0L
+        }
+        val v = values.next()
+        val g = new SimpleGroup(ParquetPartWriter.schema)
+        if (v != null) g.add("value", Binary.fromConstantByteArray(v))
+        g.add("offset", off)
+        g.add("term", 0L)
+        g.add("recordType", 0)
+        writer.write(g)
+        off += 1
+        inPart += 1
+        if (inPart >= maxRecordsPerPart) { writer.close(); writer = null }
+      }
+    } finally {
+      if (writer != null) writer.close()
+      values.close()
+    }
+    parts
+  }
+}

@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{
@@ -58,24 +58,36 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   ): Table = {
     val dir = Option(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException("graft source requires a path"))
-    if (!LogFs.forPath(dir).isDir(dir))
-      throw new IllegalArgumentException(s"graft source path does not exist: $dir")
+    // Existence is checked at SCAN time (newScanBuilder), not here: a sink
+    // writing a brand-new log has nothing on disk yet.
     new GraftTable(dir)
   }
 }
 
-class GraftTable(dir: String) extends Table with SupportsRead {
+class GraftTable(dir: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$dir"
   override def schema(): StructType = LogRecord.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
+      // The write schema (`value` only) is narrower than the table schema —
+      // offsets are assigned at commit. GraftWriteBuilder enforces it.
+      TableCapability.ACCEPT_ANY_SCHEMA
+    )
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (!LogFs.forPath(dir).isDir(dir))
+      throw new IllegalArgumentException(s"graft source path does not exist: $dir")
     // Spark only invokes pushFilters for BATCH scans; streaming readers pass
     // the start position as a read option instead (see SparkLog.tail).
     val startOffset = Option(options.get("startOffset")).map(_.toLong)
     val maxPerBatch = Option(options.get("maxRecordsPerBatch")).map(_.toLong)
     new GraftScanBuilder(dir, startOffset, maxPerBatch)
   }
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(dir, info)
 }
 
 /** Accepts offset bound filters and column pruning; everything else stays

@@ -1,0 +1,230 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+
+import graft.log.{LogFs, SparkLog, StagedParquet}
+
+/** DataSource V2 WRITE path for the "graft" format — the sink twin of
+  * `GraftScan`, making the log a symmetric Spark source/sink:
+  *
+  *   - `df.write.format("graft").mode("append").save(dir)` — distributed
+  *     batch append: one atomic manifest commit for the whole DataFrame.
+  *   - `df.writeStream.format("graft").start(dir)` — streaming sink with
+  *     EXACTLY-ONCE delivery: each epoch commits under a
+  *     `(queryId, epochId)` idempotence token in the same manifest swap as
+  *     its data, so Spark's post-crash epoch replay is a no-op (the DSv2
+  *     analog of `Engine.ingest`'s foreachBatch tokens, and of the
+  *     reference's ProduceStream, internal/server/server.go:83-110).
+  *
+  * Mechanics — executor-stage, driver-commit (the DSv2 commit protocol):
+  * each task streams its rows through parquet-java into a value-only
+  * staged file under `dir/_sink-stage-...`; the driver's commit hands the
+  * files named in the tasks' commit messages (a lost speculative
+  * attempt's orphan file is invisible), with their writer-reported row
+  * counts, to `SparkLog.appendStaged` — which assigns per-file offset
+  * bases WITHOUT a count pass, rewrites staged values into final parts in
+  * one distributed job, and publishes with the crash-hardened
+  * data-then-manifest swap. Offsets follow the input's partition order
+  * (file order × row order), deterministically.
+  *
+  * Scale posture: staged bytes are written once by the write job and
+  * streamed once by the rewrite job (the DataFrame API gives writers no
+  * second pass, so per-task offset bases cannot be known while tasks
+  * run); nothing is collected or cached driver-side — strictly less I/O
+  * than `appendDF`'s persist+count+write. Each streaming epoch seals one
+  * segment — a high-frequency-trigger log is exactly what `compact()`
+  * re-merges.
+  *
+  * Single-writer contract (same as SparkLog): one live writer per log dir.
+  * Stale staging roots from hard-crashed writes are swept at the next
+  * writer-factory creation — safe under that contract.
+  */
+object GraftWrite {
+
+  private[sources] val StagePrefix = "_sink-stage-"
+
+  /** The write schema must be exactly `value: binary` — offsets/terms are
+    * the log's to assign (a caller-supplied `offset` column would be a lie
+    * the moment it published).
+    */
+  def validateSchema(schema: StructType): Unit = {
+    val ok = schema.fields.length == 1 &&
+      schema.fields(0).name.equalsIgnoreCase("value") &&
+      schema.fields(0).dataType == BinaryType
+    if (!ok)
+      throw new IllegalArgumentException(
+        s"graft sink requires schema (value BINARY) — offsets are assigned by the log; got ${schema.simpleString}"
+      )
+  }
+
+  /** Remove every staging root except `keep` — crash debris from previous
+    * writers (single-writer contract makes them provably dead).
+    */
+  private[sources] def sweepStale(dir: String, keep: String): Unit = {
+    val fs = LogFs.forPath(dir)
+    fs.list(dir)
+      .filter(p => fs.fileName(p).startsWith(StagePrefix) && p != keep)
+      .foreach(p => try fs.deleteRecursively(p) catch { case _: Exception => () })
+  }
+
+  /** Driver-side commit: append the staged files' rows to the log under an
+    * optional idempotence token, in PARTITION ORDER (so the record↔offset
+    * mapping is the input DataFrame's partition layout — same contract as
+    * `appendDF`, but deterministic because the staged files, not a re-read,
+    * define the order). Files come exclusively from the tasks' commit
+    * messages (never a directory listing — see orphan-attempt note above);
+    * their writer-reported row counts let `appendStaged` skip the count
+    * pass entirely.
+    */
+  private[sources] def commitStaged(
+      dir: String,
+      messages: Array[WriterCommitMessage],
+      token: Option[(String, Long)]
+  ): Unit = {
+    val files = messages
+      .collect { case m: GraftCommitMessage => m }
+      .sortBy(_.partitionId)
+      .collect { case GraftCommitMessage(_, Some(f), n) if n > 0 => (f, n) }
+      .toSeq
+    SparkLog(SparkSession.active, dir).appendStaged(files, token)
+  }
+}
+
+/** Per-task staged file + row count; the only thing commit trusts.
+  * `partitionId` orders files at commit so offset assignment follows the
+  * input's partition layout.
+  */
+case class GraftCommitMessage(partitionId: Int, file: Option[String], rows: Long)
+    extends WriterCommitMessage
+
+class GraftWriteBuilder(dir: String, info: LogicalWriteInfo) extends WriteBuilder {
+  GraftWrite.validateSchema(info.schema())
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftBatchWrite(dir)
+    override def toStreaming: StreamingWrite = new GraftStreamingWrite(dir, info.queryId())
+  }
+}
+
+class GraftBatchWrite(dir: String) extends BatchWrite {
+  private val staging = LogFs.forPath(dir).child(dir, s"${GraftWrite.StagePrefix}${UUID.randomUUID().toString.take(12)}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val fs = LogFs.forPath(dir)
+    fs.mkdirs(dir)
+    GraftWrite.sweepStale(dir, keep = staging)
+    fs.mkdirs(staging)
+    new GraftWriterFactory(staging)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    try GraftWrite.commitStaged(dir, messages, token = None)
+    finally cleanup()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit =
+    try LogFs.forPath(dir).deleteRecursively(staging)
+    catch { case _: Exception => () }
+}
+
+class GraftStreamingWrite(dir: String, queryId: String) extends StreamingWrite {
+  // One root per query (queryId is stable across restarts); one subdir per
+  // epoch. Restart sweeps the whole root — no epoch of this run has staged
+  // anything yet, and leftover files from the crashed run are dead (their
+  // epoch either committed, making the replay a token no-op, or will be
+  // re-staged by the replayed tasks).
+  private val root = LogFs.forPath(dir).child(dir, s"${GraftWrite.StagePrefix}q-$queryId")
+
+  {
+    val fs = LogFs.forPath(dir)
+    fs.mkdirs(dir)
+    GraftWrite.sweepStale(dir, keep = "")
+    fs.mkdirs(root)
+  }
+
+  private def epochDir(epochId: Long): String =
+    LogFs.forPath(dir).child(root, s"epoch-$epochId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(root)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    try GraftWrite.commitStaged(dir, messages, Some((s"sink-$queryId", epochId)))
+    finally cleanupEpoch(epochId)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanupEpoch(epochId)
+
+  private def cleanupEpoch(epochId: Long): Unit =
+    try LogFs.forPath(dir).deleteRecursively(epochDir(epochId))
+    catch { case _: Exception => () }
+}
+
+class GraftWriterFactory(staging: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(
+      partitionId,
+      LogFs
+        .forPath(staging)
+        .child(staging, f"stage-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.parquet")
+    )
+}
+
+class GraftStreamingWriterFactory(root: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val fs = LogFs.forPath(root)
+    val dir = fs.child(root, s"epoch-$epochId")
+    new GraftDataWriter(
+      partitionId,
+      fs.child(dir, f"stage-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.parquet")
+    )
+  }
+}
+
+/** Streams rows into one staged parquet file. The writer opens LAZILY on
+  * the first row — an empty partition stages nothing (and its commit
+  * message carries no file), so a 10k-partition DataFrame with sparse data
+  * doesn't litter the staging dir with empty parquet footers.
+  */
+class GraftDataWriter(partitionId: Int, path: String) extends DataWriter[InternalRow] {
+  private var writer: StagedParquet.ValueWriter = _
+  private var rows = 0L
+
+  private def open(): Unit = {
+    val fs = LogFs.forPath(path)
+    fs.mkdirs(fs.parent(path))
+    writer = new StagedParquet.ValueWriter(path)
+  }
+
+  override def write(record: InternalRow): Unit = {
+    if (writer == null) open()
+    // Null payloads stay null end-to-end (same contract as append/appendDF).
+    writer.write(if (record.isNullAt(0)) null else record.getBinary(0))
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) { writer.close(); writer = null }
+    GraftCommitMessage(partitionId, if (rows > 0) Some(path) else None, rows)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) {
+      try writer.close()
+      catch { case _: Exception => () }
+      writer = null
+    }
+    try LogFs.forPath(path).delete(path)
+    catch { case _: Exception => () }
+  }
+
+  override def close(): Unit =
+    if (writer != null) { writer.close(); writer = null }
+}

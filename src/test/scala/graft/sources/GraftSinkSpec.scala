@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.log.{LogManifest, SparkLog}
+
+class GraftSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def valuesDf(from: Int, until: Int) = {
+    val session = spark
+    import session.implicits._
+    (from until until).map(i => s"rec-$i").toDF("s").select(col("s").cast("binary").as("value"))
+  }
+
+  private def readStrings(dir: String): Seq[(Long, String)] =
+    spark.read
+      .format("graft")
+      .load(dir)
+      .select(col("offset"), col("value").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+      .toSeq
+
+  test("batch write creates the log and assigns contiguous offsets from 0") {
+    val dir = TestSpark.tempDir("gsink") + "/fresh"
+    valuesDf(0, 100).write.format("graft").mode("append").save(dir)
+    val rows = readStrings(dir)
+    // Offset assignment follows the partition layout (ordered local slices
+    // here), so record↔offset mapping is exact, not just contiguous.
+    assert(rows.map(_._1) == (0L until 100L))
+    assert(rows == (0 until 100).map(i => (i.toLong, s"rec-$i")))
+    // no staging debris
+    val stray = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("_sink-stage-"))
+    assert(stray.isEmpty)
+  }
+
+  test("a second batch write appends after the existing tail in partition order") {
+    val dir = TestSpark.tempDir("gsink") + "/appends"
+    valuesDf(0, 10).write.format("graft").mode("append").save(dir)
+    valuesDf(10, 25).write.format("graft").mode("append").save(dir)
+    val rows = readStrings(dir)
+    assert(rows == (0 until 25).map(i => (i.toLong, s"rec-$i")))
+  }
+
+  test("a multi-partition shuffled write stays contiguous and keeps every record") {
+    val dir = TestSpark.tempDir("gsink") + "/shuffled"
+    valuesDf(0, 200).repartition(7).write.format("graft").mode("append").save(dir)
+    val rows = readStrings(dir)
+    assert(rows.map(_._1) == (0L until 200L))
+    assert(rows.map(_._2).toSet == (0 until 200).map(i => s"rec-$i").toSet)
+  }
+
+  test("batch write round-trips null payloads") {
+    val session = spark
+    import session.implicits._
+    val dir = TestSpark.tempDir("gsink") + "/nulls"
+    Seq(Some("a"), None, Some("b"))
+      .toDF("s")
+      .select(col("s").cast("binary").as("value"))
+      .write.format("graft").mode("append").save(dir)
+    val rows = spark.read.format("graft").load(dir)
+      .select(col("offset"), col("value").cast("string")).collect().sortBy(_.getLong(0))
+    assert(rows.length == 3)
+    assert(rows.count(_.isNullAt(1)) == 1)
+  }
+
+  test("the sink rejects schemas other than (value BINARY)") {
+    val session = spark
+    import session.implicits._
+    val dir = TestSpark.tempDir("gsink") + "/badschema"
+    val e = intercept[Exception] {
+      Seq((1L, "x")).toDF("offset", "value").write.format("graft").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("graft sink requires schema (value BINARY)"))
+  }
+
+  test("streaming sink delivers exactly-once across restart with a shared checkpoint") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = TestSpark.tempDir("gsink")
+    val dir = root + "/stream"
+    val ckpt = root + "/ckpt"
+
+    val input = MemoryStream[String]
+    input.addData("a", "b", "c")
+    def start() = input
+      .toDF()
+      .select(col("value").cast("binary").as("value"))
+      .writeStream
+      .format("graft")
+      .option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    val q1 = start(); q1.awaitTermination(30000); q1.stop()
+    assert(readStrings(dir).map(_._2).sorted == Seq("a", "b", "c"))
+
+    // Restart on the same checkpoint: already-committed batches replay as
+    // token no-ops; only the new data lands.
+    input.addData("d", "e")
+    val q2 = start(); q2.awaitTermination(30000); q2.stop()
+    val rows = readStrings(dir)
+    assert(rows.map(_._1) == (0L until 5L), s"offsets not contiguous: $rows")
+    assert(rows.map(_._2).sorted == Seq("a", "b", "c", "d", "e"))
+
+    // The idempotence token is recorded in the manifest under the queryId.
+    val m = LogManifest.read(dir).get
+    assert(m.tokens.keys.exists(_.startsWith("sink-")), s"tokens: ${m.tokens}")
+  }
+
+  test("a replayed epoch is a no-op (direct token check)") {
+    val dir = TestSpark.tempDir("gsink") + "/replay"
+    valuesDf(0, 5).write.format("graft").mode("append").save(dir)
+    val log = SparkLog(spark, dir)
+    val (base1, n1) = log.appendDF(valuesDf(5, 8), Some(("sink-q", 0L)))
+    assert(base1 == 5L && n1 == 3L)
+    // Same epoch again — the exact crash-replay path commit() exercises.
+    val (base2, n2) = log.appendDF(valuesDf(5, 8), Some(("sink-q", 0L)))
+    assert(n2 == 0L, s"replayed epoch appended $n2 rows at $base2")
+    assert(readStrings(dir).map(_._1) == (0L until 8L))
+  }
+
+  test("commitToken records empty epochs monotonically") {
+    val dir = TestSpark.tempDir("gsink") + "/token"
+    val log = SparkLog(spark, dir)
+    log.commitToken("sink-q", 3L)
+    assert(LogManifest.read(dir).get.tokens("sink-q") == 3L)
+    log.commitToken("sink-q", 2L) // stale — must not regress
+    assert(LogManifest.read(dir).get.tokens("sink-q") == 3L)
+    log.commitToken("sink-q", 7L)
+    assert(LogManifest.read(dir).get.tokens("sink-q") == 7L)
+  }
+}
