@@ -120,6 +120,12 @@ object Dedup {
           // bitmap blocks fold over the wids in codegen.
           val words = smallVocab.sorted
           val nBlocks = math.max(1, (words.length + 63) / 64)
+          // localCheckpoint: both roles of the triangle self-join below read
+          // this table, and Catalyst does not share subplans — without it
+          // the text scan + array_position encoding runs TWICE (measured
+          // ~1.5× the query cost at sf0.1). The checkpointed rows are
+          // metadata-per-doc (id, lang, size, ≤8 longs), ~100 B/doc at any
+          // corpus scale.
           val enc = docs
             .withColumn(
               "wids",
@@ -135,6 +141,7 @@ object Dedup {
                   ).as(s"m_$i")
                 ): _*
             )
+            .localCheckpoint(true)
           val inter = (0 until nBlocks)
             .map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)"))
             .reduce(_ + _)
@@ -204,6 +211,12 @@ object Dedup {
           .join(vocab.select("word", "wid"), "word")
           .groupBy("doc_id", "lang")
           .agg(sort_array(collect_list(col("wid"))).as("wids"), count(lit(1)).as("sz"))
+        // localCheckpoint: the signature table feeds THREE consumers below
+        // (prefix explode, d1-side verify join, d2-side verify join), and
+        // each would otherwise re-run the token explode + vocab join +
+        // collect_list shuffle from scratch. One materialization of
+        // (doc_id, lang, wids, sz, blocks) — the dense-id signature, no
+        // text — replaces two full corpus re-aggregations.
         val enc = (
           if (!useBitmaps) base
           else
@@ -217,7 +230,7 @@ object Dedup {
                 )
               )
             }
-        )
+        ).localCheckpoint(true)
         val inter =
           if (useBitmaps)
             (0 until nBlocks)
