@@ -128,6 +128,21 @@ class GraftSinkSpec extends AnyFunSuite {
     assert(readStrings(dir).map(_._1) == (0L until 8L))
   }
 
+  test("sink writes interleave with driver-side appends, offsets stay contiguous") {
+    val dir = TestSpark.tempDir("gsink") + "/interleave"
+    val log = SparkLog(spark, dir)
+    log.append(Seq("a0".getBytes, "a1".getBytes)) // unsealed tail segment
+    valuesDf(0, 10).write.format("graft").mode("append").save(dir)
+    // The sink's commit reconciles through a fresh SparkLog; this handle
+    // predates it — reopen to observe the post-sink manifest.
+    val log2 = SparkLog(spark, dir)
+    log2.append(Seq("a2".getBytes))
+    val rows = readStrings(dir)
+    assert(rows.map(_._1) == (0L until 13L), s"offsets: ${rows.map(_._1)}")
+    assert(rows.head._2 == "a0" && rows.last._2 == "a2")
+    assert(log2.read(5L).value sameElements "rec-3".getBytes)
+  }
+
   test("commitToken records empty epochs monotonically") {
     val dir = TestSpark.tempDir("gsink") + "/token"
     val log = SparkLog(spark, dir)
