@@ -128,6 +128,33 @@ class GraftSinkSpec extends AnyFunSuite {
     assert(readStrings(dir).map(_._1) == (0L until 8L))
   }
 
+  test("log-to-log replication is pure DSv2 composition: graft source -> graft sink") {
+    val root = TestSpark.tempDir("gsink")
+    val src = root + "/peer"; val dst = root + "/replica"; val ckpt = root + "/ckpt"
+    val peer = SparkLog(spark, src)
+    peer.append((0 until 7).map(i => s"p-$i".getBytes))
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .select(col("value"))
+        .writeStream.format("graft")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(30000); q.stop()
+    }
+    drain()
+    assert(readStrings(dst).map(_._2) == (0 until 7).map(i => s"p-$i"))
+
+    // Incremental: the offset cursor resumes from the checkpoint; only the
+    // delta crosses, exactly once.
+    peer.append(Seq("p-7".getBytes, "p-8".getBytes))
+    drain()
+    val rows = readStrings(dst)
+    assert(rows.map(_._1) == (0L until 9L))
+    assert(rows.map(_._2) == (0 until 9).map(i => s"p-$i"))
+  }
+
   test("sink writes interleave with driver-side appends, offsets stay contiguous") {
     val dir = TestSpark.tempDir("gsink") + "/interleave"
     val log = SparkLog(spark, dir)
