@@ -77,10 +77,13 @@ private[graft] trait LogFs {
     p.substring(p.lastIndexOf('/') + 1)
   }
 
-  /** Parent directory path ('/'-separated on every backend we construct). */
+  /** Parent directory path ('/'-separated on every backend we construct).
+    * A bare single-segment name has the working directory as its parent.
+    */
   def parent(path: String): String = {
     val p = path.stripSuffix("/")
-    p.substring(0, p.lastIndexOf('/'))
+    val i = p.lastIndexOf('/')
+    if (i < 0) "." else p.substring(0, i)
   }
 
   // ---------------------------------------------------- versioned metadata

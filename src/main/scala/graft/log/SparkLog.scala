@@ -341,8 +341,12 @@ class SparkLog(
       case scala.util.control.NonFatal(e) =>
         try fs.deleteRecursively(staging)
         catch { case _: Exception => () }
+        // Remove the whole pre-created segment dir (token marker included):
+        // segment=<nextOffset> is never a manifested dir, and leaving an
+        // empty one would seed manifest-less recover() with a zero-record
+        // SegmentMeta.
         token.foreach(_ =>
-          try fs.deleteMeta(segDir, PendingTokenFile)
+          try fs.deleteRecursively(segDir)
           catch { case _: Exception => () }
         )
         throw e

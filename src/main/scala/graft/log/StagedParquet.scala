@@ -96,11 +96,29 @@ private[graft] object StagedParquet {
     }
   }
 
+  /** Cached once, same rationale as [[ParquetPartWriter.writeConf]]:
+    * Configuration construction re-scans default XMLs (~5 ms/instance),
+    * which a task rolling many parts would otherwise pay per part.
+    */
+  private val recordWriteConf: Configuration = {
+    val c = new Configuration()
+    GroupWriteSupport.setSchema(ParquetPartWriter.schema, c)
+    c
+  }
+
   /** Rewrite one staged file into final LogRecord part file(s) under
     * `outDir`, assigning offsets `start..start+n-1` in file order. Rolls a
     * new part every `maxRecordsPerPart` records so a single huge writer
     * task cannot produce an unboundedly large part file. Streaming:
     * constant memory regardless of file size. Returns parts written.
+    *
+    * RETRY-SAFE under Spark task re-attempts (executor loss, speculation):
+    * each part streams into an attempt-unique temp name — invisible to the
+    * publish step, which only picks up `*.parquet` — and is MOVED to its
+    * deterministic final name `staged-<start>-<idx>.parquet` once complete.
+    * Offsets make re-attempt output byte-identical, so whichever attempt
+    * lands the final name first wins and the loser just drops its temp; a
+    * torn file from a killed attempt can only ever live under a temp name.
     */
   def rewriteToParts(
       stagedFile: String,
@@ -113,16 +131,32 @@ private[graft] object StagedParquet {
     var off = start
     var parts = 0
     var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = null
+    var tmp: String = null
     var inPart = 0L
+
+    def finishPart(): Unit = {
+      writer.close()
+      writer = null
+      val dest = fs.child(outDir, f"staged-$start%020d-${parts - 1}%05d.parquet")
+      // NIO move replaces atomically (POSIX rename); Hadoop rename throws
+      // when a prior attempt already landed the part — identical content,
+      // so drop ours.
+      try fs.move(tmp, dest)
+      catch {
+        case _: java.io.IOException | _: java.nio.file.FileAlreadyExistsException =>
+          try fs.delete(tmp)
+          catch { case _: Exception => () }
+      }
+      tmp = null
+    }
+
     try {
       while (values.hasNext) {
         if (writer == null) {
-          val name = f"staged-$start%020d-$parts%05d.parquet"
-          val conf = new Configuration()
-          GroupWriteSupport.setSchema(ParquetPartWriter.schema, conf)
+          tmp = fs.child(outDir, s"inflight-${java.util.UUID.randomUUID().toString.take(12)}")
           writer = ExampleParquetWriter
-            .builder(fs.outputFile(fs.child(outDir, name)))
-            .withConf(conf)
+            .builder(fs.outputFile(tmp))
+            .withConf(recordWriteConf)
             .withCompressionCodec(CompressionCodecName.SNAPPY)
             // Same page bound as every other writer: keeps the column index
             // fine-grained so point reads stay page-local.
@@ -140,10 +174,11 @@ private[graft] object StagedParquet {
         writer.write(g)
         off += 1
         inPart += 1
-        if (inPart >= maxRecordsPerPart) { writer.close(); writer = null }
+        if (inPart >= maxRecordsPerPart) finishPart()
       }
+      if (writer != null) finishPart()
     } finally {
-      if (writer != null) writer.close()
+      if (writer != null) writer.close() // abnormal exit: leave only a temp
       values.close()
     }
     parts

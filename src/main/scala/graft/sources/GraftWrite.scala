@@ -8,7 +8,9 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 
-import graft.log.{LogFs, SparkLog, StagedParquet}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.log.{LogConfig, LogFs, SparkLog, StagedParquet}
 
 /** DataSource V2 WRITE path for the "graft" format — the sink twin of
   * `GraftScan`, making the log a symmetric Spark source/sink:
@@ -63,14 +65,35 @@ object GraftWrite {
       )
   }
 
-  /** Remove every staging root except `keep` — crash debris from previous
-    * writers (single-writer contract makes them provably dead).
+  /** Remove every staging root except the one NAMED `keep` — crash debris
+    * from previous writers (single-writer contract makes them provably
+    * dead). Comparison is by last path component: backend listings may
+    * normalize the full path (Hadoop returns `file:/…` URIs), so a raw
+    * string compare against a `child()`-built path would silently never
+    * protect anything.
     */
-  private[sources] def sweepStale(dir: String, keep: String): Unit = {
+  private[sources] def sweepStale(dir: String, keepName: String): Unit = {
     val fs = LogFs.forPath(dir)
     fs.list(dir)
-      .filter(p => fs.fileName(p).startsWith(StagePrefix) && p != keep)
+      .filter { p =>
+        val n = fs.fileName(p)
+        n.startsWith(StagePrefix) && n != keepName
+      }
       .foreach(p => try fs.deleteRecursively(p) catch { case _: Exception => () })
+  }
+
+  /** Log config from write options — a sink writing a log that was created
+    * with custom roll thresholds must be able to match them (the config is
+    * per-open, not persisted in the log).
+    */
+  private[sources] def configFrom(options: CaseInsensitiveStringMap): LogConfig = {
+    val d = LogConfig()
+    LogConfig(
+      maxStoreBytes = Option(options.get("maxStoreBytes")).map(_.toLong).getOrElse(d.maxStoreBytes),
+      maxRecordsPerSegment =
+        Option(options.get("maxRecordsPerSegment")).map(_.toLong).getOrElse(d.maxRecordsPerSegment),
+      initialOffset = Option(options.get("initialOffset")).map(_.toLong).getOrElse(d.initialOffset)
+    )
   }
 
   /** Driver-side commit: append the staged files' rows to the log under an
@@ -83,7 +106,7 @@ object GraftWrite {
     * pass entirely.
     */
   private[sources] def commitStaged(
-      dir: String,
+      log: SparkLog,
       messages: Array[WriterCommitMessage],
       token: Option[(String, Long)]
   ): Unit = {
@@ -92,7 +115,7 @@ object GraftWrite {
       .sortBy(_.partitionId)
       .collect { case GraftCommitMessage(_, Some(f), n) if n > 0 => (f, n) }
       .toSeq
-    SparkLog(SparkSession.active, dir).appendStaged(files, token)
+    log.appendStaged(files, token)
   }
 }
 
@@ -105,26 +128,29 @@ case class GraftCommitMessage(partitionId: Int, file: Option[String], rows: Long
 
 class GraftWriteBuilder(dir: String, info: LogicalWriteInfo) extends WriteBuilder {
   GraftWrite.validateSchema(info.schema())
+  private val config = GraftWrite.configFrom(info.options())
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(dir)
-    override def toStreaming: StreamingWrite = new GraftStreamingWrite(dir, info.queryId())
+    override def toBatch: BatchWrite = new GraftBatchWrite(dir, config)
+    override def toStreaming: StreamingWrite =
+      new GraftStreamingWrite(dir, info.queryId(), config)
   }
 }
 
-class GraftBatchWrite(dir: String) extends BatchWrite {
-  private val staging = LogFs.forPath(dir).child(dir, s"${GraftWrite.StagePrefix}${UUID.randomUUID().toString.take(12)}")
+class GraftBatchWrite(dir: String, config: LogConfig) extends BatchWrite {
+  private val stagingName = s"${GraftWrite.StagePrefix}${UUID.randomUUID().toString.take(12)}"
+  private val staging = LogFs.forPath(dir).child(dir, stagingName)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val fs = LogFs.forPath(dir)
     fs.mkdirs(dir)
-    GraftWrite.sweepStale(dir, keep = staging)
+    GraftWrite.sweepStale(dir, keepName = stagingName)
     fs.mkdirs(staging)
     new GraftWriterFactory(staging)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    try GraftWrite.commitStaged(dir, messages, token = None)
+    try GraftWrite.commitStaged(SparkLog(SparkSession.active, dir, config), messages, token = None)
     finally cleanup()
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
@@ -134,20 +160,31 @@ class GraftBatchWrite(dir: String) extends BatchWrite {
     catch { case _: Exception => () }
 }
 
-class GraftStreamingWrite(dir: String, queryId: String) extends StreamingWrite {
+class GraftStreamingWrite(dir: String, queryId: String, config: LogConfig)
+    extends StreamingWrite {
   // One root per query (queryId is stable across restarts); one subdir per
   // epoch. Restart sweeps the whole root — no epoch of this run has staged
   // anything yet, and leftover files from the crashed run are dead (their
   // epoch either committed, making the replay a token no-op, or will be
   // re-staged by the replayed tasks).
-  private val root = LogFs.forPath(dir).child(dir, s"${GraftWrite.StagePrefix}q-$queryId")
+  private val rootName = s"${GraftWrite.StagePrefix}q-$queryId"
+  private val root = LogFs.forPath(dir).child(dir, rootName)
 
   {
     val fs = LogFs.forPath(dir)
     fs.mkdirs(dir)
-    GraftWrite.sweepStale(dir, keep = "")
+    GraftWrite.sweepStale(dir, keepName = "")
     fs.mkdirs(root)
   }
+
+  // One log handle for the query's lifetime: opening a SparkLog runs the
+  // full recovery pass (compaction journal, stale-dir sweep, manifest
+  // read + reconcile) — per-EPOCH that is pure listing overhead, and on an
+  // object store several LIST round-trips a second. Safe to cache under the
+  // sink's single-writer contract: no other writer moves the manifest
+  // between epochs. Lazy so construction (query planning) does no I/O
+  // beyond the sweep above.
+  private lazy val log = SparkLog(SparkSession.active, dir, config)
 
   private def epochDir(epochId: Long): String =
     LogFs.forPath(dir).child(root, s"epoch-$epochId")
@@ -156,7 +193,7 @@ class GraftStreamingWrite(dir: String, queryId: String) extends StreamingWrite {
     new GraftStreamingWriterFactory(root)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    try GraftWrite.commitStaged(dir, messages, Some((s"sink-$queryId", epochId)))
+    try GraftWrite.commitStaged(log, messages, Some((s"sink-$queryId", epochId)))
     finally cleanupEpoch(epochId)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

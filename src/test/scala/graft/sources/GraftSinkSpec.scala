@@ -170,6 +170,39 @@ class GraftSinkSpec extends AnyFunSuite {
     assert(log2.read(5L).value sameElements "rec-3".getBytes)
   }
 
+  test("write options carry the log config (part roll at maxRecordsPerSegment)") {
+    val dir = TestSpark.tempDir("gsink") + "/cfg"
+    valuesDf(0, 100)
+      .coalesce(1)
+      .write.format("graft")
+      .option("maxRecordsPerSegment", "10")
+      .mode("append").save(dir)
+    val segs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("segment="))
+    assert(segs.length == 1)
+    val parts = segs.head.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(parts.length == 10, s"expected 10 rolled parts, got ${parts.toSeq}")
+    assert(readStrings(dir).map(_._1) == (0L until 100L))
+  }
+
+  test("a re-attempted rewrite task cannot duplicate or tear parts") {
+    val root = TestSpark.tempDir("gsink")
+    val staged = root + "/staged.parquet"
+    val out = root + "/out"
+    new java.io.File(out).mkdirs()
+    val w = new graft.log.StagedParquet.ValueWriter(staged)
+    (0 until 25).foreach(i => w.write(s"v-$i".getBytes))
+    w.close()
+    // First attempt lands parts 0..4; the "retry" (same args) must leave
+    // the exact same file set behind — no duplicates, no inflight debris.
+    graft.log.StagedParquet.rewriteToParts(staged, out, 100L, maxRecordsPerPart = 5)
+    val first = new java.io.File(out).listFiles().map(_.getName).sorted
+    graft.log.StagedParquet.rewriteToParts(staged, out, 100L, maxRecordsPerPart = 5)
+    val second = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(first.toSeq == second.toSeq, s"retry changed the file set: $first vs $second")
+    assert(first.length == 5 && first.forall(_.endsWith(".parquet")))
+    assert(!first.exists(_.startsWith("inflight-")))
+  }
+
   test("commitToken records empty epochs monotonically") {
     val dir = TestSpark.tempDir("gsink") + "/token"
     val log = SparkLog(spark, dir)
