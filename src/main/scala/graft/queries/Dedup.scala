@@ -920,6 +920,61 @@ object Dedup {
       """)
     ),
 
+    // --- span-level dedup: repeated k-token spans across the corpus ---
+    // Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    // Better") deduplicate at SPAN granularity: a 50-token window that
+    // appears twice anywhere in the corpus is boilerplate, even when the
+    // surrounding documents differ. Their suffix array is a single-node
+    // structure; the distributed re-expression is shingle hashing — every
+    // k-token window becomes an md5 key, one hash-shuffle counts global
+    // occurrences, and a second keyed shuffle folds the per-window verdicts
+    // back into per-document coverage metrics (n_spans, n_dup_spans,
+    // dup_frac — the signal a curation gate thresholds on). k scales to the
+    // synthetic ~30-word docs (production uses 50); the plan is unchanged:
+    // shuffle keys are 16-byte hashes, never span text, and no stage holds
+    // more than (corpus tokens × 1) rows — the same asymptotics as the
+    // token-level exact dedup, k× the constant.
+    Q(
+      "dedup_spans",
+      (s, d) => {
+        val k = 10
+        val spans = t(s, d, "documents")
+          .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+          .filter(size(col("w")) >= k)
+          .select(
+            col("doc_id"),
+            explode(expr(s"""transform(sequence(1, size(w) - ${k - 1}),
+                                       i -> md5(concat_ws(' ', slice(w, i, $k))))""")).as("h")
+          )
+        val occ = spans.groupBy("h").agg(count(lit(1)).as("occ"))
+        spans
+          .join(occ, "h")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_spans"),
+            sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_spans")
+          )
+          .withColumn("dup_frac", col("n_dup_spans").cast("double") / col("n_spans"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+        sp AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - 8),
+                        i -> md5(array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 9], ' ')))) AS h
+          FROM w WHERE len(w) >= 10),
+        occ AS (SELECT h, count(*) AS occ FROM sp GROUP BY h)
+        SELECT sp.doc_id,
+               count(*) AS n_spans,
+               CAST(sum(CASE WHEN occ.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+               CAST(sum(CASE WHEN occ.occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        FROM sp JOIN occ USING (h)
+        GROUP BY sp.doc_id ORDER BY sp.doc_id
+      """)
+    ),
+
     // --- keep-one projection after exact dedup (the "apply" step) ---
     Q(
       "dedup_keep_first",

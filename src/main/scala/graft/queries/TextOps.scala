@@ -36,6 +36,68 @@ object TextOps {
         .mkString(", ")}))) AS INTEGER)"
 
   val all: Seq[Q] = Seq(
+    // --- tf-idf: per-document salient terms (top-3 by score) ---
+    // The classic relevance weight, shaped for a distributed corpus: term
+    // frequencies aggregate on (doc, word) — one keyed shuffle of token
+    // counts, never raw text — document frequencies on word, and the join
+    // back is word-keyed (the vocabulary side is df counts only; AQE may
+    // broadcast it when genuinely small, which is the adaptive behavior we
+    // want rather than a hint assuming vocabulary fits memory at 100 TB).
+    // The score uses a RATIONAL idf — tf · (N+1)/(df+1) — instead of a
+    // logarithm: IEEE division is exactly rounded, so both engines compute
+    // bit-identical doubles, where ln() could drift an ulp between libm
+    // implementations. Ranking is equivalent (log is monotone).
+    Q(
+      "text_tfidf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("word"))
+          .groupBy("doc_id", "word")
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window
+          .partitionBy("doc_id")
+          .orderBy(col("score").desc, col("word"))
+        tf.join(df, "word")
+          .crossJoin(broadcast(n))
+          .withColumn(
+            "score",
+            col("tf").cast("double") * (col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")
+          )
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(
+            col("doc_id"),
+            col("rk").cast("int").as("rk"),
+            col("word"),
+            col("tf"),
+            col("df"),
+            col("score")
+          )
+          .orderBy("doc_id", "rk")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+          FROM documents),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+        df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                 CAST(tf.tf AS DOUBLE) * (n.n_docs + 1) / (df.df + 1) AS score
+          FROM tf JOIN df USING (word) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, word, tf, df, score,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+          FROM scored)
+        SELECT doc_id, CAST(rk AS INTEGER) AS rk, word, tf, df, score
+        FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+      """)
+    ),
+
     // --- PII scrubbing: regex redaction before text lands in a corpus ---
     // Emails → [EMAIL], international-format phones → [PHONE], any
     // surviving digit → '#'. Order matters (the email/phone patterns must

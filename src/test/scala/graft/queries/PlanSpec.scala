@@ -26,7 +26,7 @@ class PlanSpec extends AnyFunSuite {
     // knn_brute/knn_centroid broadcast a deliberately tiny side; the
     // corpus-scale pair producers must never plan a cartesian of the corpus
     // against itself.
-    for (q <- Seq("dedup_jaccard", "dedup_simhash_pairs", "dedup_minhash_lsh")) {
+    for (q <- Seq("dedup_jaccard", "dedup_simhash_pairs", "dedup_minhash_lsh", "dedup_spans")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product:\n$p")
     }
@@ -116,6 +116,29 @@ class PlanSpec extends AnyFunSuite {
       w.exists(l => l.contains("lang") && l.contains("bucket") && l.contains("doc_id")),
       s"doc-level running sum lost its bucket sharding:\n$p"
     )
+  }
+
+  test("tf-idf hints exactly one broadcast: the one-row corpus count") {
+    // The vocabulary (df counts) side must SHUFFLE on word, not carry a
+    // broadcast hint — a hint would assume the vocabulary fits executor
+    // memory at any corpus size. AQE may still broadcast it adaptively at
+    // small sf, which is fine; the guard is against the forced hint.
+    val df = SparkEntry.queries("text_tfidf")(spark, d)
+    val hints = df.queryExecution.analyzed
+      .collect { case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h }
+    assert(hints.size == 1, s"expected only the n_docs broadcast hint, got ${hints.size}")
+    assert(hints.head.toString.contains("n_docs"), s"unexpected hint target:\n${hints.head}")
+  }
+
+  test("span dedup shuffles 16-byte hashes, never span text") {
+    // Both keyed exchanges of the span pipeline (occurrence count + the
+    // fold back onto doc_id) must key on the md5 hash h / doc_id — no
+    // exchange may carry a concat_ws span-text column.
+    val p = plan("dedup_spans")
+    val bad = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("concat_ws"))
+    assert(!bad, s"span text reached a shuffle key:\n$p")
   }
 
   test("point-lookup filter pushes down to the parquet scan") {
