@@ -41,6 +41,13 @@ object LogBench {
     val bulkSec = (System.nanoTime() - t0) / 1e9
     println(f"bulk_append: $appended%d records in $bulkSec%.2f s = ${appended / bulkSec}%.0f rec/s")
 
+    // 1b. DSv2 sink throughput (stage + rewrite, no count pass)
+    val sinkDir = java.nio.file.Files.createTempDirectory("logbench-sink").toString + "/log"
+    val ts = System.nanoTime()
+    payloads.write.format("graft").mode("append").save(sinkDir)
+    val sinkSec = (System.nanoTime() - ts) / 1e9
+    println(f"sink_append: $n%d records in $sinkSec%.2f s = ${n / sinkSec}%.0f rec/s")
+
     // 2. single-record append latency (driver commit path, 50 iterations)
     val t1 = System.nanoTime()
     val iters = 50

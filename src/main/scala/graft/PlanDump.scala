@@ -29,10 +29,20 @@ object PlanDump {
     "q_sessionize" -> ("Gaps-and-islands over a per-user window — state is " +
       "keyed and partition-local; no global sort before the final output " +
       "ordering."),
-    "dedup_jaccard" -> ("Dictionary-encoded bitmap signatures: candidate pairs " +
-      "meet via a broadcast of the compact signature side, intersection is " +
-      "bit_count(a&b) per 64-word block inside whole-stage codegen. No " +
-      "token⋈token explosion, no cartesian."),
+    "dedup_jaccard" -> ("Dictionary-encoded bitmap signatures with NO corpus " +
+      "broadcast: the checkpointed signature table (ids, sizes, bitmap " +
+      "blocks — tokenized once) self-joins triangle-partitioned on " +
+      "(lang, group-pair) keys, intersection is bit_count(a&b) per 64-word " +
+      "block inside whole-stage codegen. Large vocabularies switch to " +
+      "PPJoin prefix filtering on rare-token ids."),
+    "dedup_spans" -> ("Span-level dedup (Lee et al.): k-token windows hash to " +
+      "md5 keys; one hash shuffle counts global occurrences, one keyed " +
+      "shuffle folds verdicts into per-doc coverage. Shuffle keys are " +
+      "16-byte hashes, never span text."),
+    "text_tfidf" -> ("tf on (doc, word), df on word — token-count shuffles " +
+      "only; the vocabulary join carries no broadcast hint (AQE decides), " +
+      "the single hinted broadcast is the one-row corpus count. Top-3 via " +
+      "per-doc window."),
     "dedup_minhash_lsh" -> ("Banded MinHash LSH: pairs meet only inside a " +
       "band-hash bucket (shuffle keyed on the band hash) — O(n·k) candidates, " +
       "then exact re-rank."),
