@@ -96,6 +96,16 @@ private[graft] object StagedParquet {
     }
   }
 
+  /** Footer-only row count — no data pages are read or decoded. */
+  def rowCount(file: String): Long = {
+    val r = ParquetFileReader.open(
+      LogFs.forPath(file).inputFile(file),
+      HadoopReadOptions.builder(readConf).build()
+    )
+    try r.getRecordCount
+    finally r.close()
+  }
+
   /** Cached once, same rationale as [[ParquetPartWriter.writeConf]]:
     * Configuration construction re-scans default XMLs (~5 ms/instance),
     * which a task rolling many parts would otherwise pay per part.
