@@ -129,11 +129,13 @@ case class GraftCommitMessage(partitionId: Int, file: Option[String], rows: Long
 class GraftWriteBuilder(dir: String, info: LogicalWriteInfo) extends WriteBuilder {
   GraftWrite.validateSchema(info.schema())
   private val config = GraftWrite.configFrom(info.options())
+  private val autoCompactSegments =
+    Option(info.options().get("autoCompactSegments")).map(_.toInt).getOrElse(0)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftBatchWrite(dir, config)
     override def toStreaming: StreamingWrite =
-      new GraftStreamingWrite(dir, info.queryId(), config)
+      new GraftStreamingWrite(dir, info.queryId(), config, autoCompactSegments)
   }
 }
 
@@ -160,8 +162,12 @@ class GraftBatchWrite(dir: String, config: LogConfig) extends BatchWrite {
     catch { case _: Exception => () }
 }
 
-class GraftStreamingWrite(dir: String, queryId: String, config: LogConfig)
-    extends StreamingWrite {
+class GraftStreamingWrite(
+    dir: String,
+    queryId: String,
+    config: LogConfig,
+    autoCompactSegments: Int
+) extends StreamingWrite {
   // One root per query (queryId is stable across restarts); one subdir per
   // epoch. Restart sweeps the whole root — no epoch of this run has staged
   // anything yet, and leftover files from the crashed run are dead (their
@@ -193,8 +199,17 @@ class GraftStreamingWrite(dir: String, queryId: String, config: LogConfig)
     new GraftStreamingWriterFactory(root)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    try GraftWrite.commitStaged(log, messages, Some((s"sink-$queryId", epochId)))
-    finally cleanupEpoch(epochId)
+    try {
+      GraftWrite.commitStaged(log, messages, Some((s"sink-$queryId", epochId)))
+      // Streaming small-file hygiene: every epoch seals one segment, so a
+      // frequent trigger accumulates them without bound. When opted in
+      // (option autoCompactSegments=N), merge adjacent small sealed runs
+      // once the segment count passes N — compact() swaps atomically and
+      // concurrent scans self-heal through the re-plan path, so readers
+      // tailing this log never notice. A no-op when nothing merges.
+      if (autoCompactSegments > 0 && log.segmentCount >= autoCompactSegments)
+        log.compact()
+    } finally cleanupEpoch(epochId)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     cleanupEpoch(epochId)

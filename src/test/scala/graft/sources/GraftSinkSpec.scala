@@ -203,6 +203,35 @@ class GraftSinkSpec extends AnyFunSuite {
     assert(!first.exists(_.startsWith("inflight-")))
   }
 
+  test("autoCompactSegments keeps a per-epoch-segment log bounded") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = TestSpark.tempDir("gsink")
+    val dir = root + "/compact"; val ckpt = root + "/cckpt"
+    val input = MemoryStream[String]
+    def drainOne(): Unit = {
+      val q = input
+        .toDF()
+        .select(col("value").cast("binary").as("value"))
+        .writeStream
+        .format("graft")
+        .option("path", dir)
+        .option("checkpointLocation", ckpt)
+        .option("autoCompactSegments", "4")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(30000); q.stop()
+    }
+    // 10 one-record epochs; without compaction that is 10 segments.
+    (0 until 10).foreach { i => input.addData(s"e-$i"); drainOne() }
+    val log = SparkLog(spark, dir)
+    assert(log.segmentCount < 10, s"auto-compact never ran: ${log.segmentCount} segments")
+    val rows = readStrings(dir)
+    assert(rows.map(_._1) == (0L until 10L))
+    assert(rows.map(_._2).sorted == (0 until 10).map(i => s"e-$i").sorted)
+  }
+
   test("commitToken records empty epochs monotonically") {
     val dir = TestSpark.tempDir("gsink") + "/token"
     val log = SparkLog(spark, dir)
