@@ -232,6 +232,21 @@ class GraftSinkSpec extends AnyFunSuite {
     assert(rows.map(_._2).sorted == (0 until 10).map(i => s"e-$i").sorted)
   }
 
+  test("the sink works over a scheme:// (Hadoop FS) log dir end to end") {
+    // Same code path a cluster takes for hdfs:// or s3a:// — staged
+    // writes, the rewrite job, publish renames, and the manifest protocol
+    // all route through HadoopLogFs instead of plain NIO.
+    val dir = "file://" + TestSpark.tempDir("gsink-hfs") + "/log"
+    valuesDf(0, 30).write.format("graft").mode("append").save(dir)
+    valuesDf(30, 40).write.format("graft").mode("append").save(dir)
+    val rows = spark.read.format("graft").load(dir)
+      .select(col("offset"), col("value").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows == (0 until 40).map(i => (i.toLong, s"rec-$i")))
+    val log = SparkLog(spark, dir)
+    assert(new String(log.read(35L).value) == "rec-35")
+  }
+
   test("commitToken records empty epochs monotonically") {
     val dir = TestSpark.tempDir("gsink") + "/token"
     val log = SparkLog(spark, dir)
