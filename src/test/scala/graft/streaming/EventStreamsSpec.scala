@@ -60,6 +60,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup runs on the RocksDB state store provider") {
+    // The corpus-scale recommendation (COVERAGE §2.6 / curateFrom notes) is
+    // RocksDB-backed state — this proves the dedup state machine actually
+    // runs on it, not just the in-memory default. Provider is a per-query
+    // conf read at START; reset after so sibling tests keep the default.
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Ev]
+    val q = EventStreams
+      .streamingDedup(input.toDF(), "ts", Seq("event_type"))
+      .writeStream
+      .format("memory")
+      .queryName("ddr")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(Ev(ts(1), "a", 1.0), Ev(ts(1), "b", 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(ts(1), "a", 1.0), Ev(ts(1), "c", 3.0)) // cross-batch dup dropped
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from ddr").head().getLong(0) == 3)
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("session_window groups by inactivity gap") {
     val session = spark
     import session.implicits._
