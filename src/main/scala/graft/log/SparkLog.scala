@@ -212,16 +212,47 @@ class SparkLog(
     val staging0 = stagingDir()
     df.select(col("value").cast("binary").as("value")).write.parquet(staging0)
     try {
-      val files = fs
+      // Partition order comes from the NUMERIC part index in Spark's file
+      // names, not lexicographic name order — part-%05d padding overflows
+      // past 99,999 partitions and a string sort would interleave
+      // part-100000 between part-10000 and part-10001, silently scrambling
+      // a pre-sorted record↔offset mapping at exactly the scale this
+      // engine targets.
+      val partIdx = """part-(\d+)-.*""".r
+      val named = fs
         .list(staging0)
         .filter(p => fs.fileName(p).endsWith(".parquet"))
-        .sortBy(fs.fileName)
-        .map(f => (f, StagedParquet.rowCount(f)))
-      appendStaged(files, token) // reentrant: same lock, same thread
+        .map { p =>
+          val idx = fs.fileName(p) match {
+            case partIdx(i) => i.toLong
+            case _          => Long.MaxValue // foreign names sort last, stably
+          }
+          (idx, p)
+        }
+        .sortBy { case (i, p) => (i, fs.fileName(p)) }
+        .map(_._2)
+      // Footer row counts in parallel: each is one independent metadata
+      // read, and a serial loop would cost O(files) blocking round-trips
+      // on an object store while holding the log's monitor.
+      val counts = parallelMap(named, StagedParquet.rowCount)
+      appendStaged(named.zip(counts), token) // reentrant: same lock, same thread
     } finally {
       try fs.deleteRecursively(staging0)
       catch { case _: Exception => () }
     }
+  }
+
+  /** Bounded-parallelism map preserving input order (driver-side metadata
+    * fan-out; not for data-plane work).
+    */
+  private def parallelMap[A, B](xs: Vector[A], f: A => B): Vector[B] = {
+    if (xs.size <= 1) return xs.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, xs.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = xs.map(x => (() => f(x)): java.util.concurrent.Callable[B])
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toVector
+    } finally pool.shutdown()
   }
 
   /** Shared tail of the bulk-ingest paths (`appendDF`, `appendStaged`):

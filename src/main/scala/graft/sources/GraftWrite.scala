@@ -133,13 +133,14 @@ class GraftWriteBuilder(dir: String, info: LogicalWriteInfo) extends WriteBuilde
     Option(info.options().get("autoCompactSegments")).map(_.toInt).getOrElse(0)
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(dir, config)
+    override def toBatch: BatchWrite = new GraftBatchWrite(dir, config, autoCompactSegments)
     override def toStreaming: StreamingWrite =
       new GraftStreamingWrite(dir, info.queryId(), config, autoCompactSegments)
   }
 }
 
-class GraftBatchWrite(dir: String, config: LogConfig) extends BatchWrite {
+class GraftBatchWrite(dir: String, config: LogConfig, autoCompactSegments: Int)
+    extends BatchWrite {
   private val stagingName = s"${GraftWrite.StagePrefix}${UUID.randomUUID().toString.take(12)}"
   private val staging = LogFs.forPath(dir).child(dir, stagingName)
 
@@ -152,8 +153,21 @@ class GraftBatchWrite(dir: String, config: LogConfig) extends BatchWrite {
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    try GraftWrite.commitStaged(SparkLog(SparkSession.active, dir, config), messages, token = None)
-    finally cleanup()
+    try {
+      val log = SparkLog(SparkSession.active, dir, config)
+      GraftWrite.commitStaged(log, messages, token = None)
+      // Same opt-in hygiene as the streaming path (best-effort, after the
+      // durable commit). Batch writes are one segment per job, so there is
+      // no ladder state to keep — a full-target merge per opted-in write
+      // is the repeated-small-batch user's explicit request.
+      if (autoCompactSegments > 0 && log.segmentCount >= autoCompactSegments) {
+        try log.compact()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft-sink] auto-compaction skipped: ${e.getMessage}")
+        }
+      }
+    } finally cleanup()
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
 
@@ -198,6 +212,16 @@ class GraftStreamingWrite(
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(root)
 
+  // Size-tiered compaction ladder: merging at a FIXED target would fold
+  // every new small run back into the previously merged head until it
+  // reaches the target — quadratic write amplification for tiny epochs.
+  // Doubling the target each time a merge happens makes each byte
+  // participate in O(log(maxStoreBytes / epochBytes)) merges total: a head
+  // that outgrew the current target graduates (compact()'s greedy run never
+  // extends a run past targetBytes), and the ladder resets once a trigger
+  // merges nothing, so fresh small runs start cheap again.
+  private var compactTarget = GraftStreamingWrite.LadderStartBytes
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     try {
       GraftWrite.commitStaged(log, messages, Some((s"sink-$queryId", epochId)))
@@ -206,9 +230,22 @@ class GraftStreamingWrite(
       // (option autoCompactSegments=N), merge adjacent small sealed runs
       // once the segment count passes N — compact() swaps atomically and
       // concurrent scans self-heal through the re-plan path, so readers
-      // tailing this log never notice. A no-op when nothing merges.
-      if (autoCompactSegments > 0 && log.segmentCount >= autoCompactSegments)
-        log.compact()
+      // tailing this log never notice. Best-effort: the epoch's data and
+      // token are already durable, so a maintenance failure must not fail
+      // the query.
+      if (autoCompactSegments > 0 && log.segmentCount >= autoCompactSegments) {
+        try {
+          val before = log.segmentCount
+          log.compact(math.min(compactTarget, config.maxStoreBytes))
+          compactTarget =
+            if (log.segmentCount < before)
+              math.min(compactTarget * 2, config.maxStoreBytes)
+            else GraftStreamingWrite.LadderStartBytes
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft-sink] auto-compaction skipped: ${e.getMessage}")
+        }
+      }
     } finally cleanupEpoch(epochId)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -217,6 +254,14 @@ class GraftStreamingWrite(
   private def cleanupEpoch(epochId: Long): Unit =
     try LogFs.forPath(dir).deleteRecursively(epochDir(epochId))
     catch { case _: Exception => () }
+}
+
+object GraftStreamingWrite {
+  /** Compaction ladder entry rung — small enough that a tiny-epoch stream's
+    * first merges are cheap, large enough to be done in a handful of
+    * doublings to any realistic maxStoreBytes.
+    */
+  private[sources] val LadderStartBytes = 4L * 1024 * 1024
 }
 
 class GraftWriterFactory(staging: String) extends DataWriterFactory {
