@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{
   MicroBatchStream,
@@ -90,8 +91,8 @@ class GraftTable(dir: String) extends Table with SupportsRead with SupportsWrite
     new GraftWriteBuilder(dir, info)
 }
 
-/** Accepts offset bound filters and column pruning; everything else stays
-  * post-scan.
+/** Accepts offset bound filters, column pruning, limit, and
+  * manifest-answerable aggregates; everything else stays post-scan.
   */
 class GraftScanBuilder(
     dir: String,
@@ -100,12 +101,50 @@ class GraftScanBuilder(
 ) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var lo = Long.MinValue
   private var hi = Long.MaxValue
   private var pushed = Array.empty[Filter]
   private var requiredSchema: StructType = LogRecord.schema
   private var limit: Option[Int] = None
+  private var pushedAgg: Option[Seq[GraftAggScan.Field]] = None
+
+  /** COMPLETE aggregate pushdown for the queries a manifest answers
+    * exactly: ungrouped COUNT(*) / COUNT(offset) (offset is never null) /
+    * MIN(offset) / MAX(offset), optionally under pushed offset-range
+    * filters. Offsets are contiguous within every manifested segment, so
+    * the result is pure metadata arithmetic — `SELECT count(*) FROM log`
+    * on a million-file log does ZERO file I/O (the analog of the
+    * reference's O(1) HighestOffset, internal/log/log.go:118-131, but for
+    * any offset window). Spark only attempts this when every filter was
+    * pushed down, so residual predicates can't be silently ignored.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    translateAgg(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    pushedAgg = translateAgg(aggregation)
+    pushedAgg.isDefined
+  }
+
+  private def translateAgg(agg: Aggregation): Option[Seq[GraftAggScan.Field]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (agg.groupByExpressions().nonEmpty) return None
+    def isOffset(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames().toSeq == Seq("offset")
+      case _                  => false
+    }
+    val fields = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar                                    => Some(GraftAggScan.CountAll)
+      case c: Count if !c.isDistinct && isOffset(c.column) => Some(GraftAggScan.CountAll)
+      case m: Min if isOffset(m.column)                    => Some(GraftAggScan.MinOffset)
+      case m: Max if isOffset(m.column)                    => Some(GraftAggScan.MaxOffset)
+      case _                                               => None
+    }
+    if (fields.nonEmpty && fields.forall(_.isDefined)) Some(fields.map(_.get)) else None
+  }
 
   /** Limit pushdown reaches PARTITION PLANNING: ranged part names carry
     * exact record counts (offsets are contiguous within a part), so
@@ -150,15 +189,88 @@ class GraftScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new GraftScan(
-      dir,
-      startOffset.map(math.max(_, lo)).getOrElse(lo),
-      hi,
-      requiredSchema,
-      maxPerBatch,
-      limit
-    )
+  override def build(): Scan = pushedAgg match {
+    case Some(fields) =>
+      new GraftAggScan(dir, startOffset.map(math.max(_, lo)).getOrElse(lo), hi, fields)
+    case None =>
+      new GraftScan(
+        dir,
+        startOffset.map(math.max(_, lo)).getOrElse(lo),
+        hi,
+        requiredSchema,
+        maxPerBatch,
+        limit
+      )
+  }
+}
+
+/** Completely-pushed-down aggregate scan: one metadata row computed from
+  * the manifest, no file partitions planned, no file I/O.
+  */
+object GraftAggScan {
+  sealed trait Field
+  case object CountAll extends Field
+  case object MinOffset extends Field
+  case object MaxOffset extends Field
+}
+
+class GraftAggScan(
+    dir: String,
+    lo: Long,
+    hi: Long,
+    fields: Seq[GraftAggScan.Field]
+) extends Scan {
+  import GraftAggScan._
+
+  override def readSchema(): StructType = StructType(fields.zipWithIndex.map {
+    case (CountAll, i)  => org.apache.spark.sql.types.StructField(s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)
+    case (MinOffset, i) => org.apache.spark.sql.types.StructField(s"min_$i", org.apache.spark.sql.types.LongType)
+    case (MaxOffset, i) => org.apache.spark.sql.types.StructField(s"max_$i", org.apache.spark.sql.types.LongType)
+  })
+
+  override def description(): String =
+    s"GraftAggScan(dir=$dir, offsets=[$lo, $hi], pushedAggregates=[${fields.mkString(",")}])"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      // Pure manifest arithmetic: offsets are contiguous within each
+      // manifested segment [base, next), so an offset window's row count
+      // and endpoints never need a file open.
+      val segs = LogManifest.read(dir).map(_.segments).getOrElse(Vector.empty)
+      var count = 0L
+      var minOff = Long.MaxValue
+      var maxOff = Long.MinValue
+      segs.foreach { s =>
+        val a = math.max(lo, s.base)
+        val b = math.min(hi, s.next - 1)
+        if (a <= b) {
+          count += b - a + 1
+          if (a < minOff) minOff = a
+          if (b > maxOff) maxOff = b
+        }
+      }
+      val row: Array[Any] = fields.map {
+        case CountAll  => count: Any
+        case MinOffset => if (count > 0) (minOff: Any) else null
+        case MaxOffset => if (count > 0) (maxOff: Any) else null
+      }.toArray
+      Array(GraftAggResultPartition(row))
+    }
+    override def createReaderFactory(): PartitionReaderFactory = GraftAggReaderFactory()
+  }
+}
+
+case class GraftAggResultPartition(row: Array[Any]) extends InputPartition
+
+case class GraftAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val values = partition.asInstanceOf[GraftAggResultPartition].row
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
 }
 
 /** One input partition = one part file restricted to [lo, hi]. `dir` rides

@@ -37,6 +37,52 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(range.select("offset").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L, 7L, 8L))
   }
 
+  test("count/min/max push down to the manifest (zero file I/O)") {
+    val log = newLog(20) // several part files under the 96-byte cap
+    val df = spark.read.format("graft").load(log.dir)
+      .agg(count(lit(1)).as("n"), min(col("offset")).as("mn"), max(col("offset")).as("mx"))
+    // The aggregate scan answers from the manifest: its plan carries the
+    // pushed-aggregate marker and plans ONE metadata partition instead of
+    // per-file readers.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan"), s"aggregate not pushed:\n$plan")
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((20L, 0L, 19L)))
+
+    // Pushed offset predicates narrow the window the manifest answers for.
+    val bounded = spark.read.format("graft").load(log.dir)
+      .filter(col("offset") >= 5 && col("offset") <= 11)
+      .agg(count(lit(1)), min(col("offset")), max(col("offset")))
+    val rb = bounded.head()
+    assert((rb.getLong(0), rb.getLong(1), rb.getLong(2)) == ((7L, 5L, 11L)))
+    assert(bounded.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+
+    // After truncate the manifest window moves — metadata answer tracks it.
+    log.truncate(10)
+    val rt = spark.read.format("graft").load(log.dir)
+      .agg(count(lit(1)), min(col("offset")), max(col("offset"))).head()
+    assert(rt.getLong(0) < 20L && rt.getLong(1) > 0L && rt.getLong(2) == 19L)
+  }
+
+  test("aggregates the manifest cannot answer fall back to a real scan") {
+    val log = newLog(8)
+    // count(value) skips nulls — needs the data; sum(offset) is not a
+    // supported pushdown — both must plan the regular file scan.
+    for (df <- Seq(
+        spark.read.format("graft").load(log.dir).agg(count(col("value"))),
+        spark.read.format("graft").load(log.dir).agg(sum(col("offset")))
+      )) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("GraftAggScan"), s"unsound pushdown:\n$plan")
+    }
+    assert(spark.read.format("graft").load(log.dir).agg(sum(col("offset"))).head().getLong(0) == 28L)
+    // A residual (non-offset) filter blocks pushdown wholesale.
+    val filtered = spark.read.format("graft").load(log.dir)
+      .filter(col("value").isNotNull).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    assert(filtered.head().getLong(0) == 8L)
+  }
+
   test("the log registers as a SQL catalog table (CREATE TABLE USING graft)") {
     val log = newLog(12)
     spark.sql(s"CREATE TABLE graft_ddl USING graft OPTIONS (path '${log.dir}')")
