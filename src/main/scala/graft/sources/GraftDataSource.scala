@@ -26,7 +26,7 @@ import org.apache.spark.sql.sources.{
   LessThan,
   LessThanOrEqual
 }
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.log.{LogFs, LogManifest, LogRecord, ParquetPointReader}
@@ -129,7 +129,6 @@ class GraftScanBuilder(
   }
 
   private def translateAgg(agg: Aggregation): Option[Seq[GraftAggScan.Field]] = {
-    import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     if (agg.groupByExpressions().nonEmpty) return None
     def isOffset(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
@@ -175,11 +174,20 @@ class GraftScanBuilder(
     supported.foreach {
       case EqualTo(_, v) =>
         lo = math.max(lo, num(v)); hi = math.min(hi, num(v))
-      case GreaterThan(_, v)        => lo = math.max(lo, num(v) + 1)
+      // `offset > Long.MaxValue` / `< Long.MinValue` must yield an EMPTY
+      // window, not wrap around: since these filters are reported as fully
+      // pushed, nothing downstream re-checks them — a wrapped bound would
+      // make a provably-false predicate scan (and, under aggregate
+      // pushdown, COUNT) the whole log.
+      case GreaterThan(_, v) =>
+        if (num(v) == Long.MaxValue) { lo = Long.MaxValue; hi = Long.MinValue }
+        else lo = math.max(lo, num(v) + 1)
       case GreaterThanOrEqual(_, v) => lo = math.max(lo, num(v))
-      case LessThan(_, v)           => hi = math.min(hi, num(v) - 1)
-      case LessThanOrEqual(_, v)    => hi = math.min(hi, num(v))
-      case _                        => ()
+      case LessThan(_, v) =>
+        if (num(v) == Long.MinValue) { lo = Long.MaxValue; hi = Long.MinValue }
+        else hi = math.min(hi, num(v) - 1)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, num(v))
+      case _                     => ()
     }
     pushed = supported
     rest // Spark re-applies all filters post-scan; pruning is our win
@@ -223,9 +231,9 @@ class GraftAggScan(
   import GraftAggScan._
 
   override def readSchema(): StructType = StructType(fields.zipWithIndex.map {
-    case (CountAll, i)  => org.apache.spark.sql.types.StructField(s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)
-    case (MinOffset, i) => org.apache.spark.sql.types.StructField(s"min_$i", org.apache.spark.sql.types.LongType)
-    case (MaxOffset, i) => org.apache.spark.sql.types.StructField(s"max_$i", org.apache.spark.sql.types.LongType)
+    case (CountAll, i)  => StructField(s"count_$i", LongType, nullable = false)
+    case (MinOffset, i) => StructField(s"min_$i", LongType)
+    case (MaxOffset, i) => StructField(s"max_$i", LongType)
   })
 
   override def description(): String =
@@ -313,11 +321,15 @@ class GraftScan(
       }
     case EqualTo("offset", v: Number) =>
       lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue())
-    case GreaterThan("offset", v: Number)        => lo = math.max(lo, v.longValue() + 1)
+    case GreaterThan("offset", v: Number) =>
+      if (v.longValue() == Long.MaxValue) { lo = Long.MaxValue; hi = Long.MinValue }
+      else lo = math.max(lo, v.longValue() + 1)
     case GreaterThanOrEqual("offset", v: Number) => lo = math.max(lo, v.longValue())
-    case LessThan("offset", v: Number)           => hi = math.min(hi, v.longValue() - 1)
-    case LessThanOrEqual("offset", v: Number)    => hi = math.min(hi, v.longValue())
-    case _                                       => ()
+    case LessThan("offset", v: Number) =>
+      if (v.longValue() == Long.MinValue) { lo = Long.MaxValue; hi = Long.MinValue }
+      else hi = math.min(hi, v.longValue() - 1)
+    case LessThanOrEqual("offset", v: Number) => hi = math.min(hi, v.longValue())
+    case _                                    => ()
   }
 
   override def readSchema(): StructType = schema
@@ -384,16 +396,24 @@ object GraftPlanning {
     val all = manifest.segments.iterator
       .filter(s => s.next > lo && s.base <= hi)
       .flatMap { s =>
+        // Clamp to the segment's MANIFESTED window: a crashed (or
+        // in-flight) append can leave published parts past `next` in the
+        // active segment dir, and reading them would (a) surface
+        // uncommitted records and (b) disagree with the manifest-answered
+        // aggregate pushdown. Committed-read semantics: the manifest is
+        // the one source of visibility for every scan shape.
+        val slo = math.max(lo, s.base)
+        val shi = math.min(hi, s.next - 1)
         val segDir = fs.child(dir, s"segment=${s.base}")
         fs.list(segDir)
           .filter { p =>
             fs.fileName(p) match {
-              case ranged(mn, mx)              => mn.toLong <= hi && mx.toLong >= lo
+              case ranged(mn, mx)              => mn.toLong <= shi && mx.toLong >= slo
               case n if n.endsWith(".parquet") => true
               case _                           => false
             }
           }
-          .map(p => GraftInputPartition(dir, p, lo, hi): InputPartition)
+          .map(p => GraftInputPartition(dir, p, slo, shi): InputPartition)
           .iterator
       }
     limit match {
@@ -411,7 +431,9 @@ object GraftPlanning {
           val ip = p.asInstanceOf[GraftInputPartition]
           fs.fileName(ip.file) match {
             case ranged(mn, mx) =>
-              covered += math.min(hi, mx.toLong) - math.max(lo, mn.toLong) + 1
+              // The partition's own bounds — clamped to the segment's
+              // manifested window above — not the raw query range.
+              covered += math.min(ip.hi, mx.toLong) - math.max(ip.lo, mn.toLong) + 1
             case _ => ()
           }
         }

@@ -64,6 +64,32 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(rt.getLong(0) < 20L && rt.getLong(1) > 0L && rt.getLong(2) == 19L)
   }
 
+  test("scans and pushed aggregates agree when uncommitted parts linger past the manifest") {
+    // Simulate a crashed append: a published part carrying offsets past the
+    // manifest's committed high-water sits in the segment dir. Every scan
+    // shape must ignore it (committed-read semantics), or count(*) via the
+    // manifest and count(value) via the files would durably disagree.
+    val log = newLog(10)
+    val segDir = log.dir + "/segment=0"
+    val orphanSrc = graft.TestSpark.tempDir("orphan") + "/staged.parquet"
+    val w = new graft.log.StagedParquet.ValueWriter(orphanSrc)
+    (0 until 5).foreach(i => w.write(s"orphan-$i".getBytes))
+    w.close()
+    graft.log.StagedParquet.rewriteToParts(orphanSrc, segDir, start = 10L, maxRecordsPerPart = 100)
+    val df = spark.read.format("graft").load(log.dir)
+    assert(df.count() == 10L) // pushed-down count: manifest
+    assert(df.agg(count(col("value"))).head().getLong(0) == 10L) // file scan
+    assert(df.select("offset").collect().map(_.getLong(0)).max == 9L)
+  }
+
+  test("overflowing offset bounds yield empty results, not wrapped windows") {
+    val log = newLog(6)
+    val df = spark.read.format("graft").load(log.dir)
+    assert(df.filter(col("offset") > Long.MaxValue).count() == 0L)
+    assert(df.filter(col("offset") < Long.MinValue).count() == 0L)
+    assert(df.filter(col("offset") > Long.MaxValue).collect().isEmpty)
+  }
+
   test("aggregates the manifest cannot answer fall back to a real scan") {
     val log = newLog(8)
     // count(value) skips nulls — needs the data; sum(offset) is not a
