@@ -605,6 +605,20 @@ class SparkLog(
     LogManifest.write(dir, manifest)
   }
 
+  /** Remove every committed (and orphaned) segment and reset the offset
+    * sequence to `initialOffset`, leaving non-segment contents — e.g. a
+    * sink's staged files — untouched. The overwrite leg of the DSv2 sink:
+    * `reset()` cannot serve it because it removes the whole dir, staged
+    * commit inputs included.
+    */
+  private[graft] def clearForOverwrite(): Unit = synchronized {
+    LogManifest
+      .listSegmentBases(dir)
+      .foreach(b => try fs.deleteRecursively(segmentPath(b)) catch { case _: Exception => () })
+    manifest = LogManifest(Vector.empty, config.initialOffset)
+    LogManifest.write(dir, manifest)
+  }
+
   def segmentCount: Int = manifest.segments.size
   def currentManifest: LogManifest = manifest
 

@@ -74,6 +74,8 @@ class GraftTable(dir: String) extends Table with SupportsRead with SupportsWrite
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
+      // mode("overwrite") → clear + restart offsets (the Reset analog).
+      TableCapability.TRUNCATE,
       // The write schema (`value` only) is narrower than the table schema —
       // offsets are assigned at commit. GraftWriteBuilder enforces it.
       TableCapability.ACCEPT_ANY_SCHEMA

@@ -126,21 +126,37 @@ object GraftWrite {
 case class GraftCommitMessage(partitionId: Int, file: Option[String], rows: Long)
     extends WriterCommitMessage
 
-class GraftWriteBuilder(dir: String, info: LogicalWriteInfo) extends WriteBuilder {
+class GraftWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder
+    with SupportsTruncate {
   GraftWrite.validateSchema(info.schema())
   private val config = GraftWrite.configFrom(info.options())
   private val autoCompactSegments =
     Option(info.options().get("autoCompactSegments")).map(_.toInt).getOrElse(0)
+  private var truncateFirst = false
+
+  /** `mode("overwrite")` — the DSv2 mapping of the reference's `Reset`
+    * (reference: internal/log/log.go:145-152): clear the log, restart the
+    * offset sequence at `initialOffset`, then append the batch. Clear and
+    * append are two manifest swaps, not one atomic unit — same
+    * non-atomicity as Spark's own file-source overwrite.
+    */
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(dir, config, autoCompactSegments)
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(dir, config, autoCompactSegments, truncateFirst)
     override def toStreaming: StreamingWrite =
       new GraftStreamingWrite(dir, info.queryId(), config, autoCompactSegments)
   }
 }
 
-class GraftBatchWrite(dir: String, config: LogConfig, autoCompactSegments: Int)
-    extends BatchWrite {
+class GraftBatchWrite(
+    dir: String,
+    config: LogConfig,
+    autoCompactSegments: Int,
+    truncateFirst: Boolean = false
+) extends BatchWrite {
   private val stagingName = s"${GraftWrite.StagePrefix}${UUID.randomUUID().toString.take(12)}"
   private val staging = LogFs.forPath(dir).child(dir, stagingName)
 
@@ -155,6 +171,7 @@ class GraftBatchWrite(dir: String, config: LogConfig, autoCompactSegments: Int)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     try {
       val log = SparkLog(SparkSession.active, dir, config)
+      if (truncateFirst) log.clearForOverwrite()
       GraftWrite.commitStaged(log, messages, token = None)
       // Same opt-in hygiene as the streaming path (best-effort, after the
       // durable commit). Batch writes are one segment per job, so there is

@@ -56,6 +56,18 @@ class GraftSinkSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSet == (0 until 200).map(i => s"rec-$i").toSet)
   }
 
+  test("mode overwrite clears the log and restarts offsets at zero") {
+    val dir = TestSpark.tempDir("gsink") + "/ovw"
+    valuesDf(0, 20).write.format("graft").mode("append").save(dir)
+    assert(readStrings(dir).size == 20)
+    valuesDf(100, 105).write.format("graft").mode("overwrite").save(dir)
+    val rows = readStrings(dir)
+    assert(rows == (0 until 5).map(i => (i.toLong, s"rec-${100 + i}")))
+    // The cleared log is a normal log: appends continue after the new tail.
+    valuesDf(105, 107).write.format("graft").mode("append").save(dir)
+    assert(readStrings(dir).map(_._1) == (0L until 7L))
+  }
+
   test("batch write round-trips null payloads") {
     val session = spark
     import session.implicits._
