@@ -141,12 +141,21 @@ private[graft] trait LogFs {
     * token-dropping manifest rebuild.
     */
   final def readMeta(dir: String, name: String): Option[Array[Byte]] = {
+    // BOTH not-found flavors: Hadoop streams throw java.io.
+    // FileNotFoundException, plain NIO throws java.nio.file.
+    // NoSuchFileException — they share no ancestor below IOException, and
+    // catching only the former silently disabled this retry for local
+    // logs (a concurrent writer's prune between our list and open then
+    // surfaced as a raw reader error instead of a re-list).
     var i = 0
     while (i < 8) {
       versionsOf(dir, name).lastOption match {
         case Some((_, p)) =>
           try return Some(readFileBytes(p))
-          catch { case _: java.io.FileNotFoundException => i += 1 }
+          catch {
+            case _: java.io.FileNotFoundException | _: java.nio.file.NoSuchFileException =>
+              i += 1
+          }
         case None =>
           val legacy = child(dir, name)
           if (exists(legacy)) {
@@ -154,7 +163,9 @@ private[graft] trait LogFs {
             // Legacy file retired by a concurrent first versioned publish
             // between the exists check and the open — loop re-lists for
             // the version that replaced it.
-            catch { case _: java.io.FileNotFoundException => () }
+            catch {
+              case _: java.io.FileNotFoundException | _: java.nio.file.NoSuchFileException => ()
+            }
           } else if (versionsOf(dir, name).isEmpty) {
             // Re-listed and still nothing: either genuinely no metadata, or
             // we'd be racing ANOTHER upgrade publish — but the legacy→

@@ -299,7 +299,8 @@ class GraftScan(
     limit: Option[Int] = None
 ) extends Scan
     with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with SupportsReportOrdering {
 
   // Narrowed in place by runtime filters (below) before partition planning.
   private var lo = lo0
@@ -337,6 +338,22 @@ class GraftScan(
   override def readSchema(): StructType = schema
   override def description(): String =
     s"GraftScan(dir=$dir, offsets=[$lo, $hi], columns=[${schema.fieldNames.mkString(",")}])"
+
+  /** Every partition emits rows in ascending offset order (writers append
+    * offsets monotonically within a part file, and the compaction-race
+    * re-plan reads replacement ranges lowest-first), so Spark can elide
+    * per-partition sorts on `offset` — e.g. a sort-merge join against the
+    * log, or an ORDER BY offset over one partition, skips its SortExec.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (schema.fieldNames.contains("offset"))
+      Array(
+        Expressions.sort(
+          Expressions.column("offset"),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+        )
+      )
+    else Array.empty
 
   /** Manifest-derived size/row estimates, prorated by the pushed offset
     * range's overlap with each segment — Catalyst's CBO (join-side
@@ -483,10 +500,21 @@ case class GraftReaderFactory(fields: Array[String]) extends PartitionReaderFact
               case ParquetPointReader.RangedName(mn, mx) if replansLeft > 0 =>
                 val flo = math.max(lo, mn.toLong)
                 val fhi = math.min(hi, mx.toLong)
+                // Lowest-range-first: the scan reports ascending-offset
+                // output per partition (SupportsReportOrdering), so the
+                // replacement files must be drained in offset order.
                 GraftPlanning
                   .partitionsFor(p.dir, flo, fhi)
                   .iterator
                   .map(_.asInstanceOf[GraftInputPartition])
+                  .toVector
+                  .sortBy { np =>
+                    LogFs.forPath(np.file).fileName(np.file) match {
+                      case ParquetPointReader.RangedName(m, _) => m.toLong
+                      case _                                   => Long.MaxValue
+                    }
+                  }
+                  .iterator
                   .flatMap { np =>
                     openPlanned(
                       np.file,

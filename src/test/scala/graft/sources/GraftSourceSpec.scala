@@ -82,6 +82,18 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(df.select("offset").collect().map(_.getLong(0)).max == 9L)
   }
 
+  test("reported per-partition offset ordering elides sortWithinPartitions") {
+    val log = newLog(15)
+    val sorted = spark.read.format("graft").load(log.dir).sortWithinPartitions("offset")
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort ["), s"per-partition sort not elided:\n$plan")
+    // And the claim is true: each partition's offsets really ascend.
+    val perPartition = sorted.select("offset").rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toSeq))
+      .collect()
+    perPartition.foreach(s => assert(s == s.sorted, s"partition out of order: $s"))
+  }
+
   test("overflowing offset bounds yield empty results, not wrapped windows") {
     val log = newLog(6)
     val df = spark.read.format("graft").load(log.dir)
