@@ -85,9 +85,15 @@ class GraftTable(dir: String) extends Table with SupportsRead with SupportsWrite
       throw new IllegalArgumentException(s"graft source path does not exist: $dir")
     // Spark only invokes pushFilters for BATCH scans; streaming readers pass
     // the start position as a read option instead (see SparkLog.tail).
+    // `endOffset` (exclusive) is the SNAPSHOT read: offsets are the log's
+    // version axis, so bounding the scan at a recorded high-water gives a
+    // reproducible point-in-time view regardless of concurrent appends —
+    // pair a saved `highestOffset + 1` with this option to re-run any job
+    // over the exact data it saw.
     val startOffset = Option(options.get("startOffset")).map(_.toLong)
+    val endOffset = Option(options.get("endOffset")).map(_.toLong)
     val maxPerBatch = Option(options.get("maxRecordsPerBatch")).map(_.toLong)
-    new GraftScanBuilder(dir, startOffset, maxPerBatch)
+    new GraftScanBuilder(dir, startOffset, maxPerBatch, endOffset)
   }
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(dir, info)
@@ -99,7 +105,8 @@ class GraftTable(dir: String) extends Table with SupportsRead with SupportsWrite
 class GraftScanBuilder(
     dir: String,
     startOffset: Option[Long] = None,
-    maxPerBatch: Option[Long] = None
+    maxPerBatch: Option[Long] = None,
+    endOffset: Option[Long] = None
 ) extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -199,18 +206,19 @@ class GraftScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = pushedAgg match {
-    case Some(fields) =>
-      new GraftAggScan(dir, startOffset.map(math.max(_, lo)).getOrElse(lo), hi, fields)
-    case None =>
-      new GraftScan(
-        dir,
-        startOffset.map(math.max(_, lo)).getOrElse(lo),
-        hi,
-        requiredSchema,
-        maxPerBatch,
-        limit
-      )
+  override def build(): Scan = {
+    val blo = startOffset.map(math.max(_, lo)).getOrElse(lo)
+    // endOffset is exclusive; an endOffset of Long.MinValue would wrap —
+    // clamp through the same empty-window convention as the filters.
+    val bhi = endOffset match {
+      case Some(e) if e == Long.MinValue => Long.MinValue
+      case Some(e)                       => math.min(hi, e - 1)
+      case None                          => hi
+    }
+    pushedAgg match {
+      case Some(fields) => new GraftAggScan(dir, blo, bhi, fields)
+      case None         => new GraftScan(dir, blo, bhi, requiredSchema, maxPerBatch, limit)
+    }
   }
 }
 

@@ -259,6 +259,21 @@ class GraftSinkSpec extends AnyFunSuite {
     assert(new String(log.read(35L).value) == "rec-35")
   }
 
+  test("a vanished staged file fails the commit loudly and leaves the log untouched") {
+    val dir = TestSpark.tempDir("gsink") + "/lost"
+    valuesDf(0, 5).write.format("graft").mode("append").save(dir)
+    val log = SparkLog(spark, dir)
+    val before = log.highestOffset
+    intercept[Exception] {
+      log.appendStaged(Seq((dir + "/никогда.parquet", 3L)), Some(("sink-x", 0L)))
+    }
+    val reopened = SparkLog(spark, dir)
+    assert(reopened.highestOffset == before, "failed commit moved the log tail")
+    assert(readStrings(dir).size == 5)
+    // The failed epoch's token must NOT be recorded — a retry must re-run.
+    assert(!graft.log.LogManifest.read(dir).get.tokens.contains("sink-x"))
+  }
+
   test("commitToken records empty epochs monotonically") {
     val dir = TestSpark.tempDir("gsink") + "/token"
     val log = SparkLog(spark, dir)

@@ -94,6 +94,24 @@ class GraftSourceSpec extends AnyFunSuite {
     perPartition.foreach(s => assert(s == s.sorted, s"partition out of order: $s"))
   }
 
+  test("endOffset gives a reproducible snapshot read despite later appends") {
+    val log = newLog(10)
+    val snapshotEnd = 10L // saved high-water: offsets [0, 10) are "the run's data"
+    val snap = spark.read.format("graft")
+      .option("endOffset", snapshotEnd).load(log.dir)
+    assert(snap.count() == 10L)
+    log.append(Seq("late-0".getBytes, "late-1".getBytes))
+    // Re-planning the SAME snapshot frame after appends sees the same rows;
+    // an unbounded frame sees the live tail.
+    assert(snap.count() == 10L)
+    assert(snap.select(max(col("offset"))).head().getLong(0) == 9L)
+    assert(spark.read.format("graft").load(log.dir).count() == 12L)
+    // Composes with the pushed aggregate (manifest-answered) and filters.
+    val plan = snap.agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan"))
+    assert(snap.filter(col("offset") >= 5).count() == 5L)
+  }
+
   test("overflowing offset bounds yield empty results, not wrapped windows") {
     val log = newLog(6)
     val df = spark.read.format("graft").load(log.dir)
