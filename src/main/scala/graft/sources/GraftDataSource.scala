@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
@@ -65,9 +65,35 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
-class GraftTable(dir: String) extends Table with SupportsRead with SupportsWrite {
+class GraftTable(dir: String)
+    extends Table
+    with SupportsRead
+    with SupportsWrite
+    with SupportsMetadataColumns {
   override def name(): String = s"graft:$dir"
   override def schema(): StructType = LogRecord.schema
+
+  /** Hidden ops/debug columns resolved on demand (`SELECT offset, _segment,
+    * _part FROM log`): which segment and part file serve each record —
+    * the observable form of the manifest's routing, handy for auditing
+    * compaction and skew without leaving SQL.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_segment"
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "base offset of the segment serving this record"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_part"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "part file name serving this record"
+      }
+    )
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
@@ -469,12 +495,54 @@ object GraftPlanning {
   }
 }
 
+object GraftReaderFactory {
+  private[sources] val MetaFields = Set("_segment", "_part")
+  private[sources] val SegDir = """segment=(\d+)""".r
+}
+
 case class GraftReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  // Metadata columns (_segment, _part) are synthesized per OPENED file —
+  // the compaction-race re-plan can serve a partition from replacement
+  // files, and the metadata must name what was actually read.
+  private val dataFields = fields.filterNot(GraftReaderFactory.MetaFields.contains)
+  private val metaIdx: Array[(Int, String)] =
+    fields.zipWithIndex.collect { case (f, i) if GraftReaderFactory.MetaFields.contains(f) => (i, f) }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new PartitionReader[InternalRow] {
       // Projected read: only the pruned columns' pages are decoded.
       private var open = Vector.empty[ParquetPointReader.RangeRowIterator]
+
+      // Per-FILE splicer: the path parses and the UTF8String allocation
+      // happen once per opened file, the per-row work is one array copy.
+      private def metaSplicer(file: String): Array[Any] => Array[Any] =
+        if (metaIdx.isEmpty) identity
+        else {
+          val fs = LogFs.forPath(file)
+          val segBase = fs.fileName(fs.parent(file)) match {
+            case GraftReaderFactory.SegDir(b) => b.toLong
+            case _                            => -1L
+          }
+          val part = org.apache.spark.unsafe.types.UTF8String.fromString(fs.fileName(file))
+          val metaVals: Map[Int, Any] = metaIdx.map {
+            case (i, "_segment") => i -> (segBase: Any)
+            case (i, _)          => i -> (part: Any)
+          }.toMap
+          row => {
+            val out = new Array[Any](fields.length)
+            var di = 0
+            var i = 0
+            while (i < fields.length) {
+              metaVals.get(i) match {
+                case Some(v) => out(i) = v
+                case None    => out(i) = row(di); di += 1
+              }
+              i += 1
+            }
+            out
+          }
+        }
 
       // Open one planned file; if it was compacted away between planning
       // and open, re-plan its remaining range against the fresh layout and
@@ -499,9 +567,9 @@ case class GraftReaderFactory(fields: Array[String]) extends PartitionReaderFact
           replansLeft: Int
       ): Iterator[Array[Any]] =
         try {
-          val it0 = ParquetPointReader.readRangeRows(file, lo, hi, fields)
+          val it0 = ParquetPointReader.readRangeRows(file, lo, hi, dataFields)
           open :+= it0
-          it0
+          it0.map(metaSplicer(file))
         } catch {
           case e @ (_: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException) =>
             LogFs.forPath(file).fileName(file) match {

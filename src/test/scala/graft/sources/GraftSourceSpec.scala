@@ -94,6 +94,28 @@ class GraftSourceSpec extends AnyFunSuite {
     perPartition.foreach(s => assert(s == s.sorted, s"partition out of order: $s"))
   }
 
+  test("_segment/_part metadata columns name what actually served each record") {
+    val log = newLog(20) // 96-byte cap → multiple segments and parts
+    spark.sql(s"CREATE TABLE graft_meta USING graft OPTIONS (path '${log.dir}')")
+    try {
+      val rows = spark
+        .sql("SELECT offset, _segment, _part FROM graft_meta ORDER BY offset")
+        .collect()
+      assert(rows.length == 20)
+      // Each record's reported segment is the one whose dir holds it.
+      rows.foreach { r =>
+        val (off, seg, part) = (r.getLong(0), r.getLong(1), r.getString(2))
+        assert(seg >= 0 && off >= seg, s"offset $off reported segment $seg")
+        assert(part.endsWith(".parquet"))
+        assert(new java.io.File(s"${log.dir}/segment=$seg/$part").exists())
+      }
+      assert(rows.map(_.getLong(1)).distinct.length > 1, "expected several segments")
+      // Metadata stays hidden from SELECT *.
+      assert(spark.sql("SELECT * FROM graft_meta").schema.fieldNames.toSeq ==
+        Seq("value", "offset", "term", "recordType"))
+    } finally spark.sql("DROP TABLE graft_meta")
+  }
+
   test("endOffset gives a reproducible snapshot read despite later appends") {
     val log = newLog(10)
     val snapshotEnd = 10L // saved high-water: offsets [0, 10) are "the run's data"
