@@ -69,7 +69,48 @@ class GraftTable(dir: String)
     extends Table
     with SupportsRead
     with SupportsWrite
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** `DELETE FROM log WHERE offset < N` — the SQL face of the reference's
+    * prefix Truncate (internal/log/log.go:113-124). Truncation is
+    * SEGMENT-granular (a segment survives if ANY of its records is ≥ N),
+    * so the delete is accepted only when it is EXACT: N at or below the
+    * lowest offset (no-op), past the highest (clear), or on a segment
+    * boundary — anything else, or any other predicate shape, is rejected
+    * and Spark reports the table cannot delete that condition, rather
+    * than silently deleting more or less than asked.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    truncateBoundOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val n = truncateBoundOf(filters).getOrElse(
+      throw new IllegalArgumentException(s"unsupported delete: ${filters.mkString(", ")}")
+    )
+    graft.log.SparkLog(org.apache.spark.sql.SparkSession.active, dir).truncate(n)
+  }
+
+  /** The exclusive truncation bound, when `filters` is exactly one
+    * offset-prefix predicate aligned with the log's segment layout.
+    */
+  private def truncateBoundOf(filters: Array[Filter]): Option[Long] = {
+    val bound = filters match {
+      case Array(LessThan("offset", v: java.lang.Long))         => Some(v.longValue())
+      case Array(LessThan("offset", v: java.lang.Integer))      => Some(v.longValue())
+      case Array(LessThanOrEqual("offset", v: java.lang.Long))  => Some(v.longValue() + 1)
+      case Array(LessThanOrEqual("offset", v: java.lang.Integer)) => Some(v.longValue() + 1)
+      case _                                                    => None
+    }
+    bound.filter { n =>
+      LogManifest.read(dir) match {
+        case None => true // empty log: any prefix delete is a no-op
+        case Some(m) =>
+          val lowest = m.segments.headOption.map(_.base).getOrElse(m.nextOffset)
+          n <= lowest || n >= m.nextOffset || m.segments.exists(_.base == n)
+      }
+    }
+  }
   override def name(): String = s"graft:$dir"
   override def schema(): StructType = LogRecord.schema
 
@@ -569,7 +610,7 @@ case class GraftReaderFactory(fields: Array[String]) extends PartitionReaderFact
         try {
           val it0 = ParquetPointReader.readRangeRows(file, lo, hi, dataFields)
           open :+= it0
-          it0.map(metaSplicer(file))
+          if (metaIdx.isEmpty) it0 else it0.map(metaSplicer(file))
         } catch {
           case e @ (_: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException) =>
             LogFs.forPath(file).fileName(file) match {

@@ -116,6 +116,27 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft_meta")
   }
 
+  test("DELETE FROM maps to prefix truncate, only when segment-exact") {
+    val log = newLog(20) // 96-byte cap → several segments
+    val bases = graft.log.LogManifest.read(log.dir).get.segments.map(_.base)
+    assert(bases.length > 2)
+    val cut = bases(2) // a real segment boundary
+    spark.sql(s"CREATE TABLE graft_del USING graft OPTIONS (path '${log.dir}')")
+    try {
+      spark.sql(s"DELETE FROM graft_del WHERE offset < $cut")
+      val left = spark.sql("SELECT min(offset), count(*) FROM graft_del").head()
+      assert(left.getLong(0) == cut && left.getLong(1) == 20 - cut)
+      // A cut inside a segment is NOT exact — must be rejected, not rounded.
+      val mid = cut + 1
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM graft_del WHERE offset < $mid")
+      }
+      assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+      // And a non-prefix predicate is rejected too.
+      intercept[Exception] { spark.sql("DELETE FROM graft_del WHERE offset = 12") }
+    } finally spark.sql("DROP TABLE graft_del")
+  }
+
   test("endOffset gives a reproducible snapshot read despite later appends") {
     val log = newLog(10)
     val snapshotEnd = 10L // saved high-water: offsets [0, 10) are "the run's data"
