@@ -88,7 +88,13 @@ class GraftTable(dir: String)
     val n = truncateBoundOf(filters).getOrElse(
       throw new IllegalArgumentException(s"unsupported delete: ${filters.mkString(", ")}")
     )
-    graft.log.SparkLog(org.apache.spark.sql.SparkSession.active, dir).truncate(n)
+    val log = graft.log.SparkLog(org.apache.spark.sql.SparkSession.active, dir)
+    // `truncate`'s bound is INCLUSIVE (drops segments whose highest
+    // offset <= bound, reference log.go:113-124) while `n` is the
+    // EXCLUSIVE `offset < n` bound — pass n-1, and skip entirely when the
+    // predicate matches nothing (n at/below the lowest offset; also dodges
+    // the n-1 underflow at Long.MinValue).
+    if (n > log.lowestOffset) log.truncate(n - 1)
   }
 
   /** The exclusive truncation bound, when `filters` is exactly one
@@ -96,11 +102,15 @@ class GraftTable(dir: String)
     */
   private def truncateBoundOf(filters: Array[Filter]): Option[Long] = {
     val bound = filters match {
-      case Array(LessThan("offset", v: java.lang.Long))         => Some(v.longValue())
-      case Array(LessThan("offset", v: java.lang.Integer))      => Some(v.longValue())
-      case Array(LessThanOrEqual("offset", v: java.lang.Long))  => Some(v.longValue() + 1)
+      case Array(LessThan("offset", v: java.lang.Long))    => Some(v.longValue())
+      case Array(LessThan("offset", v: java.lang.Integer)) => Some(v.longValue())
+      // `<= MaxValue` saturates instead of wrapping: offsets above
+      // 2^63-2 cannot exist (nextOffset would overflow), so the
+      // delete-everything intent is preserved exactly.
+      case Array(LessThanOrEqual("offset", v: java.lang.Long)) =>
+        Some(if (v.longValue() == Long.MaxValue) Long.MaxValue else v.longValue() + 1)
       case Array(LessThanOrEqual("offset", v: java.lang.Integer)) => Some(v.longValue() + 1)
-      case _                                                    => None
+      case _                                                      => None
     }
     bound.filter { n =>
       LogManifest.read(dir) match {
@@ -469,7 +479,12 @@ class GraftScan(
       dir,
       startAt = math.max(lo, 0L),
       fields = schema.fieldNames,
-      maxRecordsPerBatch = maxPerBatch
+      maxRecordsPerBatch = maxPerBatch,
+      // A batch-pushed hi can only come from the endOffset option here
+      // (streaming scans never see pushFilters) — thread it through so a
+      // bounded readStream actually stops at the snapshot instead of
+      // silently tailing past it.
+      endAt = if (hi == Long.MaxValue) None else Some(hi + 1)
     )
 }
 
@@ -556,7 +571,9 @@ case class GraftReaderFactory(fields: Array[String]) extends PartitionReaderFact
       private var open = Vector.empty[ParquetPointReader.RangeRowIterator]
 
       // Per-FILE splicer: the path parses and the UTF8String allocation
-      // happen once per opened file, the per-row work is one array copy.
+      // happen once per opened file; per row it is one masked array fill
+      // (no hash lookups, no Option allocation — this is the scan hot
+      // path).
       private def metaSplicer(file: String): Array[Any] => Array[Any] =
         if (metaIdx.isEmpty) identity
         else {
@@ -566,19 +583,19 @@ case class GraftReaderFactory(fields: Array[String]) extends PartitionReaderFact
             case _                            => -1L
           }
           val part = org.apache.spark.unsafe.types.UTF8String.fromString(fs.fileName(file))
-          val metaVals: Map[Int, Any] = metaIdx.map {
-            case (i, "_segment") => i -> (segBase: Any)
-            case (i, _)          => i -> (part: Any)
-          }.toMap
+          val isMeta = new Array[Boolean](fields.length)
+          val metaVal = new Array[Any](fields.length)
+          metaIdx.foreach { case (i, f) =>
+            isMeta(i) = true
+            metaVal(i) = if (f == "_segment") segBase else part
+          }
           row => {
             val out = new Array[Any](fields.length)
             var di = 0
             var i = 0
             while (i < fields.length) {
-              metaVals.get(i) match {
-                case Some(v) => out(i) = v
-                case None    => out(i) = row(di); di += 1
-              }
+              if (isMeta(i)) out(i) = metaVal(i)
+              else { out(i) = row(di); di += 1 }
               i += 1
             }
             out
@@ -675,12 +692,20 @@ class GraftMicroBatchStream(
     dir: String,
     startAt: Long,
     fields: Array[String] = LogRecord.schema.fieldNames,
-    maxRecordsPerBatch: Option[Long] = None
+    maxRecordsPerBatch: Option[Long] = None,
+    endAt: Option[Long] = None
 ) extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  private def nextOffset: Long = LogManifest.read(dir).map(_.nextOffset).getOrElse(startAt)
+  /** Live tail, capped at the snapshot bound when `endOffset` was given —
+    * a bounded stream drains `[startAt, endAt)` and then idles (or, under
+    * AvailableNow, terminates).
+    */
+  private def nextOffset: Long = {
+    val live = LogManifest.read(dir).map(_.nextOffset).getOrElse(startAt)
+    endAt.fold(live)(math.min(live, _))
+  }
 
   /** `Trigger.AvailableNow` support — the batch-drain twin of the
     * reference's ConsumeStream catch-up phase (reference: internal/server/

@@ -137,6 +137,26 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE graft_del")
   }
 
+  test("DELETE is exact on single-record segments (truncate bound off-by-one)") {
+    // 10-byte cap → one record per segment: every offset is a segment
+    // base, so DELETE offset < 2 must remove offsets {0, 1} and KEEP 2 —
+    // the inclusive-vs-exclusive truncate bound bites exactly here.
+    val log = SparkLog(spark, TestSpark.tempDir("gsrc"), LogConfig(maxStoreBytes = 10))
+    log.append((0 until 6).map(i => s"r$i".getBytes))
+    spark.sql(s"CREATE TABLE graft_del1 USING graft OPTIONS (path '${log.dir}')")
+    try {
+      spark.sql("DELETE FROM graft_del1 WHERE offset < 2")
+      val r = spark.sql("SELECT min(offset), count(*) FROM graft_del1").head()
+      assert((r.getLong(0), r.getLong(1)) == ((2L, 4L)), s"got $r")
+      // A nothing-matches delete must be a no-op, not a one-record bite.
+      spark.sql("DELETE FROM graft_del1 WHERE offset < 2")
+      assert(spark.sql("SELECT count(*) FROM graft_del1").head().getLong(0) == 4L)
+      // Delete-everything via <= MaxValue saturates instead of wrapping.
+      spark.sql(s"DELETE FROM graft_del1 WHERE offset <= ${Long.MaxValue}")
+      assert(spark.sql("SELECT count(*) FROM graft_del1").head().getLong(0) == 0L)
+    } finally spark.sql("DROP TABLE graft_del1")
+  }
+
   test("endOffset gives a reproducible snapshot read despite later appends") {
     val log = newLog(10)
     val snapshotEnd = 10L // saved high-water: offsets [0, 10) are "the run's data"
@@ -153,6 +173,20 @@ class GraftSourceSpec extends AnyFunSuite {
     val plan = snap.agg(count(lit(1))).queryExecution.executedPlan.toString
     assert(plan.contains("GraftAggScan"))
     assert(snap.filter(col("offset") >= 5).count() == 5L)
+  }
+
+  test("endOffset bounds a STREAM at the snapshot too") {
+    val log = newLog(8)
+    log.append(Seq("past-end".getBytes)) // offset 8, outside the snapshot
+    val q = spark.readStream.format("graft")
+      .option("endOffset", 8).load(log.dir)
+      .select(col("value").cast("string").as("v"))
+      .writeStream.format("memory").queryName("bounded_tail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(30000); q.stop()
+    val vs = spark.sql("select v from bounded_tail").collect().map(_.getString(0))
+    assert(vs.length == 8 && !vs.contains("past-end"), s"stream leaked past endOffset: ${vs.toSeq}")
   }
 
   test("overflowing offset bounds yield empty results, not wrapped windows") {
