@@ -478,15 +478,23 @@ class SparkLog(
     * exactly `[lastCommitted, nextOffset)` from the manifest — no
     * file-listing, no duplicates, in-order within a batch.
     */
-  def tail(from: Long = 0L, maxRecordsPerBatch: Option[Long] = None): DataFrame = {
+  def tail(
+      from: Long = 0L,
+      maxRecordsPerBatch: Option[Long] = None,
+      until: Option[Long] = None
+  ): DataFrame = {
     val reader = spark.readStream
       .format("graft")
       // Streaming scans never receive filter pushdown (batch-only in
       // Spark), so the start position travels as a read option; the filter
       // stays as a semantic guard. maxRecordsPerBatch paces catch-up from
       // a deep tail into bounded micro-batches (admission control).
+      // `until` (exclusive) bounds the stream at a snapshot — the
+      // reference's ConsumeStream catch-up half without the unbounded
+      // tail; pair with Trigger.AvailableNow to drain and terminate.
       .option("startOffset", from)
     maxRecordsPerBatch.foreach(n => reader.option("maxRecordsPerBatch", n))
+    until.foreach(e => reader.option("endOffset", e))
     reader
       .load(dir)
       .filter(col("offset") >= from)
