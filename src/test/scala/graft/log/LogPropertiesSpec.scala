@@ -23,6 +23,42 @@ class LogPropertiesSpec extends AnyFunSuite {
   private def cases[A](gen: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("sink writes keep offsets contiguous and content exact for any batch/partition shape") {
+    val session = spark
+    import session.implicits._
+    val shapeGen: Gen[List[(Int, Int)]] = // (rows, partitions) per write
+      Gen.resize(
+        4,
+        Gen.nonEmptyListOf(
+          for {
+            n <- Gen.chooseNum(0, 60)
+            p <- Gen.chooseNum(1, 7)
+          } yield (n, p)
+        )
+      )
+    cases(shapeGen, 5).foreach { writes =>
+      val dir = TestSpark.tempDir("prop-sink") + "/log"
+      var expected = 0L
+      var payload = Set.empty[String]
+      writes.zipWithIndex.foreach { case ((n, p), w) =>
+        val vals = (0 until n).map(i => s"w$w-$i")
+        payload ++= vals
+        vals.toDF("s").select(org.apache.spark.sql.functions.col("s").cast("binary").as("value"))
+          .repartition(p)
+          .write.format("graft").mode("append").save(dir)
+        expected += n
+      }
+      val rows = spark.read.format("graft").load(dir)
+        .select(
+          org.apache.spark.sql.functions.col("offset"),
+          org.apache.spark.sql.functions.col("value").cast("string")
+        )
+        .collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until expected), s"shapes $writes")
+      assert(rows.map(_.getString(1)).toSet == payload, s"shapes $writes")
+    }
+  }
+
   test("offsets are contiguous and gap-free across any batch sequence") {
     cases(batchesGen, 5).foreach { batches =>
       val log = SparkLog(spark, TestSpark.tempDir("prop-contig"), LogConfig(maxStoreBytes = 96))
