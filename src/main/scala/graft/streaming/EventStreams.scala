@@ -52,6 +52,25 @@ object EventStreams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Retry dedup: duplicates share `keyCols` but carry DIFFERENT event
+    * times (an at-least-once producer restamping its retries), so the
+    * key+ts dedup above would pass them all through.
+    * `dropDuplicatesWithinWatermark` suppresses re-sightings of a key
+    * until the watermark passes its first sighting plus the delay —
+    * per-key state stays watermark-bounded, where a bare
+    * `dropDuplicates(keyCols)` would grow state forever. The same key
+    * re-appearing after the horizon is a new event by contract.
+    */
+  def streamingDedupRetries(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Declarative sessionization: Spark's native `session_window` with an
     * inactivity gap — the streaming twin of the batch gaps-and-islands
     * query (`q_sessionize`).

@@ -60,6 +60,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("retry dedup drops same-key events with DIFFERENT timestamps") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams
+      .streamingDedupRetries(input.toDF(), "ts", Seq("event_type"), "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("ddretry")
+      .outputMode("append")
+      .start()
+    try {
+      // A producer retry restamps: same key, fresh ts — key+ts dedup would
+      // keep both; within-watermark key dedup must keep ONE.
+      input.addData(Ev(ts(1), "a", 1.0), Ev(ts(2), "a", 1.0), Ev(ts(2), "b", 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(ts(3), "a", 1.0)) // still within the horizon
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from ddretry").head().getLong(0) == 2)
+    } finally q.stop()
+  }
+
   test("streaming dedup runs on the RocksDB state store provider") {
     // The corpus-scale recommendation (COVERAGE §2.6 / curateFrom notes) is
     // RocksDB-backed state — this proves the dedup state machine actually
