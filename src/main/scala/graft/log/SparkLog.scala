@@ -495,9 +495,13 @@ class SparkLog(
       .option("startOffset", from)
     maxRecordsPerBatch.foreach(n => reader.option("maxRecordsPerBatch", n))
     until.foreach(e => reader.option("endOffset", e))
-    reader
-      .load(dir)
-      .filter(col("offset") >= from)
+    // Both bounds keep a semantic-guard filter alongside the option (the
+    // option does the planning work; the filter catches any regression in
+    // the option plumbing instead of silently over-delivering).
+    until
+      .foldLeft(reader.load(dir).filter(col("offset") >= from)) { (df, e) =>
+        df.filter(col("offset") < e)
+      }
   }
 
   // ------------------------------------------------------------- retention

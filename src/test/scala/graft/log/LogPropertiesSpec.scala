@@ -1,5 +1,6 @@
 package graft.log
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -43,15 +44,15 @@ class LogPropertiesSpec extends AnyFunSuite {
       writes.zipWithIndex.foreach { case ((n, p), w) =>
         val vals = (0 until n).map(i => s"w$w-$i")
         payload ++= vals
-        vals.toDF("s").select(org.apache.spark.sql.functions.col("s").cast("binary").as("value"))
+        vals.toDF("s").select(col("s").cast("binary").as("value"))
           .repartition(p)
           .write.format("graft").mode("append").save(dir)
         expected += n
       }
       val rows = spark.read.format("graft").load(dir)
         .select(
-          org.apache.spark.sql.functions.col("offset"),
-          org.apache.spark.sql.functions.col("value").cast("string")
+          col("offset"),
+          col("value").cast("string")
         )
         .collect()
       assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until expected), s"shapes $writes")

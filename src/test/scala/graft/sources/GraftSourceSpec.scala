@@ -268,6 +268,26 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tail(from, until) streams exactly the requested window") {
+    val log = newLog(30)
+    val q = log
+      .tail(from = 10, until = Some(14L))
+      .writeStream
+      .format("memory")
+      .queryName("tail_window")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val offs = spark.sql("select offset from tail_window order by offset")
+        .collect().map(_.getLong(0)).toSeq
+      assert(offs == (10L until 14L), s"got $offs")
+      // The bound is enforced by the endOffset OPTION (planning), not just
+      // the guard filter: no batch reads rows past the window.
+      assert(q.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).sum == 4)
+    } finally q.stop()
+  }
+
   test("column pruning reaches the scan (projected columns only)") {
     val log = newLog(15)
     val df = spark.read.format("graft").load(log.dir).select("offset")
