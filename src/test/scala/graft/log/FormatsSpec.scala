@@ -42,6 +42,24 @@ class FormatsSpec extends AnyFunSuite {
     assert(new String(r3.getAs[Array[Byte]](0)) == "payload-3")
   }
 
+  test("ORC export/import round-trips the log (binary stays binary)") {
+    val log = freshLog(15)
+    val out = TestSpark.tempDir("fmt-orc")
+    // ORC carries binary natively — no base64 shim needed.
+    log.toDF.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == 15)
+    val r9 = back.filter(col("offset") === 9).head()
+    assert(new String(r9.getAs[Array[Byte]]("value")) == "payload-9")
+    // And ORC data loads back INTO a log through the DSv2 sink.
+    val dst = TestSpark.tempDir("fmt-orc") + "/reimport"
+    spark.read.orc(out).orderBy("offset").coalesce(1)
+      .select(col("value"))
+      .write.format("graft").mode("append").save(dst)
+    val re = SparkLog(spark, dst)
+    assert(new String(re.read(9L).value) == "payload-9")
+  }
+
   test("ordered reader export preserves total order (Log.Reader analog)") {
     val log = freshLog(15)
     val offs = log.reader.select("offset").collect().map(_.getLong(0))
