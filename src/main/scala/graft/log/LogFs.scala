@@ -132,6 +132,48 @@ private[graft] trait LogFs {
     catch { case _: Exception => () }
   }
 
+  /** Compare-and-swap flavor of [[writeMeta]]: publish `<name>.v<expectedSeq+1>`
+    * EXCLUSIVELY — if that version object already exists, nothing is written
+    * and this returns false, so of N writers racing from the same observed
+    * version exactly one wins. This is the primitive writer fencing stands
+    * on. Strictness by backend: POSIX-NIO uses an atomic hard-link create
+    * (fails iff the target exists), HDFS rename refuses an existing
+    * destination atomically; Hadoop-local and object stores lack an atomic
+    * create-exclusive through this API, so there the exclusivity check is a
+    * pre-flight exists() — a best-effort fence that still catches every
+    * non-pathological zombie (the epoch check on re-read closes the rest of
+    * the window on the next swap).
+    */
+  final def writeMetaCas(dir: String, name: String, bytes: Array[Byte], expectedSeq: Long): Boolean = {
+    // Drift check FIRST: pruning frees old version slots, so "v<expected+1>
+    // doesn't exist" alone would let a long-stale writer land an old version
+    // number that readers (who take the max) never see — a silent success.
+    // The exclusive create below closes the list→create race window; this
+    // listing closes the drift.
+    val cur = versionsOf(dir, name).lastOption.map(_._1).getOrElse(0L)
+    if (cur != expectedSeq) return false
+    val next = expectedSeq + 1
+    val finalName = f"$name.v$next%020d"
+    // Unique tmp per attempt: racing writers must not stage through one name
+    // (the loser's cleanup would delete the winner's in-flight tmp).
+    val tmpName = s"_tmp-$finalName-${java.util.UUID.randomUUID().toString.take(8)}"
+    val won = writeExclusiveFile(child(dir, tmpName), child(dir, finalName), bytes)
+    if (won) {
+      versionsOf(dir, name).foreach { case (s, p) =>
+        if (s < next) try delete(p) catch { case _: Exception => () }
+      }
+      try delete(child(dir, name))
+      catch { case _: Exception => () }
+    }
+    won
+  }
+
+  /** Write `bytes` to appear atomically at `finalPath` ONLY if it does not
+    * already exist; false when it does (the CAS-lost signal). See
+    * [[writeMetaCas]] for per-backend strictness.
+    */
+  protected def writeExclusiveFile(tmpPath: String, finalPath: String, bytes: Array[Byte]): Boolean
+
   /** Read the newest metadata version; fall back to a legacy plain
     * `<name>` file (pre-versioning logs) only when NO version exists. A
     * list→open loss against a concurrent writer's prune re-lists and finds
@@ -140,7 +182,14 @@ private[graft] trait LogFs {
     * and would turn a transient race into silently-empty scans or a
     * token-dropping manifest rebuild.
     */
-  final def readMeta(dir: String, name: String): Option[Array[Byte]] = {
+  final def readMeta(dir: String, name: String): Option[Array[Byte]] =
+    readMetaWithSeq(dir, name).map(_._2)
+
+  /** [[readMeta]] plus the version sequence the bytes came from (0 for a
+    * legacy unversioned file) — what a CAS-swapping writer needs to target
+    * its next publish.
+    */
+  final def readMetaWithSeq(dir: String, name: String): Option[(Long, Array[Byte])] = {
     // BOTH not-found flavors: Hadoop streams throw java.io.
     // FileNotFoundException, plain NIO throws java.nio.file.
     // NoSuchFileException — they share no ancestor below IOException, and
@@ -150,8 +199,8 @@ private[graft] trait LogFs {
     var i = 0
     while (i < 8) {
       versionsOf(dir, name).lastOption match {
-        case Some((_, p)) =>
-          try return Some(readFileBytes(p))
+        case Some((seq, p)) =>
+          try return Some((seq, readFileBytes(p)))
           catch {
             case _: java.io.FileNotFoundException | _: java.nio.file.NoSuchFileException =>
               i += 1
@@ -159,7 +208,7 @@ private[graft] trait LogFs {
         case None =>
           val legacy = child(dir, name)
           if (exists(legacy)) {
-            try return Some(readFileBytes(legacy))
+            try return Some((0L, readFileBytes(legacy)))
             // Legacy file retired by a concurrent first versioned publish
             // between the exists check and the open — loop re-lists for
             // the version that replaced it.
@@ -236,6 +285,29 @@ private[graft] object NioLogFs extends LogFs {
   override protected def writeFreshFile(tmpPath: String, finalPath: String, bytes: Array[Byte]): Unit = {
     Files.write(p(tmpPath), bytes)
     Files.move(p(tmpPath), p(finalPath), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override protected def writeExclusiveFile(tmpPath: String, finalPath: String, bytes: Array[Byte]): Boolean = {
+    Files.write(p(tmpPath), bytes)
+    // Hard-link creation is the one POSIX primitive that both publishes an
+    // already-complete file atomically AND fails (EEXIST) when the target
+    // exists — rename(2) silently replaces, which is exactly the
+    // last-writer-wins hole CAS must close.
+    try {
+      Files.createLink(p(finalPath), p(tmpPath))
+      Files.deleteIfExists(p(tmpPath))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(p(tmpPath))
+        false
+      case _: UnsupportedOperationException =>
+        // Filesystem without hard links (exotic): degrade to the plain
+        // atomic-but-replacing publish — fencing falls back to the epoch
+        // check on the next swap's re-read.
+        Files.move(p(tmpPath), p(finalPath), StandardCopyOption.ATOMIC_MOVE)
+        true
+    }
   }
 
   override def inputFile(path: String): InputFile = new LocalInputFile(p(path))
@@ -316,6 +388,26 @@ private[graft] object HadoopLogFs extends LogFs {
     if (!f.rename(hp(tmpPath), hp(finalPath))) {
       f.delete(hp(tmpPath), false)
       throw new java.io.IOException(s"metadata publish failed: $finalPath")
+    }
+  }
+
+  override protected def writeExclusiveFile(tmpPath: String, finalPath: String, bytes: Array[Byte]): Boolean = {
+    val f = fs(tmpPath)
+    // Pre-flight: cheap CAS-lost detection, and the only exclusivity
+    // available on Hadoop-local (whose rename replaces like POSIX). On HDFS
+    // the rename below additionally refuses an existing destination
+    // atomically, closing the check-then-act window.
+    if (f.exists(hp(finalPath))) return false
+    val out = f.create(hp(tmpPath), true)
+    try out.write(bytes)
+    finally out.close()
+    if (f.rename(hp(tmpPath), hp(finalPath))) true
+    else {
+      f.delete(hp(tmpPath), false)
+      // Rename refusal either means the destination appeared (lost the CAS)
+      // or a genuine transient failure — distinguishable by existence.
+      if (f.exists(hp(finalPath))) false
+      else throw new java.io.IOException(s"metadata publish failed: $finalPath")
     }
   }
 

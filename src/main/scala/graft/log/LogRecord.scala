@@ -71,3 +71,16 @@ final case class OffsetOutOfRangeException(offset: Long)
     extends RuntimeException(s"offset out of range: $offset") {
   val code: Int = 404
 }
+
+/** Thrown when a manifest swap observes that another writer has claimed the
+  * log since this handle was opened — the inter-process analog of the
+  * reference losing Raft leadership (reference: internal/log/distributed.go:99-131,
+  * only the leader's Apply commits). A fenced handle must be discarded; its
+  * in-flight operation was rolled back, never half-committed.
+  */
+final case class LogFencedException(dir: String, ourEpoch: Long, observedEpoch: Long)
+    extends RuntimeException(
+      s"log writer fenced: this writer holds epoch $ourEpoch but $dir is at epoch " +
+        s"$observedEpoch — another SparkLog claimed the log (zombie driver, duplicate " +
+        "job, or a second writer); discard this handle and reopen to continue"
+    )

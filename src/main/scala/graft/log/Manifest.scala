@@ -36,7 +36,17 @@ final case class LogManifest(
       * can never disagree — exactly-once appends for checkpointed
       * streaming sources (SURVEY §2.6).
       */
-    tokens: Map[String, Long] = Map.empty
+    tokens: Map[String, Long] = Map.empty,
+    /** Writer-fencing epoch — the manifest-level stand-in for the Raft term
+      * that makes split-brain writes impossible in the reference
+      * (reference: internal/log/distributed.go:99-131, leader-only Apply).
+      * A [[SparkLog]] claims the log at open by bumping this through a
+      * compare-and-swap manifest publish and stamps every subsequent swap;
+      * a swap that loses its CAS to a manifest carrying a DIFFERENT epoch
+      * fails loudly ([[LogFencedException]]) instead of forking offset
+      * history. 0 = legacy manifest written before fencing existed.
+      */
+    writerEpoch: Long = 0L
 ) {
 
   /** Segment holding `off`, if any: binary search over ordered bases. */
@@ -100,7 +110,7 @@ private[log] object JsonFields {
 object LogManifest {
   private val FileName = "_manifest.json" // leading '_' => invisible to Spark file listing
 
-  def write(dir: String, m: LogManifest): Unit = {
+  private def encode(m: LogManifest): Array[Byte] = {
     val segs = m.segments
       .map(s =>
         s"""{"base":${s.base},"next":${s.next},"bytes":${s.bytes},"records":${s.records},"sealed":${s.sealed_}}"""
@@ -114,19 +124,41 @@ object LogManifest {
     val toks = m.tokens.toVector.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"nextOffset":${m.nextOffset},"tokens":$toks,"segments":$segs}"""
-    LogFs.forPath(dir).writeMeta(dir, FileName, json.getBytes(StandardCharsets.UTF_8))
+    val json =
+      s"""{"nextOffset":${m.nextOffset},"writerEpoch":${m.writerEpoch},"tokens":$toks,"segments":$segs}"""
+    json.getBytes(StandardCharsets.UTF_8)
   }
+
+  def write(dir: String, m: LogManifest): Unit =
+    LogFs.forPath(dir).writeMeta(dir, FileName, encode(m))
+
+  /** Compare-and-swap publish at version `expectedSeq + 1` — the fencing
+    * primitive: exactly one of N racing writers lands any given version.
+    * Returns false when that version already exists (the caller lost; it
+    * must re-read and decide — see [[graft.log.SparkLog]]'s swap loop).
+    */
+  def writeCas(dir: String, m: LogManifest, expectedSeq: Long): Boolean =
+    LogFs.forPath(dir).writeMetaCas(dir, FileName, encode(m), expectedSeq)
 
   def read(dir: String): Option[LogManifest] =
     LogFs.forPath(dir).readMeta(dir, FileName)
       .map(b => parse(new String(b, StandardCharsets.UTF_8)))
+
+  /** Newest manifest plus its on-disk version sequence number (0 when only a
+    * legacy unversioned file exists) — what a CAS-swapping writer tracks.
+    */
+  def readWithSeq(dir: String): Option[(Long, LogManifest)] =
+    LogFs.forPath(dir).readMetaWithSeq(dir, FileName)
+      .map { case (seq, b) => (seq, parse(new String(b, StandardCharsets.UTF_8))) }
 
   // Minimal parser for the exact flat shape written above (no external json
   // deps are resolvable in this environment).
   private[log] def parse(json: String): LogManifest = {
     import JsonFields.{long => longField, bool => boolField}
     val next = longField(json, "nextOffset")
+    // Absent in pre-fencing manifests → epoch 0 (any claimant bumps to ≥1).
+    val epoch =
+      if (json.contains("\"writerEpoch\":")) longField(json, "writerEpoch") else 0L
     // Optional flat tokens object (absent in pre-token manifests).
     val tokens: Map[String, Long] = {
       val ti = json.indexOf("\"tokens\":{")
@@ -164,7 +196,7 @@ object LogManifest {
               sealed_ = boolField(raw, "sealed")
             )
           }
-    LogManifest(segs, next, tokens)
+    LogManifest(segs, next, tokens, epoch)
   }
 
   /** Manifest-less recovery: list `segment=<base>` directories, read each

@@ -50,8 +50,83 @@ class SparkLog(
   fs.mkdirs(dir)
   recoverCompaction()
 
-  @volatile private var manifest: LogManifest =
-    LogManifest.read(dir).map(reconcile).getOrElse(recover())
+  @volatile private var manifest: LogManifest = _
+
+  /** On-disk manifest version this writer last published (CAS target for the
+    * next swap). Guarded by the instance monitor, same as every mutator.
+    */
+  private var metaSeq: Long = 0L
+
+  /** appendDF pending-token segment dirs reconcile() found — their markers
+    * are deleted only AFTER the claim swap durably commits the merged
+    * tokens (deleting before would reopen the duplicate-apply window the
+    * markers exist to close).
+    */
+  private var pendingTokenCleanup: Vector[Long] = Vector.empty
+
+  /** The epoch under which this handle owns the log. Claiming bumps the
+    * manifest's `writerEpoch` through one CAS swap, so opening a SparkLog
+    * IS becoming the single writer — any previously open handle's next
+    * swap observes the higher epoch and throws [[LogFencedException]]
+    * instead of forking offset history. The inter-process enforcement of
+    * the single-writer contract the reference gets from Raft leadership
+    * (reference: internal/log/distributed.go:99-131).
+    */
+  val writerEpoch: Long = claim()
+
+  private def claim(): Long = {
+    var attempt = 0
+    while (attempt < 8) {
+      val cur = LogManifest.readWithSeq(dir)
+      pendingTokenCleanup = Vector.empty
+      val base = cur.map { case (_, m) => reconcile(m) }.getOrElse(recover())
+      val seq = cur.map(_._1).getOrElse(0L)
+      val claimed = base.copy(writerEpoch = base.writerEpoch + 1)
+      if (LogManifest.writeCas(dir, claimed, seq)) {
+        manifest = claimed
+        metaSeq = seq + 1
+        pendingTokenCleanup.foreach(b =>
+          try fs.deleteMeta(segmentPath(b), PendingTokenFile)
+          catch { case _: Exception => () }
+        )
+        pendingTokenCleanup = Vector.empty
+        return claimed.writerEpoch
+      }
+      // Lost the claim race to another opener — re-read their manifest and
+      // bump past THEIR epoch (re-running reconcile on the fresh state, so
+      // a concurrent writer's committed appends are never reverted).
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"could not claim log writer epoch after $attempt attempts (writers racing on $dir)"
+    )
+  }
+
+  /** Fenced manifest publish — the ONLY post-claim path to disk. Stamps our
+    * epoch, CAS-swaps at the next version; on a lost CAS re-reads: a
+    * foreign epoch means another writer claimed the log → fail loudly
+    * (callers roll back their staged data before rethrowing), while a
+    * same-epoch loss can only be a listing race against our own prune —
+    * refresh the sequence and retry.
+    */
+  private def swapManifest(m: LogManifest): Unit = {
+    val stamped = m.copy(writerEpoch = writerEpoch)
+    var attempt = 0
+    while (!LogManifest.writeCas(dir, stamped, metaSeq)) {
+      LogManifest.readWithSeq(dir) match {
+        case Some((seq, onDisk)) =>
+          if (onDisk.writerEpoch != writerEpoch)
+            throw LogFencedException(dir, writerEpoch, onDisk.writerEpoch)
+          metaSeq = seq
+        case None => metaSeq = 0L
+      }
+      attempt += 1
+      if (attempt >= 8)
+        throw new java.io.IOException(s"manifest swap kept losing the version race: $dir")
+    }
+    metaSeq += 1
+    manifest = stamped
+  }
 
   /** Finish or undo a compaction swap interrupted by a crash, then clear
     * stale working directories (`_tmp-*`, `_compact-*`, `_old-*` — safe
@@ -154,17 +229,17 @@ class SparkLog(
       segments = upsert(m.segments, active).filterNot(_.isEmpty),
       nextOffset = off
     )
-    // Publish order is data-then-manifest; if the manifest write fails the
-    // published parts must not stay behind — the in-memory nextOffset is
-    // unchanged, so a retry would mint the SAME offsets again and a later
-    // reconcile() would surface both copies as duplicate records.
-    try LogManifest.write(dir, m)
+    // Publish order is data-then-manifest; if the manifest swap fails (I/O
+    // or a fencing loss) the published parts must not stay behind — the
+    // in-memory nextOffset is unchanged, so a retry would mint the SAME
+    // offsets again and a later reconcile() would surface both copies as
+    // duplicate records.
+    try swapManifest(m)
     catch {
       case scala.util.control.NonFatal(e) =>
         published.result().foreach(p => try fs.delete(p) catch { case _: Exception => () })
         throw e
     }
-    manifest = m
     first
   }
 
@@ -267,7 +342,7 @@ class SparkLog(
       token: Option[(String, Long)]
   ): (Long, Long) = {
     val segDir = segmentPath(base)
-    val bytes = publishParts(staging, base)
+    val (bytes, moved) = publishParts(staging, base)
     val seg = SegmentMeta(base, base + total, bytes, total, sealed_ = true)
     val m0 = manifest
     val sealedPrev = m0.segments.lastOption.filter(!_.sealed_) match {
@@ -279,18 +354,21 @@ class SparkLog(
       case None                => manifest.tokens
     }
     val m = LogManifest(sealedPrev :+ seg, base + total, newTokens)
-    // Data-then-manifest: on a manifest-write failure the whole segment
-    // dir is ours and unmanifested — remove it so a caller retry cannot
-    // mint duplicate offsets (`segment=<nextOffset>` is never a
-    // manifested dir: empty segments are filtered out of the manifest).
-    try LogManifest.write(dir, m)
+    // Data-then-manifest: on a manifest-swap failure (I/O or fencing) our
+    // unmanifested parts must not stay behind — a retry would mint the same
+    // offsets again and manifest-less recovery would surface duplicates.
+    // Rollback is SURGICAL — exactly the files this call moved in, plus our
+    // pending-token marker — never the directory: under a fencing loss the
+    // NEW writer may have already committed ITS OWN segment at this very
+    // base (`segment=<our stale nextOffset>` is exactly where its next
+    // commit lands), and a recursive delete would destroy the winner's
+    // committed data. An emptied dir is removed best-effort.
+    try swapManifest(m)
     catch {
       case scala.util.control.NonFatal(e) =>
-        try fs.deleteRecursively(segDir)
-        catch { case _: Exception => () }
+        rollbackSegment(segDir, moved, token.isDefined)
         throw e
     }
-    manifest = m
     token.foreach(_ => try fs.deleteMeta(segDir, PendingTokenFile) catch { case _: Exception => () })
     (base, total)
   }
@@ -344,17 +422,29 @@ class SparkLog(
       case scala.util.control.NonFatal(e) =>
         try fs.deleteRecursively(staging)
         catch { case _: Exception => () }
-        // Remove the whole pre-created segment dir (token marker included):
-        // segment=<nextOffset> is never a manifested dir, and leaving an
-        // empty one would seed manifest-less recover() with a zero-record
-        // SegmentMeta.
-        token.foreach(_ =>
-          try fs.deleteRecursively(segDir)
-          catch { case _: Exception => () }
-        )
+        // Surgical, same reasoning as publishAndCommit's rollback: a fenced
+        // winner may own this base by now — remove only OUR marker, and the
+        // dir only if it holds no data.
+        token.foreach(_ => rollbackSegment(segDir, Vector.empty, tokenMarker = true))
         throw e
     }
     publishAndCommit(staging, base, total, token)
+  }
+
+  /** Undo a failed segment publish without collateral damage: delete exactly
+    * the part files this writer moved in and (when present) its pending
+    * -token marker, then the directory itself only once nothing else lives
+    * there. See publishAndCommit's rollback comment for why a recursive
+    * delete would be a data-loss bug under fencing.
+    */
+  private def rollbackSegment(segDir: String, moved: Seq[String], tokenMarker: Boolean): Unit = {
+    moved.foreach(p => try fs.delete(p) catch { case _: Exception => () })
+    if (tokenMarker)
+      try fs.deleteMeta(segDir, PendingTokenFile)
+      catch { case _: Exception => () }
+    try {
+      if (fs.isDir(segDir) && fs.list(segDir).isEmpty) fs.delete(segDir)
+    } catch { case _: Exception => () }
   }
 
   /** Commit an idempotence token WITHOUT data — the empty-batch leg of an
@@ -365,9 +455,7 @@ class SparkLog(
   def commitToken(name: String, epoch: Long): Unit = synchronized {
     require(name.matches("[A-Za-z0-9_.-]+"), s"invalid token name: $name")
     if (manifest.tokens.get(name).exists(_ >= epoch)) return
-    val m = manifest.copy(tokens = manifest.tokens + (name -> epoch))
-    LogManifest.write(dir, m)
-    manifest = m
+    swapManifest(manifest.copy(tokens = manifest.tokens + (name -> epoch)))
   }
 
   // ----------------------------------------------------------------- reads
@@ -513,9 +601,7 @@ class SparkLog(
     */
   def truncate(lowest: Long): Unit = synchronized {
     val (drop, keep) = manifest.segments.partition(_.next <= lowest + 1)
-    val m = manifest.copy(segments = keep)
-    LogManifest.write(dir, m)
-    manifest = m
+    swapManifest(manifest.copy(segments = keep))
     drop.foreach(s => fs.deleteRecursively(segmentPath(s.base)))
   }
 
@@ -580,7 +666,7 @@ class SparkLog(
         .option("parquet.page.row.count.limit", "2048")
         .parquet(staging)
       val newSeg = fs.child(dir, s"_compact-$lo-${UUID.randomUUID().toString.take(8)}")
-      val bytes = publishPartsTo(staging, newSeg)
+      val (bytes, _) = publishPartsTo(staging, newSeg) // fresh _compact-* dir: no rollback set needed
       // Crash-safe swap: journal FIRST, then olds out → new in → manifest →
       // delete olds → delete journal. Recovery (recoverCompaction) rolls a
       // half-done swap back (manifest not yet written) or forward (it was),
@@ -596,9 +682,10 @@ class SparkLog(
       fs.move(newSeg, segmentPath(lo))
       val merged = SegmentMeta(lo, r.last.next, bytes, records, sealed_ = true)
       val kept = manifest.segments.filterNot(s => r.exists(_.base == s.base))
-      val m = manifest.copy(segments = (kept :+ merged).sortBy(_.base))
-      LogManifest.write(dir, m)
-      manifest = m
+      // A fencing loss here leaves the journal in place: the NEW claimant's
+      // recoverCompaction rolls the half-done swap back (its manifest does
+      // not carry the merged segment), so committed offsets never strand.
+      swapManifest(manifest.copy(segments = (kept :+ merged).sortBy(_.base)))
       olds.foreach { case (_, p) => fs.deleteRecursively(p) }
       CompactJournal.delete(dir)
     }
@@ -613,8 +700,11 @@ class SparkLog(
   def reset(): Unit = synchronized {
     remove()
     fs.mkdirs(dir)
-    manifest = LogManifest(Vector.empty, config.initialOffset)
-    LogManifest.write(dir, manifest)
+    // The delete wiped every manifest version — the sequence restarts, and
+    // our epoch restamps on the fresh v1 (fencing history is gone with the
+    // log it fenced).
+    metaSeq = 0L
+    swapManifest(LogManifest(Vector.empty, config.initialOffset))
   }
 
   /** Remove every committed (and orphaned) segment and reset the offset
@@ -627,8 +717,7 @@ class SparkLog(
     LogManifest
       .listSegmentBases(dir)
       .foreach(b => try fs.deleteRecursively(segmentPath(b)) catch { case _: Exception => () })
-    manifest = LogManifest(Vector.empty, config.initialOffset)
-    LogManifest.write(dir, manifest)
+    swapManifest(LogManifest(Vector.empty, config.initialOffset))
   }
 
   def segmentCount: Int = manifest.segments.size
@@ -664,17 +753,19 @@ class SparkLog(
   }
 
   /** Move every part file from `staging` into `segment=<base>/`, returning
-    * total bytes moved. Each file is renamed to carry its offset range
+    * total bytes moved plus the destination paths (the exact rollback set
+    * for a failed swap). Each file is renamed to carry its offset range
     * (one cheap footer read per file at publish time) — the analog of the
     * reference's per-segment index file, paid once at write so point reads
     * are O(1) in file selection. Deletes the staging dir.
     */
-  private def publishParts(staging: String, base: Long): Long =
+  private def publishParts(staging: String, base: Long): (Long, Vector[String]) =
     publishPartsTo(staging, segmentPath(base))
 
-  private def publishPartsTo(staging: String, target: String): Long = {
+  private def publishPartsTo(staging: String, target: String): (Long, Vector[String]) = {
     fs.mkdirs(target)
     var bytes = 0L
+    val moved = Vector.newBuilder[String]
     fs.list(staging)
       .filter(p => fs.fileName(p).endsWith(".parquet"))
       .sortBy(fs.fileName)
@@ -685,34 +776,32 @@ class SparkLog(
           case Some((mn, mx)) => s"part-$mn-$mx-$u.parquet"
           case None           => s"part-$u.parquet"
         }
-        fs.move(p, fs.child(target, name))
+        val dest = fs.child(target, name)
+        fs.move(p, dest)
+        moved += dest
       }
     fs.deleteRecursively(staging)
-    bytes
+    (bytes, moved.result())
   }
 
   /** Manifest-less recovery: list segment dirs (sorted by base, the only
     * sort in the reference, internal/log/log.go:54-56) and rebuild metadata
-    * from one Spark scan per segment.
+    * from one Spark scan per segment. Pure — the claim swap commits it.
     */
   private def recover(): LogManifest = {
     val bases = LogManifest.listSegmentBases(dir)
-    if (bases.isEmpty) {
-      val m = LogManifest(Vector.empty, config.initialOffset)
-      LogManifest.write(dir, m)
-      return m
-    }
+    if (bases.isEmpty) return LogManifest(Vector.empty, config.initialOffset)
     val segs = bases.map(rebuildSegmentMeta)
-    val m = LogManifest(segs, segs.last.next)
-    LogManifest.write(dir, m)
-    m
+    LogManifest(segs, segs.last.next)
   }
 
   /** Post-crash reconciliation: the publish order is data-then-manifest, so
     * a crash can leave the TAIL segment(s) ahead of the manifest. Recount
     * only the trailing segment plus any dirs the manifest doesn't know —
     * bounded work, like the reference recovering nextOffset from the last
-    * index entry (reference: internal/log/segment.go:38-42).
+    * index entry (reference: internal/log/segment.go:38-42). Pure apart
+    * from noting pending-token markers for post-claim cleanup — the claim
+    * swap commits the result.
     */
   private def reconcile(m: LogManifest): LogManifest = {
     val onDisk = LogManifest.listSegmentBases(dir)
@@ -747,17 +836,13 @@ class SparkLog(
     val mergedTokens = resurrected.foldLeft(m.tokens) { case (acc, (name, epoch)) =>
       acc + (name -> math.max(acc.getOrElse(name, Long.MinValue), epoch))
     }
-    val m2 = LogManifest(
+    pendingTokenCleanup = extra.map(_.base)
+    LogManifest(
       segs,
       math.max(m.nextOffset, segs.lastOption.map(_.next).getOrElse(m.nextOffset)),
-      mergedTokens
+      mergedTokens,
+      m.writerEpoch
     )
-    LogManifest.write(dir, m2)
-    extra.foreach(s =>
-      try fs.deleteMeta(segmentPath(s.base), PendingTokenFile)
-      catch { case _: Exception => () }
-    )
-    m2
   }
 
   private def rebuildSegmentMeta(base: Long): SegmentMeta = {

@@ -150,12 +150,18 @@ private[graft] object StagedParquet {
       val dest = fs.child(outDir, f"staged-$start%020d-${parts - 1}%05d.parquet")
       // NIO move replaces atomically (POSIX rename); Hadoop rename throws
       // when a prior attempt already landed the part — identical content,
-      // so drop ours.
+      // so drop ours. But a rename can also fail transiently (FS/object-store
+      // hiccup) with no prior attempt in sight; silently dropping the temp
+      // then would lose this part's records while the commit still counts
+      // them — a durable manifest/data mismatch. Only discard when the
+      // destination verifiably exists; otherwise rethrow so the task retries.
       try fs.move(tmp, dest)
       catch {
-        case _: java.io.IOException | _: java.nio.file.FileAlreadyExistsException =>
-          try fs.delete(tmp)
-          catch { case _: Exception => () }
+        case e @ (_: java.io.IOException | _: java.nio.file.FileAlreadyExistsException) =>
+          if (fs.exists(dest)) {
+            try fs.delete(tmp)
+            catch { case _: Exception => () }
+          } else throw e
       }
       tmp = null
     }
