@@ -20,6 +20,9 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
   *     truncate <lowest>      drop whole segments at or below <lowest>
   *     compact [targetBytes]  merge adjacent small sealed segments
   *     serve [port]           HTTP/JSON server (produce/consume/stat/servers/tail)
+  *     serve-grpc [port]      gRPC server speaking the reference's log.v1.Log
+  *                            protocol (plaintext; mTLS is available through
+  *                            the GrpcLogServer API)
   *     replicate <peerDir> <checkpointDir>
   *                            catch-up pull replication from a peer log
   *                            (exactly-once; resumes from the checkpoint)
@@ -28,7 +31,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | replicate <peerDir> <ckptDir>)"
+      "usage: graft.Main --data-dir DIR [--subject S] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | replicate <peerDir> <ckptDir>)"
     )
     sys.exit(2)
   }
@@ -96,6 +99,17 @@ object Main {
             restArgs.headOption.map(_.toInt).getOrElse(8080)
           ).start()
           println(s"serving HTTP on port ${srv.boundPort}")
+          Thread.currentThread.join()
+        case "serve-grpc" :: restArgs if restArgs.length <= 1 =>
+          // The reference's actual wire protocol (api/v1/log.proto) —
+          // blocks until killed.
+          val srv = new graft.server.grpc.GrpcLogServer(
+            engine.service,
+            restArgs.headOption.map(_.toInt).getOrElse(8400),
+            // Plaintext dev mode: anonymous peers act as the CLI subject.
+            anonymousSubject = subject
+          ).start()
+          println(s"serving gRPC on port ${srv.boundPort}")
           Thread.currentThread.join()
         case "replicate" :: peer :: ckpt :: Nil =>
           val q = engine.replicateFrom(

@@ -104,9 +104,17 @@ class LogService(
       val session = log.spark
       import session.implicits._
       import scala.jdk.CollectionConverters._
-      log
-        .range(offset, hi + 1)
-        .orderBy("offset")
+      import org.apache.spark.sql.functions.col
+      // No global sort: the graft scan plans partitions in ascending offset
+      // order (segments by base, parts by range) and each partition emits
+      // ascending offsets, so toLocalIterator — which drains partitions in
+      // plan order — already delivers log order. The former
+      // `orderBy("offset")` added a range exchange plus its sampling pass
+      // per call for nothing. Offset bounds push down to the scan.
+      session.read
+        .format("graft")
+        .load(log.dir)
+        .filter(col("offset") >= offset && col("offset") <= hi)
         .as[LogRecord]
         .toLocalIterator()
         .asScala

@@ -23,27 +23,35 @@ final case class MtlsConfig(
 
 object Mtls {
 
-  /** Build an SSLContext that presents the key-store identity and verifies
-    * peers against the trust store — both directions of the reference's
-    * server-mode config.
-    */
-  def sslContext(cfg: MtlsConfig): SSLContext = {
+  /** KeyManagers presenting the key store's identity (CertFile/KeyFile leg). */
+  def keyManagers(cfg: MtlsConfig): Array[javax.net.ssl.KeyManager] = {
     val ks = java.security.KeyStore.getInstance("PKCS12")
     val ksIn = new FileInputStream(cfg.keyStorePath)
     try ks.load(ksIn, cfg.keyStorePassword.toCharArray)
     finally ksIn.close()
     val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
     kmf.init(ks, cfg.keyStorePassword.toCharArray)
+    kmf.getKeyManagers
+  }
 
+  /** TrustManagers verifying peers against the trust store (CAFile leg). */
+  def trustManagers(cfg: MtlsConfig): Array[javax.net.ssl.TrustManager] = {
     val ts = java.security.KeyStore.getInstance("PKCS12")
     val tsIn = new FileInputStream(cfg.trustStorePath)
     try ts.load(tsIn, cfg.trustStorePassword.toCharArray)
     finally tsIn.close()
     val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
     tmf.init(ts)
+    tmf.getTrustManagers
+  }
 
+  /** Build an SSLContext that presents the key-store identity and verifies
+    * peers against the trust store — both directions of the reference's
+    * server-mode config.
+    */
+  def sslContext(cfg: MtlsConfig): SSLContext = {
     val ctx = SSLContext.getInstance("TLS")
-    ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+    ctx.init(keyManagers(cfg), trustManagers(cfg), null)
     ctx
   }
 

@@ -522,6 +522,19 @@ object GraftPlanning {
               case _                           => false
             }
           }
+          // Offset-sorted, not listing-order: segments already iterate by
+          // ascending base, so ordering each segment's (non-overlapping)
+          // parts by their range makes the PLAN order globally ascending —
+          // partition-order consumers (toLocalIterator delivery, limit
+          // pushdown's early stop) then see offsets in log order with no
+          // sort. Unranged legacy names fall back to name order, after
+          // ranged ones.
+          .sortBy { p =>
+            fs.fileName(p) match {
+              case ranged(mn, _) => (mn.toLong, fs.fileName(p))
+              case n             => (Long.MaxValue, n)
+            }
+          }
           .map(p => GraftInputPartition(dir, p, slo, shi): InputPartition)
           .iterator
       }

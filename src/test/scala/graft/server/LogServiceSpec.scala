@@ -56,6 +56,30 @@ class LogServiceSpec extends AnyFunSuite {
     assert(svc.consumeStream("root", 5).isEmpty)
   }
 
+  test("consume stream delivers log order from plan order — no sort, no exchange") {
+    import org.apache.spark.sql.functions.col
+    val svc = newService() // 64-byte store cap: 40 records roll many segments/parts
+    svc.produceStream("root", (0 until 40).map(i => ProduceRequest(s"ord-$i".getBytes)).iterator)
+      .foreach(_ => ())
+    val got = svc.consumeStream("root", 0).toSeq
+    assert(got.map(_.offset) == (0L until 40L), s"out of order: ${got.map(_.offset)}")
+    assert(new String(got(17).value) == "ord-17")
+    // The plan that backs the iterator must carry neither a Sort nor an
+    // Exchange: the scan's partition order IS the delivery order.
+    val session = spark
+    import session.implicits._
+    val plan = session.read
+      .format("graft")
+      .load(svc.log.dir)
+      .filter(col("offset") >= 0 && col("offset") <= svc.log.highestOffset)
+      .as[graft.log.LogRecord]
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("Sort"), s"unexpected sort:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+  }
+
   test("tail sees records appended after the stream starts (server_test.go:247-284 blocking half)") {
     val svc = newService()
     svc.produce("root", ProduceRequest("first".getBytes))

@@ -23,57 +23,21 @@ import graft.log.{LogConfig, SparkLog}
 class MtlsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private val pw = "changeit"
-  private lazy val dir = TestSpark.tempDir("mtls")
-  private lazy val keytool = Paths.get(System.getProperty("java.home"), "bin", "keytool").toString
-
-  private def run(args: String*): Unit = {
-    val p = new ProcessBuilder((keytool +: args): _*).redirectErrorStream(true).start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    assert(p.waitFor() == 0, s"keytool ${args.head} failed:\n$out")
-  }
-
-  /** server.p12 (CN=localhost), root.p12 (CN=root), nobody.p12 (CN=nobody),
-    * servertrust.p12 (trusts both clients), clienttrust.p12 (trusts server).
-    */
-  private lazy val certs: Unit = {
-    def gen(alias: String, cn: String, store: String, san: Boolean): Unit =
-      run(
-        Seq(
-          "-genkeypair", "-keyalg", "RSA", "-keysize", "2048", "-validity", "30",
-          "-alias", alias, "-dname", s"CN=$cn", "-storetype", "PKCS12",
-          "-keystore", s"$dir/$store", "-storepass", pw
-        ) ++ (if (san) Seq("-ext", "san=dns:localhost,ip:127.0.0.1") else Nil): _*
-      )
-    def export(alias: String, store: String): Unit =
-      run("-exportcert", "-alias", alias, "-keystore", s"$dir/$store", "-storepass", pw,
-        "-file", s"$dir/$alias.crt")
-    def trust(alias: String, store: String): Unit =
-      run("-importcert", "-noprompt", "-alias", alias, "-file", s"$dir/$alias.crt",
-        "-storetype", "PKCS12", "-keystore", s"$dir/$store", "-storepass", pw)
-    gen("server", "localhost", "server.p12", san = true)
-    gen("root", "root", "root.p12", san = false)
-    gen("nobody", "nobody", "nobody.p12", san = false)
-    Seq("server" -> "server.p12", "root" -> "root.p12", "nobody" -> "nobody.p12")
-      .foreach { case (a, s) => export(a, s) }
-    trust("root", "servertrust.p12")
-    trust("nobody", "servertrust.p12")
-    trust("server", "clienttrust.p12")
-  }
+  // Certificate fixtures shared with the gRPC spec — see TestCerts.
+  private val pw = TestCerts.password
+  private def dir = TestCerts.dir
 
   private def client(keyStore: String): HttpClient = {
-    certs
-    val ctx = Mtls.sslContext(MtlsConfig(s"$dir/$keyStore", pw, s"$dir/clienttrust.p12", pw))
+    val ctx = Mtls.sslContext(TestCerts.clientTls(keyStore))
     HttpClient.newBuilder().sslContext(ctx).build()
   }
 
   private def withTlsServer(f: (String) => Unit): Unit = {
-    certs
     val log = SparkLog(spark, TestSpark.tempDir("mtls-log"), LogConfig(maxStoreBytes = 256))
     val srv = new HttpLogServer(
       new LogService(log),
       port = 0,
-      tls = Some(MtlsConfig(s"$dir/server.p12", pw, s"$dir/servertrust.p12", pw))
+      tls = Some(TestCerts.serverTls)
     ).start()
     try f(s"https://localhost:${srv.boundPort}")
     finally srv.stop()
