@@ -63,27 +63,42 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      } finally {
+        // Storage hygiene: the dedup queries localCheckpoint shared
+        // subplans; 6 runs × 12 queries would strand dozens of dead RDDs
+        // in storage memory and skew later samples via eviction churn.
+        graft.queries.Checkpoints.release()
       }
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // Box load BEFORE the timed region — the one number that separates "the
+    // code regressed" from "the driver's box was busy" when medians drift
+    // between rounds (it already took a judge re-run to adjudicate twice).
+    val loadavg =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
+      catch { case _: Exception => "" }
     val results = headline.map { name =>
       val cold = run(name)
-      val warm =
-        if (cold < 0) -1.0
-        else {
-          val samples = Seq.fill(runs)(run(name)).filter(_ >= 0)
-          if (samples.isEmpty) -1.0 else median(samples)
-        }
-      (name, cold, warm)
+      val samples =
+        if (cold < 0) Seq.empty[Double]
+        else Seq.fill(runs)(run(name)).filter(_ >= 0)
+      val warm = if (samples.isEmpty) -1.0 else median(samples)
+      (name, cold, warm, samples)
     }
-    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + f"$w%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, _, w, _) => "\"" + k + "\":" + f"$w%.3f" }.mkString("{", ",", "}")
+    // Raw per-run samples ride along so a surprising median is adjudicable
+    // from the recorded JSON alone (spread vs genuine regression).
+    val samplesJson = results
+      .map { case (k, _, _, ss) => "\"" + k + "\":" + ss.map(s => f"$s%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val total = results.map(_._3).filter(_ >= 0).sum
     val coldTotal = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total":$coldTotal%.3f,"runs":$runs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samplesJson,"loadavg":"$loadavg","cold_total":$coldTotal%.3f,"runs":$runs,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

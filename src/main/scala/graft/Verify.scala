@@ -28,6 +28,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Free any localCheckpoint blocks the builder materialized — 96
+      // queries back-to-back would otherwise accumulate dead storage.
+      finally graft.queries.Checkpoints.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -202,7 +204,7 @@ object Corpus {
             bucketOf(32).as("bucket"),
             md5(col("doc_id").cast("string")).as("h")
           )
-          .localCheckpoint()
+          .pipe(graft.queries.Checkpoints.checkpoint)
         val total = docs.agg(sum(col("n_tokens")).as("grand_total"))
         // Per-(lang,bucket) totals -> per-bucket prefix within each lang:
         // |langs| * 32 rows, window cost is trivial, result broadcasts.

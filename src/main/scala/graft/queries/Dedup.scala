@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -141,7 +143,7 @@ object Dedup {
                   ).as(s"m_$i")
                 ): _*
             )
-            .localCheckpoint(true)
+            .pipe(graft.queries.Checkpoints.checkpoint)
           val inter = (0 until nBlocks)
             .map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)"))
             .reduce(_ + _)
@@ -230,7 +232,7 @@ object Dedup {
                 )
               )
             }
-        ).localCheckpoint(true)
+        ).pipe(graft.queries.Checkpoints.checkpoint)
         val inter =
           if (useBitmaps)
             (0 until nBlocks)
@@ -341,7 +343,7 @@ object Dedup {
         // sf0.1's 1.8M pairs). Materializing the pairs once makes the
         // sampling pass a cheap scan of the checkpointed rows.
         jaccardPairs(s, d)
-          .localCheckpoint(true)
+          .pipe(graft.queries.Checkpoints.checkpoint)
           .orderBy("d1", "d2")
       },
       Some("""
@@ -375,12 +377,12 @@ object Dedup {
         val edges = pairs
           .union(pairs.select(col("d2"), col("d1")))
           .toDF("a", "b")
-          .localCheckpoint(true)
+          .pipe(graft.queries.Checkpoints.checkpoint)
         var labels = edges
           .select(col("a").as("node"))
           .distinct()
           .withColumn("label", col("node"))
-          .localCheckpoint(true)
+          .pipe(graft.queries.Checkpoints.checkpoint)
         var converged = edges.isEmpty
         var iter = 0
         // Convergence needs O(graph diameter) rounds, which is data-dependent
@@ -400,7 +402,7 @@ object Dedup {
               col("node"),
               least(col("label"), coalesce(col("nbr"), col("label"))).as("label")
             )
-            .localCheckpoint(true)
+            .pipe(graft.queries.Checkpoints.checkpoint)
           val changed = updated
             .join(labels.select(col("node").as("n2"), col("label").as("old")), col("node") === col("n2"))
             .filter(col("label") =!= col("old"))
@@ -893,8 +895,8 @@ object Dedup {
           .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"))
           .filter(col("d1") < col("d2"))
           .distinct()
-          .localCheckpoint(true)
-        val exact = jaccardPairsFrom(s, documents).select(col("d1"), col("d2")).localCheckpoint(true)
+          .pipe(graft.queries.Checkpoints.checkpoint)
+        val exact = jaccardPairsFrom(s, documents).select(col("d1"), col("d2")).pipe(graft.queries.Checkpoints.checkpoint)
         val nExact = exact.count()
         val nHit = exact.join(found, Seq("d1", "d2")).count()
         val nSpurious = found.join(exact, Seq("d1", "d2"), "left_anti").count()

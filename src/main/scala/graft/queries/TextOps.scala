@@ -394,18 +394,23 @@ object TextOps {
         // declarative transform/aggregate formulation executes interpreted
         // and costs minutes per 10⁵ docs. Emitted as per-doc scalars.
         graft.functions.GraftFunctions.register(s)
+        // Per-document facts are per-ROW expressions: the distinct count is
+        // size(array_distinct(fps)), and the min/max of the distinct set
+        // equal the min/max of the raw array. The former explode →
+        // distinct() → groupBy(doc_id) recomputed exactly this through TWO
+        // full corpus-sized shuffles (plus a range exchange for an output
+        // sort the order-insensitive oracle compare never needed) — at
+        // 100 TB that's three exchanges for a map-only job. PlanSpec
+        // asserts the plan stays Exchange-free.
         t(s, d, "documents")
           .select(col("doc_id"), expr("winnow_hashes(lower(trim(text)))").as("fps"))
           .filter(size(col("fps")) > 0)
-          .select(col("doc_id"), explode(col("fps")).as("wmin"))
-          .distinct()
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).as("n_fp"),
-            min(col("wmin")).as("fp_min"),
-            max(col("wmin")).as("fp_max")
+          .select(
+            col("doc_id"),
+            size(array_distinct(col("fps"))).cast("long").as("n_fp"),
+            array_min(col("fps")).as("fp_min"),
+            array_max(col("fps")).as("fp_max")
           )
-          .orderBy("doc_id")
       },
       Some("""
         WITH d AS (

@@ -16,6 +16,15 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
 
+  test("text_winnow is map-only: no exchange anywhere in the plan") {
+    // Per-doc fingerprint stats are per-row expressions
+    // (size(array_distinct)/array_min/array_max) — the plan must be a pure
+    // scan+project, no aggregation shuffle, no output-sort range exchange.
+    val p = plan("text_winnow")
+    assert(!p.contains("Exchange"), s"text_winnow must plan zero shuffles:\n$p")
+    assert(!p.contains("HashAggregate"), s"text_winnow must not aggregate:\n$p")
+  }
+
   test("dimension-chain joins broadcast the small sides (q5)") {
     val p = plan("q5_region_revenue")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
