@@ -300,7 +300,15 @@ class SparkLog(
         .map { p =>
           val idx = fs.fileName(p) match {
             case partIdx(i) => i.toLong
-            case _          => Long.MaxValue // foreign names sort last, stably
+            // This method itself just wrote the staging dir, so every
+            // .parquet here must carry Spark's part index. A non-matching
+            // name (writer naming-scheme change, stray file) would
+            // otherwise sort somewhere silently and scramble the
+            // record↔offset mapping — fail instead.
+            case other =>
+              throw new java.io.IOException(
+                s"unexpected file in appendDF staging (not part-<idx>-*): $other"
+              )
           }
           (idx, p)
         }

@@ -66,9 +66,13 @@ object GraftWrite {
   }
 
   /** Remove every staging root except the one NAMED `keep` — crash debris
-    * from previous writers (single-writer contract makes them provably
-    * dead). Comparison is by last path component: backend listings may
-    * normalize the full path (Hadoop returns `file:/…` URIs), so a raw
+    * from previous writers. Call ONLY after this writer's SparkLog has
+    * claimed the log: from that moment any other root's owner is fenced
+    * (its commit throws LogFencedException), so its staging is provably
+    * dead — sweeping BEFORE the claim destroyed live staging of concurrent
+    * writers that then failed with a confusing missing-file error instead
+    * of the fence. Comparison is by last path component: backend listings
+    * may normalize the full path (Hadoop returns `file:/…` URIs), so a raw
     * string compare against a `child()`-built path would silently never
     * protect anything.
     */
@@ -163,7 +167,6 @@ class GraftBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val fs = LogFs.forPath(dir)
     fs.mkdirs(dir)
-    GraftWrite.sweepStale(dir, keepName = stagingName)
     fs.mkdirs(staging)
     new GraftWriterFactory(staging)
   }
@@ -171,6 +174,9 @@ class GraftBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     try {
       val log = SparkLog(SparkSession.active, dir, config)
+      // Post-claim (see sweepStale): every other staging root's writer is
+      // now fenced, so its debris is safe to clear.
+      GraftWrite.sweepStale(dir, keepName = stagingName)
       if (truncateFirst) log.clearForOverwrite()
       GraftWrite.commitStaged(log, messages, token = None)
       // Same opt-in hygiene as the streaming path (best-effort, after the
@@ -200,17 +206,22 @@ class GraftStreamingWrite(
     autoCompactSegments: Int
 ) extends StreamingWrite {
   // One root per query (queryId is stable across restarts); one subdir per
-  // epoch. Restart sweeps the whole root — no epoch of this run has staged
-  // anything yet, and leftover files from the crashed run are dead (their
-  // epoch either committed, making the replay a token no-op, or will be
-  // re-staged by the replayed tasks).
+  // epoch. A restart may sweep this query's OWN root — no epoch of this
+  // run has staged anything yet, and leftover files from the crashed run
+  // are dead (their epoch either committed, making the replay a token
+  // no-op, or will be re-staged by the replayed tasks) — but it must keep
+  // every OTHER staging root: a concurrent batch write's staging, or a
+  // second streaming query's, is live work whose deletion would surface
+  // later as a missing-file commit error on the victim. (Concurrent
+  // writers then fail loudly at the manifest fence instead.)
   private val rootName = s"${GraftWrite.StagePrefix}q-$queryId"
   private val root = LogFs.forPath(dir).child(dir, rootName)
 
   {
     val fs = LogFs.forPath(dir)
     fs.mkdirs(dir)
-    GraftWrite.sweepStale(dir, keepName = "")
+    try fs.deleteRecursively(root)
+    catch { case _: Exception => () }
     fs.mkdirs(root)
   }
 
@@ -239,9 +250,17 @@ class GraftStreamingWrite(
   // merges nothing, so fresh small runs start cheap again.
   private var compactTarget = GraftStreamingWrite.LadderStartBytes
 
+  // One-time post-claim sweep of other writers' dead staging roots — safe
+  // only once `log` has claimed (see GraftWrite.sweepStale).
+  private var swept = false
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     try {
       GraftWrite.commitStaged(log, messages, Some((s"sink-$queryId", epochId)))
+      if (!swept) {
+        GraftWrite.sweepStale(dir, keepName = rootName)
+        swept = true
+      }
       // Streaming small-file hygiene: every epoch seals one segment, so a
       // frequent trigger accumulates them without bound. When opted in
       // (option autoCompactSegments=N), merge adjacent small sealed runs

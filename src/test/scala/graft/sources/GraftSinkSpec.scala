@@ -68,6 +68,37 @@ class GraftSinkSpec extends AnyFunSuite {
     assert(readStrings(dir).map(_._1) == (0L until 7L))
   }
 
+  test("staging sweeps are fencing-scoped: foreign roots survive until a writer claims") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = TestSpark.tempDir("gsink")
+    val dir = root + "/sweep"
+    valuesDf(0, 2).write.format("graft").mode("append").save(dir)
+    // Plant a "foreign" staging root (another writer's in-flight work).
+    val foreign = new java.io.File(dir, "_sink-stage-foreign")
+    foreign.mkdirs()
+    new java.io.File(foreign, "stage-x.parquet").createNewFile()
+
+    val input = MemoryStream[String]
+    val q = input.toDF().select(col("value").cast("binary").as("value"))
+      .writeStream.format("graft")
+      .option("path", dir).option("checkpointLocation", root + "/sweep-ckpt")
+      .start()
+    try {
+      // Query START (planning/construction) must not touch the foreign
+      // root — only this query's own root is reset pre-claim.
+      q.processAllAvailable() // empty batch: no commit data, but query is live
+      assert(foreign.exists(), "pre-claim sweep deleted a foreign staging root")
+      // First data commit claims the log; from then on the foreign root's
+      // owner is provably fenced and the debris is swept.
+      input.addData("a")
+      q.processAllAvailable()
+      assert(readStrings(dir).map(_._2).last == "a")
+      assert(!foreign.exists(), "post-claim sweep should clear fenced writers' debris")
+    } finally q.stop()
+  }
+
   test("batch write round-trips null payloads") {
     val session = spark
     import session.implicits._
