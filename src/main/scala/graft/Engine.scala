@@ -20,8 +20,19 @@ class Engine(
     val dataDir: String,
     val config: LogConfig = LogConfig(),
     val acl: Acl = Acl.rootOnly,
-    val nodeName: String = "driver-0"
+    val nodeName: String = "driver-0",
+    /** Opt-in RocksDB state store for this engine's streaming queries
+      * ([[curateFrom]]'s cross-batch dedup and any stateful pipeline run on
+      * this session). The default HDFS-backed provider keeps every state
+      * row on the JVM heap — fine for tests, hostile to a corpus-scale
+      * dedup whose key set grows forever; RocksDB spills state to local
+      * disk with bounded heap (SST + block cache) and changelog
+      * checkpointing uploads per-batch deltas instead of full snapshots.
+      */
+    rocksdbStateStore: Boolean = false
 ) {
+  if (rocksdbStateStore) Engine.enableRocksDBStateStore(spark)
+
   val log: SparkLog = SparkLog(spark, dataDir, config)
   val service: LogService = new LogService(log, acl, nodeName)
 
@@ -145,6 +156,25 @@ class Engine(
 
 object Engine {
   def apply(spark: SparkSession, dataDir: String): Engine = new Engine(spark, dataDir)
+
+  /** Session-level switch to the RocksDB state store provider (the config
+    * is read at query START, so set it before starting stateful queries;
+    * already-running queries keep their provider). Exposed separately from
+    * the constructor flag so non-Engine pipelines (EventStreams) can opt
+    * in on their own session.
+    */
+  def enableRocksDBStateStore(spark: SparkSession): Unit = {
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    // Per-batch changelog uploads instead of full SST snapshots — the
+    // checkpoint cost scales with the batch's delta, not the state size.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true"
+    )
+  }
 
   /** Collision-free idempotence-token namespace for a peer directory: the
     * sanitized path keeps tokens readable, the md5 suffix disambiguates

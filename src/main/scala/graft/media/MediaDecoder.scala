@@ -58,4 +58,37 @@ object MediaDecoder {
         else Some(img.getRGB(x, y) & 0xffffff)
       } catch { case _: Exception => None }
     }
+
+  /** Real-pixel features of a decoded image: dimensions, format, and a
+    * 16-bin LUMA histogram over every pixel. Integer-exact arithmetic so
+    * an independent oracle can recompute it bit-for-bit: BT.601 luma
+    * `(299·R + 587·G + 114·B) / 1000` with integer division, bin `Y / 16`
+    * (Y ≤ 255 ⇒ bin ≤ 15). PNG/BMP/GIF are lossless through ImageIO, so
+    * equality against the generator's arithmetic is exact.
+    */
+  final case class PixelFeatures(width: Int, height: Int, format: String, lumaHist: Array[Long])
+
+  def features(bytes: Array[Byte]): Option[PixelFeatures] =
+    sniffFormat(bytes).flatMap { fmt =>
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val hist = new Array[Long](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val luma =
+                (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+              hist(luma / 16) += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some(PixelFeatures(img.getWidth, img.getHeight, fmt, hist))
+        }
+      } catch { case _: Exception => None }
+    }
 }

@@ -91,13 +91,23 @@ object Multimodal {
           .mapPartitions { it =>
             // Batch-shaped processing: one decoder instance per partition,
             // records streamed through it — the mapInPandas execution shape.
+            // Two-tier per blob: a recognized image routes through the REAL
+            // pixel tier (decoded dims, 16-bin luma histogram over actual
+            // pixels — media_pixel_features proves this tier oracle-exact
+            // on synthesized images); anything else takes the deterministic
+            // byte-histogram stub, keeping mixed corpora total.
             it.map { r =>
               val id = r.getLong(0)
               val blob = r.getAs[Array[Byte]](1)
-              val (w, h, f) = decodeOrStub(blob)
-              val hist = new Array[Long](16)
-              if (blob != null) blob.foreach(b => hist((b & 0xff) % 16) += 1)
-              Row(id, if (blob == null) 0 else blob.length, w, h, f, hist.mkString(","))
+              graft.media.MediaDecoder.features(blob) match {
+                case Some(pf) =>
+                  Row(id, blob.length, pf.width, pf.height, 1, pf.lumaHist.mkString(","))
+                case None =>
+                  val (w, h, f) = stubDecode(blob)
+                  val hist = new Array[Long](16)
+                  if (blob != null) blob.foreach(b => hist((b & 0xff) % 16) += 1)
+                  Row(id, if (blob == null) 0 else blob.length, w, h, f, hist.mkString(","))
+              }
             }
           }(Encoders.row(featSchema))
           .orderBy("doc_id")
@@ -230,6 +240,78 @@ object Multimodal {
                CAST(doc_id % 32 + 8 AS INTEGER) AS height,
                CAST((doc_id * 2654435761) % 16777216 AS BIGINT) AS center_px
         FROM documents ORDER BY doc_id
+      """)
+    ),
+
+    // --- REAL pixel features (luma histogram + aspect), oracle-exact ---
+    Q(
+      "media_pixel_features",
+      (s, d) => {
+        // The pixel tier of media_features under the oracle regime: each
+        // partition synthesizes a deterministic GRADIENT PNG per doc_id
+        // (channel values are integer functions of id and pixel position,
+        // so the luma histogram is non-trivial), writes it with ImageIO,
+        // then extracts features through the SAME MediaDecoder.features
+        // the production path uses. The SQL oracle recomputes dims, the
+        // integer-scaled aspect, and all 16 luma bins from the generation
+        // arithmetic alone — a decoder that mangles strides, channels, or
+        // gamma breaks the hash-match. PNG is lossless: equality is exact.
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("width", IntegerType, nullable = false),
+          StructField("height", IntegerType, nullable = false),
+          StructField("aspect_milli", LongType, nullable = false),
+          StructField("luma_hist", StringType, nullable = false)
+        ))
+        t(s, d, "documents")
+          .select(col("doc_id"))
+          .mapPartitions { it =>
+            it.map { r =>
+              val id = r.getLong(0)
+              val w = (id % 24 + 8).toInt
+              val h = (id % 16 + 8).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rr = ((id + 7L * x + 13L * y) % 256).toInt
+                  val gg = ((31L * id + 3L * x + 5L * y) % 256).toInt
+                  val bb = ((id + 1L * x * y) % 256).toInt
+                  img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+                  x += 1
+                }
+                y += 1
+              }
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", baos)
+              val pf = graft.media.MediaDecoder
+                .features(baos.toByteArray)
+                .getOrElse(sys.error(s"synthesized PNG for doc $id did not decode"))
+              Row(id, pf.width, pf.height, 1000L * pf.width / pf.height,
+                pf.lumaHist.mkString(","))
+            }
+          }(Encoders.row(schema))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id,
+                 CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+                 CAST(doc_id % 16 + 8 AS BIGINT) AS h
+          FROM documents)
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               1000 * w // h AS aspect_milli,
+               array_to_string(
+                 [ len(list_filter(range(0, w * h),
+                     p -> (299 * ((doc_id + 7 * (p % w) + 13 * (p // w)) % 256)
+                         + 587 * ((31 * doc_id + 3 * (p % w) + 5 * (p // w)) % 256)
+                         + 114 * ((doc_id + (p % w) * (p // w)) % 256)) // 1000 // 16 = b))
+                   FOR b IN range(0, 16) ], ',') AS luma_hist
+        FROM dims ORDER BY doc_id
       """)
     ),
 

@@ -40,6 +40,24 @@ class MediaDecoderSpec extends AnyFunSuite {
     assert(d.width == 12 && d.height == 8 && d.format == "gif")
   }
 
+  test("pixel features: luma histogram is integer-exact over real pixels") {
+    // Solid color: every pixel lands in ONE bin, computable by hand.
+    // 0xabcdef → R=171 G=205 B=239: luma = (299·171+587·205+114·239)/1000
+    // = (51129+120335+27246)/1000 = 198, bin 198/16 = 12.
+    val blob = image(10, 6, 0xabcdef, "png")
+    val pf = MediaDecoder.features(blob).get
+    assert(pf.width == 10 && pf.height == 6 && pf.format == "png")
+    assert(pf.lumaHist(12) == 60L, s"hist: ${pf.lumaHist.mkString(",")}")
+    assert(pf.lumaHist.sum == 60L, "every pixel must be counted exactly once")
+
+    // Black and white hit the extreme bins.
+    assert(MediaDecoder.features(image(4, 4, 0x000000, "png")).get.lumaHist(0) == 16L)
+    assert(MediaDecoder.features(image(4, 4, 0xffffff, "png")).get.lumaHist(15) == 16L)
+
+    // Non-images carry no pixel features — the caller's stub tier handles them.
+    assert(MediaDecoder.features("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
   test("non-image payloads and corrupt images degrade to None, never throw") {
     assert(MediaDecoder.decode(null).isEmpty)
     assert(MediaDecoder.decode(Array.emptyByteArray).isEmpty)
