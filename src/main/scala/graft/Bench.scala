@@ -39,6 +39,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Same soak knob as Verify: single-file tables at sf>=1 plan ONE
+      // input partition at the 128 MB default split, serializing scans.
+      .config(
+        "spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

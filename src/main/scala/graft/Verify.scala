@@ -17,6 +17,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Scan parallelism knob for soak runs whose tables are few large
+      // files (a single 100 MB parquet = ONE input partition at the
+      // 128 MB default — scans serialize no matter how many cores).
+      .config(
+        "spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -385,22 +385,41 @@ object Dedup {
           .pipe(graft.queries.Checkpoints.checkpoint)
         var converged = edges.isEmpty
         var iter = 0
-        // Convergence needs O(graph diameter) rounds, which is data-dependent
-        // and unbounded in principle — so iterate to the fixpoint and treat
-        // the cap purely as an infinite-loop guard that FAILS LOUDLY rather
-        // than silently returning non-converged cluster ids (a scale-
-        // dependent correctness bug the small-SF gate could never surface).
+        // Each round combines neighbor-min propagation with POINTER JUMPING
+        // (label := min(label, label(label)) — every label value is itself a
+        // node id of the same component, so the lookup is total). Neighbor
+        // propagation alone needs O(graph diameter) rounds — the sf1 soak's
+        // clone-chained corpus measured ~10× the rounds of sf0.1, i.e. the
+        // round count GROWS with data — while the jump halves label-chain
+        // depth per round, giving O(log diameter) convergence to the same
+        // component-min fixpoint. Iterate to the fixpoint; the cap is purely
+        // an infinite-loop guard that FAILS LOUDLY rather than silently
+        // returning non-converged cluster ids (a scale-dependent correctness
+        // bug the small-SF gate could never surface).
         val maxIters = 1000
         while (!converged && iter < maxIters) {
           val prop = edges
             .join(labels.select(col("node").as("bn"), col("label")), col("b") === col("bn"))
             .groupBy("a")
             .agg(min("label").as("nbr"))
-          val updated = labels
+          val viaNbr = labels
             .join(prop, col("node") === col("a"), "left")
             .select(
               col("node"),
               least(col("label"), coalesce(col("nbr"), col("label"))).as("label")
+            )
+          // viaNbr appears twice below (value side + lookup side); it is two
+          // joins over already-checkpointed RDDs, so recomputing it inside
+          // one job is cheaper than an extra eager-checkpoint job per round.
+          val updated = viaNbr
+            .join(
+              viaNbr.select(col("node").as("ln"), col("label").as("ll")),
+              col("label") === col("ln"),
+              "left"
+            )
+            .select(
+              col("node"),
+              least(col("label"), coalesce(col("ll"), col("label"))).as("label")
             )
             .pipe(graft.queries.Checkpoints.checkpoint)
           val changed = updated

@@ -2,13 +2,17 @@
 """Local stand-in for the driver's correctness gate: run each oracle_sql in
 DuckDB over the testdata tables and compare against the Verify parquet dumps
 (columns sorted by name, rows sorted, exact value equality)."""
-import sys, os, json, glob
+import sys, os, json, glob, threading
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify-out"
+# Optional per-query oracle timeout (seconds) for soak scales where a
+# DuckDB formulation (e.g. the 31-word-vocab token self-join) explodes:
+# the query is interrupted and reported ORACLE-TIMEOUT, not hung forever.
+oracle_timeout = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0")) or None
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -30,7 +34,18 @@ for name in sorted(os.listdir(out_dir)):
         results[name] = f"rows-only ({len(mine)} rows)"
         continue
     try:
-        ref = con.sql(oracle[name]).df()
+        if oracle_timeout:
+            timer = threading.Timer(oracle_timeout, con.interrupt)
+            timer.start()
+            try:
+                ref = con.sql(oracle[name]).df()
+            finally:
+                timer.cancel()
+        else:
+            ref = con.sql(oracle[name]).df()
+    except duckdb.InterruptException:
+        results[name] = f"ORACLE-TIMEOUT (> {oracle_timeout:.0f}s; spark rows={len(mine)})"
+        continue
     except Exception as e:
         results[name] = f"ORACLE-ERROR: {str(e)[:120]}"
         continue
@@ -62,7 +77,9 @@ for name in sorted(os.listdir(out_dir)):
 
 ok = sum(1 for v in results.values() if v.startswith("OK"))
 ro = sum(1 for v in results.values() if v.startswith("rows-only"))
+to = sum(1 for v in results.values() if v.startswith("ORACLE-TIMEOUT"))
 for k, v in sorted(results.items()):
-    flag = "  " if v.startswith(("OK", "rows-only")) else "✗ "
+    flag = "  " if v.startswith(("OK", "rows-only", "ORACLE-TIMEOUT")) else "✗ "
     print(f"{flag}{k}: {v}")
-print(f"\n{ok} exact-match, {ro} rows-only, {len(results) - ok - ro} FAILING of {len(results)}")
+print(f"\n{ok} exact-match, {ro} rows-only, {to} oracle-timeout, "
+      f"{len(results) - ok - ro - to} FAILING of {len(results)}")
