@@ -61,7 +61,19 @@ class LogService(
     val log: SparkLog,
     val acl: Acl = Acl.rootOnly,
     val nodeName: String = "driver-0",
-    val rpcAddr: String = "local[*]"
+    val rpcAddr: String = "local[*]",
+    /** Whether this node is the cluster's single writer. The reference
+      * derives the flag from Raft leadership (distributed.go:188-202); here
+      * the deployer states it — a replica serving a pull-replicated copy
+      * (Engine.replicate) is a follower.
+      */
+    val isLeader: Boolean = true,
+    /** Other cluster members to advertise through GetServers. The reference
+      * answers from the Raft configuration; without a consensus layer the
+      * deployer wires the topology (each peer row carries its own
+      * `isLeader`). Static per service instance — re-wire to change.
+      */
+    val peers: Seq[ServerInfo] = Nil
 ) {
 
   /** R1 Produce (reference: internal/server/server.go:100-109). */
@@ -130,9 +142,11 @@ class LogService(
     log.tail(from)
   }
 
-  /** R5 GetServers: single-node topology — the driver is the leader, there
-    * are no followers without a cluster manager (reference: server.go:180-190,
-    * internal/log/distributed.go:188-202).
+  /** R5 GetServers: this node plus any wired peers (reference:
+    * server.go:180-190, internal/log/distributed.go:188-202 — there the
+    * list comes from the Raft configuration; here from deployment wiring).
+    * Single-node default: one leader row, no followers.
     */
-  def getServers: Seq[ServerInfo] = Seq(ServerInfo(nodeName, rpcAddr, isLeader = true))
+  def getServers: Seq[ServerInfo] =
+    ServerInfo(nodeName, rpcAddr, isLeader = isLeader) +: peers
 }

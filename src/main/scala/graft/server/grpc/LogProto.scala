@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
 
 import org.sparkproject.connect.grpc.MethodDescriptor
 import org.sparkproject.connect.grpc.MethodDescriptor.MethodType
-import org.sparkproject.connect.protobuf.{ByteString, CodedInputStream, CodedOutputStream}
+import org.sparkproject.connect.protobuf.{CodedInputStream, CodedOutputStream}
 
 import graft.log.LogRecord
 import graft.server.{ConsumeRequest, ProduceResponse, ServerInfo}
