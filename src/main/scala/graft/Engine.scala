@@ -29,12 +29,21 @@ class Engine(
       * disk with bounded heap (SST + block cache) and changelog
       * checkpointing uploads per-batch deltas instead of full snapshots.
       */
-    rocksdbStateStore: Boolean = false
+    rocksdbStateStore: Boolean = false,
+    /** Address this node advertises through GetServers — must be dialable
+      * by clients when a network server fronts this engine (the balanced
+      * client resolves members from it). Defaults to a non-network marker
+      * for library-only use; `serve`/`serve-grpc` pass the real bind.
+      */
+    val rpcAddr: String = "local[*]",
+    /** Additional cluster members to advertise (see [[LogService.peers]]). */
+    val peers: Seq[graft.server.ServerInfo] = Nil
 ) {
   if (rocksdbStateStore) Engine.enableRocksDBStateStore(spark)
 
   val log: SparkLog = SparkLog(spark, dataDir, config)
-  val service: LogService = new LogService(log, acl, nodeName)
+  val service: LogService =
+    new LogService(log, acl, nodeName, rpcAddr, isLeader = true, peers)
 
   graft.functions.GraftFunctions.register(spark)
 

@@ -12,6 +12,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
   * Usage:
   * {{{
   *   graft.Main --data-dir DIR [--subject root] <command> [args]
+  *   graft.Main --bootstrap HOST:PORT (produce <v>... | consume <off> | servers)
   *   commands:
   *     produce <value>...     append values, print assigned offsets
   *     consume <offset>       read one record
@@ -27,30 +28,79 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
   *                            catch-up pull replication from a peer log
   *                            (exactly-once; resumes from the checkpoint)
   * }}}
+  *
+  * `--bootstrap HOST:PORT` switches produce/consume/servers to REMOTE mode:
+  * the verbs ride [[graft.server.grpc.BalancedLogClient]] over the
+  * `log.v1.Log` protocol — no Spark session, no log directory, and no
+  * writer-epoch claim (direct `--data-dir` verbs OPEN the log and therefore
+  * fence any live server on the same directory; remote mode is how a second
+  * process talks to a served log, exactly as reference clients go through
+  * its gRPC server). Plaintext channel: the serving side assigns its
+  * `anonymousSubject`; mTLS clients use the BalancedLogClient API directly.
   */
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | replicate <peerDir> <ckptDir>)"
+      "usage: graft.Main --data-dir DIR [--subject S] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | replicate <peerDir> <ckptDir>)\n" +
+        "       graft.Main --bootstrap HOST:PORT (produce <v>... | consume <off> | servers)"
     )
     sys.exit(2)
   }
 
+  /** Remote mode: the verbs that make sense against a served log, routed
+    * through the balanced client (produce → leader, consume → follower).
+    */
+  private def remoteMain(bootstrap: String, rest: List[String]): Unit = {
+    val (host, port) = bootstrap.lastIndexOf(':') match {
+      case -1 => usage()
+      case i  => (bootstrap.substring(0, i), bootstrap.substring(i + 1).toInt)
+    }
+    val client = new graft.server.grpc.BalancedLogClient(host, port)
+    try {
+      rest match {
+        case "produce" :: values if values.nonEmpty =>
+          client
+            .produceStream(values.map(_.getBytes("UTF-8")))
+            .foreach(off => println(s"offset: $off"))
+        case "consume" :: off :: Nil =>
+          val rec = client.consume(off.toLong)
+          println(s"offset: ${rec.offset} value: ${new String(rec.value, "UTF-8")}")
+        case "servers" :: Nil =>
+          client.servers.foreach(s =>
+            println(s"id: ${s.id} addr: ${s.rpcAddr} leader: ${s.isLeader}")
+          )
+        case _ => usage()
+      }
+    } catch {
+      case e: Throwable =>
+        // Surface the reference's wire-level error contract when present
+        // (5 = NOT_FOUND carrying the 404 detail, 7 = PermissionDenied).
+        graft.server.grpc.GrpcLogClient.offsetErrorDetails(e) match {
+          case Some((msg, _, 5)) => System.err.println(s"error 404: $msg"); sys.exit(1)
+          case Some((msg, _, 7)) => System.err.println(s"error 403: $msg"); sys.exit(1)
+          case _                 => System.err.println(s"error: ${e.getMessage}"); sys.exit(1)
+        }
+    } finally client.close()
+  }
+
   def main(args: Array[String]): Unit = {
     var dataDir: Option[String] = None
+    var bootstrap: Option[String] = None
     var subject = "root"
     var rest = List.empty[String]
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--data-dir" if i + 1 < args.length => dataDir = Some(args(i + 1)); i += 2
-        case "--subject" if i + 1 < args.length  => subject = args(i + 1); i += 2
-        case "--data-dir" | "--subject"          => usage()
-        case other                               => rest = rest :+ other; i += 1
+        case "--data-dir" if i + 1 < args.length  => dataDir = Some(args(i + 1)); i += 2
+        case "--bootstrap" if i + 1 < args.length => bootstrap = Some(args(i + 1)); i += 2
+        case "--subject" if i + 1 < args.length   => subject = args(i + 1); i += 2
+        case "--data-dir" | "--bootstrap" | "--subject" => usage()
+        case other                                => rest = rest :+ other; i += 1
       }
     }
-    val dir = dataDir.getOrElse(usage())
     if (rest.isEmpty) usage()
+    if (bootstrap.isDefined) return remoteMain(bootstrap.get, rest)
+    val dir = dataDir.getOrElse(usage())
 
     val spark = SparkSession
       .builder()
@@ -60,7 +110,19 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val engine = Engine(spark, dir)
+    // When serving, advertise a dialable address through GetServers so
+    // balanced clients can resolve this node (SPARK_GRAFT_ADVERTISE
+    // overrides for multi-host deployments where "localhost" is wrong).
+    val advertised = rest match {
+      case ("serve" | "serve-grpc") :: restArgs if restArgs.length <= 1 =>
+        val defaultPort = if (rest.head == "serve") 8080 else 8400
+        sys.env.getOrElse(
+          "SPARK_GRAFT_ADVERTISE",
+          s"localhost:${restArgs.headOption.map(_.toInt).getOrElse(defaultPort)}"
+        )
+      case _ => "local[*]"
+    }
+    val engine = new Engine(spark, dir, rpcAddr = advertised)
 
     try {
       rest match {
