@@ -531,6 +531,10 @@ object Dedup {
             "transform(sequence(0, 14), b -> struct(b AS band, CAST(shiftright(simhash, b*4) & 15 AS INT) AS bv))"
           )).as("bb")
         ).select(col("doc_id"), col("lang"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+          // Same rationale as dedup_minhash_lsh's banded repartition: force
+          // the self-join to meet on shuffled bucket keys so the pair
+          // expansion parallelizes regardless of scan partitioning.
+          .repartition(col("lang"), col("band"), col("bv"))
         val x = banded.select(
           col("doc_id").as("d1"), col("lang"), col("simhash").as("h1"), col("band"), col("bv"))
         val y = banded.select(
@@ -599,6 +603,8 @@ object Dedup {
             "transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(simhash, b*15) & 32767 AS INT) AS bv))"
           )).as("bb")
         ).select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+          // Same rationale as dedup_minhash_lsh's banded repartition.
+          .repartition(col("band"), col("bv"))
         val x = banded.select(col("doc_id").as("d1"), col("simhash").as("h1"), col("band"), col("bv"))
         val y = banded.select(
           col("doc_id").as("d2"), col("simhash").as("h2"),
@@ -835,6 +841,15 @@ object Dedup {
             "transform(sequence(0, 3), b -> struct(b AS band, slice(mh, b*4 + 1, 4) AS sig))"
           )).as("bs"))
           .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+          // Shuffle on the bucket keys BEFORE the self-join. Without this,
+          // a small corpus file makes Catalyst broadcast `banded` and run
+          // the probe side at the SCAN's parallelism — one task when the
+          // table is a single compressed file, which is exactly when the
+          // bucket expansion is quadratic-heavy (sf1 soak: a 15-minute
+          // single-thread aggregate). At 100 TB the shuffled hash/merge
+          // join on (band, sig) is the only viable shape anyway — banded
+          // is corpus-sized, never broadcastable.
+          .repartition(col("band"), col("sig"))
         val x = banded.select(col("doc_id").as("d1"), col("band"), col("sig"))
         val y = banded.select(col("doc_id").as("d2"), col("band").as("band2"), col("sig").as("sig2"))
         x.join(y, col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))

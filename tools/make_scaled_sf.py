@@ -16,8 +16,21 @@ Usage: python3 tools/make_scaled_sf.py SRC_DIR DST_DIR COPIES
 import sys
 
 import duckdb
+import pyarrow.parquet as pq
 
 STRIDE = 100_000_000
+
+
+def match_source_schema(src_file, dst_file):
+    """Rewrite dst with src's exact arrow schema. DuckDB's COPY normalizes
+    timestamps to timestamp[us]; the driver's testdata uses timestamp[ns]
+    (events.ts — which Spark reads as BIGINT nanos, and queries depend on
+    that) and timestamp[ms]. A scaled table must be schema-identical or the
+    engines see different TYPES, not just different rows."""
+    want = pq.read_schema(src_file)
+    t = pq.read_table(dst_file)
+    if t.schema != want:
+        pq.write_table(t.cast(want), dst_file)
 
 
 def main():
@@ -45,6 +58,7 @@ def main():
         q = " UNION ALL ".join(parts)
         con.execute(
             f"COPY ({q}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+        match_source_schema(f"{src}/{table}.parquet", f"{dst}/{table}.parquet")
         n = con.execute(
             f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
         print(f"{table}: {n} rows")
@@ -53,6 +67,7 @@ def main():
     for t in ("region", "nation"):
         con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') "
                     f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        match_source_schema(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
         print(f"{t}: copied")
 
     scale("customer", {"c_custkey"})
