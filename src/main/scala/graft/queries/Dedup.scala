@@ -905,7 +905,14 @@ object Dedup {
           // any corpus this engine's exact twin handles.
           .setVocabSize(1 << 22)
           .fit(tokenized)
-        val vectorized = cv.transform(tokenized)
+        // Spread the feature table before the LSH join: MLlib's
+        // approxSimilarityJoin explodes hash tables and joins at the
+        // INPUT's partitioning, so a single-file corpus scan would run the
+        // whole bucket expansion on one task (same failure mode the banded
+        // self-joins above guard against; observed on the sf1 soak).
+        val vectorized = cv
+          .transform(tokenized)
+          .repartition(s.sparkContext.defaultParallelism)
         val model = new MinHashLSH()
           .setInputCol("features")
           .setOutputCol("hashes")
