@@ -30,7 +30,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), not coalesce(1): the checker wants one file, but
+      // coalesce is a narrow dependency — it would collapse the query's
+      // final stage (join/agg reduce side) to a SINGLE task. At soak
+      // scales where a pair query emits 10^8+ rows, that single-threads
+      // the whole computation; the shuffle boundary keeps it parallel and
+      // leaves only the parquet encode on one task.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
