@@ -29,6 +29,13 @@ for name in sorted(os.listdir(out_dir)):
     if not files:
         results[name] = "NO-OUTPUT"
         continue
+    # Soak guard: a degenerate-corpus pair query can emit 10^8+ rows.
+    # Loading that into pandas (and running its oracle) is pointless —
+    # record the footer row count and move on instead of thrashing.
+    nrows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    if nrows > int(os.environ.get("MAX_COMPARE_ROWS", "20000000")):
+        results[name] = f"rows-only ({nrows} rows; above MAX_COMPARE_ROWS)"
+        continue
     mine = pq.read_table(files[0]).to_pandas()
     if name not in oracle:
         results[name] = f"rows-only ({len(mine)} rows)"
