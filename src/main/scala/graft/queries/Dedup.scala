@@ -52,6 +52,22 @@ object Dedup {
     */
   private[queries] val SmallVocabBlocks = 8
 
+  /** Partition count for the pair-producing self-joins, passed EXPLICITLY
+    * to `repartition`: an explicit count makes the shuffle
+    * `REPARTITION_BY_NUM`, the one origin AQE's partition coalescing must
+    * leave alone. Every other origin (`ENSURE_REQUIREMENTS` from a bare
+    * join, `REPARTITION_BY_COL` from `repartition(cols…)`) is sized from
+    * MAP-side output bytes — and a pair join's map side is tiny signature
+    * rows while the quadratic expansion happens inside the reduce, so AQE
+    * happily coalesces the whole explosion onto one task (observed at the
+    * sf1 soak: a 7×10⁸-pair triangle join planned as a single partition).
+    * Scales with the cluster: 2× total cores, floored at the session's
+    * shuffle parallelism.
+    */
+  private[queries] def pairShufflePartitions(s: SparkSession): Int =
+    math.max(2 * s.sparkContext.defaultParallelism,
+      s.sessionState.conf.numShufflePartitions)
+
   /** Lang-blocked exact Jaccard pairs (τ=0.6) — shared by the pair listing
     * and the clustering queries. Callers pass the `documents` table.
     */
@@ -156,6 +172,11 @@ object Dedup {
           // and ~(G+1)/2-fold bounded replication per side. Shuffle keys:
           // |lang| · G(G+1)/2.
           val G = 8
+          // Explicit-count repartition on the triangle keys: see
+          // [[pairShufflePartitions]] — without it AQE sizes the reduce
+          // from the tiny signature map output and runs the entire pair
+          // explosion on one task.
+          val P = pairShufflePartitions(s)
           val a = enc
             .withColumn("tri_p", pmod(col("doc_id"), lit(G)).cast("int"))
             .withColumn("tri_q", explode(sequence(col("tri_p"), lit(G - 1))))
@@ -163,6 +184,7 @@ object Dedup {
               col("doc_id").as("ida") +: col("lang") +: col("sz").as("sz1") +:
                 col("tri_p") +: col("tri_q") +:
                 (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i")): _*)
+            .repartition(P, col("lang"), col("tri_p"), col("tri_q"))
           val b = enc
             .withColumn("tri_q2", pmod(col("doc_id"), lit(G)).cast("int"))
             .withColumn("tri_p2", explode(sequence(lit(0), col("tri_q2"))))
@@ -170,6 +192,7 @@ object Dedup {
               col("doc_id").as("idb") +: col("lang").as("lang2") +: col("sz").as("sz2") +:
                 col("tri_p2") +: col("tri_q2") +:
                 (0 until nBlocks).map(i => col(s"m_$i").as(s"mb_$i")): _*)
+            .repartition(P, col("lang2"), col("tri_p2"), col("tri_q2"))
           return a
             .join(
               b,
@@ -533,8 +556,10 @@ object Dedup {
         ).select(col("doc_id"), col("lang"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
           // Same rationale as dedup_minhash_lsh's banded repartition: force
           // the self-join to meet on shuffled bucket keys so the pair
-          // expansion parallelizes regardless of scan partitioning.
-          .repartition(col("lang"), col("band"), col("bv"))
+          // expansion parallelizes regardless of scan partitioning. The
+          // count is explicit (REPARTITION_BY_NUM) so AQE cannot coalesce
+          // the reduce side back to one task — see pairShufflePartitions.
+          .repartition(pairShufflePartitions(s), col("lang"), col("band"), col("bv"))
         val x = banded.select(
           col("doc_id").as("d1"), col("lang"), col("simhash").as("h1"), col("band"), col("bv"))
         val y = banded.select(
@@ -603,8 +628,9 @@ object Dedup {
             "transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(simhash, b*15) & 32767 AS INT) AS bv))"
           )).as("bb")
         ).select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-          // Same rationale as dedup_minhash_lsh's banded repartition.
-          .repartition(col("band"), col("bv"))
+          // Same rationale as dedup_minhash_lsh's banded repartition;
+          // explicit count so AQE cannot coalesce the pair expansion.
+          .repartition(pairShufflePartitions(s), col("band"), col("bv"))
         val x = banded.select(col("doc_id").as("d1"), col("simhash").as("h1"), col("band"), col("bv"))
         val y = banded.select(
           col("doc_id").as("d2"), col("simhash").as("h2"),
@@ -663,12 +689,18 @@ object Dedup {
             col("label"),
             transform(col("embedding"), x => x.cast("double")).as("v")
           )
+        // Explicit-count repartition on the bucket keys — the reduce side
+        // does the quadratic cosine work, so AQE must not coalesce it
+        // down to the map-output byte estimate (pairShufflePartitions).
+        val P = pairShufflePartitions(s)
         val a = e.select(
           col("vec_id").as("i"), col("label"), col("v").as("va"),
           pmod(col("vec_id"), lit(S)).cast("int").as("salt"))
+          .repartition(P, col("label"), col("salt"))
         val b = e
           .withColumn("salt2", explode(sequence(lit(0), lit(S - 1))))
           .select(col("vec_id").as("j"), col("label").as("label2"), col("v").as("vb"), col("salt2"))
+          .repartition(P, col("label2"), col("salt2"))
         a.join(
             b,
             col("label") === col("label2") && col("salt") === col("salt2") && col("i") < col("j")
@@ -848,8 +880,9 @@ object Dedup {
           // bucket expansion is quadratic-heavy (sf1 soak: a 15-minute
           // single-thread aggregate). At 100 TB the shuffled hash/merge
           // join on (band, sig) is the only viable shape anyway — banded
-          // is corpus-sized, never broadcastable.
-          .repartition(col("band"), col("sig"))
+          // is corpus-sized, never broadcastable. Explicit count so AQE
+          // cannot coalesce the pair expansion (pairShufflePartitions).
+          .repartition(pairShufflePartitions(s), col("band"), col("sig"))
         val x = banded.select(col("doc_id").as("d1"), col("band"), col("sig"))
         val y = banded.select(col("doc_id").as("d2"), col("band").as("band2"), col("sig").as("sig2"))
         x.join(y, col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))

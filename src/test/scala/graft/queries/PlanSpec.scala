@@ -41,6 +41,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pair expansions repartition with an explicit count (AQE-coalesce-proof)") {
+    // The pair self-joins' reduce side does the quadratic work while their
+    // map output is tiny signature rows — every AQE-coalescable shuffle
+    // origin would size the reduce from map bytes and run the explosion on
+    // one task (observed at the sf1 soak: a 7×10⁸-pair join planned as a
+    // single partition). Only REPARTITION_BY_NUM is exempt; assert it is
+    // present in each pair producer's plan.
+    val triangle = Dedup
+      .jaccardPairsFrom(spark, Q.t(spark, d, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(triangle.contains("REPARTITION_BY_NUM"),
+      s"triangle pair join lost its explicit-count repartition:\n$triangle")
+    for (q <- Seq("dedup_simhash_pairs", "dedup_simhash_near", "dedup_minhash_lsh",
+        "dedup_embedding")) {
+      val p = plan(q)
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"$q lost its explicit-count repartition:\n$p")
+    }
+  }
+
   test("exact-jaccard carries no forced broadcast; pair join is triangle-partitioned") {
     // The scale contract of the de-broadcast rewrite: nothing hints a
     // broadcast of the corpus (AQE may still broadcast a genuinely small
