@@ -396,7 +396,29 @@ object Dedup {
         // rounds, each one join + partial-min aggregate). Lineage is
         // truncated per round with localCheckpoint so plans stay bounded.
         // The oracle computes the same fixpoint with a recursive CTE.
-        val pairs = jaccardPairs(s, d).select(col("d1"), col("d2"))
+        //
+        // SET COLLAPSE first (same exactness argument as dedup_minhash):
+        // docs sharing one (lang, token-set) group are mutual J=1 near-dups
+        // — a clique whose minimum doc id IS the group's representative —
+        // so components need only be computed over the set-level pair
+        // graph, and every doc's cluster id is its rep's component label.
+        // On a clone-heavy corpus the edge list drops from quadratic-in-
+        // clones to quadratic-in-content (sf1: 182M doc pairs → ~1M set
+        // pairs) before a single propagation round runs.
+        val documents = t(s, d, "documents")
+        val withKey = documents.select(
+          col("doc_id"),
+          col("lang"),
+          // U+0001 separator: words come from splitting on space, so any
+          // non-space separator keeps the set key injective.
+          md5(concat_ws(
+            "",
+            array_sort(array_distinct(split(lower(trim(col("text"))), " "))))).as("sk"))
+        val grouped = withKey.groupBy("lang", "sk").agg(min("doc_id").as("rep"))
+          .pipe(graft.queries.Checkpoints.checkpoint)
+        val docrep = withKey.join(grouped, Seq("lang", "sk")).select(col("doc_id"), col("rep"))
+        val repDocs = documents.join(grouped.select(col("rep").as("doc_id")), "doc_id")
+        val pairs = jaccardPairsFrom(s, repDocs).select(col("d1"), col("d2"))
         val edges = pairs
           .union(pairs.select(col("d2"), col("d1")))
           .toDF("a", "b")
@@ -457,32 +479,68 @@ object Dedup {
           throw new IllegalStateException(
             s"dedup_clusters: min-label propagation did not converge in $maxIters rounds"
           )
-        t(s, d, "documents")
-          .select(col("doc_id"))
-          .join(labels, col("doc_id") === col("node"), "left")
-          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        // Compose back through the rep mapping: a doc's cluster is its
+        // rep's component label; reps without cross-set pairs label their
+        // own clique (and a singleton doc IS its own rep).
+        docrep
+          .join(labels, col("rep") === col("node"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("rep")).as("cluster_id"))
           .orderBy("doc_id")
       },
       Some("""
-        WITH RECURSIVE w AS (
+        WITH RECURSIVE w AS MATERIALIZED (
           SELECT DISTINCT doc_id, lang, word FROM (
             SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
-        sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
-        p AS (
+        -- Set collapse (same argument as dedup_minhash's oracle): docs in
+        -- one (lang, token-set) group are mutual J=1 near-dups, so each
+        -- group is a clique whose minimum doc id IS its representative;
+        -- components need only be computed over the set-level graph, and
+        -- a component's doc-level minimum equals its minimum rep.
+        -- MATERIALIZED throughout: DuckDB inlines plain CTEs, so the
+        -- recursive closure would otherwise re-evaluate the whole chain
+        -- per iteration (observed: OOM at the sf1 soak scale).
+        k AS MATERIALIZED (SELECT doc_id, lang, string_agg(word, chr(1) ORDER BY word) AS set_key
+              FROM w GROUP BY doc_id, lang),
+        grp AS MATERIALIZED (SELECT lang, set_key, min(doc_id) AS rep FROM k GROUP BY lang, set_key),
+        docrep AS MATERIALIZED (
+          SELECT k.doc_id, g.rep
+          FROM k JOIN grp g ON g.lang = k.lang AND g.set_key = k.set_key),
+        rw AS MATERIALIZED (SELECT g.rep AS doc_id, g.lang, w.word
+               FROM grp g JOIN w ON w.doc_id = g.rep AND w.lang = g.lang),
+        sz AS (SELECT doc_id, count(*) AS sz FROM rw GROUP BY doc_id),
+        p AS MATERIALIZED (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-          FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+          FROM rw a JOIN rw b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
-        pairs AS (
+        pairs AS MATERIALIZED (
           SELECT d1, d2 FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
           WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6),
-        edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        -- Two star-contraction passes before the closure: each pass maps
+        -- every node to min(self, neighbors), which collapses a clique to
+        -- its minimum in one step — the residual graph (e2) is tiny, so
+        -- the transitive-closure CTE runs over dozens of edges, not the
+        -- full near-clique components (which OOM'd: Sum comp^2 pairs).
+        l1 AS MATERIALIZED (SELECT a AS node, least(a, min(b)) AS lbl FROM edges GROUP BY a),
+        e1 AS MATERIALIZED (SELECT DISTINCT la.lbl AS a, lb.lbl AS b
+               FROM edges e JOIN l1 la ON la.node = e.a JOIN l1 lb ON lb.node = e.b
+               WHERE la.lbl <> lb.lbl),
+        l2 AS MATERIALIZED (SELECT a AS node, least(a, min(b)) AS lbl FROM e1 GROUP BY a),
+        e2 AS MATERIALIZED (SELECT DISTINCT la.lbl AS a, lb.lbl AS b
+               FROM e1 e JOIN l2 la ON la.node = e.a JOIN l2 lb ON lb.node = e.b
+               WHERE la.lbl <> lb.lbl),
         reach(a, b) AS (
-          SELECT a, b FROM edges
+          SELECT a, b FROM e2
           UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
-        comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
-        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+          SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a WHERE e.b <> r.a),
+        comp AS (SELECT a AS node, least(a, min(b)) AS lbl FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               coalesce(c.lbl, x2.lbl, x1.lbl, dr.rep) AS cluster_id
+        FROM documents d
+        JOIN docrep dr ON dr.doc_id = d.doc_id
+        LEFT JOIN l1 x1 ON x1.node = dr.rep
+        LEFT JOIN l2 x2 ON x2.node = x1.lbl
+        LEFT JOIN comp c ON c.node = coalesce(x2.lbl, x1.lbl)
         ORDER BY d.doc_id
       """)
     ),
