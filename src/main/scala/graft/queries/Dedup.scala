@@ -111,7 +111,21 @@ object Dedup {
     * broadcast genuinely small sides at small scale factors, which is the
     * adaptive behaviour we want rather than a hint forcing it at 100 TB.
     */
-  private[queries] def jaccardPairsFrom(s: SparkSession, documents: DataFrame): DataFrame = {
+  private[queries] def jaccardPairsFrom(s: SparkSession, documents: DataFrame): DataFrame =
+    // No clone collapse here, deliberately: the pair-LIST output is clone-
+    // quadratic whatever the plan, so a collapse-and-expand only reorders
+    // work -- measured 2x SLOWER at sf0.1's 1.27x duplication (two extra
+    // corpus shuffles + two expansion joins buy nothing when nearly every
+    // set is unique). Consumers that only need SET-level pairs and expand
+    // by group products (dedup_minhash, dedup_clusters) collapse first and
+    // call [[jaccardRepPairs]] directly -- there the clone factor divides
+    // the whole candidate/verify cost and the win is 7-50x.
+    jaccardRepPairs(s, documents)
+
+  /** The candidate/verify pair machinery; input docs need not be set-
+    * distinct (each doc is then its own representative).
+    */
+  private def jaccardRepPairs(s: SparkSession, documents: DataFrame): DataFrame = {
         import s.implicits._
         val docs = documents.select(
           col("doc_id"),
@@ -418,7 +432,10 @@ object Dedup {
           .pipe(graft.queries.Checkpoints.checkpoint)
         val docrep = withKey.join(grouped, Seq("lang", "sk")).select(col("doc_id"), col("rep"))
         val repDocs = documents.join(grouped.select(col("rep").as("doc_id")), "doc_id")
-        val pairs = jaccardPairsFrom(s, repDocs).select(col("d1"), col("d2"))
+        // repDocs is already one doc per (lang, set) — go straight to the
+        // rep-level machinery, skipping jaccardPairsFrom's own (idempotent)
+        // collapse-and-expand.
+        val pairs = jaccardRepPairs(s, repDocs).select(col("d1"), col("d2"))
         val edges = pairs
           .union(pairs.select(col("d2"), col("d1")))
           .toDF("a", "b")
@@ -1054,7 +1071,9 @@ object Dedup {
             greatest(col("datasetA.doc_id"), col("datasetB.doc_id")).as("d2"))
           .distinct()
           .pipe(graft.queries.Checkpoints.checkpoint)
-        val exact = jaccardPairsFrom(s, docs).select(col("d1"), col("d2"))
+        // docs is already one rep per (lang, set) — rep-level machinery
+        // directly; the group-product weighting below does the expansion.
+        val exact = jaccardRepPairs(s, docs).select(col("d1"), col("d2"))
           .pipe(graft.queries.Checkpoints.checkpoint)
         // Doc-pair masses from set-group pairs: n1·n2 across groups,
         // n·(n−1)/2 within a group.
