@@ -98,4 +98,44 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "synthetic corpus produced no expected pairs")
     assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
   }
+
+  test("clustering collapses clone cliques and merges across near-dup groups") {
+    // Hand-built corpus with known components, exercising the set-collapse
+    // path end to end: clone cliques (identical token sets), a cross-group
+    // near-dup merge (J = 4/6 ≥ 0.6), language blocking (same words,
+    // different lang stays apart), and the singleton fallback.
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "en", "a b c d e"), // group A: clones 0,1,2
+      (1L, "en", "a b c d e"),
+      (2L, "en", "e d c b a"), // same SET, different order — still group A
+      (3L, "en", "a b c d f"), // group B: J(A,B) = 4/6 → merges with A
+      (4L, "en", "a b c d f"),
+      (5L, "en", "x y z w v"), // group C: disjoint from A/B
+      (6L, "en", "x y z w v"),
+      (7L, "en", "p q r s t"), // singleton
+      (8L, "zh", "a b c d e")  // A's words, other lang — lang-blocked
+    )
+    val dir = java.nio.file.Files.createTempDirectory("dedup-clique").toString
+    docs.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    try {
+      val got = graft.SparkEntry.queries("dedup_clusters")(spark, dir)
+        .as[(Long, Long)].collect().toMap
+      val expected = Map(
+        0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+        5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L)
+      assert(got == expected, s"cluster labels diverged: $got")
+
+      // The quantified MinHash contract on the same corpus: 11 exact pairs
+      // (C(3,2)=3 within A, 1 within B, 3·2 across A×B, 1 within C), full
+      // recall and zero spurious pairs at the fixed seed.
+      val row = graft.SparkEntry.queries("dedup_minhash")(spark, dir).collect().head
+      assert(row.getLong(0) == 11L, s"n_exact = ${row.getLong(0)}, expected 11")
+      assert(row.getBoolean(1), "recall contract failed on the clique corpus")
+      assert(row.getBoolean(2), "precision contract failed on the clique corpus")
+    } finally {
+      graft.queries.Checkpoints.release()
+    }
+  }
 }
