@@ -36,9 +36,12 @@ object Verify {
       // scales where a pair query emits 10^8+ rows, that single-threads
       // the whole computation; the shuffle boundary keeps it parallel and
       // leaves only the parquet encode on one task.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Free any localCheckpoint blocks the builder materialized — 96

@@ -317,6 +317,112 @@ object Dedup {
           .filter(col("jaccard") >= 0.6)
   }
 
+  /** Near-dup clustering over `documents`: set-collapse, exact Jaccard
+    * pairs over the reps, then connected components via min-label
+    * propagation + pointer jumping. Factored out of the `dedup_clusters`
+    * query so property tests can drive it with in-memory corpora.
+    */
+  private[queries] def clustersFrom(s: SparkSession, documents: DataFrame): DataFrame = {
+        // The "apply" step of near-dup dedup at scale: group pairs into
+        // canonical clusters via iterative min-label propagation (the
+        // DataFrame formulation of connected components — O(diameter)
+        // rounds, each one join + partial-min aggregate). Lineage is
+        // truncated per round with localCheckpoint so plans stay bounded.
+        // The oracle computes the same fixpoint with a recursive CTE.
+        //
+        // SET COLLAPSE first (same exactness argument as dedup_minhash):
+        // docs sharing one (lang, token-set) group are mutual J=1 near-dups
+        // — a clique whose minimum doc id IS the group's representative —
+        // so components need only be computed over the set-level pair
+        // graph, and every doc's cluster id is its rep's component label.
+        // On a clone-heavy corpus the edge list drops from quadratic-in-
+        // clones to quadratic-in-content (sf1: 182M doc pairs → ~1M set
+        // pairs) before a single propagation round runs.
+        val withKey = documents.select(
+          col("doc_id"),
+          col("lang"),
+          // U+0001 separator: words come from splitting on space, so any
+          // non-space separator keeps the set key injective.
+          md5(concat_ws(
+            "",
+            array_sort(array_distinct(split(lower(trim(col("text"))), " "))))).as("sk"))
+        val grouped = withKey.groupBy("lang", "sk").agg(min("doc_id").as("rep"))
+          .pipe(graft.queries.Checkpoints.checkpoint)
+        val docrep = withKey.join(grouped, Seq("lang", "sk")).select(col("doc_id"), col("rep"))
+        val repDocs = documents.join(grouped.select(col("rep").as("doc_id")), "doc_id")
+        // repDocs is already one doc per (lang, set) — go straight to the
+        // rep-level machinery, skipping jaccardPairsFrom's own (idempotent)
+        // collapse-and-expand.
+        val pairs = jaccardRepPairs(s, repDocs).select(col("d1"), col("d2"))
+        val edges = pairs
+          .union(pairs.select(col("d2"), col("d1")))
+          .toDF("a", "b")
+          .pipe(graft.queries.Checkpoints.checkpoint)
+        var labels = edges
+          .select(col("a").as("node"))
+          .distinct()
+          .withColumn("label", col("node"))
+          .pipe(graft.queries.Checkpoints.checkpoint)
+        var converged = edges.isEmpty
+        var iter = 0
+        // Each round combines neighbor-min propagation with POINTER JUMPING
+        // (label := min(label, label(label)) — every label value is itself a
+        // node id of the same component, so the lookup is total). Neighbor
+        // propagation alone needs O(graph diameter) rounds — the sf1 soak's
+        // clone-chained corpus measured ~10× the rounds of sf0.1, i.e. the
+        // round count GROWS with data — while the jump halves label-chain
+        // depth per round, giving O(log diameter) convergence to the same
+        // component-min fixpoint. Iterate to the fixpoint; the cap is purely
+        // an infinite-loop guard that FAILS LOUDLY rather than silently
+        // returning non-converged cluster ids (a scale-dependent correctness
+        // bug the small-SF gate could never surface).
+        val maxIters = 1000
+        while (!converged && iter < maxIters) {
+          val prop = edges
+            .join(labels.select(col("node").as("bn"), col("label")), col("b") === col("bn"))
+            .groupBy("a")
+            .agg(min("label").as("nbr"))
+          val viaNbr = labels
+            .join(prop, col("node") === col("a"), "left")
+            .select(
+              col("node"),
+              least(col("label"), coalesce(col("nbr"), col("label"))).as("label")
+            )
+          // viaNbr appears twice below (value side + lookup side); it is two
+          // joins over already-checkpointed RDDs, so recomputing it inside
+          // one job is cheaper than an extra eager-checkpoint job per round.
+          val updated = viaNbr
+            .join(
+              viaNbr.select(col("node").as("ln"), col("label").as("ll")),
+              col("label") === col("ln"),
+              "left"
+            )
+            .select(
+              col("node"),
+              least(col("label"), coalesce(col("ll"), col("label"))).as("label")
+            )
+            .pipe(graft.queries.Checkpoints.checkpoint)
+          val changed = updated
+            .join(labels.select(col("node").as("n2"), col("label").as("old")), col("node") === col("n2"))
+            .filter(col("label") =!= col("old"))
+            .count()
+          labels = updated
+          converged = changed == 0
+          iter += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"dedup_clusters: min-label propagation did not converge in $maxIters rounds"
+          )
+        // Compose back through the rep mapping: a doc's cluster is its
+        // rep's component label; reps without cross-set pairs label their
+        // own clique (and a singleton doc IS its own rep).
+        docrep
+          .join(labels, col("rep") === col("node"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("rep")).as("cluster_id"))
+          .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     // --- edit-distance near-dup: prefix-blocked Levenshtein ---
     // Levenshtein is O(len²) per pair and all-pairs is O(n²) — neither
@@ -403,107 +509,7 @@ object Dedup {
     // --- near-dup clustering: connected components over Jaccard pairs ---
     Q(
       "dedup_clusters",
-      (s, d) => {
-        // The "apply" step of near-dup dedup at scale: group pairs into
-        // canonical clusters via iterative min-label propagation (the
-        // DataFrame formulation of connected components — O(diameter)
-        // rounds, each one join + partial-min aggregate). Lineage is
-        // truncated per round with localCheckpoint so plans stay bounded.
-        // The oracle computes the same fixpoint with a recursive CTE.
-        //
-        // SET COLLAPSE first (same exactness argument as dedup_minhash):
-        // docs sharing one (lang, token-set) group are mutual J=1 near-dups
-        // — a clique whose minimum doc id IS the group's representative —
-        // so components need only be computed over the set-level pair
-        // graph, and every doc's cluster id is its rep's component label.
-        // On a clone-heavy corpus the edge list drops from quadratic-in-
-        // clones to quadratic-in-content (sf1: 182M doc pairs → ~1M set
-        // pairs) before a single propagation round runs.
-        val documents = t(s, d, "documents")
-        val withKey = documents.select(
-          col("doc_id"),
-          col("lang"),
-          // U+0001 separator: words come from splitting on space, so any
-          // non-space separator keeps the set key injective.
-          md5(concat_ws(
-            "",
-            array_sort(array_distinct(split(lower(trim(col("text"))), " "))))).as("sk"))
-        val grouped = withKey.groupBy("lang", "sk").agg(min("doc_id").as("rep"))
-          .pipe(graft.queries.Checkpoints.checkpoint)
-        val docrep = withKey.join(grouped, Seq("lang", "sk")).select(col("doc_id"), col("rep"))
-        val repDocs = documents.join(grouped.select(col("rep").as("doc_id")), "doc_id")
-        // repDocs is already one doc per (lang, set) — go straight to the
-        // rep-level machinery, skipping jaccardPairsFrom's own (idempotent)
-        // collapse-and-expand.
-        val pairs = jaccardRepPairs(s, repDocs).select(col("d1"), col("d2"))
-        val edges = pairs
-          .union(pairs.select(col("d2"), col("d1")))
-          .toDF("a", "b")
-          .pipe(graft.queries.Checkpoints.checkpoint)
-        var labels = edges
-          .select(col("a").as("node"))
-          .distinct()
-          .withColumn("label", col("node"))
-          .pipe(graft.queries.Checkpoints.checkpoint)
-        var converged = edges.isEmpty
-        var iter = 0
-        // Each round combines neighbor-min propagation with POINTER JUMPING
-        // (label := min(label, label(label)) — every label value is itself a
-        // node id of the same component, so the lookup is total). Neighbor
-        // propagation alone needs O(graph diameter) rounds — the sf1 soak's
-        // clone-chained corpus measured ~10× the rounds of sf0.1, i.e. the
-        // round count GROWS with data — while the jump halves label-chain
-        // depth per round, giving O(log diameter) convergence to the same
-        // component-min fixpoint. Iterate to the fixpoint; the cap is purely
-        // an infinite-loop guard that FAILS LOUDLY rather than silently
-        // returning non-converged cluster ids (a scale-dependent correctness
-        // bug the small-SF gate could never surface).
-        val maxIters = 1000
-        while (!converged && iter < maxIters) {
-          val prop = edges
-            .join(labels.select(col("node").as("bn"), col("label")), col("b") === col("bn"))
-            .groupBy("a")
-            .agg(min("label").as("nbr"))
-          val viaNbr = labels
-            .join(prop, col("node") === col("a"), "left")
-            .select(
-              col("node"),
-              least(col("label"), coalesce(col("nbr"), col("label"))).as("label")
-            )
-          // viaNbr appears twice below (value side + lookup side); it is two
-          // joins over already-checkpointed RDDs, so recomputing it inside
-          // one job is cheaper than an extra eager-checkpoint job per round.
-          val updated = viaNbr
-            .join(
-              viaNbr.select(col("node").as("ln"), col("label").as("ll")),
-              col("label") === col("ln"),
-              "left"
-            )
-            .select(
-              col("node"),
-              least(col("label"), coalesce(col("ll"), col("label"))).as("label")
-            )
-            .pipe(graft.queries.Checkpoints.checkpoint)
-          val changed = updated
-            .join(labels.select(col("node").as("n2"), col("label").as("old")), col("node") === col("n2"))
-            .filter(col("label") =!= col("old"))
-            .count()
-          labels = updated
-          converged = changed == 0
-          iter += 1
-        }
-        if (!converged)
-          throw new IllegalStateException(
-            s"dedup_clusters: min-label propagation did not converge in $maxIters rounds"
-          )
-        // Compose back through the rep mapping: a doc's cluster is its
-        // rep's component label; reps without cross-set pairs label their
-        // own clique (and a singleton doc IS its own rep).
-        docrep
-          .join(labels, col("rep") === col("node"), "left")
-          .select(col("doc_id"), coalesce(col("label"), col("rep")).as("cluster_id"))
-          .orderBy("doc_id")
-      },
+      (s, d) => clustersFrom(s, t(s, d, "documents")),
       Some("""
         WITH RECURSIVE w AS MATERIALIZED (
           SELECT DISTINCT doc_id, lang, word FROM (
