@@ -490,18 +490,45 @@ object Dedup {
           .orderBy("d1", "d2")
       },
       Some("""
-        WITH w AS (
+        WITH w AS MATERIALIZED (
           SELECT DISTINCT doc_id, lang, word FROM (
             SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
-        sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
-        p AS (
+        -- Set collapse + exact expansion (same argument as the clustering
+        -- oracle): identical (lang, token-set) docs pair at J = 1 within
+        -- their group, and every cross-group doc pair carries its rep
+        -- pair's similarity verbatim. The quadratic token self-join then
+        -- runs over distinct sets, and only the final expansion joins
+        -- touch clone-level cardinality — at the sf1 soak the doc-level
+        -- formulation was a 10^10-row join DuckDB could not finish.
+        k AS MATERIALIZED (SELECT doc_id, lang, string_agg(word, chr(1) ORDER BY word) AS set_key
+              FROM w GROUP BY doc_id, lang),
+        grp AS MATERIALIZED (SELECT lang, set_key, min(doc_id) AS rep FROM k GROUP BY lang, set_key),
+        docrep AS MATERIALIZED (
+          SELECT k.doc_id, g.rep
+          FROM k JOIN grp g ON g.lang = k.lang AND g.set_key = k.set_key),
+        rw AS MATERIALIZED (SELECT g.rep AS doc_id, g.lang, w.word
+               FROM grp g JOIN w ON w.doc_id = g.rep AND w.lang = g.lang),
+        sz AS (SELECT doc_id, count(*) AS sz FROM rw GROUP BY doc_id),
+        p AS MATERIALIZED (
           SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-          FROM w a JOIN w b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT d1, d2,
-               CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
-        FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
-        WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6
+          FROM rw a JOIN rw b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        reppairs AS MATERIALIZED (
+          SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+          FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6),
+        cross_pairs AS (
+          SELECT least(da.doc_id, db.doc_id) AS d1,
+                 greatest(da.doc_id, db.doc_id) AS d2, r.jaccard
+          FROM reppairs r
+          JOIN docrep da ON da.rep = r.d1
+          JOIN docrep db ON db.rep = r.d2),
+        within_pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(1.0 AS DOUBLE) AS jaccard
+          FROM docrep a JOIN docrep b ON a.rep = b.rep AND a.doc_id < b.doc_id)
+        SELECT d1, d2, jaccard FROM cross_pairs
+        UNION ALL
+        SELECT d1, d2, jaccard FROM within_pairs
         ORDER BY d1, d2
       """)
     ),

@@ -29,12 +29,49 @@ for name in sorted(os.listdir(out_dir)):
     if not files:
         results[name] = "NO-OUTPUT"
         continue
-    # Soak guard: a degenerate-corpus pair query can emit 10^8+ rows.
-    # Loading that into pandas (and running its oracle) is pointless —
-    # record the footer row count and move on instead of thrashing.
+    # Soak guard: a degenerate-corpus pair query can emit 10^8+ rows —
+    # far past what a pandas frame compare can hold. Instead of loading,
+    # verify the multiset equality with streaming aggregates in DuckDB:
+    # row count plus an order-independent sum of per-row hashes over the
+    # name-sorted columns, computed identically over the dump parquet and
+    # the oracle SQL. Falls back to rows-only when there is no oracle or
+    # the oracle itself cannot finish.
     nrows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     if nrows > int(os.environ.get("MAX_COMPARE_ROWS", "20000000")):
-        results[name] = f"rows-only ({nrows} rows; above MAX_COMPARE_ROWS)"
+        if name not in oracle:
+            results[name] = f"rows-only ({nrows} rows; above MAX_COMPARE_ROWS)"
+            continue
+        cols = sorted(pq.ParquetFile(files[0]).schema_arrow.names)
+        collist = ", ".join(f'"{c}"' for c in cols)
+        filelist = ", ".join(f"'{f}'" for f in files)
+        try:
+            mine_agg = con.sql(
+                f"SELECT count(*), sum(hash({collist})) FROM read_parquet([{filelist}])"
+            ).fetchone()
+            q = f"SELECT count(*), sum(hash({collist})) FROM ({oracle[name]}) _agg"
+            if oracle_timeout:
+                timer = threading.Timer(oracle_timeout, con.interrupt)
+                timer.start()
+                try:
+                    ref_agg = con.sql(q).fetchone()
+                finally:
+                    timer.cancel()
+            else:
+                ref_agg = con.sql(q).fetchone()
+        except duckdb.InterruptException:
+            results[name] = (f"rows-only ({nrows} rows; oracle agg > "
+                             f"{oracle_timeout:.0f}s)")
+            continue
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR: {str(e)[:120]}"
+            continue
+        if mine_agg == ref_agg:
+            results[name] = f"OK-AGG ({nrows} rows; multiset hash match)"
+        elif mine_agg[0] != ref_agg[0]:
+            results[name] = f"ROWCOUNT: mine={mine_agg[0]} ref={ref_agg[0]}"
+        else:
+            results[name] = (f"VALUES-AGG: count={nrows} but multiset hash "
+                             f"differs ({mine_agg[1]} vs {ref_agg[1]})")
         continue
     mine = pq.read_table(files[0]).to_pandas()
     if name not in oracle:
@@ -82,11 +119,12 @@ for name in sorted(os.listdir(out_dir)):
         dt = [f"{c}:{ms[c].dtype}!={rs[c].dtype}" for c in ms.columns if ms[c].dtype != rs[c].dtype]
         results[name] = f"OK ({len(mine)} rows)" + (f" [dtype-diff {dt}]" if dt else "")
 
-ok = sum(1 for v in results.values() if v.startswith("OK"))
+agg = sum(1 for v in results.values() if v.startswith("OK-AGG"))
+ok = sum(1 for v in results.values() if v.startswith("OK")) - agg
 ro = sum(1 for v in results.values() if v.startswith("rows-only"))
 to = sum(1 for v in results.values() if v.startswith("ORACLE-TIMEOUT"))
 for k, v in sorted(results.items()):
     flag = "  " if v.startswith(("OK", "rows-only", "ORACLE-TIMEOUT")) else "✗ "
     print(f"{flag}{k}: {v}")
-print(f"\n{ok} exact-match, {ro} rows-only, {to} oracle-timeout, "
-      f"{len(results) - ok - ro - to} FAILING of {len(results)}")
+print(f"\n{ok} exact-match, {agg} agg-verified, {ro} rows-only, {to} oracle-timeout, "
+      f"{len(results) - ok - agg - ro - to} FAILING of {len(results)}")
