@@ -73,7 +73,7 @@ for name in sorted(os.listdir(out_dir)):
             results[name] = (f"VALUES-AGG: count={nrows} but multiset hash "
                              f"differs ({mine_agg[1]} vs {ref_agg[1]})")
         continue
-    mine = pq.read_table(files[0]).to_pandas()
+    mine = pq.read_table(p).to_pandas()  # directory read: all part files
     if name not in oracle:
         results[name] = f"rows-only ({len(mine)} rows)"
         continue
