@@ -344,7 +344,7 @@ object Dedup {
           // U+0001 separator: words come from splitting on space, so any
           // non-space separator keeps the set key injective.
           md5(concat_ws(
-            "",
+            "\u0001",
             array_sort(array_distinct(split(lower(trim(col("text"))), " "))))).as("sk"))
         val grouped = withKey.groupBy("lang", "sk").agg(min("doc_id").as("rep"))
           .pipe(graft.queries.Checkpoints.checkpoint)

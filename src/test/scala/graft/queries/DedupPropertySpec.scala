@@ -57,4 +57,48 @@ class DedupPropertySpec extends AnyFunSuite {
       graft.queries.Checkpoints.release()
     }
   }
+
+  test("set key is injective on boundary-colliding token sets") {
+    import spark.implicits._
+    // Every doc's token set CONCATENATES to "abc" — if the collapse key
+    // ever used an empty (or space) separator, all four would be treated
+    // as one J=1 clone group. With the U+0001 separator they are four
+    // distinct sets, pairwise Jaccard 0, so each doc is its own cluster.
+    val docs = Seq(
+      (0L, "en", "ab c"),
+      (1L, "en", "a bc"),
+      (2L, "en", "abc"),
+      (3L, "en", "a b c"))
+    val got = Dedup
+      .clustersFrom(spark, docs.toDF("doc_id", "lang", "text"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val expected = bruteClusters(docs)
+    assert(got == expected, s"boundary corpus: labels diverged\n got=$got\n exp=$expected")
+    assert(expected.values.toSet.size == 4, "oracle sanity: four singleton clusters")
+    graft.queries.Checkpoints.release()
+  }
+
+  test("multi-char random corpora: collapse key matches brute force") {
+    import spark.implicits._
+    // Same property as above but with a pool engineered for concatenation
+    // collisions ("ab"+"c" == "a"+"bc" == "abc") at random compositions.
+    val pool = Vector("a", "b", "c", "ab", "bc", "abc", "ca", "cab", "bca")
+    for (seed <- Seq(3, 11, 2027)) {
+      val rnd = new Random(seed)
+      val docs = (0 until 40).map { id =>
+        val n = 2 + rnd.nextInt(4)
+        (id.toLong, "en", rnd.shuffle(pool).take(n).mkString(" "))
+      }
+      val got = Dedup
+        .clustersFrom(spark, docs.toDF("doc_id", "lang", "text"))
+        .as[(Long, Long)]
+        .collect()
+        .toMap
+      val expected = bruteClusters(docs)
+      assert(got == expected, s"seed $seed: labels diverged\n got=$got\n exp=$expected")
+      graft.queries.Checkpoints.release()
+    }
+  }
 }
