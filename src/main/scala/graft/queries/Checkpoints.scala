@@ -16,11 +16,22 @@ import org.apache.spark.sql.execution.LogicalRDD
   * `Dataset.unpersist` cannot release it — the backing RDD must be
   * unpersisted directly.
   *
+  * Tracking is scoped PER QUERY, not per session: queries are built on the
+  * driver, so each building thread gets an implicit [[Scope]] and
+  * [[release]] frees only the calling thread's scope. Two queries running
+  * concurrently from different threads can therefore never free each
+  * other's live blocks (a localCheckpoint is not recomputable — freeing an
+  * in-flight query's blocks fails its dependent stages rather than
+  * recomputing). For builds whose release happens on a different thread,
+  * [[begin]] returns an explicit handle whose `release()` frees exactly
+  * that build's checkpoints from anywhere.
+  *
   * Every builder routes through [[checkpoint]], which records the
-  * checkpointed plan's backing RDD; terminal-action owners (Verify, Bench,
-  * tests, user code) call [[release]] once a query's action completes.
-  * Releasing is safe at any point after the action: the checkpoint only
-  * exists to share work WITHIN one query execution.
+  * checkpointed plan's backing RDD in the current scope; terminal-action
+  * owners (Verify, Bench, tests, user code) call [[release]] (or the
+  * handle's `release()`) once a query's action completes. Releasing is
+  * safe at any point after the action: the checkpoint only exists to share
+  * work WITHIN one query execution.
   *
   * Known trade-off, inherited from the eager checkpoint itself: the
   * materialization runs Spark jobs at plan-CONSTRUCTION time (plan dumps
@@ -32,26 +43,85 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Checkpoints {
 
-  private val tracked = scala.collection.mutable.Buffer.empty[RDD[_]]
+  /** One query build's tracked checkpoints; `release()` frees exactly
+    * these, from any thread.
+    */
+  final class Scope private[Checkpoints] () {
+    private[Checkpoints] val rdds = scala.collection.mutable.Buffer.empty[RDD[_]]
+    def release(): Unit = Checkpoints.releaseScope(this)
+    def trackedCount: Int = Checkpoints.synchronized(rdds.size)
+  }
 
-  /** `df.localCheckpoint(eager = true)` with its backing RDD recorded for
-    * a later [[release]].
+  /** All scopes with un-released checkpoints (insertion-ordered for
+    * deterministic tests). A scope abandoned by a dying thread without
+    * release persists here until session end — the same bound the old
+    * session-global registry had.
+    */
+  private val scopes = scala.collection.mutable.LinkedHashSet.empty[Scope]
+  private val current = new ThreadLocal[Scope]
+
+  private def currentScope(): Scope = synchronized {
+    val cur = current.get()
+    // A released scope is not reused: the next checkpoint on this thread
+    // (= the next query build) opens a fresh one.
+    if (cur != null && scopes.contains(cur)) cur
+    else {
+      val s = new Scope
+      scopes += s
+      current.set(s)
+      s
+    }
+  }
+
+  /** Open a fresh scope for the calling thread and return its handle —
+    * for callers that build on one thread and release from another.
+    * Subsequent [[checkpoint]] calls on this thread land in it until it is
+    * released (or another `begin`).
+    */
+  def begin(): Scope = synchronized {
+    val s = new Scope
+    scopes += s
+    current.set(s)
+    s
+  }
+
+  /** `df.localCheckpoint(eager = true)` with its backing RDD recorded in
+    * the calling thread's current scope for a later [[release]].
     */
   def checkpoint(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint(true)
     val rdd = cp.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
-    synchronized { rdd.foreach(tracked += _) }
+    val s = currentScope()
+    synchronized { rdd.foreach(s.rdds += _) }
     cp
   }
 
-  /** Unpersist every tracked checkpoint's blocks. Idempotent; blocking is
-    * unnecessary (freeing storage is advisory for correctness).
-    */
-  def release(): Unit = synchronized {
-    tracked.foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
-    tracked.clear()
+  private def releaseScope(s: Scope): Unit = synchronized {
+    s.rdds.foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+    s.rdds.clear()
+    scopes -= s
   }
 
-  /** Number of currently tracked (un-released) checkpoints — test hook. */
-  def trackedCount: Int = synchronized(tracked.size)
+  /** Unpersist the CALLING THREAD's tracked checkpoints. Checkpoints made
+    * by other threads' in-flight queries are untouched. Idempotent;
+    * blocking is unnecessary (freeing storage is advisory for
+    * correctness).
+    */
+  def release(): Unit = {
+    val s = synchronized { Option(current.get()).filter(scopes.contains) }
+    s.foreach(releaseScope)
+  }
+
+  /** Unpersist EVERY scope's checkpoints — a drain point for harnesses
+    * (test settle, session shutdown) that know no graft query is in
+    * flight on any thread. Not for per-query cleanup: that is [[release]]
+    * or a [[begin]] handle.
+    */
+  def releaseAll(): Unit = {
+    val all = synchronized(scopes.toList)
+    all.foreach(releaseScope)
+  }
+
+  /** Total un-released checkpoints across all scopes — test hook. */
+  def trackedCount: Int = synchronized(scopes.iterator.map(_.rdds.size).sum)
 }

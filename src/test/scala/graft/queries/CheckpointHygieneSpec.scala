@@ -17,9 +17,9 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     spark.sparkContext.getPersistentRDDs.size
 
   test("repeated dedup_jaccard runs with release() keep storage flat") {
-    // Settle: other suites may share the session — measure deltas, not
-    // absolutes.
-    Checkpoints.release()
+    // Settle: other suites may share the session (and may have built on
+    // other threads) — drain every scope, then measure deltas.
+    Checkpoints.releaseAll()
     val base = persistedRddCount
 
     (1 to 3).foreach { i =>
@@ -34,11 +34,45 @@ class CheckpointHygieneSpec extends AnyFunSuite {
   }
 
   test("corpus_token_budget's checkpoint is tracked and released") {
-    Checkpoints.release()
+    Checkpoints.releaseAll()
     val base = persistedRddCount
     SparkEntry.queries("corpus_token_budget")(spark, d).write
       .format("noop").mode("overwrite").save()
     Checkpoints.release()
     assert(persistedRddCount <= base)
+  }
+
+  test("releasing one query's scope leaves another's checkpoints live") {
+    import spark.implicits._
+    Checkpoints.releaseAll()
+
+    // Query A builds on a separate thread with an explicit scope handle —
+    // its eager localCheckpoints materialize during construction and must
+    // survive other queries' releases (they are NOT recomputable).
+    @volatile var handle: Checkpoints.Scope = null
+    @volatile var dfA: org.apache.spark.sql.DataFrame = null
+    val builder = new Thread(() => {
+      handle = Checkpoints.begin()
+      val docs = (0L until 60L)
+        .map(i => (i, "en", s"w${i % 7} x${(i + 1) % 7} y${(i + 2) % 7}"))
+      dfA = Dedup.clustersFrom(spark, docs.toDF("doc_id", "lang", "text"))
+    })
+    builder.start()
+    builder.join()
+    val aTracked = handle.trackedCount
+    assert(aTracked > 0, "clustersFrom should checkpoint")
+
+    // Query B builds and releases on THIS thread while A is un-released.
+    SparkEntry.queries("corpus_token_budget")(spark, d).write
+      .format("noop").mode("overwrite").save()
+    Checkpoints.release()
+
+    // B's release must not have touched A's scope; A's blocks must still
+    // back a successful action.
+    assert(handle.trackedCount == aTracked, "another query's release freed A's checkpoints")
+    assert(dfA.count() == 60)
+
+    handle.release()
+    assert(Checkpoints.trackedCount == 0, "both scopes released -> fully drained")
   }
 }
