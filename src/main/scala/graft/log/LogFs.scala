@@ -67,6 +67,23 @@ private[graft] trait LogFs {
   def delete(path: String): Unit
   def deleteRecursively(path: String): Unit
 
+  /** Delete `path` and report whether THIS call removed it — atomic on both
+    * backends (NIO `deleteIfExists`, Hadoop `delete`), so concurrent
+    * callers racing on one file see exactly one `true`. The primitive
+    * behind the publish-marker ownership handshake (see SparkLog): whoever
+    * wins the delete owns the fate of a dir's unmanifested parts.
+    */
+  def deleteIfExists(path: String): Boolean
+
+  /** Write a small plain (un-versioned) file, overwriting any existing one.
+    * Not for metadata that needs the versioned CAS protocol — this is for
+    * advisory markers whose lifecycle is create → atomic-delete.
+    */
+  def writeRawFile(path: String, bytes: Array[Byte]): Unit
+
+  /** Read a plain file written by [[writeRawFile]]; None when absent. */
+  def readRawFile(path: String): Option[Array[Byte]]
+
   /** Parquet file handles for the point reader / part writer. */
   def inputFile(path: String): InputFile
   def outputFile(path: String): OutputFile
@@ -279,6 +296,18 @@ private[graft] object NioLogFs extends LogFs {
       finally walk.close()
     }
 
+  override def deleteIfExists(path: String): Boolean =
+    try Files.deleteIfExists(p(path))
+    catch { case _: java.io.IOException => false }
+
+  override def writeRawFile(path: String, bytes: Array[Byte]): Unit = {
+    val _ = Files.write(p(path), bytes)
+  }
+
+  override def readRawFile(path: String): Option[Array[Byte]] =
+    try Some(Files.readAllBytes(p(path)))
+    catch { case _: java.io.IOException => None }
+
   override protected def readFileBytes(path: String): Array[Byte] =
     Files.readAllBytes(p(path))
 
@@ -390,6 +419,20 @@ private[graft] object HadoopLogFs extends LogFs {
       throw new java.io.IOException(s"metadata publish failed: $finalPath")
     }
   }
+
+  override def deleteIfExists(path: String): Boolean =
+    try fs(path).delete(hp(path), false)
+    catch { case _: java.io.IOException => false }
+
+  override def writeRawFile(path: String, bytes: Array[Byte]): Unit = {
+    val out = fs(path).create(hp(path), true)
+    try out.write(bytes)
+    finally out.close()
+  }
+
+  override def readRawFile(path: String): Option[Array[Byte]] =
+    try if (fs(path).exists(hp(path))) Some(readFileBytes(path)) else None
+    catch { case _: java.io.IOException => None }
 
   override protected def writeExclusiveFile(tmpPath: String, finalPath: String, bytes: Array[Byte]): Boolean = {
     val f = fs(tmpPath)

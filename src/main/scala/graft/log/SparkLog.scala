@@ -126,6 +126,32 @@ class SparkLog(
     }
     metaSeq += 1
     manifest = stamped
+    notifyCommit()
+  }
+
+  /** Commit listeners, fired after every successful manifest swap (append,
+    * truncate, compaction, token commit) on the committing thread. The
+    * gRPC ConsumeStream uses this to wake blocked tails the moment data
+    * lands instead of sleep-polling. Listeners must be cheap and must not
+    * throw (exceptions are swallowed — a notification must never fail a
+    * committed write).
+    */
+  private val commitListeners = new java.util.concurrent.CopyOnWriteArrayList[Runnable]
+
+  /** Register `l` to run after each commit; close the returned handle to
+    * deregister.
+    */
+  private[graft] def onCommit(l: Runnable): AutoCloseable = {
+    commitListeners.add(l)
+    () => { commitListeners.remove(l); () }
+  }
+
+  private def notifyCommit(): Unit = {
+    val it = commitListeners.iterator()
+    while (it.hasNext) {
+      try it.next().run()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Finish or undo a compaction swap interrupted by a crash, then clear
@@ -198,10 +224,18 @@ class SparkLog(
     var pending = Vector.newBuilder[LogRecord]
     var pendingFor = active.base
     val published = Vector.newBuilder[String]
+    val markedDirs = scala.collection.mutable.LinkedHashSet.empty[String]
 
     def flush(): Unit = {
       val recs = pending.result()
-      if (recs.nonEmpty) published += writePart(pendingFor, recs)
+      if (recs.nonEmpty) {
+        // Publish-intent marker before the part becomes visible; re-check
+        // it on every later flush into the same dir (ownership handshake —
+        // see the marker Scaladoc).
+        val segDir = segmentPath(pendingFor)
+        if (markedDirs.add(segDir)) writeMarker(segDir) else checkMarker(segDir)
+        published += writePart(pendingFor, recs)
+      }
       pending = Vector.newBuilder[LogRecord]
     }
 
@@ -237,9 +271,16 @@ class SparkLog(
     try swapManifest(m)
     catch {
       case scala.util.control.NonFatal(e) =>
-        published.result().foreach(p => try fs.delete(p) catch { case _: Exception => () })
+        // Per-dir journaled rollback (see the marker Scaladoc): only dirs
+        // whose marker we win are ours to clean; a lost marker means a
+        // claimant manifested those parts.
+        val byDir = published.result().groupBy(fs.parent)
+        markedDirs.foreach(d =>
+          rollbackPublished(d, byDir.getOrElse(d, Vector.empty), tokenMarker = false)
+        )
         throw e
     }
+    markedDirs.foreach(d => try fs.delete(markerPath(d)) catch { case _: Exception => () })
     first
   }
 
@@ -350,6 +391,7 @@ class SparkLog(
       token: Option[(String, Long)]
   ): (Long, Long) = {
     val segDir = segmentPath(base)
+    writeMarker(segDir)
     val (bytes, moved) = publishParts(staging, base)
     val seg = SegmentMeta(base, base + total, bytes, total, sealed_ = true)
     val m0 = manifest
@@ -374,9 +416,14 @@ class SparkLog(
     try swapManifest(m)
     catch {
       case scala.util.control.NonFatal(e) =>
-        rollbackSegment(segDir, moved, token.isDefined)
+        // Journaled, marker-gated: we win → roll back our files; a
+        // claimant won → it manifested (and owns) them, including the
+        // pending-token marker its reconcile merged — touch nothing.
+        rollbackPublished(segDir, moved, token.isDefined)
         throw e
     }
+    try fs.delete(markerPath(segDir))
+    catch { case _: Exception => () }
     token.foreach(_ => try fs.deleteMeta(segDir, PendingTokenFile) catch { case _: Exception => () })
     (base, total)
   }
@@ -437,6 +484,141 @@ class SparkLog(
         throw e
     }
     publishAndCommit(staging, base, total, token)
+  }
+
+  // ------------------------------------------------- publish-intent marker
+
+  /** Publish-intent ownership handshake, closing the adoption/rollback race
+    * (a new claimant's reconcile() adopting unmanifested parts that a
+    * fenced loser then deletes → committed manifest referencing missing
+    * files):
+    *
+    *   - A publisher writes `_publishing` into the segment dir BEFORE any
+    *     part becomes visible there, re-checks it before each subsequent
+    *     part, and removes it after its manifest swap commits.
+    *   - On a failed swap the publisher's rollback is JOURNALED: it first
+    *     writes `_rollback_intent.<epoch>` naming exactly the part files
+    *     it moved in, then ATOMICALLY deletes the marker
+    *     ([[LogFs.deleteIfExists]]). Winning the delete means nobody
+    *     adopted — delete the listed parts, then the journal; losing it
+    *     means a claimant owns the parts now — remove only the journal and
+    *     leave every data file alone.
+    *   - reconcile() takes the mirror side per dir before counting
+    *     unmanifested parts:
+    *       - journal present, marker gone → a rollback crashed mid-delete:
+    *         COMPLETE it (delete the listed files + journal), then treat
+    *         the dir normally — debris can never collide with re-minted
+    *         offsets.
+    *       - marker present → atomically delete it. Winning licenses
+    *         adoption (the publisher's rollback will lose and leave the
+    *         files); losing means a LIVE loser is rolling back right now —
+    *         wait briefly for it to finish, and on timeout skip the dir
+    *         (and, for unknown dirs, every later one: adopting past a
+    *         rolled-back dir would leave an offset gap).
+    *       - neither → legacy dir, adopt as before.
+    *
+    * Exactly one side wins the marker, so adoption and rollback are
+    * mutually exclusive per directory, and the journal makes a crashed
+    * rollback completable by anyone. Residual window, documented rather
+    * than closed: a publisher's single in-flight part move racing the
+    * adopter's listing can land a file the adopter never saw; the marker
+    * re-check before the NEXT move bounds the exposure to one part, and
+    * reaching it requires a writer that stayed alive but silent across an
+    * entire claim generation — the same double-writer pathology the
+    * reference does not survive at all (two Raft nodes sharing one data
+    * dir corrupt arbitrarily).
+    */
+  private def markerPath(segDir: String): String = fs.child(segDir, PublishMarkerFile)
+
+  private def writeMarker(segDir: String): Unit = {
+    fs.mkdirs(segDir)
+    fs.writeRawFile(markerPath(segDir), writerEpoch.toString.getBytes("UTF-8"))
+  }
+
+  /** Abort the publish when an adopter claimed the dir out from under us. */
+  private def checkMarker(segDir: String): Unit =
+    if (!fs.exists(markerPath(segDir))) {
+      val observed =
+        try LogManifest.readWithSeq(dir).map(_._2.writerEpoch).getOrElse(-1L)
+        catch { case _: Exception => -1L }
+      throw LogFencedException(dir, writerEpoch, observed)
+    }
+
+  /** True iff WE removed the marker — ownership of the unmanifested parts. */
+  private def claimMarker(segDir: String): Boolean = fs.deleteIfExists(markerPath(segDir))
+
+  private def intentFiles(segDir: String): Vector[String] =
+    fs.list(segDir).filter(p => fs.fileName(p).startsWith(RollbackIntentPrefix))
+
+  /** Journaled, marker-gated rollback of a failed publish — see the
+    * handshake Scaladoc. `files` are the full paths this writer moved into
+    * `segDir`; `tokenMarker` adds its pending-token meta to the cleanup.
+    */
+  private def rollbackPublished(segDir: String, files: Seq[String], tokenMarker: Boolean): Unit = {
+    val intent = fs.child(segDir, s"$RollbackIntentPrefix.$writerEpoch")
+    val journaled =
+      try {
+        fs.writeRawFile(intent, files.map(fs.fileName).mkString("\n").getBytes("UTF-8"))
+        true
+      } catch { case _: Exception => false }
+    if (claimMarker(segDir)) {
+      files.foreach(p => try fs.delete(p) catch { case _: Exception => () })
+      if (tokenMarker)
+        try fs.deleteMeta(segDir, PendingTokenFile)
+        catch { case _: Exception => () }
+      if (journaled) try fs.delete(intent) catch { case _: Exception => () }
+      try if (fs.isDir(segDir) && fs.list(segDir).isEmpty) fs.delete(segDir)
+      catch { case _: Exception => () }
+    } else {
+      // A claimant adopted our parts (and merged any pending token) — the
+      // data is manifested under its epoch; only our journal is ours.
+      if (journaled) try fs.delete(intent) catch { case _: Exception => () }
+    }
+  }
+
+  /** Finish a rollback whose owner crashed mid-delete: remove the files its
+    * journal names, the pending-token meta, and the journal itself.
+    *
+    * A journal can ALSO survive adoption (loser crashed between writing it
+    * and losing the marker claim), in which case its files are manifested
+    * data that must NOT be touched. The two cases separate by offset: only
+    * files whose ranged name starts at or past `minUnmanifested` (the
+    * manifest's recorded next offset for this dir — everything for an
+    * unknown dir) are rollback debris; anything below is adopted data, and
+    * an unranged name is left alone out of caution.
+    */
+  private def completeRollback(segDir: String, minUnmanifested: Long): Unit = {
+    intentFiles(segDir).foreach { intent =>
+      fs.readRawFile(intent).foreach { bytes =>
+        new String(bytes, "UTF-8").split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach {
+          name =>
+            if (partMinOffset(name).exists(_ >= minUnmanifested))
+              try fs.delete(fs.child(segDir, name))
+              catch { case _: Exception => () }
+        }
+      }
+      try fs.deleteMeta(segDir, PendingTokenFile)
+      catch { case _: Exception => () }
+      try fs.delete(intent)
+      catch { case _: Exception => () }
+    }
+    try if (fs.isDir(segDir) && fs.list(segDir).isEmpty) fs.delete(segDir)
+    catch { case _: Exception => () }
+  }
+
+  /** Lost the marker to a live loser: give its (small, fast) rollback a
+    * bounded window to finish so this claim sees a clean dir instead of
+    * skipping adoption. True once marker and journal are gone (or the dir
+    * itself is); false on timeout.
+    */
+  private def awaitRollback(segDir: String): Boolean = {
+    val deadline = System.nanoTime() + 2000L * 1000 * 1000
+    while (System.nanoTime() < deadline) {
+      if (!fs.isDir(segDir) || (!fs.exists(markerPath(segDir)) && intentFiles(segDir).isEmpty))
+        return true
+      Thread.sleep(25L)
+    }
+    false
   }
 
   /** Undo a failed segment publish without collateral damage: delete exactly
@@ -768,9 +950,17 @@ class SparkLog(
     * are O(1) in file selection. Deletes the staging dir.
     */
   private def publishParts(staging: String, base: Long): (Long, Vector[String]) =
-    publishPartsTo(staging, segmentPath(base))
+    publishPartsTo(staging, segmentPath(base), checkMarkerPerMove = true)
 
-  private def publishPartsTo(staging: String, target: String): (Long, Vector[String]) = {
+  private def publishPartsTo(
+      staging: String,
+      target: String,
+      /** Re-verify the publish-intent marker before each move — on for
+        * segment publishes (ownership handshake), off for compaction's
+        * `_compact-*` working dirs which no reconcile ever adopts.
+        */
+      checkMarkerPerMove: Boolean = false
+  ): (Long, Vector[String]) = {
     fs.mkdirs(target)
     var bytes = 0L
     val moved = Vector.newBuilder[String]
@@ -778,6 +968,7 @@ class SparkLog(
       .filter(p => fs.fileName(p).endsWith(".parquet"))
       .sortBy(fs.fileName)
       .foreach { p =>
+        if (checkMarkerPerMove) checkMarker(target)
         bytes += fs.size(p)
         val u = UUID.randomUUID().toString.take(8)
         val name = ParquetPointReader.offsetRange(p) match {
@@ -807,20 +998,54 @@ class SparkLog(
     * a crash can leave the TAIL segment(s) ahead of the manifest. Recount
     * only the trailing segment plus any dirs the manifest doesn't know —
     * bounded work, like the reference recovering nextOffset from the last
-    * index entry (reference: internal/log/segment.go:38-42). Pure apart
-    * from noting pending-token markers for post-claim cleanup — the claim
-    * swap commits the result.
+    * index entry (reference: internal/log/segment.go:38-42). Adoption of
+    * unmanifested parts is gated by the publish-marker ownership handshake
+    * (see the marker Scaladoc): winning a dir's marker licenses counting
+    * its parts; losing means a fenced publisher is rolling them back right
+    * now — skip the dir, and for unknown dirs every later one too (an
+    * adopted segment past a rolled-back one would leave an offset gap).
+    * Otherwise pure apart from noting pending-token markers for post-claim
+    * cleanup — the claim swap commits the result.
     */
   private def reconcile(m: LogManifest): LogManifest = {
     val onDisk = LogManifest.listSegmentBases(dir)
     val known = m.segments.map(_.base).toSet
-    val unknown = onDisk.filterNot(known)
+    val unknownAll = onDisk.filterNot(known)
     val needsTail = m.segments.lastOption.exists(s => !s.sealed_)
-    if (unknown.isEmpty && !needsTail) return m
-    val fixedTail = m.segments.lastOption.filter(_ => needsTail) match {
-      case Some(last) => upsert(m.segments, rebuildSegmentMeta(last.base).copy(sealed_ = last.sealed_))
-      case None       => m.segments
+    if (unknownAll.isEmpty && !needsTail) return m
+
+    /** Marker gate: true → this dir's unmanifested parts are ours to count
+      * (see the ownership-handshake Scaladoc). `minUnmanifested` bounds
+      * which journaled files a crashed rollback may still delete.
+      */
+    def adoptable(base: Long, minUnmanifested: Long): Boolean = {
+      val segDir = segmentPath(base)
+      if (!fs.exists(markerPath(segDir))) {
+        // No live publish. A leftover journal is a crashed rollback —
+        // complete it before counting what remains.
+        if (intentFiles(segDir).nonEmpty) completeRollback(segDir, minUnmanifested)
+        true
+      } else if (claimMarker(segDir)) {
+        // We own the parts now; any journal a crashed loser left behind is
+        // void (its rollback lost the moment our claim won).
+        intentFiles(segDir).foreach(i => try fs.delete(i) catch { case _: Exception => () })
+        true
+      } else {
+        // A live loser is rolling back — let it finish (fast, file
+        // deletes), then the dir is clean. Timeout → skip adoption.
+        awaitRollback(segDir)
+      }
     }
+
+    val fixedTail = m.segments.lastOption.filter(_ => needsTail) match {
+      case Some(last) if adoptable(last.base, last.next) =>
+        upsert(m.segments, rebuildSegmentMeta(last.base).copy(sealed_ = last.sealed_))
+      // Lost the tail marker: a fenced writer is rolling back its
+      // unmanifested tail parts — the manifest's recorded meta already
+      // describes every committed record.
+      case _ => m.segments
+    }
+    val unknown = unknownAll.takeWhile(adoptable(_, Long.MinValue))
     // Empty unknown dirs (a failed append's mkdirs with its parts cleaned
     // up) carry no data — don't resurrect zero-record segments.
     val extra = unknown.map(rebuildSegmentMeta).filterNot(_.isEmpty)
@@ -855,6 +1080,10 @@ class SparkLog(
 
   private def rebuildSegmentMeta(base: Long): SegmentMeta = {
     val p = segmentPath(base)
+    // A completed rollback may have emptied (or removed) the dir since it
+    // was listed — that is an empty segment, not a scan error.
+    if (!fs.isDir(p) || !fs.list(p).exists(f => fs.fileName(f).endsWith(".parquet")))
+      return SegmentMeta(base, base, 0L, 0L, sealed_ = true)
     val stats = spark.read
       .schema(LogRecord.schema)
       .parquet(p)
@@ -890,6 +1119,25 @@ object SparkLog {
     * declared below the manifest field would be initialized.
     */
   private[log] val PendingTokenFile = "_pending_token"
+
+  /** Publish-intent marker file — see the ownership-handshake Scaladoc in
+    * the class body. Underscore-prefixed so Spark's parquet listings skip
+    * it.
+    */
+  private[log] val PublishMarkerFile = "_publishing"
+
+  /** Rollback journal prefix (suffixed with the rolling-back writer's
+    * epoch) — see the ownership-handshake Scaladoc.
+    */
+  private[log] val RollbackIntentPrefix = "_rollback_intent"
+
+  private val PartRangeName = """part-(\d+)-(\d+)-.*\.parquet""".r
+
+  /** First offset a ranged part file name covers, when parseable. */
+  private[log] def partMinOffset(name: String): Option[Long] = name match {
+    case PartRangeName(mn, _) => Some(mn.toLong)
+    case _                    => None
+  }
 
   /** Open (or create) a log at `dir` — recovery included, mirroring
     * `NewLog` + `setup` (reference: internal/log/log.go:25-68).

@@ -154,4 +154,116 @@ class FencingSpec extends AnyFunSuite {
     assert(fin.highestOffset == 2)
     (0 until 3).foreach(i => assert(new String(fin.read(i.toLong).value) == s"w$i"))
   }
+
+  // ---- publish-marker ownership handshake (adoption vs rollback race) ----
+
+  /** Rewind the on-disk manifest so its tail ends at `wantNext` —
+    * reconstructing "publisher crashed (or is paused) after publishing
+    * parts, before its swap": the parts past `wantNext` are on disk, the
+    * manifest doesn't know them.
+    */
+  private def rewindManifestTo(dir: String, wantNext: Long): Unit = {
+    val Some((seq, m)) = LogManifest.readWithSeq(dir)
+    val tail = m.segments.last
+    val trimmed = m.copy(
+      segments = m.segments.init :+ tail.copy(
+        next = wantNext,
+        records = wantNext - tail.base
+      ),
+      nextOffset = wantNext
+    )
+    assert(LogManifest.writeCas(dir, trimmed, seq), "rewind failed")
+  }
+
+  private def segDir(dir: String, base: Long) = s"$dir/segment=$base"
+
+  test("claimant adopts a marked unmanifested publish; loser's gated rollback leaves it") {
+    val dir = TestSpark.tempDir("fence-adopt")
+    val fs = LogFs.forPath(dir)
+    val a = SparkLog(spark, dir)
+    a.append(Seq(bytes("r0"), bytes("r1"), bytes("r2")))
+    a.append(Seq(bytes("r3"), bytes("r4")))
+    // Freeze the moment between publish and swap: manifest says next=3,
+    // the part holding offsets 3-4 is unmanifested, marker present.
+    rewindManifestTo(dir, 3L)
+    fs.writeRawFile(s"${segDir(dir, 0)}/${SparkLog.PublishMarkerFile}", bytes("1"))
+
+    val b = SparkLog(spark, dir)
+    // B won the marker during reconcile → adopted the parts.
+    assert(b.highestOffset == 4)
+    assert(new String(b.read(3).value) == "r3")
+    assert(!fs.exists(s"${segDir(dir, 0)}/${SparkLog.PublishMarkerFile}"), "marker consumed")
+
+    // The fenced loser's rollback now loses the marker claim — the atomic
+    // delete returns false — so per protocol it must leave every file.
+    assert(!fs.deleteIfExists(s"${segDir(dir, 0)}/${SparkLog.PublishMarkerFile}"))
+    assert(new String(b.read(4).value) == "r4")
+  }
+
+  test("a crashed rollback's journal is completed at reconcile — debris never resurrects") {
+    val dir = TestSpark.tempDir("fence-complete")
+    val fs = LogFs.forPath(dir)
+    val a = SparkLog(spark, dir)
+    a.append(Seq(bytes("k0"), bytes("k1"), bytes("k2")))
+    a.append(Seq(bytes("k3"), bytes("k4")))
+    rewindManifestTo(dir, 3L)
+    // The loser wrote its journal and won the marker (it is gone), then
+    // crashed before deleting the part: exactly the state completeRollback
+    // exists for.
+    val debris = fs
+      .list(segDir(dir, 0))
+      .map(fs.fileName)
+      .filter(n => SparkLog.partMinOffset(n).exists(_ >= 3L))
+    assert(debris.nonEmpty)
+    fs.writeRawFile(
+      s"${segDir(dir, 0)}/${SparkLog.RollbackIntentPrefix}.1",
+      bytes(debris.mkString("\n"))
+    )
+
+    val b = SparkLog(spark, dir)
+    assert(b.highestOffset == 2, "rolled-back records must not resurrect")
+    intercept[OffsetOutOfRangeException](b.read(3))
+    assert(
+      !fs.list(segDir(dir, 0)).exists(p => fs.fileName(p).startsWith(SparkLog.RollbackIntentPrefix)),
+      "journal consumed"
+    )
+    assert(
+      !fs.list(segDir(dir, 0)).map(fs.fileName).exists(debris.contains),
+      "journaled debris deleted"
+    )
+    // The log keeps working where the rollback left it.
+    assert(b.appendOne(bytes("k3b")) == 3L)
+    assert(new String(b.read(3).value) == "k3b")
+  }
+
+  test("a journal that survived adoption must not delete manifested parts") {
+    val dir = TestSpark.tempDir("fence-void-journal")
+    val fs = LogFs.forPath(dir)
+    val a = SparkLog(spark, dir)
+    a.append(Seq(bytes("m0"), bytes("m1"), bytes("m2")))
+    a.append(Seq(bytes("m3"), bytes("m4"))) // committed — manifest next=5
+    // A loser that crashed between journaling and losing the marker claim:
+    // its journal names parts that a claimant ADOPTED (here: plain
+    // committed parts — same offset relationship).
+    val named = fs
+      .list(segDir(dir, 0))
+      .map(fs.fileName)
+      .filter(n => SparkLog.partMinOffset(n).exists(_ >= 3L))
+    assert(named.nonEmpty)
+    fs.writeRawFile(
+      s"${segDir(dir, 0)}/${SparkLog.RollbackIntentPrefix}.1",
+      bytes(named.mkString("\n"))
+    )
+
+    val b = SparkLog(spark, dir)
+    // Journal consumed, data intact: the offset bound (>= tail next = 5)
+    // protected the manifested files.
+    assert(b.highestOffset == 4)
+    assert(new String(b.read(3).value) == "m3")
+    assert(new String(b.read(4).value) == "m4")
+    assert(
+      !fs.list(segDir(dir, 0)).exists(p => fs.fileName(p).startsWith(SparkLog.RollbackIntentPrefix)),
+      "void journal consumed"
+    )
+  }
 }
