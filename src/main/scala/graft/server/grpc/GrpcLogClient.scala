@@ -95,7 +95,16 @@ class GrpcLogClient(
       }
       n += 1
     }
-    out.result()
+    val offsets = out.result()
+    // A server that half-closes after acking fewer records than were sent
+    // (error swallowed as onCompleted, early close) must be an explicit
+    // failure — a silently short list would let callers zip offsets with
+    // inputs and misattribute them.
+    require(
+      offsets.size == values.size,
+      s"produceStream acked ${offsets.size} of ${values.size} records before the server closed the stream"
+    )
+    offsets
   }
 
   def getServers: Seq[ServerInfo] =

@@ -37,18 +37,24 @@ import graft.server.{Action, ConsumeRequest, LogService, Mtls, MtlsConfig, Permi
   *
   * Scale posture: this is a control/ops surface (single-record produce and
   * consume, topology); bulk data movement belongs to the DSv2 source/sink
-  * which never crosses the driver. ConsumeStream holds one server thread
-  * per subscriber (cached pool) — the same cost as the reference's
-  * per-stream goroutine, acceptable for the ops tailing this serves.
+  * which never crosses the driver. ConsumeStream is EVENT-DRIVEN: a
+  * caught-up tail parks as a passive waiter (no thread, no poll loop) and
+  * is re-armed by the log's commit hook, so any number of idle tails cost
+  * zero threads — unlike the reference's per-stream goroutine poll
+  * (server.go:147-150), which is cheap for goroutines but would be ~1 MiB
+  * of stack per idle JVM thread. Active drains share a small fixed worker
+  * pool; a long catch-up holds one worker until it reaches the tail.
   */
 class GrpcLogServer(
     service: LogService,
     port: Int = 0,
     tls: Option[MtlsConfig] = None,
-    /** Poll cadence for the blocking half of ConsumeStream. The reference
-      * busy-spins on `continue`; a bounded sleep is the JVM-polite version.
+    /** Fallback re-arm cadence for parked tails — a safety net behind the
+      * commit-hook wake-up (e.g. for appends that bypass this process's
+      * SparkLog handle after a reopen). Not a per-record poll: parked
+      * streams wake instantly via the commit hook.
       */
-    pollMillis: Long = 2L,
+    pollMillis: Long = 250L,
     /** Subject assigned to connections carrying no verified peer identity —
       * "" by default, the reference's nil-AuthInfo branch (under the
       * root-only ACL that denies everything). The CLI's plaintext dev mode
@@ -59,8 +65,90 @@ class GrpcLogServer(
 
   import GrpcLogServer._
 
-  private val streams = Executors.newCachedThreadPool()
+  /** Fixed drain pool shared by ALL ConsumeStreams — the thread bound is
+    * this constant, independent of how many tails are open or parked.
+    */
+  private val workers =
+    Executors.newFixedThreadPool(TailWorkers, namedThreads("graft-tail-worker"))
+  private val fallbackTimer =
+    Executors.newSingleThreadScheduledExecutor(namedThreads("graft-tail-fallback"))
+
+  /** Tails parked at the end of the log, waiting for the next commit. */
+  private val waiters =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[TailStream]()
+  private var commitHook: AutoCloseable = _
   private var server: Server = _
+
+  private def wakeWaiters(): Unit = {
+    val it = waiters.iterator()
+    while (it.hasNext) {
+      val w = it.next()
+      it.remove()
+      w.wake()
+    }
+  }
+
+  /** One ConsumeStream's state machine. `wake()` is the only entry point:
+    * the token counter guarantees at most one drain pass runs at a time
+    * (only the 0→1 transition schedules; the pass keeps running while
+    * tokens remain), so `off` needs no lock. A pass drains records until
+    * the stream is cancelled, the transport is flow-control blocked
+    * (re-armed by onReady), or the log is exhausted (parked in [[waiters]],
+    * re-armed by the commit hook / fallback timer).
+    */
+  private final class TailStream(
+      sub: String,
+      obs: StreamObserver[LogRecord],
+      ctx: Context,
+      startOffset: Long
+  ) {
+    private var off = startOffset
+    private val wakes = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val flowControlled = obs match {
+      case s: org.sparkproject.connect.grpc.stub.ServerCallStreamObserver[LogRecord @unchecked] =>
+        s.setOnReadyHandler(() => wake())
+        Some(s)
+      case _ => None
+    }
+
+    def wake(): Unit =
+      if (wakes.getAndIncrement() == 0) workers.execute(() => run())
+
+    private def run(): Unit = {
+      var again = true
+      while (again) {
+        wakes.set(1) // collapse tokens queued since scheduling into this pass
+        drain()
+        again = wakes.decrementAndGet() != 0
+      }
+    }
+
+    private def drain(): Unit =
+      try {
+        while (!ctx.isCancelled) {
+          if (flowControlled.exists(s => !s.isReady)) return // onReady re-arms
+          try {
+            obs.onNext(service.consume(sub, ConsumeRequest(off)).record)
+            off += 1
+          } catch {
+            case _: OffsetOutOfRangeException =>
+              // Park FIRST, then re-check: a commit landing between the
+              // failed read and registration would otherwise be a lost
+              // wake-up. The re-check probes "is `off` readable NOW"
+              // (segmentFor, not highestOffset — which is 0 even on an
+              // empty log and would self-wake into a spin); a truncated-
+              // away offset stays parked and re-fails only per commit.
+              waiters.add(this)
+              if (service.log.currentManifest.segmentFor(off).isDefined) wake()
+              return
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          try obs.onError(toStatusException(e))
+          catch { case _: Exception => () }
+      }
+  }
 
   // ---------------------------------------------------------------- errors
 
@@ -152,32 +240,20 @@ class GrpcLogServer(
           new ServerCalls.ServerStreamingMethod[ConsumeRequest, LogRecord] {
             override def invoke(req: ConsumeRequest, obs: StreamObserver[LogRecord]): Unit = {
               val sub = subject()
-              val ctx = Context.current()
-              streams.execute { () =>
-                var off = req.offset
-                try {
-                  // Authorize once up front so a denied subject fails fast
-                  // (the reference authorizes inside each Consume — we also
-                  // keep that, service.consume re-checks).
-                  service.acl.authorize(sub, Action.Consume)
-                  while (!ctx.isCancelled) {
-                    try {
-                      obs.onNext(service.consume(sub, ConsumeRequest(off)).record)
-                      off += 1
-                    } catch {
-                      // Past the end: wait for the next produce — the
-                      // blocking half (reference server.go:145-150 retries
-                      // on ErrOffsetOutOfRange).
-                      case _: OffsetOutOfRangeException => Thread.sleep(pollMillis)
-                    }
-                  }
-                } catch {
-                  case _: InterruptedException => ()
-                  case scala.util.control.NonFatal(e) =>
-                    try obs.onError(toStatusException(e))
-                    catch { case _: Exception => () }
-                }
+              // Authorize once up front so a denied subject fails fast
+              // (the reference authorizes inside each Consume — we also
+              // keep that, service.consume re-checks).
+              try service.acl.authorize(sub, Action.Consume)
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  obs.onError(toStatusException(e))
+                  return
               }
+              // Event-driven tail (replaces the reference's per-stream
+              // retry loop, server.go:138-158): the first wake starts the
+              // catch-up; afterwards the stream lives in [[waiters]] /
+              // the flow-control handler, holding no thread while idle.
+              new TailStream(sub, obs, Context.current(), req.offset).wake()
             }
           }
         )
@@ -207,22 +283,48 @@ class GrpcLogServer(
       .intercept(new AuthInterceptor(anonymousSubject))
       .build()
       .start()
+    commitHook = service.log.onCommit(() => wakeWaiters())
+    // Safety net: re-arm parked tails on a coarse cadence in case data
+    // lands through a path the hook doesn't see.
+    fallbackTimer.scheduleWithFixedDelay(
+      () => wakeWaiters(),
+      pollMillis,
+      pollMillis,
+      TimeUnit.MILLISECONDS
+    )
     this
   }
 
   def boundPort: Int = server.getPort
 
   def stop(): Unit = {
+    if (commitHook != null) commitHook.close()
     if (server != null) {
       server.shutdownNow()
       server.awaitTermination(10, TimeUnit.SECONDS)
     }
-    streams.shutdownNow()
-    val _ = streams.awaitTermination(10, TimeUnit.SECONDS)
+    fallbackTimer.shutdownNow()
+    workers.shutdownNow()
+    val _ = workers.awaitTermination(10, TimeUnit.SECONDS)
   }
 }
 
 object GrpcLogServer {
+
+  /** Size of the shared ConsumeStream drain pool — the server's tail
+    * thread bound regardless of open-stream count.
+    */
+  private[grpc] val TailWorkers: Int = 8
+
+  private def namedThreads(prefix: String): java.util.concurrent.ThreadFactory =
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"$prefix-${n.getAndIncrement()}")
+        t.setDaemon(true)
+        t
+      }
+    }
 
   /** The reference wires literal 404 as the gRPC status code
     * (api/v1/error.go:15 `status.New(404, …)`), which is outside gRPC's

@@ -58,16 +58,22 @@ class LogServiceSpec extends AnyFunSuite {
 
   test("consume stream delivers log order from plan order — no sort, no exchange") {
     import org.apache.spark.sql.functions.col
+    val session = spark
+    import session.implicits._
     val svc = newService() // 64-byte store cap: 40 records roll many segments/parts
     svc.produceStream("root", (0 until 40).map(i => ProduceRequest(s"ord-$i".getBytes)).iterator)
       .foreach(_ => ())
     val got = svc.consumeStream("root", 0).toSeq
     assert(got.map(_.offset) == (0L until 40L), s"out of order: ${got.map(_.offset)}")
     assert(new String(got(17).value) == "ord-17")
+    // Multi-PART segments too: a 6-partition bulk append writes several
+    // part files per segment; plan order must still be offset order.
+    svc.log.appendDF(
+      (40 until 120).map(i => s"bulk-$i".getBytes).toDF("value").repartition(6))
+    val all = svc.consumeStream("root", 0).map(_.offset).toSeq
+    assert(all == (0L until 120L), s"out of order after bulk append: $all")
     // The plan that backs the iterator must carry neither a Sort nor an
     // Exchange: the scan's partition order IS the delivery order.
-    val session = spark
-    import session.implicits._
     val plan = session.read
       .format("graft")
       .load(svc.log.dir)
