@@ -37,13 +37,19 @@ class Engine(
       */
     val rpcAddr: String = "local[*]",
     /** Additional cluster members to advertise (see [[LogService.peers]]). */
-    val peers: Seq[graft.server.ServerInfo] = Nil
+    val peers: Seq[graft.server.ServerInfo] = Nil,
+    /** Whether this node is the cluster's single writer (the deployer's
+      * Raft-leadership stand-in — see [[LogService.isLeader]]). A replica
+      * serving a pull-replicated copy passes false and announces itself to
+      * the leader via the membership layer.
+      */
+    val isLeader: Boolean = true
 ) {
   if (rocksdbStateStore) Engine.enableRocksDBStateStore(spark)
 
   val log: SparkLog = SparkLog(spark, dataDir, config)
   val service: LogService =
-    new LogService(log, acl, nodeName, rpcAddr, isLeader = true, peers)
+    new LogService(log, acl, nodeName, rpcAddr, isLeader = isLeader, peers)
 
   graft.functions.GraftFunctions.register(spark)
 

@@ -41,7 +41,8 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | replicate <peerDir> <ckptDir>)\n" +
+      "usage: graft.Main --data-dir DIR [--subject S] [--name N] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | replicate <peerDir> <ckptDir>)\n" +
+        "       graft.Main --data-dir DIR --follower --join HOST:PORT serve-grpc [port]   (announce to a cluster; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT (produce <v>... | consume <off> | servers)"
     )
     sys.exit(2)
@@ -87,6 +88,9 @@ object Main {
     var dataDir: Option[String] = None
     var bootstrap: Option[String] = None
     var subject = "root"
+    var joinAddr: Option[String] = None
+    var follower = false
+    var nodeName: Option[String] = None
     var rest = List.empty[String]
     var i = 0
     while (i < args.length) {
@@ -94,7 +98,10 @@ object Main {
         case "--data-dir" if i + 1 < args.length  => dataDir = Some(args(i + 1)); i += 2
         case "--bootstrap" if i + 1 < args.length => bootstrap = Some(args(i + 1)); i += 2
         case "--subject" if i + 1 < args.length   => subject = args(i + 1); i += 2
-        case "--data-dir" | "--bootstrap" | "--subject" => usage()
+        case "--join" if i + 1 < args.length      => joinAddr = Some(args(i + 1)); i += 2
+        case "--name" if i + 1 < args.length      => nodeName = Some(args(i + 1)); i += 2
+        case "--follower"                         => follower = true; i += 1
+        case "--data-dir" | "--bootstrap" | "--subject" | "--join" | "--name" => usage()
         case other                                => rest = rest :+ other; i += 1
       }
     }
@@ -122,7 +129,13 @@ object Main {
         )
       case _ => "local[*]"
     }
-    val engine = new Engine(spark, dir, rpcAddr = advertised)
+    val engine = new Engine(
+      spark,
+      dir,
+      nodeName = nodeName.getOrElse(if (follower) s"follower-$advertised" else "driver-0"),
+      rpcAddr = advertised,
+      isLeader = !follower
+    )
 
     try {
       rest match {
@@ -172,6 +185,27 @@ object Main {
             anonymousSubject = subject
           ).start()
           println(s"serving gRPC on port ${srv.boundPort}")
+          // Announce to the cluster (the agent's StartJoinAddrs analog,
+          // reference: internal/agent/agent.go:151-163 via Serf join):
+          // register with the bootstrap member, seed our own view from its
+          // response, and depart on shutdown.
+          joinAddr.foreach { addr =>
+            val (h, p) = addr.lastIndexOf(':') match {
+              case -1 => usage()
+              case ix => (addr.substring(0, ix), addr.substring(ix + 1).toInt)
+            }
+            val self = engine.service.membership.local
+            val peer = new graft.server.grpc.GrpcLogClient(h, p)
+            val view = peer.join(self)
+            view.foreach(engine.service.membership.join)
+            println(s"joined via $addr; cluster: ${view.map(_.id).mkString(", ")}")
+            Runtime.getRuntime.addShutdownHook(new Thread(() => {
+              try peer.leave(self.id)
+              catch { case _: Exception => () }
+              try peer.close()
+              catch { case _: Exception => () }
+            }))
+          }
           Thread.currentThread.join()
         case "replicate" :: peer :: ckpt :: Nil =>
           val q = engine.replicateFrom(

@@ -68,13 +68,35 @@ class LogService(
       * (Engine.replicate) is a follower.
       */
     val isLeader: Boolean = true,
-    /** Other cluster members to advertise through GetServers. The reference
-      * answers from the Raft configuration; without a consensus layer the
-      * deployer wires the topology (each peer row carries its own
-      * `isLeader`). Static per service instance — re-wire to change.
+    /** Initial cluster members to advertise through GetServers — deployer
+      * seeding for [[membership]], which then tracks runtime churn (each
+      * peer row carries its own `isLeader`).
       */
     val peers: Seq[ServerInfo] = Nil
 ) {
+
+  /** Live topology: deployer-seeded, then fed by Join/Leave announcements
+    * (the Serf stand-in — see [[Membership]]).
+    */
+  val membership: Membership =
+    new Membership(ServerInfo(nodeName, rpcAddr, isLeader = isLeader), peers)
+
+  /** A member announces itself (reference: discovery handler.Join,
+    * membership.go:101-109). Mutating control-plane → produce permission,
+    * the write-shaped ACL action. Returns the full post-join view so the
+    * joiner learns the topology it just entered.
+    */
+  def join(subject: String, member: ServerInfo): Seq[ServerInfo] = {
+    acl.authorize(subject, Action.Produce)
+    membership.join(member)
+    getServers
+  }
+
+  /** A member departs (reference: handler.Leave, membership.go:111-117). */
+  def leave(subject: String, id: String): Unit = {
+    acl.authorize(subject, Action.Produce)
+    val _ = membership.leave(id)
+  }
 
   /** R1 Produce (reference: internal/server/server.go:100-109). */
   def produce(subject: String, req: ProduceRequest): ProduceResponse = {
@@ -142,11 +164,11 @@ class LogService(
     log.tail(from)
   }
 
-  /** R5 GetServers: this node plus any wired peers (reference:
+  /** R5 GetServers: this node plus the live membership view (reference:
     * server.go:180-190, internal/log/distributed.go:188-202 — there the
-    * list comes from the Raft configuration; here from deployment wiring).
-    * Single-node default: one leader row, no followers.
+    * list comes from the Raft configuration; here from deployer seeding
+    * plus runtime Join/Leave churn). Single-node default: one leader row,
+    * no followers.
     */
-  def getServers: Seq[ServerInfo] =
-    ServerInfo(nodeName, rpcAddr, isLeader = isLeader) +: peers
+  def getServers: Seq[ServerInfo] = membership.list
 }

@@ -34,11 +34,22 @@ class BalancedLogClient(
     /** Authority override for TLS hostname verification, applied to every
       * member channel (test certificates typically name one host).
       */
-    authority: Option[String] = None
+    authority: Option[String] = None,
+    /** Re-resolve the member list when the view is older than this before
+      * routing a call — how membership churn (a follower joining or
+      * leaving, see [[MembershipProto]]) reaches a long-lived client
+      * without a failure first. The reference gets this push-style from
+      * Serf-fed resolver updates; a staleness-bounded pull is the
+      * client-side analog. 0 disables (resolve only at construction and
+      * on explicit [[refresh]]); a stale refresh that fails keeps the
+      * previous view (routing then falls back on per-call errors).
+      */
+    refreshEveryMillis: Long = 3000L
 ) extends AutoCloseable {
 
   /** Member list as of the last [[refresh]], in GetServers order. */
   @volatile private var members: Seq[ServerInfo] = Nil
+  @volatile private var resolvedAtNanos: Long = Long.MinValue
   private var clients: Map[String, GrpcLogClient] = Map.empty
   private val rr = new AtomicLong(0L)
 
@@ -68,7 +79,20 @@ class BalancedLogClient(
     val (stay, gone) = clients.partition { case (addr, _) => keep(addr) }
     gone.valuesIterator.foreach(c => try c.close() catch { case _: Exception => () })
     clients = stay
+    resolvedAtNanos = System.nanoTime()
   }
+
+  /** Staleness-bounded re-resolution before routing; failures keep the
+    * previous view (the call then surfaces its own transport error).
+    */
+  private def maybeRefresh(): Unit =
+    if (
+      refreshEveryMillis > 0L &&
+      System.nanoTime() - resolvedAtNanos > refreshEveryMillis * 1000000L
+    ) {
+      try refresh()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** Current view of the cluster (last resolution). */
   def servers: Seq[ServerInfo] = members
@@ -108,14 +132,19 @@ class BalancedLogClient(
   // ------------------------------------------------------------- routing
   // Produce-shaped RPCs → leader; Consume-shaped → follower (picker.go:48-56).
 
-  def produce(value: Array[Byte]): Long = leaderClient.produce(value)
+  def produce(value: Array[Byte]): Long = { maybeRefresh(); leaderClient.produce(value) }
 
-  def produceStream(values: Seq[Array[Byte]], timeoutSec: Long = 30L): Seq[Long] =
+  def produceStream(values: Seq[Array[Byte]], timeoutSec: Long = 30L): Seq[Long] = {
+    maybeRefresh()
     leaderClient.produceStream(values, timeoutSec)
+  }
 
-  def consume(offset: Long): LogRecord = followerClient.consume(offset)
+  def consume(offset: Long): LogRecord = { maybeRefresh(); followerClient.consume(offset) }
 
-  def consumeStream(offset: Long): Iterator[LogRecord] = followerClient.consumeStream(offset)
+  def consumeStream(offset: Long): Iterator[LogRecord] = {
+    maybeRefresh()
+    followerClient.consumeStream(offset)
+  }
 
   override def close(): Unit = synchronized {
     clients.valuesIterator.foreach(c => try c.close() catch { case _: Exception => () })

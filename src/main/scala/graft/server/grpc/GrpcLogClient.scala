@@ -110,6 +110,16 @@ class GrpcLogClient(
   def getServers: Seq[ServerInfo] =
     ClientCalls.blockingUnaryCall(channel, LogProto.GetServers, CallOptions.DEFAULT, ())
 
+  /** Announce a member to this server (`graft.v1.Membership/Join` — the
+    * Serf-join stand-in); returns the server's full post-join view.
+    */
+  def join(member: ServerInfo): Seq[ServerInfo] =
+    ClientCalls.blockingUnaryCall(channel, MembershipProto.Join, CallOptions.DEFAULT, member)
+
+  /** Announce a departure (`graft.v1.Membership/Leave`). */
+  def leave(id: String): Unit =
+    ClientCalls.blockingUnaryCall(channel, MembershipProto.Leave, CallOptions.DEFAULT, id)
+
   override def close(): Unit = {
     channel.shutdownNow()
     val _ = channel.awaitTermination(10, TimeUnit.SECONDS)

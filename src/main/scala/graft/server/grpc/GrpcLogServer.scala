@@ -261,6 +261,29 @@ class GrpcLogServer(
       .build()
   }
 
+  /** `graft.v1.Membership` — the Serf-gossip stand-in (see
+    * [[MembershipProto]]): members announce themselves and depart through
+    * these two RPCs, and `log.v1.Log/GetServers` reflects the churn.
+    */
+  private def membershipDefinition: ServerServiceDefinition = {
+    val subject = () => SubjectKey.get()
+    ServerServiceDefinition
+      .builder("graft.v1.Membership")
+      .addMethod(
+        MembershipProto.Join,
+        ServerCalls.asyncUnaryCall(unary { (m: graft.server.ServerInfo) =>
+          service.join(subject(), m)
+        })
+      )
+      .addMethod(
+        MembershipProto.Leave,
+        ServerCalls.asyncUnaryCall(unary { (id: String) =>
+          service.leave(subject(), id)
+        })
+      )
+      .build()
+  }
+
   // ---------------------------------------------------------------- server
 
   def start(): GrpcLogServer = {
@@ -280,6 +303,7 @@ class GrpcLogServer(
     server = org.sparkproject.connect.grpc.netty.NettyServerBuilder
       .forPort(port, creds)
       .addService(serviceDefinition)
+      .addService(membershipDefinition)
       .intercept(new AuthInterceptor(anonymousSubject))
       .build()
       .start()

@@ -1,0 +1,139 @@
+package graft.server.grpc
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.log.{LogConfig, SparkLog}
+import graft.server.{Acl, ConsumeRequest, ConsumeResponse, LogService, Membership, MembershipHandler, PermissionDeniedException, ProduceRequest, ProduceResponse, ServerInfo}
+
+/** Dynamic membership — the Serf stand-in. The registry half mirrors the
+  * reference's membership tests (reference:
+  * internal/discovery/membership_test.go:14-35 — three members join, the
+  * view counts them, a leave is reflected); the e2e half mirrors the agent
+  * test's semantics (reference: internal/agent/agent_test.go:24-84 — a
+  * joined follower serves consumes) over real sockets: a follower joins
+  * MID-RUN through the `graft.v1.Membership` RPC, the balanced client's
+  * re-resolution starts routing consumes to it, and after it leaves,
+  * routing excludes it again.
+  */
+class MembershipSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ------------------------------------------------------------- registry
+
+  test("join/leave update the view and fire handlers (membership_test.go:14-35)") {
+    val m = new Membership(ServerInfo("leader", "h:1", isLeader = true))
+    val joins = new AtomicInteger(0)
+    val leaves = new AtomicInteger(0)
+    val sub = m.subscribe(new MembershipHandler {
+      override def onJoin(member: ServerInfo): Unit = joins.incrementAndGet()
+      override def onLeave(id: String): Unit = leaves.incrementAndGet()
+    })
+
+    assert(m.join(ServerInfo("f-0", "h:2", isLeader = false)))
+    assert(m.join(ServerInfo("f-1", "h:3", isLeader = false)))
+    assert(m.size == 3 && joins.get == 2)
+    // Idempotent re-join: no view change, no handler fire.
+    assert(!m.join(ServerInfo("f-0", "h:2", isLeader = false)))
+    assert(joins.get == 2)
+    // Rejoin under the same id with a NEW address replaces (node restart)
+    // and fires the handler again — the address change IS churn.
+    assert(m.join(ServerInfo("f-0", "h:9", isLeader = false)))
+    assert(m.list.find(_.id == "f-0").exists(_.rpcAddr == "h:9"))
+    assert(joins.get == 3)
+    // Self-join is ignored (membership.go isLocal skip).
+    assert(!m.join(ServerInfo("leader", "elsewhere:1", isLeader = true)))
+
+    assert(m.leave("f-1") && m.size == 2 && leaves.get == 1)
+    assert(!m.leave("f-1"), "double leave is a no-op")
+    assert(m.list.map(_.id) == Seq("leader", "f-0"), "local first, join order after")
+
+    sub.close()
+    m.join(ServerInfo("f-2", "h:4", isLeader = false))
+    assert(joins.get == 3, "unsubscribed handler must not fire")
+  }
+
+  test("membership RPCs require produce permission") {
+    val log = SparkLog(spark, TestSpark.tempDir("member-acl"))
+    val svc = new LogService(log)
+    intercept[PermissionDeniedException] {
+      svc.join("nobody", ServerInfo("x", "h:1", isLeader = false))
+    }
+    intercept[PermissionDeniedException](svc.leave("nobody", "x"))
+    assert(svc.join("root", ServerInfo("x", "h:1", isLeader = false)).exists(_.id == "x"))
+  }
+
+  // ------------------------------------------------------------------ e2e
+
+  private final class CountingService(
+      log: SparkLog,
+      name: String,
+      addr: => String,
+      leader: Boolean
+  ) extends LogService(log, Acl.rootOnly, name, "placeholder", leader) {
+    val consumed = new AtomicInteger(0)
+    override def consume(subject: String, req: ConsumeRequest): ConsumeResponse = {
+      consumed.incrementAndGet(); super.consume(subject, req)
+    }
+    override def produce(subject: String, req: ProduceRequest): ProduceResponse =
+      super.produce(subject, req)
+    override def getServers: Seq[ServerInfo] =
+      ServerInfo(nodeName, addr, isLeader = leader) +: membership.list.tail
+  }
+
+  test("a follower joining mid-run starts receiving consumes; leaving excludes it") {
+    val log = SparkLog(spark, TestSpark.tempDir("member-e2e"), LogConfig(maxStoreBytes = 256))
+    var leaderPort = 0
+    val leaderSvc = new CountingService(log, "leader", s"localhost:$leaderPort", leader = true)
+    val leaderSrv = new GrpcLogServer(leaderSvc, port = 0, anonymousSubject = "root").start()
+    leaderPort = leaderSrv.boundPort
+
+    // refreshEveryMillis = 1: every routed call re-resolves, so churn is
+    // visible immediately (deterministic; production default is 3 s).
+    val client =
+      new BalancedLogClient("localhost", leaderSrv.boundPort, refreshEveryMillis = 1L)
+    try {
+      client.produce("m0".getBytes)
+      client.produce("m1".getBytes)
+      // No followers yet: reads land on the leader.
+      client.consume(0L)
+      assert(leaderSvc.consumed.get == 1)
+      assert(client.servers.size == 1)
+
+      // Follower joins MID-RUN through the membership RPC (same shared
+      // log — the pull-replica arrangement the multi-node story uses).
+      var followerPort = 0
+      val followerSvc =
+        new CountingService(log, "follower-0", s"localhost:$followerPort", leader = false)
+      val followerSrv = new GrpcLogServer(followerSvc, port = 0, anonymousSubject = "root").start()
+      followerPort = followerSrv.boundPort
+      try {
+        val announce = new GrpcLogClient("localhost", leaderSrv.boundPort)
+        val view = announce.join(ServerInfo("follower-0", s"localhost:$followerPort", false))
+        assert(view.map(_.id).toSet == Set("leader", "follower-0"))
+
+        // The balanced client's next consumes re-resolve and route to the
+        // follower; the leader's consume counter must not move.
+        val leaderBefore = leaderSvc.consumed.get
+        (0 until 4).foreach(i => assert(new String(client.consume(i % 2L).value) == s"m${i % 2}"))
+        assert(followerSvc.consumed.get == 4, "joined follower must receive the consumes")
+        assert(leaderSvc.consumed.get == leaderBefore)
+        assert(client.servers.size == 2)
+
+        // Departure: routing excludes the follower again.
+        announce.leave("follower-0")
+        val followerBefore = followerSvc.consumed.get
+        (0 until 2).foreach(i => client.consume(i.toLong))
+        assert(followerSvc.consumed.get == followerBefore, "departed follower must see no reads")
+        assert(leaderSvc.consumed.get == leaderBefore + 2)
+        assert(client.servers.size == 1)
+        announce.close()
+      } finally followerSrv.stop()
+    } finally {
+      client.close()
+      leaderSrv.stop()
+    }
+  }
+}
