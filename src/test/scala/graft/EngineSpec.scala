@@ -120,4 +120,66 @@ class EngineSpec extends AnyFunSuite {
     val r = spark.sql("SELECT cosine_similarity(array(3.0d,4.0d), array(3.0d,4.0d))").head().getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("leader failover drill: fence, claim, catch-up — no fork, no loss") {
+    // The availability property Raft gives the reference
+    // (reference: internal/log/distributed.go:90-95 automatic leader
+    // promotion), composed from graft's parts: writer fencing makes a
+    // MANUAL promotion safe, and pull replication converges the replica
+    // after it. Sequence: writer A dies mid-stream → a promoted writer
+    // claims the same log (epoch fence) → replication catches up → a
+    // stray write from zombie A throws instead of forking → offsets stay
+    // contiguous and the replica's content equals the new leader's.
+    val primaryDir = TestSpark.tempDir("fo-primary")
+    val a = Engine(spark, primaryDir) // writer A — will become the zombie
+    a.log.append(Seq("w0".getBytes, "w1".getBytes, "w2".getBytes))
+
+    // Standby replica tailing the primary (the reference's replicator).
+    val replica = Engine(spark, TestSpark.tempDir("fo-replica"))
+    val ckpt = TestSpark.tempDir("fo-ckpt")
+    def catchUp(): Unit = {
+      val q = replica.replicateFrom(
+        primaryDir,
+        checkpoint = ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      )
+      q.processAllAvailable(); q.awaitTermination(30000)
+    }
+    catchUp()
+    assert(replica.log.highestOffset == 2)
+
+    // A "dies" mid-stream (stops committing but still holds its handle —
+    // the zombie-driver case). Promotion: a new process claims the SAME
+    // log; the claim IS the fence.
+    val b = Engine(spark, primaryDir)
+    assert(b.log.writerEpoch > a.log.writerEpoch)
+    assert(b.log.highestOffset == 2, "promotion adopts the committed state, no loss")
+    assert(b.log.appendOne("w3".getBytes) == 3L, "offsets continue, no gap")
+
+    // Zombie A's stray write is fenced — it cannot fork history.
+    val e = intercept[graft.log.LogFencedException](a.log.appendOne("zombie".getBytes))
+    assert(e.ourEpoch == a.log.writerEpoch && e.observedEpoch == b.log.writerEpoch)
+
+    // Replication reconnects to the promoted writer and catches up;
+    // exactly-once tokens make the re-run a no-op for old batches.
+    b.log.appendOne("w4".getBytes)
+    catchUp()
+    assert(replica.log.highestOffset == 4)
+
+    // No fork, no loss, no duplicates: one linear history on the primary,
+    // and the replica's content is byte-identical in offset order.
+    val primary = b.log.toDF
+      .select("offset", "value")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1))))
+    assert(primary.map(_._1).toSeq == (0L to 4L))
+    assert(primary.map(_._2).toSeq == Seq("w0", "w1", "w2", "w3", "w4"))
+    val replicated = replica.log.toDF
+      .select("offset", "value")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1))))
+    assert(replicated.toSeq == primary.toSeq)
+  }
 }
