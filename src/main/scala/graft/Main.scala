@@ -185,6 +185,13 @@ object Main {
             anonymousSubject = subject
           ).start()
           println(s"serving gRPC on port ${srv.boundPort}")
+          // Ops visibility: per-RPC counters on shutdown (the OpenCensus-
+          // views stand-in — see GrpcLogServer.stats).
+          Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            srv.stats.toSeq.sortBy(_._1).foreach { case (m, (calls, errors)) =>
+              System.err.println(s"rpc $m: calls=$calls errors=$errors")
+            }
+          }))
           // Announce to the cluster (the agent's StartJoinAddrs analog,
           // reference: internal/agent/agent.go:151-163 via Serf join):
           // register with the bootstrap member, seed our own view from its

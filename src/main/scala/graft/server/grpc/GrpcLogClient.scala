@@ -120,6 +120,12 @@ class GrpcLogClient(
   def leave(id: String): Unit =
     ClientCalls.blockingUnaryCall(channel, MembershipProto.Leave, CallOptions.DEFAULT, id)
 
+  /** Standard `grpc.health.v1.Health/Check` — returns the ServingStatus
+    * enum value (1 = SERVING). Empty name asks about the whole server.
+    */
+  def healthCheck(service: String = ""): Int =
+    ClientCalls.blockingUnaryCall(channel, HealthProto.Check, CallOptions.DEFAULT, service)
+
   override def close(): Unit = {
     channel.shutdownNow()
     val _ = channel.awaitTermination(10, TimeUnit.SECONDS)

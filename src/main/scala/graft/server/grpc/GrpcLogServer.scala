@@ -171,6 +171,7 @@ class GrpcLogServer(
       )
     case p: PermissionDeniedException =>
       Status.PERMISSION_DENIED.withDescription(p.getMessage).asRuntimeException()
+    case already: StatusRuntimeException => already
     case other =>
       Status.INTERNAL.withDescription(String.valueOf(other.getMessage)).asRuntimeException()
   }
@@ -261,6 +262,75 @@ class GrpcLogServer(
       .build()
   }
 
+  /** Per-RPC call/error counters, keyed by full method name — the
+    * lightweight stand-in for the reference's OpenCensus stats views
+    * (reference: internal/server/server.go:66-76). Snapshot via [[stats]];
+    * the CLI prints them on shutdown.
+    */
+  private val rpcCalls = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val rpcErrors = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  @volatile private var serving = false
+
+  private def bump(
+      m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong],
+      key: String
+  ): Unit =
+    m.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+
+  /** (calls, errors) per full RPC method name, for everything served since
+    * start. Error = the call closed with a non-OK status (including the
+    * typed 404s — they are wire-level errors exactly as in the reference).
+    */
+  def stats: Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    (rpcCalls.keySet.asScala ++ rpcErrors.keySet.asScala).map { k =>
+      k -> (Option(rpcCalls.get(k)).map(_.get).getOrElse(0L),
+      Option(rpcErrors.get(k)).map(_.get).getOrElse(0L))
+    }.toMap
+  }
+
+  /** Counting interceptor: one call bump at arrival, one error bump when
+    * the call closes non-OK.
+    */
+  private final class MetricsInterceptor extends ServerInterceptor {
+    override def interceptCall[ReqT, RespT](
+        call: ServerCall[ReqT, RespT],
+        headers: Metadata,
+        next: ServerCallHandler[ReqT, RespT]
+    ): ServerCall.Listener[ReqT] = {
+      val name = call.getMethodDescriptor.getFullMethodName
+      bump(rpcCalls, name)
+      val counted = new ForwardingServerCall.SimpleForwardingServerCall[ReqT, RespT](call) {
+        override def close(status: Status, trailers: Metadata): Unit = {
+          if (!status.isOk) bump(rpcErrors, name)
+          super.close(status, trailers)
+        }
+      }
+      next.startCall(counted, headers)
+    }
+  }
+
+  /** `grpc.health.v1.Health/Check` — the standard health surface the
+    * reference registers (server.go:60-64). The empty service name (the
+    * whole server) and both served services report SERVING while the
+    * server runs, NOT_SERVING during shutdown; unknown service names get
+    * the contract's NOT_FOUND.
+    */
+  private def healthDefinition: ServerServiceDefinition =
+    ServerServiceDefinition
+      .builder("grpc.health.v1.Health")
+      .addMethod(
+        HealthProto.Check,
+        ServerCalls.asyncUnaryCall(unary { (svc: String) =>
+          if (svc.nonEmpty && svc != "log.v1.Log" && svc != "graft.v1.Membership")
+            throw Status.NOT_FOUND
+              .withDescription(s"unknown service: $svc")
+              .asRuntimeException()
+          if (serving) HealthProto.StatusServing else HealthProto.StatusNotServing
+        })
+      )
+      .build()
+
   /** `graft.v1.Membership` — the Serf-gossip stand-in (see
     * [[MembershipProto]]): members announce themselves and depart through
     * these two RPCs, and `log.v1.Log/GetServers` reflects the churn.
@@ -304,9 +374,14 @@ class GrpcLogServer(
       .forPort(port, creds)
       .addService(serviceDefinition)
       .addService(membershipDefinition)
+      .addService(healthDefinition)
+      // Interceptor order: metrics OUTSIDE auth, so denied calls still
+      // count (they do in the reference's stats handler too).
       .intercept(new AuthInterceptor(anonymousSubject))
+      .intercept(new MetricsInterceptor)
       .build()
       .start()
+    serving = true
     commitHook = service.log.onCommit(() => wakeWaiters())
     // Safety net: re-arm parked tails on a coarse cadence in case data
     // lands through a path the hook doesn't see.
@@ -322,6 +397,7 @@ class GrpcLogServer(
   def boundPort: Int = server.getPort
 
   def stop(): Unit = {
+    serving = false
     if (commitHook != null) commitHook.close()
     if (server != null) {
       server.shutdownNow()
