@@ -54,6 +54,7 @@ object Verify {
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        e.printStackTrace() // message-only hides the cause (e.g. an NPE)
       }
       // Free any localCheckpoint blocks the builder materialized — 96
       // queries back-to-back would otherwise accumulate dead storage.

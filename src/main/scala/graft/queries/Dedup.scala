@@ -2,7 +2,7 @@ package graft.queries
 
 import scala.util.chaining._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,13 +33,19 @@ import Q.t
   */
 object Dedup {
 
-  /** Above this many 64-word bitmap blocks (512 blocks = 32,768 words) the
-    * per-doc signature stops being scalar columns: a million-word vocabulary
-    * would otherwise plan ~15k long columns. Past the cap the exact verify
+  /** Above this many 64-word bitmap blocks (64 blocks = 4,096 words) the
+    * per-doc signature stops being scalar columns and the exact verify
     * falls back to `array_intersect` over the sorted dense-id arrays —
-    * same result, array-sized rows instead of wide ones.
+    * same result, array-sized rows instead of wide ones. The cutoff is a
+    * DENSITY argument, not a planner limit: a whole-vocabulary bitmap
+    * costs nBlocks longs per doc regardless of how few words the doc has,
+    * so past ~4k words the bitmap row (512 B+) outweighs the sorted-id
+    * array of a typical document (~100 ints) — heavier to shuffle into
+    * the verify joins AND O(nBlocks·|doc|) to encode (one filter+aggregate
+    * pass per block). A realistic Zipf 25k-word corpus sat below the old
+    * 32k-word cap and paid 3 KB/doc signatures for ~100-word docs.
     */
-  private[queries] val MaxBitmapBlocks = 512
+  private[queries] val MaxBitmapBlocks = 64
 
   /** At or below this many blocks (8 × 64 = 512 words) the vocabulary is so
     * small that token-based candidate generation is information-free — every
@@ -122,6 +128,16 @@ object Dedup {
     // the whole candidate/verify cost and the win is 7-50x.
     jaccardRepPairs(s, documents)
 
+  /** Pairwise (log-depth) sum. A left-deep `reduce(_ + _)` builds an Add
+    * chain as deep as the term count, and the Column-node→Expression
+    * converter recurses ~10 stack frames per level — a few hundred terms
+    * overflow the driver stack. Balanced grouping is depth log₂(n), safe
+    * at any block count.
+    */
+  private def balancedSum(cols: Seq[Column]): Column =
+    if (cols.sizeIs <= 1) cols.head
+    else balancedSum(cols.grouped(2).map(_.reduce(_ + _)).toSeq)
+
   /** The candidate/verify pair machinery; input docs need not be set-
     * distinct (each doc is then its own representative).
     */
@@ -174,9 +190,8 @@ object Dedup {
                 ): _*
             )
             .pipe(graft.queries.Checkpoints.checkpoint)
-          val inter = (0 until nBlocks)
-            .map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)"))
-            .reduce(_ + _)
+          val inter = balancedSum(
+            (0 until nBlocks).map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)")))
           // TRIANGLE-partitioned all-pairs within lang: docs hash into G
           // groups; every unordered group pair (p ≤ q) is one shuffle
           // bucket, the left role covers buckets (g, q≥g) and the right
@@ -256,25 +271,26 @@ object Dedup {
         // collect_list shuffle from scratch. One materialization of
         // (doc_id, lang, wids, sz, blocks) — the dense-id signature, no
         // text — replaces two full corpus re-aggregations.
+        // All block columns in ONE projection — a withColumn fold nests a
+        // Project per block and the Column-node→Expression conversion
+        // recurses per level, which at a few hundred blocks is a driver
+        // StackOverflowError (flushed out by the realistic-vocab soak).
         val enc = (
           if (!useBitmaps) base
           else
-            (0 until nBlocks).foldLeft(base) { (df, i) =>
-              df.withColumn(
-                s"m_$i",
+            base.select(
+              col("*") +: (0 until nBlocks).map(i =>
                 expr(
                   s"""aggregate(filter(wids, w -> w div 64 = $i),
                                 CAST(0 AS BIGINT),
                                 (acc, w) -> acc | shiftleft(CAST(1 AS BIGINT), w % 64))"""
-                )
-              )
-            }
+                ).as(s"m_$i")): _*
+            )
         ).pipe(graft.queries.Checkpoints.checkpoint)
         val inter =
           if (useBitmaps)
-            (0 until nBlocks)
-              .map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)"))
-              .reduce(_ + _)
+            balancedSum(
+              (0 until nBlocks).map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)")))
           else expr("CAST(cardinality(array_intersect(wa, wb)) AS BIGINT)")
         val sigA = (if (useBitmaps) (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i"))
                     else Seq(col("wids").as("wa")))
