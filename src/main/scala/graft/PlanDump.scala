@@ -96,19 +96,31 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // Optional second arg: output file. `runMain graft.PlanDump tmp/sf1
+    // PLANS_sf1.md` regenerates the evidence at soak-scale STATISTICS —
+    // AQE's broadcast/coalesce/skew decisions are size-dependent, and the
+    // one genuine scale bug so far (single-task pair expansion) was
+    // invisible at sf0.001 sizes. PlanSf1Spec asserts the load-bearing
+    // shapes against the same corpus.
+    val outFile = if (args.length > 1) args(1) else "PLANS.md"
 
     val keep = Seq("Join", "Exchange", "Window", "Scan parquet", "Aggregate",
       "TakeOrdered", "Sort ", "Project", "mapPartitions", "SerializeFromObject")
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan evidence for the headline queries\n\n")
-    sb.append("Generated by `sbt \"runMain graft.PlanDump\"` at sf0.001; plan-shape\n")
-    sb.append("assertions are enforced in `PlanSpec`. Skeleton lines only\n")
+    sb.append(s"Generated by `sbt \"runMain graft.PlanDump\"` against `$d`; plan-shape\n")
+    sb.append("assertions are enforced in `PlanSpec` (and `PlanSf1Spec` at soak\n")
+    sb.append("statistics). Skeleton lines only\n")
     sb.append("(joins / exchanges / windows / scans / aggregates) — run\n")
     sb.append("`.explain(\"formatted\")` on any `SparkEntry.queries` entry for the full plan.\n")
 
     commentary.foreach { case (name, why) =>
       val df = SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.executedPlan.toString
+      // Building some frames materializes localCheckpoints (signature
+      // tables); free them so 22 queries back-to-back don't pile up
+      // un-recomputable storage at soak scale.
+      graft.queries.Checkpoints.release()
       val skeleton = plan.linesIterator
         .filter(l => keep.exists(l.contains))
         .map(_.take(140))
@@ -116,8 +128,8 @@ object PlanDump {
       sb.append(s"\n## $name\n\n$why\n\n```\n$skeleton\n```\n")
     }
 
-    Files.write(Paths.get("PLANS.md"), sb.toString.getBytes("UTF-8"))
-    println(s"wrote PLANS.md (${commentary.size} queries)")
+    Files.write(Paths.get(outFile), sb.toString.getBytes("UTF-8"))
+    println(s"wrote $outFile (${commentary.size} queries)")
     spark.stop()
   }
 }
