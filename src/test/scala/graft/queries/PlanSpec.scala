@@ -79,6 +79,33 @@ class PlanSpec extends AnyFunSuite {
     assert(joins.nonEmpty, "pair join no longer keyed on the triangle group pair")
   }
 
+  test("prefix-filtered jaccard branches join candidates on the token id, no cartesian") {
+    // The realistic-vocabulary branches (bitmap ≤4096 words, array above):
+    // candidate generation must be a shuffle join keyed on the exploded
+    // prefix token id — never a cartesian/broadcast of the corpus — and
+    // the verify step re-joins the signature table on doc ids. Guards the
+    // branch the driver corpora (31-word vocabulary) never reach; the Zipf
+    // soak exercises it at data scale, this pins the plan shape in CI.
+    import spark.implicits._
+    def corpus(vocabPerDoc: Int): org.apache.spark.sql.DataFrame =
+      (0 until 60).map { i =>
+        val words = (0 until vocabPerDoc).map(j => s"w${i * (vocabPerDoc / 2) + j}")
+        (i.toLong, "en", words.mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+    for ((vpd, label) <- Seq(40 -> "bitmap", 160 -> "array")) {
+      val df = Dedup.jaccardPairsFrom(spark, corpus(vpd))
+      val p = df.queryExecution.executedPlan.toString
+      Checkpoints.release()
+      assert(!p.contains("CartesianProduct"), s"$label branch planned a cartesian:\n$p")
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"), s"$label branch forces a broadcast:\n$analyzed")
+      assert(
+        p.linesIterator.exists(l => l.contains("Join") && l.contains("wid")),
+        s"$label branch candidate join no longer keyed on the prefix token id:\n$p"
+      )
+    }
+  }
+
   test("simhash pairs join on the band columns, not bare lang") {
     val p = plan("dedup_simhash_pairs")
     val joins = p.linesIterator.filter(l => l.contains("Join") && l.contains("band")).toList
