@@ -97,6 +97,28 @@ class BalancedLogClient(
   /** Current view of the cluster (last resolution). */
   def servers: Seq[ServerInfo] = members
 
+  /** Block until the resolved view contains a leader, re-resolving on a
+    * ticker — the reference's `DistributedLog.WaitForLeader`
+    * (reference: internal/log/distributed.go:164-178 polls `raft.Leader()`
+    * on a 1 s tick until the election settles; the agent calls it before
+    * serving, agent.go:119). Here "election" is the deployer promoting or
+    * starting a leader-role node, so each tick is a GetServers
+    * re-resolution; returns the leader row, or throws
+    * [[NoLeaderException]] after `timeoutMillis` like the reference's
+    * "leader timed out" error.
+    */
+  def waitForLeader(timeoutMillis: Long = 3000L, tickMillis: Long = 1000L): ServerInfo = {
+    val deadline = System.nanoTime() + timeoutMillis * 1000000L
+    var leader = members.find(_.isLeader)
+    while (leader.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(math.max(1L, math.min(tickMillis, timeoutMillis)))
+      try refresh()
+      catch { case scala.util.control.NonFatal(_) => () }
+      leader = members.find(_.isLeader)
+    }
+    leader.getOrElse(throw new NoLeaderException(s"leader timed out after $timeoutMillis ms"))
+  }
+
   private def clientFor(addr: String): GrpcLogClient = synchronized {
     clients.getOrElse(
       addr, {

@@ -136,4 +136,36 @@ class MembershipSpec extends AnyFunSuite {
       leaderSrv.stop()
     }
   }
+
+  test("waitForLeader blocks until promotion, times out leaderless (distributed.go:164-178)") {
+    val log = SparkLog(spark, TestSpark.tempDir("member-wait"))
+    // Follower-only cluster: resolution succeeds (the follower answers
+    // GetServers) but no row is a leader — the post-crash window before
+    // the deployer promotes a replacement.
+    var fPort = 0
+    val fSvc = new CountingService(log, "follower-0", s"localhost:$fPort", leader = false)
+    val fSrv = new GrpcLogServer(fSvc, port = 0, anonymousSubject = "root").start()
+    fPort = fSrv.boundPort
+    val client = new BalancedLogClient("localhost", fSrv.boundPort, refreshEveryMillis = 1L)
+    try {
+      intercept[NoLeaderException](client.waitForLeader(timeoutMillis = 300L, tickMillis = 50L))
+
+      // Promotion mid-wait: a leader announces itself through the
+      // membership RPC while a waiter ticks; the waiter must return it.
+      val waiter = new Thread(null, null, "wait-leader", 256 * 1024) {
+        @volatile var got: ServerInfo = _
+        override def run(): Unit =
+          got = client.waitForLeader(timeoutMillis = 10000L, tickMillis = 20L)
+      }
+      waiter.start()
+      val announce = new GrpcLogClient("localhost", fSrv.boundPort)
+      announce.join(ServerInfo("leader", "localhost:1", isLeader = true))
+      announce.close()
+      waiter.join(10000L)
+      assert(waiter.got != null && waiter.got.id == "leader", "waiter must see the promotion")
+    } finally {
+      client.close()
+      fSrv.stop()
+    }
+  }
 }
