@@ -141,13 +141,27 @@ object Dedup {
   /** The candidate/verify pair machinery; input docs need not be set-
     * distinct (each doc is then its own representative).
     */
-  private def jaccardRepPairs(s: SparkSession, documents: DataFrame): DataFrame = {
+  private def jaccardRepPairs(s: SparkSession, documents: DataFrame): DataFrame =
+    jaccardRepPairsTokens(
+      s,
+      documents.select(
+        col("doc_id"),
+        col("lang"),
+        array_distinct(split(lower(trim(col("text"))), " ")).as("words")
+      )
+    )
+
+  /** Tokenizer-generic core of [[jaccardRepPairs]]: input is already
+    * `(doc_id, lang, words)` with `words` the (distinct) token set, so the
+    * same three-branch strategy — degenerate-universe triangle bitmap,
+    * PPJoin prefix filtering, array-intersect fallback — serves any token
+    * definition (word sets for `dedup_jaccard`, char trigrams for
+    * `dedup_ngram_jaccard`). The strategy probe measures the ACTUAL token
+    * universe, so each tokenizer lands on the branch its vocabulary
+    * shape calls for.
+    */
+  private def jaccardRepPairsTokens(s: SparkSession, docs: DataFrame): DataFrame = {
         import s.implicits._
-        val docs = documents.select(
-          col("doc_id"),
-          col("lang"),
-          array_distinct(split(lower(trim(col("text"))), " ")).as("words")
-        )
         val wordRows = docs.select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
         // One bounded job decides the strategy AND fetches the tiny
         // dictionary when it applies: a limited distinct-collect is
@@ -516,6 +530,79 @@ object Dedup {
         -- runs over distinct sets, and only the final expansion joins
         -- touch clone-level cardinality — at the sf1 soak the doc-level
         -- formulation was a 10^10-row join DuckDB could not finish.
+        k AS MATERIALIZED (SELECT doc_id, lang, string_agg(word, chr(1) ORDER BY word) AS set_key
+              FROM w GROUP BY doc_id, lang),
+        grp AS MATERIALIZED (SELECT lang, set_key, min(doc_id) AS rep FROM k GROUP BY lang, set_key),
+        docrep AS MATERIALIZED (
+          SELECT k.doc_id, g.rep
+          FROM k JOIN grp g ON g.lang = k.lang AND g.set_key = k.set_key),
+        rw AS MATERIALIZED (SELECT g.rep AS doc_id, g.lang, w.word
+               FROM grp g JOIN w ON w.doc_id = g.rep AND w.lang = g.lang),
+        sz AS (SELECT doc_id, count(*) AS sz FROM rw GROUP BY doc_id),
+        p AS MATERIALIZED (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM rw a JOIN rw b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        reppairs AS MATERIALIZED (
+          SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+          FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6),
+        cross_pairs AS (
+          SELECT least(da.doc_id, db.doc_id) AS d1,
+                 greatest(da.doc_id, db.doc_id) AS d2, r.jaccard
+          FROM reppairs r
+          JOIN docrep da ON da.rep = r.d1
+          JOIN docrep db ON db.rep = r.d2),
+        within_pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(1.0 AS DOUBLE) AS jaccard
+          FROM docrep a JOIN docrep b ON a.rep = b.rep AND a.doc_id < b.doc_id)
+        SELECT d1, d2, jaccard FROM cross_pairs
+        UNION ALL
+        SELECT d1, d2, jaccard FROM within_pairs
+        ORDER BY d1, d2
+      """)
+    ),
+
+    // --- char n-gram Jaccard near-dup: trigram-set similarity pairs ---
+    // The character-level twin of dedup_jaccard: tokens are the distinct
+    // char TRIGRAMS of the normalized text instead of words, so edits
+    // inside words (typos, inflections, concatenations) that leave word
+    // sets disjoint still overlap heavily at the trigram level — the
+    // standard n-gram-Jaccard near-dup gate of training-data pipelines.
+    // Rides the same three-branch machinery; the strategy probe measures
+    // the TRIGRAM universe (bounded by charset³, small for synthetic
+    // corpora → triangle bitmap; tens of thousands for real text → PPJoin
+    // prefix filtering / array-intersect), so the branch choice adapts to
+    // the actual alphabet, exactly like the word path.
+    Q(
+      "dedup_ngram_jaccard",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("txt", lower(trim(col("text"))))
+          .select(
+            col("doc_id"),
+            col("lang"),
+            array_distinct(expr(
+              "transform(sequence(1, greatest(length(txt) - 2, 1)), i -> substring(txt, i, 3))"
+            )).as("words")
+          )
+        // Same checkpoint-before-sort rationale as dedup_jaccard: the
+        // global orderBy's range-bound sampling would re-run the pair join.
+        jaccardRepPairsTokens(s, docs)
+          .pipe(graft.queries.Checkpoints.checkpoint)
+          .orderBy("d1", "d2")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang, lower(trim(text)) AS txt FROM documents),
+        w AS MATERIALIZED (
+          SELECT doc_id, lang, unnest(list_distinct(
+                   list_transform(range(1, greatest(length(txt) - 2, 1) + 1),
+                                  i -> substring(txt, i, 3)))) AS word
+          FROM d),
+        -- Set collapse + exact expansion, verbatim from the dedup_jaccard
+        -- oracle (trigram sets instead of word sets): identical (lang,
+        -- trigram-set) docs pair at J = 1 inside their group and carry
+        -- their rep pair's similarity across groups.
         k AS MATERIALIZED (SELECT doc_id, lang, string_agg(word, chr(1) ORDER BY word) AS set_key
               FROM w GROUP BY doc_id, lang),
         grp AS MATERIALIZED (SELECT lang, set_key, min(doc_id) AS rep FROM k GROUP BY lang, set_key),

@@ -138,4 +138,56 @@ class DedupScaleSpec extends AnyFunSuite {
       graft.queries.Checkpoints.release()
     }
   }
+
+  test("char-trigram jaccard catches typo near-dups word-level jaccard misses") {
+    import spark.implicits._
+    // Typo corpus: doc 1 is doc 0 with a character-level typo in EVERY
+    // word (a trailing 's'), so their WORD sets are fully disjoint
+    // (word-Jaccard 0) while long words keep the trigram sets ~75%
+    // overlapping — the case the n-gram variant exists for. Docs 2/3 are
+    // trigram-disjoint controls, 4 is a clone of 0.
+    val docs = Seq(
+      (0L, "en", "internationalization standardization characterization industrialization misunderstanding responsibilities"),
+      (1L, "en", "internationalizations standardizations characterizations industrializations misunderstandings responsibilitiess"),
+      (2L, "en", "zzz qqq vvv kkk jjj www"),
+      (3L, "en", "xyx pqp fgf hjh bnb mnm"),
+      (4L, "en", "internationalization standardization characterization industrialization misunderstanding responsibilities")
+    )
+    val dir = java.nio.file.Files.createTempDirectory("dedup-ngram").toString
+    docs.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    try {
+      val got = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+        .as[(Long, Long, Double)].collect().toSet
+
+      // Brute-force trigram oracle in plain Scala.
+      def tris(text: String): Set[String] = {
+        val t = text.toLowerCase.trim
+        val n = math.max(t.length - 2, 1)
+        (1 to n).map(i => t.substring(i - 1, math.min(i + 2, t.length))).toSet
+      }
+      val sets = docs.map { case (id, _, text) => id -> tris(text) }
+      val expected = (for {
+        (i, a) <- sets
+        (j, b) <- sets
+        if i < j
+        inter = (a & b).size
+        jac = inter.toDouble / (a.size + b.size - inter)
+        if jac >= 0.6
+      } yield (i, j, jac)).toSet
+      assert(got == expected, s"got $got, expected $expected")
+
+      // The motivating asymmetry: the typo pair (0,1) is trigram-caught...
+      assert(got.exists { case (d1, d2, _) => d1 == 0L && d2 == 1L })
+      // ...but invisible to word-set jaccard (every word differs).
+      val wordPairs = graft.SparkEntry.queries("dedup_jaccard")(spark, dir)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(!wordPairs.exists { case (d1, d2, _) => d1 == 0L && d2 == 1L })
+      // The exact clone pair is caught by both.
+      assert(got.exists { case (d1, d2, j) => d1 == 0L && d2 == 4L && j == 1.0 })
+      assert(wordPairs.exists { case (d1, d2, j) => d1 == 0L && d2 == 4L && j == 1.0 })
+    } finally {
+      graft.queries.Checkpoints.release()
+    }
+  }
 }
