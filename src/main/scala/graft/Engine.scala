@@ -151,6 +151,90 @@ class Engine(
     )
   }
 
+  /** Streaming NEAR-dup corpus curation: [[curateFrom]]'s gates plus
+    * MinHash-LSH near-duplicate suppression against the FULL history of
+    * kept documents — the incremental form of the batch `dedup_minhash_lsh`
+    * query, for pipelines that must admit new documents continuously
+    * without re-running corpus-wide dedup.
+    *
+    * A document is dropped when any of its LSH band buckets (4 bands × 4
+    * rows of the portable `minhash16` family — the same banding as the
+    * batch query, so batch and stream agree on what "near-dup" means) is
+    * already occupied by (a) a previously KEPT document from any earlier
+    * micro-batch, via the persistent band index at `indexDir`, or (b) a
+    * smaller-offset document in the same batch (bucket-representative
+    * semantics: the earliest doc in a bucket survives, later ones drop —
+    * deterministic because the peer log's offsets order every batch).
+    *
+    * SCALE POSTURE — history lives in STORAGE, not in streaming state:
+    * the band index is a parquet table keyed (band, bh), appended one
+    * `batch=<id>` partition per micro-batch, and the history probe is a
+    * keyed shuffle join — the same shape as the batch LSH query, bounded
+    * by the index size on disk, never by executor memory. No state store
+    * is involved at all (contrast [[curateFrom]]'s exact-hash state): a
+    * 100 TB corpus's signatures would crush any per-key state backend,
+    * but as a parquet side table they are just another join input, and
+    * [[Engine.compactNearIndex]] folds the per-batch partitions down so
+    * the probe never degrades into a many-small-files scan.
+    *
+    * EXACTLY-ONCE — both writes are idempotent under foreachBatch retry:
+    * the log append is token-guarded (same as [[ingest]]), and the index
+    * write overwrites its own `batch=<id>` partition with content that is
+    * a pure function of the (immutable) earlier partitions — the history
+    * read excludes `batch >= id`, so a retry after a partial index write
+    * recomputes the identical survivor set rather than seeing its own
+    * debris and dropping everything.
+    */
+  def curateNearFrom(
+      peerDir: String,
+      checkpoint: String,
+      indexDir: String,
+      langs: Seq[String] = Seq("en"),
+      minChars: Int = 50,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery = {
+    val docSchema = StructType(
+      Seq(StructField("lang", StringType), StructField("text", StringType))
+    )
+    val gated = spark.readStream
+      .format("graft")
+      .load(peerDir)
+      .select(
+        col("offset"),
+        col("value"),
+        from_json(col("value").cast("string"), docSchema).as("doc")
+      )
+      .filter(
+        col("doc.lang").isin(langs.map(x => x: Any): _*) &&
+          length(trim(col("doc.text"))) >= minChars
+      )
+      .select(col("offset"), col("value"), col("doc.text").as("text"))
+    val source = s"curate-near-${Engine.tokenSafe(peerDir)}"
+    gated.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // Materialize the survivor set ONCE (it feeds two writes; without
+        // this the history join would run twice, and the second run must
+        // not observe the first write's own index partition).
+        val survivors =
+          Engine.nearDedupBatch(spark, df, indexDir, batchId).localCheckpoint(true)
+        try {
+          log.appendDF(survivors.select(col("value")), Some(source -> batchId))
+          // Index write LAST (after the token-guarded append): a pure
+          // per-partition overwrite, so any retry path converges.
+          survivors
+            .select(explode(col("bands")).as("bb"))
+            .select(col("bb.band").as("band"), col("bb.bh").as("bh"))
+            .write
+            .mode("overwrite")
+            .parquet(s"$indexDir/batch=$batchId")
+        } finally survivors.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Batch view of the whole log (L6). */
   def toDF: DataFrame = log.toDF
 
@@ -171,6 +255,110 @@ class Engine(
 
 object Engine {
   def apply(spark: SparkSession, dataDir: String): Engine = new Engine(spark, dataDir)
+
+  /** One micro-batch of LSH near-dedup for [[Engine.curateNearFrom]]:
+    * returns the surviving docs `(offset, value, bands)` where `bands` is
+    * the doc's 4 `(band, bh)` bucket keys. Pure function of `df` and the
+    * index partitions with `batch < batchId` — the foundation of the
+    * retry-idempotence argument in the caller's Scaladoc.
+    */
+  private[graft] def nearDedupBatch(
+      spark: SparkSession,
+      df: DataFrame,
+      indexDir: String,
+      batchId: Long
+  ): DataFrame = {
+    // Same signature family and 4×4 banding as the batch dedup_minhash_lsh
+    // query — stream and batch agree on candidate semantics.
+    val withBands = df
+      .withColumn("mh", expr("minhash16(array_distinct(split(lower(trim(text)), ' ')))"))
+      .withColumn(
+        "bands",
+        expr(
+          """transform(sequence(0, 3), b -> struct(
+               b AS band,
+               array_join(transform(slice(mh, b*4 + 1, 4), x -> cast(x AS string)), ',') AS bh))"""
+        )
+      )
+      .select(col("offset"), col("value"), col("bands"))
+    val bandRows = withBands
+      .select(col("offset"), explode(col("bands")).as("bb"))
+      .select(col("offset"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    // History = every index partition from EARLIER batches only. The
+    // strict bound is load-bearing twice: a retried batch must not see its
+    // own debris, and partition pruning keeps the scan off the current
+    // (possibly half-written) directory.
+    val history =
+      try
+        spark.read
+          .parquet(indexDir)
+          .filter(col("batch") < lit(batchId))
+          .select(col("band"), col("bh"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          // First batch: no index yet.
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(
+              StructField("band", org.apache.spark.sql.types.IntegerType),
+              StructField("bh", StringType)))
+          )
+      }
+
+    // Dropped docs: any bucket already held by history, or by a smaller
+    // peer-offset doc in this batch (bucket-representative semantics; the
+    // window is a keyed shuffle over bucket keys, never corpus-wide).
+    val histHit = bandRows
+      .join(history, Seq("band", "bh"), "left_semi")
+      .select(col("offset"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))
+    val withinHit = bandRows
+      .withColumn("mn", min(col("offset")).over(w))
+      .filter(col("offset") > col("mn"))
+      .select(col("offset"))
+    val dropped = histHit.union(withinHit).distinct()
+    withBands.join(dropped, Seq("offset"), "left_anti")
+  }
+
+  /** Fold the near-dup index's per-batch partitions ≤ `upTo` into the
+    * single partition `batch=<upTo>` and delete the older directories —
+    * run periodically so [[Engine.curateNearFrom]]'s history probe scans a
+    * handful of well-sized files instead of one directory per micro-batch
+    * ever processed. Safe to run between (not during) micro-batches.
+    *
+    * Crash-safe without coordination: the consolidated rows are
+    * materialized BEFORE the overwrite (so the self-read conflict never
+    * opens), the merged partition keeps `batch=<upTo>` (every future
+    * batch's `batch < id` history filter still admits it), and a crash
+    * between the write and the deletes only leaves duplicate (band, bh)
+    * rows — invisible to the semi-join probe, removed by the next
+    * compaction's `distinct`.
+    */
+  def compactNearIndex(spark: SparkSession, indexDir: String, upTo: Long): Unit = {
+    val merged =
+      try
+        spark.read
+          .parquet(indexDir)
+          .filter(col("batch") <= lit(upTo))
+          .select(col("band"), col("bh"))
+          .distinct()
+          .localCheckpoint(true)
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    try {
+      merged.write.mode("overwrite").parquet(s"$indexDir/batch=$upTo")
+    } finally merged.unpersist()
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+    dirs.foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("batch=")) {
+        val id = scala.util.Try(name.stripPrefix("batch=").toLong).toOption
+        if (id.exists(_ < upTo)) fs.delete(st.getPath, true)
+      }
+    }
+  }
 
   /** Session-level switch to the RocksDB state store provider (the config
     * is read at query START, so set it before starting stateful queries;

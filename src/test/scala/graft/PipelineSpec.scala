@@ -133,4 +133,81 @@ class PipelineSpec extends AnyFunSuite {
       assert(texts == Set("alpha", "beta", "gamma").map(s => new String(doc(filler + s))))
     } finally q2.stop()
   }
+
+  test("near-dup curation: LSH index drops permuted docs across batches and restarts") {
+    val raw = SparkLog(spark, TestSpark.tempDir("curate-near-raw"), LogConfig())
+    def doc(text: String): Array[Byte] = s"""{"lang":"en","text":"$text"}""".getBytes
+    // Word-permuted docs have IDENTICAL token sets → identical minhash16
+    // signatures → every band collides: deterministic near-dups for the
+    // LSH gate that are NOT byte-exact duplicates (curateFrom's exact
+    // hash would pass them).
+    val a  = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val a2 = "kappa lambda alpha beta gamma delta epsilon zeta eta theta iota"
+    val b  = "solar lunar tidal plasma quantum neutron photon electron muon tau"
+    raw.append(Seq(doc(a), doc(a2), doc(b)))
+
+    val engine = Engine(spark, TestSpark.tempDir("curate-near-out"))
+    val ckpt = TestSpark.tempDir("curate-near-ckpt")
+    val idx = TestSpark.tempDir("curate-near-idx") + "/index"
+    def curated(): Set[String] =
+      engine.toDF.collect().map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+
+    val q1 = engine.curateNearFrom(raw.dir, ckpt, idx, minChars = 20)
+    try {
+      q1.processAllAvailable()
+      // Within-batch: a kept (smallest peer offset in its buckets), a2
+      // dropped (all four buckets held by a), b kept (disjoint buckets).
+      assert(curated() == Set(a, b).map(s => new String(doc(s))), s"got ${curated()}")
+
+      // Cross-batch: another permutation of a collides with the PERSISTED
+      // index (no state store involved); a genuinely new doc lands.
+      val a3 = "beta alpha delta gamma zeta epsilon theta eta kappa iota lambda"
+      val c  = "granite basalt schist gneiss quartzite marble slate obsidian pumice tuff"
+      raw.append(Seq(doc(a3), doc(c)))
+      q1.processAllAvailable()
+      assert(curated() == Set(a, b, c).map(s => new String(doc(s))), s"got ${curated()}")
+    } finally q1.stop()
+
+    // Restart on the same checkpoint: history lives in the parquet index,
+    // so the new query needs no state recovery at all.
+    raw.append(Seq(doc("gamma beta alpha epsilon delta eta zeta iota theta lambda kappa")))
+    val q2 = engine.curateNearFrom(raw.dir, ckpt, idx, minChars = 20)
+    try {
+      q2.processAllAvailable()
+      val a3 = "beta alpha delta gamma zeta epsilon theta eta kappa iota lambda"
+      val c  = "granite basalt schist gneiss quartzite marble slate obsidian pumice tuff"
+      assert(curated() == Set(a, b, c).map(s => new String(doc(s))), "restart leaked a near-dup")
+
+      // Compaction folds per-batch partitions into one; the probe result
+      // is unchanged (a fourth permutation still collides afterwards).
+      val batchDirs = new java.io.File(idx).listFiles().filter(_.getName.startsWith("batch="))
+      assert(batchDirs.length >= 2, s"expected multiple batch partitions, got ${batchDirs.toSeq}")
+      val maxBatch = batchDirs.map(_.getName.stripPrefix("batch=").toLong).max
+      Engine.compactNearIndex(spark, idx, maxBatch)
+      val after = new java.io.File(idx).listFiles().filter(_.getName.startsWith("batch="))
+      assert(after.map(_.getName) sameElements Array(s"batch=$maxBatch"), s"got ${after.toSeq}")
+
+      raw.append(Seq(doc("delta gamma beta alpha zeta epsilon eta theta iota lambda kappa")))
+      q2.processAllAvailable()
+      assert(curated() == Set(a, b, c).map(s => new String(doc(s))), "post-compaction dup leaked")
+    } finally q2.stop()
+
+    // Retry idempotence, directly: re-running a batch's dedup AFTER its
+    // own index partition landed must reproduce the same survivors —
+    // the history filter excludes batch >= id, so the batch never sees
+    // its own debris (the foreachBatch retry path).
+    val batchIds = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName.stripPrefix("batch=").toLong)
+    val lastBatch = batchIds.max
+    val session = spark
+    import session.implicits._
+    val replay = Seq((0L, doc(a), a), (1L, doc(a2), a2), (2L, doc(b), b))
+      .toDF("offset", "value", "text")
+    val survivors1 = Engine.nearDedupBatch(spark, replay, idx, 0L)
+      .select("offset").as[Long].collect().toSet
+    val survivors2 = Engine.nearDedupBatch(spark, replay, idx, 0L)
+      .select("offset").as[Long].collect().toSet
+    assert(survivors1 == survivors2 && survivors1 == Set(0L, 2L),
+      s"retry divergence: $survivors1 vs $survivors2 (last=$lastBatch)")
+  }
 }
