@@ -51,6 +51,11 @@ object GraftFunctions {
       "winnow_hashes",
       "winnow_hashes(text) - winnowed Rabin-Karp 8-gram fingerprints (window 4)",
       arity("winnow_hashes", 1)(args => WinnowHash(args(0)))
+    ),
+    (
+      "char_ngrams",
+      "char_ngrams(text) - distinct character trigrams (whole string when shorter than 3)",
+      arity("char_ngrams", 1)(args => CharNgrams(args(0)))
     )
   )
 

@@ -138,6 +138,76 @@ object Dedup {
     if (cols.sizeIs <= 1) cols.head
     else balancedSum(cols.grouped(2).map(_.reduce(_ + _)).toSeq)
 
+  /** TRIANGLE-partitioned all-pairs within lang over bitmap signatures:
+    * docs hash into G groups; every unordered group pair (p ≤ q) is one
+    * shuffle bucket, the left role covers buckets (g, q≥g) and the right
+    * role buckets (p≤g, g), so each doc pair meets EXACTLY once — no
+    * d1<d2 half-discard (that filter only applies on diagonal buckets),
+    * half the condition evaluations of a salted join, and ~(G+1)/2-fold
+    * bounded replication per side. Shuffle keys: |lang| · G(G+1)/2.
+    * `enc` must carry (doc_id, lang, sz, m_0..m_{nBlocks-1}) and be
+    * checkpointed by the caller (both join roles read it).
+    */
+  private def triangleBitmapPairs(s: SparkSession, enc: DataFrame, nBlocks: Int): DataFrame = {
+    val inter = balancedSum(
+      (0 until nBlocks).map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)")))
+    val G = 8
+    // Explicit-count repartition on the triangle keys: see
+    // [[pairShufflePartitions]] — without it AQE sizes the reduce
+    // from the tiny signature map output and runs the entire pair
+    // explosion on one task.
+    val P = pairShufflePartitions(s)
+    val a = enc
+      .withColumn("tri_p", pmod(col("doc_id"), lit(G)).cast("int"))
+      .withColumn("tri_q", explode(sequence(col("tri_p"), lit(G - 1))))
+      .select(
+        col("doc_id").as("ida") +: col("lang") +: col("sz").as("sz1") +:
+          col("tri_p") +: col("tri_q") +:
+          (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i")): _*)
+      .repartition(P, col("lang"), col("tri_p"), col("tri_q"))
+    val b = enc
+      .withColumn("tri_q2", pmod(col("doc_id"), lit(G)).cast("int"))
+      .withColumn("tri_p2", explode(sequence(lit(0), col("tri_q2"))))
+      .select(
+        col("doc_id").as("idb") +: col("lang").as("lang2") +: col("sz").as("sz2") +:
+          col("tri_p2") +: col("tri_q2") +:
+          (0 until nBlocks).map(i => col(s"m_$i").as(s"mb_$i")): _*)
+      .repartition(P, col("lang2"), col("tri_p2"), col("tri_q2"))
+    a
+      .join(
+        b,
+        col("lang") === col("lang2") &&
+          col("tri_p") === col("tri_p2") && col("tri_q") === col("tri_q2") &&
+          (col("tri_p") =!= col("tri_q") || col("ida") < col("idb")) &&
+          col("sz1") * 5 >= col("sz2") * 3 && col("sz2") * 5 >= col("sz1") * 3
+      )
+      .withColumn("inter", inter)
+      .select(
+        least(col("ida"), col("idb")).as("d1"),
+        greatest(col("ida"), col("idb")).as("d2"),
+        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard")
+      )
+      .filter(col("jaccard") >= 0.6)
+  }
+
+  /** Above this per-doc token density (avg tokens per doc ÷ vocabulary
+    * size) prefix filtering is information-free and the bitmap-capable
+    * middle regime takes the triangle all-pairs instead of PPJoin. The
+    * theorem behind PPJoin is unconditional, but its PROFIT is not: at
+    * τ=0.6 each doc's prefix is ~40% of its tokens, so when every doc
+    * holds ≥5% of the vocabulary the two prefixes collide with near
+    * certainty and "filtering" admits nearly every pair — measured on the
+    * Zipf soak's char-TRIGRAM sets (density 12.8%, vocab 1165): 12.0M of
+    * 12.5M possible pairs survived the prefix meet, paying a 59M-row
+    * explode + distinct + two verify joins for a 4% discount. The
+    * triangle meets each of those pairs exactly once on pre-aggregated
+    * scalar blocks with zero candidate machinery (63.5 s → triangle, see
+    * BASELINE.md round-6 notes). Word corpora sit far below the cutoff
+    * (Zipf words: 0.3%; the PlanSpec/DedupScaleSpec guard corpora:
+    * 2.2–3.3%) and keep the prefix path.
+    */
+  private[queries] val DenseAllPairsMinDensity = 0.05
+
   /** The candidate/verify pair machinery; input docs need not be set-
     * distinct (each doc is then its own representative).
     */
@@ -152,13 +222,21 @@ object Dedup {
     )
 
   /** Tokenizer-generic core of [[jaccardRepPairs]]: input is already
-    * `(doc_id, lang, words)` with `words` the (distinct) token set, so the
-    * same three-branch strategy — degenerate-universe triangle bitmap,
-    * PPJoin prefix filtering, array-intersect fallback — serves any token
+    * `(doc_id, lang, words)` with `words` the token array, so the same
+    * three-branch strategy — degenerate-universe triangle bitmap, PPJoin
+    * prefix filtering, array-intersect fallback — serves any token
     * definition (word sets for `dedup_jaccard`, char trigrams for
     * `dedup_ngram_jaccard`). The strategy probe measures the ACTUAL token
     * universe, so each tokenizer lands on the branch its vocabulary
     * shape calls for.
+    *
+    * `words` need NOT be pre-deduplicated: every path dedups linearly
+    * where it is free anyway (bitmap OR is idempotent and set sizes come
+    * from popcounts; the signature aggregate is a `collect_set`). This
+    * matters for char n-grams, where a per-row `array_distinct` over a
+    * ~600-element string array is O(len²) equality scans re-evaluated on
+    * every corpus pass — measured as the dominant cost of the whole query
+    * on the Zipf soak, 4× slower than the pair join itself.
     */
   private def jaccardRepPairsTokens(s: SparkSession, docs: DataFrame): DataFrame = {
         import s.implicits._
@@ -187,14 +265,16 @@ object Dedup {
           // the text scan + array_position encoding runs TWICE (measured
           // ~1.5× the query cost at sf0.1). The checkpointed rows are
           // metadata-per-doc (id, lang, size, ≤8 longs), ~100 B/doc at any
-          // corpus scale.
+          // corpus scale. The set SIZE is recovered from the blocks
+          // (popcount sum), never from the input array — bitmap OR makes
+          // duplicate tokens free, so callers skip per-row array_distinct.
           val enc = docs
             .withColumn(
               "wids",
               transform(col("words"), w => (array_position(typedlit(words), w) - 1).cast("int"))
             )
             .select(
-              col("doc_id") +: col("lang") +: size(col("words")).as("sz") +:
+              col("doc_id") +: col("lang") +:
                 (0 until nBlocks).map(i =>
                   expr(
                     s"""aggregate(filter(wids, w -> w div 64 = $i),
@@ -203,54 +283,11 @@ object Dedup {
                   ).as(s"m_$i")
                 ): _*
             )
+            .withColumn(
+              "sz",
+              balancedSum((0 until nBlocks).map(i => expr(s"CAST(bit_count(m_$i) AS BIGINT)"))))
             .pipe(graft.queries.Checkpoints.checkpoint)
-          val inter = balancedSum(
-            (0 until nBlocks).map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)")))
-          // TRIANGLE-partitioned all-pairs within lang: docs hash into G
-          // groups; every unordered group pair (p ≤ q) is one shuffle
-          // bucket, the left role covers buckets (g, q≥g) and the right
-          // role buckets (p≤g, g), so each doc pair meets EXACTLY once —
-          // no d1<d2 half-discard (that filter only applies on diagonal
-          // buckets), half the condition evaluations of a salted join,
-          // and ~(G+1)/2-fold bounded replication per side. Shuffle keys:
-          // |lang| · G(G+1)/2.
-          val G = 8
-          // Explicit-count repartition on the triangle keys: see
-          // [[pairShufflePartitions]] — without it AQE sizes the reduce
-          // from the tiny signature map output and runs the entire pair
-          // explosion on one task.
-          val P = pairShufflePartitions(s)
-          val a = enc
-            .withColumn("tri_p", pmod(col("doc_id"), lit(G)).cast("int"))
-            .withColumn("tri_q", explode(sequence(col("tri_p"), lit(G - 1))))
-            .select(
-              col("doc_id").as("ida") +: col("lang") +: col("sz").as("sz1") +:
-                col("tri_p") +: col("tri_q") +:
-                (0 until nBlocks).map(i => col(s"m_$i").as(s"ma_$i")): _*)
-            .repartition(P, col("lang"), col("tri_p"), col("tri_q"))
-          val b = enc
-            .withColumn("tri_q2", pmod(col("doc_id"), lit(G)).cast("int"))
-            .withColumn("tri_p2", explode(sequence(lit(0), col("tri_q2"))))
-            .select(
-              col("doc_id").as("idb") +: col("lang").as("lang2") +: col("sz").as("sz2") +:
-                col("tri_p2") +: col("tri_q2") +:
-                (0 until nBlocks).map(i => col(s"m_$i").as(s"mb_$i")): _*)
-            .repartition(P, col("lang2"), col("tri_p2"), col("tri_q2"))
-          return a
-            .join(
-              b,
-              col("lang") === col("lang2") &&
-                col("tri_p") === col("tri_p2") && col("tri_q") === col("tri_q2") &&
-                (col("tri_p") =!= col("tri_q") || col("ida") < col("idb")) &&
-                col("sz1") * 5 >= col("sz2") * 3 && col("sz2") * 5 >= col("sz1") * 3
-            )
-            .withColumn("inter", inter)
-            .select(
-              least(col("ida"), col("idb")).as("d1"),
-              greatest(col("ida"), col("idb")).as("d2"),
-              (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard")
-            )
-            .filter(col("jaccard") >= 0.6)
+          return triangleBitmapPairs(s, enc, nBlocks)
         }
 
         // Dense word ids ordered by (document frequency, word) via
@@ -259,9 +296,17 @@ object Dedup {
         // Rarest-first ids make each doc's prefix its rarest words (small
         // candidate buckets); the (df, word) sort keeps the assignment
         // deterministic under lineage re-evaluation and task retries.
-        val vocab = wordRows
+        // localCheckpoint the (word, df) aggregate BEFORE the RDD id
+        // assignment: sortBy samples, sorts, and zipWithIndex each run a
+        // job, and without the materialization every one of them re-scans
+        // the corpus and re-runs the token aggregate (measured: the vocab
+        // build alone cost ~3 corpus passes on the Zipf trigram soak).
+        // The checkpointed rows are vocabulary-sized, not corpus-sized.
+        val wordDf = wordRows
           .groupBy("word")
           .agg(count(lit(1)).as("df"))
+          .pipe(graft.queries.Checkpoints.checkpoint)
+        val vocab = wordDf
           .as[(String, Long)]
           .rdd
           .sortBy { case (w, n) => (n, w) }
@@ -269,16 +314,21 @@ object Dedup {
           .zipWithIndex()
           .toDF("word", "wid")
           .withColumn("wid", col("wid").cast("int"))
-        val nBlocks = math.max(1L, (vocab.count() + 63) / 64).toInt
+        val vocabCount = vocab.count()
+        val nBlocks = math.max(1L, (vocabCount + 63) / 64).toInt
         val useBitmaps = nBlocks <= MaxBitmapBlocks
         // Per-doc signature: sorted dense-id array + size (+ bitmap blocks
         // when the vocabulary fits the scalar-column budget). The word→id
         // join carries no hint: vocab shuffles like any dimension and AQE
         // broadcasts it only when it is actually small.
+        // collect_set (not collect_list): dedups duplicate tokens inside
+        // the aggregate hash map — linear, no per-row array_distinct
+        // needed upstream; sz is the SET size by construction.
         val base = wordRows
           .join(vocab.select("word", "wid"), "word")
           .groupBy("doc_id", "lang")
-          .agg(sort_array(collect_list(col("wid"))).as("wids"), count(lit(1)).as("sz"))
+          .agg(sort_array(collect_set(col("wid"))).as("wids"))
+          .withColumn("sz", size(col("wids")).cast("long"))
         // localCheckpoint: the signature table feeds THREE consumers below
         // (prefix explode, d1-side verify join, d2-side verify join), and
         // each would otherwise re-run the token explode + vocab join +
@@ -301,6 +351,21 @@ object Dedup {
                 ).as(s"m_$i")): _*
             )
         ).pipe(graft.queries.Checkpoints.checkpoint)
+        // DENSE-UNIVERSE ESCAPE in the middle regime: when each doc holds
+        // a large fraction of a bitmap-capable vocabulary (char n-gram
+        // sets are the archetype), prefix filtering admits nearly every
+        // pair — see [[DenseAllPairsMinDensity]]. Density costs one tiny
+        // aggregate over the already-checkpointed signature table (count +
+        // sum(sz) on cached metadata rows — no extra corpus pass).
+        if (useBitmaps) {
+          val st = enc.agg(count(lit(1)).as("n"), sum("sz").as("tok")).first()
+          val nDocs = st.getLong(0)
+          val density =
+            if (nDocs == 0) 0.0
+            else st.getLong(1).toDouble / nDocs / vocabCount
+          if (density >= DenseAllPairsMinDensity)
+            return triangleBitmapPairs(s, enc, nBlocks)
+        }
         val inter =
           if (useBitmaps)
             balancedSum(
@@ -577,14 +642,17 @@ object Dedup {
     Q(
       "dedup_ngram_jaccard",
       (s, d) => {
+        // Native char_ngrams, not transform(sequence(..., substring)):
+        // higher-order lambdas run interpreted per ELEMENT and the
+        // equivalent array_distinct is O(len²) per row — together they
+        // were 4× the cost of the pair join on the Zipf soak. The native
+        // expression is one codegen'd per-row call (see CharNgrams).
+        graft.functions.GraftFunctions.register(s)
         val docs = t(s, d, "documents")
-          .withColumn("txt", lower(trim(col("text"))))
           .select(
             col("doc_id"),
             col("lang"),
-            array_distinct(expr(
-              "transform(sequence(1, greatest(length(txt) - 2, 1)), i -> substring(txt, i, 3))"
-            )).as("words")
+            expr("char_ngrams(lower(trim(text)))").as("words")
           )
         // Same checkpoint-before-sort rationale as dedup_jaccard: the
         // global orderBy's range-bound sampling would re-run the pair join.

@@ -132,6 +132,36 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT winnow_hashes(cast(null as string))").head().isNullAt(0))
   }
 
+  test("char_ngrams matches the declarative transform/substring formulation as a set") {
+    GraftFunctions.register(spark)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+      .selectExpr("doc_id", "lower(trim(text)) AS t")
+    val native = docs.selectExpr("doc_id", "array_sort(char_ngrams(t)) AS g")
+    val declarative = docs.selectExpr(
+      "doc_id",
+      """array_sort(array_distinct(transform(
+           sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3)))) AS g"""
+    )
+    val joined = native.as("n").join(declarative.as("d"), "doc_id")
+    assert(joined.filter(expr("n.g <> d.g")).count() == 0)
+    assert(joined.count() == 50)
+    // Edges: short strings yield the whole string, empty yields [""],
+    // duplicates collapse, surrogate pairs count as ONE code point
+    // (SQL substring semantics), null stays null.
+    assert(spark.sql("SELECT char_ngrams('ab')").head().getSeq[String](0) == Seq("ab"))
+    assert(spark.sql("SELECT char_ngrams('')").head().getSeq[String](0) == Seq(""))
+    assert(spark.sql("SELECT char_ngrams('aaaa')").head().getSeq[String](0) == Seq("aaa"))
+    assert(
+      spark.sql("SELECT array_sort(char_ngrams('a😀bc'))").head().getSeq[String](0) ==
+        spark.sql("""SELECT array_sort(array_distinct(transform(
+                       sequence(1, greatest(length('a😀bc') - 2, 1)),
+                       i -> substring('a😀bc', i, 3))))""").head().getSeq[String](0)
+    )
+    assert(spark.sql("SELECT char_ngrams(cast(null as string))").head().isNullAt(0))
+  }
+
   test("expressions run inside whole-stage codegen (no fallback)") {
     GraftFunctions.register(spark)
     val df = spark.read
