@@ -35,6 +35,14 @@ object PlanDump {
       "(lang, group-pair) keys, intersection is bit_count(a&b) per 64-word " +
       "block inside whole-stage codegen. Large vocabularies switch to " +
       "PPJoin prefix filtering on rare-token ids."),
+    "dedup_ngram_jaccard" -> ("Char-trigram Jaccard through the same " +
+      "machinery as dedup_jaccard, tokenized by the native codegen'd " +
+      "char_ngrams expression (higher-order lambdas run interpreted — " +
+      "measured 4× the pair-join cost). Trigram universes are DENSE " +
+      "(each doc holds ≥5% of the vocabulary), so the density switch " +
+      "routes them to the triangle all-pairs join: prefix filtering " +
+      "admitted 96% of pairs on the Zipf soak while paying a 59M-row " +
+      "candidate explode."),
     "dedup_spans" -> ("Span-level dedup (Lee et al.): k-token windows hash to " +
       "md5 keys; one hash shuffle counts global occurrences, one keyed " +
       "shuffle folds verdicts into per-doc coverage. Shuffle keys are " +

@@ -106,6 +106,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dense token universes route to the triangle join (prefix filtering bypassed)") {
+    // The density escape (Dedup.DenseAllPairsMinDensity): docs holding a
+    // large fraction of a bitmap-capable vocabulary make prefix filtering
+    // information-free (Zipf trigrams: 96% of pairs survived the prefix
+    // meet). Corpus: 60 docs × 120 tokens from a ~600-word shared pool →
+    // vocab > 512 (skips the tiny-universe literal branch), density ~20%
+    // (≥ 5% cutoff) → the middle regime must plan the triangle join, with
+    // its AQE-coalesce-proof explicit-count repartition, and no prefix
+    // candidate machinery.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dense = (0 until 60).map { i =>
+      val words = (0 until 120).map(_ => s"w${rnd.nextInt(600)}")
+      (i.toLong, "en", words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val df = Dedup.jaccardPairsFrom(spark, dense)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(p.linesIterator.exists(l => l.contains("Join") && l.contains("tri_")),
+      s"dense corpus no longer planned as a triangle join:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"dense triangle lost its explicit-count repartition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"dense branch planned a cartesian:\n$p")
+  }
+
   test("simhash pairs join on the band columns, not bare lang") {
     val p = plan("dedup_simhash_pairs")
     val joins = p.linesIterator.filter(l => l.contains("Join") && l.contains("band")).toList
