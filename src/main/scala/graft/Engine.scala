@@ -220,7 +220,12 @@ class Engine(
         val survivors =
           Engine.nearDedupBatch(spark, df, indexDir, batchId).localCheckpoint(true)
         try {
-          log.appendDF(survivors.select(col("value")), Some(source -> batchId))
+          // Peer-offset order: the joins above scramble row order, and the
+          // curated log should be deterministic and arrival-ordered (the
+          // sort is micro-batch-sized, not corpus-sized).
+          log.appendDF(
+            survivors.orderBy(col("offset")).select(col("value")),
+            Some(source -> batchId))
           // Index write LAST (after the token-guarded append): a pure
           // per-partition overwrite, so any retry path converges.
           survivors
