@@ -340,6 +340,20 @@ object Engine {
     * rows — invisible to the semi-join probe, removed by the next
     * compaction's `distinct`.
     */
+  /** Compact up to the newest partition currently on disk. Returns the
+    * folded-to batch id, or None when the index is empty/absent.
+    */
+  def compactNearIndex(spark: SparkSession, indexDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val ids = fs.listStatus(p).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("batch=") =>
+        scala.util.Try(st.getPath.getName.stripPrefix("batch=").toLong).toOption
+    }.flatten
+    ids.maxOption.map { upTo => compactNearIndex(spark, indexDir, upTo); upTo }
+  }
+
   def compactNearIndex(spark: SparkSession, indexDir: String, upTo: Long): Unit = {
     val merged =
       try

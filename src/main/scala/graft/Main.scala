@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] [--name N] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | replicate <peerDir> <ckptDir>)\n" +
+      "usage: graft.Main --data-dir DIR [--subject S] [--name N] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> | compact-near-index <indexDir>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT serve-grpc [port]   (announce to a cluster; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT (produce <v>... | consume <off> | servers)"
     )
@@ -223,6 +223,24 @@ object Main {
           q.processAllAvailable()
           q.awaitTermination()
           println(s"replicated from $peer; highest now ${engine.log.highestOffset}")
+        case "curate-near" :: peer :: ckpt :: index :: Nil =>
+          // One-shot near-dup curation pass over the peer's backlog:
+          // resumable (same checkpoint + index), exactly-once, LSH-deduped
+          // against every previously kept document.
+          val q = engine.curateNearFrom(
+            peer,
+            checkpoint = ckpt,
+            indexDir = index,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          )
+          q.processAllAvailable()
+          q.awaitTermination()
+          println(s"curated from $peer; highest now ${engine.log.highestOffset}")
+        case "compact-near-index" :: index :: Nil =>
+          Engine.compactNearIndex(spark, index) match {
+            case Some(upTo) => println(s"compacted $index into batch=$upTo")
+            case None       => println(s"no index partitions at $index")
+          }
         case _ => usage()
       }
     } catch {
