@@ -191,7 +191,15 @@ class Engine(
       indexDir: String,
       langs: Seq[String] = Seq("en"),
       minChars: Int = 50,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      /** Every N batches, fold index partitions ≤ batchId−1 into one
+        * (0 = never). Folding stops the history probe degrading into a
+        * one-directory-per-batch listing on long-running streams; the
+        * current batch's own partition is never folded, so even a crash
+        * between the fold and the checkpoint commit leaves a retry's
+        * `batch < id` history view complete (see [[Engine.compactNearIndex]]).
+        */
+      autoCompactEvery: Int = 0
   ): StreamingQuery = {
     val docSchema = StructType(
       Seq(StructField("lang", StringType), StructField("text", StringType))
@@ -235,6 +243,11 @@ class Engine(
             .mode("overwrite")
             .parquet(s"$indexDir/batch=$batchId")
         } finally survivors.unpersist()
+        if (autoCompactEvery > 0 && batchId > 0 && batchId % autoCompactEvery == 0)
+          // Fold ONLY strictly-earlier partitions: this batch's checkpoint
+          // has not committed yet, so its own partition must stay intact
+          // for a potential retry's history exclusion.
+          Engine.compactNearIndex(spark, indexDir, batchId - 1)
         ()
       }
       .start()
@@ -340,8 +353,15 @@ object Engine {
     * rows — invisible to the semi-join probe, removed by the next
     * compaction's `distinct`.
     */
-  /** Compact up to the newest partition currently on disk. Returns the
-    * folded-to batch id, or None when the index is empty/absent.
+  /** Compact to the SECOND-newest partition id on disk (None when fewer
+    * than two exist). Deliberately not the newest: if the newest batch N
+    * wrote its index partition but crashed before its checkpoint
+    * committed, the stream will RETRY batch N with the history filter
+    * `batch < N` — folding history into `batch=N` would hide it from that
+    * retry and readmit every near-dup. Folding into N−1 is visible to a
+    * retry of N and to every later batch, with no assumption about
+    * whether N committed. (The `upTo` overload is for callers that KNOW
+    * the commit state — e.g. between `processAllAvailable` calls.)
     */
   def compactNearIndex(spark: SparkSession, indexDir: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(indexDir)
@@ -350,8 +370,13 @@ object Engine {
     val ids = fs.listStatus(p).toSeq.collect {
       case st if st.isDirectory && st.getPath.getName.startsWith("batch=") =>
         scala.util.Try(st.getPath.getName.stripPrefix("batch=").toLong).toOption
-    }.flatten
-    ids.maxOption.map { upTo => compactNearIndex(spark, indexDir, upTo); upTo }
+    }.flatten.sorted
+    if (ids.length < 2) None
+    else {
+      val upTo = ids(ids.length - 2)
+      compactNearIndex(spark, indexDir, upTo)
+      Some(upTo)
+    }
   }
 
   def compactNearIndex(spark: SparkSession, indexDir: String, upTo: Long): Unit = {

@@ -76,8 +76,13 @@ class CurateNearSoakSpec extends AnyFunSuite {
       expectedKept ++= keptNow
     }
 
-    val q = engine.curateNearFrom(raw.dir, ckpt, idx, minChars = 10)
+    // autoCompactEvery: the stream folds its own history partitions as it
+    // runs (current batch's partition always left intact — the retry-
+    // safety rule), so the probe's directory listing stays bounded.
+    val q = engine.curateNearFrom(raw.dir, ckpt, idx, minChars = 10, autoCompactEvery = 8)
     try {
+      def partitions(): Array[String] = new java.io.File(idx).listFiles()
+        .filter(_.getName.startsWith("batch=")).map(_.getName)
       (0 until 25).foreach { b =>
         val batch = (0 until 20).map { _ =>
           val r = rnd.nextInt(10)
@@ -88,16 +93,18 @@ class CurateNearSoakSpec extends AnyFunSuite {
         raw.append(batch.map(doc))
         q.processAllAvailable()
         oracleBatch(batch)
+        assert(partitions().length <= 12,
+          s"auto-compaction failed to bound the partition count: ${partitions().toSeq}")
 
         if (b == 12) {
-          // Operational compaction mid-run, between micro-batches.
-          val dirs = new java.io.File(idx).listFiles()
-            .filter(_.getName.startsWith("batch="))
-          assert(dirs.length > 1, s"expected several partitions, got ${dirs.toSeq}")
-          Engine.compactNearIndex(spark, idx, dirs.map(_.getName.stripPrefix("batch=").toLong).max)
-          val after = new java.io.File(idx).listFiles()
-            .filter(_.getName.startsWith("batch="))
-          assert(after.length == 1, s"compaction left ${after.toSeq}")
+          // Operational compaction mid-run via the no-upTo overload: folds
+          // to the SECOND-newest id (never the newest — a retry of an
+          // uncommitted newest batch must still see folded history).
+          assert(partitions().length > 1, s"expected several partitions, got ${partitions().toSeq}")
+          val folded = Engine.compactNearIndex(spark, idx)
+          assert(folded.nonEmpty, "convenience compaction found nothing to fold")
+          assert(partitions().length == 2,
+            s"expected folded + newest, got ${partitions().toSeq}")
         }
       }
 
