@@ -171,5 +171,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
     // CodegenFallback expression would force a plain (unstarred) Project.
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [cosine_similarity"), s"expected codegen'd Project in plan:\n$plan")
+    val ngramPlan = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("char_ngrams(text) as g")
+      .queryExecution.executedPlan.toString
+    assert(ngramPlan.contains("*(1) Project [char_ngrams"),
+      s"expected codegen'd char_ngrams Project in plan:\n$ngramPlan")
   }
 }
