@@ -29,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * string shorter than 3 code points yields the whole string (possibly
   * empty), exactly like the SQL twin. Null input → null.
   */
-case class CharNgrams(child: Expression) extends UnaryExpression {
+case class CharNgrams(child: Expression, n: Int = CharNgrams.N) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -37,6 +37,8 @@ case class CharNgrams(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
+      case _ if n < 1 =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1, got $n")
       case StringType => TypeCheckResult.TypeCheckSuccess
       case other =>
         TypeCheckResult.TypeCheckFailure(
@@ -45,10 +47,10 @@ case class CharNgrams(child: Expression) extends UnaryExpression {
     }
 
   override def nullSafeEval(input: Any): Any =
-    CharNgrams.compute(input.asInstanceOf[UTF8String])
+    CharNgrams.compute(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.CharNgrams.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharNgrams.compute($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -57,13 +59,33 @@ case class CharNgrams(child: Expression) extends UnaryExpression {
 object CharNgrams {
   val N = 3
 
+  /** Builder for FunctionRegistry: 1-arg trigram form, or 2-arg with a
+    * foldable integer n — `char_ngrams(text, 5)`.
+    */
+  def fromArgs(args: Seq[Expression]): Expression = args match {
+    case Seq(text) => CharNgrams(text)
+    case Seq(text, nExpr) =>
+      val n = nExpr match {
+        case e if e.foldable && e.dataType == IntegerType =>
+          val v = e.eval()
+          if (v == null) throw new IllegalArgumentException("char_ngrams: n must not be null")
+          v.asInstanceOf[Int]
+        case _ =>
+          throw new IllegalArgumentException("char_ngrams: n must be an integer literal")
+      }
+      CharNgrams(text, n)
+    case _ =>
+      throw new IllegalArgumentException(
+        s"char_ngrams requires 1 or 2 arguments, got ${args.length}")
+  }
+
   /** Called from both interpreted eval and generated code. One pass
     * records each code point's char offset (SQL substring positions are
     * CODE POINTS, so surrogate pairs count once); windows then slice the
     * (copied) String directly — no per-window re-walk, no sharing of the
     * input row buffer.
     */
-  def compute(s: UTF8String): GenericArrayData = {
+  def compute(s: UTF8String, n: Int): GenericArrayData = {
     val str = s.toString // defensive copy off the (reusable) row buffer
     val starts = new Array[Int](str.length + 1)
     var ci = 0
@@ -74,16 +96,16 @@ object CharNgrams {
       len += 1
     }
     starts(len) = str.length
-    if (len <= N) {
-      // sequence(1, greatest(len-2, 1)) = [1] → one window = whole string.
+    if (len <= n) {
+      // sequence(1, greatest(len-n+1, 1)) = [1] → one window = whole string.
       return new GenericArrayData(Array[Any](UTF8String.fromString(str)))
     }
     // First-occurrence order (deterministic; consumers are set-oriented).
     val seen = new JLinkedHashSet[String]()
     var i = 0
-    val nWindows = len - N + 1
+    val nWindows = len - n + 1
     while (i < nWindows) {
-      seen.add(str.substring(starts(i), starts(i + N)))
+      seen.add(str.substring(starts(i), starts(i + n)))
       i += 1
     }
     val out = new Array[Any](seen.size)

@@ -54,8 +54,8 @@ object GraftFunctions {
     ),
     (
       "char_ngrams",
-      "char_ngrams(text) - distinct character trigrams (whole string when shorter than 3)",
-      arity("char_ngrams", 1)(args => CharNgrams(args(0)))
+      "char_ngrams(text[, n]) - distinct character n-grams (default trigrams; whole string when shorter than n)",
+      args => CharNgrams.fromArgs(args)
     )
   )
 

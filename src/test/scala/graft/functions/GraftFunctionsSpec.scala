@@ -160,6 +160,15 @@ class GraftFunctionsSpec extends AnyFunSuite {
                        i -> substring('a😀bc', i, 3))))""").head().getSeq[String](0)
     )
     assert(spark.sql("SELECT char_ngrams(cast(null as string))").head().isNullAt(0))
+    // 2-arg form: literal n. 5-grams of 'abcdefg' = 3 windows; n larger
+    // than the string falls back to the whole string.
+    assert(spark.sql("SELECT char_ngrams('abcdefg', 5)").head().getSeq[String](0) ==
+      Seq("abcde", "bcdef", "cdefg"))
+    assert(spark.sql("SELECT char_ngrams('ab', 9)").head().getSeq[String](0) == Seq("ab"))
+    // Non-literal n is rejected at analysis time.
+    intercept[Exception] {
+      spark.sql("SELECT char_ngrams(t, n) FROM (SELECT 'abc' AS t, 3 AS n)").collect()
+    }
   }
 
   test("expressions run inside whole-stage codegen (no fallback)") {
