@@ -87,25 +87,52 @@ object Bench {
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
       catch { case _: Exception => "" }
-    val results = headline.map { name =>
+    val firstPass = headline.map { name =>
       val cold = run(name)
       val samples =
         if (cold < 0) Seq.empty[Double]
         else Seq.fill(runs)(run(name)).filter(_ >= 0)
+      (name, cold, samples)
+    }
+    // Noise guard: a >5× max/min spread within one query's samples means a
+    // co-tenant stole the box mid-measurement (r5: dedup_jaccard sampled
+    // 2.1–27.3 s). Re-sample those queries once and merge — the median over
+    // 2×runs samples shrugs off the contended block — and flag them so the
+    // JSON records that a rerun happened.
+    val reran = firstPass.collect {
+      case (name, _, ss) if ss.size >= 2 && ss.max / ss.min > 5.0 => name
+    }
+    val results = firstPass.map { case (name, cold, ss) =>
+      val samples = if (reran.contains(name)) ss ++ Seq.fill(runs)(run(name)).filter(_ >= 0) else ss
       val warm = if (samples.isEmpty) -1.0 else median(samples)
       (name, cold, warm, samples)
     }
+    val loadavgAfter =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
+      catch { case _: Exception => "" }
     val qs = results.map { case (k, _, w, _) => "\"" + k + "\":" + f"$w%.3f" }.mkString("{", ",", "}")
     // Raw per-run samples ride along so a surprising median is adjudicable
     // from the recorded JSON alone (spread vs genuine regression).
     val samplesJson = results
       .map { case (k, _, _, ss) => "\"" + k + "\":" + ss.map(s => f"$s%.3f").mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // A broken query must not silently shrink the total's denominator
+    // (r5: two −1s made an 8.2 s 10-query total read as an improvement over
+    // a 12-query 8.1 s). `failed` names every unmeasured query; a non-empty
+    // list means `value` is NOT comparable to a full-roster round.
+    val failed = results.collect { case (k, _, w, _) if w < 0 => "\"" + k + "\"" }
+    val failedJson = failed.mkString("[", ",", "]")
+    val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._3).filter(_ >= 0).sum
     val coldTotal = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samplesJson,"loadavg":"$loadavg","cold_total":$coldTotal%.3f,"runs":$runs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samplesJson,"failed":$failedJson,"reran":$reranJson,"loadavg":"$loadavg","loadavg_after":"$loadavgAfter","cold_total":$coldTotal%.3f,"runs":$runs,"sf":"$sfDir"}"""
     )
     spark.stop()
+    // Loud exit on any broken headline query — but only after the JSON line
+    // is on stdout, so a driver that captures output regardless of status
+    // still records the partial numbers alongside the failure.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

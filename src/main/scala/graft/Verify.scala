@@ -39,6 +39,13 @@ object Verify {
     // checkers read every part either way (frame compare + multiset hash
     // both glob the dump dir).
     val dumpParts = sys.env.get("SPARK_GRAFT_DUMP_PARTS")
+    // Failures must be visible in the artifact tree, not just on stderr:
+    // in round 5 every events-family query threw at ANALYSIS time, so no
+    // dump dir was created and the correctness gate silently dropped 16
+    // rows instead of reporting 16 failures. An empty stub dir per failed
+    // query makes the checker report NO-OUTPUT, and `_failures.json`
+    // carries the exception text for diagnosis.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -55,6 +62,9 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         e.printStackTrace() // message-only hides the cause (e.g. an NPE)
+        failures(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+        val stub = new java.io.File(s"$outDir/$name")
+        if (!stub.exists()) stub.mkdirs() // empty dir => checker flags NO-OUTPUT
       }
       // Free any localCheckpoint blocks the builder materialized — 96
       // queries back-to-back would otherwise accumulate dead storage.
@@ -75,6 +85,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -22,17 +22,30 @@ object Q {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 refuses to read natively (PARQUET_TYPE_ILLEGAL). Read the
-    * column as raw nanos (legacy long) and convert to NTZ micros with
-    * integer division — `ts div 1000` stays exact where a double division
-    * would lose precision above 2^53 ns.
+  /** The events table's `ts` column has shipped as both TIMESTAMP(NANOS)
+    * (which Spark 4 refuses to read natively — PARQUET_TYPE_ILLEGAL — so we
+    * read it as a raw long via `nanosAsLong` and convert with exact integer
+    * division) and plain `timestamp[us]` (which Spark reads directly).
+    * Detect which one is on disk from the *inferred schema*, not an assumed
+    * physical type: with `nanosAsLong=true` a NANOS column surfaces as
+    * LongType and a MICROS column still surfaces as a timestamp. Normalise
+    * both paths to TIMESTAMP_NTZ so every downstream query (and the DuckDB
+    * oracle, which reads naive timestamps) sees one stable type regardless
+    * of which testdata generation produced the file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // int64 nanos: `ts div 1000` stays exact where a double division
+        // would lose precision above 2^53 ns.
+        raw.withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("TIMESTAMP_NTZ"))
+    }
   }
 
   /** Order-insensitive exact money sum: round to cents in DECIMAL (exact

@@ -20,14 +20,27 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# Verify writes per-query exception text here; absence of a dump must be a
+# loud failing row, not a silently shorter report (round-5 lesson: 16
+# queries threw at analysis time and simply vanished from the artifact).
+fail_path = f"{out_dir}/_failures.json"
+failures = json.load(open(fail_path)) if os.path.exists(fail_path) else {}
 results = {}
+# ONLY=a,b,c restricts the report to those queries (matches Verify's
+# third-arg filter for local iteration); a full run flags every oracle
+# entry that produced no dump at all.
+only = set(os.environ["ONLY"].split(",")) if os.environ.get("ONLY") else None
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
+for name in sorted(set(oracle) - set(os.listdir(out_dir))):
+    results[name] = "MISSING-DUMP: " + failures.get(name, "no dump dir and no recorded exception")
 for name in sorted(os.listdir(out_dir)):
     p = os.path.join(out_dir, name)
-    if not os.path.isdir(p):
+    if not os.path.isdir(p) or (only and name not in only):
         continue
     files = glob.glob(f"{p}/*.parquet")
     if not files:
-        results[name] = "NO-OUTPUT"
+        results[name] = "NO-OUTPUT: " + failures.get(name, "empty dump dir")
         continue
     # Soak guard: a degenerate-corpus pair query can emit 10^8+ rows —
     # far past what a pandas frame compare can hold. Instead of loading,
