@@ -43,13 +43,18 @@ class Engine(
       * serving a pull-replicated copy passes false and announces itself to
       * the leader via the membership layer.
       */
-    val isLeader: Boolean = true
+    val isLeader: Boolean = true,
+    /** Liveness TTL for announced members (see [[Membership.ttlMillis]]). */
+    val memberTtlMillis: Long = 0L
 ) {
   if (rocksdbStateStore) Engine.enableRocksDBStateStore(spark)
 
   val log: SparkLog = SparkLog(spark, dataDir, config)
   val service: LogService =
-    new LogService(log, acl, nodeName, rpcAddr, isLeader = isLeader, peers)
+    new LogService(
+      log, acl, nodeName, rpcAddr, isLeader = isLeader, peers,
+      memberTtlMillis = memberTtlMillis
+    )
 
   graft.functions.GraftFunctions.register(spark)
 

@@ -42,7 +42,7 @@ object Main {
   private def usage(): Nothing = {
     System.err.println(
       "usage: graft.Main --data-dir DIR [--subject S] [--name N] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> | compact-near-index <indexDir>)\n" +
-        "       graft.Main --data-dir DIR --follower --join HOST:PORT serve-grpc [port]   (announce to a cluster; leave on shutdown)\n" +
+        "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] serve-grpc [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT (produce <v>... | consume <off> | servers)"
     )
     sys.exit(2)
@@ -91,6 +91,9 @@ object Main {
     var joinAddr: Option[String] = None
     var follower = false
     var nodeName: Option[String] = None
+    // Liveness TTL in seconds: members must re-announce within this window
+    // or GetServers evicts them (crash detection without gossip). 0 = off.
+    var ttlSeconds = 0L
     var rest = List.empty[String]
     var i = 0
     while (i < args.length) {
@@ -101,7 +104,8 @@ object Main {
         case "--join" if i + 1 < args.length      => joinAddr = Some(args(i + 1)); i += 2
         case "--name" if i + 1 < args.length      => nodeName = Some(args(i + 1)); i += 2
         case "--follower"                         => follower = true; i += 1
-        case "--data-dir" | "--bootstrap" | "--subject" | "--join" | "--name" => usage()
+        case "--ttl" if i + 1 < args.length       => ttlSeconds = args(i + 1).toLong; i += 2
+        case "--data-dir" | "--bootstrap" | "--subject" | "--join" | "--name" | "--ttl" => usage()
         case other                                => rest = rest :+ other; i += 1
       }
     }
@@ -134,7 +138,8 @@ object Main {
       dir,
       nodeName = nodeName.getOrElse(if (follower) s"follower-$advertised" else "driver-0"),
       rpcAddr = advertised,
-      isLeader = !follower
+      isLeader = !follower,
+      memberTtlMillis = ttlSeconds * 1000L
     )
 
     try {
@@ -188,8 +193,12 @@ object Main {
           // Ops visibility: per-RPC counters on shutdown (the OpenCensus-
           // views stand-in — see GrpcLogServer.stats).
           Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            val lat = srv.latencies
             srv.stats.toSeq.sortBy(_._1).foreach { case (m, (calls, errors)) =>
-              System.err.println(s"rpc $m: calls=$calls errors=$errors")
+              val p = lat.get(m).map(s =>
+                f" p50=${s.p50Millis}%.1fms p95=${s.p95Millis}%.1fms p99=${s.p99Millis}%.1fms"
+              ).getOrElse("")
+              System.err.println(s"rpc $m: calls=$calls errors=$errors$p")
             }
           }))
           // Announce to the cluster (the agent's StartJoinAddrs analog,
@@ -206,6 +215,20 @@ object Main {
             val view = peer.join(self)
             view.foreach(engine.service.membership.join)
             println(s"joined via $addr; cluster: ${view.map(_.id).mkString(", ")}")
+            // Liveness heartbeat: re-announce at TTL/3 so two beats can be
+            // lost before the hub's sweep evicts us. A re-join is an
+            // idempotent upsert on the hub — the announcement IS the beat.
+            if (ttlSeconds > 0) {
+              val beat = new Thread(() => {
+                while (true) {
+                  Thread.sleep(math.max(1L, ttlSeconds * 1000L / 3))
+                  try { val _ = peer.join(self) }
+                  catch { case _: Exception => () } // hub briefly down: retry next beat
+                }
+              }, "membership-heartbeat")
+              beat.setDaemon(true)
+              beat.start()
+            }
             Runtime.getRuntime.addShutdownHook(new Thread(() => {
               try peer.leave(self.id)
               catch { case _: Exception => () }

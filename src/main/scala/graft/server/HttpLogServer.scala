@@ -26,6 +26,9 @@ import graft.log.OffsetOutOfRangeException
   *   - `GET  /?offset=N`   consume (also accepts the reference's JSON-body
   *                         form) → `{"record":{...}}`; typed 404 past the end
   *   - `GET  /stat`        lowest/highest/segment count (CLI `stat` twin)
+  *   - `GET  /stats`       per-route request counts + latency percentiles
+  *                         (the OpenCensus server-views stand-in,
+  *                         server.go:52-60)
   *   - `GET  /servers`     topology (R5 GetServers, server.go:180-190)
   *   - `GET  /tail?from=N` catch-up ConsumeStream as Server-Sent Events —
   *                         one `data:` event per record, then the stream
@@ -101,16 +104,37 @@ class HttpLogServer(service: LogService, port: Int = 0, tls: Option[MtlsConfig] 
     node
   }
 
-  /** One guarded handler: domain exceptions map to wire statuses here so
-    * every route shares the 403/404 semantics.
+  /** Per-route latency histograms (request arrival → response close),
+    * mirroring the gRPC server's per-RPC percentiles so both front ends
+    * answer the same ops question. Keyed by the registered context path.
     */
-  private def handle(ex: HttpExchange)(f: => Unit): Unit =
+  private val routeLatency =
+    new java.util.concurrent.ConcurrentHashMap[String, LatencyHistogram]()
+
+  /** Snapshot of per-route latency percentiles (also served at `/stats`). */
+  def latencies: Map[String, LatencySnapshot] = {
+    import scala.jdk.CollectionConverters._
+    routeLatency.asScala.map { case (k, h) => k -> h.snapshot() }.toMap
+  }
+
+  /** One guarded handler: domain exceptions map to wire statuses here so
+    * every route shares the 403/404 semantics, and every route — error
+    * responses included — lands one latency sample.
+    */
+  private def handle(ex: HttpExchange)(f: => Unit): Unit = {
+    val started = System.nanoTime()
     try f
     catch {
       case e: PermissionDeniedException => respond(ex, 403, e.getMessage, "text/plain")
       case e: OffsetOutOfRangeException => respond(ex, 404, e.getMessage, "text/plain")
       case e: Exception                 => respond(ex, 500, String.valueOf(e.getMessage), "text/plain")
-    } finally ex.close()
+    } finally {
+      routeLatency
+        .computeIfAbsent(ex.getHttpContext.getPath, _ => new LatencyHistogram)
+        .record(System.nanoTime() - started)
+      ex.close()
+    }
+  }
 
   server.createContext(
     "/",
@@ -163,6 +187,26 @@ class HttpLogServer(service: LogService, port: Int = 0, tls: Option[MtlsConfig] 
         node.put("lowest", service.log.lowestOffset)
         node.put("highest", service.log.highestOffset)
         node.put("segments", service.log.segmentCount)
+        respond(ex, 200, mapper.writeValueAsString(node))
+      }
+  )
+
+  server.createContext(
+    "/stats",
+    (ex: HttpExchange) =>
+      handle(ex) {
+        // Ops telemetry: per-route request counts + latency percentiles —
+        // the HTTP twin of the gRPC server's OpenCensus-views stand-in.
+        val node = mapper.createObjectNode()
+        latencies.toSeq.sortBy(_._1).foreach { case (route, s) =>
+          val r = mapper.createObjectNode()
+          r.put("count", s.count)
+          r.put("p50_ms", s.p50Millis)
+          r.put("p95_ms", s.p95Millis)
+          r.put("p99_ms", s.p99Millis)
+          r.put("max_ms", s.maxMillis)
+          node.set[JsonNode](route, r)
+        }
         respond(ex, 200, mapper.writeValueAsString(node))
       }
   )

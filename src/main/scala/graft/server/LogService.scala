@@ -72,14 +72,22 @@ class LogService(
       * seeding for [[membership]], which then tracks runtime churn (each
       * peer row carries its own `isLeader`).
       */
-    val peers: Seq[ServerInfo] = Nil
+    val peers: Seq[ServerInfo] = Nil,
+    /** Liveness TTL for announced members (see [[Membership.ttlMillis]]);
+      * 0 keeps announcement-only membership.
+      */
+    val memberTtlMillis: Long = 0L
 ) {
 
   /** Live topology: deployer-seeded, then fed by Join/Leave announcements
     * (the Serf stand-in — see [[Membership]]).
     */
   val membership: Membership =
-    new Membership(ServerInfo(nodeName, rpcAddr, isLeader = isLeader), peers)
+    new Membership(
+      ServerInfo(nodeName, rpcAddr, isLeader = isLeader),
+      peers,
+      ttlMillis = memberTtlMillis
+    )
 
   /** A member announces itself (reference: discovery handler.Join,
     * membership.go:101-109). Mutating control-plane → produce permission,

@@ -23,21 +23,38 @@ trait MembershipHandler {
   * Join/Leave RPCs — announcements to a member rather than gossip between
   * peers), so topology is hub-propagated: each node knows itself plus
   * whoever announced to it or was seeded by the deployer; joiners receive
-  * the full view in the Join response. A member that dies without leaving
-  * is not auto-evicted (no failure detector) — the balanced client routes
-  * around it on failure and re-resolves.
+  * the full view in the Join response.
+  *
+  * Failure detection: Serf evicts members that DIE as well as members that
+  * leave (reference: membership.go:82-101 handles both event classes).
+  * Gossip's phi-accrual detector has no stand-in here; instead liveness is
+  * TTL-based when `ttlMillis > 0`: every Join announcement — including an
+  * idempotent re-announce, which is the heartbeat — refreshes the member's
+  * `lastSeen`, and any view read first sweeps out members not seen within
+  * the TTL, firing `onLeave` exactly as an explicit departure would. A
+  * member that crashes without leaving therefore vanishes from GetServers
+  * within one TTL instead of lingering forever. `ttlMillis = 0` (default)
+  * preserves the announcement-only behavior for deployments whose
+  * processes always depart cleanly.
   */
 final class Membership(
     val local: ServerInfo,
-    initialPeers: Seq[ServerInfo] = Nil
+    initialPeers: Seq[ServerInfo] = Nil,
+    /** Evict members not re-announced within this window; 0 disables. */
+    val ttlMillis: Long = 0L,
+    /** Injectable time source — tests advance it deterministically. */
+    clock: () => Long = () => System.currentTimeMillis()
 ) {
 
   /** id → member, join order preserved (GetServers answers local-first then
     * join order, so round-robin routing is stable across resolutions).
     */
   private val members = scala.collection.mutable.LinkedHashMap.empty[String, ServerInfo]
+  private val lastSeen = scala.collection.mutable.HashMap.empty[String, Long]
   private val handlers = new java.util.concurrent.CopyOnWriteArrayList[MembershipHandler]
-  initialPeers.filter(_.id != local.id).foreach(p => members.put(p.id, p))
+  initialPeers.filter(_.id != local.id).foreach { p =>
+    members.put(p.id, p); lastSeen.put(p.id, clock())
+  }
 
   /** Register a churn handler; close the result to deregister. Fired
     * outside the registry lock, on the joining/leaving caller's thread.
@@ -55,6 +72,9 @@ final class Membership(
   def join(m: ServerInfo): Boolean = {
     if (m.id == local.id) return false
     val changed = synchronized {
+      // An unchanged re-announce is the liveness heartbeat: refresh the
+      // clock even when the view doesn't move.
+      lastSeen.put(m.id, clock())
       val prev = members.get(m.id)
       if (prev.contains(m)) false
       else { members.put(m.id, m); true }
@@ -71,21 +91,49 @@ final class Membership(
 
   /** Remove a member by id; true when it was present. */
   def leave(id: String): Boolean = {
-    val removed = synchronized(members.remove(id).isDefined)
-    if (removed) {
-      val it = handlers.iterator()
-      while (it.hasNext) {
-        try it.next().onLeave(id)
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+    val removed = synchronized {
+      lastSeen.remove(id); members.remove(id).isDefined
     }
+    if (removed) fireLeave(id)
     removed
   }
 
-  /** Current view: this node first, then members in join order —
-    * the Members() analog (reference: membership.go:43-45).
-    */
-  def list: Seq[ServerInfo] = local +: synchronized(members.values.toVector)
+  private def fireLeave(id: String): Unit = {
+    val it = handlers.iterator()
+    while (it.hasNext) {
+      try it.next().onLeave(id)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
-  def size: Int = 1 + synchronized(members.size)
+  /** Evict members whose last announcement is older than the TTL — the
+    * failure-eviction half of Serf's event stream (membership.go:82-101:
+    * a MemberFailed event is handled identically to MemberLeave). Handlers
+    * fire outside the lock, on the reading caller's thread. No-op when
+    * liveness is disabled.
+    */
+  private def sweep(): Unit = {
+    if (ttlMillis <= 0L) return
+    val now = clock()
+    val stale = synchronized {
+      val ids = members.keysIterator
+        .filter(id => now - lastSeen.getOrElse(id, now) > ttlMillis)
+        .toVector
+      ids.foreach { id => members.remove(id); lastSeen.remove(id) }
+      ids
+    }
+    stale.foreach(fireLeave)
+  }
+
+  /** Current view: this node first, then members in join order —
+    * the Members() analog (reference: membership.go:43-45). Sweeps
+    * TTL-expired members first, so a crashed-without-leaving node never
+    * appears in a GetServers answer past its liveness window.
+    */
+  def list: Seq[ServerInfo] = {
+    sweep()
+    local +: synchronized(members.values.toVector)
+  }
+
+  def size: Int = { sweep(); 1 + synchronized(members.size) }
 }

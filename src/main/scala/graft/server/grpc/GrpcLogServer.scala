@@ -269,6 +269,7 @@ class GrpcLogServer(
     */
   private val rpcCalls = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private val rpcErrors = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val rpcLatency = new java.util.concurrent.ConcurrentHashMap[String, graft.server.LatencyHistogram]()
   @volatile private var serving = false
 
   private def bump(
@@ -289,8 +290,17 @@ class GrpcLogServer(
     }.toMap
   }
 
+  /** Per-RPC latency percentiles (arrival → close, so streaming RPCs count
+    * their full stream lifetime — the same span OpenCensus's ServerLatency
+    * view measures). Snapshot semantics: see [[graft.server.LatencyHistogram]].
+    */
+  def latencies: Map[String, graft.server.LatencySnapshot] = {
+    import scala.jdk.CollectionConverters._
+    rpcLatency.asScala.map { case (k, h) => k -> h.snapshot() }.toMap
+  }
+
   /** Counting interceptor: one call bump at arrival, one error bump when
-    * the call closes non-OK.
+    * the call closes non-OK, one latency sample (arrival → close) always.
     */
   private final class MetricsInterceptor extends ServerInterceptor {
     override def interceptCall[ReqT, RespT](
@@ -300,9 +310,13 @@ class GrpcLogServer(
     ): ServerCall.Listener[ReqT] = {
       val name = call.getMethodDescriptor.getFullMethodName
       bump(rpcCalls, name)
+      val started = System.nanoTime()
       val counted = new ForwardingServerCall.SimpleForwardingServerCall[ReqT, RespT](call) {
         override def close(status: Status, trailers: Metadata): Unit = {
           if (!status.isOk) bump(rpcErrors, name)
+          rpcLatency
+            .computeIfAbsent(name, _ => new graft.server.LatencyHistogram)
+            .record(System.nanoTime() - started)
           super.close(status, trailers)
         }
       }

@@ -93,6 +93,24 @@ class HttpLogServerSpec extends AnyFunSuite {
     }
   }
 
+  test("/stats serves per-route latency percentiles that move with traffic") {
+    val log = SparkLog(spark, TestSpark.tempDir("http-stats"), LogConfig(maxStoreBytes = 256))
+    val srv = new HttpLogServer(new LogService(log), port = 0).start()
+    val c = HttpClient.newHttpClient()
+    val base = s"http://localhost:${srv.boundPort}"
+    try {
+      (0 until 5).foreach(i => post(c, s"$base/", s"""{"record":{"value":"${b64(s"r$i")}"}}"""))
+      (0 until 5).foreach(_ => get(c, s"$base/stat"))
+      val stats = get(c, s"$base/stats")
+      assert(stats.statusCode() == 200)
+      // Both exercised routes appear with counts and ordered percentiles.
+      assert(stats.body().contains("\"/\":") && stats.body().contains("\"/stat\":"))
+      val lat = srv.latencies
+      assert(lat("/").count == 5L && lat("/stat").count == 5L)
+      assert(lat("/").p50Millis > 0.0 && lat("/").p50Millis <= lat("/").p99Millis)
+    } finally srv.stop()
+  }
+
   test("tail streams the catch-up portion as SSE events") {
     withServer { (c, base, _) =>
       (0 until 5).foreach(i => post(c, s"$base/", s"""{"record":{"value":"${b64(s"e$i")}"}}"""))

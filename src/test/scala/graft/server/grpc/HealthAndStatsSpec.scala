@@ -48,4 +48,45 @@ class HealthAndStatsSpec extends AnyFunSuite {
       assert(srv.stats("grpc.health.v1.Health/Check")._1 == 1L)
     }
   }
+
+  test("per-RPC latency percentiles move with traffic (ServerLatency view stand-in)") {
+    withServer { (client, srv) =>
+      assert(srv.latencies.isEmpty, "no traffic yet → no histograms")
+      client.produce("a".getBytes)
+      (0 until 20).foreach(_ => client.consume(0L))
+
+      val lat = srv.latencies
+      val consume = lat("log.v1.Log/Consume")
+      assert(consume.count == 20L, s"latencies: $lat")
+      // Real sampled latencies: positive, percentile-ordered, max observed
+      // at least the p50 bucket's scale.
+      assert(consume.p50Millis > 0.0)
+      assert(consume.p50Millis <= consume.p95Millis)
+      assert(consume.p95Millis <= consume.p99Millis)
+      assert(consume.maxMillis > 0.0)
+      // Error closes sample too (the 404 path is a latency data point).
+      intercept[Throwable](client.consume(99L))
+      assert(srv.latencies("log.v1.Log/Consume").count == 21L)
+    }
+  }
+
+  test("unit: histogram percentiles rank geometric buckets correctly") {
+    val h = new graft.server.LatencyHistogram
+    // 90 samples ~1 ms, 9 at ~80 ms, 1 at ~1.3 s: p50 in the 1 ms bucket,
+    // p95 in the 80 ms bucket, p99 likewise, max ≈ 1.3 s exactly.
+    (0 until 90).foreach(_ => h.record(1000000L))
+    (0 until 9).foreach(_ => h.record(80000000L))
+    h.record(1300000000L)
+    val s = h.snapshot()
+    assert(s.count == 100L)
+    assert(s.p50Millis >= 1.0 && s.p50Millis <= 2.1, s"p50=${s.p50Millis}")
+    assert(s.p95Millis >= 64.0 && s.p95Millis <= 131.1, s"p95=${s.p95Millis}")
+    assert(s.p99Millis >= 64.0 && s.p99Millis <= 131.1, s"p99=${s.p99Millis}")
+    assert(math.abs(s.maxMillis - 1300.0) < 0.001)
+    // The lone tail sample is the 100th rank: p100 ≈ its bucket, via p99
+    // over a 1-sample histogram.
+    val t = new graft.server.LatencyHistogram
+    t.record(1300000000L)
+    assert(t.snapshot().p99Millis >= 1300.0 / 2 && t.snapshot().p99Millis <= 2600.0)
+  }
 }

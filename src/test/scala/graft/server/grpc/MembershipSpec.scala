@@ -55,6 +55,54 @@ class MembershipSpec extends AnyFunSuite {
     assert(joins.get == 3, "unsubscribed handler must not fire")
   }
 
+  test("TTL sweep evicts a member that dies without leaving (membership.go:82-101)") {
+    // Serf treats MemberFailed like MemberLeave; the TTL sweep is the
+    // gossip-free stand-in. Deterministic via an injected clock.
+    var now = 1000L
+    val m = new Membership(
+      ServerInfo("leader", "h:1", isLeader = true),
+      ttlMillis = 100L,
+      clock = () => now
+    )
+    val left = new java.util.concurrent.CopyOnWriteArrayList[String]
+    m.subscribe(new MembershipHandler {
+      override def onLeave(id: String): Unit = left.add(id)
+    })
+    m.join(ServerInfo("f-0", "h:2", isLeader = false))
+    m.join(ServerInfo("f-1", "h:3", isLeader = false))
+    assert(m.size == 3)
+
+    // f-0 heartbeats (an idempotent re-announce), f-1 goes silent.
+    now += 80L
+    m.join(ServerInfo("f-0", "h:2", isLeader = false))
+    now += 80L // f-1 last seen 160ms ago > TTL; f-0 80ms ago
+    assert(m.list.map(_.id) == Seq("leader", "f-0"), "silent member must be swept")
+    assert(left.toArray.toSeq == Seq("f-1"), "eviction fires onLeave like a departure")
+
+    // The survivor outlives any number of sweeps while it keeps beating.
+    now += 80L
+    m.join(ServerInfo("f-0", "h:2", isLeader = false))
+    now += 80L
+    assert(m.size == 2 && left.size == 1)
+
+    // Full silence: everyone but the local node ages out.
+    now += 200L
+    assert(m.list.map(_.id) == Seq("leader"))
+    assert(left.toArray.toSeq == Seq("f-1", "f-0"))
+
+    // A post-eviction rejoin is a fresh join (node restarted after crash).
+    assert(m.join(ServerInfo("f-1", "h:3", isLeader = false)))
+    assert(m.size == 2)
+  }
+
+  test("ttl=0 (default) never evicts — announcement-only membership") {
+    var now = 0L
+    val m = new Membership(ServerInfo("leader", "h:1", isLeader = true), clock = () => now)
+    m.join(ServerInfo("f-0", "h:2", isLeader = false))
+    now += 1000L * 60 * 60
+    assert(m.size == 2, "no TTL: a silent member lingers (documented pre-liveness behavior)")
+  }
+
   test("membership RPCs require produce permission") {
     val log = SparkLog(spark, TestSpark.tempDir("member-acl"))
     val svc = new LogService(log)
@@ -71,8 +119,9 @@ class MembershipSpec extends AnyFunSuite {
       log: SparkLog,
       name: String,
       addr: => String,
-      leader: Boolean
-  ) extends LogService(log, Acl.rootOnly, name, "placeholder", leader) {
+      leader: Boolean,
+      ttl: Long = 0L
+  ) extends LogService(log, Acl.rootOnly, name, "placeholder", leader, memberTtlMillis = ttl) {
     val consumed = new AtomicInteger(0)
     override def consume(subject: String, req: ConsumeRequest): ConsumeResponse = {
       consumed.incrementAndGet(); super.consume(subject, req)
@@ -131,6 +180,58 @@ class MembershipSpec extends AnyFunSuite {
         assert(client.servers.size == 1)
         announce.close()
       } finally followerSrv.stop()
+    } finally {
+      client.close()
+      leaderSrv.stop()
+    }
+  }
+
+  test("a follower killed without Leave vanishes from GetServers within the TTL; routing follows") {
+    val log = SparkLog(spark, TestSpark.tempDir("member-ttl-e2e"), LogConfig(maxStoreBytes = 256))
+    var leaderPort = 0
+    val leaderSvc =
+      new CountingService(log, "leader", s"localhost:$leaderPort", leader = true, ttl = 300L)
+    val leaderSrv = new GrpcLogServer(leaderSvc, port = 0, anonymousSubject = "root").start()
+    leaderPort = leaderSrv.boundPort
+    val client = new BalancedLogClient("localhost", leaderSrv.boundPort, refreshEveryMillis = 1L)
+    try {
+      client.produce("m0".getBytes)
+
+      var followerPort = 0
+      val followerSvc =
+        new CountingService(log, "follower-0", s"localhost:$followerPort", leader = false)
+      val followerSrv = new GrpcLogServer(followerSvc, port = 0, anonymousSubject = "root").start()
+      followerPort = followerSrv.boundPort
+      val announce = new GrpcLogClient("localhost", leaderSrv.boundPort)
+      announce.join(ServerInfo("follower-0", s"localhost:$followerPort", false))
+      // Routed call → staleness-bounded re-resolution picks up the join.
+      client.consume(0L)
+      assert(client.servers.size == 2)
+      assert(followerSvc.consumed.get == 1, "live follower serves reads")
+
+      // CRASH: the follower's process dies — no Leave RPC, no heartbeat.
+      followerSrv.stop()
+      announce.close()
+
+      // Within the TTL the sweep drops it from every GetServers answer.
+      // Bounded poll (pass as soon as the view shrinks), driving routed
+      // calls because resolution happens before routing, not in `servers`;
+      // pre-eviction calls may still hit the dead node — that transport
+      // error is exactly what the client is expected to ride out.
+      val deadline = System.currentTimeMillis() + 5000L
+      while (client.servers.size != 1 && System.currentTimeMillis() < deadline) {
+        try { val _ = client.consume(0L) }
+        catch { case _: Exception => () }
+        Thread.sleep(25L)
+      }
+      assert(client.servers.map(_.id) == Seq("leader"), "crashed follower must be evicted")
+
+      // And routing follows the view: reads land on the leader again.
+      val followerBefore = followerSvc.consumed.get
+      val leaderBefore = leaderSvc.consumed.get
+      (0 until 3).foreach(_ => client.consume(0L))
+      assert(followerSvc.consumed.get == followerBefore)
+      assert(leaderSvc.consumed.get == leaderBefore + 3)
     } finally {
       client.close()
       leaderSrv.stop()
