@@ -60,6 +60,10 @@ object PlanDump {
     "knn_centroid" -> ("Centroids aggregate with one (label,dim) shuffle; " +
       "assignment is a broadcast cross join against the metadata-sized " +
       "centroid table scored in codegen, argmin via WindowGroupLimit."),
+    "knn_ivf_dist" -> ("Batch-kNN shape: the query set stays a DataFrame " +
+      "end-to-end (no driver collect); only the k×dim centroid table " +
+      "broadcasts for probe assignment, candidates join on cell id as a " +
+      "plain shuffle join — survives a 10M-query probe table."),
     "q_salted_join" -> ("Manual skew-join rewrite: deterministic salt on the " +
       "big side, small side replicated once per salt — hot keys spread over " +
       "nSalts partitions; result identical to the plain join."),

@@ -333,6 +333,86 @@ object Similarity {
       """)
     ),
 
+    // --- distributed-probe batch IVF: the millions-of-queries shape ---
+    // The other ANN variants hold their (8-vector) query set on the driver
+    // — right for an online-serving workload, wrong for batch kNN where
+    // the probe side is itself a table. Here NOTHING collects: the query
+    // set stays a DataFrame end-to-end. The only broadcast is the k×dim
+    // centroid table (model state, metadata-sized at any corpus scale);
+    // probe assignment is a broadcast cross join scored in codegen, ranked
+    // by a qid-keyed window; candidate generation is a plain shuffle join
+    // on cell id — at 100 TB with 10M queries that join shuffles both
+    // sides by cell and stays fully partition-parallel. Cost model:
+    // n·k centroid scores + (n·nProbe/k)·|cell| exact re-ranks, vs
+    // brute's n·|corpus|.
+    Q(
+      "knn_ivf_dist",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+        // Batch probe table — a DataFrame, never .collect()ed.
+        val q = e.filter(col("vec_id") < 64).select(col("vec_id").as("qid"), col("v").as("qv"))
+        // Coarse centroids = per-cell mean via posexplode + avg: one
+        // shuffle of n·dim rows keyed by (label, pos) (same pattern and
+        // drift-rounding rationale as knn_centroid).
+        val cent = e
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          .agg(avg("x").as("cx"))
+          .groupBy("label")
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("cx")))),
+              st => st.getField("cx")
+            ).as("cv")
+          )
+          .select(col("label").as("clabel"), col("cv"))
+        val nProbe = 2
+        val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("clabel"))
+        val probes = q
+          .crossJoin(broadcast(cent))
+          .withColumn("ccos", round(expr("cosine_similarity(qv, cv)"), 4))
+          .withColumn("pr", row_number().over(wProbe))
+          .filter(col("pr") <= nProbe)
+          .select(col("qid"), col("qv"), col("clabel").as("pcell"))
+        // Shuffle join on cell id — deliberately NOT broadcast: the probe
+        // side scales with the query count.
+        val wFinal = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+        e.join(probes, col("label") === col("pcell") && col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
+          .withColumn("rank", row_number().over(wFinal))
+          .filter(col("rank") <= 5)
+          .select("qid", "vec_id", "rank", "cos")
+          .orderBy("qid", "rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        u AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        c AS (SELECT label AS clabel, pos, avg(x) AS cx FROM u GROUP BY 1, 2),
+        cvt AS (SELECT clabel, list(cx ORDER BY pos) AS cv FROM c GROUP BY 1),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 64),
+        pr AS (
+          SELECT qid, qv, clabel,
+                 row_number() OVER (PARTITION BY qid ORDER BY
+                   round(list_dot_product(qv, cv) /
+                         sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 4) DESC,
+                   clabel) AS pr
+          FROM q CROSS JOIN cvt),
+        p AS (SELECT qid, qv, clabel AS pcell FROM pr WHERE pr <= 2),
+        cand AS (
+          SELECT p.qid, e.vec_id,
+                 round(list_dot_product(p.qv, e.v) /
+                       sqrt(list_dot_product(p.qv, p.qv) * list_dot_product(e.v, e.v)), 6) AS cos
+          FROM e JOIN p ON e.label = p.pcell AND e.vec_id <> p.qid),
+        r AS (SELECT qid, vec_id, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+              FROM cand)
+        SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM r WHERE rank <= 5 ORDER BY qid, rank
+      """)
+    ),
+
     // --- int8 quantization planning (scale + exact integer checksums) ---
     Q(
       "vec_quantize",

