@@ -1121,6 +1121,49 @@ object Relational {
         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, true AS approx_ok
         FROM events
       """)
+    ),
+
+    // --- approximate percentiles (mergeable quantile sketch) ---
+    Q(
+      "q_approx_quantile",
+      (s, d) =>
+        // The quantile twin of q_approx_distinct: percentile_approx is a
+        // KLL-style rank sketch whose partial states MERGE — the two-phase
+        // hash aggregate ships one bounded sketch per (group, partition)
+        // instead of sorting each group's values, which is why it survives
+        // 100 TB where exact percentile_cont's per-group sort-buffer does
+        // not. The sketch VALUE is engine-specific, so the oracle asserts
+        // its rank-error CONTRACT instead: accuracy=2000 bounds rank error
+        // by n/2000, far inside the exact [p48, p52] / [p88, p92] value
+        // brackets computed in the same query (oracle-checkable; brackets
+        // are CONT-interpolated so they also cover APPROX's discrete
+        // return landing one sample outside the inner rank).
+        t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            expr("round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)").as("exact_p50"),
+            expr("percentile_approx(o_totalprice, 0.5, 2000)").as("ap50"),
+            expr("percentile_approx(o_totalprice, 0.9, 2000)").as("ap90"),
+            expr("percentile_cont(0.48) WITHIN GROUP (ORDER BY o_totalprice)").as("p48"),
+            expr("percentile_cont(0.52) WITHIN GROUP (ORDER BY o_totalprice)").as("p52"),
+            expr("percentile_cont(0.88) WITHIN GROUP (ORDER BY o_totalprice)").as("p88"),
+            expr("percentile_cont(0.92) WITHIN GROUP (ORDER BY o_totalprice)").as("p92")
+          )
+          .select(
+            col("o_orderpriority"),
+            col("n_orders"),
+            col("exact_p50"),
+            (col("ap50") >= col("p48") && col("ap50") <= col("p52")).as("p50_ok"),
+            (col("ap90") >= col("p88") && col("ap90") <= col("p92")).as("p90_ok")
+          )
+          .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+               true AS p50_ok, true AS p90_ok
+        FROM orders GROUP BY 1 ORDER BY 1
+      """)
     )
   )
 }

@@ -41,6 +41,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("approx-quantile sketch aggregates in two phases (mergeable partial sketches)") {
+    // The 100 TB property of q_approx_quantile: partial percentile_approx
+    // sketches merge map-side, one bounded sketch per (group, partition)
+    // crossing the wire — not each group's raw values.
+    val p = plan("q_approx_quantile")
+    assert(p.contains("partial_percentile_approx"),
+      s"approx quantile lost its partial (map-side) sketch phase:\n$p")
+  }
+
   test("distributed-probe kNN broadcasts only the centroid table, never collects queries") {
     // knn_ivf_dist's scale contract: the one BuildBroadcast in the plan is
     // the k×dim centroid table (probe assignment); the query table and the
