@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] [--name N] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> | compact-near-index <indexDir>)\n" +
+      "usage: graft.Main --data-dir DIR [--subject S] [--name N] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> | compact-near-index <indexDir>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] serve-grpc [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT (produce <v>... | consume <off> | servers)"
     )
@@ -179,6 +179,25 @@ object Main {
             restArgs.headOption.map(_.toInt).getOrElse(8080)
           ).start()
           println(s"serving HTTP on port ${srv.boundPort}")
+          Thread.currentThread.join()
+        case "serve-mux" :: restArgs if restArgs.length <= 1 =>
+          // Single-port assembly — the cmux role in the reference's agent
+          // (agent.go:79-91): gRPC and HTTP/JSON share one listener, each
+          // connection routed by its first bytes (HTTP/2 preface → gRPC).
+          // Backends bind loopback-ephemeral; only the mux port is public.
+          val grpcSrv = new graft.server.grpc.GrpcLogServer(
+            engine.service, port = 0, anonymousSubject = subject
+          ).start()
+          val httpSrv = new graft.server.HttpLogServer(engine.service, port = 0).start()
+          val mux = new graft.server.PortMux(
+            restArgs.headOption.map(_.toInt).getOrElse(8500),
+            grpcSrv.boundPort,
+            httpSrv.boundPort
+          ).start()
+          println(
+            s"serving gRPC+HTTP multiplexed on port ${mux.boundPort} " +
+              s"(backends: grpc ${grpcSrv.boundPort}, http ${httpSrv.boundPort})"
+          )
           Thread.currentThread.join()
         case "serve-grpc" :: restArgs if restArgs.length <= 1 =>
           // The reference's actual wire protocol (api/v1/log.proto) —
