@@ -283,6 +283,82 @@ object Corpus {
                CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
         FROM flagged GROUP BY lang ORDER BY lang
       """)
+    ),
+
+    // --- sequence packing: concat-and-chunk docs into training sequences ---
+    // The sample-packing step between curation and the trainer: documents
+    // are concatenated in a deterministic order and chunked into fixed
+    // seq_len-token sequences (the GPT-style recipe — documents may cross
+    // chunk boundaries; the attention mask handles the seam). A global
+    // concatenation order would serialize the corpus through one sort, so
+    // packing shards over the same md5 buckets as the budget sampler: each
+    // of the 32 shards packs independently (one windowed running sum per
+    // shard, partition-parallel), and only the LAST bin of each shard is
+    // under-full — fill ratio degrades by at most shards·seq_len tokens
+    // over the whole corpus, negligible at any real scale, in exchange for
+    // embarrassing parallelism. Emitted per shard: docs, tokens, bin
+    // count, fill ratio, and how many docs straddle a chunk boundary
+    // (boundary docs cost loss-masking overhead, so pipelines track them).
+    Q(
+      "corpus_pack",
+      (s, d) => {
+        val seqLen = 512L
+        val docs = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(ws).cast("long").as("n_tokens"),
+            bucketOf(32).as("bucket"),
+            md5(col("doc_id").cast("string")).as("h")
+          )
+        val w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+        docs
+          .withColumn(
+            "before",
+            coalesce(
+              sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)
+            )
+          )
+          .withColumn(
+            "crosses",
+            expr(s"before div $seqLen") =!= expr(s"(before + n_tokens - 1) div $seqLen")
+          )
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tokens"),
+            expr(s"(sum(n_tokens) + ${seqLen - 1}) div $seqLen").as("n_bins"),
+            sum(when(col("crosses"), 1L).otherwise(0L)).as("boundary_docs")
+          )
+          .withColumn(
+            "fill_ratio",
+            round(col("tokens").cast("double") / (col("n_bins") * seqLen).cast("double"), 6)
+          )
+          .select("bucket", "n_docs", "tokens", "n_bins", "boundary_docs", "fill_ratio")
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS bucket,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        cum AS (
+          SELECT bucket, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM docs)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens,
+               CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_bins,
+               CAST(sum(CASE WHEN before // 512 <> (before + n_tokens - 1) // 512
+                             THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs,
+               round(CAST(sum(n_tokens) AS DOUBLE) /
+                     (CAST((sum(n_tokens) + 511) // 512 AS BIGINT) * 512.0), 6) AS fill_ratio
+        FROM cum GROUP BY bucket ORDER BY bucket
+      """)
     )
   )
 }
