@@ -219,6 +219,12 @@ object Main {
               ).getOrElse("")
               System.err.println(s"rpc $m: calls=$calls errors=$errors$p")
             }
+            // Tail of the always-sample span ring (trace exporter stand-in).
+            srv.recentTraces.takeRight(10).foreach { s =>
+              System.err.println(
+                f"trace ${s.traceId} ${s.method} ${s.durationNanos / 1e6}%.2fms ok=${s.ok}"
+              )
+            }
           }))
           // Announce to the cluster (the agent's StartJoinAddrs analog,
           // reference: internal/agent/agent.go:151-163 via Serf join):

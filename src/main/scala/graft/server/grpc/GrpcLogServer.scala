@@ -270,6 +270,13 @@ class GrpcLogServer(
   private val rpcCalls = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private val rpcErrors = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private val rpcLatency = new java.util.concurrent.ConcurrentHashMap[String, graft.server.LatencyHistogram]()
+  // Always-sample span ring (the trace.AlwaysSample() half of the
+  // reference's telemetry setup, server.go:52-58): every call records one
+  // completed span — id, method, start, duration, status. Bounded ring so
+  // an arbitrarily long-lived server holds constant memory; a production
+  // deployment exports these instead of retaining them.
+  private val traceRing = new java.util.concurrent.atomic.AtomicReferenceArray[GrpcLogServer.Span](GrpcLogServer.TraceRingSize)
+  private val traceSeq = new java.util.concurrent.atomic.AtomicLong()
   @volatile private var serving = false
 
   private def bump(
@@ -299,6 +306,22 @@ class GrpcLogServer(
     rpcLatency.asScala.map { case (k, h) => k -> h.snapshot() }.toMap
   }
 
+  /** The most recent completed spans, oldest → newest (bounded by the ring
+    * size). Every RPC is sampled — the reference configures
+    * `trace.AlwaysSample()` (server.go:52-58); the ring is the in-process
+    * stand-in for its exporter.
+    */
+  def recentTraces: Seq[GrpcLogServer.Span] = {
+    val upto = traceSeq.get()
+    val from = math.max(0L, upto - GrpcLogServer.TraceRingSize)
+    (from until upto).flatMap { i =>
+      Option(traceRing.get((i % GrpcLogServer.TraceRingSize).toInt))
+        // A slot may have been lapped between reading `upto` and the slot;
+        // keep only spans whose id matches the window we advertised.
+        .filter(s => s.traceId >= from && s.traceId < upto)
+    }
+  }
+
   /** Counting interceptor: one call bump at arrival, one error bump when
     * the call closes non-OK, one latency sample (arrival → close) always.
     */
@@ -311,12 +334,20 @@ class GrpcLogServer(
       val name = call.getMethodDescriptor.getFullMethodName
       bump(rpcCalls, name)
       val started = System.nanoTime()
+      val startedWall = System.currentTimeMillis()
       val counted = new ForwardingServerCall.SimpleForwardingServerCall[ReqT, RespT](call) {
         override def close(status: Status, trailers: Metadata): Unit = {
           if (!status.isOk) bump(rpcErrors, name)
+          val elapsed = System.nanoTime() - started
           rpcLatency
             .computeIfAbsent(name, _ => new graft.server.LatencyHistogram)
-            .record(System.nanoTime() - started)
+            .record(elapsed)
+          // Always-sample span: claim the next ring slot and publish.
+          val id = traceSeq.getAndIncrement()
+          traceRing.set(
+            (id % GrpcLogServer.TraceRingSize).toInt,
+            GrpcLogServer.Span(id, name, startedWall, elapsed, status.isOk)
+          )
           super.close(status, trailers)
         }
       }
@@ -424,6 +455,18 @@ class GrpcLogServer(
 }
 
 object GrpcLogServer {
+
+  /** One completed RPC span (the always-sample trace record). */
+  final case class Span(
+      traceId: Long,
+      method: String,
+      startEpochMillis: Long,
+      durationNanos: Long,
+      ok: Boolean
+  )
+
+  /** Span ring capacity — recent-history window for the ops surface. */
+  private[grpc] val TraceRingSize: Int = 256
 
   /** Size of the shared ConsumeStream drain pool — the server's tail
     * thread bound regardless of open-stream count.

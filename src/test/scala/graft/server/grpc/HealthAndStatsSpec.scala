@@ -70,6 +70,29 @@ class HealthAndStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("always-sample trace ring records one span per RPC, oldest to newest") {
+    withServer { (client, srv) =>
+      client.produce("a".getBytes)
+      client.consume(0L)
+      intercept[Throwable](client.consume(99L)) // error close samples too
+
+      val spans = srv.recentTraces
+      assert(spans.size == 3, s"spans: $spans")
+      assert(spans.map(_.traceId) == spans.map(_.traceId).sorted, "oldest → newest")
+      assert(spans.map(_.method) == Seq(
+        "log.v1.Log/Produce", "log.v1.Log/Consume", "log.v1.Log/Consume"
+      ))
+      assert(spans.take(2).forall(_.ok) && !spans.last.ok, "status rides the span")
+      assert(spans.forall(s => s.durationNanos > 0 && s.startEpochMillis > 0))
+
+      // The ring is bounded: flood past capacity, keep the newest window.
+      (0 until 300).foreach(_ => client.healthCheck())
+      val after = srv.recentTraces
+      assert(after.size <= 256, s"ring must stay bounded, got ${after.size}")
+      assert(after.forall(_.traceId > spans.last.traceId - 1))
+    }
+  }
+
   test("unit: histogram percentiles rank geometric buckets correctly") {
     val h = new graft.server.LatencyHistogram
     // 90 samples ~1 ms, 9 at ~80 ms, 1 at ~1.3 s: p50 in the 1 ms bucket,
