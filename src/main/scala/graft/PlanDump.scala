@@ -95,7 +95,16 @@ object PlanDump {
       "bucket: the sample itself is pure scan+filter (the predicate runs " +
       "inside the FileScan's codegen stage) — the only exchange below is " +
       "the presentation ORDER BY for the oracle compare, which a real " +
-      "pipeline would drop.")
+      "pipeline would drop."),
+    "q_approx_quantile" -> ("Mergeable rank-sketch percentiles: the " +
+      "ObjectHashAggregate runs partial_percentile_approx map-side, one " +
+      "bounded sketch per (group, partition) crossing the shuffle — not " +
+      "each group's raw values (the exact percentile_cont brackets ride " +
+      "the same two-phase aggregate)."),
+    "corpus_pack" -> ("Sequence packing shards over 32 md5 buckets: one " +
+      "windowed running sum PER SHARD (partition-parallel, no global " +
+      "sort), then a 32-row aggregate — the concat-and-chunk order is " +
+      "deterministic within each shard and shards pack independently.")
   )
 
   def main(args: Array[String]): Unit = {
