@@ -125,8 +125,12 @@ object Main {
     // balanced clients can resolve this node (SPARK_GRAFT_ADVERTISE
     // overrides for multi-host deployments where "localhost" is wrong).
     val advertised = rest match {
-      case ("serve" | "serve-grpc") :: restArgs if restArgs.length <= 1 =>
-        val defaultPort = if (rest.head == "serve") 8080 else 8400
+      case ("serve" | "serve-grpc" | "serve-mux") :: restArgs if restArgs.length <= 1 =>
+        val defaultPort = rest.head match {
+          case "serve"      => 8080
+          case "serve-grpc" => 8400
+          case _            => 8500
+        }
         sys.env.getOrElse(
           "SPARK_GRAFT_ADVERTISE",
           s"localhost:${restArgs.headOption.map(_.toInt).getOrElse(defaultPort)}"
@@ -186,9 +190,12 @@ object Main {
           // connection routed by its first bytes (HTTP/2 preface → gRPC).
           // Backends bind loopback-ephemeral; only the mux port is public.
           val grpcSrv = new graft.server.grpc.GrpcLogServer(
-            engine.service, port = 0, anonymousSubject = subject
+            engine.service, port = 0, anonymousSubject = subject,
+            bindHost = Some("127.0.0.1")
           ).start()
-          val httpSrv = new graft.server.HttpLogServer(engine.service, port = 0).start()
+          val httpSrv = new graft.server.HttpLogServer(
+            engine.service, port = 0, bindHost = Some("127.0.0.1")
+          ).start()
           val mux = new graft.server.PortMux(
             restArgs.headOption.map(_.toInt).getOrElse(8500),
             grpcSrv.boundPort,
@@ -247,7 +254,13 @@ object Main {
               val beat = new Thread(() => {
                 while (true) {
                   Thread.sleep(math.max(1L, ttlSeconds * 1000L / 3))
-                  try { val _ = peer.join(self) }
+                  // The returned view is this node's OWN liveness feed:
+                  // topology is hub-propagated, so re-seeding the local
+                  // registry from each beat's response is what refreshes
+                  // the hub (and every peer) in our own TTL'd view —
+                  // discarding it would sweep the leader out of this
+                  // follower's GetServers answers after one TTL.
+                  try peer.join(self).foreach(engine.service.membership.join)
                   catch { case _: Exception => () } // hub briefly down: retry next beat
                 }
               }, "membership-heartbeat")

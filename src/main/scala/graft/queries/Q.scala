@@ -44,6 +44,13 @@ object Q {
       case _: org.apache.spark.sql.types.TimestampNTZType =>
         raw
       case _ =>
+        // isAdjustedToUTC=true micros arrive as TimestampType; a bare NTZ
+        // cast would render SESSION-LOCAL wall-clock times (machine-tz-
+        // dependent, silently diverging from DuckDB's naive-UTC read on
+        // any non-UTC JVM). Pin the session to UTC first so the cast is
+        // deterministic — every harness main already runs UTC; this makes
+        // the adapter safe under any caller.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn("ts", col("ts").cast("TIMESTAMP_NTZ"))
     }
   }

@@ -51,13 +51,22 @@ import graft.log.OffsetOutOfRangeException
   * mode for already-authenticated perimeters. Bytes travel as base64, the
   * standard JSON mapping for proto `bytes` fields.
   */
-class HttpLogServer(service: LogService, port: Int = 0, tls: Option[MtlsConfig] = None) {
+class HttpLogServer(
+    service: LogService,
+    port: Int = 0,
+    tls: Option[MtlsConfig] = None,
+    /** Bind host — None binds the wildcard address; `Some("127.0.0.1")`
+      * keeps the listener loopback-only (the serve-mux backend posture).
+      */
+    bindHost: Option[String] = None
+) {
   private val mapper = new ObjectMapper()
   private val pool = Executors.newFixedThreadPool(4)
+  private def bindAddr = bindHost.fold(new InetSocketAddress(port))(new InetSocketAddress(_, port))
   private val server = tls match {
-    case None => HttpServer.create(new InetSocketAddress(port), 0)
+    case None => HttpServer.create(bindAddr, 0)
     case Some(cfg) =>
-      val s = HttpsServer.create(new InetSocketAddress(port), 0)
+      val s = HttpsServer.create(bindAddr, 0)
       val ctx = Mtls.sslContext(cfg)
       s.setHttpsConfigurator(new HttpsConfigurator(ctx) {
         override def configure(p: HttpsParameters): Unit = {

@@ -51,7 +51,12 @@ final class PortMux(port: Int, grpcBackendPort: Int, httpBackendPort: Int) {
             t.start()
           } catch {
             case _: Exception if closed.get() => () // listener closed: exit
-            case _: Exception                 => ()
+            case _: Exception                 =>
+              // Persistent accept failure (fd exhaustion, EMFILE): back off
+              // instead of busy-spinning the accept loop at 100% CPU while
+              // starving the connections that would release descriptors.
+              try Thread.sleep(100L)
+              catch { case _: InterruptedException => () }
           }
         },
       "mux-accept"
@@ -62,6 +67,10 @@ final class PortMux(port: Int, grpcBackendPort: Int, httpBackendPort: Int) {
   }
 
   private def route(conn: Socket): Unit = {
+    // Track the backend socket so ANY failure after the dial closes both
+    // sides — a client reset during the head replay must not leak the
+    // freshly dialed backend fd (each leak compounds toward EMFILE).
+    var backend: Socket = null
     try {
       conn.setTcpNoDelay(true)
       val in = conn.getInputStream
@@ -79,14 +88,18 @@ final class PortMux(port: Int, grpcBackendPort: Int, httpBackendPort: Int) {
       conn.setSoTimeout(0)
       val isGrpc = java.util.Arrays.equals(head, Preface)
       val backendPort = if (isGrpc) grpcBackendPort else httpBackendPort
-      val backend = new Socket("localhost", backendPort)
+      backend = new Socket("localhost", backendPort)
       backend.setTcpNoDelay(true)
       // Replay the classified bytes, then pump both directions.
       backend.getOutputStream.write(head)
       backend.getOutputStream.flush()
       pump(in, backend.getOutputStream, conn, backend)
       pump(backend.getInputStream, conn.getOutputStream, backend, conn)
-    } catch { case _: Exception => try conn.close() catch { case _: Exception => () } }
+    } catch {
+      case _: Exception =>
+        try conn.close() catch { case _: Exception => () }
+        if (backend != null) { try backend.close() catch { case _: Exception => () } }
+    }
   }
 
   /** One-direction byte pump; closes both sockets when its side ends, which

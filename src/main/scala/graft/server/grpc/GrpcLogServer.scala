@@ -60,7 +60,11 @@ class GrpcLogServer(
       * root-only ACL that denies everything). The CLI's plaintext dev mode
       * sets its `--subject` here; mTLS connections always use the cert CN.
       */
-    anonymousSubject: String = ""
+    anonymousSubject: String = "",
+    /** Bind host — None binds the wildcard address; `Some("127.0.0.1")`
+      * keeps the listener loopback-only (the serve-mux backend posture).
+      */
+    bindHost: Option[String] = None
 ) {
 
   import GrpcLogServer._
@@ -415,8 +419,13 @@ class GrpcLogServer(
     // Concrete NettyServerBuilder rather than Grpc.newServerBuilderForPort:
     // the latter returns the Java wildcard ServerBuilder<?>, whose
     // self-bounded fluent chain Scala cannot type.
-    server = org.sparkproject.connect.grpc.netty.NettyServerBuilder
-      .forPort(port, creds)
+    server = bindHost
+      .fold(
+        org.sparkproject.connect.grpc.netty.NettyServerBuilder.forPort(port, creds)
+      )(h =>
+        org.sparkproject.connect.grpc.netty.NettyServerBuilder
+          .forAddress(new java.net.InetSocketAddress(h, port), creds)
+      )
       .addService(serviceDefinition)
       .addService(membershipDefinition)
       .addService(healthDefinition)

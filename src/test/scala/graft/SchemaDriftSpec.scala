@@ -28,7 +28,8 @@ class SchemaDriftSpec extends AnyFunSuite {
         fn(spark, sfDir).queryExecution.analyzed.schema
         None
       } catch {
-        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.take(200)}")
+        case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       } finally graft.queries.Checkpoints.release()
     }
     assert(failures.isEmpty, s"\n${failures.size} queries fail analysis:\n${failures.mkString("\n")}")

@@ -57,16 +57,19 @@ class PlanSpec extends AnyFunSuite {
     // would cap the query count at driver memory — assert the only
     // explicit broadcast feeds the probe-ranking cross join, and the
     // candidate join is not a cartesian.
-    val p = plan("knn_ivf_dist")
+    val df = SparkEntry.queries("knn_ivf_dist")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
     assert(!p.contains("CartesianProduct"), s"candidate join degenerated to a cartesian:\n$p")
-    // Exactly one BroadcastExchange subtree originates from an explicit
-    // hint: the centroid side (its subplan aggregates by label/pos).
-    val hinted = p.linesIterator.count(_.contains("BroadcastExchange"))
-    assert(hinted >= 1, s"centroid probe join must broadcast the centroid table:\n$p")
-    // The probe table reaches the candidate join through a shuffle, not a
-    // broadcast hint — its subplan contains the probe-rank window. AQE may
-    // still adaptively broadcast at this sf; the guard is that WE didn't
-    // force it: the builder wraps only `cent` in broadcast().
+    // EXACTLY one explicit broadcast hint in the whole query — the
+    // centroid table. Hints are erased by the optimizer, so count them in
+    // the ANALYZED plan (where broadcast() survives as ResolvedHint): a
+    // second hint means someone forced the probe side driver-resident,
+    // which is the regression this guard exists to catch; AQE's own
+    // adaptive broadcasts at this sf don't appear as hints at all.
+    val hints = df.queryExecution.analyzed.toString
+      .linesIterator.count(_.contains("ResolvedHint"))
+    assert(hints == 1, s"expected exactly the centroid broadcast hint, found $hints")
     assert(p.contains("cosine_similarity"), s"scoring must stay in the codegen expression:\n$p")
   }
 
