@@ -42,7 +42,7 @@ object Main {
   private def usage(): Nothing = {
     System.err.println(
       "usage: graft.Main --data-dir DIR [--subject S] [--name N] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> | compact-near-index <indexDir>)\n" +
-        "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] serve-grpc [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
+        "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT (produce <v>... | consume <off> | servers)"
     )
     sys.exit(2)
@@ -82,6 +82,49 @@ object Main {
           case _                 => System.err.println(s"error: ${e.getMessage}"); sys.exit(1)
         }
     } finally client.close()
+  }
+
+  /** Announce this node to the cluster through a bootstrap member
+    * (the agent's StartJoinAddrs analog, reference:
+    * internal/agent/agent.go:151-163 via Serf join): register, seed the
+    * local view from the response, heartbeat at TTL/3 when liveness is on,
+    * and depart on shutdown. Shared by serve-grpc and serve-mux.
+    */
+  private def announceTo(addr: String, engine: Engine, ttlSeconds: Long): Unit = {
+    val (h, p) = addr.lastIndexOf(':') match {
+      case -1 => usage()
+      case ix => (addr.substring(0, ix), addr.substring(ix + 1).toInt)
+    }
+    val self = engine.service.membership.local
+    val peer = new graft.server.grpc.GrpcLogClient(h, p)
+    val view = peer.join(self)
+    view.foreach(engine.service.membership.join)
+    println(s"joined via $addr; cluster: ${view.map(_.id).mkString(", ")}")
+    // Liveness heartbeat: re-announce at TTL/3 so two beats can be lost
+    // before the hub's sweep evicts us. A re-join is an idempotent upsert
+    // on the hub — the announcement IS the beat.
+    if (ttlSeconds > 0) {
+      val beat = new Thread(() => {
+        while (true) {
+          Thread.sleep(math.max(1L, ttlSeconds * 1000L / 3))
+          // The returned view is this node's OWN liveness feed: topology
+          // is hub-propagated, so re-seeding the local registry from each
+          // beat's response is what refreshes the hub (and every peer) in
+          // our own TTL'd view — discarding it would sweep the leader out
+          // of this follower's GetServers answers after one TTL.
+          try peer.join(self).foreach(engine.service.membership.join)
+          catch { case _: Exception => () } // hub briefly down: retry next beat
+        }
+      }, "membership-heartbeat")
+      beat.setDaemon(true)
+      beat.start()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try peer.leave(self.id)
+      catch { case _: Exception => () }
+      try peer.close()
+      catch { case _: Exception => () }
+    }))
   }
 
   def main(args: Array[String]): Unit = {
@@ -205,6 +248,10 @@ object Main {
             s"serving gRPC+HTTP multiplexed on port ${mux.boundPort} " +
               s"(backends: grpc ${grpcSrv.boundPort}, http ${httpSrv.boundPort})"
           )
+          // The mux-served node is a full agent too: announce (and
+          // heartbeat under --ttl) exactly like serve-grpc — peers dial
+          // the advertised mux port, where gRPC routes by preface.
+          joinAddr.foreach(announceTo(_, engine, ttlSeconds))
           Thread.currentThread.join()
         case "serve-grpc" :: restArgs if restArgs.length <= 1 =>
           // The reference's actual wire protocol (api/v1/log.proto) —
@@ -234,46 +281,8 @@ object Main {
             }
           }))
           // Announce to the cluster (the agent's StartJoinAddrs analog,
-          // reference: internal/agent/agent.go:151-163 via Serf join):
-          // register with the bootstrap member, seed our own view from its
-          // response, and depart on shutdown.
-          joinAddr.foreach { addr =>
-            val (h, p) = addr.lastIndexOf(':') match {
-              case -1 => usage()
-              case ix => (addr.substring(0, ix), addr.substring(ix + 1).toInt)
-            }
-            val self = engine.service.membership.local
-            val peer = new graft.server.grpc.GrpcLogClient(h, p)
-            val view = peer.join(self)
-            view.foreach(engine.service.membership.join)
-            println(s"joined via $addr; cluster: ${view.map(_.id).mkString(", ")}")
-            // Liveness heartbeat: re-announce at TTL/3 so two beats can be
-            // lost before the hub's sweep evicts us. A re-join is an
-            // idempotent upsert on the hub — the announcement IS the beat.
-            if (ttlSeconds > 0) {
-              val beat = new Thread(() => {
-                while (true) {
-                  Thread.sleep(math.max(1L, ttlSeconds * 1000L / 3))
-                  // The returned view is this node's OWN liveness feed:
-                  // topology is hub-propagated, so re-seeding the local
-                  // registry from each beat's response is what refreshes
-                  // the hub (and every peer) in our own TTL'd view —
-                  // discarding it would sweep the leader out of this
-                  // follower's GetServers answers after one TTL.
-                  try peer.join(self).foreach(engine.service.membership.join)
-                  catch { case _: Exception => () } // hub briefly down: retry next beat
-                }
-              }, "membership-heartbeat")
-              beat.setDaemon(true)
-              beat.start()
-            }
-            Runtime.getRuntime.addShutdownHook(new Thread(() => {
-              try peer.leave(self.id)
-              catch { case _: Exception => () }
-              try peer.close()
-              catch { case _: Exception => () }
-            }))
-          }
+          // reference: internal/agent/agent.go:151-163 via Serf join).
+          joinAddr.foreach(announceTo(_, engine, ttlSeconds))
           Thread.currentThread.join()
         case "replicate" :: peer :: ckpt :: Nil =>
           val q = engine.replicateFrom(
