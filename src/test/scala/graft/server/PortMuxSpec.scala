@@ -70,4 +70,52 @@ class PortMuxSpec extends AnyFunSuite {
       grpcSrv.stop()
     }
   }
+
+  test("concurrent mixed traffic classifies correctly under load") {
+    val log = SparkLog(spark, TestSpark.tempDir("mux-soak"))
+    val service = new LogService(log)
+    val grpcSrv = new GrpcLogServer(service, port = 0, anonymousSubject = "root").start()
+    val httpSrv = new HttpLogServer(service, port = 0).start()
+    val mux = new PortMux(0, grpcSrv.boundPort, httpSrv.boundPort).start()
+    try {
+      val seed = new GrpcLogClient("localhost", mux.boundPort)
+      try { val _ = seed.produce("soak".getBytes("UTF-8")) } finally seed.close()
+
+      // 16 threads × 8 rounds, each round one gRPC consume (fresh
+      // connection — exercises the per-connection classify path) and one
+      // HTTP stat, all through the single mux port.
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val threads = (0 until 16).map { t =>
+        new Thread(() => {
+          val http = HttpClient.newHttpClient()
+          (0 until 8).foreach { i =>
+            try {
+              val g = new GrpcLogClient("localhost", mux.boundPort)
+              try {
+                if (new String(g.consume(0L).value, "UTF-8") != "soak")
+                  errors.add(s"t$t/$i: wrong consume value")
+              } finally g.close()
+              val r = http.send(
+                HttpRequest.newBuilder(
+                  URI.create(s"http://localhost:${mux.boundPort}/stat")
+                ).GET().build(),
+                HttpResponse.BodyHandlers.ofString()
+              )
+              if (r.statusCode() != 200) errors.add(s"t$t/$i: http ${r.statusCode()}")
+            } catch { case e: Exception => errors.add(s"t$t/$i: ${e.getMessage}") }
+          }
+        }, s"mux-soak-$t")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(60000))
+      assert(errors.isEmpty, s"${errors.size} failures: ${
+        scala.jdk.CollectionConverters.CollectionHasAsScala(errors).asScala.take(5).mkString("; ")}")
+      // Every one of the 128 HTTP stats actually traversed the mux.
+      assert(service.log.highestOffset == 0L)
+    } finally {
+      mux.stop()
+      httpSrv.stop()
+      grpcSrv.stop()
+    }
+  }
 }
