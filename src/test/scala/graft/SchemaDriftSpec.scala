@@ -34,4 +34,15 @@ class SchemaDriftSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, s"\n${failures.size} queries fail analysis:\n${failures.mkString("\n")}")
   }
+
+  test("every registered query has a DuckDB oracle (no silent rows-only downgrades)") {
+    // The driver records a weaker rows-only check for queries without an
+    // oracle entry. Today every query has one — keep that a conscious
+    // decision: adding a query without an oracle must fail here, not
+    // silently weaken the correctness gate.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(noOracle.isEmpty, s"queries without an oracle: ${noOracle.toSeq.sorted.mkString(", ")}")
+    assert(orphaned.isEmpty, s"oracles without a query: ${orphaned.toSeq.sorted.mkString(", ")}")
+  }
 }
