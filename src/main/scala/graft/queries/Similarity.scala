@@ -504,6 +504,59 @@ object Similarity {
       """)
     ),
 
+    // --- diversity sampling: per cell, keep the k LEAST-central vectors ---
+    // The coverage-selection step of embedding-space curation (the
+    // complement of near-dup removal): after near-identical vectors are
+    // deduped, training mixes keep the samples that EXPAND each region's
+    // coverage — operationally, the k vectors furthest from their cell
+    // centroid. Same scale shape as knn_centroid: centroids via one
+    // (label,pos)-keyed shuffle, scoring in codegen against the broadcast
+    // k×dim centroid table, selection via a per-cell window — every stage
+    // partition-parallel at any corpus size.
+    Q(
+      "corpus_diversity_sample",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+        val cent = e
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          .agg(avg("x").as("cx"))
+          .groupBy("label")
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("cx")))),
+              st => st.getField("cx")
+            ).as("cv")
+          )
+          .select(col("label").as("clabel"), col("cv"))
+        val w = Window.partitionBy("label").orderBy(asc("ccos"), asc("vec_id"))
+        e.join(broadcast(cent), col("label") === col("clabel"))
+          .withColumn("ccos", round(expr("cosine_similarity(v, cv)"), 4))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("label"), col("vec_id"), col("rank"), col("ccos").as("centroid_cos"))
+          .orderBy("label", "rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        u AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        c AS (SELECT label AS clabel, pos, avg(x) AS cx FROM u GROUP BY 1, 2),
+        cvt AS (SELECT clabel, list(cx ORDER BY pos) AS cv FROM c GROUP BY 1),
+        sc AS (
+          SELECT e.label, e.vec_id,
+                 round(list_dot_product(e.v, cvt.cv) /
+                       sqrt(list_dot_product(e.v, e.v) * list_dot_product(cvt.cv, cvt.cv)), 4) AS ccos
+          FROM e JOIN cvt ON e.label = cvt.clabel),
+        r AS (SELECT label, vec_id, ccos,
+                     row_number() OVER (PARTITION BY label ORDER BY ccos ASC, vec_id ASC) AS rank
+              FROM sc)
+        SELECT label, vec_id, CAST(rank AS INTEGER) AS rank, ccos AS centroid_cos
+        FROM r WHERE rank <= 5 ORDER BY label, rank
+      """)
+    ),
+
     // --- vector norms / stats (sanity surface for the vector column) ---
     Q(
       "vec_stats",
