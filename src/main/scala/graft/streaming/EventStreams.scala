@@ -37,6 +37,27 @@ object EventStreams {
       .groupBy(window(col(tsCol), windowDur, slide.getOrElse(windowDur)), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
 
+  /** Windowed approximate cardinality — the streaming twin of
+    * q_approx_distinct. Exact `countDistinct` is unsupported in streaming
+    * aggregations (it would need unbounded per-window key state); the
+    * HLL++ sketch is the operator that scales: constant bytes per
+    * (window, key) regardless of cardinality, partial sketches merge
+    * map-side across micro-batches, and watermarking bounds how many
+    * windows hold state. rsd defaults to 1% like the batch query.
+    */
+  def windowedApproxDistinct(
+      events: DataFrame,
+      tsCol: String,
+      distinctCol: String,
+      windowDur: String,
+      watermarkDelay: String = "10 minutes",
+      rsd: Double = 0.01
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(approx_count_distinct(col(distinctCol), rsd).as("approx_distinct"))
+
   /** Streaming exact dedup on `keyCols` + event time within the watermark
     * horizon (same key at a different timestamp is a distinct event) —
     * `dropDuplicates` keeps per-key state only until the watermark passes,

@@ -39,6 +39,36 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed approx distinct tracks per-window cardinality across micro-batches") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams
+      .windowedApproxDistinct(input.toDF(), "ts", "event_type", "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("wad")
+      .outputMode("complete")
+      .start()
+    try {
+      // Window 10:00-10:10 sees 3 distinct types (one repeated, one arriving
+      // in a LATER micro-batch — the sketch must merge across batches);
+      // window 10:10-10:20 sees 1.
+      input.addData(Ev(ts(1), "click", 1.0), Ev(ts(2), "view", 1.0), Ev(ts(3), "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(ts(4), "purchase", 1.0), Ev(ts(11), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark
+        .sql("select window.start, approx_distinct from wad order by window.start")
+        .collect()
+      assert(rows.length == 2)
+      // At rsd=1% and these cardinalities the HLL++ estimate is exact.
+      assert(rows(0).getLong(1) == 3L, s"got ${rows(0).getLong(1)}")
+      assert(rows(1).getLong(1) == 1L, s"got ${rows(1).getLong(1)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated keys within the watermark horizon") {
     val session = spark
     import session.implicits._
