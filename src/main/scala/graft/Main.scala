@@ -98,21 +98,32 @@ object Main {
     val self = engine.service.membership.local
     val peer = new graft.server.grpc.GrpcLogClient(h, p)
     val view = peer.join(self)
-    view.foreach(engine.service.membership.join)
-    println(s"joined via $addr; cluster: ${view.map(_.id).mkString(", ")}")
+    view.servers.foreach(engine.service.membership.join)
+    // Heartbeat cadence comes from the HUB's advertised TTL (JoinResponse
+    // ttl_millis), not this node's own --ttl: the hub is the evictor, so
+    // its clock is the one that matters. A joiner with no --ttl against a
+    // TTL'd hub heartbeats anyway; mismatched flags can no longer get a
+    // healthy member silently swept out of GetServers. The local --ttl
+    // still governs this node's OWN registry sweeps.
+    val beatMillis = if (view.ttlMillis > 0) view.ttlMillis else ttlSeconds * 1000L
+    println(
+      s"joined via $addr; cluster: ${view.servers.map(_.id).mkString(", ")}" +
+        (if (beatMillis > 0) s"; heartbeat every ${beatMillis / 3} ms (hub ttl ${view.ttlMillis} ms)"
+         else "")
+    )
     // Liveness heartbeat: re-announce at TTL/3 so two beats can be lost
     // before the hub's sweep evicts us. A re-join is an idempotent upsert
     // on the hub — the announcement IS the beat.
-    if (ttlSeconds > 0) {
+    if (beatMillis > 0) {
       val beat = new Thread(() => {
         while (true) {
-          Thread.sleep(math.max(1L, ttlSeconds * 1000L / 3))
+          Thread.sleep(math.max(1L, beatMillis / 3))
           // The returned view is this node's OWN liveness feed: topology
           // is hub-propagated, so re-seeding the local registry from each
           // beat's response is what refreshes the hub (and every peer) in
           // our own TTL'd view — discarding it would sweep the leader out
           // of this follower's GetServers answers after one TTL.
-          try peer.join(self).foreach(engine.service.membership.join)
+          try peer.join(self).servers.foreach(engine.service.membership.join)
           catch { case _: Exception => () } // hub briefly down: retry next beat
         }
       }, "membership-heartbeat")

@@ -47,11 +47,16 @@ object Q {
         // isAdjustedToUTC=true micros arrive as TimestampType; a bare NTZ
         // cast would render SESSION-LOCAL wall-clock times (machine-tz-
         // dependent, silently diverging from DuckDB's naive-UTC read on
-        // any non-UTC JVM). Pin the session to UTC first so the cast is
-        // deterministic — every harness main already runs UTC; this makes
-        // the adapter safe under any caller.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        raw.withColumn("ts", col("ts").cast("TIMESTAMP_NTZ"))
+        // any non-UTC JVM). Convert per-expression instead of mutating the
+        // session timezone (a hidden global that would retroactively change
+        // timestamp semantics of unrelated queries on the same session):
+        // cast renders session-local wall clock, convert_timezone rebases
+        // that wall clock from the session zone to UTC — deterministic
+        // under any caller, no session state touched.
+        raw.withColumn(
+          "ts",
+          expr("convert_timezone(current_timezone(), 'UTC', CAST(ts AS TIMESTAMP_NTZ))")
+        )
     }
   }
 

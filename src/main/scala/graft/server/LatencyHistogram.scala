@@ -61,12 +61,20 @@ final class LatencyHistogram {
   def snapshot(): LatencySnapshot = {
     val counts = Array.tabulate(Buckets)(buckets.get)
     val n = counts.sum // consistent with the copied counts, not `total`
+    val max = maxNanos.get() / 1e6
+    // Percentiles report bucket upper bounds while max is exact; clamp so a
+    // snapshot never shows p50 > max (all samples at 1.5 ms would otherwise
+    // read p50=2.048, max=1.5 — nonsense on the ops surface).
+    def clamped(q: Double): Double = {
+      val p = percentile(q, counts, n)
+      if (max > 0.0) math.min(p, max) else p
+    }
     LatencySnapshot(
       count = n,
-      p50Millis = percentile(0.50, counts, n),
-      p95Millis = percentile(0.95, counts, n),
-      p99Millis = percentile(0.99, counts, n),
-      maxMillis = maxNanos.get() / 1e6
+      p50Millis = clamped(0.50),
+      p95Millis = clamped(0.95),
+      p99Millis = clamped(0.99),
+      maxMillis = max
     )
   }
 }

@@ -88,7 +88,11 @@ final class PortMux(port: Int, grpcBackendPort: Int, httpBackendPort: Int) {
       conn.setSoTimeout(0)
       val isGrpc = java.util.Arrays.equals(head, Preface)
       val backendPort = if (isGrpc) grpcBackendPort else httpBackendPort
-      backend = new Socket("localhost", backendPort)
+      // Dial the literal loopback address the backends bind rather than
+      // "localhost": on hosts where localhost resolves to ::1 first,
+      // Socket(String, int) tries only that address and every multiplexed
+      // connection would fail against a 127.0.0.1-bound backend.
+      backend = new Socket("127.0.0.1", backendPort)
       backend.setTcpNoDelay(true)
       // Replay the classified bytes, then pump both directions.
       backend.getOutputStream.write(head)

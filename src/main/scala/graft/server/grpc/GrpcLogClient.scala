@@ -111,9 +111,10 @@ class GrpcLogClient(
     ClientCalls.blockingUnaryCall(channel, LogProto.GetServers, CallOptions.DEFAULT, ())
 
   /** Announce a member to this server (`graft.v1.Membership/Join` — the
-    * Serf-join stand-in); returns the server's full post-join view.
+    * Serf-join stand-in); returns the server's full post-join view plus
+    * the hub's liveness TTL (0 = announcement-only membership).
     */
-  def join(member: ServerInfo): Seq[ServerInfo] =
+  def join(member: ServerInfo): JoinView =
     ClientCalls.blockingUnaryCall(channel, MembershipProto.Join, CallOptions.DEFAULT, member)
 
   /** Announce a departure (`graft.v1.Membership/Leave`). */

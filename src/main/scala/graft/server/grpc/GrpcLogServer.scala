@@ -391,7 +391,9 @@ class GrpcLogServer(
       .addMethod(
         MembershipProto.Join,
         ServerCalls.asyncUnaryCall(unary { (m: graft.server.ServerInfo) =>
-          service.join(subject(), m)
+          // The response advertises THIS hub's TTL so the joiner can derive
+          // its heartbeat cadence from the evictor's clock, not its own flag.
+          JoinView(service.join(subject(), m), service.memberTtlMillis)
         })
       )
       .addMethod(

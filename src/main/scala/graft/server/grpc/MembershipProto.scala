@@ -8,6 +8,15 @@ import org.sparkproject.connect.protobuf.{CodedInputStream, CodedOutputStream}
 
 import graft.server.ServerInfo
 
+/** A hub's Join answer: the full post-join view plus the hub's liveness
+  * TTL. Carrying the TTL makes heartbeat cadence a server-side contract —
+  * a joiner beats at the HUB's TTL/3 rather than trusting its own `--ttl`
+  * flag to match cluster-wide (asymmetric config would otherwise evict a
+  * healthy member that never heartbeats, or heartbeats too slowly).
+  * `ttlMillis = 0` means the hub runs announcement-only membership.
+  */
+final case class JoinView(servers: Seq[ServerInfo], ttlMillis: Long)
+
 /** Wire codecs and descriptors for the membership-announcement service —
   * `graft.v1.Membership`, Join and Leave. Deliberately a SEPARATE gRPC
   * service: the reference's `log.v1.Log` has exactly five RPCs
@@ -18,7 +27,7 @@ import graft.server.ServerInfo
   *
   * Messages reuse the reference's Server shape (api/v1/log.proto:41-45):
   *   JoinRequest   { Server member = 1 }
-  *   JoinResponse  { repeated Server servers = 1 }   // full post-join view
+  *   JoinResponse  { repeated Server servers = 1; int64 ttl_millis = 2 }
   *   LeaveRequest  { string id = 1 }
   *   LeaveResponse { }
   */
@@ -79,16 +88,22 @@ private[grpc] object MembershipProto {
     m
   }
 
-  def encodeJoinResponse(servers: Seq[ServerInfo]): Array[Byte] = encode { out =>
-    servers.foreach(s => out.writeByteArray(1, encodeServer(s)))
+  def encodeJoinResponse(view: JoinView): Array[Byte] = encode { out =>
+    view.servers.foreach(s => out.writeByteArray(1, encodeServer(s)))
+    if (view.ttlMillis != 0L) out.writeInt64(2, view.ttlMillis)
   }
 
-  def decodeJoinResponse(bytes: Array[Byte]): Seq[ServerInfo] = {
+  def decodeJoinResponse(bytes: Array[Byte]): JoinView = {
     val acc = Vector.newBuilder[ServerInfo]
+    var ttl = 0L
     decode(bytes) { (in, tag) =>
-      if (tag == 10) { acc += decodeServer(in.readBytes().toByteArray); true } else false
+      tag match {
+        case 10 => acc += decodeServer(in.readBytes().toByteArray); true
+        case 16 => ttl = in.readInt64(); true
+        case _  => false
+      }
     }
-    acc.result()
+    JoinView(acc.result(), ttl)
   }
 
   def encodeLeaveRequest(id: String): Array[Byte] = encode { out =>
@@ -110,12 +125,12 @@ private[grpc] object MembershipProto {
     }
 
   private val joinReqM = marshaller(encodeJoinRequest, decodeJoinRequest)
-  private val joinRespM = marshaller[Seq[ServerInfo]](encodeJoinResponse, decodeJoinResponse)
+  private val joinRespM = marshaller[JoinView](encodeJoinResponse, decodeJoinResponse)
   private val leaveReqM = marshaller(encodeLeaveRequest, decodeLeaveRequest)
   private val emptyM = marshaller[Unit](_ => Array.emptyByteArray, _ => ())
 
   /** rpc Join (JoinRequest) returns (JoinResponse) */
-  val Join: MethodDescriptor[ServerInfo, Seq[ServerInfo]] =
+  val Join: MethodDescriptor[ServerInfo, JoinView] =
     MethodDescriptor
       .newBuilder(joinReqM, joinRespM)
       .setType(MethodType.UNARY)

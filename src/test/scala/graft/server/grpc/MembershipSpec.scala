@@ -161,7 +161,7 @@ class MembershipSpec extends AnyFunSuite {
       try {
         val announce = new GrpcLogClient("localhost", leaderSrv.boundPort)
         val view = announce.join(ServerInfo("follower-0", s"localhost:$followerPort", false))
-        assert(view.map(_.id).toSet == Set("leader", "follower-0"))
+        assert(view.servers.map(_.id).toSet == Set("leader", "follower-0"))
 
         // The balanced client's next consumes re-resolve and route to the
         // follower; the leader's consume counter must not move.

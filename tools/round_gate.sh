@@ -14,10 +14,11 @@ for sf in sf0.001 sf0.01; do
   out="/tmp/round-gate-$sf"
   echo "=== [2/4] Verify + oracle compare @ $sf"
   sbt -batch "runMain graft.Verify /root/testdata/$sf $out"
-  python3 tools/check_correctness.py "/root/testdata/$sf" "$out" | tail -3
-  # The checker prints counts; fail if any row is failing.
-  python3 tools/check_correctness.py "/root/testdata/$sf" "$out" \
-    | grep -q " 0 FAILING" || { echo "FAILING rows at $sf"; exit 1; }
+  # Run the oracle suite ONCE, keep the full report, then check the summary
+  # (re-running it just to grep doubled gate time).
+  report="/tmp/round-gate-$sf.report"
+  python3 tools/check_correctness.py "/root/testdata/$sf" "$out" | tee "$report" | tail -3
+  grep -q " 0 FAILING" "$report" || { echo "FAILING rows at $sf"; exit 1; }
 done
 
 echo "=== [3/4] Bench @ sf0.1 (exits non-zero if any headline query breaks)"
