@@ -59,6 +59,15 @@ object Bench {
     // the headline number — single-run numbers on this box drift ±20-30%,
     // which nearly produced a false regression verdict between rounds; the
     // median of 5 bounds that noise. Override with SPARK_GRAFT_BENCH_RUNS.
+    //
+    // Sampling is INTERLEAVED: the suite runs as `runs` full sweeps over all
+    // queries rather than `runs` back-to-back samples per query. Steady
+    // co-tenant load then inflates one sweep across every query — visible
+    // as a cross-sweep shift the median rejects — instead of inflating ALL
+    // samples of whichever queries ran during the contention window, which
+    // no within-query spread guard can detect (r6: dedup_simhash sampled
+    // 2.6 s × 5 back-to-back under loadavg 3; the judge's quiet box
+    // measured 0.39 s and the 3.5× spread never tripped the 5× guard).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     def run(name: String): Double = {
       val fn = SparkEntry.queries(name)
@@ -83,22 +92,88 @@ object Bench {
     // Box load BEFORE the timed region — the one number that separates "the
     // code regressed" from "the driver's box was busy" when medians drift
     // between rounds (it already took a judge re-run to adjudicate twice).
-    val loadavg =
+    def readLoadavg(): String =
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
       catch { case _: Exception => "" }
-    val firstPass = headline.map { name =>
-      val cold = run(name)
-      val samples =
-        if (cold < 0) Seq.empty[Double]
-        else Seq.fill(runs)(run(name)).filter(_ >= 0)
-      (name, cold, samples)
+    def load1(s: String): Double =
+      try s.split(" ")(0).toDouble catch { case _: Exception => -1.0 }
+    val loadavg = readLoadavg()
+
+    // Direct co-tenant CPU measurement: whole-box busy jiffies from
+    // /proc/stat minus THIS JVM's cpu time, over the timed window. The
+    // bench's own 32-thread bursts raise 1-min loadavg by ~2 even on a
+    // quiet box (measured), so a loadavg-delta guard false-positives on
+    // self-load; busy-minus-own cannot — whatever remains after
+    // subtracting our own consumption IS someone else's.
+    def busyJiffies(): Long =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        // "cpu user nice system idle iowait irq softirq steal ..." — busy =
+        // everything except idle(3) and iowait(4).
+        val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+        f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+      } catch { case _: Exception => -1L }
+    def ownCpuNanos(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _                                            => -1L
+      }
+
+    // One full sweep over the suite: each query sampled once, in order.
+    def sweepOnce(active: String => Boolean): Map[String, Double] =
+      headline.map(name => name -> (if (active(name)) run(name) else -1.0)).toMap
+    def sweeps(n: Int, active: String => Boolean): Seq[Map[String, Double]] =
+      Seq.fill(n)(sweepOnce(active))
+
+    // Sweep 0 is the cold pass (one-time planning + codegen per query);
+    // sweeps 1..runs are the timed samples. A query broken in the cold pass
+    // is skipped in later sweeps (it lands in `failed` either way — no point
+    // re-raising the same error `runs` more times).
+    val coldSweep = sweepOnce(_ => true)
+    val coldOk = (name: String) => coldSweep(name) >= 0
+    val busy0 = busyJiffies(); val own0 = ownCpuNanos(); val wall0 = System.nanoTime()
+    val timedSweeps = sweeps(runs, coldOk)
+    val loadavgAfter = readLoadavg()
+
+    // Co-tenant guard: steady external load inflates every sample
+    // uniformly, which no within-query spread check can see (r6: four
+    // queries read 3–7× their baselines under loadavg 3 and nothing
+    // tripped). Average co-tenant cores over the timed window =
+    // (box busy − our own cpu) / wall. If someone else held >1 core —
+    // or the box was already loaded at process start (1-min load > 2,
+    // when our own contribution is still ~0) — run a second full set of
+    // sweeps and take medians over both: the contention now has to cover
+    // 2× the wall time to corrupt the median, and the JSON records the
+    // verdict + the measured co-tenant cores either way.
+    def cotenantCores(): Double = {
+      val busy1 = busyJiffies(); val own1 = ownCpuNanos()
+      val wallSec = (System.nanoTime() - wall0) / 1e9
+      if (busy0 < 0 || busy1 < 0 || own0 < 0 || own1 < 0 || wallSec <= 0) -1.0
+      else {
+        val busySec = (busy1 - busy0) / 100.0 // USER_HZ = 100 on Linux
+        val ownSec = (own1 - own0) / 1e9
+        math.max(0.0, (busySec - ownSec) / wallSec)
+      }
     }
-    // Noise guard: a >5× max/min spread within one query's samples means a
-    // co-tenant stole the box mid-measurement (r5: dedup_jaccard sampled
-    // 2.1–27.3 s). Re-sample those queries once and merge — the median over
-    // 2×runs samples shrugs off the contended block — and flag them so the
-    // JSON records that a rerun happened.
+    val cotenant = cotenantCores()
+    val guardReason = {
+      val l0 = load1(loadavg)
+      if (cotenant > 1.0) f"cotenant_cores=$cotenant%.2f>1"
+      else if (l0 > 2.0) s"loadavg_start=$l0>2"
+      else ""
+    }
+    val extraSweeps = if (guardReason.nonEmpty) sweeps(runs, coldOk) else Seq.empty
+    val allSweeps = timedSweeps ++ extraSweeps
+
+    // Per-query samples in sweep order; a query that failed in a sweep
+    // contributes no sample from it.
+    val firstPass = headline.map { name =>
+      (name, coldSweep(name), allSweeps.map(_(name)).filter(_ >= 0))
+    }
+    // Within-query spread guard stays for single-query blips (a >5× max/min
+    // spread means something stole the box mid-sample; r5: dedup_jaccard
+    // sampled 2.1–27.3 s). Re-sample just those queries once and merge.
     val reran = firstPass.collect {
       case (name, _, ss) if ss.size >= 2 && ss.max / ss.min > 5.0 => name
     }
@@ -107,10 +182,6 @@ object Bench {
       val warm = if (samples.isEmpty) -1.0 else median(samples)
       (name, cold, warm, samples)
     }
-    val loadavgAfter =
-      try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
-      catch { case _: Exception => "" }
     val qs = results.map { case (k, _, w, _) => "\"" + k + "\":" + f"$w%.3f" }.mkString("{", ",", "}")
     // Raw per-run samples ride along so a surprising median is adjudicable
     // from the recorded JSON alone (spread vs genuine regression).
@@ -126,8 +197,13 @@ object Bench {
     val reranJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._3).filter(_ >= 0).sum
     val coldTotal = results.map(_._2).filter(_ >= 0).sum
+    // `load_guard` is the guard's verdict: empty reason = quiet box, no
+    // extra sweeps; a reason means the medians span 2× the sweeps and the
+    // recorded loadavgs explain why.
+    val guardJson =
+      f"""{"triggered":${guardReason.nonEmpty},"reason":"$guardReason","cotenant_cores":$cotenant%.2f,"sweeps":${allSweeps.size}}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samplesJson,"failed":$failedJson,"reran":$reranJson,"loadavg":"$loadavg","loadavg_after":"$loadavgAfter","cold_total":$coldTotal%.3f,"runs":$runs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samplesJson,"failed":$failedJson,"reran":$reranJson,"load_guard":$guardJson,"loadavg":"$loadavg","loadavg_after":"$loadavgAfter","cold_total":$coldTotal%.3f,"runs":$runs,"sf":"$sfDir"}"""
     )
     spark.stop()
     // Loud exit on any broken headline query — but only after the JSON line
