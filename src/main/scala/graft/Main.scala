@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] [--name N] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> | compact-near-index <indexDir>)\n" +
+      "usage: graft.Main --data-dir DIR [--subject S] [--name N] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> | compact-near-index <indexDir>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT (produce <v>... | consume <off> | servers)"
     )
@@ -148,6 +148,12 @@ object Main {
     // Liveness TTL in seconds: members must re-announce within this window
     // or GetServers evicts them (crash detection without gossip). 0 = off.
     var ttlSeconds = 0L
+    // mTLS for the serve verbs (reference: agent config ServerTLSConfig,
+    // internal/agent/agent.go:124-149): key store = server identity, trust
+    // store = client anchors. Password via --tls-pass or SPARK_GRAFT_TLS_PASS.
+    var tlsKeyStore: Option[String] = None
+    var tlsTrustStore: Option[String] = None
+    var tlsPass: String = sys.env.getOrElse("SPARK_GRAFT_TLS_PASS", "changeit")
     var rest = List.empty[String]
     var i = 0
     while (i < args.length) {
@@ -159,9 +165,18 @@ object Main {
         case "--name" if i + 1 < args.length      => nodeName = Some(args(i + 1)); i += 2
         case "--follower"                         => follower = true; i += 1
         case "--ttl" if i + 1 < args.length       => ttlSeconds = args(i + 1).toLong; i += 2
-        case "--data-dir" | "--bootstrap" | "--subject" | "--join" | "--name" | "--ttl" => usage()
+        case "--tls-keystore" if i + 1 < args.length   => tlsKeyStore = Some(args(i + 1)); i += 2
+        case "--tls-truststore" if i + 1 < args.length => tlsTrustStore = Some(args(i + 1)); i += 2
+        case "--tls-pass" if i + 1 < args.length       => tlsPass = args(i + 1); i += 2
+        case "--data-dir" | "--bootstrap" | "--subject" | "--join" | "--name" | "--ttl" |
+            "--tls-keystore" | "--tls-truststore" | "--tls-pass" => usage()
         case other                                => rest = rest :+ other; i += 1
       }
+    }
+    val tlsCfg: Option[graft.server.MtlsConfig] = (tlsKeyStore, tlsTrustStore) match {
+      case (Some(ks), Some(ts)) => Some(graft.server.MtlsConfig(ks, tlsPass, ts, tlsPass))
+      case (None, None)         => None
+      case _                    => usage() // both stores or neither
     }
     if (rest.isEmpty) usage()
     if (bootstrap.isDefined) return remoteMain(bootstrap.get, rest)
@@ -234,7 +249,8 @@ object Main {
           // blocks until killed.
           val srv = new graft.server.HttpLogServer(
             engine.service,
-            restArgs.headOption.map(_.toInt).getOrElse(8080)
+            restArgs.headOption.map(_.toInt).getOrElse(8080),
+            tls = tlsCfg
           ).start()
           println(s"serving HTTP on port ${srv.boundPort}")
           Thread.currentThread.join()
@@ -243,12 +259,15 @@ object Main {
           // (agent.go:79-91): gRPC and HTTP/JSON share one listener, each
           // connection routed by its first bytes (HTTP/2 preface → gRPC).
           // Backends bind loopback-ephemeral; only the mux port is public.
+          // Under --tls-* the backends own their mTLS handshakes and the
+          // mux routes by ALPN peek — one published TLS port, CN auth
+          // chain intact end-to-end.
           val grpcSrv = new graft.server.grpc.GrpcLogServer(
-            engine.service, port = 0, anonymousSubject = subject,
+            engine.service, port = 0, tls = tlsCfg, anonymousSubject = subject,
             bindHost = Some("127.0.0.1")
           ).start()
           val httpSrv = new graft.server.HttpLogServer(
-            engine.service, port = 0, bindHost = Some("127.0.0.1")
+            engine.service, port = 0, tls = tlsCfg, bindHost = Some("127.0.0.1")
           ).start()
           val mux = new graft.server.PortMux(
             restArgs.headOption.map(_.toInt).getOrElse(8500),
@@ -270,6 +289,7 @@ object Main {
           val srv = new graft.server.grpc.GrpcLogServer(
             engine.service,
             restArgs.headOption.map(_.toInt).getOrElse(8400),
+            tls = tlsCfg,
             // Plaintext dev mode: anonymous peers act as the CLI subject.
             anonymousSubject = subject
           ).start()

@@ -71,6 +71,89 @@ class PortMuxSpec extends AnyFunSuite {
     }
   }
 
+  test("TLS twin: gRPC and HTTPS share one TLS port, routed by ALPN peek") {
+    val log = SparkLog(spark, TestSpark.tempDir("mux-tls"))
+    val service = new LogService(log)
+    // Both backends own their mTLS handshake; the mux stays a byte relay
+    // (reference: agent.go:79-91 + :124-149 reach single-port TLS via cmux
+    // + per-listener TLS — same observable surface).
+    val grpcSrv = new GrpcLogServer(
+      service, port = 0, tls = Some(TestCerts.serverTls), bindHost = Some("127.0.0.1")
+    ).start()
+    val httpSrv = new HttpLogServer(
+      service, port = 0, tls = Some(TestCerts.serverTls), bindHost = Some("127.0.0.1")
+    ).start()
+    val mux = new PortMux(0, grpcSrv.boundPort, httpSrv.boundPort).start()
+    try {
+      // mTLS gRPC through the mux port (client offers ALPN h2 only).
+      val g = new GrpcLogClient(
+        "localhost", mux.boundPort, Some(TestCerts.clientTls("root.p12"))
+      )
+      try {
+        val off = g.produce("via-tls-grpc".getBytes("UTF-8"))
+        assert(off == 0L)
+        assert(new String(g.consume(0L).value, "UTF-8") == "via-tls-grpc")
+      } finally g.close()
+
+      // mTLS HTTPS through the SAME port (java.net.http offers h2,http/1.1
+      // → HTTP backend, which negotiates http/1.1).
+      val c = java.net.http.HttpClient
+        .newBuilder()
+        .sslContext(Mtls.sslContext(TestCerts.clientTls("root.p12")))
+        .build()
+      val stat = c.send(
+        HttpRequest.newBuilder(URI.create(s"https://localhost:${mux.boundPort}/stat"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString()
+      )
+      assert(stat.statusCode() == 200 && stat.body().contains("\"highest\":0"), stat.body())
+
+      // nobody's cert IS trusted for the handshake but CN=nobody is denied
+      // by the ACL on a write — through the mux, on both protocols.
+      val gNobody = new GrpcLogClient(
+        "localhost", mux.boundPort, Some(TestCerts.clientTls("nobody.p12"))
+      )
+      try {
+        val denied = intercept[Exception](gNobody.produce("x".getBytes("UTF-8")))
+        assert(denied.getMessage.contains("nobody not permitted to produce to *"),
+          denied.getMessage)
+      } finally gNobody.close()
+
+      // CN spoof inert: an X-Subject header under TLS cannot override the
+      // verified certificate CN (HttpLogServer ignores it in TLS mode).
+      val cNobody = java.net.http.HttpClient
+        .newBuilder()
+        .sslContext(Mtls.sslContext(TestCerts.clientTls("nobody.p12")))
+        .build()
+      val spoof = cNobody.send(
+        HttpRequest.newBuilder(URI.create(s"https://localhost:${mux.boundPort}/"))
+          .header("X-Subject", "root")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"record":{"value":"${java.util.Base64.getEncoder
+              .encodeToString("x".getBytes("UTF-8"))}"}}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString()
+      )
+      assert(spoof.statusCode() == 403, s"${spoof.statusCode()}: ${spoof.body()}")
+      assert(spoof.body() == "nobody not permitted to produce to *", spoof.body())
+
+      // The earlier gRPC write is visible over HTTPS — one shared log
+      // behind one TLS port.
+      val consume = c.send(
+        HttpRequest.newBuilder(URI.create(s"https://localhost:${mux.boundPort}/?offset=0"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString()
+      )
+      assert(consume.statusCode() == 200 && consume.body().contains(
+        java.util.Base64.getEncoder.encodeToString("via-tls-grpc".getBytes("UTF-8"))
+      ), consume.body())
+    } finally {
+      mux.stop()
+      httpSrv.stop()
+      grpcSrv.stop()
+    }
+  }
+
   test("concurrent mixed traffic classifies correctly under load") {
     val log = SparkLog(spark, TestSpark.tempDir("mux-soak"))
     val service = new LogService(log)
