@@ -278,11 +278,19 @@ object Main {
             s"serving gRPC+HTTP multiplexed on port ${mux.boundPort} " +
               s"(backends: grpc ${grpcSrv.boundPort}, http ${httpSrv.boundPort})"
           )
+          // Epidemic view propagation (Serf-convergence stand-in): relay
+          // membership changes one hop + periodic push-pull anti-entropy.
+          val muxPropagator = new graft.server.MembershipPropagator(
+            engine.service.membership,
+            new graft.server.grpc.GrpcMembershipTransport(tlsCfg),
+            antiEntropyMillis = if (ttlSeconds > 0) ttlSeconds * 1000L / 2 else 30000L
+          ).start()
           // The mux-served node is a full agent too: announce (and
           // heartbeat under --ttl) exactly like serve-grpc — peers dial
           // the advertised mux port, where gRPC routes by preface.
           joinAddr.foreach(announceTo(_, engine, ttlSeconds))
-          Thread.currentThread.join()
+          try Thread.currentThread.join()
+          finally muxPropagator.close()
         case "serve-grpc" :: restArgs if restArgs.length <= 1 =>
           // The reference's actual wire protocol (api/v1/log.proto) —
           // blocks until killed.
@@ -311,10 +319,18 @@ object Main {
               )
             }
           }))
+          // Epidemic view propagation (Serf-convergence stand-in): relay
+          // membership changes one hop + periodic push-pull anti-entropy.
+          val propagator = new graft.server.MembershipPropagator(
+            engine.service.membership,
+            new graft.server.grpc.GrpcMembershipTransport(tlsCfg),
+            antiEntropyMillis = if (ttlSeconds > 0) ttlSeconds * 1000L / 2 else 30000L
+          ).start()
           // Announce to the cluster (the agent's StartJoinAddrs analog,
           // reference: internal/agent/agent.go:151-163 via Serf join).
           joinAddr.foreach(announceTo(_, engine, ttlSeconds))
-          Thread.currentThread.join()
+          try Thread.currentThread.join()
+          finally propagator.close()
         case "replicate" :: peer :: ckpt :: Nil =>
           val q = engine.replicateFrom(
             peer,

@@ -43,7 +43,18 @@ final class Membership(
     /** Evict members not re-announced within this window; 0 disables. */
     val ttlMillis: Long = 0L,
     /** Injectable time source — tests advance it deterministically. */
-    clock: () => Long = () => System.currentTimeMillis()
+    clock: () => Long = () => System.currentTimeMillis(),
+    /** Reject joins of an explicitly-departed id for this window after its
+      * leave — the minimal stand-in for Serf's incarnation numbers: with
+      * epidemic forwarding ([[MembershipPropagator]]) a join relay can
+      * still be in flight when the member's Leave processes, and applying
+      * it afterwards would resurrect the departed member forever. Real
+      * rejoins are unaffected at any realistic scale: a process restart
+      * takes far longer than the window, and TTL'd deployments heartbeat
+      * past it. Only explicit leaves tombstone — a TTL sweep is a failure
+      * verdict, and a late heartbeat legitimately revives the member.
+      */
+    val tombstoneMillis: Long = 2000L
 ) {
 
   /** id → member, join order preserved (GetServers answers local-first then
@@ -51,6 +62,7 @@ final class Membership(
     */
   private val members = scala.collection.mutable.LinkedHashMap.empty[String, ServerInfo]
   private val lastSeen = scala.collection.mutable.HashMap.empty[String, Long]
+  private val tombstones = scala.collection.mutable.HashMap.empty[String, Long]
   private val handlers = new java.util.concurrent.CopyOnWriteArrayList[MembershipHandler]
   initialPeers.filter(_.id != local.id).foreach { p =>
     members.put(p.id, p); lastSeen.put(p.id, clock())
@@ -72,12 +84,18 @@ final class Membership(
   def join(m: ServerInfo): Boolean = {
     if (m.id == local.id) return false
     val changed = synchronized {
-      // An unchanged re-announce is the liveness heartbeat: refresh the
-      // clock even when the view doesn't move.
-      lastSeen.put(m.id, clock())
-      val prev = members.get(m.id)
-      if (prev.contains(m)) false
-      else { members.put(m.id, m); true }
+      val dead = tombstoneMillis > 0 &&
+        tombstones.get(m.id).exists(t => clock() - t <= tombstoneMillis)
+      if (dead) false // recently departed: a stale relay, not a rejoin
+      else {
+        tombstones.remove(m.id)
+        // An unchanged re-announce is the liveness heartbeat: refresh the
+        // clock even when the view doesn't move.
+        lastSeen.put(m.id, clock())
+        val prev = members.get(m.id)
+        if (prev.contains(m)) false
+        else { members.put(m.id, m); true }
+      }
     }
     if (changed) {
       val it = handlers.iterator()
@@ -89,9 +107,13 @@ final class Membership(
     changed
   }
 
-  /** Remove a member by id; true when it was present. */
+  /** Remove a member by id; true when it was present. The tombstone is
+    * recorded even for an id never seen — a Leave relay can overtake its
+    * Join relay, and the tombstone must swallow the laggard either way.
+    */
   def leave(id: String): Boolean = {
     val removed = synchronized {
+      if (tombstoneMillis > 0) tombstones.put(id, clock())
       lastSeen.remove(id); members.remove(id).isDefined
     }
     if (removed) fireLeave(id)
@@ -113,6 +135,10 @@ final class Membership(
     * liveness is disabled.
     */
   private def sweep(): Unit = {
+    val nowTs = clock()
+    synchronized {
+      tombstones.filterInPlace((_, t) => nowTs - t <= tombstoneMillis)
+    }
     if (ttlMillis <= 0L) return
     val now = clock()
     val stale = synchronized {

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 import graft.log.{LogConfig, SparkLog}
-import graft.server.{Acl, ConsumeRequest, ConsumeResponse, LogService, Membership, MembershipHandler, PermissionDeniedException, ProduceRequest, ProduceResponse, ServerInfo}
+import graft.server.{Acl, ConsumeRequest, ConsumeResponse, LogService, Membership, MembershipHandler, MembershipPropagator, PermissionDeniedException, ProduceRequest, ProduceResponse, ServerInfo}
 
 /** Dynamic membership — the Serf stand-in. The registry half mirrors the
   * reference's membership tests (reference:
@@ -235,6 +235,81 @@ class MembershipSpec extends AnyFunSuite {
     } finally {
       client.close()
       leaderSrv.stop()
+    }
+  }
+
+  test("a joiner announcing to ONE node converges every node's view (membership.go:31-125)") {
+    // Serf's guarantee: every node ends with the full member set no matter
+    // who the joiner contacted. Three real servers, each running a
+    // propagator (one-hop forwarding + anti-entropy); B and C announce to
+    // A ONLY, and all three GetServers answers must converge.
+    val log = SparkLog(spark, TestSpark.tempDir("member-converge"), LogConfig(maxStoreBytes = 256))
+    // Real advertised addresses matter: the propagator announces
+    // `membership.local` during anti-entropy, exactly like a production
+    // node whose Engine got the real --advertise address.
+    def freePort(): Int = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort
+      finally ss.close()
+    }
+    def node(name: String, leader: Boolean): (LogService, GrpcLogServer, MembershipPropagator) = {
+      val port = freePort()
+      val svc =
+        new LogService(log, nodeName = name, rpcAddr = s"localhost:$port", isLeader = leader)
+      val srv = new GrpcLogServer(svc, port = port, anonymousSubject = "root").start()
+      val prop =
+        new MembershipPropagator(svc.membership, new GrpcMembershipTransport()).start()
+      (svc, srv, prop)
+    }
+    val (aSvc, aSrv, aProp) = node("node-a", leader = true)
+    val (bSvc, bSrv, bProp) = node("node-b", leader = false)
+    val (cSvc, cSrv, cProp) = node("node-c", leader = false)
+    try {
+      // announceTo's contract: announce to the one known address, seed the
+      // local view from the response.
+      def announce(selfSvc: LogService, selfSrv: GrpcLogServer, hubPort: Int): Unit = {
+        val ann = new GrpcLogClient("localhost", hubPort)
+        try {
+          val self = ServerInfo(selfSvc.nodeName, s"localhost:${selfSrv.boundPort}", false)
+          ann.join(self).servers.foreach(selfSvc.membership.join)
+        } finally ann.close()
+      }
+      announce(bSvc, bSrv, aSrv.boundPort)
+      announce(cSvc, cSrv, aSrv.boundPort)
+
+      // Bounded convergence poll: A forwards C's join to B; B learned A
+      // from its join response; C got both from its response.
+      val all = Set("node-a", "node-b", "node-c")
+      val deadline = System.currentTimeMillis() + 10000L
+      def views = Seq(aSvc, bSvc, cSvc).map(_.getServers.map(_.id).toSet)
+      while (!views.forall(_ == all) && System.currentTimeMillis() < deadline)
+        Thread.sleep(25L)
+      assert(views.forall(_ == all), s"views did not converge: $views")
+
+      // Anti-entropy repairs a miss: a member lands in B's registry only
+      // (as if its announcement's forward was dropped); one push-pull
+      // round from B plus the receivers' own forwarding spreads it.
+      bSvc.membership.join(ServerInfo("node-d", "localhost:1", isLeader = false))
+      // (the registry fired B's forwarder; wait for either path to land)
+      val all4 = all + "node-d"
+      val deadline2 = System.currentTimeMillis() + 10000L
+      while (!views.forall(_ == all4) && System.currentTimeMillis() < deadline2) {
+        bProp.exchangeOnce()
+        Thread.sleep(50L)
+      }
+      assert(views.forall(_ == all4), s"anti-entropy did not spread the miss: $views")
+
+      // A departure announced to ONE node disappears everywhere.
+      val ann = new GrpcLogClient("localhost", cSrv.boundPort)
+      try ann.leave("node-d")
+      finally ann.close()
+      val deadline3 = System.currentTimeMillis() + 10000L
+      while (!views.forall(_ == all) && System.currentTimeMillis() < deadline3)
+        Thread.sleep(25L)
+      assert(views.forall(_ == all), s"leave did not propagate: $views")
+    } finally {
+      aProp.close(); bProp.close(); cProp.close()
+      aSrv.stop(); bSrv.stop(); cSrv.stop()
     }
   }
 
