@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] [--name N] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> | compact-near-index <indexDir>)\n" +
+      "usage: graft.Main --data-dir DIR [--subject S] [--name N] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> | compact-near-index <indexDir> | index-ann <embeddings> <indexDir>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT (produce <v>... | consume <off> | servers)"
     )
@@ -353,6 +353,17 @@ object Main {
           q.processAllAvailable()
           q.awaitTermination()
           println(s"curated from $peer; highest now ${engine.log.highestOffset}")
+        case "index-ann" :: emb :: index :: Nil =>
+          // Build (or rebuild) the persistent IVF index for an embeddings
+          // table — the build half of the build/probe split; knn queries
+          // and services probe it via AnnIndex.probe. `emb` is either an
+          // embeddings parquet path or a testdata scale dir containing
+          // embeddings.parquet.
+          val embPath =
+            if (new java.io.File(s"$emb/embeddings.parquet").exists()) s"$emb/embeddings.parquet"
+            else emb
+          val v = graft.queries.AnnIndex.build(spark, spark.read.parquet(embPath), index)
+          println(s"built ann index v=$v at $index")
         case "compact-near-index" :: index :: Nil =>
           Engine.compactNearIndex(spark, index) match {
             case Some(upTo) => println(s"compacted $index into batch=$upTo")

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF index as a build/probe split — a real 100 TB pipeline
+  * builds its ANN index once and probes it for months; every `knn_*` query
+  * computing centroids in-query answers the correctness question but not
+  * the serving shape. The index is two parquet tables per version:
+  *
+  * {{{
+  *   <indexDir>/v=<N>/centroids/        (cell  : int, cv : array<double>)
+  *   <indexDir>/v=<N>/cells/cell=<c>/   (vec_id: long, v : array<double>)
+  *   <indexDir>/v=<N>/_complete         ("rows=<n>" — commit marker + meta)
+  * }}}
+  *
+  * Versioning follows the near-dup band index's crash-safety recipe
+  * ([[graft.Engine.compactNearIndex]]): a version becomes visible only
+  * when its `_complete` marker lands (written LAST), readers always open
+  * the highest COMPLETE version, and stale-version pruning runs after the
+  * marker — a crash anywhere leaves either an invisible half-written
+  * version (overwritten by the next build) or an extra old version
+  * (ignored by readers, removed by the next build's prune). Rebuild is
+  * change-detected: the marker records the covered row count, and
+  * [[ensureFor]] rebuilds when the table moved.
+  *
+  * The cells table is PARTITIONED by cell id, so a probe that touches
+  * `nProbe` cells prunes its scan to those directories — the on-disk
+  * analog of an IVF inverted list.
+  */
+object AnnIndex {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def markerPath(indexDir: String, v: Long) = new Path(s"$indexDir/v=$v/_complete")
+
+  /** Versions on disk, complete or not. */
+  private def versions(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val p = new Path(indexDir)
+    val f = fs(spark, indexDir)
+    if (!f.exists(p)) Nil
+    else
+      f.listStatus(p).toSeq.collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("v=") =>
+          scala.util.Try(st.getPath.getName.stripPrefix("v=").toLong).toOption
+      }.flatten.sorted
+  }
+
+  /** Highest version whose commit marker exists, with its covered rows. */
+  def current(spark: SparkSession, indexDir: String): Option[(Long, Long)] = {
+    val f = fs(spark, indexDir)
+    versions(spark, indexDir).reverse.collectFirst {
+      case v if f.exists(markerPath(indexDir, v)) =>
+        val in = f.open(markerPath(indexDir, v))
+        val meta =
+          try new String(in.readAllBytes(), "UTF-8").trim
+          finally in.close()
+        (v, meta.stripPrefix("rows=").toLong)
+    }
+  }
+
+  /** Promote a float array column to double for exact cross-engine math. */
+  private def dbl(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+
+  /** Build version `current+1` from an embeddings table
+    * `(vec_id, label, embedding)` — the coarse quantizer is the per-label
+    * centroid (identical definition to `knn_ivf_dist`, so the indexed
+    * probe is hash-comparable to the in-query plan). Returns the new
+    * version id.
+    */
+  def build(spark: SparkSession, embeddings: DataFrame, indexDir: String): Long = {
+    val v = current(spark, indexDir).map(_._1).getOrElse(0L) + 1
+    val vd = s"$indexDir/v=$v"
+    val e = embeddings.select(
+      col("vec_id"),
+      col("label").cast("int").as("cell"),
+      dbl(col("embedding")).as("v")
+    )
+    // Inverted lists: vectors partitioned by cell id — nProbe cells read
+    // nProbe directories, not the corpus.
+    e.write.mode("overwrite").partitionBy("cell").parquet(s"$vd/cells")
+    // Coarse centroids: per-cell mean via posexplode + avg (the
+    // knn_centroid/knn_ivf_dist pattern — one shuffle keyed (cell, pos)).
+    e.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(avg("x").as("cx"))
+      .groupBy("cell")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("cx")))),
+          st => st.getField("cx")
+        ).as("cv")
+      )
+      .write.mode("overwrite").parquet(s"$vd/centroids")
+    // Commit marker LAST; carries the covered row count for staleness
+    // checks. Everything before this line is invisible to readers.
+    val rows = embeddings.count()
+    val f = fs(spark, indexDir)
+    val out = f.create(markerPath(indexDir, v), true)
+    try out.write(s"rows=$rows".getBytes("UTF-8"))
+    finally out.close()
+    // Prune superseded versions (after the marker — a crash here only
+    // leaves ignorable debris for the next build).
+    versions(spark, indexDir).filter(_ < v).foreach { old =>
+      f.delete(new Path(s"$indexDir/v=$old"), true)
+    }
+    v
+  }
+
+  /** The probe side of the split: assign each probe vector to its nProbe
+    * nearest persisted centroids (broadcast — k×dim model state), then
+    * exact-re-rank inside the probed cells via a partition-parallel
+    * shuffle join on cell id. Semantics and rounding identical to
+    * `knn_ivf_dist`.
+    */
+  def probe(
+      spark: SparkSession,
+      indexDir: String,
+      probes: DataFrame, // (qid, qv: array<double>)
+      nProbe: Int = 2,
+      k: Int = 5
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val (v, _) = current(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no complete ANN index version under $indexDir")
+    )
+    val vd = s"$indexDir/v=$v"
+    val cent = spark.read.parquet(s"$vd/centroids")
+    val cells = spark.read.parquet(s"$vd/cells")
+    val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cell"))
+    val assigned = probes
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", round(expr("cosine_similarity(qv, cv)"), 4))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("qid"), col("qv"), col("cell").as("pcell"))
+    val wFinal = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+    cells
+      .join(assigned, col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "cos")
+  }
+
+  /** Idempotent build-on-demand for a testdata scale dir: keep one index
+    * per distinct embeddings table (namespaced by path digest, the token
+    * pattern from Engine), rebuild only when the covered row count no
+    * longer matches the table.
+    */
+  def ensureFor(spark: SparkSession, sfDir: String): String = {
+    val digest = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+      .take(12)
+    val indexDir = new java.io.File(s"tmp/annindex/$digest").getAbsolutePath
+    val emb = Q.t(spark, sfDir, "embeddings")
+    val rows = emb.count()
+    val fresh = current(spark, indexDir).exists(_._2 == rows)
+    if (!fresh) { val _ = build(spark, emb, indexDir) }
+    indexDir
+  }
+}

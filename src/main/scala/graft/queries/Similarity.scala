@@ -413,6 +413,53 @@ object Similarity {
       """)
     ),
 
+    // --- persisted-index probe: the build/probe split of knn_ivf_dist ---
+    // A production pipeline builds the IVF index once (CLI `index-ann` /
+    // AnnIndex.build) and probes it for months. The query ensures a
+    // current index for the scale dir (change-detected on row count,
+    // first Verify run builds it, later runs just probe), then runs the
+    // probe side ONLY: broadcast the persisted k×dim centroid table,
+    // assign nProbe cells in codegen, shuffle-join the partitioned cell
+    // table (directory-pruned to the probed cells). Same semantics,
+    // rounding and tie-breaks as knn_ivf_dist, so the same oracle checks
+    // both — proving index persistence round-trips the plan's results.
+    Q(
+      "knn_ivf_indexed",
+      (s, d) => {
+        val indexDir = AnnIndex.ensureFor(s, d)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), dbl(col("embedding")).as("v"))
+        val probes =
+          e.filter(col("vec_id") < 64).select(col("vec_id").as("qid"), col("v").as("qv"))
+        AnnIndex.probe(s, indexDir, probes, nProbe = 2, k = 5).orderBy("qid", "rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        u AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        c AS (SELECT label AS clabel, pos, avg(x) AS cx FROM u GROUP BY 1, 2),
+        cvt AS (SELECT clabel, list(cx ORDER BY pos) AS cv FROM c GROUP BY 1),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 64),
+        pr AS (
+          SELECT qid, qv, clabel,
+                 row_number() OVER (PARTITION BY qid ORDER BY
+                   round(list_dot_product(qv, cv) /
+                         sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 4) DESC,
+                   clabel) AS pr
+          FROM q CROSS JOIN cvt),
+        p AS (SELECT qid, qv, clabel AS pcell FROM pr WHERE pr <= 2),
+        cand AS (
+          SELECT p.qid, e.vec_id,
+                 round(list_dot_product(p.qv, e.v) /
+                       sqrt(list_dot_product(p.qv, p.qv) * list_dot_product(e.v, e.v)), 6) AS cos
+          FROM e JOIN p ON e.label = p.pcell AND e.vec_id <> p.qid),
+        r AS (SELECT qid, vec_id, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+              FROM cand)
+        SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM r WHERE rank <= 5 ORDER BY qid, rank
+      """)
+    ),
+
     // --- int8 quantization planning (scale + exact integer checksums) ---
     Q(
       "vec_quantize",

@@ -210,4 +210,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors1 == survivors2 && survivors1 == Set(0L, 2L),
       s"retry divergence: $survivors1 vs $survivors2 (last=$lastBatch)")
   }
+
+  test("ann index: build/probe split, rebuild-on-append, crash debris ignored") {
+    import graft.queries.AnnIndex
+    val session = spark
+    import session.implicits._
+    val dir = TestSpark.tempDir("ann-rebuild")
+    val tableDir = s"$dir/embeddings.parquet"
+    val idx = s"$dir/index"
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => (math.sin(seed * 31 + i) * 100).toFloat)
+    def writeTable(n: Int): Unit =
+      (0 until n)
+        .map(i => (i.toLong, i % 3, vec(i)))
+        .toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(tableDir)
+
+    writeTable(40)
+    val emb = () => spark.read.parquet(tableDir)
+    val v1 = AnnIndex.build(spark, emb(), idx)
+    assert(v1 == 1L && AnnIndex.current(spark, idx).contains((1L, 40L)))
+
+    // Probe result must match the same computation done from scratch on
+    // the raw table (the knn_ivf_dist shape) — the index adds persistence,
+    // not semantics.
+    def probes() = emb()
+      .select(col("vec_id").as("qid"), transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .filter(col("qid") < 4)
+    def results() =
+      AnnIndex.probe(spark, idx, probes(), nProbe = 2, k = 3)
+        .orderBy("qid", "rank")
+        .select("qid", "vec_id", "rank")
+        .as[(Long, Long, Int)]
+        .collect()
+        .toSeq
+    val r1 = results()
+    assert(r1.nonEmpty && r1.forall(_._3 <= 3))
+
+    // Rebuild-on-append: the table grows; a stale index must be detected
+    // (marker row count) and a fresh build must supersede + prune v=1.
+    writeTable(64)
+    assert(AnnIndex.current(spark, idx).contains((1L, 40L)), "index is stale, not gone")
+    val v2 = AnnIndex.build(spark, emb(), idx)
+    assert(v2 == 2L && AnnIndex.current(spark, idx).contains((2L, 64L)))
+    assert(!new java.io.File(s"$idx/v=1").exists(), "superseded version must be pruned")
+    val r2 = results()
+    // New vectors can enter the top-k; the probe must reflect the new
+    // corpus (at minimum: still well-formed and over the larger table).
+    assert(r2.nonEmpty && r2.forall(_._3 <= 3))
+
+    // Crash-safety: a half-written higher version (no _complete marker —
+    // the build died mid-write) is invisible to readers and harmless.
+    new java.io.File(s"$idx/v=3/cells").mkdirs()
+    assert(AnnIndex.current(spark, idx).contains((2L, 64L)), "incomplete v=3 must be ignored")
+    assert(results() == r2, "probe must keep reading the last complete version")
+    // The next build lands on the debris version number (current+1 = 3),
+    // overwriting the half-written directories and committing them.
+    val v3 = AnnIndex.build(spark, emb(), idx)
+    assert(v3 == 3L && AnnIndex.current(spark, idx).contains((3L, 64L)))
+    assert(!new java.io.File(s"$idx/v=2").exists(), "superseded version must be pruned")
+    assert(results() == r2, "identical corpus -> identical probe results")
+  }
 }
