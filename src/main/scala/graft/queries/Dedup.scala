@@ -1381,6 +1381,108 @@ object Dedup {
       """)
     ),
 
+    // --- substring-level exact dedup: per-doc REMOVAL decisions ---
+    // dedup_spans measures span coverage; this emits what Lee et al.'s
+    // ExactSubstr actually produces — the spans to CUT. Keep-first
+    // semantics: a k-token window occurrence is removable iff some
+    // occurrence of the same window precedes it in (doc_id, pos) order;
+    // the corpus keeps exactly one copy of every duplicated substring.
+    // The distributed re-expression of their suffix array stays all-keyed:
+    //   1. window hashing — every k-token window → (doc, pos, md5);
+    //   2. one hash-keyed aggregation computing min(doc⊕pos) per window —
+    //      a map-side-combinable MIN, deliberately not a row_number over
+    //      the hash group: the most-repeated window is exactly the one
+    //      whose group would skew a windowed plan at 100 TB;
+    //   3. occurrences later than their window's first → removable
+    //      positions, stitched per doc into maximal spans (gaps-and-
+    //      islands: a new span starts when the next removable position no
+    //      longer overlaps the previous window's token range), one keyed
+    //      shuffle per doc — never corpus-wide.
+    // Output: per doc, the stitched removal decisions (span count, tokens
+    // removed, longest span) — the exact inputs a cutter needs.
+    Q(
+      "dedup_substring",
+      (s, d) => {
+        val k = 10
+        val occ = t(s, d, "documents")
+          .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+          .filter(size(col("w")) >= k)
+          .select(
+            col("doc_id"),
+            explode(expr(s"""transform(sequence(1, size(w) - ${k - 1}),
+                             i -> struct(i AS p, md5(concat_ws(' ', slice(w, i, $k))) AS h))"""))
+              .as("s")
+          )
+          .select(
+            col("doc_id"),
+            col("s.p").cast("long").as("p"),
+            col("s.h").as("h"),
+            // Lexicographic (doc_id, pos) as one sortable key: docs are
+            // far shorter than 100k tokens at every scale in play.
+            (col("doc_id") * 100000L + col("s.p")).as("key")
+          )
+        val firsts = occ.groupBy("h").agg(min("key").as("mk"))
+        val removable = occ
+          .join(firsts, "h")
+          .filter(col("key") > col("mk"))
+          .select(col("doc_id"), col("p"))
+        val wDoc = Window.partitionBy("doc_id").orderBy("p")
+        val spans = removable
+          .withColumn("prev", lag("p", 1).over(wDoc))
+          .withColumn(
+            "newSpan",
+            when(col("prev").isNull || col("p") - col("prev") > k, 1L).otherwise(0L)
+          )
+          .withColumn(
+            "island",
+            sum("newSpan").over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          )
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min("p").as("sp"), max("p").as("ep"))
+          .select(col("doc_id"), (col("ep") - col("sp") + k).as("span_tokens"))
+        spans
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_remove_spans"),
+            sum("span_tokens").as("removed_tokens"),
+            max("span_tokens").as("longest_span")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+        occ AS (
+          SELECT doc_id,
+                 CAST(unnest(range(1, len(w) - 8)) AS BIGINT) AS p,
+                 unnest(list_transform(range(1, len(w) - 8),
+                        i -> md5(array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 9], ' ')))) AS h
+          FROM w WHERE len(w) >= 10),
+        keyed AS (SELECT doc_id, p, h, doc_id * 100000 + p AS key FROM occ),
+        firsts AS (SELECT h, min(key) AS mk FROM keyed GROUP BY h),
+        removable AS (
+          SELECT doc_id, p FROM keyed JOIN firsts USING (h) WHERE key > mk),
+        flagged AS (
+          SELECT doc_id, p,
+                 CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                        OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 10
+                      THEN 1 ELSE 0 END AS newspan
+          FROM removable),
+        islands AS (
+          SELECT doc_id, p,
+                 sum(newspan) OVER (PARTITION BY doc_id ORDER BY p
+                                    ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged),
+        spans AS (
+          SELECT doc_id, min(p) AS sp, max(p) AS ep
+          FROM islands GROUP BY doc_id, island)
+        SELECT doc_id,
+               count(*) AS n_remove_spans,
+               CAST(sum(ep - sp + 10) AS BIGINT) AS removed_tokens,
+               CAST(max(ep - sp + 10) AS BIGINT) AS longest_span
+        FROM spans GROUP BY doc_id ORDER BY doc_id
+      """)
+    ),
+
     // --- keep-one projection after exact dedup (the "apply" step) ---
     Q(
       "dedup_keep_first",

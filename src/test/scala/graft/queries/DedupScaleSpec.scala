@@ -190,4 +190,79 @@ class DedupScaleSpec extends AnyFunSuite {
       graft.queries.Checkpoints.release()
     }
   }
+
+  test("substring removal decisions match a single-node reference on a Zipf corpus") {
+    // Lee et al.-style substring dedup at a corpus scale the sf-testdata
+    // doesn't reach: 1500 Zipf-sampled docs (natural window collisions)
+    // plus planted boilerplate (a shared banner) and cross-doc chunk
+    // reuse. The reference implementation stitches spans over the raw
+    // window TEXT — so this also checks that md5 window hashing is an
+    // honest stand-in for string equality.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val k = 10
+    val vocab = (0 until 300).map(i => s"z$i")
+    val weights = vocab.indices.map(r => 1.0 / (r + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    def zipfWord(): String = {
+      val x = rnd.nextDouble() * total
+      vocab(cum.indexWhere(x <= _))
+    }
+    val banner = (0 until 15).map(_ => zipfWord()).mkString(" ")
+    val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+    val docs = (0 until 1500).map { i =>
+      val n = 20 + rnd.nextInt(40)
+      var words = (0 until n).map(_ => zipfWord())
+      if (i % 7 == 3) { // shared banner boilerplate at a random cut point
+        val at = rnd.nextInt(words.size)
+        words = words.take(at) ++ banner.split(" ") ++ words.drop(at)
+      }
+      if (i % 13 == 5 && bodies.nonEmpty) { // verbatim chunk reuse
+        val src = bodies(rnd.nextInt(bodies.size)).split(" ")
+        if (src.length >= 12) {
+          val off = rnd.nextInt(src.length - 11)
+          words = words ++ src.slice(off, off + 12)
+        }
+      }
+      val text = words.mkString(" ")
+      bodies += text
+      (i.toLong, "en", text)
+    }
+    val dir = TestSpark.tempDir("substr-zipf")
+    docs.toDF("doc_id", "lang", "text").write.parquet(s"$dir/documents.parquet")
+
+    val got = graft.SparkEntry
+      .queries("dedup_substring")(spark, dir)
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+
+    // Single-node reference over raw window text.
+    val occs = docs.flatMap { case (id, _, text) =>
+      val w = text.toLowerCase.trim.split(" ")
+      if (w.length < k) Nil
+      else (1 to w.length - k + 1).map(p => (id, p.toLong, w.slice(p - 1, p - 1 + k).mkString(" ")))
+    }
+    val firstKey = occs.groupBy(_._3).map { case (win, os) =>
+      win -> os.map(o => o._1 * 100000L + o._2).min
+    }
+    val expected = occs
+      .filter(o => o._1 * 100000L + o._2 > firstKey(o._3))
+      .groupBy(_._1)
+      .toSeq
+      .map { case (id, os) =>
+        val ps = os.map(_._2).sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        ps.foreach { p =>
+          if (spans.nonEmpty && p - spans.last._2 <= k) spans(spans.size - 1) = (spans.last._1, p)
+          else spans += ((p, p))
+        }
+        val lens = spans.map { case (sp, ep) => ep - sp + k }
+        (id, spans.size.toLong, lens.sum, lens.max)
+      }
+      .sortBy(_._1)
+    assert(expected.nonEmpty && expected.exists(_._2 > 1), "corpus must produce real spans")
+    assert(got == expected, s"got ${got.size} rows, expected ${expected.size}")
+  }
 }
