@@ -196,6 +196,18 @@ class Engine(
       indexDir: String,
       langs: Seq[String] = Seq("en"),
       minChars: Int = 50,
+      /** Benchmark-decontamination blocklist: a static `gram` column of
+        * 3-grams (the `text_decontaminate` recipe — lowercase, space-
+        * joined). When set, any document sharing ≥1 n-gram with the list
+        * is dropped BEFORE near-dedup, in the same streaming pass — the
+        * GPT-3/PaLM eval-overlap rule as a curation gate. The list is
+        * eval-suite-sized (metadata scale), so it broadcasts; the corpus
+        * side explodes per-doc distinct grams map-side and the probe is a
+        * broadcast semi-join — no extra shuffle of document text, and no
+        * state: the stage is a pure function of (batch, blocklist), so
+        * foreachBatch retries and checkpoint restarts replay it exactly.
+        */
+      benchmarkGrams: Option[DataFrame] = None,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       /** Every N batches, fold index partitions ≤ batchId−1 into one
         * (0 = never). Folding stops the history probe degrading into a
@@ -227,11 +239,19 @@ class Engine(
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // Decontamination gate first: documents overlapping the benchmark
+        // never reach the dedup index or the curated log, exactly as if
+        // they were never in the corpus (matching the batch query's
+        // contract on the same corpus).
+        val clean = benchmarkGrams match {
+          case Some(bench) => Engine.decontaminate(df, bench)
+          case None        => df
+        }
         // Materialize the survivor set ONCE (it feeds two writes; without
         // this the history join would run twice, and the second run must
         // not observe the first write's own index partition).
         val survivors =
-          Engine.nearDedupBatch(spark, df, indexDir, batchId).localCheckpoint(true)
+          Engine.nearDedupBatch(spark, clean, indexDir, batchId).localCheckpoint(true)
         try {
           // Peer-offset order: the joins above scramble row order, and the
           // curated log should be deterministic and arrival-ordered (the
@@ -278,6 +298,32 @@ class Engine(
 
 object Engine {
   def apply(spark: SparkSession, dataDir: String): Engine = new Engine(spark, dataDir)
+
+  /** Drop rows whose `text` shares any 3-gram with the broadcast
+    * benchmark list — the decontamination stage of [[curateNearFrom]],
+    * factored out so the spec can compare stream and batch verdicts on
+    * identical input. `array_distinct` runs BEFORE the explode (per-doc
+    * gram dedup inside codegen, same rationale as `text_decontaminate`).
+    */
+  private[graft] def decontaminate(df: DataFrame, bench: DataFrame): DataFrame = {
+    val contaminated = df
+      .select(col("offset"), split(lower(trim(col("text"))), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(
+        col("offset"),
+        explode(
+          array_distinct(
+            expr("""transform(sequence(1, size(w) - 2),
+                    i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
+                                element_at(w, i + 2)))""")
+          )
+        ).as("gram")
+      )
+      .join(org.apache.spark.sql.functions.broadcast(bench.select("gram")), Seq("gram"), "left_semi")
+      .select(col("offset"))
+      .distinct()
+    df.join(contaminated, Seq("offset"), "left_anti")
+  }
 
   /** One micro-batch of LSH near-dedup for [[Engine.curateNearFrom]]:
     * returns the surviving docs `(offset, value, bands)` where `bands` is

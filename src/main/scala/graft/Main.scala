@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] [--name N] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> | compact-near-index <indexDir> | index-ann <embeddings> <indexDir>)\n" +
+      "usage: graft.Main --data-dir DIR [--subject S] [--name N] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] | compact-near-index <indexDir> | index-ann <embeddings> <indexDir>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT (produce <v>... | consume <off> | servers)"
     )
@@ -340,14 +340,17 @@ object Main {
           q.processAllAvailable()
           q.awaitTermination()
           println(s"replicated from $peer; highest now ${engine.log.highestOffset}")
-        case "curate-near" :: peer :: ckpt :: index :: Nil =>
+        case "curate-near" :: peer :: ckpt :: index :: benchRest if benchRest.length <= 1 =>
           // One-shot near-dup curation pass over the peer's backlog:
           // resumable (same checkpoint + index), exactly-once, LSH-deduped
-          // against every previously kept document.
+          // against every previously kept document. An optional 4th arg
+          // names a parquet of benchmark 3-grams (column `gram`) to
+          // decontaminate against in the same pass.
           val q = engine.curateNearFrom(
             peer,
             checkpoint = ckpt,
             indexDir = index,
+            benchmarkGrams = benchRest.headOption.map(b => spark.read.parquet(b)),
             trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()
           )
           q.processAllAvailable()

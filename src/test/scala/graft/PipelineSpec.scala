@@ -211,6 +211,70 @@ class PipelineSpec extends AnyFunSuite {
       s"retry divergence: $survivors1 vs $survivors2 (last=$lastBatch)")
   }
 
+  test("streaming decontamination: benchmark n-gram overlap drops docs across batches + restart") {
+    val session = spark
+    import session.implicits._
+    val raw = SparkLog(spark, TestSpark.tempDir("decon-raw"), LogConfig())
+    def doc(text: String): Array[Byte] = s"""{"lang":"en","text":"$text"}""".getBytes
+    // Benchmark = one eval sentence; its 3-grams are the blocklist.
+    val evalSentence = "the quick brown fox jumps over the lazy dog"
+    val bench = evalSentence
+      .split(" ")
+      .sliding(3)
+      .map(_.mkString(" "))
+      .toSeq
+      .toDF("gram")
+
+    // Distinct word sets per doc (no shared filler): the near-dup stage
+    // downstream must not collapse the clean survivors.
+    val clean1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val dirty1 = "omicron pi rho sigma tau upsilon phi chi psi omega quick brown fox escapes"
+    val clean2 = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    val dirty2 = "red orange yellow green blue indigo violet cyan magenta over the lazy dog sleeps"
+    raw.append(Seq(doc(clean1), doc(dirty1)))
+
+    val engine = Engine(spark, TestSpark.tempDir("decon-out"))
+    val ckpt = TestSpark.tempDir("decon-ckpt")
+    val idx = TestSpark.tempDir("decon-idx")
+    def curated(): Set[String] =
+      engine.toDF.collect().map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+    val q1 = engine.curateNearFrom(raw.dir, ckpt, idx, benchmarkGrams = Some(bench))
+    try {
+      q1.processAllAvailable()
+      assert(curated() == Set(new String(doc(clean1))), "batch 1: contaminated doc leaked")
+    } finally q1.stop()
+
+    // Restart on the same checkpoint: the gate is stateless and must keep
+    // filtering; dedup history still applies to the clean survivor.
+    raw.append(Seq(doc(clean2), doc(dirty2), doc(clean1) /* near-dup of kept */ ))
+    val q2 = engine.curateNearFrom(raw.dir, ckpt, idx, benchmarkGrams = Some(bench))
+    try {
+      q2.processAllAvailable()
+      assert(
+        curated() == Set(clean1, clean2).map(s => new String(doc(s))),
+        "batch 2: contamination or dup survived the restart"
+      )
+    } finally q2.stop()
+
+    // Stream/batch agreement: the streaming gate's verdicts equal the
+    // batch decontamination contract (doc contaminated iff it shares a
+    // 3-gram with the benchmark) on the same corpus.
+    val corpus = Seq(0L -> clean1, 1L -> dirty1, 2L -> clean2, 3L -> dirty2)
+      .map { case (o, t) => (o, doc(t), t) }
+      .toDF("offset", "value", "text")
+    val streamVerdicts = Engine
+      .decontaminate(corpus, bench)
+      .select("offset").as[Long].collect().toSet
+    val batchVerdicts = corpus
+      .select(col("offset"), explode(array_distinct(expr(
+        """transform(sequence(1, size(split(lower(trim(text)), ' ')) - 2),
+           i -> concat_ws(' ', slice(split(lower(trim(text)), ' '), i, 3)))"""))).as("gram"))
+      .join(bench, Seq("gram"), "left_semi")
+      .select("offset").distinct().as[Long].collect().toSet
+    assert(streamVerdicts == Set(0L, 2L) && batchVerdicts == Set(1L, 3L),
+      s"stream kept $streamVerdicts, batch flagged $batchVerdicts")
+  }
+
   test("ann index: build/probe split, rebuild-on-append, crash debris ignored") {
     import graft.queries.AnnIndex
     val session = spark
