@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] [--name N] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] | compact-near-index <indexDir> | index-ann <embeddings> <indexDir>)\n" +
+      "usage: graft.Main --data-dir DIR [--subject S] [--name N] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] | compact-near-index <indexDir> | index-ann <embeddings> <indexDir>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT (produce <v>... | consume <off> | servers)"
     )
@@ -237,6 +237,12 @@ object Main {
         case "truncate" :: low :: Nil =>
           engine.log.truncate(low.toLong)
           println(s"truncated below ${low.toLong}; lowest now ${engine.log.lowestOffset}")
+        case "retain" :: age :: bytesCap :: Nil =>
+          // Policy-driven retention (log.retention.{ms,bytes} analog):
+          // age in seconds, size cap in bytes; 0 disables either bound.
+          val dropped =
+            engine.log.retain(maxAgeMillis = age.toLong * 1000L, maxBytes = bytesCap.toLong)
+          println(s"retention dropped $dropped segments; lowest now ${engine.log.lowestOffset}")
         case "compact" :: restArgs if restArgs.length <= 1 =>
           val before = engine.log.segmentCount
           restArgs.headOption match {

@@ -12,7 +12,13 @@ final case class SegmentMeta(
     next: Long,
     bytes: Long,
     records: Long,
-    sealed_ : Boolean
+    sealed_ : Boolean,
+    /** Wall-clock stamp of segment creation — the input to policy-driven
+      * retention ([[graft.log.SparkLog.retain]], the `log.retention.ms`
+      * analog). 0 = unknown (pre-retention manifests, manifest-less
+      * recovery): never age-dropped, only size-dropped.
+      */
+    createdAtMillis: Long = 0L
 ) {
   def maxOffset: Long = next - 1
   def isEmpty: Boolean = next == base
@@ -113,7 +119,7 @@ object LogManifest {
   private def encode(m: LogManifest): Array[Byte] = {
     val segs = m.segments
       .map(s =>
-        s"""{"base":${s.base},"next":${s.next},"bytes":${s.bytes},"records":${s.records},"sealed":${s.sealed_}}"""
+        s"""{"base":${s.base},"next":${s.next},"bytes":${s.bytes},"records":${s.records},"sealed":${s.sealed_},"createdAt":${s.createdAtMillis}}"""
       )
       .mkString("[", ",", "]")
     // Token names are caller-chosen identifiers: restrict to a safe charset
@@ -193,7 +199,10 @@ object LogManifest {
               next = longField(raw, "next"),
               bytes = longField(raw, "bytes"),
               records = longField(raw, "records"),
-              sealed_ = boolField(raw, "sealed")
+              sealed_ = boolField(raw, "sealed"),
+              // Absent in pre-retention manifests → 0 (age unknown).
+              createdAtMillis =
+                if (raw.contains("\"createdAt\":")) longField(raw, "createdAt") else 0L
             )
           }
     LogManifest(segs, next, tokens, epoch)

@@ -41,7 +41,11 @@ import org.apache.spark.sql.functions._
 class SparkLog(
     val spark: SparkSession,
     val dir: String,
-    val config: LogConfig = LogConfig()
+    val config: LogConfig = LogConfig(),
+    /** Injectable wall clock (tests drive retention deterministically);
+      * stamps new segments' `createdAtMillis`.
+      */
+    clock: () => Long = () => System.currentTimeMillis()
 ) {
   import SparkLog._
 
@@ -219,7 +223,7 @@ class SparkLog(
     // Active (unsealed, non-empty) trailing segment, if any.
     var active: SegmentMeta = m.segments.lastOption.filter(s => !s.sealed_) match {
       case Some(s) => s
-      case None    => SegmentMeta(off, off, 0L, 0L, sealed_ = false)
+      case None    => SegmentMeta(off, off, 0L, 0L, sealed_ = false, createdAtMillis = clock())
     }
     var pending = Vector.newBuilder[LogRecord]
     var pendingFor = active.base
@@ -243,7 +247,7 @@ class SparkLog(
       flush()
       active = active.copy(sealed_ = true)
       m = m.copy(segments = upsert(m.segments, active))
-      active = SegmentMeta(off, off, 0L, 0L, sealed_ = false)
+      active = SegmentMeta(off, off, 0L, 0L, sealed_ = false, createdAtMillis = clock())
       pendingFor = off
     }
 
@@ -393,7 +397,7 @@ class SparkLog(
     val segDir = segmentPath(base)
     writeMarker(segDir)
     val (bytes, moved) = publishParts(staging, base)
-    val seg = SegmentMeta(base, base + total, bytes, total, sealed_ = true)
+    val seg = SegmentMeta(base, base + total, bytes, total, sealed_ = true, createdAtMillis = clock())
     val m0 = manifest
     val sealedPrev = m0.segments.lastOption.filter(!_.sealed_) match {
       case Some(last) => upsert(m0.segments, last.copy(sealed_ = true))
@@ -795,6 +799,42 @@ class SparkLog(
     drop.foreach(s => fs.deleteRecursively(segmentPath(s.base)))
   }
 
+  /** Policy-driven retention — the `log.retention.ms` / `log.retention.bytes`
+    * analog the reference's caller-driven `Truncate` leaves to the
+    * operator. Drops the longest eligible PREFIX of segments (offset
+    * contiguity is preserved by construction; the newest segment never
+    * drops, so readers always see a live tail): a prefix segment is
+    * eligible while it is older than `maxAgeMillis` (0 disables; unknown
+    * ages — manifest-less recovery — are never age-dropped) or while the
+    * log's total bytes still exceed `maxBytes` (0 disables). Segment-
+    * granular like [[truncate]]: a segment survives until its NEWEST
+    * record is eligible. Returns the number of segments dropped.
+    */
+  def retain(
+      maxAgeMillis: Long = 0L,
+      maxBytes: Long = 0L,
+      nowMillis: Long = clock()
+  ): Int = synchronized {
+    val segs = manifest.segments
+    var total = segs.map(_.bytes).sum
+    def ageOld(s: SegmentMeta): Boolean =
+      maxAgeMillis > 0 && s.createdAtMillis > 0 &&
+        s.createdAtMillis < nowMillis - maxAgeMillis
+    var rest = segs
+    val dropped = Vector.newBuilder[SegmentMeta]
+    while (rest.size > 1 && (ageOld(rest.head) || (maxBytes > 0 && total > maxBytes))) {
+      total -= rest.head.bytes
+      dropped += rest.head
+      rest = rest.tail
+    }
+    val out = dropped.result()
+    if (out.nonEmpty) {
+      swapManifest(manifest.copy(segments = rest))
+      out.foreach(s => fs.deleteRecursively(segmentPath(s.base)))
+    }
+    out.size
+  }
+
   /** Compact adjacent small sealed segments into larger ones — the analog
     * of the reference's snapshot/compaction surface (reference:
     * internal/log/distributed_fsm.go:48-51 streams the whole log into one
@@ -870,7 +910,8 @@ class SparkLog(
         fs.move(segmentPath(b), moved)
       }
       fs.move(newSeg, segmentPath(lo))
-      val merged = SegmentMeta(lo, r.last.next, bytes, records, sealed_ = true)
+      val merged = SegmentMeta(lo, r.last.next, bytes, records, sealed_ = true,
+        createdAtMillis = r.map(_.createdAtMillis).max)
       val kept = manifest.segments.filterNot(s => r.exists(_.base == s.base))
       // A fencing loss here leaves the journal in place: the NEW claimant's
       // recoverCompaction rolls the half-done swap back (its manifest does
@@ -1039,7 +1080,13 @@ class SparkLog(
 
     val fixedTail = m.segments.lastOption.filter(_ => needsTail) match {
       case Some(last) if adoptable(last.base, last.next) =>
-        upsert(m.segments, rebuildSegmentMeta(last.base).copy(sealed_ = last.sealed_))
+        // Rebuild counts/bytes from parts, but KEEP the recorded creation
+        // stamp — rebuild must not reset the segment's retention age.
+        upsert(
+          m.segments,
+          rebuildSegmentMeta(last.base)
+            .copy(sealed_ = last.sealed_, createdAtMillis = last.createdAtMillis)
+        )
       // Lost the tail marker: a fenced writer is rolling back its
       // unmanifested tail parts — the manifest's recorded meta already
       // describes every committed record.
@@ -1142,6 +1189,11 @@ object SparkLog {
   /** Open (or create) a log at `dir` — recovery included, mirroring
     * `NewLog` + `setup` (reference: internal/log/log.go:25-68).
     */
-  def apply(spark: SparkSession, dir: String, config: LogConfig = LogConfig()): SparkLog =
-    new SparkLog(spark, dir, config)
+  def apply(
+      spark: SparkSession,
+      dir: String,
+      config: LogConfig = LogConfig(),
+      clock: () => Long = () => System.currentTimeMillis()
+  ): SparkLog =
+    new SparkLog(spark, dir, config, clock)
 }

