@@ -104,7 +104,17 @@ object PlanDump {
     "corpus_pack" -> ("Sequence packing shards over 32 md5 buckets: one " +
       "windowed running sum PER SHARD (partition-parallel, no global " +
       "sort), then a 32-row aggregate — the concat-and-chunk order is " +
-      "deterministic within each shard and shards pack independently.")
+      "deterministic within each shard and shards pack independently."),
+    "knn_ivf_indexed" -> ("The build/probe split: centroids and cell lists " +
+      "are PERSISTED parquet (built once by index-ann); the probe " +
+      "broadcasts only the k×dim centroid table, assigns cells in " +
+      "codegen, and shuffle-joins the cell-partitioned list table — " +
+      "directory-pruned to the probed cells."),
+    "dedup_substring" -> ("Substring removal decisions: window hashes meet " +
+      "in ONE map-side-combinable min aggregation (not a row_number over " +
+      "the hash group — the most-repeated window is exactly the group " +
+      "that would skew), then removable positions stitch per doc in a " +
+      "doc-keyed window. Shuffle keys are hashes and doc ids, never text.")
   )
 
   def main(args: Array[String]): Unit = {
