@@ -43,7 +43,7 @@ object Main {
     System.err.println(
       "usage: graft.Main --data-dir DIR [--subject S] [--name N] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] | compact-near-index <indexDir> | index-ann <embeddings> <indexDir>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
-        "       graft.Main --bootstrap HOST:PORT (produce <v>... | consume <off> | servers)"
+        "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
     sys.exit(2)
   }
@@ -51,12 +51,19 @@ object Main {
   /** Remote mode: the verbs that make sense against a served log, routed
     * through the balanced client (produce → leader, consume → follower).
     */
-  private def remoteMain(bootstrap: String, rest: List[String]): Unit = {
+  private def remoteMain(
+      bootstrap: String,
+      rest: List[String],
+      tls: Option[graft.server.MtlsConfig]
+  ): Unit = {
     val (host, port) = bootstrap.lastIndexOf(':') match {
       case -1 => usage()
       case i  => (bootstrap.substring(0, i), bootstrap.substring(i + 1).toInt)
     }
-    val client = new graft.server.grpc.BalancedLogClient(host, port)
+    // Client-side mTLS mirrors the reference's PeerTLSConfig dials
+    // (internal/agent/agent.go:124-149): key store = this client's
+    // identity (its CN is the ACL subject), trust store = server anchors.
+    val client = new graft.server.grpc.BalancedLogClient(host, port, tls)
     try {
       rest match {
         case "produce" :: values if values.nonEmpty =>
@@ -179,7 +186,7 @@ object Main {
       case _                    => usage() // both stores or neither
     }
     if (rest.isEmpty) usage()
-    if (bootstrap.isDefined) return remoteMain(bootstrap.get, rest)
+    if (bootstrap.isDefined) return remoteMain(bootstrap.get, rest, tlsCfg)
     val dir = dataDir.getOrElse(usage())
 
     val spark = SparkSession
