@@ -52,6 +52,33 @@ class PlanSf1Spec extends AnyFunSuite {
     assert(widths.forall(_ > 1), s"pinned LSH shuffle collapsed to one partition: $widths")
   }
 
+  test("sf1: dedup_substring aggregates window hashes map-side, never windows over them") {
+    assume(present, "tmp/sf1 soak corpus not present")
+    val p = plan("dedup_substring")
+    // The keep-first decision must be a two-phase MIN aggregate on the
+    // hash key (map-side combinable — skew-immune for hyper-frequent
+    // boilerplate windows), NOT a row_number window partitioned by the
+    // hash, which would drag a hot window's whole group to one task.
+    assert(p.contains("partial_min"), s"hash-key min lost its partial phase at sf1:\n$p")
+    assert(
+      !p.contains("windowspecdefinition(h#"),
+      s"a window partitioned by the hash column appeared:\n$p"
+    )
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sf1: knn_ivf_indexed probes the persisted index with one centroid broadcast") {
+    assume(present, "tmp/sf1 soak corpus not present")
+    val p = plan("knn_ivf_indexed")
+    // The centroid table (metadata-scale) must broadcast for probe
+    // assignment; the candidate join may be broadcast or shuffle by AQE
+    // size decision, but never a cartesian, and the partial top-k must
+    // keep only k rows per query ahead of the final rank.
+    assert(p.contains("BroadcastExchange"), s"centroid broadcast missing at sf1:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"partial top-k missing at sf1:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("sf1: dimension chain still broadcasts; fact scan stays pruned") {
     assume(present, "tmp/sf1 soak corpus not present")
     val p5 = plan("q5_region_revenue")
