@@ -359,6 +359,266 @@ object Corpus {
                      (CAST((sum(n_tokens) + 511) // 512 AS BIGINT) * 512.0), 6) AS fill_ratio
         FROM cum GROUP BY bucket ORDER BY bucket
       """)
+    ),
+
+    // --- mixture weights: α-smoothed per-source sampling proportions ---
+    // The data-mixing step that precedes any multi-source training run:
+    // given per-source token masses, sample sources proportionally to
+    // mass^α (α=0.7, the multilingual-LM smoothing exponent from Conneau &
+    // Lample's XLM recipe) so small sources are up-weighted without letting
+    // them dominate. Per-source token counts are one partial-aggregated
+    // groupBy over map-side `size(split(..))` (the text never shuffles);
+    // the normalizer is a second aggregate over the |sources|-row table —
+    // metadata-sized at any corpus scale, so the final division is a
+    // 1-row broadcast join. pow() drift discipline: each mass^α rounds to
+    // 6 dp and sums as DECIMAL, so the normalizer is exact and
+    // engine-order-independent; only the final ratios are FP.
+    Q(
+      "corpus_mix_weights",
+      (s, d) => {
+        val perSource = t(s, d, "documents")
+          .select(col("source"), size(ws).cast("long").as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .withColumn(
+            "pw",
+            round(pow(col("n_tokens").cast("double"), 0.7), 6).cast("decimal(28,6)")
+          )
+        val totals = perSource.agg(
+          sum("n_tokens").as("tot_tokens"),
+          sum("pw").as("tot_pw")
+        )
+        perSource
+          .crossJoin(broadcast(totals))
+          .select(
+            col("source"),
+            col("n_docs"),
+            col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("tot_tokens").cast("double"), 6)
+              .as("raw_frac"),
+            round(col("pw").cast("double") / col("tot_pw").cast("double"), 6).as("weight")
+          )
+          .orderBy("source")
+      },
+      Some("""
+        WITH per_src AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        pw AS (
+          SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7), 6) AS DECIMAL(28,6)) AS pw
+          FROM per_src),
+        tot AS (SELECT sum(n_tokens) AS tot_tokens, sum(pw) AS tot_pw FROM pw)
+        SELECT source, n_docs, n_tokens,
+               round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6) AS raw_frac,
+               round(CAST(pw AS DOUBLE) / CAST(tot_pw AS DOUBLE), 6) AS weight
+        FROM pw CROSS JOIN tot ORDER BY source
+      """)
+    ),
+
+    // --- corpus-LM quality scoring: unigram log-likelihood + buckets ---
+    // The CCNet recipe (Wenzek et al. 2020) scores web documents with a
+    // language model and splits each language into head/middle/tail
+    // quality buckets. Here the LM is a unigram model estimated FROM the
+    // corpus itself (add-one smoothing over the observed vocabulary), and
+    // the buckets come from per-language score moments rather than a
+    // per-language ntile: an exact tercile needs a full per-language SORT
+    // (one reducer per language at 100 TB — the funnel corpus_token_budget
+    // exists to avoid), whereas mean/stddev cutoffs aggregate in one
+    // partial-agg pass to a |langs|-row table that BROADCASTS, keeping
+    // bucket assignment map-side. FP discipline: per-token log-probs round
+    // to 6 dp and sum as DECIMAL(18,6) (order-independent), the per-lang
+    // moments sum those decimals (and their DECIMAL(38,12) squares)
+    // exactly, and the final mean/std/compare chain is correctly-rounded
+    // IEEE ops evaluated identically in both engines.
+    Q(
+      "corpus_lm_quality",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tok = docs.select(col("doc_id"), col("lang"), explode(ws).as("word"))
+        val counts = tok.groupBy("word").agg(count(lit(1)).as("c"))
+        val totals = counts.agg(
+          sum("c").as("n_total"),
+          count(lit(1)).as("vocab")
+        )
+        val logp = counts
+          .crossJoin(broadcast(totals))
+          .select(
+            col("word"),
+            round(
+              log((col("c") + 1).cast("double") / (col("n_total") + col("vocab")).cast("double")),
+              6
+            ).cast("decimal(18,6)").as("logp")
+          )
+        val scored = tok
+          .join(logp, "word")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_tokens"), sum("logp").as("sum_logp"))
+          .withColumn(
+            "avg_logp",
+            round(col("sum_logp").cast("double") / col("n_tokens").cast("double"), 6)
+          )
+        val moments = scored
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("avg_logp").cast("decimal(18,6)")).as("s1"),
+            sum((col("avg_logp") * col("avg_logp")).cast("decimal(38,12)")).as("s2")
+          )
+          .select(
+            col("lang"),
+            (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+            sqrt(
+              col("s2").cast("double") / col("n").cast("double") -
+                (col("s1").cast("double") / col("n").cast("double")) *
+                (col("s1").cast("double") / col("n").cast("double"))
+            ).as("sd")
+          )
+        scored
+          .join(broadcast(moments), "lang")
+          .select(
+            col("doc_id"),
+            col("lang"),
+            col("n_tokens"),
+            col("avg_logp"),
+            when(col("avg_logp") >= col("mu") + lit(0.25) * col("sd"), "head")
+              .when(col("avg_logp") <= col("mu") - lit(0.25) * col("sd"), "tail")
+              .otherwise("middle")
+              .as("bucket")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS word
+          FROM documents),
+        counts AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word),
+        tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM counts),
+        logp AS (
+          SELECT word,
+                 CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS logp
+          FROM counts CROSS JOIN tot),
+        scored AS (
+          SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                 round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp
+          FROM tok JOIN logp USING (word)
+          GROUP BY doc_id, lang),
+        mom AS (
+          SELECT lang,
+                 CAST(sum(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu,
+                 sqrt(CAST(sum(CAST(avg_logp * avg_logp AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+                      - (CAST(sum(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+                        * (CAST(sum(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE) / count(*))) AS sd
+          FROM scored GROUP BY lang)
+        SELECT doc_id, lang, n_tokens, avg_logp,
+               CASE WHEN avg_logp >= mu + 0.25 * sd THEN 'head'
+                    WHEN avg_logp <= mu - 0.25 * sd THEN 'tail'
+                    ELSE 'middle' END AS bucket
+        FROM scored JOIN mom USING (lang)
+        ORDER BY doc_id
+      """)
+    ),
+
+    // --- DSIR importance weights: hashed-bigram target/raw log-ratio ---
+    // Data Selection via Importance Resampling (Xie et al. 2023): select
+    // raw-pool documents whose hashed n-gram feature distribution looks
+    // like a target domain. Features are bigrams hashed into a FIXED
+    // 256-bucket space (md5-derived, cross-engine stable), so the fitted
+    // model — target and raw bucket distributions with add-one smoothing —
+    // is a 256-row table at ANY corpus scale: per-(doc,bucket) counts
+    // partial-aggregate map-side, the two global histograms are tiny
+    // groupBys, and the per-bucket log-ratio λ_b broadcasts back onto the
+    // per-doc counts for a map-side weighted sum. Target here: English
+    // docs (select-multilingual-toward-English); production swaps in its
+    // target-domain sample. λ_b rounds to 6 dp and the per-doc Σ c_b·λ_b
+    // sums in DECIMAL — exact, engine-order-independent; `selected` means
+    // logw > 0 (more target-like than raw-like), a map-side decision
+    // rather than a global top-k sort.
+    Q(
+      "corpus_dsir_weights",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val grams = docs
+          .select(col("doc_id"), col("lang"), ws.as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            explode(
+              expr("""transform(sequence(1, size(w) - 1),
+                                i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))""")
+            ).as("gram")
+          )
+          .withColumn(
+            "b",
+            pmod(conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"), lit(256))
+          )
+        val perDoc = grams
+          .groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("c"))
+        val hist = perDoc
+          .groupBy("b")
+          .agg(
+            sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tc"),
+            sum(when(col("lang") =!= "en", col("c")).otherwise(0L)).as("rc")
+          )
+        val totals = hist.agg(sum("tc").as("nt"), sum("rc").as("nr"))
+        val lambda = hist
+          .crossJoin(broadcast(totals))
+          .select(
+            col("b"),
+            round(
+              log((col("tc") + 1).cast("double") / (col("nt") + 256).cast("double")) -
+                log((col("rc") + 1).cast("double") / (col("nr") + 256).cast("double")),
+              6
+            ).cast("decimal(18,6)").as("lambda")
+          )
+        perDoc
+          .filter(col("lang") =!= "en")
+          .join(broadcast(lambda), "b")
+          .groupBy("doc_id")
+          .agg(
+            sum("c").as("n_bigrams"),
+            round(sum(col("c") * col("lambda")).cast("double"), 6).as("logw")
+          )
+          .withColumn("selected", col("logw") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(range(1, len(w)),
+                        i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1])) AS gram
+          FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w FROM documents)
+          WHERE len(w) >= 2),
+        gb AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(gram), 1, 15))::BIGINT % 256 AS b
+          FROM g),
+        per_doc AS (
+          SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS c
+          FROM gb GROUP BY doc_id, lang, b),
+        hist AS (
+          SELECT b,
+                 sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS tc,
+                 sum(CASE WHEN lang <> 'en' THEN c ELSE 0 END) AS rc
+          FROM per_doc GROUP BY b),
+        tot AS (SELECT sum(tc) AS nt, sum(rc) AS nr FROM hist),
+        lam AS (
+          SELECT b,
+                 CAST(round(ln(CAST(tc + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE)) -
+                            ln(CAST(rc + 1 AS DOUBLE) / CAST(nr + 256 AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS lambda
+          FROM hist CROSS JOIN tot)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(c * lambda) AS DOUBLE), 6) AS logw,
+               round(CAST(sum(c * lambda) AS DOUBLE), 6) > 0 AS selected
+        FROM per_doc JOIN lam USING (b)
+        WHERE lang <> 'en'
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """)
     )
   )
 }

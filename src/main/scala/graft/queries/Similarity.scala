@@ -621,6 +621,108 @@ object Similarity {
                round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
         FROM embeddings ORDER BY vec_id
       """)
+    ),
+
+    // --- semantic dedup: cluster-then-prune keep decisions (SemDeDup) ---
+    // Abbas et al. 2023 (arXiv 2303.09540): cluster the embedding space,
+    // call within-cluster pairs above a cosine threshold semantic
+    // duplicates, and from each duplicate set keep the example with the
+    // LOWEST similarity to its cluster centroid (prototypical examples are
+    // redundant; outliers carry the information). The greedy per-cluster
+    // loop of the paper is order-dependent, so the keep rule here is its
+    // deterministic dominance closure: a vector is dropped iff SOME
+    // cluster-mate within τ ranks strictly more central — i.e. smaller
+    // (cos_to_centroid, vec_id) lexicographically. That makes the decision
+    // a pure pair predicate: centroids via one (label,pos)-keyed shuffle
+    // (same shape as knn_centroid), centroid scores map-side against the
+    // broadcast k×dim table, the within-cluster pair pass reuses
+    // dedup_embedding's salted self-join (shuffle on (label,salt), no
+    // corpus broadcast, bounded S× replication), and the final keep flag is
+    // a left-anti join on the dominated ids. Rounding: pair cosines 6 dp,
+    // centroid cosines 4 dp (avg is engine-order FP; 4 dp absorbs the
+    // drift — the knn_centroid precedent), ties broken on vec_id.
+    Q(
+      "dedup_semantic",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val tau = 0.25
+        val S = 16
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+        val cent = e
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          .agg(avg("x").as("cx"))
+          .groupBy("label")
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("cx")))),
+              st => st.getField("cx")
+            ).as("cv")
+          )
+          .select(col("label").as("clabel"), col("cv"))
+        val scored = e
+          .join(broadcast(cent), col("label") === col("clabel"))
+          .withColumn("cos_c", round(expr("cosine_similarity(v, cv)"), 4))
+          .select("vec_id", "label", "v", "cos_c")
+        val P = graft.queries.Dedup.pairShufflePartitions(s)
+        val a = scored
+          .select(
+            col("vec_id").as("i"), col("label"), col("v").as("va"), col("cos_c").as("ca"),
+            pmod(col("vec_id"), lit(S)).cast("int").as("salt"))
+          .repartition(P, col("label"), col("salt"))
+        val b = scored
+          .withColumn("salt2", explode(sequence(lit(0), lit(S - 1))))
+          .select(
+            col("vec_id").as("j"), col("label").as("label2"), col("v").as("vb"),
+            col("cos_c").as("cb"), col("salt2"))
+          .repartition(P, col("label2"), col("salt2"))
+        val dropped = a
+          .join(
+            b,
+            col("label") === col("label2") && col("salt") === col("salt2") && col("i") < col("j")
+          )
+          .withColumn("cos", round(expr("cosine_similarity(va, vb)"), 6))
+          .filter(col("cos") >= tau)
+          .select(
+            when(
+              col("ca") < col("cb") || (col("ca") === col("cb") && col("i") < col("j")),
+              col("j")
+            ).otherwise(col("i")).as("vec_id")
+          )
+          .distinct()
+        scored
+          .join(dropped.withColumn("is_dropped", lit(true)), Seq("vec_id"), "left")
+          .select(
+            col("vec_id"),
+            col("label"),
+            col("cos_c"),
+            coalesce(!col("is_dropped"), lit(true)).as("keep")
+          )
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        u AS (SELECT label AS clabel, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        c AS (SELECT clabel, pos, avg(x) AS cx FROM u GROUP BY 1, 2),
+        cvt AS (SELECT clabel, list(cx ORDER BY pos) AS cv FROM c GROUP BY 1),
+        cc AS (
+          SELECT e.vec_id, e.label, e.v,
+                 round(list_dot_product(e.v, cvt.cv) /
+                       sqrt(list_dot_product(e.v, e.v) * list_dot_product(cvt.cv, cvt.cv)), 4) AS cos_c
+          FROM e JOIN cvt ON e.label = cvt.clabel),
+        dup AS (
+          SELECT a.vec_id AS i, b.vec_id AS j, a.cos_c AS ca, b.cos_c AS cb
+          FROM cc a JOIN cc b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) /
+                      sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) >= 0.25),
+        dropped AS (
+          SELECT DISTINCT CASE WHEN (ca < cb) OR (ca = cb AND i < j) THEN j ELSE i END AS vec_id
+          FROM dup)
+        SELECT cc.vec_id, cc.label, cc.cos_c,
+               cc.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+        FROM cc ORDER BY cc.vec_id
+      """)
     )
   )
 }
