@@ -1501,6 +1501,108 @@ object Dedup {
           FROM documents)
         WHERE rn = 1 ORDER BY doc_id
       """)
+    ),
+
+    // --- asymmetric set-containment join (quote/inclusion detection) ---
+    // Jaccard misses the doc-quotes-doc case: a short document wholly
+    // embedded in a long one has tiny resemblance but containment
+    // C(A→B) = |A∩B|/|A| ≈ 1. The exact containment self-join at
+    // τ = 19/20 (integer arithmetic throughout — ceil(τ·|A|) as
+    // (19·sz+19) div 20, the verify compare as inter·20 ≥ 19·szA — so no
+    // FP ceil off-by-one can cost completeness):
+    //
+    //  CANDIDATES: if C(A→B) ≥ τ then A shares ≥ ⌈τ|A|⌉ tokens with B,
+    //  so at least one of A's first |A|−⌈τ|A|⌉+1 rarest tokens (global-
+    //  df rare-first order) appears in B. Unlike the symmetric PPJoin
+    //  prefix meet (dedup_jaccard), containment cannot bound the
+    //  CONTAINER's prefix — B may be arbitrarily large — so the probe
+    //  side explodes only its prefix while the container side is the
+    //  full inverted index: the classic index-probe containment join.
+    //  The join key is the token, so the shuffle spreads over the
+    //  vocabulary; each bucket's cost is |prefixes with t| · |docs with
+    //  t|, and rare-first ordering keeps the probe side of hot tokens
+    //  near-empty. The |B| ≥ ⌈τ|A|⌉ size bound prunes inside the join.
+    //  (A 31-word degenerate universe admits most pairs here, as it
+    //  must — the output itself is dense; real vocabularies prune hard,
+    //  and the triangle-branch escape dedup_jaccard takes for tiny
+    //  universes would compose identically if needed.)
+    //
+    //  VERIFY: distinct candidates re-join the per-doc sorted token
+    //  arrays (two keyed joins) and count |A∩B| with array_intersect —
+    //  exact at any vocabulary size.
+    Q(
+      "dedup_containment",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(array_distinct(split(lower(trim(col("text"))), " ")))
+            .as("word"))
+        val dfreq = toks.groupBy("word").agg(count(lit(1)).as("df"))
+        // Rare-first per-doc token array: sort by (global df, word) so the
+        // prefix is the doc's rarest tokens — deterministic regardless of
+        // collect_list order.
+        val ranked = toks
+          .join(dfreq, "word")
+          .groupBy("doc_id")
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("df"), col("word")))),
+              st => st.getField("word")
+            ).as("w")
+          )
+          .withColumn("sz", size(col("w")).cast("long"))
+        val P = pairShufflePartitions(s)
+        val probe = ranked
+          .withColumn("min_inter", expr("(19 * sz + 19) div 20"))
+          .select(
+            col("doc_id").as("i"),
+            col("sz").as("szA"),
+            explode(slice(col("w"), lit(1), (col("sz") - col("min_inter") + 1).cast("int")))
+              .as("word")
+          )
+          .repartition(P, col("word"))
+        val index = ranked
+          .select(col("doc_id").as("j"), col("sz").as("szB"), explode(col("w")).as("word"))
+          .repartition(P, col("word"))
+        val cands = probe
+          .join(index, Seq("word"))
+          .filter(col("i") =!= col("j") && col("szB") * 20 >= col("szA") * 19)
+          .select("i", "j")
+          .distinct()
+        val wa = ranked.select(col("doc_id").as("i"), col("w").as("wa"), col("sz").as("szA"))
+        val wb = ranked.select(col("doc_id").as("j"), col("w").as("wb"), col("sz").as("szB"))
+        cands
+          .join(wa, "i")
+          .join(wb, "j")
+          .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+          .filter(col("inter") * 20 >= col("szA") * 19)
+          .select(
+            col("i").as("contained"),
+            col("j").as("container"),
+            col("szA").as("sz_contained"),
+            col("szB").as("sz_container"),
+            col("inter"),
+            round(col("inter").cast("double") / col("szA").cast("double"), 6).as("containment")
+          )
+          .orderBy("contained", "container")
+      },
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+          FROM documents),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM w GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS inter
+          FROM w a JOIN w b ON a.word = b.word AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT i AS contained, j AS container,
+               sa.sz AS sz_contained, sb.sz AS sz_container, inter,
+               round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+        FROM inter
+        JOIN sz sa ON i = sa.doc_id
+        JOIN sz sb ON j = sb.doc_id
+        WHERE inter * 20 >= 19 * sa.sz
+        ORDER BY contained, container
+      """)
     )
   )
 }
