@@ -208,6 +208,15 @@ class Engine(
         * foreachBatch retries and checkpoint restarts replay it exactly.
         */
       benchmarkGrams: Option[DataFrame] = None,
+      /** Gopher-style repetition quality gate (Rae et al. 2021 A1.1, the
+        * word-level rules of the batch `text_repetition` query): drop
+        * documents whose most frequent word exceeds 20% of tokens or most
+        * frequent bigram exceeds 18% of bigrams. A pure per-row expression
+        * over the token array — stateless, fully inside scan-stage
+        * codegen, so it adds no shuffle, no state, and retries/restarts
+        * replay it exactly.
+        */
+      repetitionGate: Boolean = false,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       /** Every N batches, fold index partitions ≤ batchId−1 into one
         * (0 = never). Folding stops the history probe degrading into a
@@ -243,9 +252,13 @@ class Engine(
         // never reach the dedup index or the curated log, exactly as if
         // they were never in the corpus (matching the batch query's
         // contract on the same corpus).
+        // Quality gate before decontamination: it is a free row filter
+        // (codegen, no join), so running it first shrinks the gram
+        // explode + broadcast probe to the documents that can survive.
+        val quality = if (repetitionGate) Engine.repetitionGated(df) else df
         val clean = benchmarkGrams match {
-          case Some(bench) => Engine.decontaminate(df, bench)
-          case None        => df
+          case Some(bench) => Engine.decontaminate(quality, bench)
+          case None        => quality
         }
         // Materialize the survivor set ONCE (it feeds two writes; without
         // this the history join would run twice, and the second run must
@@ -324,6 +337,35 @@ object Engine {
       .distinct()
     df.join(contaminated, Seq("offset"), "left_anti")
   }
+
+  /** Keep rows passing the word-level Gopher repetition rules — the
+    * streaming twin of the batch `text_repetition` query's `keep` flag,
+    * factored out so the spec can compare stream and batch verdicts on
+    * identical input. Documents with fewer than two words carry no
+    * repetition evidence and pass (the batch query excludes them from its
+    * output entirely). The `when` guard keeps `sequence(1, size(w)-1)`
+    * from ever seeing descending bounds (Spark would emit [1,0], not
+    * error), and makes the whole gate one codegen'd projection + filter.
+    */
+  private[graft] def repetitionGated(df: DataFrame): DataFrame =
+    df.withColumn("w__", split(lower(trim(col("text"))), " "))
+      .withColumn(
+        "keep__",
+        when(size(col("w__")) < 2, lit(true)).otherwise(
+          expr("""array_max(transform(array_distinct(w__),
+                    x -> size(filter(w__, y -> y = x))))""").cast("double") /
+            size(col("w__")).cast("double") <= 0.2 &&
+            expr("""array_max(transform(
+                      array_distinct(transform(sequence(1, size(w__) - 1),
+                        i -> concat(element_at(w__, i), ' ', element_at(w__, i + 1)))),
+                      x -> size(filter(transform(sequence(1, size(w__) - 1),
+                        i -> concat(element_at(w__, i), ' ', element_at(w__, i + 1))),
+                        y -> y = x))))""").cast("double") /
+              (size(col("w__")) - 1).cast("double") <= 0.18
+        )
+      )
+      .filter(col("keep__"))
+      .drop("w__", "keep__")
 
   /** One micro-batch of LSH near-dedup for [[Engine.curateNearFrom]]:
     * returns the surviving docs `(offset, value, bands)` where `bands` is

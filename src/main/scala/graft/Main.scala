@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] [--name N] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] | compact-near-index <indexDir> | index-ann <embeddings> <indexDir>)\n" +
+      "usage: graft.Main --data-dir DIR [--subject S] [--name N] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] | compact-near-index <indexDir> | index-ann <embeddings> <indexDir>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -353,17 +353,23 @@ object Main {
           q.processAllAvailable()
           q.awaitTermination()
           println(s"replicated from $peer; highest now ${engine.log.highestOffset}")
-        case "curate-near" :: peer :: ckpt :: index :: benchRest if benchRest.length <= 1 =>
+        case "curate-near" :: peer :: ckpt :: index :: benchRest if benchRest.length <= 2 =>
           // One-shot near-dup curation pass over the peer's backlog:
           // resumable (same checkpoint + index), exactly-once, LSH-deduped
           // against every previously kept document. An optional 4th arg
           // names a parquet of benchmark 3-grams (column `gram`) to
-          // decontaminate against in the same pass.
+          // decontaminate against in the same pass; `--repetition-gate`
+          // adds the Gopher word-repetition quality gate.
+          val repGate = benchRest.contains("--repetition-gate")
           val q = engine.curateNearFrom(
             peer,
             checkpoint = ckpt,
             indexDir = index,
-            benchmarkGrams = benchRest.headOption.map(b => spark.read.parquet(b)),
+            benchmarkGrams = benchRest
+              .filterNot(_ == "--repetition-gate")
+              .headOption
+              .map(b => spark.read.parquet(b)),
+            repetitionGate = repGate,
             trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()
           )
           q.processAllAvailable()

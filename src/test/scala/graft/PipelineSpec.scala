@@ -275,6 +275,61 @@ class PipelineSpec extends AnyFunSuite {
       s"stream kept $streamVerdicts, batch flagged $batchVerdicts")
   }
 
+  test("streaming repetition gate: Gopher rules drop repetitive docs, agree with the batch query") {
+    val session = spark
+    import session.implicits._
+    val raw = SparkLog(spark, TestSpark.tempDir("repgate-raw"), LogConfig())
+    def doc(text: String): Array[Byte] = s"""{"lang":"en","text":"$text"}""".getBytes
+    // Distinct word sets (the LSH stage must not collapse survivors); all
+    // clear the 50-char length gate.
+    val clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    // top word 5/14 = 0.357 > 0.2 → word rule drops it
+    val wordRep = "spam spam spam spam spam one two three four five six seven eight nine"
+    // top word 3/15 = 0.2 (passes), top bigram "tick tock" 3/14 ≈ 0.214 > 0.18 → bigram rule
+    val bigramRep = "tick tock apple tick tock banana tick tock cherry date elder fig grape honey melon"
+    raw.append(Seq(doc(clean), doc(wordRep)))
+
+    val engine = Engine(spark, TestSpark.tempDir("repgate-out"))
+    val ckpt = TestSpark.tempDir("repgate-ckpt")
+    val idx = TestSpark.tempDir("repgate-idx")
+    def curated(): Set[String] =
+      engine.toDF.collect().map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+    val q1 = engine.curateNearFrom(raw.dir, ckpt, idx, repetitionGate = true)
+    try {
+      q1.processAllAvailable()
+      assert(curated() == Set(new String(doc(clean))), "batch 1: repetitive doc leaked")
+    } finally q1.stop()
+
+    // Restart on the same checkpoint: the gate is stateless and must keep
+    // filtering (bigram rule this time).
+    raw.append(Seq(doc(bigramRep)))
+    val q2 = engine.curateNearFrom(raw.dir, ckpt, idx, repetitionGate = true)
+    try {
+      q2.processAllAvailable()
+      assert(curated() == Set(new String(doc(clean))), "batch 2: bigram-repetitive doc leaked")
+    } finally q2.stop()
+
+    // Stream/batch agreement: the same corpus written as a documents table
+    // must get identical verdicts from the batch text_repetition query's
+    // keep flag and from the streaming gate helper.
+    val dir = TestSpark.tempDir("repgate-docs")
+    Seq((0L, clean), (1L, wordRep), (2L, bigramRep))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batchKeep = SparkEntry
+      .queries("text_repetition")(spark, dir)
+      .select("doc_id", "keep")
+      .as[(Long, Boolean)]
+      .collect()
+      .toMap
+    assert(batchKeep == Map(0L -> true, 1L -> false, 2L -> false), s"batch verdicts: $batchKeep")
+    val streamKeep = Engine
+      .repetitionGated(Seq((0L, clean), (1L, wordRep), (2L, bigramRep)).toDF("offset", "text"))
+      .select("offset").as[Long].collect().toSet
+    assert(streamKeep == Set(0L), s"stream kept $streamKeep")
+  }
+
   test("ann index: build/probe split, rebuild-on-append, crash debris ignored") {
     import graft.queries.AnnIndex
     val session = spark
