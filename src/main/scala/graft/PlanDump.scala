@@ -114,7 +114,32 @@ object PlanDump {
       "in ONE map-side-combinable min aggregation (not a row_number over " +
       "the hash group — the most-repeated window is exactly the group " +
       "that would skew), then removable positions stitch per doc in a " +
-      "doc-keyed window. Shuffle keys are hashes and doc ids, never text.")
+      "doc-keyed window. Shuffle keys are hashes and doc ids, never text."),
+    "corpus_lm_quality" -> ("CCNet-style LM quality scoring with NO Window " +
+      "operator anywhere: per-language head/middle/tail buckets come from " +
+      "mean/stddev cutoffs (a |langs|-row broadcast) instead of ntile — " +
+      "an exact tercile would funnel each language through one reducer. " +
+      "The doc-score table is checkpointed so the token-scoring pipeline " +
+      "(the expensive part) feeds both the moments and the bucket join " +
+      "without recomputation."),
+    "corpus_dsir_weights" -> ("DSIR importance weights: the fitted model " +
+      "(256 hashed-bigram buckets × target/raw log-ratio) is metadata-" +
+      "sized at any corpus scale and BROADCASTS onto the per-doc bucket " +
+      "counts — scoring is one map-side join + doc-keyed aggregate. The " +
+      "per-(doc,bucket) count table is checkpointed: fit and scoring " +
+      "share it instead of re-exploding the grams."),
+    "dedup_semantic" -> ("SemDeDup keep decisions: centroid scores are " +
+      "computed ONCE (checkpointed) and feed both salted pair-join roles " +
+      "and the final keep projection; the within-cluster pair join " +
+      "shuffles on (label, salt) with an explicit-count repartition " +
+      "(AQE-coalesce-proof), and only the k×dim centroid table is ever " +
+      "broadcast."),
+    "dedup_containment" -> ("Asymmetric containment join: the probe side " +
+      "explodes only its rare-first PREFIX, the container side is the " +
+      "full inverted index, both repartitioned on the token with an " +
+      "explicit count; verification re-joins the checkpointed per-doc " +
+      "sorted arrays and counts array_intersect inside codegen. No " +
+      "broadcast hint anywhere — every stage is a keyed shuffle.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -450,6 +450,10 @@ object Corpus {
               6
             ).cast("decimal(18,6)").as("logp")
           )
+        // The doc-level score table feeds BOTH the per-lang moments and the
+        // final bucket join; Catalyst does not share subplans, so without a
+        // checkpoint the whole token-scoring pipeline (explode + vocab join
+        // + doc aggregate — the expensive 100 TB part) would run twice.
         val scored = tok
           .join(logp, "word")
           .groupBy("doc_id", "lang")
@@ -458,6 +462,7 @@ object Corpus {
             "avg_logp",
             round(col("sum_logp").cast("double") / col("n_tokens").cast("double"), 6)
           )
+          .pipe(Checkpoints.checkpoint)
         val moments = scored
           .groupBy("lang")
           .agg(
@@ -554,9 +559,12 @@ object Corpus {
             "b",
             pmod(conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"), lit(256))
           )
+        // Shared by the model fit (hist → λ) and the scoring probe — one
+        // checkpoint stops the gram explode + count from running twice.
         val perDoc = grams
           .groupBy(col("doc_id"), col("lang"), col("b"))
           .agg(count(lit(1)).as("c"))
+          .pipe(Checkpoints.checkpoint)
         val hist = perDoc
           .groupBy("b")
           .agg(

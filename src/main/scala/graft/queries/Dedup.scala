@@ -1550,6 +1550,9 @@ object Dedup {
             ).as("w")
           )
           .withColumn("sz", size(col("w")).cast("long"))
+          // Four roles read this table (probe, index, both verify sides) —
+          // checkpoint or the tokenize+df join runs four times.
+          .pipe(graft.queries.Checkpoints.checkpoint)
         val P = pairShufflePartitions(s)
         val probe = ranked
           .withColumn("min_inter", expr("(19 * sz + 19) div 20"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -661,10 +663,14 @@ object Similarity {
             ).as("cv")
           )
           .select(col("label").as("clabel"), col("cv"))
+        // Scored vectors feed three roles (both pair-join sides + the final
+        // keep projection); checkpoint so the centroid build + scoring runs
+        // once, not three times.
         val scored = e
           .join(broadcast(cent), col("label") === col("clabel"))
           .withColumn("cos_c", round(expr("cosine_similarity(v, cv)"), 4))
           .select("vec_id", "label", "v", "cos_c")
+          .pipe(graft.queries.Checkpoints.checkpoint)
         val P = graft.queries.Dedup.pairShufflePartitions(s)
         val a = scored
           .select(

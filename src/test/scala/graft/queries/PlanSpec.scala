@@ -254,6 +254,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!bad, s"span text reached a shuffle key:\n$p")
   }
 
+  test("LM quality buckets plan no Window operator (broadcast moments, not ntile)") {
+    // The 100 TB property of corpus_lm_quality: per-language buckets come
+    // from a broadcast of the |langs|-row moment table, never from a
+    // rank-based window that would sort each language on one reducer.
+    val df = SparkEntry.queries("corpus_lm_quality")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("Window"), s"corpus_lm_quality must not plan a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"moment cutoffs must broadcast:\n$p")
+  }
+
+  test("DSIR model broadcasts; scoring is one doc-keyed aggregate") {
+    // The fitted 256-bucket model must reach the per-doc counts as a
+    // broadcast (map-side scoring); a sort-merge join here would shuffle
+    // the corpus-sized count table against a 256-row model.
+    val df = SparkEntry.queries("corpus_dsir_weights")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("SortMergeJoin"), s"model join must not sort-merge:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"lambda table must broadcast:\n$p")
+  }
+
+  test("semantic dedup pair join repartitions explicitly and never goes cartesian") {
+    val df = SparkEntry.queries("dedup_semantic")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("CartesianProduct"), s"dedup_semantic planned a cartesian:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"dedup_semantic lost its explicit-count repartition:\n$p")
+    assert(p.contains("cosine_similarity"), s"scoring must stay in the codegen expression:\n$p")
+  }
+
+  test("containment join hints no broadcast and keys candidates on the token") {
+    // Probe prefix and inverted index meet on the token with explicit-count
+    // repartitions; nothing forces a broadcast (AQE may still adapt at this
+    // sf). The checkpointed ranked table hides its own subplan, so hints
+    // are counted on the analyzed plan of the returned frame.
+    val df = SparkEntry.queries("dedup_containment")(spark, d)
+    val analyzed = df.queryExecution.analyzed.toString
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!analyzed.contains("ResolvedHint"), s"a broadcast hint crept in:\n$analyzed")
+    assert(!p.contains("CartesianProduct"), s"dedup_containment planned a cartesian:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"dedup_containment lost its explicit-count repartition:\n$p")
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
