@@ -191,6 +191,53 @@ class DedupScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("containment pairs are exact on a realistic vocabulary (prefix-probe path)") {
+    // The sf-testdata's 31-word universe makes containment trivially dense;
+    // this corpus has a ~5k-word vocabulary where the rare-first prefix
+    // actually prunes. Planted structure: every 4th base doc gets a "quote"
+    // doc holding a 10-word subset of it (containment 1.0 → pair) and a
+    // "tainted quote" holding 9 of those words plus one foreign token
+    // (containment 0.9 < 19/20 → must NOT pair). Verified against
+    // brute-force set containment in plain Scala.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 120).map { i =>
+      val words = (0 until 40).map(_ => s"v${rnd.nextInt(5000)}").distinct
+      (i.toLong, words)
+    }
+    var nextId = 1000L
+    val extra = base.collect {
+      case (id, words) if id % 4 == 0 && words.size >= 12 =>
+        val quote = words.take(10)
+        val tainted = words.slice(1, 10) :+ s"x$id"
+        val q = (nextId, quote); val t = (nextId + 1, tainted)
+        nextId += 2
+        Seq(q, t)
+    }.flatten
+    val docs = (base ++ extra).map { case (id, ws) => (id, "en", ws.mkString(" ")) }
+    val dir = TestSpark.tempDir("containment-vocab")
+    docs.toDF("doc_id", "lang", "text").write.parquet(s"$dir/documents.parquet")
+
+    val got = graft.SparkEntry
+      .queries("dedup_containment")(spark, dir)
+      .select("contained", "container")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    Checkpoints.release()
+
+    val sets = docs.map { case (id, _, text) => id -> text.split(" ").toSet }
+    val expected = (for {
+      (i, a) <- sets
+      (j, b) <- sets
+      if i != j && (a & b).size * 20 >= 19 * a.size
+    } yield (i, j)).toSet
+    assert(expected.exists { case (i, j) => i >= 1000L && j < 1000L },
+      "planted quotes produced no contained pair")
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}; " +
+      s"missing=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
+  }
+
   test("substring removal decisions match a single-node reference on a Zipf corpus") {
     // Lee et al.-style substring dedup at a corpus scale the sf-testdata
     // doesn't reach: 1500 Zipf-sampled docs (natural window collisions)
