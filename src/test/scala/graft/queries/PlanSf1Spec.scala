@@ -79,6 +79,22 @@ class PlanSf1Spec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sf1: semantic-dedup pair join keeps its pinned width; moments/model stay broadcast") {
+    assume(present, "tmp/sf1 soak corpus not present")
+    val p = plan("dedup_semantic")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"semantic pair join lost its pinned shuffle at sf1:\n$p")
+    val widths = pinnedWidths(p)
+    assert(widths.forall(_ > 1), s"pinned pair shuffle collapsed to one partition: $widths")
+    assert(!p.contains("CartesianProduct"))
+    // At sf1 statistics the quality/model joins must STILL not sort-merge
+    // a corpus-sized table against a metadata-sized one.
+    val lm = plan("corpus_lm_quality")
+    assert(!lm.contains("Window"), s"corpus_lm_quality planned a window at sf1:\n$lm")
+    val dsir = plan("corpus_dsir_weights")
+    assert(dsir.contains("BroadcastHashJoin"), s"DSIR model join lost its broadcast at sf1:\n$dsir")
+  }
+
   test("sf1: dimension chain still broadcasts; fact scan stays pruned") {
     assume(present, "tmp/sf1 soak corpus not present")
     val p5 = plan("q5_region_revenue")
