@@ -217,6 +217,16 @@ class Engine(
         * replay it exactly.
         */
       repetitionGate: Boolean = false,
+      /** Model-based quality gate (the CCNet serving loop): score each
+        * document's average token log-likelihood against the PERSISTED
+        * unigram model at `(modelDir, minAvgLogp)` ([[queries.LmModel]],
+        * fitted offline via CLI `fit-lm`) and drop documents below the
+        * cutoff. OOV tokens score the model's floor, so out-of-domain
+        * gibberish lands far below in-domain text. Stateless per batch
+        * (model state lives in storage, vocabulary-sized), so
+        * retries/restarts replay it exactly.
+        */
+      lmQuality: Option[(String, Double)] = None,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       /** Every N batches, fold index partitions ≤ batchId−1 into one
         * (0 = never). Folding stops the history probe degrading into a
@@ -256,9 +266,14 @@ class Engine(
         // (codegen, no join), so running it first shrinks the gram
         // explode + broadcast probe to the documents that can survive.
         val quality = if (repetitionGate) Engine.repetitionGated(df) else df
+        val lmGated = lmQuality match {
+          case Some((modelDir, minAvgLogp)) =>
+            Engine.lmQualityGated(spark, quality, modelDir, minAvgLogp)
+          case None => quality
+        }
         val clean = benchmarkGrams match {
-          case Some(bench) => Engine.decontaminate(quality, bench)
-          case None        => quality
+          case Some(bench) => Engine.decontaminate(lmGated, bench)
+          case None        => lmGated
         }
         // Materialize the survivor set ONCE (it feeds two writes; without
         // this the history join would run twice, and the second run must
@@ -337,6 +352,21 @@ object Engine {
       .distinct()
     df.join(contaminated, Seq("offset"), "left_anti")
   }
+
+  /** Keep rows whose average token log-likelihood under the persisted
+    * unigram model clears the cutoff — the streaming stage of the
+    * [[queries.LmModel]] fit/score split, keyed on the batch's `offset`.
+    */
+  private[graft] def lmQualityGated(
+      spark: SparkSession,
+      df: DataFrame,
+      modelDir: String,
+      minAvgLogp: Double
+  ): DataFrame =
+    graft.queries.LmModel
+      .score(spark, df, modelDir, "offset")
+      .filter(col("avg_logp") >= minAvgLogp)
+      .drop("avg_logp")
 
   /** Keep rows passing the word-level Gopher repetition rules — the
     * streaming twin of the batch `text_repetition` query's `keep` flag,

@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] [--name N] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] | compact-near-index <indexDir> | index-ann <embeddings> <indexDir>)\n" +
+      "usage: graft.Main --data-dir DIR [--subject S] [--name N] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -353,28 +353,52 @@ object Main {
           q.processAllAvailable()
           q.awaitTermination()
           println(s"replicated from $peer; highest now ${engine.log.highestOffset}")
-        case "curate-near" :: peer :: ckpt :: index :: benchRest if benchRest.length <= 2 =>
+        case "curate-near" :: peer :: ckpt :: index :: rest =>
           // One-shot near-dup curation pass over the peer's backlog:
           // resumable (same checkpoint + index), exactly-once, LSH-deduped
-          // against every previously kept document. An optional 4th arg
-          // names a parquet of benchmark 3-grams (column `gram`) to
-          // decontaminate against in the same pass; `--repetition-gate`
-          // adds the Gopher word-repetition quality gate.
-          val repGate = benchRest.contains("--repetition-gate")
+          // against every previously kept document. Optional stages, all
+          // in the same streaming pass: a positional parquet of benchmark
+          // 3-grams (column `gram`) decontaminates; `--repetition-gate`
+          // adds the Gopher word-repetition rules; `--lm-model DIR
+          // [--lm-min X]` scores against the persisted unigram model
+          // (fit-lm) and drops docs whose avg token log-likelihood is
+          // below X (default -8.0).
+          var repGate = false
+          var lmModel: Option[String] = None
+          var lmMin = -8.0
+          val positional = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < rest.length) {
+            rest(i) match {
+              case "--repetition-gate"                  => repGate = true; i += 1
+              case "--lm-model" if i + 1 < rest.length  => lmModel = Some(rest(i + 1)); i += 2
+              case "--lm-min" if i + 1 < rest.length    => lmMin = rest(i + 1).toDouble; i += 2
+              case p                                    => positional += p; i += 1
+            }
+          }
           val q = engine.curateNearFrom(
             peer,
             checkpoint = ckpt,
             indexDir = index,
-            benchmarkGrams = benchRest
-              .filterNot(_ == "--repetition-gate")
-              .headOption
-              .map(b => spark.read.parquet(b)),
+            benchmarkGrams = positional.headOption.map(b => spark.read.parquet(b)),
             repetitionGate = repGate,
+            lmQuality = lmModel.map(_ -> lmMin),
             trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()
           )
           q.processAllAvailable()
           q.awaitTermination()
           println(s"curated from $peer; highest now ${engine.log.highestOffset}")
+        case "fit-lm" :: docs :: model :: Nil =>
+          // Fit (or refit) the persistent unigram quality model from a
+          // reference corpus — the build half of the CCNet fit/score
+          // split; curate-near --lm-model scores against it. `docs` is a
+          // documents parquet path or a testdata scale dir.
+          val docsPath =
+            if (new java.io.File(s"$docs/documents.parquet").exists()) s"$docs/documents.parquet"
+            else docs
+          val v = graft.queries.LmModel.fit(spark, spark.read.parquet(docsPath), model)
+          val (_, rows, floor) = graft.queries.LmModel.current(spark, model).get
+          println(s"fitted lm model v=$v at $model (docs=$rows, oov floor=$floor)")
         case "index-ann" :: emb :: index :: Nil =>
           // Build (or rebuild) the persistent IVF index for an embeddings
           // table — the build half of the build/probe split; knn queries

@@ -330,6 +330,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamKeep == Set(0L), s"stream kept $streamKeep")
   }
 
+  test("lm quality model: fit/score split gates streaming docs; OOV scores the floor exactly") {
+    import graft.queries.LmModel
+    val session = spark
+    import session.implicits._
+    // Reference corpus: every vocab word appears EXACTLY 6 times, so every
+    // in-domain token scores ln(7/(120+20)) and expected document scores
+    // are computable in closed form.
+    val vocab = (1 to 20).map(i => f"w$i%02d")
+    val refDocs = (0 until 6)
+      .map(r => vocab.drop(r % 3).concat(vocab.take(r % 3)).mkString(" "))
+      .toDF("text")
+    val modelDir = TestSpark.tempDir("lm-model")
+    val v1 = LmModel.fit(spark, refDocs, modelDir)
+    val (_, _, floor) = LmModel.current(spark, modelDir).get
+    val wordLogp = BigDecimal(math.log(7.0 / 140.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(v1 == 1L)
+    assert(floor == BigDecimal(math.log(1.0 / 140.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+    // Exact score contract: an all-in-domain doc averages the word logp,
+    // an all-OOV doc averages exactly the floor.
+    val inDomain = vocab.take(14).mkString(" ")
+    val gibberish = (1 to 14).map(i => f"zz$i%04d").mkString(" ")
+    val scores = LmModel
+      .score(spark, Seq((0L, inDomain), (1L, gibberish)).toDF("offset", "text"), modelDir, "offset")
+      .select("offset", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(scores(0L) == wordLogp, s"in-domain score ${scores(0L)} != $wordLogp")
+    assert(scores(1L) == floor, s"OOV score ${scores(1L)} != floor $floor")
+
+    // Streaming gate: threshold between the two scores keeps in-domain,
+    // drops gibberish — across batches and a restart.
+    val raw = SparkLog(spark, TestSpark.tempDir("lm-raw"), LogConfig())
+    def doc(text: String): Array[Byte] = s"""{"lang":"en","text":"$text"}""".getBytes
+    raw.append(Seq(doc(inDomain), doc(gibberish)))
+    val engine = Engine(spark, TestSpark.tempDir("lm-out"))
+    val ckpt = TestSpark.tempDir("lm-ckpt")
+    val idx = TestSpark.tempDir("lm-idx")
+    val cutoff = (wordLogp + floor) / 2
+    def curated(): Set[String] =
+      engine.toDF.collect().map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+    val q1 = engine.curateNearFrom(raw.dir, ckpt, idx, lmQuality = Some(modelDir -> cutoff))
+    try {
+      q1.processAllAvailable()
+      assert(curated() == Set(new String(doc(inDomain))), "batch 1: gibberish leaked")
+    } finally q1.stop()
+
+    // Disjoint word set from inDomain (w15..w20 ×3): zero MinHash band
+    // collision risk with the kept doc, still all in-domain tokens.
+    val inDomain2 = (0 until 3).flatMap(_ => vocab.slice(14, 20)).mkString(" ")
+    raw.append(Seq(doc(inDomain2), doc((1 to 14).map(i => f"yy$i%04d").mkString(" "))))
+    val q2 = engine.curateNearFrom(raw.dir, ckpt, idx, lmQuality = Some(modelDir -> cutoff))
+    try {
+      q2.processAllAvailable()
+      assert(
+        curated() == Set(inDomain, inDomain2).map(s => new String(doc(s))),
+        "batch 2: gate did not survive the restart"
+      )
+    } finally q2.stop()
+
+    // Versioning: ensure() no-ops on an unchanged corpus, refits when it
+    // grows; a half-written higher version (no marker) stays invisible
+    // and the next fit lands on current+1 (the AnnIndex recipe).
+    assert(LmModel.ensure(spark, refDocs, modelDir) == 1L)
+    new java.io.File(s"$modelDir/v=3/unigrams").mkdirs()
+    assert(LmModel.current(spark, modelDir).map(_._1).contains(1L))
+    val grown = refDocs.union(Seq(vocab.mkString(" ")).toDF("text"))
+    assert(LmModel.ensure(spark, grown, modelDir) == 2L, "stale model must refit")
+    assert(LmModel.current(spark, modelDir).map(_._1).contains(2L))
+  }
+
   test("ann index: build/probe split, rebuild-on-append, crash debris ignored") {
     import graft.queries.AnnIndex
     val session = spark

@@ -14,8 +14,13 @@
 # a judge's eye. Queries chosen to cover the three riskiest shapes:
 # connected components (dedup_clusters), the pair-join strategy switch
 # (dedup_ngram_jaccard), sessionization windows (q_sessionize), span
-# stitching (dedup_substring), and the persisted-index probe
-# (knn_ivf_indexed).
+# stitching (dedup_substring), the persisted-index probe
+# (knn_ivf_indexed), the salted semantic pair join (dedup_semantic), and
+# the checkpointed model-fit/score splits (corpus_lm_quality,
+# corpus_dsir_weights). dedup_containment is deliberately NOT here: the
+# 31-word sf1 universe makes its output containment-dense (~1e9 pairs);
+# its scale evidence is the Zipf soak (tools/make_zipf_corpus.py, 15k
+# docs / 39k vocab, exact) where the prefix filter actually prunes.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -50,7 +55,7 @@ if [ "$SOAK" = "1" ]; then
     echo "--- regenerating tmp/sf1 (10x sf0.1)"
     python3 tools/make_scaled_sf.py /root/testdata/sf0.1 tmp/sf1 10
   fi
-  SOAK_QUERIES="dedup_clusters,dedup_ngram_jaccard,q_sessionize,dedup_substring,knn_ivf_indexed"
+  SOAK_QUERIES="dedup_clusters,dedup_ngram_jaccard,q_sessionize,dedup_substring,knn_ivf_indexed,dedup_semantic,corpus_lm_quality,corpus_dsir_weights"
   out="/tmp/round-gate-sf1"
   SPARK_GRAFT_MAX_PARTITION_BYTES=16777216 \
     sbt -batch "runMain graft.Verify tmp/sf1 $out $SOAK_QUERIES"
