@@ -163,6 +163,140 @@ object Temporal {
         FROM r LEFT JOIN b ON r.h = b.h
         ORDER BY hour
       """)
+    ),
+
+    // --- ordered, time-bounded funnel analysis (view → click → purchase) ---
+    // The product-analytics staple: how many users complete each stage IN
+    // ORDER and WITHIN the conversion window (a click before the first
+    // view, or a week after it, doesn't count — 24 h here). Stage times
+    // resolve by sequenced conditional minima — first view, first
+    // qualifying click after it, first qualifying purchase after that —
+    // each one a user-keyed aggregate plus a user-keyed join, so every
+    // stage is a partial-aggregated shuffle on user_id and the per-stage
+    // frames reuse the same partitioning. No window over a global sort,
+    // no per-user event array materialization (collect_list per user
+    // would OOM on a 100 TB power user; conditional minima stay scalar).
+    Q(
+      "q_funnel",
+      (s, d) => {
+        val e = Q.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        val t1 = e
+          .filter(col("event_type") === "view")
+          .groupBy("user_id")
+          .agg(min("ts").as("t1"))
+        val t2 = e
+          .filter(col("event_type") === "click")
+          .join(t1, "user_id")
+          .filter(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+          .groupBy("user_id")
+          .agg(min("ts").as("t2"))
+        val t3 = e
+          .filter(col("event_type") === "purchase")
+          .join(t2, "user_id")
+          .filter(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 24 HOUR"))
+          .groupBy("user_id")
+          .agg(min("ts").as("t3"))
+        val counts = t1
+          .join(t2.select(col("user_id"), lit(1).as("c2")), Seq("user_id"), "left")
+          .join(t3.select(col("user_id"), lit(1).as("c3")), Seq("user_id"), "left")
+          .agg(
+            count(lit(1)).as("n1"),
+            count(col("c2")).as("n2"),
+            count(col("c3")).as("n3")
+          )
+        counts.select(
+          explode(
+            array(
+              struct(lit("1_view").as("stage"), col("n1").as("users"),
+                lit(1.0).as("conversion")),
+              struct(lit("2_click").as("stage"), col("n2").as("users"),
+                round(col("n2").cast("double") / col("n1").cast("double"), 6).as("conversion")),
+              struct(lit("3_purchase").as("stage"), col("n3").as("users"),
+                round(col("n3").cast("double") / col("n2").cast("double"), 6).as("conversion"))
+            )
+          ).as("r")
+        ).select(col("r.stage").as("stage"), col("r.users").as("users"),
+          col("r.conversion").as("conversion"))
+          .orderBy("stage")
+      },
+      Some("""
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.t1
+            AND e.ts <= t1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        t3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+            AND e.ts <= t2.t2 + INTERVAL 24 HOUR GROUP BY 1),
+        c AS (
+          SELECT CAST(count(*) AS BIGINT) AS n1,
+                 CAST(count(t2.user_id) AS BIGINT) AS n2,
+                 CAST(count(t3.user_id) AS BIGINT) AS n3
+          FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+                  LEFT JOIN t3 ON t1.user_id = t3.user_id)
+        SELECT '1_view' AS stage, n1 AS users, CAST(1.0 AS DOUBLE) AS conversion FROM c
+        UNION ALL
+        SELECT '2_click', n2, round(CAST(n2 AS DOUBLE) / n1, 6) FROM c
+        UNION ALL
+        SELECT '3_purchase', n3, round(CAST(n3 AS DOUBLE) / n2, 6) FROM c
+        ORDER BY stage
+      """)
+    ),
+
+    // --- cohort retention matrix ---
+    // Users cohort by the week of their first event; retention(cohort,
+    // offset) = fraction of the cohort active in cohort+offset. Weeks are
+    // integer day-arithmetic from a fixed epoch (day div 7) — no reliance
+    // on either engine's week-truncation convention. Every stage is a
+    // keyed shuffle: first-week per user (partial-agg), distinct (user,
+    // week) activity, one user-keyed join, then a (cohort, offset) count
+    // whose key space is weeks² — metadata-sized, as is the cohort-size
+    // table it joins (broadcast) for the rate.
+    Q(
+      "q_retention_cohorts",
+      (s, d) => {
+        val e = Q.events(s, d)
+          .select(
+            col("user_id"),
+            expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7").as("wk")
+          )
+        val act = e.distinct()
+        val first = act.groupBy("user_id").agg(min("wk").as("cohort"))
+        val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+        act
+          .join(first, "user_id")
+          .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+          .agg(count(lit(1)).as("users"))
+          .join(broadcast(sizes), "cohort")
+          .select(
+            col("cohort"),
+            col("week_offset"),
+            col("users"),
+            round(col("users").cast("double") / col("cohort_users").cast("double"), 6)
+              .as("retention")
+          )
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT user_id,
+                 datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+          FROM events),
+        f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+        sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM f GROUP BY 1),
+        r AS (
+          SELECT f.cohort, e.wk - f.cohort AS week_offset, CAST(count(*) AS BIGINT) AS users
+          FROM e JOIN f ON e.user_id = f.user_id
+          GROUP BY 1, 2)
+        SELECT r.cohort, r.week_offset, r.users,
+               round(CAST(r.users AS DOUBLE) / sz.cohort_users, 6) AS retention
+        FROM r JOIN sz ON r.cohort = sz.cohort
+        ORDER BY r.cohort, r.week_offset
+      """)
     )
   )
 }
