@@ -134,6 +134,16 @@ object PlanDump {
       "shuffles on (label, salt) with an explicit-count repartition " +
       "(AQE-coalesce-proof), and only the k×dim centroid table is ever " +
       "broadcast."),
+    "q_funnel" -> ("Time-bounded ordered funnel via sequenced conditional " +
+      "minima: every stage is a user-keyed partial-aggregated shuffle + a " +
+      "user-keyed join — no per-user event array (collect_list would OOM " +
+      "on a power user), no global-sort window. The final 3-row stage " +
+      "table derives from one single-row aggregate."),
+    "q_retention_cohorts" -> ("Weekly cohort retention: integer " +
+      "day-arithmetic weeks (no engine week-truncation convention), " +
+      "distinct (user, week) activity + first-week table both keyed on " +
+      "user; the (cohort, offset) aggregate and cohort-size join are " +
+      "metadata-sized (sizes broadcast)."),
     "dedup_containment" -> ("Asymmetric containment join: the probe side " +
       "explodes only its rare-first PREFIX, the container side is the " +
       "full inverted index, both repartitioned on the token with an " +

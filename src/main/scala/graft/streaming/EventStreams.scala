@@ -213,4 +213,81 @@ object EventStreams {
           .map(s => Session(user, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
       }
   }
+
+  final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelState(
+      buffered: List[(Long, String)],
+      t1: Option[Long],
+      t2: Option[Long],
+      t3: Option[Long]
+  )
+  final case class FunnelStage(user_id: Long, stage: String, ts: Timestamp)
+
+  /** Streaming twin of the batch `q_funnel`: per-user ordered, time-bounded
+    * conversion tracking (view → click within `windowMs` → purchase within
+    * `windowMs`), emitting one row per completed stage as it becomes FINAL.
+    *
+    * Out-of-order safety is the whole design: a click can arrive in an
+    * earlier micro-batch than the view it follows (processing order) or a
+    * late view can undercut a provisional "first view" (event order), so
+    * events BUFFER in state until the watermark passes them and only then
+    * fold through the stage machine in event-time order — at that point no
+    * earlier event can still arrive, so each emitted stage time is
+    * immutable (exactly the batch query's sequenced conditional minima,
+    * computed incrementally). State per user is the in-flight buffer plus
+    * three scalar stage times; a completed funnel drops its buffer and a
+    * quiet user's buffered tail still finalizes via event-time timeout on
+    * watermark advance. Same keyed-state scale posture as [[sessionize]].
+    */
+  def streamingFunnel(
+      events: Dataset[TypedEvent],
+      windowMs: Long = 24L * 60 * 60 * 1000,
+      watermarkDelay: String = "10 minutes"
+  ): Dataset[FunnelStage] = {
+    val session = events.sparkSession
+    import session.implicits._
+    val prio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (user: Long, evts: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+        val st0 = state.getOption.getOrElse(FunnelState(Nil, None, None, None))
+        val incoming = evts.map(e => (e.ts.getTime, e.event_type)).toList
+        val wm = state.getCurrentWatermarkMs()
+        val (ready, pending) =
+          (st0.buffered ++ incoming).partition(_._1 < wm)
+        val emitted = scala.collection.mutable.ListBuffer.empty[FunnelStage]
+        var (t1, t2, t3) = (st0.t1, st0.t2, st0.t3)
+        // Finalized events fold in event-time order (type priority breaks
+        // exact ties deterministically; the strict > bounds make ties
+        // non-qualifying anyway, matching the batch query).
+        ready.sortBy { case (ms, tp) => (ms, prio(tp)) }.foreach { case (ms, tp) =>
+          if (t1.isEmpty) {
+            if (tp == "view") { t1 = Some(ms); emitted += FunnelStage(user, "1_view", new Timestamp(ms)) }
+          } else if (t2.isEmpty) {
+            if (tp == "click" && ms > t1.get && ms <= t1.get + windowMs) {
+              t2 = Some(ms); emitted += FunnelStage(user, "2_click", new Timestamp(ms))
+            }
+          } else if (t3.isEmpty) {
+            if (tp == "purchase" && ms > t2.get && ms <= t2.get + windowMs) {
+              t3 = Some(ms); emitted += FunnelStage(user, "3_purchase", new Timestamp(ms))
+            }
+          }
+        }
+        // A completed funnel needs no more evidence; otherwise keep the
+        // above-watermark tail and wake when the watermark moves past it.
+        val keep = if (t3.isDefined) Nil else pending
+        if (keep.isEmpty && t3.isDefined) state.remove()
+        else {
+          state.update(FunnelState(keep, t1, t2, t3))
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(math.max(keep.map(_._1).min + 1, wm + 1))
+        }
+        emitted.iterator
+      }
+  }
 }

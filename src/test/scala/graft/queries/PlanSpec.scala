@@ -301,6 +301,18 @@ class PlanSpec extends AnyFunSuite {
       s"dedup_containment lost its explicit-count repartition:\n$p")
   }
 
+  test("funnel and cohort analytics plan keyed aggregates, no windows or cartesians") {
+    // Both are user-keyed aggregate chains by design: a Window operator
+    // here would mean someone rewrote them onto a per-user sort, and a
+    // cartesian would mean a stage join lost its key.
+    for (q <- Seq("q_funnel", "q_retention_cohorts")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(!p.contains("Window"), s"$q must not plan a window:\n$p")
+      assert(p.contains("partial_"), s"$q lost map-side partial aggregation:\n$p")
+    }
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")

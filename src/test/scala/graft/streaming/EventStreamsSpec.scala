@@ -196,6 +196,63 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel finalizes stages in event-time order under out-of-order arrival") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.TypedEvent
+    val input = MemoryStream[TypedEvent]
+    // 10-minute conversion window, zero-delay watermark: the watermark for
+    // batch N is batch N-1's max event time, so finalization is driven
+    // entirely by later batches advancing it.
+    val q = EventStreams
+      .streamingFunnel(input.toDS(), windowMs = 10 * 60 * 1000, watermarkDelay = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("funnel")
+      .outputMode("append")
+      .start()
+    def stages(): Map[Long, Seq[(String, Timestamp)]] = spark
+      .sql("select user_id, stage, ts from funnel order by user_id, ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    try {
+      // Batch 1 — deliberately out of PROCESSING order: user 7's click is
+      // added before its view; user 9 clicks BEFORE any view (must never
+      // count); user 8 views only.
+      input.addData(
+        TypedEvent(7L, ts(2), "click"), TypedEvent(7L, ts(1), "view"),
+        TypedEvent(8L, ts(0), "view"),
+        TypedEvent(9L, ts(0), "click"), TypedEvent(9L, ts(1), "view"))
+      q.processAllAvailable()
+      // processAllAvailable drains the follow-up batch too: the watermark
+      // advances to 10:02 and its timeout pass finalizes the three views
+      // (stage 1). User 7's 10:02 click does NOT finalize (strictly-below
+      // rule), and user 9's pre-view click is consumed without counting.
+      assert(stages() == Map(
+        7L -> Seq(("1_view", ts(1))),
+        8L -> Seq(("1_view", ts(0))),
+        9L -> Seq(("1_view", ts(1)))))
+
+      // Batch 2: user 8's click lands OUTSIDE its 10-minute window; user 7
+      // purchases. The follow-up watermark (10:20) finalizes user 7's
+      // buffered click AND purchase in one event-time-ordered fold.
+      input.addData(TypedEvent(8L, ts(20), "click"), TypedEvent(7L, ts(5), "purchase"))
+      q.processAllAvailable()
+      assert(stages()(7L) == Seq(("1_view", ts(1)), ("2_click", ts(2)), ("3_purchase", ts(5))))
+      assert(stages()(8L) == Seq(("1_view", ts(0))), "out-of-window click must not convert yet")
+
+      // Batch 3: watermark = 10:30 → user 8's 10:20 click finalizes but is
+      // outside view+10min: no stage 2, ever.
+      input.addData(TypedEvent(1L, ts(30), "view"))
+      q.processAllAvailable()
+      assert(stages()(8L) == Seq(("1_view", ts(0))))
+      assert(stages()(9L) == Seq(("1_view", ts(1))), "pre-view click must never convert")
+    } finally q.stop()
+  }
+
   test("stream-static enrich joins the dimension per micro-batch") {
     val session = spark
     import session.implicits._
