@@ -223,6 +223,52 @@ object EventStreams {
   )
   final case class FunnelStage(user_id: Long, stage: String, ts: Timestamp)
 
+  /** The funnel's per-user transition, PURE so it can be model-checked:
+    * buffer `incoming`, finalize everything strictly below `wm` in
+    * event-time order through the stage machine, return the new state and
+    * the stages that just became immutable. [[streamingFunnel]] delegates
+    * here; FunnelPropertySpec replays random event sets through random
+    * batch/watermark schedules against the batch-reference fold.
+    */
+  private[streaming] object FunnelFold {
+    private val prio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+
+    def advance(
+        st0: FunnelState,
+        incoming: List[(Long, String)],
+        wm: Long,
+        windowMs: Long
+    ): (FunnelState, List[(String, Long)]) = {
+      val (ready, pending) = (st0.buffered ++ incoming).partition(_._1 < wm)
+      val emitted = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+      var (t1, t2, t3) = (st0.t1, st0.t2, st0.t3)
+      // Type priority breaks exact ties deterministically; the strict >
+      // bounds make ties non-qualifying anyway, matching the batch query.
+      ready.sortBy { case (ms, tp) => (ms, prio(tp)) }.foreach { case (ms, tp) =>
+        if (t1.isEmpty) {
+          if (tp == "view") { t1 = Some(ms); emitted += (("1_view", ms)) }
+        } else if (t2.isEmpty) {
+          if (tp == "click" && ms > t1.get && ms <= t1.get + windowMs) {
+            t2 = Some(ms); emitted += (("2_click", ms))
+          }
+        } else if (t3.isEmpty) {
+          if (tp == "purchase" && ms > t2.get && ms <= t2.get + windowMs) {
+            t3 = Some(ms); emitted += (("3_purchase", ms))
+          }
+        }
+      }
+      // A completed funnel needs no more evidence.
+      val keep = if (t3.isDefined) Nil else pending
+      (FunnelState(keep, t1, t2, t3), emitted.toList)
+    }
+
+    /** Batch reference: the sequenced-conditional-minima semantics of
+      * `q_funnel` computed by one ordered fold over the complete history.
+      */
+    def reference(events: Seq[(Long, String)], windowMs: Long): List[(String, Long)] =
+      advance(FunnelState(Nil, None, None, None), events.toList, Long.MaxValue, windowMs)._2
+  }
+
   /** Streaming twin of the batch `q_funnel`: per-user ordered, time-bounded
     * conversion tracking (view → click within `windowMs` → purchase within
     * `windowMs`), emitting one row per completed stage as it becomes FINAL.
@@ -246,7 +292,6 @@ object EventStreams {
   ): Dataset[FunnelStage] = {
     val session = events.sparkSession
     import session.implicits._
-    val prio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
     events
       .filter(col("event_type").isin("view", "click", "purchase"))
       .withWatermark("ts", watermarkDelay)
@@ -258,36 +303,17 @@ object EventStreams {
         val st0 = state.getOption.getOrElse(FunnelState(Nil, None, None, None))
         val incoming = evts.map(e => (e.ts.getTime, e.event_type)).toList
         val wm = state.getCurrentWatermarkMs()
-        val (ready, pending) =
-          (st0.buffered ++ incoming).partition(_._1 < wm)
-        val emitted = scala.collection.mutable.ListBuffer.empty[FunnelStage]
-        var (t1, t2, t3) = (st0.t1, st0.t2, st0.t3)
-        // Finalized events fold in event-time order (type priority breaks
-        // exact ties deterministically; the strict > bounds make ties
-        // non-qualifying anyway, matching the batch query).
-        ready.sortBy { case (ms, tp) => (ms, prio(tp)) }.foreach { case (ms, tp) =>
-          if (t1.isEmpty) {
-            if (tp == "view") { t1 = Some(ms); emitted += FunnelStage(user, "1_view", new Timestamp(ms)) }
-          } else if (t2.isEmpty) {
-            if (tp == "click" && ms > t1.get && ms <= t1.get + windowMs) {
-              t2 = Some(ms); emitted += FunnelStage(user, "2_click", new Timestamp(ms))
-            }
-          } else if (t3.isEmpty) {
-            if (tp == "purchase" && ms > t2.get && ms <= t2.get + windowMs) {
-              t3 = Some(ms); emitted += FunnelStage(user, "3_purchase", new Timestamp(ms))
-            }
-          }
-        }
-        // A completed funnel needs no more evidence; otherwise keep the
-        // above-watermark tail and wake when the watermark moves past it.
-        val keep = if (t3.isDefined) Nil else pending
-        if (keep.isEmpty && t3.isDefined) state.remove()
+        val (st1, emitted) = FunnelFold.advance(st0, incoming, wm, windowMs)
+        // Completed funnel with nothing buffered → state is done; otherwise
+        // keep the above-watermark tail and wake when the watermark moves
+        // past it so quiet users still finalize.
+        if (st1.buffered.isEmpty && st1.t3.isDefined) state.remove()
         else {
-          state.update(FunnelState(keep, t1, t2, t3))
-          if (keep.nonEmpty)
-            state.setTimeoutTimestamp(math.max(keep.map(_._1).min + 1, wm + 1))
+          state.update(st1)
+          if (st1.buffered.nonEmpty)
+            state.setTimeoutTimestamp(math.max(st1.buffered.map(_._1).min + 1, wm + 1))
         }
-        emitted.iterator
+        emitted.iterator.map { case (stage, ms) => FunnelStage(user, stage, new Timestamp(ms)) }
       }
   }
 }
