@@ -240,6 +240,15 @@ class Engine(
     val docSchema = StructType(
       Seq(StructField("lang", StringType), StructField("text", StringType))
     )
+    // Resolve the LM model ONCE, before the stream starts: the version
+    // listing + parquet read happen here, not per micro-batch, and a
+    // concurrent refit (which keeps a one-version grace window) can't
+    // prune this stream's version out from under an in-flight batch.
+    // Restart the stream to adopt a refit.
+    val lmResolved = lmQuality.map { case (modelDir, minAvgLogp) =>
+      val (model, floor) = graft.queries.LmModel.load(spark, modelDir)
+      (model, floor, minAvgLogp)
+    }
     val gated = spark.readStream
       .format("graft")
       .load(peerDir)
@@ -266,9 +275,9 @@ class Engine(
         // (codegen, no join), so running it first shrinks the gram
         // explode + broadcast probe to the documents that can survive.
         val quality = if (repetitionGate) Engine.repetitionGated(df) else df
-        val lmGated = lmQuality match {
-          case Some((modelDir, minAvgLogp)) =>
-            Engine.lmQualityGated(spark, quality, modelDir, minAvgLogp)
+        val lmGated = lmResolved match {
+          case Some((model, floor, minAvgLogp)) =>
+            Engine.lmQualityGated(quality, model, floor, minAvgLogp)
           case None => quality
         }
         val clean = benchmarkGrams match {
@@ -353,18 +362,18 @@ object Engine {
     df.join(contaminated, Seq("offset"), "left_anti")
   }
 
-  /** Keep rows whose average token log-likelihood under the persisted
-    * unigram model clears the cutoff — the streaming stage of the
+  /** Keep rows whose average token log-likelihood under the (already
+    * loaded) unigram model clears the cutoff — the streaming stage of the
     * [[queries.LmModel]] fit/score split, keyed on the batch's `offset`.
     */
   private[graft] def lmQualityGated(
-      spark: SparkSession,
       df: DataFrame,
-      modelDir: String,
+      model: DataFrame,
+      floor: Double,
       minAvgLogp: Double
   ): DataFrame =
     graft.queries.LmModel
-      .score(spark, df, modelDir, "offset")
+      .scoreWith(df, model, floor, "offset")
       .filter(col("avg_logp") >= minAvgLogp)
       .drop("avg_logp")
 
@@ -379,23 +388,29 @@ object Engine {
     */
   private[graft] def repetitionGated(df: DataFrame): DataFrame =
     df.withColumn("w__", split(lower(trim(col("text"))), " "))
+      // Bind the bigram array ONCE: repeating its construction inside the
+      // outer filter lambda would rebuild it per distinct bigram (lambda-
+      // scoped subexpressions don't hoist) — O(n²) concats per document.
+      .withColumn(
+        "bg__",
+        when(size(col("w__")) < 2, array().cast("array<string>")).otherwise(
+          expr("""transform(sequence(1, size(w__) - 1),
+                  i -> concat(element_at(w__, i), ' ', element_at(w__, i + 1)))""")
+        )
+      )
       .withColumn(
         "keep__",
         when(size(col("w__")) < 2, lit(true)).otherwise(
           expr("""array_max(transform(array_distinct(w__),
                     x -> size(filter(w__, y -> y = x))))""").cast("double") /
             size(col("w__")).cast("double") <= 0.2 &&
-            expr("""array_max(transform(
-                      array_distinct(transform(sequence(1, size(w__) - 1),
-                        i -> concat(element_at(w__, i), ' ', element_at(w__, i + 1)))),
-                      x -> size(filter(transform(sequence(1, size(w__) - 1),
-                        i -> concat(element_at(w__, i), ' ', element_at(w__, i + 1))),
-                        y -> y = x))))""").cast("double") /
-              (size(col("w__")) - 1).cast("double") <= 0.18
+            expr("""array_max(transform(array_distinct(bg__),
+                    x -> size(filter(bg__, y -> y = x))))""").cast("double") /
+              size(col("bg__")).cast("double") <= 0.18
         )
       )
       .filter(col("keep__"))
-      .drop("w__", "keep__")
+      .drop("w__", "bg__", "keep__")
 
   /** One micro-batch of LSH near-dedup for [[Engine.curateNearFrom]]:
     * returns the surviving docs `(offset, value, bands)` where `bands` is

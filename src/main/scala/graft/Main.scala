@@ -370,11 +370,31 @@ object Main {
           var i = 0
           while (i < rest.length) {
             rest(i) match {
-              case "--repetition-gate"                  => repGate = true; i += 1
-              case "--lm-model" if i + 1 < rest.length  => lmModel = Some(rest(i + 1)); i += 2
-              case "--lm-min" if i + 1 < rest.length    => lmMin = rest(i + 1).toDouble; i += 2
-              case p                                    => positional += p; i += 1
+              case "--repetition-gate" => repGate = true; i += 1
+              case "--lm-model" =>
+                if (i + 1 >= rest.length) {
+                  System.err.println("--lm-model requires a model directory"); usage()
+                }
+                lmModel = Some(rest(i + 1)); i += 2
+              case "--lm-min" =>
+                if (i + 1 >= rest.length) { System.err.println("--lm-min requires a number"); usage() }
+                lmMin = try rest(i + 1).toDouble
+                catch {
+                  case _: NumberFormatException =>
+                    System.err.println(s"--lm-min: not a number: ${rest(i + 1)}"); usage()
+                }
+                i += 2
+              case f if f.startsWith("--") =>
+                System.err.println(s"unknown flag: $f"); usage()
+              case p => positional += p; i += 1
             }
+          }
+          if (positional.length > 1) {
+            System.err.println(s"at most one benchGramsParquet, got: ${positional.mkString(" ")}")
+            usage()
+          }
+          if (lmModel.isEmpty && rest.contains("--lm-min")) {
+            System.err.println("--lm-min only makes sense with --lm-model"); usage()
           }
           val q = engine.curateNearFrom(
             peer,

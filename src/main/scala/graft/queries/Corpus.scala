@@ -454,14 +454,27 @@ object Corpus {
         // final bucket join; Catalyst does not share subplans, so without a
         // checkpoint the whole token-scoring pipeline (explode + vocab join
         // + doc aggregate — the expensive 100 TB part) would run twice.
+        // The per-doc average rounds in EXACT INTEGER MICRO-UNITS, not via
+        // round(double, 6): a 6-dp decimal sum divided by a small token
+        // count lands on exact x.xxxxxx5 boundaries often (sf0.1 hit one:
+        // -210.926201/62 = -3.4020355 exactly), and there the engines'
+        // rounding paths disagree — Spark rounds the double's exact
+        // decimal expansion (just below the boundary), DuckDB's
+        // multiply-then-round re-rounds onto it. Half-up on integers
+        // ((2|m|+n) div 2n, sign restored) is engine-independent by
+        // construction; the final /1e6 is one correctly-rounded IEEE op.
         val scored = tok
           .join(logp, "word")
           .groupBy("doc_id", "lang")
           .agg(count(lit(1)).as("n_tokens"), sum("logp").as("sum_logp"))
+          .withColumn("m", (col("sum_logp") * 1000000).cast("long"))
           .withColumn(
-            "avg_logp",
-            round(col("sum_logp").cast("double") / col("n_tokens").cast("double"), 6)
+            "avg_micro",
+            expr("""CASE WHEN m >= 0 THEN (2 * m + n_tokens) div (2 * n_tokens)
+                         ELSE -((2 * (-m) + n_tokens) div (2 * n_tokens)) END""")
           )
+          .withColumn("avg_logp", col("avg_micro").cast("double") / lit(1000000.0))
+          .drop("m", "avg_micro")
           .pipe(Checkpoints.checkpoint)
         val moments = scored
           .groupBy("lang")
@@ -473,10 +486,16 @@ object Corpus {
           .select(
             col("lang"),
             (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+            // greatest(·, 0): E[x²]−mu² can land ~-5e-13 when a language's
+            // scores are all equal (s2 rounds to 12 dp, mu² doesn't) —
+            // sqrt of that is NaN here and an ERROR in DuckDB.
             sqrt(
-              col("s2").cast("double") / col("n").cast("double") -
-                (col("s1").cast("double") / col("n").cast("double")) *
-                (col("s1").cast("double") / col("n").cast("double"))
+              greatest(
+                col("s2").cast("double") / col("n").cast("double") -
+                  (col("s1").cast("double") / col("n").cast("double")) *
+                  (col("s1").cast("double") / col("n").cast("double")),
+                lit(0.0)
+              )
             ).as("sd")
           )
         scored
@@ -504,17 +523,25 @@ object Corpus {
                  CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE)), 6)
                       AS DECIMAL(18,6)) AS logp
           FROM counts CROSS JOIN tot),
-        scored AS (
+        scored0 AS (
           SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
-                 round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp
+                 CAST(sum(logp) * 1000000 AS BIGINT) AS m
           FROM tok JOIN logp USING (word)
           GROUP BY doc_id, lang),
+        scored AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(CASE WHEN m >= 0 THEN (2 * m + n_tokens) // (2 * n_tokens)
+                           ELSE -((2 * (-m) + n_tokens) // (2 * n_tokens)) END AS DOUBLE)
+                   / 1000000.0 AS avg_logp
+          FROM scored0),
         mom AS (
           SELECT lang,
                  CAST(sum(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu,
-                 sqrt(CAST(sum(CAST(avg_logp * avg_logp AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+                 sqrt(greatest(
+                      CAST(sum(CAST(avg_logp * avg_logp AS DECIMAL(38,12))) AS DOUBLE) / count(*)
                       - (CAST(sum(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE) / count(*))
-                        * (CAST(sum(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE) / count(*))) AS sd
+                        * (CAST(sum(CAST(avg_logp AS DECIMAL(18,6))) AS DOUBLE) / count(*)),
+                      0.0)) AS sd
           FROM scored GROUP BY lang)
         SELECT doc_id, lang, n_tokens, avg_logp,
                CASE WHEN avg_logp >= mu + 0.25 * sd THEN 'head'

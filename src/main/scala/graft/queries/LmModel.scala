@@ -73,39 +73,51 @@ object LmModel {
   def fit(spark: SparkSession, docs: DataFrame, modelDir: String): Long = {
     val v = current(spark, modelDir).map(_._1).getOrElse(0L) + 1
     val vd = s"$modelDir/v=$v"
+    // The count table feeds the unigram write, the totals, AND the floor;
+    // persist it so the explode+groupBy (the expensive pass over the
+    // reference corpus) runs once, not three times.
     val counts = docs
       .select(explode(ws).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("c"))
-    val totals = counts.agg(sum("c").as("n_total"), count(lit(1)).as("vocab"))
-    counts
-      .crossJoin(broadcast(totals))
-      .select(
-        col("word"),
-        round(
-          log((col("c") + 1).cast("double") / (col("n_total") + col("vocab")).cast("double")),
-          6
-        ).as("logp")
-      )
-      .write.mode("overwrite").parquet(s"$vd/unigrams")
-    // Meta for the marker: doc count (staleness check) + the OOV floor.
-    val (nTotal, vocab) = {
-      val r = totals.collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
-    val floor =
-      BigDecimal(math.log(1.0 / (nTotal + vocab).toDouble))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
-    val rows = docs.count()
-    val f = fs(spark, modelDir)
-    val out = f.create(markerPath(modelDir, v), true)
-    try out.write(s"rows=$rows;floor=$floor".getBytes("UTF-8"))
-    finally out.close()
-    versions(spark, modelDir).filter(_ < v).foreach { old =>
-      f.delete(new Path(s"$modelDir/v=$old"), true)
-    }
-    v
+      .persist()
+    try {
+      val totals = counts.agg(sum("c").as("n_total"), count(lit(1)).as("vocab"))
+      counts
+        .crossJoin(broadcast(totals))
+        .select(
+          col("word"),
+          round(
+            log((col("c") + 1).cast("double") / (col("n_total") + col("vocab")).cast("double")),
+            6
+          ).as("logp")
+        )
+        .write.mode("overwrite").parquet(s"$vd/unigrams")
+      // Meta for the marker: doc count (staleness check) + the OOV floor.
+      val (nTotal, vocab) = {
+        val r = totals.collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val floor =
+        BigDecimal(math.log(1.0 / (nTotal + vocab).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      val rows = docs.count()
+      val f = fs(spark, modelDir)
+      val out = f.create(markerPath(modelDir, v), true)
+      try out.write(s"rows=$rows;floor=$floor".getBytes("UTF-8"))
+      finally out.close()
+      // Prune with a ONE-VERSION grace window (unlike AnnIndex's
+      // prune-all): long-running curate streams resolve the model once at
+      // stream start, and an eager prune racing such a reader would
+      // delete parquet out from under its in-flight batch. Keeping v-1
+      // means a stream started before this fit keeps reading cleanly;
+      // adopt the refit by restarting the stream.
+      versions(spark, modelDir).filter(_ < v - 1).foreach { old =>
+        f.delete(new Path(s"$modelDir/v=$old"), true)
+      }
+      v
+    } finally counts.unpersist()
   }
 
   /** Fit if absent or stale (reference corpus row count moved). */
@@ -131,21 +143,45 @@ object LmModel {
       modelDir: String,
       idCol: String
   ): DataFrame = {
+    val (model, floor) = load(spark, modelDir)
+    scoreWith(df, model, floor, idCol)
+  }
+
+  /** Resolve the current version ONCE and return its unigram table +
+    * floor. Long-running consumers (the streaming gate) call this at
+    * stream start and hold the pair — re-resolving per micro-batch would
+    * relist the directory every trigger and race a concurrent refit's
+    * prune.
+    */
+  def load(spark: SparkSession, modelDir: String): (DataFrame, Double) = {
     val (v, _, floor) = current(spark, modelDir).getOrElse(
       throw new IllegalStateException(s"no complete LM model at $modelDir")
     )
-    val model = spark.read.parquet(s"$modelDir/v=$v/unigrams")
+    (spark.read.parquet(s"$modelDir/v=$v/unigrams"), floor)
+  }
+
+  /** Score against an already-loaded model. The per-doc average rounds in
+    * exact integer micro-units (same discipline as `corpus_lm_quality`):
+    * a 6-dp decimal sum over a small count lands on exact half-boundaries
+    * where double-rounding paths disagree across engines.
+    */
+  def scoreWith(df: DataFrame, model: DataFrame, floor: Double, idCol: String): DataFrame = {
     val scored = df
       .select(col(idCol), explode(ws).as("word"))
       .join(model, Seq("word"), "left")
       .groupBy(idCol)
       .agg(
-        round(
-          sum(coalesce(col("logp"), lit(floor)).cast("decimal(18,6)")).cast("double") /
-            count(lit(1)).cast("double"),
-          6
-        ).as("avg_logp")
+        count(lit(1)).as("n__"),
+        (sum(coalesce(col("logp"), lit(floor)).cast("decimal(18,6)")) * 1000000)
+          .cast("long").as("m__")
       )
+      .withColumn(
+        "avg_logp",
+        expr("""CAST(CASE WHEN m__ >= 0 THEN (2 * m__ + n__) div (2 * n__)
+                          ELSE -((2 * (-m__) + n__) div (2 * n__)) END AS DOUBLE)
+                / 1000000.0""")
+      )
+      .drop("n__", "m__")
     df.join(scored, Seq(idCol), "left")
   }
 }

@@ -250,8 +250,9 @@ object Temporal {
     // --- cohort retention matrix ---
     // Users cohort by the week of their first event; retention(cohort,
     // offset) = fraction of the cohort active in cohort+offset. Weeks are
-    // integer day-arithmetic from a fixed epoch (day div 7) — no reliance
-    // on either engine's week-truncation convention. Every stage is a
+    // exact integer FLOOR(day/7) from a fixed epoch — no reliance on
+    // either engine's week-truncation convention, correct before the
+    // epoch too. Every stage is a
     // keyed shuffle: first-week per user (partial-agg), distinct (user,
     // week) activity, one user-keyed join, then a (cohort, offset) count
     // whose key space is weeks² — metadata-sized, as is the cohort-size
@@ -259,10 +260,16 @@ object Temporal {
     Q(
       "q_retention_cohorts",
       (s, d) => {
+        // FLOOR division, not `div` (truncation): pre-epoch days would
+        // otherwise collapse -6..+6 into one 13-day "week 0". Exact
+        // integer arithmetic: subtract the sign-normalized remainder
+        // ((d % 7) + 7) % 7, then divide — identical in both engines.
         val e = Q.events(s, d)
           .select(
             col("user_id"),
-            expr("datediff(CAST(ts AS DATE), DATE'2024-01-01') div 7").as("wk")
+            expr("""(datediff(CAST(ts AS DATE), DATE'2024-01-01')
+                     - ((datediff(CAST(ts AS DATE), DATE'2024-01-01') % 7) + 7) % 7)
+                    div 7""").as("wk")
           )
         val act = e.distinct()
         val first = act.groupBy("user_id").agg(min("wk").as("cohort"))
@@ -284,7 +291,8 @@ object Temporal {
       Some("""
         WITH e AS (
           SELECT DISTINCT user_id,
-                 datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+                 (datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  - ((datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7) + 7) % 7) // 7 AS wk
           FROM events),
         f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
         sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM f GROUP BY 1),

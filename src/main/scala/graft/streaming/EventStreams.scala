@@ -281,8 +281,10 @@ object EventStreams {
     * earlier event can still arrive, so each emitted stage time is
     * immutable (exactly the batch query's sequenced conditional minima,
     * computed incrementally). State per user is the in-flight buffer plus
-    * three scalar stage times; a completed funnel drops its buffer and a
-    * quiet user's buffered tail still finalizes via event-time timeout on
+    * three scalar stage times; a completed funnel drops its buffer but
+    * KEEPS the stage times (three longs), so later events never restart
+    * it — one funnel per user, exactly the batch semantics. A quiet
+    * user's buffered tail still finalizes via event-time timeout on
     * watermark advance. Same keyed-state scale posture as [[sessionize]].
     */
   def streamingFunnel(
@@ -304,15 +306,15 @@ object EventStreams {
         val incoming = evts.map(e => (e.ts.getTime, e.event_type)).toList
         val wm = state.getCurrentWatermarkMs()
         val (st1, emitted) = FunnelFold.advance(st0, incoming, wm, windowMs)
-        // Completed funnel with nothing buffered → state is done; otherwise
-        // keep the above-watermark tail and wake when the watermark moves
-        // past it so quiet users still finalize.
-        if (st1.buffered.isEmpty && st1.t3.isDefined) state.remove()
-        else {
-          state.update(st1)
-          if (st1.buffered.nonEmpty)
-            state.setTimeoutTimestamp(math.max(st1.buffered.map(_._1).min + 1, wm + 1))
-        }
+        // ALWAYS retain state — a completed funnel keeps its three scalar
+        // stage times (buffer already dropped by advance) so a later event
+        // for the user can never restart the funnel and re-emit stages;
+        // removing it here would diverge from the batch query's one-funnel-
+        // per-user semantics. Unfinished users wake on watermark advance so
+        // quiet tails still finalize.
+        state.update(st1)
+        if (st1.buffered.nonEmpty)
+          state.setTimeoutTimestamp(math.max(st1.buffered.map(_._1).min + 1, wm + 1))
         emitted.iterator.map { case (stage, ms) => FunnelStage(user, stage, new Timestamp(ms)) }
       }
   }

@@ -250,6 +250,16 @@ class EventStreamsSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(stages()(8L) == Seq(("1_view", ts(0))))
       assert(stages()(9L) == Seq(("1_view", ts(1))), "pre-view click must never convert")
+
+      // Batch 4: user 7 already completed its funnel — a fresh view must
+      // NOT restart it (state keeps the stage times; one funnel per user,
+      // matching the batch query).
+      input.addData(TypedEvent(7L, ts(40), "view"))
+      q.processAllAvailable()
+      input.addData(TypedEvent(1L, ts(55), "view")) // advance watermark past it
+      q.processAllAvailable()
+      assert(stages()(7L) == Seq(("1_view", ts(1)), ("2_click", ts(2)), ("3_purchase", ts(5))),
+        "completed funnel must not re-emit on later events")
     } finally q.stop()
   }
 
