@@ -1483,6 +1483,121 @@ object Dedup {
       """)
     ),
 
+    // --- substring dedup APPLY: materialize the cleaned corpus ---
+    // dedup_substring emits the removal DECISIONS; this is the second
+    // half of the Lee et al. loop — actually strip the duplicated spans
+    // and emit the cleaned document (as token count + content hash, so
+    // the oracle compare stays compact). Plan: the span chain is
+    // identical to dedup_substring (hash → keep-first min → gaps-and-
+    // islands); the apply step collects each doc's spans (spans ≪
+    // tokens, bounded by len/k) and filters the token array MAP-SIDE
+    // with a per-row higher-order expression — the corpus text never
+    // explodes into (doc, position) rows the way the relational oracle
+    // writes it. A doc with no spans passes through the left join
+    // untouched.
+    Q(
+      "dedup_substring_apply",
+      (s, d) => {
+        val k = 10
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+        val occ = docs
+          .filter(size(col("w")) >= k)
+          .select(
+            col("doc_id"),
+            explode(expr(s"""transform(sequence(1, size(w) - ${k - 1}),
+                             i -> struct(i AS p, md5(concat_ws(' ', slice(w, i, $k))) AS h))"""))
+              .as("s")
+          )
+          .select(
+            col("doc_id"),
+            col("s.p").cast("long").as("p"),
+            col("s.h").as("h"),
+            (col("doc_id") * 100000L + col("s.p")).as("key")
+          )
+        val firsts = occ.groupBy("h").agg(min("key").as("mk"))
+        val removable = occ
+          .join(firsts, "h")
+          .filter(col("key") > col("mk"))
+          .select(col("doc_id"), col("p"))
+        val wDoc = Window.partitionBy("doc_id").orderBy("p")
+        val spans = removable
+          .withColumn("prev", lag("p", 1).over(wDoc))
+          .withColumn(
+            "newSpan",
+            when(col("prev").isNull || col("p") - col("prev") > k, 1L).otherwise(0L)
+          )
+          .withColumn(
+            "island",
+            sum("newSpan").over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          )
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min("p").as("sp"), max("p").as("ep"))
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("sp"), col("ep"))).as("spans"))
+        docs
+          .join(spans, Seq("doc_id"), "left")
+          .withColumn(
+            "kept",
+            expr(s"""CASE WHEN spans IS NULL THEN w ELSE
+                       transform(
+                         filter(sequence(1, size(w)),
+                           i -> NOT exists(spans, sx -> i >= sx.sp AND i <= sx.ep + ${k - 1})),
+                         i -> element_at(w, i)) END""")
+          )
+          .select(
+            col("doc_id"),
+            size(col("w")).cast("long").as("n_tokens"),
+            size(col("kept")).cast("long").as("kept_tokens"),
+            md5(concat_ws(" ", col("kept"))).as("clean_hash")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+        occ AS (
+          SELECT doc_id,
+                 CAST(unnest(range(1, len(w) - 8)) AS BIGINT) AS p,
+                 unnest(list_transform(range(1, len(w) - 8),
+                        i -> md5(array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 9], ' ')))) AS h
+          FROM w WHERE len(w) >= 10),
+        keyed AS (SELECT doc_id, p, h, doc_id * 100000 + p AS key FROM occ),
+        firsts AS (SELECT h, min(key) AS mk FROM keyed GROUP BY h),
+        removable AS (
+          SELECT doc_id, p FROM keyed JOIN firsts USING (h) WHERE key > mk),
+        flagged AS (
+          SELECT doc_id, p,
+                 CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                        OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 10
+                      THEN 1 ELSE 0 END AS newspan
+          FROM removable),
+        islands AS (
+          SELECT doc_id, p,
+                 sum(newspan) OVER (PARTITION BY doc_id ORDER BY p
+                                    ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged),
+        spans AS (
+          SELECT doc_id, min(p) AS sp, max(p) AS ep
+          FROM islands GROUP BY doc_id, island),
+        pos AS (SELECT doc_id, unnest(w) AS tok,
+                       CAST(generate_subscripts(w, 1) AS BIGINT) AS p FROM w),
+        covd AS (SELECT DISTINCT doc_id, CAST(unnest(range(sp, ep + 10)) AS BIGINT) AS p
+                 FROM spans),
+        kept AS (
+          SELECT pos.doc_id, pos.p, pos.tok
+          FROM pos LEFT JOIN covd ON pos.doc_id = covd.doc_id AND pos.p = covd.p
+          WHERE covd.p IS NULL),
+        ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+                      md5(string_agg(tok, ' ' ORDER BY p)) AS clean_hash
+               FROM kept GROUP BY doc_id)
+        SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+               coalesce(ka.kept_tokens, 0) AS kept_tokens,
+               coalesce(ka.clean_hash, md5('')) AS clean_hash
+        FROM w LEFT JOIN ka ON w.doc_id = ka.doc_id
+        ORDER BY w.doc_id
+      """)
+    ),
+
     // --- keep-one projection after exact dedup (the "apply" step) ---
     Q(
       "dedup_keep_first",
