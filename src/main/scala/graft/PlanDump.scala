@@ -134,6 +134,12 @@ object PlanDump {
       "shuffles on (label, salt) with an explicit-count repartition " +
       "(AQE-coalesce-proof), and only the k×dim centroid table is ever " +
       "broadcast."),
+    "dedup_substring_apply" -> ("The apply half of substring dedup: the " +
+      "decisions chain (hash → map-side-combinable min → islands) feeds a " +
+      "per-doc span collect (spans ≪ tokens), and the strip itself is one " +
+      "MAP-SIDE higher-order filter over the token array — the corpus " +
+      "text never explodes into (doc, position) rows; that shape is left " +
+      "to the independent relational oracle."),
     "q_funnel" -> ("Time-bounded ordered funnel via sequenced conditional " +
       "minima: every stage is a user-keyed partial-aggregated shuffle + a " +
       "user-keyed join — no per-user event array (collect_list would OOM " +

@@ -311,5 +311,32 @@ class DedupScaleSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(expected.nonEmpty && expected.exists(_._2 > 1), "corpus must produce real spans")
     assert(got == expected, s"got ${got.size} rows, expected ${expected.size}")
+
+    // APPLY agreement on the same corpus: the cleaned output must equal
+    // removing the union of removable windows from the raw text (span
+    // coverage == window union because gaps > k split spans).
+    val coveredByDoc: Map[Long, Set[Long]] = occs
+      .filter(o => o._1 * 100000L + o._2 > firstKey(o._3))
+      .groupBy(_._1)
+      .map { case (id, os) => id -> os.flatMap(o => o._2 until (o._2 + k)).toSet }
+    val gotApply = graft.SparkEntry
+      .queries("dedup_substring_apply")(spark, dir)
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .toSeq
+      .sortBy(_._1)
+    val expApply = docs.map { case (id, _, text) =>
+      val w = text.toLowerCase.trim.split(" ")
+      val covered = coveredByDoc.getOrElse(id, Set.empty[Long])
+      val kept = w.zipWithIndex.collect { case (t, i) if !covered((i + 1).toLong) => t }
+      val md = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      (id, w.length.toLong, kept.length.toLong, md)
+    }.sortBy(_._1)
+    assert(expApply.exists(r => r._3 < r._2), "apply must actually remove tokens somewhere")
+    assert(gotApply == expApply, "cleaned corpus differs from the single-node reference")
   }
 }

@@ -301,6 +301,17 @@ class PlanSpec extends AnyFunSuite {
       s"dedup_containment lost its explicit-count repartition:\n$p")
   }
 
+  test("substring-dedup apply keeps the map-side-combinable min and never explodes positions") {
+    // Same skew contract as dedup_substring (hash-key min with a partial
+    // phase, no window over the hash), plus: the strip is an array
+    // higher-order filter, so no posexplode/generator over the token
+    // positions may appear past the span chain.
+    val p = plan("dedup_substring_apply")
+    assert(p.contains("partial_min"), s"hash-key min lost its partial phase:\n$p")
+    assert(!p.contains("windowspecdefinition(h#"), s"window over the hash appeared:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("funnel and cohort analytics plan keyed aggregates, no windows or cartesians") {
     // Both are user-keyed aggregate chains by design: a Window operator
     // here would mean someone rewrote them onto a per-user sort, and a
