@@ -305,6 +305,88 @@ object Temporal {
         FROM r JOIN sz ON r.cohort = sz.cohort
         ORDER BY r.cohort, r.week_offset
       """)
+    ),
+
+    // --- A/B experiment readout: lift + z-score over purchase value ---
+    // The third leg of the product-analytics tier (funnel, retention,
+    // experimentation): users split into arms by a deterministic hash
+    // (user_id parity here; production salts a hash), the metric is
+    // per-user purchase value, and the readout is mean lift with a
+    // two-sample z-score. FP discipline is the q_stats_moments recipe:
+    // quantize the metric to integer CENTS with floor (floor(x*100) is
+    // engine-identical; a bare BIGINT cast is NOT — Spark truncates,
+    // DuckDB rounds), aggregate exact integer sums and sums-of-squares,
+    // and only then evaluate the mean/variance/z formulas as
+    // correctly-rounded IEEE chains. Scale shape: one user-keyed
+    // partial-agg shuffle, then a 2-group aggregate.
+    Q(
+      "q_ab_lift",
+      (s, d) => {
+        val perUser = Q.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), expr("CAST(floor(value * 100) AS BIGINT)").as("m"))
+          .groupBy("user_id")
+          .agg(sum("m").as("um"))
+          .select(pmod(col("user_id"), lit(2)).as("arm"), col("um"))
+        val arms = perUser
+          .groupBy("arm")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("um").as("s1"),
+            sum(col("um") * col("um")).as("s2")
+          )
+        arms
+          .agg(
+            max(when(col("arm") === 0, col("n"))).as("n_c"),
+            max(when(col("arm") === 1, col("n"))).as("n_t"),
+            max(when(col("arm") === 0, col("s1"))).as("s1c"),
+            max(when(col("arm") === 1, col("s1"))).as("s1t"),
+            max(when(col("arm") === 0, col("s2"))).as("s2c"),
+            max(when(col("arm") === 1, col("s2"))).as("s2t")
+          )
+          .select(
+            col("n_c"),
+            col("n_t"),
+            expr("round(CAST(s1c AS DOUBLE) / 100.0 / n_c, 6)").as("mean_c"),
+            expr("round(CAST(s1t AS DOUBLE) / 100.0 / n_t, 6)").as("mean_t"),
+            expr("""round((CAST(s1t AS DOUBLE) / n_t - CAST(s1c AS DOUBLE) / n_c)
+                          / (CAST(s1c AS DOUBLE) / n_c), 6)""").as("lift"),
+            expr("""round((CAST(s1t AS DOUBLE) / n_t - CAST(s1c AS DOUBLE) / n_c)
+                    / sqrt( (CAST(n_t AS DOUBLE) * CAST(s2t AS DOUBLE) - CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE))
+                            / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)) / n_t
+                          + (CAST(n_c AS DOUBLE) * CAST(s2c AS DOUBLE) - CAST(s1c AS DOUBLE) * CAST(s1c AS DOUBLE))
+                            / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) / n_c), 6)""")
+              .as("z_score")
+          )
+      },
+      Some("""
+        WITH pu AS (
+          SELECT user_id, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS um
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        arms AS (
+          SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(um) AS BIGINT) AS s1, CAST(sum(um * um) AS BIGINT) AS s2
+          FROM pu GROUP BY 1),
+        p AS (
+          SELECT max(CASE WHEN arm = 0 THEN n END) AS n_c,
+                 max(CASE WHEN arm = 1 THEN n END) AS n_t,
+                 max(CASE WHEN arm = 0 THEN s1 END) AS s1c,
+                 max(CASE WHEN arm = 1 THEN s1 END) AS s1t,
+                 max(CASE WHEN arm = 0 THEN s2 END) AS s2c,
+                 max(CASE WHEN arm = 1 THEN s2 END) AS s2t
+          FROM arms)
+        SELECT n_c, n_t,
+               round(CAST(s1c AS DOUBLE) / 100.0 / n_c, 6) AS mean_c,
+               round(CAST(s1t AS DOUBLE) / 100.0 / n_t, 6) AS mean_t,
+               round((CAST(s1t AS DOUBLE) / n_t - CAST(s1c AS DOUBLE) / n_c)
+                     / (CAST(s1c AS DOUBLE) / n_c), 6) AS lift,
+               round((CAST(s1t AS DOUBLE) / n_t - CAST(s1c AS DOUBLE) / n_c)
+                 / sqrt( (CAST(n_t AS DOUBLE) * CAST(s2t AS DOUBLE) - CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE))
+                         / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)) / n_t
+                       + (CAST(n_c AS DOUBLE) * CAST(s2c AS DOUBLE) - CAST(s1c AS DOUBLE) * CAST(s1c AS DOUBLE))
+                         / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) / n_c), 6) AS z_score
+        FROM p
+      """)
     )
   )
 }
