@@ -315,6 +315,50 @@ class Engine(
       .start()
   }
 
+  /** Streaming MULTIMODAL feature extraction: tail the log's opaque binary
+    * payloads and maintain a derived features table — the streaming twin of
+    * the batch `media_features` query, for pipelines that ingest media
+    * continuously and query features without re-decoding the corpus.
+    *
+    * Each micro-batch decodes per partition (one decoder amortized across
+    * the partition's records — the mapInPandas execution shape) through the
+    * SAME two-tier path as the batch query: recognized images take the real
+    * pixel tier (decoded dims + 16-bin luma histogram), everything else the
+    * deterministic byte-histogram stub, so mixed corpora stay total.
+    *
+    * EXACTLY-ONCE by the band-index recipe: each batch writes its own
+    * `batch=<id>` partition with content that is a pure function of the
+    * batch, so a foreachBatch retry overwrites identical data instead of
+    * duplicating rows; readers just scan the parquet dir.
+    */
+  def mediaFeaturesFrom(
+      peerDir: String,
+      checkpoint: String,
+      featuresDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery = {
+    val session = spark
+    import session.implicits._
+    spark.readStream
+      .format("graft")
+      .load(peerDir)
+      .select(col("offset"), col("value"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.select(col("offset"), col("value"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (off, blob) => Engine.mediaFeatureOf(off, blob) })
+          .toDF()
+          .write
+          .mode("overwrite")
+          .parquet(s"$featuresDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Batch view of the whole log (L6). */
   def toDF: DataFrame = log.toDF
 
@@ -335,6 +379,34 @@ class Engine(
 
 object Engine {
   def apply(spark: SparkSession, dataDir: String): Engine = new Engine(spark, dataDir)
+
+  /** One record's media features — mirrors the batch `media_features` row
+    * shape keyed by log offset instead of doc id.
+    */
+  final case class MediaFeat(
+      offset: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      hist_fp: String
+  )
+
+  /** The per-blob feature function both tiers share with the batch query:
+    * real images decode (dims + luma histogram, n_frames = 1), everything
+    * else takes the deterministic byte-arithmetic stub (dims from the
+    * length, 16-bin byte histogram).
+    */
+  private[graft] def mediaFeatureOf(off: Long, blob: Array[Byte]): MediaFeat =
+    graft.media.MediaDecoder.features(blob) match {
+      case Some(pf) =>
+        MediaFeat(off, blob.length, pf.width, pf.height, 1, pf.lumaHist.mkString(","))
+      case None =>
+        val n = if (blob == null) 0 else blob.length
+        val hist = new Array[Long](16)
+        if (blob != null) blob.foreach(b => hist((b & 0xff) % 16) += 1)
+        MediaFeat(off, n, n % 640, (n * 7) % 480, n % 30, hist.mkString(","))
+    }
 
   /** Drop rows whose `text` shares any 3-gram with the broadcast
     * benchmark list — the decontamination stage of [[curateNearFrom]],
