@@ -387,6 +387,78 @@ object Temporal {
                          / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) / n_c), 6) AS z_score
         FROM p
       """)
+    ),
+
+    // --- item-item co-occurrence similarity (collaborative filtering) ---
+    // The market-basket shape: items (the `k` prop of click/purchase
+    // events) are similar when the same users touch both. Interactions
+    // dedupe to distinct (user, item); the pair pass is the standard
+    // user-keyed self-join — per-user cost is quadratic in THAT user's
+    // distinct-item count, which production bounds with a per-user cap or
+    // DIMSUM sampling before the join (here the 100-item catalog bounds
+    // it structurally); co-counts and item counts partial-aggregate, the
+    // cosine c/√(n_i·n_j) is one correctly-rounded chain, and per-item
+    // top-3 is a window keyed on the item — catalog-cardinality keys, no
+    // global sort.
+    Q(
+      "q_item_similarity",
+      (s, d) => {
+        val inter = Q.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(
+            col("user_id"),
+            get_json_object(col("props"), "$.k").cast("bigint").as("item")
+          )
+          .distinct()
+        val ni = inter.groupBy("item").agg(count(lit(1)).as("n"))
+        val co = inter
+          .select(col("user_id"), col("item").as("i"))
+          .join(inter.select(col("user_id"), col("item").as("j")), Seq("user_id"))
+          .filter(col("i") < col("j"))
+          .groupBy("i", "j")
+          .agg(count(lit(1)).as("c"))
+        val sim = co
+          .join(ni.select(col("item").as("i"), col("n").as("ni")), "i")
+          .join(ni.select(col("item").as("j"), col("n").as("nj")), "j")
+          .withColumn(
+            "cosine",
+            round(col("c").cast("double") / sqrt((col("ni") * col("nj")).cast("double")), 6)
+          )
+        val both = sim
+          .select(col("i").as("item"), col("j").as("other"), col("c"), col("cosine"))
+          .unionByName(sim.select(col("j").as("item"), col("i").as("other"), col("c"), col("cosine")))
+        val w = Window.partitionBy("item").orderBy(desc("cosine"), asc("other"))
+        both
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("item", "other", "c", "cosine", "rank")
+          .orderBy("item", "rank")
+      },
+      Some("""
+        WITH inter AS (
+          SELECT DISTINCT user_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        ni AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM inter GROUP BY item),
+        co AS (
+          SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c
+          FROM inter a JOIN inter b ON a.user_id = b.user_id AND a.item < b.item
+          GROUP BY 1, 2),
+        sim AS (
+          SELECT co.i, co.j, co.c,
+                 round(CAST(co.c AS DOUBLE) / sqrt(CAST(x.n * y.n AS DOUBLE)), 6) AS cosine
+          FROM co JOIN ni x ON co.i = x.item JOIN ni y ON co.j = y.item),
+        bi AS (
+          SELECT i AS item, j AS other, c, cosine FROM sim
+          UNION ALL
+          SELECT j AS item, i AS other, c, cosine FROM sim),
+        r AS (
+          SELECT item, other, c, cosine,
+                 row_number() OVER (PARTITION BY item ORDER BY cosine DESC, other ASC) AS rank
+          FROM bi)
+        SELECT item, other, c, cosine, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 3 ORDER BY item, rank
+      """)
     )
   )
 }
