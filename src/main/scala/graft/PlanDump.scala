@@ -150,6 +150,11 @@ object PlanDump {
       "distinct (user, week) activity + first-week table both keyed on " +
       "user; the (cohort, offset) aggregate and cohort-size join are " +
       "metadata-sized (sizes broadcast)."),
+    "q_item_similarity" -> ("Market-basket item similarity: the pair pass " +
+      "is a user-keyed hash self-join (never a cartesian — per-user cost " +
+      "is bounded by that user's distinct items, capped/DIMSUM-sampled in " +
+      "production), co-counts and item counts partial-aggregate, and " +
+      "per-item top-3 is a window keyed on the catalog-cardinality item."),
     "dedup_containment" -> ("Asymmetric containment join: the probe side " +
       "explodes only its rare-first PREFIX, the container side is the " +
       "full inverted index, both repartitioned on the token with an " +

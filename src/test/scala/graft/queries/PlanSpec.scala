@@ -322,6 +322,11 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Window"), s"$q must not plan a window:\n$p")
       assert(p.contains("partial_"), s"$q lost map-side partial aggregation:\n$p")
     }
+    // The item-similarity pair pass must stay a keyed join with map-side
+    // partial co-count aggregation.
+    val p = plan("q_item_similarity")
+    assert(!p.contains("CartesianProduct"), s"q_item_similarity planned a cartesian:\n$p")
+    assert(p.contains("partial_count"), s"co-counts lost their partial phase:\n$p")
   }
 
   test("point-lookup filter pushes down to the parquet scan") {
