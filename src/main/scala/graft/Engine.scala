@@ -403,9 +403,8 @@ object Engine {
         MediaFeat(off, blob.length, pf.width, pf.height, 1, pf.lumaHist.mkString(","))
       case None =>
         val n = if (blob == null) 0 else blob.length
-        val hist = new Array[Long](16)
-        if (blob != null) blob.foreach(b => hist((b & 0xff) % 16) += 1)
-        MediaFeat(off, n, n % 640, (n * 7) % 480, n % 30, hist.mkString(","))
+        val (w, h, f) = graft.media.MediaDecoder.stubDims(blob)
+        MediaFeat(off, n, w, h, f, graft.media.MediaDecoder.byteHist(blob).mkString(","))
     }
 
   /** Drop rows whose `text` shares any 3-gram with the broadcast

@@ -66,6 +66,22 @@ object MediaDecoder {
     * (Y ≤ 255 ⇒ bin ≤ 15). PNG/BMP/GIF are lossless through ImageIO, so
     * equality against the generator's arithmetic is exact.
     */
+  /** The non-image STUB tier shared by the batch `media_features` query
+    * and the streaming `Engine.mediaFeaturesFrom`: deterministic dims from
+    * the byte length. One definition so the two surfaces cannot drift.
+    */
+  def stubDims(bytes: Array[Byte]): (Int, Int, Int) = {
+    val n = if (bytes == null) 0 else bytes.length
+    (n % 640, (n * 7) % 480, n % 30)
+  }
+
+  /** 16-bin byte histogram — the stub tier's `hist_fp` content. */
+  def byteHist(bytes: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](16)
+    if (bytes != null) bytes.foreach(b => hist((b & 0xff) % 16) += 1)
+    hist
+  }
+
   final case class PixelFeatures(width: Int, height: Int, format: String, lumaHist: Array[Long])
 
   def features(bytes: Array[Byte]): Option[PixelFeatures] =

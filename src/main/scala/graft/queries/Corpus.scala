@@ -468,13 +468,8 @@ object Corpus {
           .groupBy("doc_id", "lang")
           .agg(count(lit(1)).as("n_tokens"), sum("logp").as("sum_logp"))
           .withColumn("m", (col("sum_logp") * 1000000).cast("long"))
-          .withColumn(
-            "avg_micro",
-            expr("""CASE WHEN m >= 0 THEN (2 * m + n_tokens) div (2 * n_tokens)
-                         ELSE -((2 * (-m) + n_tokens) div (2 * n_tokens)) END""")
-          )
-          .withColumn("avg_logp", col("avg_micro").cast("double") / lit(1000000.0))
-          .drop("m", "avg_micro")
+          .withColumn("avg_logp", Q.halfUpMicroAvg("m", "n_tokens"))
+          .drop("m")
           .pipe(Checkpoints.checkpoint)
         val moments = scored
           .groupBy("lang")

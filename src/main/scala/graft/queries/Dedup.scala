@@ -1499,8 +1499,11 @@ object Dedup {
       "dedup_substring_apply",
       (s, d) => {
         val k = 10
+        // Two consumers (the span chain and the final strip join) —
+        // checkpoint or the corpus read + tokenize runs twice.
         val docs = t(s, d, "documents")
           .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+          .pipe(graft.queries.Checkpoints.checkpoint)
         val occ = docs
           .filter(size(col("w")) >= k)
           .select(

@@ -112,7 +112,10 @@ object LmModel {
       // stream start, and an eager prune racing such a reader would
       // delete parquet out from under its in-flight batch. Keeping v-1
       // means a stream started before this fit keeps reading cleanly;
-      // adopt the refit by restarting the stream.
+      // adopt the refit by restarting the stream. The grace covers ONE
+      // refit: a SECOND fit during the same stream's lifetime deletes the
+      // stream's pinned version — restart gating streams between refits
+      // (operationally: refit and restart travel together).
       versions(spark, modelDir).filter(_ < v - 1).foreach { old =>
         f.delete(new Path(s"$modelDir/v=$old"), true)
       }
@@ -175,12 +178,7 @@ object LmModel {
         (sum(coalesce(col("logp"), lit(floor)).cast("decimal(18,6)")) * 1000000)
           .cast("long").as("m__")
       )
-      .withColumn(
-        "avg_logp",
-        expr("""CAST(CASE WHEN m__ >= 0 THEN (2 * m__ + n__) div (2 * n__)
-                          ELSE -((2 * (-m__) + n__) div (2 * n__)) END AS DOUBLE)
-                / 1000000.0""")
-      )
+      .withColumn("avg_logp", Q.halfUpMicroAvg("m__", "n__"))
       .drop("n__", "m__")
     df.join(scored, Seq(idCol), "left")
   }

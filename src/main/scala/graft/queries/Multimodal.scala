@@ -25,10 +25,8 @@ object Multimodal {
     * images — "decodes" a blob into (width, height, n_frames) derived from
     * its byte length, keeping the pipeline total over arbitrary payloads.
     */
-  private def stubDecode(bytes: Array[Byte]): (Int, Int, Int) = {
-    val n = if (bytes == null) 0 else bytes.length
-    (n % 640, (n * 7) % 480, n % 30)
-  }
+  private def stubDecode(bytes: Array[Byte]): (Int, Int, Int) =
+    graft.media.MediaDecoder.stubDims(bytes)
 
   /** Real-first decode: `ImageIO` facts for genuine images (single frame),
     * stub arithmetic otherwise.
@@ -104,8 +102,7 @@ object Multimodal {
                   Row(id, blob.length, pf.width, pf.height, 1, pf.lumaHist.mkString(","))
                 case None =>
                   val (w, h, f) = stubDecode(blob)
-                  val hist = new Array[Long](16)
-                  if (blob != null) blob.foreach(b => hist((b & 0xff) % 16) += 1)
+                  val hist = graft.media.MediaDecoder.byteHist(blob)
                   Row(id, if (blob == null) 0 else blob.length, w, h, f, hist.mkString(","))
               }
             }

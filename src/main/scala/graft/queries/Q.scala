@@ -71,6 +71,19 @@ object Q {
   def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
     sum(c.cast(DecimalType(18, 2))).over(w).cast(DoubleType)
 
+  /** Engine-independent 6-dp average of a micro-unit integer sum: half-up
+    * on EXACT integers ((2|m|+n) div 2n, sign restored), then one
+    * correctly-rounded /1e6. `round(decimal_sum/n, 6)` is NOT safe here —
+    * a 6-dp decimal over a small count lands on exact x.xxxxxx5
+    * boundaries where Spark and DuckDB round different ways (the sf0.1
+    * corpus_lm_quality lesson). `mName`/`nName` are column names (the
+    * integer micro sum and the count). SQL twin: the same CASE with `//`.
+    */
+  def halfUpMicroAvg(mName: String, nName: String): Column =
+    expr(s"""CAST(CASE WHEN $mName >= 0 THEN (2 * $mName + $nName) div (2 * $nName)
+                       ELSE -((2 * (-$mName) + $nName) div (2 * $nName)) END AS DOUBLE)
+             / 1000000.0""")
+
   /** Money column as exact cents. Inputs are cast to DECIMAL *before* any
     * arithmetic: rounding a double PRODUCT to cents differs between engines
     * (binary-expansion vs scaled rounding) by one ulp-cent often enough to

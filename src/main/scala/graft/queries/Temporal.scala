@@ -322,18 +322,22 @@ object Temporal {
     Q(
       "q_ab_lift",
       (s, d) => {
+        // `%` (truncated, sign of dividend) in BOTH engines — pmod would
+        // diverge from DuckDB's % on negative ids. Squares accumulate in
+        // DECIMAL: a BIGINT um*um overflows DIVERGENTLY (Spark wraps,
+        // DuckDB errors) once a user's cents exceed ~3e9.
         val perUser = Q.events(s, d)
           .filter(col("event_type") === "purchase")
           .select(col("user_id"), expr("CAST(floor(value * 100) AS BIGINT)").as("m"))
           .groupBy("user_id")
           .agg(sum("m").as("um"))
-          .select(pmod(col("user_id"), lit(2)).as("arm"), col("um"))
+          .select(expr("user_id % 2").as("arm"), col("um"))
         val arms = perUser
           .groupBy("arm")
           .agg(
             count(lit(1)).as("n"),
             sum("um").as("s1"),
-            sum(col("um") * col("um")).as("s2")
+            sum(col("um").cast("decimal(18,0)") * col("um").cast("decimal(18,0)")).as("s2")
           )
         arms
           .agg(
@@ -351,11 +355,14 @@ object Temporal {
             expr("round(CAST(s1t AS DOUBLE) / 100.0 / n_t, 6)").as("mean_t"),
             expr("""round((CAST(s1t AS DOUBLE) / n_t - CAST(s1c AS DOUBLE) / n_c)
                           / (CAST(s1c AS DOUBLE) / n_c), 6)""").as("lift"),
+            // greatest(·, 0) on each variance term: FP cancellation can
+            // land a few ulps negative, which is NaN under Spark's sqrt
+            // but an ERROR in DuckDB (the corpus_lm_quality lesson).
             expr("""round((CAST(s1t AS DOUBLE) / n_t - CAST(s1c AS DOUBLE) / n_c)
-                    / sqrt( (CAST(n_t AS DOUBLE) * CAST(s2t AS DOUBLE) - CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE))
-                            / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)) / n_t
-                          + (CAST(n_c AS DOUBLE) * CAST(s2c AS DOUBLE) - CAST(s1c AS DOUBLE) * CAST(s1c AS DOUBLE))
-                            / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) / n_c), 6)""")
+                    / sqrt( greatest((CAST(n_t AS DOUBLE) * CAST(s2t AS DOUBLE) - CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE))
+                            / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)) / n_t, 0.0)
+                          + greatest((CAST(n_c AS DOUBLE) * CAST(s2c AS DOUBLE) - CAST(s1c AS DOUBLE) * CAST(s1c AS DOUBLE))
+                            / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) / n_c, 0.0)), 6)""")
               .as("z_score")
           )
       },
@@ -365,7 +372,8 @@ object Temporal {
           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
         arms AS (
           SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(um) AS BIGINT) AS s1, CAST(sum(um * um) AS BIGINT) AS s2
+                 CAST(sum(um) AS BIGINT) AS s1,
+                 sum(CAST(um AS DECIMAL(18,0)) * CAST(um AS DECIMAL(18,0))) AS s2
           FROM pu GROUP BY 1),
         p AS (
           SELECT max(CASE WHEN arm = 0 THEN n END) AS n_c,
@@ -381,10 +389,10 @@ object Temporal {
                round((CAST(s1t AS DOUBLE) / n_t - CAST(s1c AS DOUBLE) / n_c)
                      / (CAST(s1c AS DOUBLE) / n_c), 6) AS lift,
                round((CAST(s1t AS DOUBLE) / n_t - CAST(s1c AS DOUBLE) / n_c)
-                 / sqrt( (CAST(n_t AS DOUBLE) * CAST(s2t AS DOUBLE) - CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE))
-                         / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)) / n_t
-                       + (CAST(n_c AS DOUBLE) * CAST(s2c AS DOUBLE) - CAST(s1c AS DOUBLE) * CAST(s1c AS DOUBLE))
-                         / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) / n_c), 6) AS z_score
+                 / sqrt( greatest((CAST(n_t AS DOUBLE) * CAST(s2t AS DOUBLE) - CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE))
+                         / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0)) / n_t, 0.0)
+                       + greatest((CAST(n_c AS DOUBLE) * CAST(s2c AS DOUBLE) - CAST(s1c AS DOUBLE) * CAST(s1c AS DOUBLE))
+                         / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)) / n_c, 0.0)), 6) AS z_score
         FROM p
       """)
     ),

@@ -290,7 +290,16 @@ object EventStreams {
   def streamingFunnel(
       events: Dataset[TypedEvent],
       windowMs: Long = 24L * 60 * 60 * 1000,
-      watermarkDelay: String = "10 minutes"
+      watermarkDelay: String = "10 minutes",
+      /** State-size control: completed funnels with nothing buffered are
+        * EVICTED once the watermark passes the purchase time by this many
+        * ms (None = keep forever, exactly one funnel per user). The
+        * trade-off is explicit: a user who reappears after eviction
+        * starts a fresh funnel — acceptable when the retention exceeds
+        * any realistic return horizon, and the price of bounded state on
+        * unbounded user cardinality.
+        */
+      completedRetentionMs: Option[Long] = None
   ): Dataset[FunnelStage] = {
     val session = events.sparkSession
     import session.implicits._
@@ -306,15 +315,28 @@ object EventStreams {
         val incoming = evts.map(e => (e.ts.getTime, e.event_type)).toList
         val wm = state.getCurrentWatermarkMs()
         val (st1, emitted) = FunnelFold.advance(st0, incoming, wm, windowMs)
-        // ALWAYS retain state — a completed funnel keeps its three scalar
-        // stage times (buffer already dropped by advance) so a later event
-        // for the user can never restart the funnel and re-emit stages;
-        // removing it here would diverge from the batch query's one-funnel-
-        // per-user semantics. Unfinished users wake on watermark advance so
-        // quiet tails still finalize.
-        state.update(st1)
-        if (st1.buffered.nonEmpty)
-          state.setTimeoutTimestamp(math.max(st1.buffered.map(_._1).min + 1, wm + 1))
+        // Retain state by default — a completed funnel keeps its three
+        // scalar stage times (buffer already dropped by advance) so a
+        // later event for the user can never restart the funnel and
+        // re-emit stages; removing it eagerly would diverge from the batch
+        // query's one-funnel-per-user semantics. With completedRetentionMs
+        // set, a completed idle funnel is evicted once the watermark
+        // passes purchase + retention (bounded state, documented
+        // restart-on-return trade-off). Unfinished users wake on watermark
+        // advance so quiet tails still finalize.
+        val evictAt = completedRetentionMs.flatMap(r =>
+          if (st1.t3.isDefined && st1.buffered.isEmpty) st1.t3.map(_ + r) else None
+        )
+        evictAt match {
+          case Some(at) if wm > at => state.remove()
+          case Some(at) =>
+            state.update(st1)
+            state.setTimeoutTimestamp(math.max(at, wm + 1))
+          case None =>
+            state.update(st1)
+            if (st1.buffered.nonEmpty)
+              state.setTimeoutTimestamp(math.max(st1.buffered.map(_._1).min + 1, wm + 1))
+        }
         emitted.iterator.map { case (stage, ms) => FunnelStage(user, stage, new Timestamp(ms)) }
       }
   }

@@ -445,7 +445,10 @@ class PipelineSpec extends AnyFunSuite {
     try {
       q2.processAllAvailable()
       val t2 = table()
-      assert(t2.size == 3 && t2.contains(2L), s"restart lost or duplicated rows: ${t2.keySet}")
+      assert(t2.size == 3 && t2.contains(2L), s"restart lost rows: ${t2.keySet}")
+      // RAW row count, not the offset-keyed map (which would silently
+      // collapse duplicates): exactly-once means exactly 3 rows on disk.
+      assert(spark.read.parquet(feats).count() == 3L, "restart re-decoded earlier offsets")
     } finally q2.stop()
   }
 

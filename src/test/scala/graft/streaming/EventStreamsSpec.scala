@@ -263,6 +263,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: completed-state retention TTL evicts idle users (bounded state)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.TypedEvent
+    val input = MemoryStream[TypedEvent]
+    // 5-minute retention after purchase: once the watermark passes it, the
+    // user's state evicts, and a reappearance starts a FRESH funnel — the
+    // documented bounded-state trade-off (without the TTL the previous
+    // test proves no restart ever happens).
+    val q = EventStreams
+      .streamingFunnel(input.toDS(), windowMs = 10 * 60 * 1000,
+        watermarkDelay = "0 seconds", completedRetentionMs = Some(5 * 60 * 1000))
+      .writeStream.format("memory").queryName("funnel_ttl").outputMode("append").start()
+    def n(user: Long): Long =
+      spark.sql(s"select count(*) from funnel_ttl where user_id = $user").head().getLong(0)
+    try {
+      input.addData(TypedEvent(3L, ts(0), "view"), TypedEvent(3L, ts(1), "click"),
+        TypedEvent(3L, ts(2), "purchase"))
+      q.processAllAvailable()
+      input.addData(TypedEvent(1L, ts(3), "view")) // advance watermark → finalize funnel
+      q.processAllAvailable()
+      assert(n(3L) == 3, "funnel must complete")
+      // Watermark moves past purchase(10:02) + 5min → state evicts.
+      input.addData(TypedEvent(1L, ts(10), "view"))
+      q.processAllAvailable()
+      // Reappearance after eviction: a fresh funnel's view stage emits
+      // once finalized.
+      input.addData(TypedEvent(3L, ts(20), "view"))
+      q.processAllAvailable()
+      input.addData(TypedEvent(1L, ts(30), "view"))
+      q.processAllAvailable()
+      assert(n(3L) == 4, "post-eviction reappearance must start a fresh funnel")
+    } finally q.stop()
+  }
+
   test("stream-static enrich joins the dimension per micro-batch") {
     val session = spark
     import session.implicits._
