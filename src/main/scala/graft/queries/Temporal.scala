@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -411,6 +413,9 @@ object Temporal {
     Q(
       "q_item_similarity",
       (s, d) => {
+        // Three consumers (item counts + both self-join roles) —
+        // checkpoint or the events scan + JSON extract + distinct runs
+        // three times.
         val inter = Q.events(s, d)
           .filter(col("event_type").isin("click", "purchase"))
           .select(
@@ -418,6 +423,7 @@ object Temporal {
             get_json_object(col("props"), "$.k").cast("bigint").as("item")
           )
           .distinct()
+          .pipe(Checkpoints.checkpoint)
         val ni = inter.groupBy("item").agg(count(lit(1)).as("n"))
         val co = inter
           .select(col("user_id"), col("item").as("i"))
