@@ -452,6 +452,65 @@ class PipelineSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("composed curation: repetition + LM gates + near-dedup over 10 batches with a restart") {
+    import graft.queries.LmModel
+    val session = spark
+    import session.implicits._
+    // Reference vocabulary: 120 words, uniform count 5 → every in-vocab
+    // token scores ln(6/720); the OOV floor is ln(1/720). A threshold
+    // between them separates clean docs from gibberish deterministically.
+    val vocab = (1 to 120).map(i => f"word$i%03d")
+    val refDocs = (0 until 5).map(_ => vocab.mkString(" ")).toDF("text")
+    val modelDir = TestSpark.tempDir("composed-lm")
+    LmModel.fit(spark, refDocs, modelDir)
+    val cutoff = (math.log(6.0 / 720.0) + math.log(1.0 / 720.0)) / 2
+
+    val raw = SparkLog(spark, TestSpark.tempDir("composed-raw"), LogConfig())
+    def doc(text: String): Array[Byte] = s"""{"lang":"en","text":"$text"}""".getBytes
+    // Per batch: a clean doc on a DISJOINT 12-word slice (no cross-batch
+    // LSH collision possible), a shuffled same-set near-dup (identical
+    // token set → identical MinHash signature → certain suppression), an
+    // all-OOV gibberish doc, and a word-repetitive doc.
+    def slice(b: Int): Seq[String] = vocab.slice(12 * b, 12 * b + 12)
+    def clean(b: Int) = slice(b).mkString(" ")
+    def nearDup(b: Int) = (slice(b).drop(3) ++ slice(b).take(3)).mkString(" ")
+    def gibberish(b: Int) = (1 to 12).map(i => f"zz$b%02d$i%02d").mkString(" ")
+    def repetitive(b: Int) =
+      (Seq.fill(5)(slice(b).head) ++ slice(b).slice(1, 8)).mkString(" ")
+
+    val engine = Engine(spark, TestSpark.tempDir("composed-out"))
+    val ckpt = TestSpark.tempDir("composed-ckpt")
+    val idx = TestSpark.tempDir("composed-idx")
+    def run(): Unit = {
+      val q = engine.curateNearFrom(
+        raw.dir, ckpt, idx,
+        repetitionGate = true,
+        lmQuality = Some(modelDir -> cutoff)
+      )
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // Batches 0-4 under one query run, restart, then 5-9 under another —
+    // the gates are stateless and the dedup history is storage-backed, so
+    // the restart must be invisible in the result.
+    for (b <- 0 until 5)
+      raw.append(Seq(doc(clean(b)), doc(nearDup(b)), doc(gibberish(b)), doc(repetitive(b))))
+    run()
+    for (b <- 5 until 10)
+      raw.append(Seq(doc(clean(b)), doc(nearDup(b)), doc(gibberish(b)), doc(repetitive(b))))
+    run()
+
+    val kept = engine.toDF
+      .orderBy("offset")
+      .collect()
+      .map(r => new String(r.getAs[Array[Byte]]("value")))
+      .toSeq
+    assert(
+      kept == (0 until 10).map(b => new String(doc(clean(b)))),
+      s"composed pipeline kept ${kept.size} docs: expected exactly the 10 clean docs in order"
+    )
+  }
+
   test("ann index: build/probe split, rebuild-on-append, crash debris ignored") {
     import graft.queries.AnnIndex
     val session = spark
