@@ -59,13 +59,6 @@ object MediaDecoder {
       } catch { case _: Exception => None }
     }
 
-  /** Real-pixel features of a decoded image: dimensions, format, and a
-    * 16-bin LUMA histogram over every pixel. Integer-exact arithmetic so
-    * an independent oracle can recompute it bit-for-bit: BT.601 luma
-    * `(299·R + 587·G + 114·B) / 1000` with integer division, bin `Y / 16`
-    * (Y ≤ 255 ⇒ bin ≤ 15). PNG/BMP/GIF are lossless through ImageIO, so
-    * equality against the generator's arithmetic is exact.
-    */
   /** The non-image STUB tier shared by the batch `media_features` query
     * and the streaming `Engine.mediaFeaturesFrom`: deterministic dims from
     * the byte length. One definition so the two surfaces cannot drift.
@@ -83,6 +76,14 @@ object MediaDecoder {
   }
 
   final case class PixelFeatures(width: Int, height: Int, format: String, lumaHist: Array[Long])
+
+  /** Real-pixel features of a decoded image: dimensions, format, and a
+    * 16-bin LUMA histogram over every pixel. Integer-exact arithmetic so
+    * an independent oracle can recompute it bit-for-bit: BT.601 luma
+    * `(299·R + 587·G + 114·B) / 1000` with integer division, bin `Y / 16`
+    * (Y ≤ 255 ⇒ bin ≤ 15). PNG/BMP/GIF are lossless through ImageIO, so
+    * equality against the generator's arithmetic is exact.
+    */
 
   def features(bytes: Array[Byte]): Option[PixelFeatures] =
     sniffFormat(bytes).flatMap { fmt =>

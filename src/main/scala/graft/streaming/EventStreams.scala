@@ -314,28 +314,45 @@ object EventStreams {
         val st0 = state.getOption.getOrElse(FunnelState(Nil, None, None, None))
         val incoming = evts.map(e => (e.ts.getTime, e.event_type)).toList
         val wm = state.getCurrentWatermarkMs()
-        val (st1, emitted) = FunnelFold.advance(st0, incoming, wm, windowMs)
         // Retain state by default — a completed funnel keeps its three
         // scalar stage times (buffer already dropped by advance) so a
         // later event for the user can never restart the funnel and
         // re-emit stages; removing it eagerly would diverge from the batch
         // query's one-funnel-per-user semantics. With completedRetentionMs
-        // set, a completed idle funnel is evicted once the watermark
-        // passes purchase + retention (bounded state, documented
-        // restart-on-return trade-off). Unfinished users wake on watermark
-        // advance so quiet tails still finalize.
-        val evictAt = completedRetentionMs.flatMap(r =>
-          if (st1.t3.isDefined && st1.buffered.isEmpty) st1.t3.map(_ + r) else None
-        )
-        evictAt match {
-          case Some(at) if wm > at => state.remove()
+        // set, the retention boundary is EVENT TIME (t3 + retention), not
+        // state presence: an incoming event past the boundary starts a
+        // fresh funnel WHETHER OR NOT the eviction timeout has fired yet —
+        // deciding by batch arrival would make funnel membership depend on
+        // micro-batch boundaries (an event landing between the watermark
+        // passing the boundary and the timeout firing would be silently
+        // lost). Events at or before the boundary belong to the completed
+        // funnel and are ignored, as always.
+        val eraEnd =
+          for { r <- completedRetentionMs; t3 <- st0.t3 if st0.buffered.isEmpty } yield t3 + r
+        val (base, admitted) = eraEnd match {
           case Some(at) =>
-            state.update(st1)
-            state.setTimeoutTimestamp(math.max(at, wm + 1))
-          case None =>
-            state.update(st1)
-            if (st1.buffered.nonEmpty)
-              state.setTimeoutTimestamp(math.max(st1.buffered.map(_._1).min + 1, wm + 1))
+            val fresh = incoming.filter(_._1 > at)
+            if (fresh.nonEmpty) (FunnelState(Nil, None, None, None), fresh)
+            else (st0, incoming)
+          case None => (st0, incoming)
+        }
+        val (st1, emitted) = FunnelFold.advance(base, admitted, wm, windowMs)
+        if (st1.buffered.isEmpty && st1.t1.isEmpty) state.remove() // pristine: nothing to keep
+        else {
+          val doneAt =
+            for { r <- completedRetentionMs; t3 <- st1.t3 if st1.buffered.isEmpty } yield t3 + r
+          doneAt match {
+            // Already past the retention boundary: eviction == the era
+            // reset above, so removal loses nothing.
+            case Some(at) if wm > at => state.remove()
+            case Some(at) =>
+              state.update(st1)
+              state.setTimeoutTimestamp(math.max(at, wm + 1))
+            case None =>
+              state.update(st1)
+              if (st1.buffered.nonEmpty)
+                state.setTimeoutTimestamp(math.max(st1.buffered.map(_._1).min + 1, wm + 1))
+          }
         }
         emitted.iterator.map { case (stage, ms) => FunnelStage(user, stage, new Timestamp(ms)) }
       }

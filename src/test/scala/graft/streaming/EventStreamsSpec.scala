@@ -286,16 +286,18 @@ class EventStreamsSpec extends AnyFunSuite {
       input.addData(TypedEvent(1L, ts(3), "view")) // advance watermark → finalize funnel
       q.processAllAvailable()
       assert(n(3L) == 3, "funnel must complete")
-      // Watermark moves past purchase(10:02) + 5min → state evicts.
-      input.addData(TypedEvent(1L, ts(10), "view"))
-      q.processAllAvailable()
-      // Reappearance after eviction: a fresh funnel's view stage emits
-      // once finalized.
-      input.addData(TypedEvent(3L, ts(20), "view"))
+      // The RACE case the event-time boundary exists for: the user's fresh
+      // view (10:20, past purchase+5min = 10:07) arrives in the SAME batch
+      // as the watermark-advancer, BEFORE any eviction timeout fires — the
+      // state is still present, the batch's watermark (10:03) is still
+      // pre-boundary, and era membership must be decided by the EVENT
+      // time, not by state presence or batch boundaries. A
+      // state-presence-based eviction silently swallowed this view.
+      input.addData(TypedEvent(1L, ts(10), "view"), TypedEvent(3L, ts(20), "view"))
       q.processAllAvailable()
       input.addData(TypedEvent(1L, ts(30), "view"))
       q.processAllAvailable()
-      assert(n(3L) == 4, "post-eviction reappearance must start a fresh funnel")
+      assert(n(3L) == 4, "post-boundary reappearance must start a fresh funnel")
     } finally q.stop()
   }
 
