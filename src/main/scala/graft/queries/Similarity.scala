@@ -76,6 +76,48 @@ object Similarity {
       """)
     ),
 
+    // --- filtered vector search: metadata predicate inside retrieval ---
+    // The production ANN feature plain top-k lacks: "nearest neighbors
+    // WHERE <metadata predicate>" (cross-label retrieval here — candidates
+    // must carry a different label than the probe). The predicate applies
+    // BEFORE scoring, inside the join condition, so at scale it prunes the
+    // candidate stream in the scan/join stage rather than post-filtering a
+    // top-k that may then underfill — the classic filtered-search pitfall.
+    // Same broadcast-probe brute shape and rounding as knn_brute.
+    Q(
+      "knn_filtered",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+        val q = e
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+        val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+        e.join(broadcast(q), col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+          .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("qid", "vec_id", "rank", "cos")
+          .orderBy("qid", "rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 8),
+        p AS (
+          SELECT qid, vec_id,
+                 round(list_dot_product(qv, v) /
+                       sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)), 6) AS cos
+          FROM e CROSS JOIN q WHERE vec_id <> qid AND label <> qlabel),
+        r AS (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM p)
+        SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM r WHERE rank <= 5 ORDER BY qid, rank
+      """)
+    ),
+
     // --- scalar-quantized ANN: int8 candidate generation + exact re-rank ---
     // The memory-bandwidth scale path: candidates rank by an INTEGER dot
     // product over symmetric-int8 codes (4× smaller vectors, exact
