@@ -151,10 +151,14 @@ object PlanDump {
       "user; the (cohort, offset) aggregate and cohort-size join are " +
       "metadata-sized (sizes broadcast)."),
     "q_item_similarity" -> ("Market-basket item similarity: the pair pass " +
-      "is a user-keyed hash self-join (never a cartesian — per-user cost " +
-      "is bounded by that user's distinct items, capped/DIMSUM-sampled in " +
-      "production), co-counts and item counts partial-aggregate, and " +
-      "per-item top-3 is a window keyed on the catalog-cardinality item."),
+      "is a user-keyed hash self-join (never a cartesian) over " +
+      "interactions HARD-CAPPED per user at Temporal.ItemSimUserCap=1000 " +
+      "(deterministic top-N by event count then item id, enforced in " +
+      "itemInteractions BEFORE the join — a bot touching 10^6 items " +
+      "contributes <=500k pairs, not 10^12; cap >> the test catalog so " +
+      "oracle output is unchanged), co-counts and item counts " +
+      "partial-aggregate, and per-item top-3 is a window keyed on the " +
+      "catalog-cardinality item."),
     "dedup_containment" -> ("Asymmetric containment join: the probe side " +
       "explodes only its rare-first PREFIX, the container side is the " +
       "full inverted index, both repartitioned on the token with an " +

@@ -384,6 +384,11 @@ object Corpus {
             "pw",
             round(pow(col("n_tokens").cast("double"), 0.7), 6).cast("decimal(28,6)")
           )
+          // perSource feeds BOTH the totals aggregate and the final join;
+          // without a checkpoint the documents scan + tokenize groupBy (the
+          // expensive full-corpus pass) recomputes. The checkpointed table
+          // is |sources| rows — free to persist.
+          .pipe(Checkpoints.checkpoint)
         val totals = perSource.agg(
           sum("n_tokens").as("tot_tokens"),
           sum("pw").as("tot_pw")
@@ -435,7 +440,13 @@ object Corpus {
       "corpus_lm_quality",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val tok = docs.select(col("doc_id"), col("lang"), explode(ws).as("word"))
+        // tok feeds BOTH the vocab counts and the scored join below —
+        // checkpoint it so the full-corpus explode runs once, not twice.
+        // (The token table is corpus-sized, but one materialized pass still
+        // beats two scan+split+explode passes, and the checkpoint spills.)
+        val tok = docs
+          .select(col("doc_id"), col("lang"), explode(ws).as("word"))
+          .pipe(Checkpoints.checkpoint)
         val counts = tok.groupBy("word").agg(count(lit(1)).as("c"))
         val totals = counts.agg(
           sum("c").as("n_total"),

@@ -1417,9 +1417,12 @@ object Dedup {
             col("doc_id"),
             col("s.p").cast("long").as("p"),
             col("s.h").as("h"),
-            // Lexicographic (doc_id, pos) as one sortable key: docs are
-            // far shorter than 100k tokens at every scale in play.
-            (col("doc_id") * 100000L + col("s.p")).as("key")
+            // Lexicographic (doc_id, pos) as a STRUCT key: field-order
+            // comparison is exact at any document length and doc_id range,
+            // where an arithmetic doc_id*K+p encoding would alias across
+            // docs once a document has ≥K windows. min(struct) is still
+            // map-side combinable — min over any ordered type.
+            struct(col("doc_id"), col("s.p").cast("long").as("p")).as("key")
           )
         val firsts = occ.groupBy("h").agg(min("key").as("mk"))
         val removable = occ
@@ -1457,7 +1460,7 @@ object Dedup {
                  unnest(list_transform(range(1, len(w) - 8),
                         i -> md5(array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 9], ' ')))) AS h
           FROM w WHERE len(w) >= 10),
-        keyed AS (SELECT doc_id, p, h, doc_id * 100000 + p AS key FROM occ),
+        keyed AS (SELECT doc_id, p, h, struct_pack(d := doc_id, p := p) AS key FROM occ),
         firsts AS (SELECT h, min(key) AS mk FROM keyed GROUP BY h),
         removable AS (
           SELECT doc_id, p FROM keyed JOIN firsts USING (h) WHERE key > mk),
@@ -1516,7 +1519,9 @@ object Dedup {
             col("doc_id"),
             col("s.p").cast("long").as("p"),
             col("s.h").as("h"),
-            (col("doc_id") * 100000L + col("s.p")).as("key")
+            // Struct key, not doc_id*K+p — see dedup_substring: the
+            // arithmetic encoding aliases once a doc has ≥K windows.
+            struct(col("doc_id"), col("s.p").cast("long").as("p")).as("key")
           )
         val firsts = occ.groupBy("h").agg(min("key").as("mk"))
         val removable = occ
@@ -1564,7 +1569,7 @@ object Dedup {
                  unnest(list_transform(range(1, len(w) - 8),
                         i -> md5(array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 9], ' ')))) AS h
           FROM w WHERE len(w) >= 10),
-        keyed AS (SELECT doc_id, p, h, doc_id * 100000 + p AS key FROM occ),
+        keyed AS (SELECT doc_id, p, h, struct_pack(d := doc_id, p := p) AS key FROM occ),
         firsts AS (SELECT h, min(key) AS mk FROM keyed GROUP BY h),
         removable AS (
           SELECT doc_id, p FROM keyed JOIN firsts USING (h) WHERE key > mk),

@@ -404,26 +404,22 @@ object Temporal {
     // events) are similar when the same users touch both. Interactions
     // dedupe to distinct (user, item); the pair pass is the standard
     // user-keyed self-join — per-user cost is quadratic in THAT user's
-    // distinct-item count, which production bounds with a per-user cap or
-    // DIMSUM sampling before the join (here the 100-item catalog bounds
-    // it structurally); co-counts and item counts partial-aggregate, the
-    // cosine c/√(n_i·n_j) is one correctly-rounded chain, and per-item
-    // top-3 is a window keyed on the item — catalog-cardinality keys, no
-    // global sort.
+    // distinct-item count, so `itemInteractions` CAPS each user at
+    // `ItemSimUserCap` distinct items (deterministic top-N by event count
+    // then item id) BEFORE the self-join. The cap sits far above the test
+    // catalog (100 items) so small-scale output is byte-identical to the
+    // uncapped oracle, while at 100 TB a crawler touching 10⁶ items
+    // contributes at most cap²/2 pairs instead of 10¹²; co-counts and item
+    // counts partial-aggregate, the cosine c/√(n_i·n_j) is one
+    // correctly-rounded chain, and per-item top-3 is a window keyed on the
+    // item — catalog-cardinality keys, no global sort.
     Q(
       "q_item_similarity",
       (s, d) => {
         // Three consumers (item counts + both self-join roles) —
-        // checkpoint or the events scan + JSON extract + distinct runs
+        // checkpoint or the events scan + JSON extract + cap window runs
         // three times.
-        val inter = Q.events(s, d)
-          .filter(col("event_type").isin("click", "purchase"))
-          .select(
-            col("user_id"),
-            get_json_object(col("props"), "$.k").cast("bigint").as("item")
-          )
-          .distinct()
-          .pipe(Checkpoints.checkpoint)
+        val inter = itemInteractions(s, d).pipe(Checkpoints.checkpoint)
         val ni = inter.groupBy("item").agg(count(lit(1)).as("n"))
         val co = inter
           .select(col("user_id"), col("item").as("i"))
@@ -475,4 +471,42 @@ object Temporal {
       """)
     )
   )
+
+  /** Per-user distinct-item cap for `q_item_similarity`. The self-join's
+    * worst case is quadratic in a single user's distinct-item count, so one
+    * hot key (a bot touching 10⁶ items) would put ~10¹² pairs in one join
+    * group — a straggler no AQE setting fixes. 1000 is far above any human
+    * session (and 10× the test catalog, so test-scale output is uncapped)
+    * yet bounds any user's pair contribution at ~500k.
+    */
+  val ItemSimUserCap: Int = 1000
+
+  /** Distinct (user_id, item) interactions from click/purchase events, each
+    * user capped at `userCap` items. The ranking is deterministic — event
+    * count desc, then item id asc — so reruns and the capped/uncapped
+    * equivalence below the cap are both stable. One extra shuffle (the
+    * user-keyed window) vs a plain distinct; the window sorts each user's
+    * items (linearithmic in that user's count), which is exactly the cost
+    * profile that survives a power user, unlike the quadratic join it
+    * guards.
+    */
+  def itemInteractions(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      userCap: Int = ItemSimUserCap
+  ): org.apache.spark.sql.DataFrame = {
+    val counted = Q.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("item")
+      )
+      .groupBy("user_id", "item")
+      .agg(count(lit(1)).as("cnt"))
+    val capW = Window.partitionBy("user_id").orderBy(desc("cnt"), asc("item"))
+    counted
+      .withColumn("cap_rank", row_number().over(capW))
+      .filter(col("cap_rank") <= userCap)
+      .select("user_id", "item")
+  }
 }

@@ -267,6 +267,57 @@ object EventStreams {
       */
     def reference(events: Seq[(Long, String)], windowMs: Long): List[(String, Long)] =
       advance(FunnelState(Nil, None, None, None), events.toList, Long.MaxValue, windowMs)._2
+
+    /** [[advance]] plus the completed-funnel retention-era semantics, PURE
+      * so the era boundary can be model-checked like the fold itself. The
+      * contract: with retention set, the era boundary is EVENT TIME
+      * (t3 + retention) — an event past the boundary starts a fresh
+      * funnel whether the completed state came from a PRIOR batch (st0)
+      * or was completed by THIS very call (a single-batch watermark jump
+      * larger than the retention — the r7 ADVICE gap: keying only off
+      * st0.t3 swallowed such events into the just-completed funnel).
+      * The rollover loops because one batch can complete several eras;
+      * each pass drops at least the completing purchase from the pool,
+      * so it terminates.
+      */
+    def advanceEra(
+        st0: FunnelState,
+        incoming: List[(Long, String)],
+        wm: Long,
+        windowMs: Long,
+        retentionMs: Option[Long]
+    ): (FunnelState, List[(String, Long)]) = {
+      def boundary(st: FunnelState): Option[Long] =
+        for { r <- retentionMs; t3 <- st.t3 if st.buffered.isEmpty } yield t3 + r
+      val (base, admitted) = boundary(st0) match {
+        case Some(at) =>
+          val fresh = incoming.filter(_._1 > at)
+          if (fresh.nonEmpty) (FunnelState(Nil, None, None, None), fresh)
+          else (st0, incoming)
+        case None => (st0, incoming)
+      }
+      var (st, emitted) = advance(base, admitted, wm, windowMs)
+      // The rollover pool is EVERYTHING this call folded — including events
+      // buffered from earlier batches: advance drops its pending buffer
+      // when the funnel completes, so a buffered event past the boundary
+      // would otherwise vanish with it.
+      var pool = base.buffered ++ admitted
+      var rolled = true
+      while (rolled) {
+        rolled = false
+        boundary(st).foreach { at =>
+          val fresh = pool.filter(_._1 > at)
+          if (fresh.nonEmpty) {
+            val (st2, em2) = advance(FunnelState(Nil, None, None, None), fresh, wm, windowMs)
+            st = st2
+            emitted = emitted ++ em2
+            pool = fresh
+            rolled = true
+          }
+        }
+      }
+      (st, emitted)
+    }
   }
 
   /** Streaming twin of the batch `q_funnel`: per-user ordered, time-bounded
@@ -320,23 +371,14 @@ object EventStreams {
         // re-emit stages; removing it eagerly would diverge from the batch
         // query's one-funnel-per-user semantics. With completedRetentionMs
         // set, the retention boundary is EVENT TIME (t3 + retention), not
-        // state presence: an incoming event past the boundary starts a
-        // fresh funnel WHETHER OR NOT the eviction timeout has fired yet —
-        // deciding by batch arrival would make funnel membership depend on
-        // micro-batch boundaries (an event landing between the watermark
-        // passing the boundary and the timeout firing would be silently
-        // lost). Events at or before the boundary belong to the completed
-        // funnel and are ignored, as always.
-        val eraEnd =
-          for { r <- completedRetentionMs; t3 <- st0.t3 if st0.buffered.isEmpty } yield t3 + r
-        val (base, admitted) = eraEnd match {
-          case Some(at) =>
-            val fresh = incoming.filter(_._1 > at)
-            if (fresh.nonEmpty) (FunnelState(Nil, None, None, None), fresh)
-            else (st0, incoming)
-          case None => (st0, incoming)
-        }
-        val (st1, emitted) = FunnelFold.advance(base, admitted, wm, windowMs)
+        // state presence OR batch boundaries: an incoming event past the
+        // boundary starts a fresh funnel whether the eviction timeout has
+        // fired yet, and even when the purchase that set t3 finalized in
+        // THIS same micro-batch (advanceEra's rollover loop). Events at or
+        // before the boundary belong to the completed funnel and are
+        // ignored, as always.
+        val (st1, emitted) =
+          FunnelFold.advanceEra(st0, incoming, wm, windowMs, completedRetentionMs)
         if (st1.buffered.isEmpty && st1.t1.isEmpty) state.remove() // pristine: nothing to keep
         else {
           val doneAt =
