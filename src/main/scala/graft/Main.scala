@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--subject S] [--name N] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -161,7 +161,49 @@ object Main {
     var tlsKeyStore: Option[String] = None
     var tlsTrustStore: Option[String] = None
     var tlsPass: String = sys.env.getOrElse("SPARK_GRAFT_TLS_PASS", "changeit")
+    // ACL files (reference: --acl-model-file / --acl-policy-file,
+    // cmd/proglog/main.go:61-62). The model file is validated (it must be
+    // the sub/obj/act allow model our map ACL implements); the policy file
+    // becomes the serving Acl.
+    var aclModelFile: Option[String] = None
+    var aclPolicyFile: Option[String] = None
     var rest = List.empty[String]
+
+    // --config-file (reference: viper config, cmd/proglog/main.go:49,76-88):
+    // a key=value file supplies the same settings as the flags, and
+    // explicit CLI flags win — achieved by applying the file FIRST, then
+    // letting the normal flag pass overwrite. Keys are the flag names
+    // without the leading dashes; unknown keys fail loudly.
+    args.sliding(2).foreach {
+      case Array("--config-file", path) =>
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).forEach { raw =>
+          val line = raw.trim
+          if (line.nonEmpty && !line.startsWith("#")) {
+            val (k, v) = line.split("=", 2) match {
+              case Array(k, v) => (k.trim, v.trim)
+              case _ => { System.err.println(s"config-file: malformed line '$line'"); usage() }
+            }
+            k match {
+              case "data-dir"       => dataDir = Some(v)
+              case "bootstrap"      => bootstrap = Some(v)
+              case "subject"        => subject = v
+              case "join"           => joinAddr = Some(v)
+              case "name"           => nodeName = Some(v)
+              case "follower"       => follower = v.toBoolean
+              case "ttl"            => ttlSeconds = v.toLong
+              case "tls-keystore"   => tlsKeyStore = Some(v)
+              case "tls-truststore" => tlsTrustStore = Some(v)
+              case "tls-pass"       => tlsPass = v
+              case "acl-model-file" => aclModelFile = Some(v)
+              case "acl-policy-file" => aclPolicyFile = Some(v)
+              case other =>
+                System.err.println(s"config-file: unknown key '$other'"); usage()
+            }
+          }
+        }
+      case _ => ()
+    }
+
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -175,11 +217,19 @@ object Main {
         case "--tls-keystore" if i + 1 < args.length   => tlsKeyStore = Some(args(i + 1)); i += 2
         case "--tls-truststore" if i + 1 < args.length => tlsTrustStore = Some(args(i + 1)); i += 2
         case "--tls-pass" if i + 1 < args.length       => tlsPass = args(i + 1); i += 2
+        case "--acl-model-file" if i + 1 < args.length  => aclModelFile = Some(args(i + 1)); i += 2
+        case "--acl-policy-file" if i + 1 < args.length => aclPolicyFile = Some(args(i + 1)); i += 2
+        case "--config-file" if i + 1 < args.length     => i += 2 // consumed in the pre-pass
         case "--data-dir" | "--bootstrap" | "--subject" | "--join" | "--name" | "--ttl" |
-            "--tls-keystore" | "--tls-truststore" | "--tls-pass" => usage()
+            "--tls-keystore" | "--tls-truststore" | "--tls-pass" | "--acl-model-file" |
+            "--acl-policy-file" | "--config-file" => usage()
         case other                                => rest = rest :+ other; i += 1
       }
     }
+    aclModelFile.foreach(graft.server.Acl.requireReferenceModel)
+    val acl = aclPolicyFile
+      .map(graft.server.Acl.fromPolicyFile)
+      .getOrElse(graft.server.Acl.rootOnly)
     val tlsCfg: Option[graft.server.MtlsConfig] = (tlsKeyStore, tlsTrustStore) match {
       case (Some(ks), Some(ts)) => Some(graft.server.MtlsConfig(ks, tlsPass, ts, tlsPass))
       case (None, None)         => None
@@ -216,6 +266,7 @@ object Main {
     val engine = new Engine(
       spark,
       dir,
+      acl = acl,
       nodeName = nodeName.getOrElse(if (follower) s"follower-$advertised" else "driver-0"),
       rpcAddr = advertised,
       isLeader = !follower,

@@ -50,6 +50,65 @@ final case class Acl(policy: Map[String, Set[String]]) {
 object Acl {
   /** The reference test policy: root → produce+consume, everyone else → ∅. */
   def rootOnly: Acl = Acl(Map("root" -> Set(Action.Produce, Action.Consume)))
+
+  /** Load a Casbin-style CSV policy (reference: test/policy.csv, loaded via
+    * `--acl-policy-file`, cmd/proglog/main.go:62). Lines look like
+    * `p, root, *, produce`; blank lines and `#` comments are skipped,
+    * anything else malformed fails loudly — a silently-dropped policy line
+    * is a privilege grant or denial the operator never sees. The object
+    * column must be `*`: that is the only object the reference's servers
+    * ever pass (internal/server/server.go:101,112), and our map ACL
+    * collapses objects the same way.
+    */
+  def fromPolicyFile(path: String): Acl = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    val grants = scala.collection.mutable.Map.empty[String, Set[String]]
+    lines.forEach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        line.split(",").map(_.trim).toList match {
+          case "p" :: subject :: obj :: action :: Nil =>
+            require(obj == "*", s"unsupported policy object '$obj' in $path (only '*' is supported)")
+            require(
+              action == Action.Produce || action == Action.Consume,
+              s"unknown action '$action' in $path"
+            )
+            grants(subject) = grants.getOrElse(subject, Set.empty) + action
+          case _ =>
+            throw new IllegalArgumentException(s"malformed policy line in $path: '$line'")
+        }
+      }
+    }
+    Acl(grants.toMap)
+  }
+
+  /** Accept an `--acl-model-file` (reference: test/model.conf via
+    * cmd/proglog/main.go:61) by VALIDATING it is the reference's
+    * allow-only sub/obj/act model. The map ACL hard-codes exactly that
+    * model's semantics; loading a file with a different matcher or effect
+    * and then ignoring it would silently change what the operator thinks
+    * they deployed, so anything else is rejected.
+    */
+  def requireReferenceModel(path: String): Unit = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8"
+    )
+    def squash(s: String) = s.replaceAll("\\s+", "")
+    val body = squash(text)
+    val required = Seq(
+      "r=sub,obj,act",
+      "p=sub,obj,act",
+      "e=some(where(p.eft==allow))",
+      "m=r.sub==p.sub&&r.obj==p.obj&&r.act==p.act"
+    )
+    required.foreach { frag =>
+      require(
+        body.contains(frag),
+        s"ACL model $path is not the supported sub/obj/act allow model (missing '$frag')"
+      )
+    }
+  }
 }
 
 /** The gRPC server's operator surface (reference: internal/server/server.go)
