@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -301,6 +301,21 @@ object Main {
           val dropped =
             engine.log.retain(maxAgeMillis = age.toLong * 1000L, maxBytes = bytesCap.toLong)
           println(s"retention dropped $dropped segments; lowest now ${engine.log.lowestOffset}")
+        case "export" :: out :: Nil =>
+          // L6 snapshot export: the ordered full-log reader as parquet —
+          // the Snapshot half of the reference's FSM pair
+          // (distributed_fsm.go:48-51); `restore` is the other half.
+          engine.log.reader.write.parquet(out)
+          val nExported = engine.log.currentManifest.segments.map(_.records).sum
+          println(s"exported $nExported records to $out")
+        case "restore" :: in :: Nil =>
+          // fsm.Restore analog: reset at the export's first offset, rebuild
+          // (reference: internal/log/distributed_fsm.go:53-83).
+          engine.log.restore(in)
+          println(
+            s"restored; lowest: ${engine.log.lowestOffset} highest: ${engine.log.highestOffset} " +
+              s"segments: ${engine.log.segmentCount}"
+          )
         case "compact" :: restArgs if restArgs.length <= 1 =>
           val before = engine.log.segmentCount
           restArgs.headOption match {

@@ -928,15 +928,67 @@ class SparkLog(
   }
 
   /** Delete and recreate empty (reference: internal/log/log.go:129-135). */
-  def reset(): Unit = synchronized {
+  def reset(): Unit = resetTo(config.initialOffset)
+
+  private def resetTo(initialOffset: Long): Unit = synchronized {
     remove()
     fs.mkdirs(dir)
     // The delete wiped every manifest version — the sequence restarts, and
     // our epoch restamps on the fresh v1 (fencing history is gone with the
     // log it fenced).
     metaSeq = 0L
-    swapManifest(LogManifest(Vector.empty, config.initialOffset))
+    swapManifest(LogManifest(Vector.empty, initialOffset))
   }
+
+  /** Rebuild this log from an L6 export — the `fsm.Restore` analog
+    * (reference: internal/log/distributed_fsm.go:53-83). The export is
+    * [[reader]]'s frame or any frame with `value` (binary) and `offset`
+    * columns (e.g. a parquet dump of the reader — see the String overload).
+    *
+    * Semantics mirror the reference exactly: the FIRST record's offset
+    * becomes the fresh initial offset, the log RESETS, and records
+    * re-append in offset order with offsets re-assigned sequentially from
+    * that base — so a contiguous export (which [[reader]] always is)
+    * restores to byte-identical offsets, and a doctored export with gaps
+    * re-compacts exactly as the reference's sequential Append would. An
+    * empty export is a no-op (the reference's restore loop never runs).
+    * The fencing epoch is fresh: the reset wiped manifest history and this
+    * writer claims the rebuilt log anew.
+    *
+    * The rebuild rides [[appendDF]], so it is one distributed staged write
+    * at any export size — no driver-side record loop.
+    */
+  def restore(export: DataFrame): Unit = synchronized {
+    val cols = export.columns.toSet
+    require(
+      cols.contains("value") && cols.contains("offset"),
+      s"restore needs (value, offset) columns; got ${export.columns.mkString(",")}"
+    )
+    // One aggregate pass: the restore base, plus loud failure on
+    // non-default Raft-parity fields — this engine never writes them, and
+    // silently dropping a nonzero term would corrupt a hypothetical
+    // Raft-bearing export rather than refuse it.
+    val aggs = Seq(min(col("offset")).as("base")) ++
+      (if (cols.contains("term")) Seq(max(abs(col("term"))).as("t")) else Nil) ++
+      (if (cols.contains("recordType")) Seq(max(abs(col("recordType"))).as("rt")) else Nil)
+    val head = export.agg(aggs.head, aggs.tail: _*).first()
+    if (head.isNullAt(0)) return // empty export: no-op, like the reference
+    if (cols.contains("term"))
+      require(head.getLong(1) == 0L, "restore: export carries non-zero term records")
+    if (cols.contains("recordType"))
+      require(
+        head.getInt(if (cols.contains("term")) 2 else 1) == 0,
+        "restore: export carries non-zero recordType records"
+      )
+    resetTo(head.getLong(0))
+    appendDF(export.orderBy("offset").select(col("value").cast("binary").as("value")))
+    ()
+  }
+
+  /** Restore from a directory holding a parquet dump of [[reader]] (the CLI
+    * `export` verb's output).
+    */
+  def restore(exportDir: String): Unit = restore(spark.read.parquet(exportDir))
 
   /** Remove every committed (and orphaned) segment and reset the offset
     * sequence to `initialOffset`, leaving non-segment contents — e.g. a

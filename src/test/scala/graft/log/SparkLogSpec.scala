@@ -310,6 +310,66 @@ class SparkLogSpec extends AnyFunSuite {
     assert(re.highestOffset == 4)
   }
 
+  test("export → wipe → restore round-trips records, offsets, manifest and fencing " +
+    "(fsm.Restore analog, distributed_fsm.go:53-83)") {
+    val dir = TestSpark.tempDir("log-restore")
+    val log = SparkLog(spark, dir, tinyConfig)
+    (0 until 10).foreach(i => log.appendOne(s"rec-$i".getBytes("UTF-8")))
+    // Truncate so the export's FIRST offset is non-zero: restore must reset
+    // the initial offset from the first record, not assume 0.
+    log.truncate(3)
+    val preLow = log.lowestOffset
+    assert(preLow > 0, "truncation should have advanced the lowest offset")
+    val before = log.reader
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("offset")), new String(r.getAs[Array[Byte]]("value"), "UTF-8")))
+      .toList
+
+    // Export the L6 reader as parquet (the CLI `export` verb's shape).
+    val exportDir = TestSpark.tempDir("log-export") + "/dump"
+    log.reader.write.parquet(exportDir)
+
+    // Wipe: the log is gone (fresh manifest history), then restore from dir.
+    log.reset()
+    assert(log.segmentCount == 0)
+    log.restore(exportDir)
+
+    val after = log.reader
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("offset")), new String(r.getAs[Array[Byte]]("value"), "UTF-8")))
+      .toList
+    assert(after == before, "restored records/offsets must be byte-identical")
+    assert(log.lowestOffset == preLow)
+    assert(log.highestOffset == 9L)
+
+    // Manifest consistent + fencing epoch fresh: a reopen reconciles
+    // cleanly, claims writership on the rebuilt history, and appends at
+    // the right next offset.
+    val reopened = SparkLog(spark, dir, tinyConfig)
+    assert(reopened.writerEpoch >= 1L)
+    assert(reopened.lowestOffset == preLow && reopened.highestOffset == 9L)
+    assert(reopened.appendOne("post-restore".getBytes("UTF-8")) == 10L)
+  }
+
+  test("restore(df) into a second log reproduces the source; empty export is a no-op") {
+    val src = SparkLog(spark, TestSpark.tempDir("log-restore-src"), tinyConfig)
+    (0 until 6).foreach(i => src.appendOne(s"v$i".getBytes("UTF-8")))
+    val dst = SparkLog(spark, TestSpark.tempDir("log-restore-dst"), tinyConfig)
+    dst.appendOne("will-be-wiped".getBytes("UTF-8"))
+    dst.restore(src.reader)
+    assert(
+      dst.reader.collect().map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).toList ==
+        (0 until 6).map(i => s"v$i").toList
+    )
+    assert(dst.lowestOffset == 0L && dst.highestOffset == 5L)
+
+    // Empty export: like the reference (the restore loop never runs), the
+    // log is left untouched.
+    val empty = SparkLog(spark, TestSpark.tempDir("log-restore-empty"), tinyConfig)
+    dst.restore(empty.reader)
+    assert(dst.highestOffset == 5L)
+  }
+
   test("retention drops exactly the eligible prefix by age and by size; tail survives") {
     // Deterministic clock: each append batch lands one hour apart.
     var now = 1000L * 1000
