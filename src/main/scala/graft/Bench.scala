@@ -98,6 +98,25 @@ object Bench {
       catch { case _: Exception => "" }
     def load1(s: String): Double =
       try s.split(" ")(0).toDouble catch { case _: Exception => -1.0 }
+
+    // Quiet-box wait (r7 verdict #7): the guard above DETECTS co-tenant
+    // load; this loop also WAITS for it. At this point our own JVM has
+    // burned ~no CPU, so a 1-min loadavg > 2 is someone else's work —
+    // sleep-and-retry up to k times (30 s each; the 1-min average decays
+    // with a ~1 min time constant, so one sleep clears a burst) before
+    // accepting the box. Every attempt is recorded in the JSON: a round
+    // that still ran loaded shows k failed waits instead of leaving the
+    // adjudication to a judge re-run.
+    val maxWaits =
+      try sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAITS", "6").toInt
+      catch { case _: Exception => 6 }
+    val waitAttempts = scala.collection.mutable.ListBuffer.empty[Double]
+    var slept = 0L
+    while (load1(readLoadavg()) > 2.0 && waitAttempts.size < maxWaits) {
+      waitAttempts += load1(readLoadavg())
+      Thread.sleep(30000L)
+      slept += 30L
+    }
     val loadavg = readLoadavg()
 
     // Direct co-tenant CPU measurement: whole-box busy jiffies from
@@ -200,8 +219,12 @@ object Bench {
     // `load_guard` is the guard's verdict: empty reason = quiet box, no
     // extra sweeps; a reason means the medians span 2× the sweeps and the
     // recorded loadavgs explain why.
+    val waitJson = {
+      val attempts = waitAttempts.map(a => f"$a%.2f").mkString("[", ",", "]")
+      s"""{"attempts":$attempts,"slept_sec":$slept,"loadavg_at_accept":${load1(loadavg)}}"""
+    }
     val guardJson =
-      f"""{"triggered":${guardReason.nonEmpty},"reason":"$guardReason","cotenant_cores":$cotenant%.2f,"sweeps":${allSweeps.size}}"""
+      f"""{"triggered":${guardReason.nonEmpty},"reason":"$guardReason","cotenant_cores":$cotenant%.2f,"sweeps":${allSweeps.size},"wait":$waitJson}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samplesJson,"failed":$failedJson,"reran":$reranJson,"load_guard":$guardJson,"loadavg":"$loadavg","loadavg_after":"$loadavgAfter","cold_total":$coldTotal%.3f,"runs":$runs,"sf":"$sfDir"}"""
     )
