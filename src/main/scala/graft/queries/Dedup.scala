@@ -148,7 +148,31 @@ object Dedup {
     * `enc` must carry (doc_id, lang, sz, m_0..m_{nBlocks-1}) and be
     * checkpointed by the caller (both join roles read it).
     */
-  private def triangleBitmapPairs(s: SparkSession, enc: DataFrame, nBlocks: Int): DataFrame = {
+  private def triangleBitmapPairs(s: SparkSession, enc: DataFrame, nBlocks: Int): DataFrame =
+    triangleBitmapJoin(
+      s, enc, nBlocks,
+      sizeCond = (sz1, sz2) => sz1 * 5 >= sz2 * 3 && sz2 * 5 >= sz1 * 3
+    )
+      .select(
+        least(col("ida"), col("idb")).as("d1"),
+        greatest(col("ida"), col("idb")).as("d2"),
+        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard")
+      )
+      .filter(col("jaccard") >= 0.6)
+
+  /** The triangle meet itself, parameterized on the in-join size bound so
+    * asymmetric measures can reuse it: returns one row per unordered doc
+    * pair with (ida, idb, sz1, sz2, inter). Jaccard callers apply the 5/3
+    * size bound inside the join; containment has no useful unordered-pair
+    * size bound (the smaller side can always be contained) and passes
+    * `lit(true)`.
+    */
+  private def triangleBitmapJoin(
+      s: SparkSession,
+      enc: DataFrame,
+      nBlocks: Int,
+      sizeCond: (Column, Column) => Column
+  ): DataFrame = {
     val inter = balancedSum(
       (0 until nBlocks).map(i => expr(s"CAST(bit_count(ma_$i & mb_$i) AS BIGINT)")))
     val G = 8
@@ -179,15 +203,10 @@ object Dedup {
         col("lang") === col("lang2") &&
           col("tri_p") === col("tri_p2") && col("tri_q") === col("tri_q2") &&
           (col("tri_p") =!= col("tri_q") || col("ida") < col("idb")) &&
-          col("sz1") * 5 >= col("sz2") * 3 && col("sz2") * 5 >= col("sz1") * 3
+          sizeCond(col("sz1"), col("sz2"))
       )
       .withColumn("inter", inter)
-      .select(
-        least(col("ida"), col("idb")).as("d1"),
-        greatest(col("ida"), col("idb")).as("d2"),
-        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jaccard")
-      )
-      .filter(col("jaccard") >= 0.6)
+      .select("ida", "idb", "sz1", "sz2", "inter")
   }
 
   /** Above this per-doc token density (avg tokens per doc ÷ vocabulary
@@ -207,6 +226,154 @@ object Dedup {
     * 2.2–3.3%) and keep the prefix path.
     */
   private[queries] val DenseAllPairsMinDensity = 0.05
+
+  /** Literal-dictionary bitmap encoding for degenerate (≤512-word)
+    * universes, shared by the Jaccard and containment triangle branches:
+    * the vocabulary is METADATA, so it ships inside the projection as a
+    * `typedlit` — one map-side pass, no vocab join, no pre-join shuffle.
+    * Input needs (doc_id, lang, words); returns the checkpointed
+    * (doc_id, lang, sz, m_0..m_{n-1}) signature table + block count.
+    *
+    * localCheckpoint: both roles of the triangle self-join read this
+    * table, and Catalyst does not share subplans — without it the text
+    * scan + array_position encoding runs TWICE (measured ~1.5× the query
+    * cost at sf0.1). The checkpointed rows are metadata-per-doc (id, lang,
+    * size, ≤8 longs), ~100 B/doc at any corpus scale. The set SIZE is
+    * recovered from the blocks (popcount sum), never from the input
+    * array — bitmap OR makes duplicate tokens free, so callers skip
+    * per-row array_distinct.
+    */
+  private def bitmapEncode(docs: DataFrame, smallVocab: Array[String]): (DataFrame, Int) = {
+    val words = smallVocab.sorted
+    val nBlocks = math.max(1, (words.length + 63) / 64)
+    val enc = docs
+      .withColumn(
+        "wids",
+        transform(col("words"), w => (array_position(typedlit(words), w) - 1).cast("int"))
+      )
+      .select(
+        col("doc_id") +: col("lang") +:
+          (0 until nBlocks).map(i =>
+            expr(
+              s"""aggregate(filter(wids, w -> w div 64 = $i),
+                            CAST(0 AS BIGINT),
+                            (acc, w) -> acc | shiftleft(CAST(1 AS BIGINT), w % 64))"""
+            ).as(s"m_$i")
+          ): _*
+      )
+      .withColumn(
+        "sz",
+        balancedSum((0 until nBlocks).map(i => expr(s"CAST(bit_count(m_$i) AS BIGINT)"))))
+      .pipe(graft.queries.Checkpoints.checkpoint)
+    (enc, nBlocks)
+  }
+
+  /** Asymmetric set-containment pairs (C(A→B) = |A∩B|/|A| ≥ 19/20) —
+    * the `dedup_containment` core, exposed for plan/strategy tests. Two
+    * branches keyed on the SAME bounded vocabulary probe as the Jaccard
+    * family ([[SmallVocabBlocks]]):
+    *
+    *  - degenerate universe (≤512 words): triangle all-pairs over literal-
+    *    dictionary bitmap signatures — the prefix meet is information-free
+    *    there (measured on the 31-word sf corpus: it admitted most pairs
+    *    while paying the full explode/distinct/verify machinery), and the
+    *    popcounted triangle intersection is exact with no candidate stage
+    *    at all. Both directions of each met pair are tested: containment
+    *    is asymmetric, so there is no d1<d2 collapse.
+    *  - real vocabulary: the index-probe prefix join (probe side explodes
+    *    only its rare-first prefix, container side is the full inverted
+    *    index) + exact array_intersect verify.
+    */
+  private[queries] def containmentPairsFrom(s: SparkSession, documents: DataFrame): DataFrame = {
+    import s.implicits._
+    val docsTok = documents
+      .select(col("doc_id"), array_distinct(split(lower(trim(col("text"))), " ")).as("words"))
+    val wordRows = docsTok.select(col("doc_id"), explode(col("words")).as("word"))
+    // One bounded job decides the strategy AND fetches the tiny dictionary
+    // when it applies (≤ 512 words + 1 sentinel row) — identical to the
+    // Jaccard family's probe.
+    val smallVocab = wordRows
+      .select("word")
+      .distinct()
+      .limit(SmallVocabBlocks * 64 + 1)
+      .as[String]
+      .collect()
+
+    if (smallVocab.length <= SmallVocabBlocks * 64) {
+      // Containment has no lang blocking (the oracle admits cross-lang
+      // pairs), so the triangle's lang key is a constant.
+      val (enc, nBlocks) = bitmapEncode(docsTok.withColumn("lang", lit("")), smallVocab)
+      val joined = triangleBitmapJoin(s, enc, nBlocks, sizeCond = (_, _) => lit(true))
+      val dir1 = joined.select(
+        col("ida").as("i"), col("idb").as("j"),
+        col("sz1").as("szA"), col("sz2").as("szB"), col("inter"))
+      val dir2 = joined.select(
+        col("idb").as("i"), col("ida").as("j"),
+        col("sz2").as("szA"), col("sz1").as("szB"), col("inter"))
+      dir1
+        .unionByName(dir2)
+        .filter(col("inter") * 20 >= col("szA") * 19)
+        .select(
+          col("i").as("contained"),
+          col("j").as("container"),
+          col("szA").as("sz_contained"),
+          col("szB").as("sz_container"),
+          col("inter"),
+          round(col("inter").cast("double") / col("szA").cast("double"), 6).as("containment")
+        )
+    } else {
+      val dfreq = wordRows.groupBy("word").agg(count(lit(1)).as("df"))
+      // Rare-first per-doc token array: sort by (global df, word) so the
+      // prefix is the doc's rarest tokens — deterministic regardless of
+      // collect_list order.
+      val ranked = wordRows
+        .join(dfreq, "word")
+        .groupBy("doc_id")
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("df"), col("word")))),
+            st => st.getField("word")
+          ).as("w")
+        )
+        .withColumn("sz", size(col("w")).cast("long"))
+        // Four roles read this table (probe, index, both verify sides) —
+        // checkpoint or the tokenize+df join runs four times.
+        .pipe(graft.queries.Checkpoints.checkpoint)
+      val P = pairShufflePartitions(s)
+      val probe = ranked
+        .withColumn("min_inter", expr("(19 * sz + 19) div 20"))
+        .select(
+          col("doc_id").as("i"),
+          col("sz").as("szA"),
+          explode(slice(col("w"), lit(1), (col("sz") - col("min_inter") + 1).cast("int")))
+            .as("word")
+        )
+        .repartition(P, col("word"))
+      val index = ranked
+        .select(col("doc_id").as("j"), col("sz").as("szB"), explode(col("w")).as("word"))
+        .repartition(P, col("word"))
+      val cands = probe
+        .join(index, Seq("word"))
+        .filter(col("i") =!= col("j") && col("szB") * 20 >= col("szA") * 19)
+        .select("i", "j")
+        .distinct()
+      val wa = ranked.select(col("doc_id").as("i"), col("w").as("wa"), col("sz").as("szA"))
+      val wb = ranked.select(col("doc_id").as("j"), col("w").as("wb"), col("sz").as("szB"))
+      cands
+        .join(wa, "i")
+        .join(wb, "j")
+        .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+        .filter(col("inter") * 20 >= col("szA") * 19)
+        .select(
+          col("i").as("contained"),
+          col("j").as("container"),
+          col("szA").as("sz_contained"),
+          col("szB").as("sz_container"),
+          col("inter"),
+          round(col("inter").cast("double") / col("szA").cast("double"), 6).as("containment")
+        )
+    }
+  }
 
   /** The candidate/verify pair machinery; input docs need not be set-
     * distinct (each doc is then its own representative).
@@ -258,35 +425,7 @@ object Dedup {
           // of data. Encoding becomes one map-side projection (no vocab
           // join, no pre-join shuffle): wid = array_position(literal),
           // bitmap blocks fold over the wids in codegen.
-          val words = smallVocab.sorted
-          val nBlocks = math.max(1, (words.length + 63) / 64)
-          // localCheckpoint: both roles of the triangle self-join below read
-          // this table, and Catalyst does not share subplans — without it
-          // the text scan + array_position encoding runs TWICE (measured
-          // ~1.5× the query cost at sf0.1). The checkpointed rows are
-          // metadata-per-doc (id, lang, size, ≤8 longs), ~100 B/doc at any
-          // corpus scale. The set SIZE is recovered from the blocks
-          // (popcount sum), never from the input array — bitmap OR makes
-          // duplicate tokens free, so callers skip per-row array_distinct.
-          val enc = docs
-            .withColumn(
-              "wids",
-              transform(col("words"), w => (array_position(typedlit(words), w) - 1).cast("int"))
-            )
-            .select(
-              col("doc_id") +: col("lang") +:
-                (0 until nBlocks).map(i =>
-                  expr(
-                    s"""aggregate(filter(wids, w -> w div 64 = $i),
-                                  CAST(0 AS BIGINT),
-                                  (acc, w) -> acc | shiftleft(CAST(1 AS BIGINT), w % 64))"""
-                  ).as(s"m_$i")
-                ): _*
-            )
-            .withColumn(
-              "sz",
-              balancedSum((0 until nBlocks).map(i => expr(s"CAST(bit_count(m_$i) AS BIGINT)"))))
-            .pipe(graft.queries.Checkpoints.checkpoint)
+          val (enc, nBlocks) = bitmapEncode(docs, smallVocab)
           return triangleBitmapPairs(s, enc, nBlocks)
         }
 
@@ -1645,72 +1784,24 @@ object Dedup {
     //  vocabulary; each bucket's cost is |prefixes with t| · |docs with
     //  t|, and rare-first ordering keeps the probe side of hot tokens
     //  near-empty. The |B| ≥ ⌈τ|A|⌉ size bound prunes inside the join.
-    //  (A 31-word degenerate universe admits most pairs here, as it
-    //  must — the output itself is dense; real vocabularies prune hard,
-    //  and the triangle-branch escape dedup_jaccard takes for tiny
-    //  universes would compose identically if needed.)
     //
-    //  VERIFY: distinct candidates re-join the per-doc sorted token
-    //  arrays (two keyed joins) and count |A∩B| with array_intersect —
-    //  exact at any vocabulary size.
+    //  DEGENERATE-UNIVERSE ESCAPE (round 8, same measured-vocabulary
+    //  probe as the Jaccard family): on a ≤512-word universe every token
+    //  is common, the prefix meet admits most pairs, and the "filtered"
+    //  index-probe join is a blown-up all-pairs. There the query takes
+    //  the triangle all-pairs bitmap join instead — each unordered pair
+    //  met exactly once on ≤8 scalar longs, then BOTH directions tested
+    //  against the containment threshold (containment is asymmetric;
+    //  Jaccard's d1<d2 emit collapses directions, this one must not).
+    //
+    //  VERIFY (prefix path): distinct candidates re-join the per-doc
+    //  sorted token arrays (two keyed joins) and count |A∩B| with
+    //  array_intersect — exact at any vocabulary size. The triangle path
+    //  needs no separate verify: popcounted intersections ARE exact.
     Q(
       "dedup_containment",
-      (s, d) => {
-        val toks = t(s, d, "documents")
-          .select(col("doc_id"), explode(array_distinct(split(lower(trim(col("text"))), " ")))
-            .as("word"))
-        val dfreq = toks.groupBy("word").agg(count(lit(1)).as("df"))
-        // Rare-first per-doc token array: sort by (global df, word) so the
-        // prefix is the doc's rarest tokens — deterministic regardless of
-        // collect_list order.
-        val ranked = toks
-          .join(dfreq, "word")
-          .groupBy("doc_id")
-          .agg(
-            transform(
-              array_sort(collect_list(struct(col("df"), col("word")))),
-              st => st.getField("word")
-            ).as("w")
-          )
-          .withColumn("sz", size(col("w")).cast("long"))
-          // Four roles read this table (probe, index, both verify sides) —
-          // checkpoint or the tokenize+df join runs four times.
-          .pipe(graft.queries.Checkpoints.checkpoint)
-        val P = pairShufflePartitions(s)
-        val probe = ranked
-          .withColumn("min_inter", expr("(19 * sz + 19) div 20"))
-          .select(
-            col("doc_id").as("i"),
-            col("sz").as("szA"),
-            explode(slice(col("w"), lit(1), (col("sz") - col("min_inter") + 1).cast("int")))
-              .as("word")
-          )
-          .repartition(P, col("word"))
-        val index = ranked
-          .select(col("doc_id").as("j"), col("sz").as("szB"), explode(col("w")).as("word"))
-          .repartition(P, col("word"))
-        val cands = probe
-          .join(index, Seq("word"))
-          .filter(col("i") =!= col("j") && col("szB") * 20 >= col("szA") * 19)
-          .select("i", "j")
-          .distinct()
-        val wa = ranked.select(col("doc_id").as("i"), col("w").as("wa"), col("sz").as("szA"))
-        val wb = ranked.select(col("doc_id").as("j"), col("w").as("wb"), col("sz").as("szB"))
-        cands
-          .join(wa, "i")
-          .join(wb, "j")
-          .withColumn("inter", size(array_intersect(col("wa"), col("wb"))).cast("long"))
-          .filter(col("inter") * 20 >= col("szA") * 19)
-          .select(
-            col("i").as("contained"),
-            col("j").as("container"),
-            col("szA").as("sz_contained"),
-            col("szB").as("sz_container"),
-            col("inter"),
-            round(col("inter").cast("double") / col("szA").cast("double"), 6).as("containment")
-          )
-          .orderBy("contained", "container")
-      },
+      (s, d) =>
+        containmentPairsFrom(s, t(s, d, "documents")).orderBy("contained", "container"),
       Some("""
         WITH w AS (
           SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word

@@ -191,6 +191,46 @@ class DedupScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("containment pairs are exact on a degenerate vocabulary (triangle escape path)") {
+    // ≤512-word universe: the prefix meet is information-free, so the
+    // strategy probe must route to the triangle all-pairs bitmap branch —
+    // and the result must still be the exact containment relation, BOTH
+    // directions (containment is asymmetric: a small doc contained in a
+    // big one pairs one way only). Brute-force oracle in plain Scala.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 300).map(i => s"w$i") // < SmallVocabBlocks*64 = 512
+    val base = (0 until 150).map { i =>
+      val n = 12 + rnd.nextInt(25)
+      val ws = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).distinct
+      (i.toLong, "en", ws.mkString(" "))
+    }
+    // Planted exact quote ACROSS langs (containment ignores lang): doc 1000
+    // holds a 10-word subset of doc 0's tokens.
+    val quote = (1000L, "fr", base.head._3.split(" ").take(10).mkString(" "))
+    val all = base :+ quote
+    val dir = TestSpark.tempDir("containment-tiny")
+    all.toDF("doc_id", "lang", "text").write.parquet(s"$dir/documents.parquet")
+
+    val got = graft.SparkEntry
+      .queries("dedup_containment")(spark, dir)
+      .select("contained", "container", "inter")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    Checkpoints.release()
+
+    val sets = all.map { case (id, _, text) => id -> text.split(" ").toSet }
+    val expected = (for {
+      (i, a) <- sets
+      (j, b) <- sets
+      if i != j && (a & b).size * 20 >= 19 * a.size
+    } yield (i, j, (a & b).size.toLong)).toSet
+    assert(expected.exists(_._1 == 1000L), "planted quote produced no contained pair")
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}; " +
+      s"missing=${(expected -- got).take(5)} spurious=${(got -- expected).take(5)}")
+  }
+
   test("containment pairs are exact on a realistic vocabulary (prefix-probe path)") {
     // The sf-testdata's 31-word universe makes containment trivially dense;
     // this corpus has a ~5k-word vocabulary where the rare-first prefix

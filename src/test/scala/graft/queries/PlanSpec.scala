@@ -286,11 +286,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("cosine_similarity"), s"scoring must stay in the codegen expression:\n$p")
   }
 
-  test("containment join hints no broadcast and keys candidates on the token") {
-    // Probe prefix and inverted index meet on the token with explicit-count
-    // repartitions; nothing forces a broadcast (AQE may still adapt at this
-    // sf). The checkpointed ranked table hides its own subplan, so hints
-    // are counted on the analyzed plan of the returned frame.
+  test("containment join hints no broadcast and takes the strategy branch the vocabulary calls for") {
+    // The sf-testdata universe is ~31 words — far under SmallVocabBlocks*64
+    // — so the measured-vocabulary probe must route dedup_containment to
+    // the TRIANGLE bitmap branch (popcount intersections, no prefix
+    // explode, no array_intersect verify). Either branch: no broadcast
+    // hint, no cartesian, explicit-count pair repartition.
     val df = SparkEntry.queries("dedup_containment")(spark, d)
     val analyzed = df.queryExecution.analyzed.toString
     val p = df.queryExecution.executedPlan.toString
@@ -299,6 +300,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"dedup_containment planned a cartesian:\n$p")
     assert(p.contains("REPARTITION_BY_NUM"),
       s"dedup_containment lost its explicit-count repartition:\n$p")
+    assert(p.contains("bit_count"),
+      s"tiny vocabulary must take the triangle bitmap branch:\n$p")
+    assert(!p.contains("array_intersect"),
+      s"triangle branch needs no array verify:\n$p")
+  }
+
+  test("containment on a real vocabulary keeps the prefix-probe index join") {
+    // Above the probe cutoff the prefix path must come back: inverted-index
+    // token join + exact array_intersect verify, no bitmap machinery.
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      (i.toLong, "en", (0 until 30).map(j => s"w${i * 37 + j}").mkString(" "))
+    }
+    val df = graft.queries.Dedup.containmentPairsFrom(spark, docs.toDF("doc_id", "lang", "text"))
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(p.contains("array_intersect"), s"prefix path lost its exact verify:\n$p")
+    assert(!p.contains("bit_count"), s"real vocabulary must not take the bitmap branch:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"containment prefix path lost its explicit-count repartition:\n$p")
   }
 
   test("substring-dedup apply keeps the map-side-combinable min and never explodes positions") {
