@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -496,6 +496,19 @@ object Main {
             else emb
           val v = graft.queries.AnnIndex.build(spark, spark.read.parquet(embPath), index)
           println(s"built ann index v=$v at $index")
+        case "index-ann-append" :: emb :: index :: Nil =>
+          // Incremental maintenance: delta version over the current index
+          // (nearest-existing-centroid assignment, base lists untouched).
+          val embPath =
+            if (new java.io.File(s"$emb/embeddings.parquet").exists()) s"$emb/embeddings.parquet"
+            else emb
+          val v = graft.queries.AnnIndex.append(spark, spark.read.parquet(embPath), index)
+          println(s"appended ann index delta v=$v at $index")
+        case "index-ann-recentre" :: index :: Nil =>
+          // Fold the delta chain into one consolidated version with
+          // recomputed centroids (the staleness repair).
+          val v = graft.queries.AnnIndex.recentre(spark, index)
+          println(s"recentred ann index into v=$v at $index")
         case "compact-near-index" :: index :: Nil =>
           Engine.compactNearIndex(spark, index) match {
             case Some(upTo) => println(s"compacted $index into batch=$upTo")

@@ -66,6 +66,32 @@ object AnnIndex {
   /** Promote a float array column to double for exact cross-engine math. */
   private def dbl(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
 
+  private def basePath(indexDir: String, v: Long) = new Path(s"$indexDir/v=$v/_base")
+
+  /** Delta chain of version `v`, head first: `v` plus its transitive
+    * `_base` ancestors. A full build has no `_base` file and is its own
+    * chain.
+    */
+  private def chainOf(spark: SparkSession, indexDir: String, v: Long): Seq[Long] = {
+    val f = fs(spark, indexDir)
+    val out = Seq.newBuilder[Long]
+    var cur = Option(v)
+    while (cur.isDefined) {
+      val c = cur.get
+      out += c
+      cur =
+        if (!f.exists(basePath(indexDir, c))) None
+        else {
+          val in = f.open(basePath(indexDir, c))
+          val meta =
+            try new String(in.readAllBytes(), "UTF-8").trim
+            finally in.close()
+          Some(meta.stripPrefix("base=").toLong)
+        }
+    }
+    out.result()
+  }
+
   /** Build version `current+1` from an embeddings table
     * `(vec_id, label, embedding)` — the coarse quantizer is the per-label
     * centroid (identical definition to `knn_ivf_dist`, so the indexed
@@ -99,17 +125,118 @@ object AnnIndex {
     // Commit marker LAST; carries the covered row count for staleness
     // checks. Everything before this line is invisible to readers.
     val rows = embeddings.count()
+    commitAndPrune(spark, indexDir, v, rows)
+    v
+  }
+
+  /** Write the commit marker for `v` (LAST — everything before is
+    * invisible), then prune every version outside `v`'s live chain. A
+    * crash after the marker only leaves ignorable debris for the next
+    * writer; a crash before it leaves an invisible half-written version
+    * that the next build/append overwrites (same number, overwrite mode).
+    */
+  private def commitAndPrune(spark: SparkSession, indexDir: String, v: Long, rows: Long): Unit = {
     val f = fs(spark, indexDir)
     val out = f.create(markerPath(indexDir, v), true)
     try out.write(s"rows=$rows".getBytes("UTF-8"))
     finally out.close()
-    // Prune superseded versions (after the marker — a crash here only
-    // leaves ignorable debris for the next build).
-    versions(spark, indexDir).filter(_ < v).foreach { old =>
+    val live = chainOf(spark, indexDir, v).toSet
+    versions(spark, indexDir).filterNot(live).filter(_ < v).foreach { old =>
       f.delete(new Path(s"$indexDir/v=$old"), true)
     }
+  }
+
+  /** Append-only index maintenance: new vectors join the CURRENT index
+    * without a full rebuild. The new version holds ONLY the delta —
+    * incoming vectors assigned to their nearest EXISTING centroid
+    * (broadcast k×dim model state, one map-side pass over the delta) and
+    * written as cell-partitioned inverted-list files — plus a copy of the
+    * (tiny) centroid table and a `_base` pointer to the version it
+    * extends. Readers resolve the chain and union the cell directories,
+    * so existing inverted lists are never rewritten: append cost is
+    * O(|delta|), independent of index size.
+    *
+    * STALENESS CONTRACT (explicit): appended vectors are searchable the
+    * moment the marker lands, but centroids do NOT move — cell membership
+    * is frozen at assignment time, so as deltas accumulate the quantizer
+    * drifts from the true cell means and recall decays. [[recentre]] is
+    * the periodic repair: it folds the whole chain into one consolidated
+    * full version with freshly recomputed centroids (the
+    * `compactNearIndex` fold). Run it when the appended fraction is no
+    * longer small (the marker row counts make the ratio observable).
+    *
+    * Crash-safe by the same marker recipe as [[build]]: cells, centroid
+    * copy and `_base` land BEFORE the marker; a crash mid-append leaves
+    * an invisible partial version that the next append overwrites.
+    */
+  def append(spark: SparkSession, newVectors: DataFrame, indexDir: String): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    val (base, baseRows) = current(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"append needs an existing complete index under $indexDir")
+    )
+    // current+1, like build: a crashed append's debris at this number is
+    // simply overwritten (static partition overwrite replaces the dir).
+    val v = base + 1
+    val vd = s"$indexDir/v=$v"
+    val cent = spark.read.parquet(s"$indexDir/v=$base/centroids")
+    // Nearest existing centroid, deterministic tiebreak — the same
+    // rounding + (score desc, cell asc) order the probe side uses.
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cell"))
+    val delta = newVectors
+      .select(col("vec_id"), dbl(col("embedding")).as("v"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", round(expr("cosine_similarity(v, cv)"), 4))
+      .withColumn("pr", row_number().over(wAssign))
+      .filter(col("pr") === 1)
+      .select(col("vec_id"), col("cell"), col("v"))
+    delta.write.mode("overwrite").partitionBy("cell").parquet(s"$vd/cells")
+    cent.write.mode("overwrite").parquet(s"$vd/centroids")
+    val f = fs(spark, indexDir)
+    val bout = f.create(basePath(indexDir, v), true)
+    try bout.write(s"base=$base".getBytes("UTF-8"))
+    finally bout.close()
+    val rows = baseRows + newVectors.count()
+    commitAndPrune(spark, indexDir, v, rows)
     v
   }
+
+  /** Fold a delta chain back into one consolidated full version: all
+    * chained cells re-read (cell membership preserved — vectors stay
+    * where they were assigned), centroids recomputed as the mean of each
+    * cell's CURRENT members, everything rewritten as a fresh base version
+    * with no `_base` pointer; the old chain prunes after the marker.
+    */
+  def recentre(spark: SparkSession, indexDir: String): Long = {
+    val (head, rows) = current(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no complete ANN index version under $indexDir")
+    )
+    val v = head + 1
+    val vd = s"$indexDir/v=$v"
+    val e = allCells(spark, indexDir, head).select("vec_id", "cell", "v")
+    e.write.mode("overwrite").partitionBy("cell").parquet(s"$vd/cells")
+    e.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(avg("x").as("cx"))
+      .groupBy("cell")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("cx")))),
+          st => st.getField("cx")
+        ).as("cv")
+      )
+      .write.mode("overwrite").parquet(s"$vd/centroids")
+    commitAndPrune(spark, indexDir, v, rows)
+    v
+  }
+
+  /** Union of the cell tables across `head`'s delta chain. Each version's
+    * cells read with their own partition discovery, so per-cell pruning
+    * still applies to every chained directory.
+    */
+  private def allCells(spark: SparkSession, indexDir: String, head: Long): DataFrame =
+    chainOf(spark, indexDir, head)
+      .map(cv => spark.read.parquet(s"$indexDir/v=$cv/cells"))
+      .reduce(_.unionByName(_))
 
   /** The probe side of the split: assign each probe vector to its nProbe
     * nearest persisted centroids (broadcast — k×dim model state), then
@@ -130,7 +257,9 @@ object AnnIndex {
     )
     val vd = s"$indexDir/v=$v"
     val cent = spark.read.parquet(s"$vd/centroids")
-    val cells = spark.read.parquet(s"$vd/cells")
+    // The head's cells plus any append deltas it chains to — appended
+    // vectors are searchable without their base lists ever rewriting.
+    val cells = allCells(spark, indexDir, v)
     val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("cell"))
     val assigned = probes
       .crossJoin(broadcast(cent))

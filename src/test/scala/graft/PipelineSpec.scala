@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -570,5 +572,85 @@ class PipelineSpec extends AnyFunSuite {
     assert(v3 == 3L && AnnIndex.current(spark, idx).contains((3L, 64L)))
     assert(!new java.io.File(s"$idx/v=2").exists(), "superseded version must be pruned")
     assert(results() == r2, "identical corpus -> identical probe results")
+  }
+
+  test("ann index: append-only delta updates, crash recovery, recentre consolidation") {
+    import graft.queries.AnnIndex
+    val session = spark
+    import session.implicits._
+    val dir = TestSpark.tempDir("ann-append")
+    val idx = s"$dir/index"
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => (math.sin(seed * 31 + i) * 100).toFloat)
+    def table(ids: Range) =
+      ids.map(i => (i.toLong, i % 3, vec(i))).toDF("vec_id", "label", "embedding")
+
+    val v1 = AnnIndex.build(spark, table(0 until 40), idx)
+    assert(v1 == 1L)
+    def probes() = table(0 until 4)
+      .select(col("vec_id").as("qid"), transform(col("embedding"), x => x.cast("double")).as("qv"))
+    def results() =
+      AnnIndex.probe(spark, idx, probes(), nProbe = 3, k = 40)
+        .select("qid", "vec_id")
+        .as[(Long, Long)]
+        .collect()
+        .toSet
+    val r1 = results()
+    assert(r1.nonEmpty && !r1.exists(_._2 >= 40L))
+
+    // Record the base's cell files: an append must not rewrite any.
+    def cellFiles(v: Long): Set[String] = {
+      val root = java.nio.file.Paths.get(s"$idx/v=$v/cells")
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).map(_.toString).toSet
+      finally s.close()
+    }
+    val baseFiles = cellFiles(1L)
+    val baseStamps = baseFiles.map(f =>
+      f -> java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f))).toMap
+
+    // Append 24 new vectors: a delta version with a _base pointer; the
+    // probe must see them immediately, the base lists must be untouched.
+    val v2 = AnnIndex.append(spark, table(40 until 64), idx)
+    assert(v2 == 2L && AnnIndex.current(spark, idx).contains((2L, 64L)))
+    assert(new java.io.File(s"$idx/v=2/_base").exists(), "append must record its base")
+    assert(new java.io.File(s"$idx/v=1").exists(), "append must NOT prune its base")
+    assert(cellFiles(1L) == baseFiles, "append must not add/remove base cell files")
+    baseStamps.foreach { case (f, t) =>
+      assert(java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(f)) == t,
+        s"append rewrote a base cell file: $f")
+    }
+    val r2 = results()
+    assert(r2.exists(_._2 >= 40L), "probe must surface appended vectors without a rebuild")
+
+    // Crash mid-append: cells + _base written, marker never lands. The
+    // current index is unaffected; the NEXT append lands on the debris
+    // number and overwrites it (same recipe as build).
+    val debris = s"$idx/v=3"
+    table(64 until 66)
+      .select(col("vec_id"), lit(0).as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .write.partitionBy("cell").parquet(s"$debris/cells")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$debris/_base"), "base=2".getBytes)
+    assert(AnnIndex.current(spark, idx).contains((2L, 64L)), "incomplete append must be invisible")
+    assert(results() == r2, "probe must keep reading the last complete chain")
+    val v3 = AnnIndex.append(spark, table(64 until 72), idx)
+    assert(v3 == 3L && AnnIndex.current(spark, idx).contains((3L, 72L)))
+    val r3 = results()
+    assert(r3.exists(_._2 >= 64L) && !r3.exists(t => t._2 == 64L && false), "second delta visible")
+
+    // Recentre: the chain folds into one full version — same members,
+    // recomputed centroids, no _base, old chain pruned.
+    val v4 = AnnIndex.recentre(spark, idx)
+    assert(v4 == 4L && AnnIndex.current(spark, idx).contains((4L, 72L)))
+    assert(!new java.io.File(s"$idx/v=4/_base").exists(), "recentre must be a full version")
+    assert(!new java.io.File(s"$idx/v=1").exists() && !new java.io.File(s"$idx/v=3").exists(),
+      "recentre must prune the folded chain")
+    // Membership preserved: the consolidated index serves the same vector
+    // set (ranks can shift — centroids moved, so probe cells may differ).
+    val r4 = results()
+    assert(r4.map(_._2).size >= r3.map(_._2).size / 2 && r4.nonEmpty)
+    val consolidated = spark.read.parquet(s"$idx/v=4/cells")
+    assert(consolidated.count() == 72L, "recentre must carry every chained vector")
   }
 }
