@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L])\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -509,6 +509,48 @@ object Main {
           // recomputed centroids (the staleness repair).
           val v = graft.queries.AnnIndex.recentre(spark, index)
           println(s"recentred ann index into v=$v at $index")
+        case "build-corpus" :: docs :: out :: buildRest =>
+          // One-command corpus build: curate gates -> exact dedup -> LSH
+          // near-dedup -> decontaminate -> LM gate -> mix-weighted token
+          // budget -> sequence packing, with per-stage counts and a
+          // versioned exactly-once commit (CorpusBuilder).
+          var benchGrams: Option[String] = None
+          var lmMin: Option[Double] = None
+          var lmModel: Option[String] = None
+          var budget: Option[Long] = None
+          var seqLen = 512L
+          var bi = 0
+          while (bi < buildRest.length) {
+            buildRest(bi) match {
+              case "--bench-grams" if bi + 1 < buildRest.length =>
+                benchGrams = Some(buildRest(bi + 1)); bi += 2
+              case "--lm-min" if bi + 1 < buildRest.length =>
+                lmMin = Some(buildRest(bi + 1).toDouble); bi += 2
+              case "--lm-model" if bi + 1 < buildRest.length =>
+                lmModel = Some(buildRest(bi + 1)); bi += 2
+              case "--budget-tokens" if bi + 1 < buildRest.length =>
+                budget = Some(buildRest(bi + 1).toLong); bi += 2
+              case "--seq-len" if bi + 1 < buildRest.length =>
+                seqLen = buildRest(bi + 1).toLong; bi += 2
+              case f =>
+                System.err.println(s"build-corpus: unknown flag $f"); usage()
+            }
+          }
+          val docsPath =
+            if (new java.io.File(s"$docs/documents.parquet").exists()) s"$docs/documents.parquet"
+            else docs
+          val (v, stageCounts) = graft.queries.CorpusBuilder.build(
+            spark,
+            spark.read.parquet(docsPath),
+            out,
+            benchmarkGrams = benchGrams.map(spark.read.parquet(_)),
+            lmMinAvgLogp = lmMin,
+            lmModelDir = lmModel,
+            budgetTokens = budget,
+            seqLen = seqLen
+          )
+          stageCounts.foreach(c => println(s"stage ${c.stage}: docs=${c.docs} tokens=${c.tokens}"))
+          println(s"built corpus v=$v at $out")
         case "compact-near-index" :: index :: Nil =>
           Engine.compactNearIndex(spark, index) match {
             case Some(upTo) => println(s"compacted $index into batch=$upTo")

@@ -25,13 +25,13 @@ import Q.t
   */
 object Corpus {
 
-  private def ws = split(lower(trim(col("text"))), " ")
+  private[queries] def ws = split(lower(trim(col("text"))), " ")
 
   /** Deterministic 0..buckets-1 shard of a doc id (md5-derived, so both
     * engines and every run agree). Doc ids are non-negative, but pmod keeps
     * the contract explicit.
     */
-  private def bucketOf(buckets: Int) =
+  private[queries] def bucketOf(buckets: Int) =
     pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(buckets))
 
   val all: Seq[Q] = Seq(

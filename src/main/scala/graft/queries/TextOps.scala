@@ -30,6 +30,17 @@ object TextOps {
   private def stopCount(ws: Column, stops: Seq[String]): Column =
     size(filter(ws, w => w.isin(stops.map(x => x: Any): _*)))
 
+  /** The corpus_curate quality score (length + EN stopword ratio), shared
+    * with [[CorpusBuilder]] so the one-command build and the oracle query
+    * gate on the SAME formula.
+    */
+  private[queries] def curateScore(text: Column): Column = {
+    val ws = words(text)
+    val nWords = size(ws).cast("double")
+    val stopRatio = stopCount(ws, enStop).cast("double") / nWords
+    least(nWords / lit(50.0), lit(1.0)) * 0.5 + (lit(1.0) - stopRatio) * 0.5
+  }
+
   private def sqlStopCount(stops: Seq[String]): String =
     s"CAST(len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN (${stops
         .map(s => s"'$s'")

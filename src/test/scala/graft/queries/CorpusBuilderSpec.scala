@@ -1,0 +1,208 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The one-command corpus build vs the stages composed BY HAND: every
+  * per-stage count the builder reports must equal an independent
+  * re-derivation — plain Scala where the stage is pure (quality score,
+  * exact dedup, decontamination, budget selection over md5-derived
+  * orderings), the shared Catalyst expression only where it IS the
+  * contract (minhash16, the LM model artifact). Plus the exactly-once
+  * versioned-commit behavior (deterministic rebuild, crash debris
+  * invisible and overwritten).
+  */
+class CorpusBuilderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bucketOf(docId: Long): Long =
+    (BigInt(md5hex(docId.toString).take(15), 16) % 32).toLong
+
+  /** The corpus_curate quality score, re-derived in plain Scala. */
+  private def score(text: String): Double = {
+    val ws = text.trim.toLowerCase.split(" ", -1)
+    val stopRatio = ws.count(enStop.contains).toDouble / ws.length
+    math.min(ws.length / 50.0, 1.0) * 0.5 + (1.0 - stopRatio) * 0.5
+  }
+
+  private def tokens(text: String): Long = text.trim.toLowerCase.split(" ", -1).length.toLong
+
+  // Deterministic corpus: 4 langs, 3 sources, planted exact dups, planted
+  // near-dups (1-word substitution on a 40-word doc), planted contaminated
+  // docs sharing a known 3-gram.
+  private def corpus: Seq[(Long, String, String, String)] = {
+    val rnd = new scala.util.Random(77)
+    val langs = Seq("en", "de", "fr", "es")
+    val base = (0 until 240).map { i =>
+      val n = 20 + rnd.nextInt(60)
+      val words = Seq.fill(n)(s"w${rnd.nextInt(4000)}") ++ Seq.fill(n / 6)(enStop(rnd.nextInt(enStop.size)))
+      (i.toLong, langs(i % 4), s"src${i % 3}", rnd.shuffle(words).mkString(" "))
+    }
+    val exactDups = base.take(12).map { case (id, l, s, t) => (1000L + id, l, s, t) }
+    val nearDups = base.slice(20, 32).map { case (id, l, s, t) =>
+      val ws = t.split(" "); ws(ws.length / 2) = "subst"
+      (2000L + id, l, s, ws.mkString(" "))
+    }
+    val contaminated = (0 until 8).map { i =>
+      (3000L + i, "en", "src0",
+        s"alpha beta gamma w${i} " + Seq.fill(40)(s"w${rnd.nextInt(4000)}").mkString(" "))
+    }
+    base ++ exactDups ++ nearDups ++ contaminated
+  }
+
+  test("build-corpus stage counts equal the hand-composed batch stages") {
+    import spark.implicits._
+    val docs = corpus
+    val df = docs.toDF("doc_id", "lang", "source", "text")
+    val out = TestSpark.tempDir("corpus-build") + "/out"
+    val grams = Seq("alpha beta gamma").toDF("gram")
+    val budget = 3000L
+
+    val (v, counts) = CorpusBuilder.build(
+      spark, df, out,
+      benchmarkGrams = Some(grams),
+      lmMinAvgLogp = Some(-12.0),
+      budgetTokens = Some(budget)
+    )
+    assert(v == 1L)
+    val byStage = counts.map(c => c.stage -> c).toMap
+    assert(counts.map(_.stage) ==
+      Seq("input", "curate", "near_dedup", "decontaminate", "lm_gate", "token_budget", "pack"))
+
+    // input
+    assert(byStage("input").docs == docs.size.toLong)
+    assert(byStage("input").tokens == docs.map(d => tokens(d._4)).sum)
+
+    // curate — plain-Scala re-derivation: lang allowlist, score >= 0.5,
+    // exact dedup keep-first by min doc_id per normalized text.
+    val curatedHand = docs
+      .filter(d => Seq("en", "de", "fr").contains(d._2))
+      .filter(d => score(d._4) >= 0.5)
+      .groupBy(d => d._4.trim.toLowerCase)
+      .map { case (_, ds) => ds.minBy(_._1) }
+      .toSeq
+    assert(byStage("curate").docs == curatedHand.size.toLong,
+      s"curate: builder=${byStage("curate").docs} hand=${curatedHand.size}")
+
+    // near-dedup — minhash16 IS the contract (a Catalyst expression), so
+    // fetch signatures through it, then apply the drop rule in Scala: a
+    // doc drops iff any of its 4 band buckets holds a smaller doc id.
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = curatedHand.map(d => (d._1, d._4)).toDF("doc_id", "text")
+      .withColumn("mh", expr("minhash16(array_distinct(split(lower(trim(text)), ' ')))"))
+      .select("doc_id", "mh")
+      .as[(Long, Seq[Long])]
+      .collect()
+    val buckets = scala.collection.mutable.Map.empty[(Int, String), Long]
+    sigs.foreach { case (id, mh) =>
+      (0 until 4).foreach { b =>
+        val key = (b, mh.slice(b * 4, b * 4 + 4).mkString(","))
+        buckets(key) = math.min(buckets.getOrElse(key, Long.MaxValue), id)
+      }
+    }
+    val nearHand = sigs.filter { case (id, mh) =>
+      (0 until 4).forall { b =>
+        buckets((b, mh.slice(b * 4, b * 4 + 4).mkString(","))) == id
+      }
+    }.map(_._1).toSet
+    assert(byStage("near_dedup").docs == nearHand.size.toLong,
+      s"near_dedup: builder=${byStage("near_dedup").docs} hand=${nearHand.size}")
+
+    // decontaminate — plain Scala: drop docs sharing the planted 3-gram.
+    val textsById = docs.map(d => d._1 -> d._4).toMap
+    def grams3(text: String): Set[String] = {
+      val ws = text.trim.toLowerCase.split(" ", -1)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val deconHand = nearHand.filter(id => !grams3(textsById(id)).contains("alpha beta gamma"))
+    assert(byStage("decontaminate").docs == deconHand.size.toLong)
+
+    // lm_gate — the fitted model is the artifact; score the surviving docs
+    // through LmModel directly and apply the threshold in Scala.
+    val deconDf = docs.filter(d => deconHand(d._1)).toDF("doc_id", "lang", "source", "text")
+    val lmScores = LmModel.score(spark, deconDf, s"$out/_lm", "doc_id")
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    val gatedHand = deconHand.filter(id => lmScores(id) >= -12.0)
+    assert(byStage("lm_gate").docs == gatedHand.size.toLong,
+      s"lm_gate: builder=${byStage("lm_gate").docs} hand=${gatedHand.size}")
+
+    // token_budget — plain Scala: per-source mass^0.7 shares of the budget,
+    // selection in (bucket, md5(doc_id), doc_id) order within each source.
+    val gatedDocs = docs.filter(d => gatedHand(d._1))
+    val masses = gatedDocs.groupBy(_._3).view.mapValues(_.map(d => tokens(d._4)).sum).toMap
+    val pws = masses.view.mapValues(m =>
+      BigDecimal(math.pow(m.toDouble, 0.7)).setScale(6, BigDecimal.RoundingMode.HALF_UP)).toMap
+    val totPw = pws.values.sum
+    val budgets = pws.view.mapValues(pw => ((pw / totPw).toDouble * budget).toLong).toMap
+    val keptHand = gatedDocs
+      .groupBy(_._3)
+      .flatMap { case (src, ds) =>
+        val ordered = ds.sortBy(d => (bucketOf(d._1), md5hex(d._1.toString), d._1))
+        var cum = 0L
+        ordered.takeWhile { d =>
+          val keep = cum < budgets(src)
+          cum += tokens(d._4)
+          keep
+        }
+      }
+      .map(_._1)
+      .toSet
+    assert(byStage("token_budget").docs == keptHand.size.toLong,
+      s"token_budget: builder=${byStage("token_budget").docs} hand=${keptHand.size}")
+    assert(byStage("token_budget").tokens <= byStage("lm_gate").tokens)
+
+    // pack — no docs drop; the committed corpus carries contiguous
+    // running-sum token_starts within each bucket shard.
+    assert(byStage("pack").docs == byStage("token_budget").docs)
+    val packed = spark.read.parquet(s"$out/v=1/corpus")
+      .select("bucket", "doc_id", "n_tokens", "token_start", "seq_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(packed.length.toLong == byStage("pack").docs)
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (md5hex(r._2.toString), r._2))
+      var cum = 0L
+      ordered.foreach { case (_, _, n, start, seqId) =>
+        assert(start == cum, "token_start must be the bucket running sum")
+        assert(seqId == start / 512, "seq_id must derive from token_start")
+        cum += n
+      }
+    }
+  }
+
+  test("build is exactly-once: deterministic rebuild, crash debris overwritten") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "lang", "source", "text")
+    val out = TestSpark.tempDir("corpus-once") + "/out"
+
+    val (v1, c1) = CorpusBuilder.build(spark, df, out)
+    assert(v1 == 1L && CorpusBuilder.current(spark, out).map(_._1).contains(1L))
+    def contentHash(v: Long): Seq[(Long, Long, Long, Long)] = spark.read.parquet(s"$out/v=$v/corpus")
+      .select("doc_id", "bucket", "seq_id", "token_start")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    val h1 = contentHash(1L)
+    val (v2, c2) = CorpusBuilder.build(spark, df, out)
+    assert(v2 == 2L && c2 == c1, "identical input must reproduce identical stage counts")
+    assert(contentHash(2L) == h1, "identical input must reproduce identical packed content")
+    assert(!new java.io.File(s"$out/v=1").exists(), "superseded version must prune")
+
+    // Crash simulation: a half-written v=3 (no marker) is invisible; the
+    // next build lands on the same number and commits over it.
+    new java.io.File(s"$out/v=3/corpus").mkdirs()
+    assert(CorpusBuilder.current(spark, out).map(_._1).contains(2L))
+    val (v3, c3) = CorpusBuilder.build(spark, df, out)
+    assert(v3 == 3L && c3 == c1)
+    assert(CorpusBuilder.current(spark, out).map(_._1).contains(3L))
+    assert(contentHash(3L) == h1)
+  }
+}
