@@ -660,6 +660,170 @@ object Corpus {
         GROUP BY doc_id
         ORDER BY doc_id
       """)
+    ),
+
+    // --- sequence-packing APPLY: the per-document bin assignment ---
+    // corpus_pack reports bin statistics; this materializes the layout a
+    // trainer actually consumes (CorpusBuilder's pack stage, per doc):
+    // md5-bucket shard, deterministic (h, doc_id) order within shard,
+    // greedy running-sum offsets, seq id = offset div 512. All integer
+    // arithmetic — exact across engines. Scale: one windowed pass per
+    // 32-way shard, no global sort before the output ORDER BY.
+    Q(
+      "corpus_pack_apply",
+      (s, d) => {
+        val seqLen = 512L
+        val w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(ws).cast("long").as("n_tokens"),
+            bucketOf(32).as("bucket"),
+            md5(col("doc_id").cast("string")).as("h")
+          )
+          .withColumn(
+            "token_start",
+            coalesce(
+              sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)
+            )
+          )
+          .withColumn("seq_id", expr(s"token_start div $seqLen"))
+          .withColumn(
+            "crosses",
+            expr(s"token_start div $seqLen") =!= expr(s"(token_start + n_tokens - 1) div $seqLen")
+          )
+          .select("doc_id", "bucket", "n_tokens", "token_start", "seq_id", "crosses")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS bucket,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        cum AS (
+          SELECT doc_id, bucket, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+          FROM docs)
+        SELECT doc_id, bucket, n_tokens, token_start,
+               CAST(token_start // 512 AS BIGINT) AS seq_id,
+               token_start // 512 <> (token_start + n_tokens - 1) // 512 AS crosses
+        FROM cum ORDER BY doc_id
+      """)
+    ),
+
+    // --- token-budget APPLY: the per-document keep/drop decision ---
+    // corpus_token_budget reports per-lang keep statistics under a fixed
+    // mix; this is CorpusBuilder's stage 5 as a verifiable operator:
+    // per-SOURCE budgets from the mass^0.7 mixture law over a 40% global
+    // token budget, selection in deterministic md5-shard order. Budget
+    // arithmetic is ALL integer: pw lifts to exact 6-dp micro-units
+    // (decimal multiply, never a double cast), the global budget is
+    // (2·total) div 5, and each source's share is a DECIMAL(38,0)
+    // product with integral division — no FP boundary for the engines to
+    // disagree on. Scale: the budget table is |sources| rows (broadcast);
+    // running sums shard over (source, bucket).
+    Q(
+      "corpus_budget_apply",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("source"),
+            size(ws).cast("long").as("n_tokens"),
+            bucketOf(32).as("bucket"),
+            md5(col("doc_id").cast("string")).as("h")
+          )
+          .pipe(Checkpoints.checkpoint)
+        val perSource = docs
+          .groupBy("source")
+          .agg(sum("n_tokens").as("mass"))
+          .withColumn(
+            "pw_int",
+            (round(pow(col("mass").cast("double"), 0.7), 6).cast("decimal(28,6)") * 1000000)
+              .cast("long")
+          )
+        val tot = perSource.agg(
+          sum("pw_int").as("tot_pw"),
+          sum("mass").as("tot_mass")
+        )
+        val budgets = perSource
+          .crossJoin(broadcast(tot))
+          .withColumn(
+            "budget",
+            expr("CAST((CAST(pw_int AS DECIMAL(38,0)) * ((2 * tot_mass) div 5)) div tot_pw AS BIGINT)")
+          )
+          .select("source", "budget")
+        val bucketPrefix = docs
+          .groupBy("source", "bucket")
+          .agg(sum("n_tokens").as("bt"))
+          .withColumn(
+            "bp",
+            coalesce(
+              sum(col("bt")).over(
+                Window.partitionBy("source").orderBy("bucket")
+                  .rowsBetween(Window.unboundedPreceding, -1)
+              ),
+              lit(0L)
+            )
+          )
+          .select("source", "bucket", "bp")
+        val intra = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+        docs
+          .withColumn(
+            "cb",
+            coalesce(
+              sum(col("n_tokens")).over(intra.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)
+            )
+          )
+          .join(broadcast(bucketPrefix), Seq("source", "bucket"))
+          .join(broadcast(budgets), Seq("source"))
+          .select(
+            col("doc_id"),
+            col("source"),
+            col("n_tokens"),
+            (col("bp") + col("cb") < col("budget")).as("kept")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS bucket,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        per_src AS (
+          SELECT source, sum(n_tokens) AS mass,
+                 CAST(CAST(round(pow(CAST(sum(n_tokens) AS DOUBLE), 0.7), 6) AS DECIMAL(28,6))
+                      * 1000000 AS BIGINT) AS pw_int
+          FROM docs GROUP BY source),
+        tot AS (SELECT sum(pw_int) AS tot_pw, sum(mass) AS tot_mass FROM per_src),
+        budgets AS (
+          SELECT source,
+                 CAST((pw_int::HUGEINT * ((2 * tot_mass) // 5)) // tot_pw AS BIGINT) AS budget
+          FROM per_src CROSS JOIN tot),
+        bp AS (
+          SELECT source, bucket,
+                 coalesce(sum(sum(n_tokens)) OVER (
+                   PARTITION BY source ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bp
+          FROM docs GROUP BY source, bucket),
+        cum AS (
+          SELECT d.doc_id, d.source, d.n_tokens,
+                 bp.bp + coalesce(sum(d.n_tokens) OVER (
+                   PARTITION BY d.source, d.bucket ORDER BY d.h, d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM docs d JOIN bp ON d.source = bp.source AND d.bucket = bp.bucket)
+        SELECT c.doc_id, c.source, c.n_tokens, c.before < b.budget AS kept
+        FROM cum c JOIN budgets b ON c.source = b.source
+        ORDER BY c.doc_id
+      """)
     )
   )
 }

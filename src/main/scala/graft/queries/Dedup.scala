@@ -1820,6 +1820,55 @@ object Dedup {
         WHERE inter * 20 >= 19 * sa.sz
         ORDER BY contained, container
       """)
+    ),
+
+    // --- containment APPLY: the per-document keep/drop decision ---
+    // The pair listing answers "who quotes whom"; a pipeline needs "which
+    // docs to drop". Rule (deterministic, no transitive closure needed): a
+    // doc drops iff it is contained in a STRICTLY larger doc, or in an
+    // equal-size doc with a smaller id — so mutually-containing
+    // (identical-set) docs keep exactly their min id, and a containment
+    // CHAIN small ⊂ mid ⊂ big drops both small and mid while big (never a
+    // contained side of a larger doc) survives as the content owner.
+    // Rides the same two-branch pair machinery as dedup_containment.
+    Q(
+      "dedup_containment_apply",
+      (s, d) => {
+        val dropped = containmentPairsFrom(s, t(s, d, "documents"))
+          .filter(
+            col("sz_container") > col("sz_contained") ||
+              (col("sz_container") === col("sz_contained") &&
+                col("container") < col("contained"))
+          )
+          .select(col("contained").as("doc_id"))
+          .distinct()
+          .withColumn("dropped", lit(true))
+        t(s, d, "documents")
+          .select("doc_id")
+          .join(dropped, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("dropped"), lit(false)).as("dropped"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+          FROM documents),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM w GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS inter
+          FROM w a JOIN w b ON a.word = b.word AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+        drops AS (
+          SELECT DISTINCT i AS doc_id
+          FROM inter
+          JOIN sz sa ON i = sa.doc_id
+          JOIN sz sb ON j = sb.doc_id
+          WHERE inter * 20 >= 19 * sa.sz
+            AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND j < i)))
+        SELECT d.doc_id, coalesce(dr.doc_id IS NOT NULL, false) AS dropped
+        FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+        ORDER BY d.doc_id
+      """)
     )
   )
 }
