@@ -1599,7 +1599,15 @@ object Dedup {
                  unnest(list_transform(range(1, len(w) - 8),
                         i -> md5(array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 9], ' ')))) AS h
           FROM w WHERE len(w) >= 10),
-        keyed AS (SELECT doc_id, p, h, struct_pack(d := doc_id, p := p) AS key FROM occ),
+        keyed AS (
+          -- Widened arithmetic key (doc_id * 2^20 + p) rather than the
+          -- engine-side struct: min(STRUCT) over the sf1 soak's ~30M
+          -- occurrence rows doubles DuckDB's hash-agg footprint and got
+          -- the oracle OOM-killed; 2^20 is exact for any document under
+          -- 1M windows (every test corpus by orders of magnitude), and a
+          -- violation would surface as a loud hash mismatch vs Spark's
+          -- unaliasable struct key, never silent corruption.
+          SELECT doc_id, p, h, doc_id * 1048576 + p AS key FROM occ),
         firsts AS (SELECT h, min(key) AS mk FROM keyed GROUP BY h),
         removable AS (
           SELECT doc_id, p FROM keyed JOIN firsts USING (h) WHERE key > mk),
@@ -1708,7 +1716,15 @@ object Dedup {
                  unnest(list_transform(range(1, len(w) - 8),
                         i -> md5(array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 9], ' ')))) AS h
           FROM w WHERE len(w) >= 10),
-        keyed AS (SELECT doc_id, p, h, struct_pack(d := doc_id, p := p) AS key FROM occ),
+        keyed AS (
+          -- Widened arithmetic key (doc_id * 2^20 + p) rather than the
+          -- engine-side struct: min(STRUCT) over the sf1 soak's ~30M
+          -- occurrence rows doubles DuckDB's hash-agg footprint and got
+          -- the oracle OOM-killed; 2^20 is exact for any document under
+          -- 1M windows (every test corpus by orders of magnitude), and a
+          -- violation would surface as a loud hash mismatch vs Spark's
+          -- unaliasable struct key, never silent corruption.
+          SELECT doc_id, p, h, doc_id * 1048576 + p AS key FROM occ),
         firsts AS (SELECT h, min(key) AS mk FROM keyed GROUP BY h),
         removable AS (
           SELECT doc_id, p FROM keyed JOIN firsts USING (h) WHERE key > mk),

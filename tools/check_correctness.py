@@ -15,6 +15,12 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify-out"
 oracle_timeout = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0")) or None
 
 con = duckdb.connect()
+# Cap DuckDB's memory so a pathological oracle plan at soak scale SPILLS to
+# disk instead of getting the whole process OOM-killed (observed at sf1:
+# the kernel killed the run before any report line flushed). Overridable:
+# ORACLE_MEM=64GB.
+con.sql(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '48GB')}'")
+con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -26,6 +32,12 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail_path = f"{out_dir}/_failures.json"
 failures = json.load(open(fail_path)) if os.path.exists(fail_path) else {}
 results = {}
+def record(name, verdict):
+    # Stream per-query progress to stderr immediately: the report proper
+    # prints at the end, so without this a mid-run kill (OOM, timeout)
+    # loses every already-computed verdict.
+    results[name] = verdict
+    print(f"[{len(results)}] {name}: {verdict[:80]}", file=sys.stderr, flush=True)
 # ONLY=a,b,c restricts the report to those queries (matches Verify's
 # third-arg filter for local iteration); a full run flags every oracle
 # entry that produced no dump at all.
@@ -33,14 +45,14 @@ only = set(os.environ["ONLY"].split(",")) if os.environ.get("ONLY") else None
 if only:
     oracle = {k: v for k, v in oracle.items() if k in only}
 for name in sorted(set(oracle) - set(os.listdir(out_dir))):
-    results[name] = "MISSING-DUMP: " + failures.get(name, "no dump dir and no recorded exception")
+    record(name, "MISSING-DUMP: " + failures.get(name, "no dump dir and no recorded exception"))
 for name in sorted(os.listdir(out_dir)):
     p = os.path.join(out_dir, name)
     if not os.path.isdir(p) or (only and name not in only):
         continue
     files = glob.glob(f"{p}/*.parquet")
     if not files:
-        results[name] = "NO-OUTPUT: " + failures.get(name, "empty dump dir")
+        record(name, "NO-OUTPUT: " + failures.get(name, "empty dump dir"))
         continue
     # Soak guard: a degenerate-corpus pair query can emit 10^8+ rows —
     # far past what a pandas frame compare can hold. Instead of loading,
@@ -52,7 +64,7 @@ for name in sorted(os.listdir(out_dir)):
     nrows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     if nrows > int(os.environ.get("MAX_COMPARE_ROWS", "20000000")):
         if name not in oracle:
-            results[name] = f"rows-only ({nrows} rows; above MAX_COMPARE_ROWS)"
+            record(name, f"rows-only ({nrows} rows; above MAX_COMPARE_ROWS)")
             continue
         cols = sorted(pq.ParquetFile(files[0]).schema_arrow.names)
         collist = ", ".join(f'"{c}"' for c in cols)
@@ -72,23 +84,21 @@ for name in sorted(os.listdir(out_dir)):
             else:
                 ref_agg = con.sql(q).fetchone()
         except duckdb.InterruptException:
-            results[name] = (f"rows-only ({nrows} rows; oracle agg > "
-                             f"{oracle_timeout:.0f}s)")
+            record(name, f"rows-only ({nrows} rows; oracle agg > {oracle_timeout:.0f}s)")
             continue
         except Exception as e:
-            results[name] = f"ORACLE-ERROR: {str(e)[:120]}"
+            record(name, f"ORACLE-ERROR: {str(e)[:120]}")
             continue
         if mine_agg == ref_agg:
-            results[name] = f"OK-AGG ({nrows} rows; multiset hash match)"
+            record(name, f"OK-AGG ({nrows} rows; multiset hash match)")
         elif mine_agg[0] != ref_agg[0]:
-            results[name] = f"ROWCOUNT: mine={mine_agg[0]} ref={ref_agg[0]}"
+            record(name, f"ROWCOUNT: mine={mine_agg[0]} ref={ref_agg[0]}")
         else:
-            results[name] = (f"VALUES-AGG: count={nrows} but multiset hash "
-                             f"differs ({mine_agg[1]} vs {ref_agg[1]})")
+            record(name, f"VALUES-AGG: count={nrows} but multiset hash differs ({mine_agg[1]} vs {ref_agg[1]})")
         continue
     mine = pq.read_table(p).to_pandas()  # directory read: all part files
     if name not in oracle:
-        results[name] = f"rows-only ({len(mine)} rows)"
+        record(name, f"rows-only ({len(mine)} rows)")
         continue
     try:
         if oracle_timeout:
@@ -101,18 +111,18 @@ for name in sorted(os.listdir(out_dir)):
         else:
             ref = con.sql(oracle[name]).df()
     except duckdb.InterruptException:
-        results[name] = f"ORACLE-TIMEOUT (> {oracle_timeout:.0f}s; spark rows={len(mine)})"
+        record(name, f"ORACLE-TIMEOUT (> {oracle_timeout:.0f}s; spark rows={len(mine)})")
         continue
     except Exception as e:
-        results[name] = f"ORACLE-ERROR: {str(e)[:120]}"
+        record(name, f"ORACLE-ERROR: {str(e)[:120]}")
         continue
     mine = mine.reindex(sorted(mine.columns), axis=1)
     ref = ref.reindex(sorted(ref.columns), axis=1)
     if list(mine.columns) != list(ref.columns):
-        results[name] = f"SCHEMA-NAMES: mine={list(mine.columns)} ref={list(ref.columns)}"
+        record(name, f"SCHEMA-NAMES: mine={list(mine.columns)} ref={list(ref.columns)}")
         continue
     if len(mine) != len(ref):
-        results[name] = f"ROWCOUNT: mine={len(mine)} ref={len(ref)}"
+        record(name, f"ROWCOUNT: mine={len(mine)} ref={len(ref)}")
         continue
     ms = mine.sort_values(list(mine.columns)).reset_index(drop=True)
     rs = ref.sort_values(list(ref.columns)).reset_index(drop=True)
@@ -127,10 +137,10 @@ for name in sorted(os.listdir(out_dir)):
             i = int((~eq).idxmax())
             mismatch.append(f"{c}[{i}]: {a[i]!r} vs {b[i]!r} (dtype {a.dtype}/{b.dtype})")
     if mismatch:
-        results[name] = "VALUES: " + "; ".join(mismatch[:3])
+        record(name, "VALUES: " + "; ".join(mismatch[:3]))
     else:
         dt = [f"{c}:{ms[c].dtype}!={rs[c].dtype}" for c in ms.columns if ms[c].dtype != rs[c].dtype]
-        results[name] = f"OK ({len(mine)} rows)" + (f" [dtype-diff {dt}]" if dt else "")
+        record(name, f"OK ({len(mine)} rows)" + (f" [dtype-diff {dt}]" if dt else ""))
 
 agg = sum(1 for v in results.values() if v.startswith("OK-AGG"))
 ok = sum(1 for v in results.values() if v.startswith("OK")) - agg
