@@ -159,12 +159,33 @@ object PlanDump {
       "oracle output is unchanged), co-counts and item counts " +
       "partial-aggregate, and per-item top-3 is a window keyed on the " +
       "catalog-cardinality item."),
-    "dedup_containment" -> ("Asymmetric containment join: the probe side " +
-      "explodes only its rare-first PREFIX, the container side is the " +
-      "full inverted index, both repartitioned on the token with an " +
-      "explicit count; verification re-joins the checkpointed per-doc " +
-      "sorted arrays and counts array_intersect inside codegen. No " +
-      "broadcast hint anywhere — every stage is a keyed shuffle.")
+    "dedup_containment" -> ("Asymmetric containment join, two-branch on the " +
+      "measured vocabulary (same probe as the Jaccard family): real " +
+      "vocabularies take the index-probe prefix join — probe side explodes " +
+      "only its rare-first PREFIX, container side is the full inverted " +
+      "index, both repartitioned on the token with an explicit count, " +
+      "verification via array_intersect over checkpointed sorted arrays; " +
+      "degenerate (<=512-word) universes take the triangle all-pairs " +
+      "bitmap join (popcount intersections, both directions tested — " +
+      "containment is asymmetric). No broadcast hint anywhere."),
+    "dedup_containment_apply" -> ("The per-doc keep/drop decision over the " +
+      "containment pairs: drop a doc contained in a strictly larger doc " +
+      "or an equal-size doc with smaller id — one distinct over the pair " +
+      "stream plus a left join back to doc ids; identical-set docs keep " +
+      "their min id, chains keep only the largest. Inherits the pair " +
+      "machinery's branch and shuffle posture."),
+    "corpus_budget_apply" -> ("Per-document token-budget keep/drop: " +
+      "per-source budgets from the mass^0.7 mixture law computed in EXACT " +
+      "integers (6-dp micro-unit lift via decimal multiply, DECIMAL(38,0) " +
+      "product, integral division — no FP cast boundary), selection via " +
+      "the sharded running-sum plan: 32 md5 buckets per source, the " +
+      "(source,bucket) prefix table broadcasts, the intra-bucket window " +
+      "is partition-local. No single-reducer sort at any corpus size."),
+    "corpus_pack_apply" -> ("The trainer-facing packing layout per doc: " +
+      "md5-bucket shard, deterministic (h, doc_id) order, greedy " +
+      "running-sum token_start and seq_id = start div 512 — one windowed " +
+      "pass per 32-way shard, all integer arithmetic, no global sort " +
+      "before the output ordering.")
   )
 
   def main(args: Array[String]): Unit = {
