@@ -185,7 +185,15 @@ object PlanDump {
       "md5-bucket shard, deterministic (h, doc_id) order, greedy " +
       "running-sum token_start and seq_id = start div 512 — one windowed " +
       "pass per 32-way shard, all integer arithmetic, no global sort " +
-      "before the output ordering.")
+      "before the output ordering."),
+    "corpus_bitext_mine" -> ("Margin-based bitext mining (Artetxe & " +
+      "Schwenk): the full bipartite cosine matrix never materializes — " +
+      "each side broadcasts only its 5-row opposite-cell centroid table, " +
+      "vectors assign to top-2 cells in codegen, candidates meet through " +
+      "a cell-keyed shuffle join, the k-NN means reduce the candidate " +
+      "stream with partial top-k, and the margin is computed over the " +
+      "checkpointed candidate rows. Top-1 per source via a keyed window " +
+      "— no global sort.")
   )
 
   def main(args: Array[String]): Unit = {

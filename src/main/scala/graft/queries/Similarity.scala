@@ -771,6 +771,159 @@ object Similarity {
                cc.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
         FROM cc ORDER BY cc.vec_id
       """)
+    ),
+
+    // --- margin-based bitext mining (Artetxe & Schwenk 2019) ---
+    // The multilingual curation step: mine parallel pairs between a
+    // "source" and "target" embedding space by MARGIN, not raw cosine —
+    // cos(x,y) normalized by the mean of each side's nearest-neighbor
+    // cosines, so a vector in a dense hub (high cosine to everything)
+    // can't fake alignment. Here source = labels 0-4, target = 5-9.
+    //
+    // Scale plan — the full bipartite cosine matrix is never built:
+    //   1. candidates via the IVF shape (same as knn_ivf_dist): only the
+    //      k×dim per-cell centroid tables broadcast; each side's vectors
+    //      assign to their top-2 opposite-side cells in codegen and meet
+    //      candidates through a cell-keyed SHUFFLE join;
+    //   2. the k-NN means (k=4) reduce the candidate stream per vector —
+    //      partial top-k (WindowGroupLimit) before the shuffle;
+    //   3. margin = 2·cos / (ax + ay) over the already-materialized
+    //      candidate rows; top-1 per source vector, no global sort.
+    // FP discipline: cosines round to 6 dp; the k-NN means sum those as
+    // exact DECIMALs and divide by the count (decimal→double is one
+    // correctly-rounded conversion in both engines); the margin is a
+    // ratio of unstructured values — safe — rounded to 6 dp with tgt_id
+    // tiebreak.
+    Q(
+      "corpus_bitext_mine",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("int").as("label"), dbl(col("embedding")).as("v"))
+          .pipe(graft.queries.Checkpoints.checkpoint)
+        val src = e.filter(col("label") < 5)
+          .select(col("vec_id").as("sid"), col("label").as("slabel"), col("v").as("sv"))
+        val tgt = e.filter(col("label") >= 5)
+          .select(col("vec_id").as("tid"), col("label").as("tlabel"), col("v").as("tv"))
+        def centroids(side: DataFrame, vcol: String, labCol: String): DataFrame = side
+          .select(col(labCol).as("cell"), posexplode(col(vcol)).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg(avg("x").as("cx"))
+          .groupBy("cell")
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("cx")))),
+              st => st.getField("cx")
+            ).as("cv")
+          )
+        val wS = Window.partitionBy("sid").orderBy(desc("ccos"), asc("cell"))
+        val xCells = src
+          .crossJoin(broadcast(centroids(tgt, "tv", "tlabel")))
+          .withColumn("ccos", round(expr("cosine_similarity(sv, cv)"), 4))
+          .withColumn("pr", row_number().over(wS))
+          .filter(col("pr") <= 2)
+          .select(col("sid"), col("sv"), col("cell"))
+        // Both the margin scoring and the src-side k-NN mean read candX —
+        // checkpoint or the cell join + cosine pass runs twice.
+        val candX = xCells
+          .join(tgt, col("cell") === col("tlabel"))
+          .withColumn("cos", round(expr("cosine_similarity(sv, tv)"), 6))
+          .select("sid", "tid", "cos")
+          .pipe(graft.queries.Checkpoints.checkpoint)
+        val wT = Window.partitionBy("tid").orderBy(desc("ccos"), asc("cell"))
+        val yCells = tgt
+          .crossJoin(broadcast(centroids(src, "sv", "slabel")))
+          .withColumn("ccos", round(expr("cosine_similarity(tv, cv)"), 4))
+          .withColumn("pr", row_number().over(wT))
+          .filter(col("pr") <= 2)
+          .select(col("tid"), col("tv"), col("cell"))
+        val candY = yCells
+          .join(src, col("cell") === col("slabel"))
+          .withColumn("cos", round(expr("cosine_similarity(tv, sv)"), 6))
+          .select("tid", "sid", "cos")
+        val wX = Window.partitionBy("sid").orderBy(desc("cos"), asc("tid"))
+        val aX = candX
+          .withColumn("r", row_number().over(wX))
+          .filter(col("r") <= 4)
+          .groupBy("sid")
+          .agg((sum(col("cos").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("ax"))
+        val wY = Window.partitionBy("tid").orderBy(desc("cos"), asc("sid"))
+        val aY = candY
+          .withColumn("r", row_number().over(wY))
+          .filter(col("r") <= 4)
+          .groupBy("tid")
+          .agg((sum(col("cos").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("ay"))
+        val wM = Window.partitionBy("sid").orderBy(desc("margin"), asc("tid"))
+        candX
+          .join(aX, "sid")
+          .join(aY, "tid")
+          .withColumn("margin", round(lit(2.0) * col("cos") / (col("ax") + col("ay")), 6))
+          .withColumn("rk", row_number().over(wM))
+          .filter(col("rk") === 1)
+          .select(col("sid").as("src_id"), col("tid").as("tgt_id"), col("cos"), col("margin"))
+          .orderBy("src_id")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        src AS (SELECT vec_id AS sid, label AS slabel, v AS sv FROM e WHERE label < 5),
+        tgt AS (SELECT vec_id AS tid, label AS tlabel, v AS tv FROM e WHERE label >= 5),
+        ut AS (SELECT tlabel, unnest(tv) AS x, generate_subscripts(tv, 1) AS pos FROM tgt),
+        tc AS (SELECT tlabel AS cell, pos, avg(x) AS cx FROM ut GROUP BY 1, 2),
+        tcv AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM tc GROUP BY 1),
+        us AS (SELECT slabel, unnest(sv) AS x, generate_subscripts(sv, 1) AS pos FROM src),
+        sc AS (SELECT slabel AS cell, pos, avg(x) AS cx FROM us GROUP BY 1, 2),
+        scv AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM sc GROUP BY 1),
+        xc AS (
+          SELECT sid, sv, cell FROM (
+            SELECT sid, sv, cell,
+                   row_number() OVER (PARTITION BY sid ORDER BY
+                     round(list_dot_product(sv, cv) /
+                           sqrt(list_dot_product(sv, sv) * list_dot_product(cv, cv)), 4) DESC,
+                     cell) AS pr
+            FROM src CROSS JOIN tcv)
+          WHERE pr <= 2),
+        candx AS (
+          SELECT xc.sid, t.tid,
+                 round(list_dot_product(xc.sv, t.tv) /
+                       sqrt(list_dot_product(xc.sv, xc.sv) * list_dot_product(t.tv, t.tv)), 6) AS cos
+          FROM xc JOIN tgt t ON xc.cell = t.tlabel),
+        yc AS (
+          SELECT tid, tv, cell FROM (
+            SELECT tid, tv, cell,
+                   row_number() OVER (PARTITION BY tid ORDER BY
+                     round(list_dot_product(tv, cv) /
+                           sqrt(list_dot_product(tv, tv) * list_dot_product(cv, cv)), 4) DESC,
+                     cell) AS pr
+            FROM tgt CROSS JOIN scv)
+          WHERE pr <= 2),
+        candy AS (
+          SELECT yc.tid, s.sid,
+                 round(list_dot_product(yc.tv, s.sv) /
+                       sqrt(list_dot_product(yc.tv, yc.tv) * list_dot_product(s.sv, s.sv)), 6) AS cos
+          FROM yc JOIN src s ON yc.cell = s.slabel),
+        ax AS (
+          SELECT sid, CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS ax
+          FROM (SELECT sid, cos,
+                       row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid) AS r
+                FROM candx)
+          WHERE r <= 4 GROUP BY sid),
+        ay AS (
+          SELECT tid, CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS ay
+          FROM (SELECT tid, cos,
+                       row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid) AS r
+                FROM candy)
+          WHERE r <= 4 GROUP BY tid),
+        m AS (
+          SELECT c.sid, c.tid, c.cos,
+                 round(2.0 * c.cos / (ax.ax + ay.ay), 6) AS margin
+          FROM candx c JOIN ax ON c.sid = ax.sid JOIN ay ON c.tid = ay.tid),
+        r AS (
+          SELECT sid, tid, cos, margin,
+                 row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS rk
+          FROM m)
+        SELECT sid AS src_id, tid AS tgt_id, cos, margin
+        FROM r WHERE rk = 1 ORDER BY src_id
+      """)
     )
   )
 }

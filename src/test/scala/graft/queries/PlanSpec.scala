@@ -306,6 +306,21 @@ class PlanSpec extends AnyFunSuite {
       s"triangle branch needs no array verify:\n$p")
   }
 
+  test("bitext mining broadcasts only centroid tables and never goes cartesian") {
+    // The bipartite cosine matrix must not materialize: the only
+    // broadcast-nested-loop allowed is against the 5-row centroid tables
+    // (a hinted broadcast), candidates meet via a cell-keyed equi-join,
+    // and scoring stays in the codegen'd cosine expression.
+    val df = SparkEntry.queries("corpus_bitext_mine")(spark, d)
+    val analyzed = df.queryExecution.analyzed.toString
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("CartesianProduct"), s"bitext mining planned a cartesian:\n$p")
+    val hints = "ResolvedHint".r.findAllIn(analyzed).size
+    assert(hints <= 2, s"only centroid broadcasts may be hinted (found $hints):\n$analyzed")
+    assert(p.contains("cosine_similarity"), s"scoring left the codegen expression:\n$p")
+  }
+
   test("containment on a real vocabulary keeps the prefix-probe index join") {
     // Above the probe cutoff the prefix path must come back: inverted-index
     // token join + exact array_intersect verify, no bitmap machinery.
