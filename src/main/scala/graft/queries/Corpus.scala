@@ -662,6 +662,82 @@ object Corpus {
       """)
     ),
 
+    // --- NEAR-duplicate benchmark decontamination (fuzzy overlap) ---
+    // text_decontaminate catches exact n-gram overlap; evaluation sets
+    // also leak as paraphrases/reformatted copies whose exact n-grams
+    // differ. The fuzzy rule (the Llama/GPT-4-report style): a training
+    // doc is contaminated when it collides with ANY benchmark doc in >= 1
+    // of its 4 MinHash LSH band buckets — the same 4x4 minhash16 banding
+    // as dedup_minhash_lsh and the streaming near-dedup, so stream and
+    // batch agree on candidate semantics. Plan: benchmark band keys are
+    // eval-suite-sized -> distinct -> BROADCAST; the corpus side computes
+    // its bands in one codegen pass and probes map-side; the only shuffle
+    // is the per-doc hit count. The banded signature table is shared by
+    // both roles through a checkpoint.
+    Q(
+      "corpus_decontaminate_near",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val bands = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            expr("minhash16(array_distinct(split(lower(trim(text)), ' ')))").as("mh")
+          )
+          .select(
+            col("doc_id"),
+            explode(expr(
+              """transform(sequence(0, 3), b -> struct(
+                   b AS band,
+                   array_join(transform(slice(mh, b*4 + 1, 4), x -> cast(x AS string)), ',') AS bh))"""
+            )).as("bb")
+          )
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+          .pipe(Checkpoints.checkpoint)
+        val bench = broadcast(
+          bands.filter(col("doc_id") % 97 === 0).select("band", "bh").distinct()
+        )
+        val hits = bands
+          .filter(col("doc_id") % 97 =!= 0)
+          .join(bench, Seq("band", "bh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hit_bands"))
+        t(s, d, "documents")
+          .filter(col("doc_id") % 97 =!= 0)
+          .select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
+            coalesce(col("n_hit_bands") > 0, lit(false)).as("contaminated")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS hh FROM w),
+        x AS (
+          SELECT doc_id, t.i,
+                 min(((2*t.i + 3) * hh + (104729*(t.i + 1)) % 2147483647) % 2147483647) AS mh
+          FROM h CROSS JOIN range(0, 16) t(i) GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+          FROM x GROUP BY doc_id, i // 4),
+        bench AS (SELECT DISTINCT band, bh FROM bands WHERE doc_id % 97 = 0),
+        hits AS (
+          SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_hit_bands
+          FROM bands b JOIN bench USING (band, bh)
+          WHERE b.doc_id % 97 <> 0 GROUP BY 1)
+        SELECT d.doc_id, coalesce(h.n_hit_bands, 0) AS n_hit_bands,
+               coalesce(h.n_hit_bands > 0, false) AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id
+      """)
+    ),
+
     // --- sequence-packing APPLY: the per-document bin assignment ---
     // corpus_pack reports bin statistics; this materializes the layout a
     // trainer actually consumes (CorpusBuilder's pack stage, per doc):
