@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L])\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L])\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -515,6 +515,7 @@ object Main {
           // budget -> sequence packing, with per-stage counts and a
           // versioned exactly-once commit (CorpusBuilder).
           var benchGrams: Option[String] = None
+          var benchDocs: Option[String] = None
           var lmMin: Option[Double] = None
           var lmModel: Option[String] = None
           var budget: Option[Long] = None
@@ -524,6 +525,8 @@ object Main {
             buildRest(bi) match {
               case "--bench-grams" if bi + 1 < buildRest.length =>
                 benchGrams = Some(buildRest(bi + 1)); bi += 2
+              case "--bench-docs" if bi + 1 < buildRest.length =>
+                benchDocs = Some(buildRest(bi + 1)); bi += 2
               case "--lm-min" if bi + 1 < buildRest.length =>
                 lmMin = Some(buildRest(bi + 1).toDouble); bi += 2
               case "--lm-model" if bi + 1 < buildRest.length =>
@@ -544,6 +547,7 @@ object Main {
             spark.read.parquet(docsPath),
             out,
             benchmarkGrams = benchGrams.map(spark.read.parquet(_)),
+            benchmarkDocs = benchDocs.map(spark.read.parquet(_)),
             lmMinAvgLogp = lmMin,
             lmModelDir = lmModel,
             budgetTokens = budget,

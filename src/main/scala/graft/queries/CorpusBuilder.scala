@@ -4,7 +4,7 @@ import scala.util.chaining._
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,6 +76,12 @@ object CorpusBuilder {
     *
     * @param benchmarkGrams  optional eval-suite 3-gram blocklist (`gram`
     *                        column) — the curate-near decontamination list
+    * @param benchmarkDocs   optional eval-suite DOCUMENT frame (`text`
+    *                        column): enables FUZZY decontamination — drop
+    *                        any train doc colliding with a benchmark doc
+    *                        in ≥1 MinHash LSH band (the
+    *                        corpus_decontaminate_near rule, catching
+    *                        paraphrased leaks exact n-grams miss)
     * @param lmMinAvgLogp    optional CCNet-style LM gate threshold; the
     *                        model is loaded from `lmModelDir` or fitted on
     *                        the gate's input when absent
@@ -90,6 +96,7 @@ object CorpusBuilder {
       langs: Seq[String] = Seq("en", "de", "fr"),
       minQuality: Double = 0.5,
       benchmarkGrams: Option[DataFrame] = None,
+      benchmarkDocs: Option[DataFrame] = None,
       lmMinAvgLogp: Option[Double] = None,
       lmModelDir: Option[String] = None,
       budgetTokens: Option[Long] = None,
@@ -156,26 +163,51 @@ object CorpusBuilder {
       .distinct()
     val near = stage("near_dedup", curated.join(nearDropped, Seq("doc_id"), "left_anti"))
 
-    // 3. DECONTAMINATE (the text_decontaminate / curate-near blocklist
-    //    recipe): drop any doc sharing >= 1 distinct 3-gram with the
-    //    broadcast benchmark list. No list -> pass-through stage (counted,
-    //    so the stage roster is stable).
-    val decon = benchmarkGrams match {
-      case Some(grams) =>
-        val ngrams = expr(
-          """transform(sequence(1, size(w) - 2),
-                       i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
-                                   element_at(w, i + 2)))"""
-        )
-        val hits = near
-          .select(col("doc_id"), Corpus.ws.as("w"))
-          .filter(size(col("w")) >= 3)
-          .select(col("doc_id"), explode(array_distinct(ngrams)).as("gram"))
-          .join(broadcast(grams.select("gram").distinct()), Seq("gram"), "left_semi")
-          .select("doc_id")
-          .distinct()
-        stage("decontaminate", near.join(hits, Seq("doc_id"), "left_anti"))
-      case None => stage("decontaminate", near)
+    // 3. DECONTAMINATE — two complementary rules, one stage:
+    //    exact (the text_decontaminate / curate-near blocklist recipe):
+    //    drop any doc sharing >= 1 distinct 3-gram with the broadcast
+    //    benchmark list; fuzzy (the corpus_decontaminate_near rule): drop
+    //    any doc colliding with a benchmark DOC in >= 1 MinHash LSH band,
+    //    catching paraphrased leaks whose exact n-grams differ. Both
+    //    benchmark sides are eval-suite-sized and broadcast. No list ->
+    //    pass-through stage (counted, so the stage roster is stable).
+    val gramHits = benchmarkGrams.map { grams =>
+      val ngrams = expr(
+        """transform(sequence(1, size(w) - 2),
+                     i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
+                                 element_at(w, i + 2)))"""
+      )
+      near
+        .select(col("doc_id"), Corpus.ws.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(ngrams)).as("gram"))
+        .join(broadcast(grams.select("gram").distinct()), Seq("gram"), "left_semi")
+        .select("doc_id")
+        .distinct()
+    }
+    def lshBands(df: DataFrame, idCol: Column): DataFrame = df
+      .withColumn("mh__", expr("minhash16(array_distinct(split(lower(trim(text)), ' ')))"))
+      .select(
+        idCol.as("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(
+               b AS band,
+               array_join(transform(slice(mh__, b*4 + 1, 4), x -> cast(x AS string)), ',') AS bh))"""
+        )).as("bb")
+      )
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bandHits = benchmarkDocs.map { bdocs =>
+      val benchBands =
+        broadcast(lshBands(bdocs, monotonically_increasing_id()).select("band", "bh").distinct())
+      lshBands(near, col("doc_id"))
+        .join(benchBands, Seq("band", "bh"), "left_semi")
+        .select("doc_id")
+        .distinct()
+    }
+    val allHits = (gramHits.toSeq ++ bandHits.toSeq).reduceOption(_ unionByName _)
+    val decon = allHits match {
+      case Some(hits) => stage("decontaminate", near.join(hits.distinct(), Seq("doc_id"), "left_anti"))
+      case None       => stage("decontaminate", near)
     }
 
     // 4. LM GATE (the corpus_lm_quality / curate-near --lm-model recipe):

@@ -179,6 +179,39 @@ class CorpusBuilderSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy decontamination drops benchmark paraphrases exact n-grams miss") {
+    import spark.implicits._
+    // Benchmark doc; the train corpus contains a PARAPHRASE: identical
+    // word SET in reversed order — no 3-gram survives, so exact
+    // decontamination misses it, but the MinHash signature (a set
+    // function) is identical, so every LSH band collides.
+    val benchWords = (0 until 40).map(i => s"bench$i")
+    val benchDocs = Seq((benchWords.mkString(" "))).toDF("text")
+    val paraphrase = benchWords.reverse.mkString(" ")
+    val clean = (0 until 60).map(i => s"clean$i").mkString(" ")
+    val docs = Seq(
+      (0L, "en", "src0", paraphrase),
+      (1L, "en", "src0", clean)
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = TestSpark.tempDir("corpus-fuzzy") + "/out"
+
+    // Exact grams from the benchmark do NOT hit the paraphrase (sanity).
+    val benchGrams = benchWords.sliding(3).map(_.mkString(" ")).toSeq.toDF("gram")
+    val paraGrams = paraphrase.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    assert(benchGrams.as[String].collect().forall(g => !paraGrams.contains(g)))
+
+    val (_, counts) = CorpusBuilder.build(
+      spark, docs, out,
+      benchmarkGrams = Some(benchGrams),
+      benchmarkDocs = Some(benchDocs)
+    )
+    val byStage = counts.map(c => c.stage -> c.docs).toMap
+    assert(byStage("near_dedup") == 2L, "both docs reach decontamination")
+    assert(byStage("decontaminate") == 1L, "the paraphrase must drop on band collision")
+    val kept = spark.read.parquet(s"$out/v=1/corpus").select("doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(1L))
+  }
+
   test("build is exactly-once: deterministic rebuild, crash debris overwritten") {
     import spark.implicits._
     val df = corpus.toDF("doc_id", "lang", "source", "text")
