@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L])\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L])\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -432,11 +432,17 @@ object Main {
           var repGate = false
           var lmModel: Option[String] = None
           var lmMin = -8.0
+          var benchDocsPath: Option[String] = None
           val positional = scala.collection.mutable.ListBuffer.empty[String]
           var i = 0
           while (i < rest.length) {
             rest(i) match {
               case "--repetition-gate" => repGate = true; i += 1
+              case "--bench-docs" =>
+                if (i + 1 >= rest.length) {
+                  System.err.println("--bench-docs requires a parquet path"); usage()
+                }
+                benchDocsPath = Some(rest(i + 1)); i += 2
               case "--lm-model" =>
                 if (i + 1 >= rest.length) {
                   System.err.println("--lm-model requires a model directory"); usage()
@@ -467,6 +473,7 @@ object Main {
             checkpoint = ckpt,
             indexDir = index,
             benchmarkGrams = positional.headOption.map(b => spark.read.parquet(b)),
+            benchmarkDocs = benchDocsPath.map(spark.read.parquet(_)),
             repetitionGate = repGate,
             lmQuality = lmModel.map(_ -> lmMin),
             trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()

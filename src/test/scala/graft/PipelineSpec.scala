@@ -213,6 +213,48 @@ class PipelineSpec extends AnyFunSuite {
       s"retry divergence: $survivors1 vs $survivors2 (last=$lastBatch)")
   }
 
+  test("streaming FUZZY decontamination: benchmark band collision drops paraphrases " +
+    "exact n-grams miss, across batches + restart") {
+    val session = spark
+    import session.implicits._
+    val raw = SparkLog(spark, TestSpark.tempDir("fdecon-raw"), LogConfig())
+    def doc(text: String): Array[Byte] = s"""{"lang":"en","text":"$text"}""".getBytes
+    // Benchmark doc; the stream receives a PARAPHRASE (identical word
+    // set, reversed order — zero shared 3-grams, identical MinHash) and
+    // a clean doc with a disjoint vocabulary.
+    val benchWords = (0 until 30).map(i => s"eval$i")
+    val benchDocs = Seq(benchWords.mkString(" ")).toDF("text")
+    val paraphrase = benchWords.reverse.mkString(" ")
+    val clean1 = (0 until 30).map(i => s"keep$i").mkString(" ")
+    val clean2 = (100 until 130).map(i => s"keep$i").mkString(" ")
+    raw.append(Seq(doc(paraphrase), doc(clean1)))
+
+    val engine = Engine(spark, TestSpark.tempDir("fdecon-out"))
+    val ckpt = TestSpark.tempDir("fdecon-ckpt")
+    val idx = TestSpark.tempDir("fdecon-idx")
+    def curated(): Set[String] =
+      engine.toDF.collect().map(r => new String(r.getAs[Array[Byte]]("value"))).toSet
+    val q1 = engine.curateNearFrom(raw.dir, ckpt, idx, benchmarkDocs = Some(benchDocs))
+    try {
+      q1.processAllAvailable()
+      assert(curated() == Set(new String(doc(clean1))),
+        "batch 1: the benchmark paraphrase leaked past the band gate")
+    } finally q1.stop()
+
+    // Restart on the same checkpoint: the gate is stateless (benchmark
+    // bands recompute at stream start) and must keep filtering; the
+    // near-dedup history still applies to clean survivors.
+    raw.append(Seq(doc(paraphrase), doc(clean2), doc(clean1)))
+    val q2 = engine.curateNearFrom(raw.dir, ckpt, idx, benchmarkDocs = Some(benchDocs))
+    try {
+      q2.processAllAvailable()
+      assert(
+        curated() == Set(clean1, clean2).map(s => new String(doc(s))),
+        "batch 2: paraphrase or near-dup survived the restart"
+      )
+    } finally q2.stop()
+  }
+
   test("streaming decontamination: benchmark n-gram overlap drops docs across batches + restart") {
     val session = spark
     import session.implicits._
