@@ -662,6 +662,48 @@ object Corpus {
       """)
     ),
 
+    // --- document chunking: overlapping fixed-size windows ---
+    // The splitter every pretraining/RAG pipeline runs on long documents:
+    // 64-token chunks on a 48-token stride (16-token overlap so no
+    // boundary context is lost), each chunk identified by a content hash.
+    // Emission contract: chunk starts are 1, 49, 97, … while
+    // start ≤ max(n_tokens − overlap, 1) — a would-be final chunk lying
+    // entirely inside the previous one is not emitted. The whole
+    // computation is ONE map-side higher-order expression per row
+    // (sequence → slice → md5 inside codegen): no shuffle at any corpus
+    // size except the output sort, and the explode factor is bounded by
+    // n/stride.
+    Q(
+      "corpus_chunk",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"), ws.as("w"))
+          .select(
+            col("doc_id"),
+            explode(expr(
+              """transform(sequence(1, greatest(size(w) - 16, 1), 48), st -> struct(
+                   CAST((st - 1) div 48 AS BIGINT) AS chunk_id,
+                   CAST(size(slice(w, st, 64)) AS BIGINT) AS chunk_tokens,
+                   md5(concat_ws(' ', slice(w, st, 64))) AS chunk_hash))"""
+            )).as("c")
+          )
+          .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_tokens"), col("c.chunk_hash"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+        st AS (
+          SELECT doc_id, w,
+                 unnest(range(1, greatest(len(w) - 16, 1) + 1, 48)) AS s
+          FROM w)
+        SELECT doc_id,
+               CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+               CAST(len(w[CAST(s AS INTEGER) : CAST(s AS INTEGER) + 63]) AS BIGINT) AS chunk_tokens,
+               md5(array_to_string(w[CAST(s AS INTEGER) : CAST(s AS INTEGER) + 63], ' ')) AS chunk_hash
+        FROM st ORDER BY doc_id, chunk_id
+      """)
+    ),
+
     // --- NEAR-duplicate benchmark decontamination (fuzzy overlap) ---
     // text_decontaminate catches exact n-gram overlap; evaluation sets
     // also leak as paraphrases/reformatted copies whose exact n-grams

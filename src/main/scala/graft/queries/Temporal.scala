@@ -399,6 +399,38 @@ object Temporal {
       """)
     ),
 
+    // --- per-day heavy hitters: top users by event volume ---
+    // The windowed heavy-hitter readout (abuse/bot triage, usage top-N):
+    // exact at any scale because the shape never sorts globally — counts
+    // partial-aggregate on (day, user), then the per-day top-3 runs
+    // through WindowGroupLimit (each partition keeps 3 rows before the
+    // day-keyed shuffle, the final pass keeps 3 after). Day keys are
+    // calendar-cardinality, so the window can never skew.
+    Q(
+      "q_heavy_hitters",
+      (s, d) => {
+        val counts = Q.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("day").orderBy(desc("n"), asc("user_id"))
+        counts
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .orderBy("day", "rank")
+      },
+      Some("""
+        WITH c AS (
+          SELECT date_trunc('day', ts) AS day, user_id, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT day, user_id, n,
+                 row_number() OVER (PARTITION BY day ORDER BY n DESC, user_id) AS rank
+          FROM c)
+        SELECT day, user_id, n, CAST(rank AS INTEGER) AS rank
+        FROM r WHERE rank <= 3 ORDER BY day, rank
+      """)
+    ),
+
     // --- item-item co-occurrence similarity (collaborative filtering) ---
     // The market-basket shape: items (the `k` prop of click/purchase
     // events) are similar when the same users touch both. Interactions
