@@ -389,6 +389,59 @@ class Engine(
       .start()
   }
 
+  /** Streaming CHUNKER: tail the log's JSON documents and maintain a
+    * derived chunk table — the streaming twin of the batch `corpus_chunk`
+    * query (64-token chunks, 48-token stride, 16-token overlap, identical
+    * emission contract), keyed by log offset instead of doc id. For
+    * pipelines that ingest documents continuously and serve
+    * retrieval-sized chunks without re-splitting the corpus.
+    *
+    * The split is the same single map-side higher-order expression as the
+    * batch query — stateless per batch, so EXACTLY-ONCE falls out of the
+    * band-index recipe: each batch writes its own `batch=<id>` partition
+    * whose content is a pure function of the batch; a foreachBatch retry
+    * overwrites identical data.
+    */
+  def chunksFrom(
+      peerDir: String,
+      checkpoint: String,
+      chunksDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery = {
+    val docSchema = StructType(
+      Seq(StructField("lang", StringType), StructField("text", StringType))
+    )
+    spark.readStream
+      .format("graft")
+      .load(peerDir)
+      .select(
+        col("offset"),
+        from_json(col("value").cast("string"), docSchema).as("doc")
+      )
+      .filter(col("doc.text").isNotNull)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.select(col("offset"), split(lower(trim(col("doc.text"))), " ").as("w"))
+          .select(
+            col("offset"),
+            explode(expr(
+              """transform(sequence(1, greatest(size(w) - 16, 1), 48), st -> struct(
+                   CAST((st - 1) div 48 AS BIGINT) AS chunk_id,
+                   CAST(size(slice(w, st, 64)) AS BIGINT) AS chunk_tokens,
+                   md5(concat_ws(' ', slice(w, st, 64))) AS chunk_hash))"""
+            )).as("c")
+          )
+          .select(col("offset"), col("c.chunk_id"), col("c.chunk_tokens"), col("c.chunk_hash"))
+          .write
+          .mode("overwrite")
+          .parquet(s"$chunksDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Batch view of the whole log (L6). */
   def toDF: DataFrame = log.toDF
 

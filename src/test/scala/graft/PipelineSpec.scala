@@ -445,6 +445,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(LmModel.current(spark, modelDir).map(_._1).contains(2L))
   }
 
+  test("streaming chunker maintains the derived chunk table exactly-once and " +
+    "matches the batch corpus_chunk on the same docs") {
+    val session = spark
+    import session.implicits._
+    val raw = SparkLog(spark, TestSpark.tempDir("chunk-raw"), LogConfig())
+    def doc(text: String): Array[Byte] = s"""{"lang":"en","text":"$text"}""".getBytes
+    val longDoc = (0 until 150).map(i => s"w$i").mkString(" ") // starts 1,49,97 -> 3 chunks
+    val shortDoc = (0 until 10).map(i => s"s$i").mkString(" ") // 1 chunk
+    raw.append(Seq(doc(longDoc), doc(shortDoc)))
+
+    val engine = Engine(spark, TestSpark.tempDir("chunk-out"))
+    val ckpt = TestSpark.tempDir("chunk-ckpt")
+    val chunks = TestSpark.tempDir("chunk-table")
+    def table(): Set[(Long, Long, Long, String)] = spark.read
+      .parquet(chunks)
+      .select("offset", "chunk_id", "chunk_tokens", "chunk_hash")
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .toSet
+    val q1 = engine.chunksFrom(raw.dir, ckpt, chunks)
+    try {
+      q1.processAllAvailable()
+      val t1 = table()
+      // Stream/batch agreement: the batch query over the same docs (keyed
+      // by offset as doc_id) yields the identical chunk rows.
+      val docsDir = TestSpark.tempDir("chunk-docs")
+      Seq((0L, "en", longDoc), (1L, "en", shortDoc))
+        .toDF("doc_id", "lang", "text")
+        .write.parquet(s"$docsDir/documents.parquet")
+      val batch = graft.SparkEntry
+        .queries("corpus_chunk")(spark, docsDir)
+        .as[(Long, Long, Long, String)]
+        .collect()
+        .toSet
+      assert(t1 == batch, s"stream chunks != batch chunks: ${t1.size} vs ${batch.size}")
+      assert(t1.count(_._1 == 0L) == 3 && t1.count(_._1 == 1L) == 1)
+    } finally q1.stop()
+
+    // Restart on the same checkpoint: a new doc lands in a new batch
+    // partition; earlier chunks are untouched (exactly-once, no re-split).
+    raw.append(Seq(doc((0 until 70).map(i => s"n$i").mkString(" "))))
+    val q2 = engine.chunksFrom(raw.dir, ckpt, chunks)
+    try {
+      q2.processAllAvailable()
+      val t2 = table()
+      assert(t2.count(_._1 == 2L) == 2, s"restart: new doc not chunked: ${t2.map(_._1)}")
+      assert(t2.size == 6)
+      val parts = new java.io.File(chunks).listFiles().count(_.getName.startsWith("batch="))
+      assert(parts == 2, "each micro-batch owns exactly one partition")
+    } finally q2.stop()
+  }
+
   test("streaming media features: decode-in-stream maintains the derived table exactly-once") {
     val session = spark
     import session.implicits._
