@@ -292,6 +292,71 @@ object TextOps {
       """)
     ),
 
+    // --- per-source triage: the C4-style blocklist derivation ---
+    // Web-scale pipelines drop whole SOURCES, not just documents: a domain
+    // whose pages are mostly mutual duplicates or low quality gets
+    // blocklisted outright (the C4 / RefinedWeb cleanup move). Per source:
+    // exact-dup fraction (1 − distinct normalized texts / docs) and mean
+    // quality score, with a flag when either crosses its threshold.
+    //
+    // Plan: per-doc signals (hash + 6-dp quality in exact integer
+    // micro-units) compute in the scan's codegen, ONE partial-aggregated
+    // groupBy on source — the output is |sources| rows at any corpus
+    // size. FP discipline: dup_frac is a ratio of two counts (safe IEEE),
+    // the quality mean is the half-up integer-micro average, and the flag
+    // compares those already-exact values.
+    Q(
+      "corpus_source_triage",
+      (s, d) => {
+        val q = curateScore(col("text"))
+        t(s, d, "documents")
+          .select(
+            col("source"),
+            md5(lower(trim(col("text")))).as("h"),
+            (round(q, 6).cast("decimal(18,6)") * 1000000).cast("long").as("qm")
+          )
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("h")).as("n_distinct"),
+            sum("qm").as("m")
+          )
+          .withColumn(
+            "dup_frac",
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"), 6)
+          )
+          .withColumn("mean_quality", Q.halfUpMicroAvg("m", "n_docs"))
+          .withColumn("flagged", col("dup_frac") > 0.2 || col("mean_quality") < 0.5)
+          .select("source", "n_docs", "dup_frac", "mean_quality", "flagged")
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT source, md5(lower(trim(text))) AS h,
+                 CAST(CAST(round(
+                   least(CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
+                     (1.0 - CAST(${sqlStopCount(enStop)} AS DOUBLE) /
+                       CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE)) * 0.5,
+                   6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qm
+          FROM documents),
+        agg AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+                 sum(qm) AS m
+          FROM scored GROUP BY source)
+        SELECT source, n_docs,
+               round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) AS dup_frac,
+               CAST(CASE WHEN m >= 0 THEN (2 * m + n_docs) // (2 * n_docs)
+                         ELSE -((2 * (-m) + n_docs) // (2 * n_docs)) END AS DOUBLE)
+                 / 1000000.0 AS mean_quality,
+               (round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) > 0.2 OR
+                CAST(CASE WHEN m >= 0 THEN (2 * m + n_docs) // (2 * n_docs)
+                          ELSE -((2 * (-m) + n_docs) // (2 * n_docs)) END AS DOUBLE)
+                  / 1000000.0 < 0.5) AS flagged
+        FROM agg ORDER BY source
+      """)
+    ),
+
     // --- stratified corpus sampling: per-language rates, zero shuffles ---
     // Downsample the dominant language, keep more of the rest — the usual
     // corpus-balancing move. The stratum rate is a CASE over a stable
