@@ -179,6 +179,81 @@ class CorpusBuilderSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized trials: stage counts equal the hand composition on random corpora") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(991)
+    for (trial <- 0 until 3) {
+      val nLangs = Seq("en", "de", "fr", "es", "zh")
+      val docs = (0 until 120 + rnd.nextInt(120)).map { i =>
+        val n = 5 + rnd.nextInt(90)
+        val words = Seq.fill(n)(s"v${rnd.nextInt(600)}") ++
+          Seq.fill(rnd.nextInt(1 + n / 4))(enStop(rnd.nextInt(enStop.size)))
+        (i.toLong, nLangs(rnd.nextInt(nLangs.size)), s"s${rnd.nextInt(4)}",
+          rnd.shuffle(words).mkString(" "))
+      } ++ (0 until 10).map { i => // planted exact dups of doc i
+        (5000L + i, "en", "s0", null)
+      }
+      val fixed = docs.map {
+        case (id, l, src, null) => (id, l, src, docs((id - 5000L).toInt)._4)
+        case d                  => d
+      }
+      val budget = 500L + rnd.nextInt(4000)
+      val out = TestSpark.tempDir(s"corpus-rand$trial") + "/out"
+      val (_, counts) = CorpusBuilder.build(
+        spark, fixed.toDF("doc_id", "lang", "source", "text"), out,
+        budgetTokens = Some(budget)
+      )
+      val byStage = counts.map(c => c.stage -> c.docs).toMap
+
+      val curatedHand = fixed
+        .filter(d => Seq("en", "de", "fr").contains(d._2))
+        .filter(d => score(d._4) >= 0.5)
+        .groupBy(d => d._4.trim.toLowerCase)
+        .map { case (_, ds) => ds.minBy(_._1) }
+        .toSeq
+      assert(byStage("curate") == curatedHand.size.toLong, s"trial $trial curate")
+
+      val sigs = curatedHand.map(d => (d._1, d._4)).toDF("doc_id", "text")
+        .withColumn("mh", expr("minhash16(array_distinct(split(lower(trim(text)), ' ')))"))
+        .select("doc_id", "mh").as[(Long, Seq[Long])].collect()
+      val buckets = scala.collection.mutable.Map.empty[(Int, String), Long]
+      sigs.foreach { case (id, mh) =>
+        (0 until 4).foreach { b =>
+          val key = (b, mh.slice(b * 4, b * 4 + 4).mkString(","))
+          buckets(key) = math.min(buckets.getOrElse(key, Long.MaxValue), id)
+        }
+      }
+      val nearHand = sigs.filter { case (id, mh) =>
+        (0 until 4).forall(b => buckets((b, mh.slice(b * 4, b * 4 + 4).mkString(","))) == id)
+      }.map(_._1).toSet
+      assert(byStage("near_dedup") == nearHand.size.toLong, s"trial $trial near_dedup")
+
+      val gatedDocs = fixed.filter(d => nearHand(d._1))
+      val masses = gatedDocs.groupBy(_._3).view.mapValues(_.map(d => tokens(d._4)).sum).toMap
+      val pws = masses.view.mapValues(m =>
+        BigDecimal(math.pow(m.toDouble, 0.7)).setScale(6, BigDecimal.RoundingMode.HALF_UP)).toMap
+      val totPw = pws.values.sum
+      val budgets = pws.view.mapValues(pw => ((pw / totPw).toDouble * budget).toLong).toMap
+      val keptHand = gatedDocs
+        .groupBy(_._3)
+        .flatMap { case (src, ds) =>
+          val ordered = ds.sortBy(d => (bucketOf(d._1), md5hex(d._1.toString), d._1))
+          var cum = 0L
+          ordered.takeWhile { d =>
+            val keep = cum < budgets(src)
+            cum += tokens(d._4)
+            keep
+          }
+        }
+        .map(_._1)
+        .toSet
+      assert(byStage("token_budget") == keptHand.size.toLong,
+        s"trial $trial token_budget: builder=${byStage("token_budget")} hand=${keptHand.size}")
+      assert(byStage("pack") == byStage("token_budget"), s"trial $trial pack")
+    }
+  }
+
   test("fuzzy decontamination drops benchmark paraphrases exact n-grams miss") {
     import spark.implicits._
     // Benchmark doc; the train corpus contains a PARAPHRASE: identical
