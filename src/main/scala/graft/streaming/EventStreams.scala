@@ -58,6 +58,98 @@ object EventStreams {
       .groupBy(window(col(tsCol), windowDur))
       .agg(approx_count_distinct(col(distinctCol), rsd).as("approx_distinct"))
 
+  /** The SpaceSaving heavy-hitter summary (Metwally et al. 2005), PURE so
+    * its guarantees can be model-checked: a capacity-bounded counter map
+    * `key → (count, overestimate)`. When a new key arrives at capacity it
+    * EVICTS the minimum counter and inherits its count as the new key's
+    * overestimate. For any arrival order, with N items processed:
+    *   - estimate ≥ true count ≥ estimate − overestimate,
+    *   - overestimate ≤ N / capacity,
+    *   - every key with true count > N / capacity is present.
+    */
+  private[streaming] object SpaceSaving {
+    def add(
+        counters: Map[Long, (Long, Long)],
+        key: Long,
+        capacity: Int
+    ): Map[Long, (Long, Long)] =
+      counters.get(key) match {
+        case Some((c, e)) => counters.updated(key, (c + 1, e))
+        case None if counters.size < capacity => counters.updated(key, (1L, 0L))
+        case None =>
+          // Deterministic eviction tiebreak (smallest count, then key) so
+          // replays converge.
+          val (minKey, (minC, _)) = counters.minBy { case (k, (c, _)) => (c, k) }
+          (counters - minKey).updated(key, (minC + 1, minC))
+      }
+  }
+
+  final case class TopKRow(
+      window_start: Timestamp,
+      user_id: Long,
+      est_count: Long,
+      max_overcount: Long,
+      rank: Int
+  )
+
+  /** Streaming per-window heavy hitters with BOUNDED state on unbounded
+    * key cardinality — the streaming counterpart of the batch
+    * `q_heavy_hitters`, for when exact per-(window, key) counts (the
+    * [[windowedCounts]] shape) would hold one state row per distinct key.
+    * Each event-time window keeps ONE SpaceSaving summary of `capacity`
+    * counters regardless of how many users appear; when the watermark
+    * passes the window's end the top-`k` emit as FINAL rows
+    * (est_count with its max_overcount error bound — the SpaceSaving
+    * guarantee: true ∈ [est − max_overcount, est]) and the state drops.
+    *
+    * State per window is `capacity` counters — the scale contract: a
+    * bot-heavy window with 10⁸ distinct users costs the same bytes as a
+    * quiet one. Events fold as they arrive (no buffering): SpaceSaving's
+    * bounds hold for ANY arrival order, so out-of-order delivery affects
+    * which non-heavy keys survive eviction but never the guarantees; the
+    * checkpoint replays batches exactly-once, so retries converge.
+    */
+  def streamingTopK(
+      events: Dataset[TypedEvent],
+      windowMs: Long = 60L * 60 * 1000,
+      k: Int = 3,
+      capacity: Int = 64,
+      watermarkDelay: String = "10 minutes"
+  ): Dataset[TopKRow] = {
+    val session = events.sparkSession
+    import session.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs) * windowMs)
+      .flatMapGroupsWithState[Map[Long, (Long, Long)], TopKRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (winStart: Long, evts: Iterator[TypedEvent], state: GroupState[Map[Long, (Long, Long)]]) =>
+        if (state.hasTimedOut) {
+          // Watermark passed the window end: finalize the top-k, drop state.
+          val counters = state.getOption.getOrElse(Map.empty)
+          state.remove()
+          counters.toSeq
+            .sortBy { case (u, (c, _)) => (-c, u) }
+            .take(k)
+            .zipWithIndex
+            .iterator
+            .map { case ((u, (c, e)), i) =>
+              TopKRow(new Timestamp(winStart), u, c, e, i + 1)
+            }
+        } else {
+          val st0 = state.getOption.getOrElse(Map.empty)
+          val st1 = evts.foldLeft(st0)((m, e) => SpaceSaving.add(m, e.user_id, capacity))
+          state.update(st1)
+          // Wake once the watermark passes the window's end (floored at
+          // wm+1 — Spark rejects a timeout at or below the watermark).
+          state.setTimeoutTimestamp(
+            math.max(winStart + windowMs, state.getCurrentWatermarkMs() + 1))
+          Iterator.empty
+        }
+      }
+  }
+
   /** Streaming exact dedup on `keyCols` + event time within the watermark
     * horizon (same key at a different timestamp is a distinct event) —
     * `dropDuplicates` keeps per-key state only until the watermark passes,

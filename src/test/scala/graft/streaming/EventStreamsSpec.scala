@@ -451,4 +451,54 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(rows(1).getTimestamp(0) == ts(20) && rows(1).getLong(2) == 1)
     } finally q.stop()
   }
+
+  test("streaming top-k finalizes per-window heavy hitters on watermark close " +
+    "(exact when capacity covers the keys)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.TypedEvent
+    val input = MemoryStream[TypedEvent]
+    // 1-hour windows, zero-delay watermark, capacity far above the key
+    // count — SpaceSaving is exact there, so the finalized rows must be
+    // the true per-window top-2 with zero overcount.
+    val q = EventStreams
+      .streamingTopK(input.toDS(), windowMs = 60 * 60 * 1000, k = 2,
+        capacity = 64, watermarkDelay = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("topk")
+      .outputMode("append")
+      .start()
+    def rows(): Seq[(Timestamp, Long, Long, Long, Int)] = spark
+      .sql("select window_start, user_id, est_count, max_overcount, rank from topk " +
+        "order by window_start, rank")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSeq
+    try {
+      // Window 10:00: user 1 ×3, user 2 ×2, user 3 ×1 (out of processing
+      // order — SpaceSaving folds as events arrive).
+      input.addData(
+        TypedEvent(2L, ts(5), "click"), TypedEvent(1L, ts(1), "view"),
+        TypedEvent(1L, ts(9), "click"), TypedEvent(3L, ts(30), "view"),
+        TypedEvent(2L, ts(40), "view"), TypedEvent(1L, ts(50), "view"))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "window must not finalize before the watermark passes its end")
+
+      // An 11:05 event pushes the watermark past 11:00 → window 10:00
+      // finalizes with the exact top-2.
+      input.addData(TypedEvent(9L, Timestamp.valueOf("2024-01-01 11:05:00"), "view"))
+      q.processAllAvailable()
+      val w1 = Timestamp.valueOf("2024-01-01 10:00:00")
+      assert(rows() == Seq((w1, 1L, 3L, 0L, 1), (w1, 2L, 2L, 0L, 2)), s"got ${rows()}")
+
+      // Push past 12:00: the 11:00 window (single event) finalizes too,
+      // and its state is gone — one row, rank 1.
+      input.addData(TypedEvent(4L, Timestamp.valueOf("2024-01-01 12:05:00"), "view"))
+      q.processAllAvailable()
+      val w2 = Timestamp.valueOf("2024-01-01 11:00:00")
+      assert(rows().drop(2) == Seq((w2, 9L, 1L, 0L, 1)), s"got ${rows()}")
+    } finally q.stop()
+  }
 }
