@@ -967,22 +967,41 @@ class SparkLog(
     // One aggregate pass: the restore base, plus loud failure on
     // non-default Raft-parity fields — this engine never writes them, and
     // silently dropping a nonzero term would corrupt a hypothetical
-    // Raft-bearing export rather than refuse it.
-    val aggs = Seq(min(col("offset")).as("base")) ++
-      (if (cols.contains("term")) Seq(max(abs(col("term"))).as("t")) else Nil) ++
-      (if (cols.contains("recordType")) Seq(max(abs(col("recordType"))).as("rt")) else Nil)
+    // Raft-bearing export rather than refuse it. Every aggregate casts in
+    // the PLAN so an export whose term/recordType landed as int/byte/long
+    // hits the intended require, not a Row-accessor ClassCastException.
+    val aggs = Seq(min(col("offset")).cast("long").as("base")) ++
+      (if (cols.contains("term")) Seq(max(abs(col("term"))).cast("long").as("t")) else Nil) ++
+      (if (cols.contains("recordType")) Seq(max(abs(col("recordType"))).cast("long").as("rt"))
+       else Nil)
     val head = export.agg(aggs.head, aggs.tail: _*).first()
     if (head.isNullAt(0)) return // empty export: no-op, like the reference
     if (cols.contains("term"))
       require(head.getLong(1) == 0L, "restore: export carries non-zero term records")
     if (cols.contains("recordType"))
       require(
-        head.getInt(if (cols.contains("term")) 2 else 1) == 0,
+        head.getLong(if (cols.contains("term")) 2 else 1) == 0L,
         "restore: export carries non-zero recordType records"
       )
-    resetTo(head.getLong(0))
-    appendDF(export.orderBy("offset").select(col("value").cast("binary").as("value")))
-    ()
+    // Materialize the export BEFORE the reset: the docstring invites
+    // passing this log's own reader frame, and a lazy plan over our own
+    // parquet segments would otherwise be read only AFTER resetTo deleted
+    // them — a self-restore would wipe the log, then fail. localCheckpoint
+    // pins the sorted values in block storage (MEMORY_AND_DISK), making
+    // `log.restore(log.reader)` safe; the backing RDD frees in `finally`.
+    val staged = export
+      .orderBy("offset")
+      .select(col("value").cast("binary").as("value"))
+      .localCheckpoint(true)
+    try {
+      resetTo(head.getLong(0))
+      appendDF(staged)
+      ()
+    } finally {
+      staged.queryExecution.analyzed
+        .collectFirst { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+        .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+    }
   }
 
   /** Restore from a directory holding a parquet dump of [[reader]] (the CLI

@@ -68,6 +68,22 @@ object AnnIndex {
 
   private def basePath(indexDir: String, v: Long) = new Path(s"$indexDir/v=$v/_base")
 
+  /** Remove every trace of a crashed prior attempt at version `v` before
+    * writing it anew. Overwrite-mode writes replace cells/centroids on
+    * their own, but NOT a stale `_base` pointer left by an append that
+    * died between `_base` and the marker — that orphan would make a
+    * subsequent full build/recentre at the same number look like a delta
+    * chained to the superseded head, so `allCells` would union the rebuild
+    * with the old chain (duplicated vectors, resurrected drops). Deleting
+    * the whole directory restores the documented crash contract: an
+    * invisible half-written version is fully overwritten.
+    */
+  private def clearStaleAttempt(spark: SparkSession, indexDir: String, v: Long): Unit = {
+    val f = fs(spark, indexDir)
+    val p = new Path(s"$indexDir/v=$v")
+    if (f.exists(p)) { val _ = f.delete(p, true) }
+  }
+
   /** Delta chain of version `v`, head first: `v` plus its transitive
     * `_base` ancestors. A full build has no `_base` file and is its own
     * chain.
@@ -101,6 +117,7 @@ object AnnIndex {
   def build(spark: SparkSession, embeddings: DataFrame, indexDir: String): Long = {
     val v = current(spark, indexDir).map(_._1).getOrElse(0L) + 1
     val vd = s"$indexDir/v=$v"
+    clearStaleAttempt(spark, indexDir, v)
     val e = embeddings.select(
       col("vec_id"),
       col("label").cast("int").as("cell"),
@@ -178,6 +195,7 @@ object AnnIndex {
     // simply overwritten (static partition overwrite replaces the dir).
     val v = base + 1
     val vd = s"$indexDir/v=$v"
+    clearStaleAttempt(spark, indexDir, v)
     val cent = spark.read.parquet(s"$indexDir/v=$base/centroids")
     // Nearest existing centroid, deterministic tiebreak — the same
     // rounding + (score desc, cell asc) order the probe side uses.
@@ -212,7 +230,11 @@ object AnnIndex {
     )
     val v = head + 1
     val vd = s"$indexDir/v=$v"
+    // Read the chain BEFORE clearing debris at v: a crashed append may
+    // have left a stale _base at this number, but the chain being folded
+    // is head's, which never includes v.
     val e = allCells(spark, indexDir, head).select("vec_id", "cell", "v")
+    clearStaleAttempt(spark, indexDir, v)
     e.write.mode("overwrite").partitionBy("cell").parquet(s"$vd/cells")
     e.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("cell", "pos")

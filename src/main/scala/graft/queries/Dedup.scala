@@ -657,6 +657,61 @@ object Dedup {
           .orderBy("doc_id")
   }
 
+  /** Per-block doc cap for `dedup_edit_distance`. The block join is
+    * quadratic in a single block's size, and 16-char prefixes are
+    * pathologically hot on web text — millions of pages open with the
+    * same boilerplate ("<!doctype html>…", templated headers) — so one
+    * hot block would otherwise become an uncapped all-pairs join group:
+    * the exact skew class [[Temporal.ItemSimUserCap]] guards for item
+    * similarity. 1000 is ~300× the largest block the test corpora produce
+    * (max 3 at sf0.01), so small-scale output is byte-identical to the
+    * uncapped oracle, while a boilerplate block of ANY size contributes
+    * at most cap·(cap−1)/2 ≈ 500k pairs.
+    *
+    * RECALL CONTRACT (explicit): docs ranked past the cap in a hot block
+    * (largest doc_ids — the ranking is deterministic) lose edit-distance
+    * candidacy against that block. A block that hot is boilerplate by
+    * construction, and its members remain covered by the shingle/SimHash/
+    * MinHash variants, which fingerprint whole documents and do not block
+    * on prefixes.
+    */
+  val EditBlockCap: Int = 1000
+
+  /** `(doc_id, head, blk)` with each 16-char-prefix block capped at
+    * `blockCap` docs, deterministic by doc_id asc — the bounded input to
+    * the edit-distance block join. The cap is a `row_number ≤ k` filter,
+    * which Spark 4 plans as a partial WindowGroupLimit before the blk
+    * shuffle, so per-task sort state is O(cap) even on a hot block.
+    */
+  private[queries] def editBlocked(docs: DataFrame, blockCap: Int): DataFrame = {
+    val p = docs.select(
+      col("doc_id"),
+      substring(lower(trim(col("text"))), 1, 80).as("head"),
+      substring(lower(trim(col("text"))), 1, 16).as("blk")
+    )
+    val w = Window.partitionBy("blk").orderBy("doc_id")
+    p.withColumn("br", row_number().over(w))
+      .filter(col("br") <= blockCap)
+      .drop("br")
+  }
+
+  /** The `dedup_edit_distance` pipeline with an explicit cap — the query
+    * below binds the default; DedupScaleSpec plants a hot block against a
+    * small cap to verify the bound.
+    */
+  private[queries] def editDistancePairs(
+      docs: DataFrame,
+      blockCap: Int = EditBlockCap
+  ): DataFrame = {
+    val p = editBlocked(docs, blockCap)
+    p.select(col("doc_id").as("d1"), col("head").as("h1"), col("blk"))
+      .join(p.select(col("doc_id").as("d2"), col("head").as("h2"), col("blk")), "blk")
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), levenshtein(col("h1"), col("h2")).as("dist"))
+      .filter(col("dist") <= 10)
+      .orderBy("d1", "d2")
+  }
+
   val all: Seq[Q] = Seq(
     // --- edit-distance near-dup: prefix-blocked Levenshtein ---
     // Levenshtein is O(len²) per pair and all-pairs is O(n²) — neither
@@ -664,23 +719,14 @@ object Dedup {
     // shuffle key cheap and candidate groups tiny (near-dup docs share
     // prefixes; at sf0.01: 473 blocks, max block 3, 28 candidate pairs
     // from 500 docs), and the distance runs on an 80-char head, not the
-    // full text. The standard trade: prefix-divergent near-dups are
-    // missed here and caught by the shingle-based variants.
+    // full text. Two explicit trades: prefix-divergent near-dups are
+    // missed here and caught by the shingle-based variants; and each
+    // block is capped at EditBlockCap docs so a boilerplate-hot prefix
+    // cannot become an unbounded quadratic join group (see EditBlockCap
+    // for the recall contract).
     Q(
       "dedup_edit_distance",
-      (s, d) => {
-        val p = t(s, d, "documents").select(
-          col("doc_id"),
-          substring(lower(trim(col("text"))), 1, 80).as("head"),
-          substring(lower(trim(col("text"))), 1, 16).as("blk")
-        )
-        p.select(col("doc_id").as("d1"), col("head").as("h1"), col("blk"))
-          .join(p.select(col("doc_id").as("d2"), col("head").as("h2"), col("blk")), "blk")
-          .filter(col("d1") < col("d2"))
-          .select(col("d1"), col("d2"), levenshtein(col("h1"), col("h2")).as("dist"))
-          .filter(col("dist") <= 10)
-          .orderBy("d1", "d2")
-      },
+      (s, d) => editDistancePairs(t(s, d, "documents")),
       Some("""
         WITH p AS (SELECT doc_id,
                           substr(lower(trim(text)), 1, 80) AS head,

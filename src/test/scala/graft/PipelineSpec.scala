@@ -747,4 +747,62 @@ class PipelineSpec extends AnyFunSuite {
     val consolidated = spark.read.parquet(s"$idx/v=4/cells")
     assert(consolidated.count() == 72L, "recentre must carry every chained vector")
   }
+
+  test("ann index: a full build/recentre over crashed-append debris must not chain to it") {
+    // ADVICE r8 (medium): an append that died between `_base` and the
+    // marker leaves a stale `_base` at v=N+1. cells/centroids overwrite on
+    // the next attempt, but the orphan `_base` survived — so a FULL build
+    // landing on that number looked like a delta chained to the superseded
+    // head: probes unioned the rebuild with the old chain, duplicating
+    // vectors and resurrecting ones the rebuild dropped. build/recentre now
+    // clear the whole stale version directory first.
+    import graft.queries.AnnIndex
+    val session = spark
+    import session.implicits._
+    val dir = TestSpark.tempDir("ann-stale-base")
+    val idx = s"$dir/index"
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => (math.cos(seed * 17 + i) * 100).toFloat)
+    def table(ids: Range) =
+      ids.map(i => (i.toLong, i % 3, vec(i))).toDF("vec_id", "label", "embedding")
+
+    val v1 = AnnIndex.build(spark, table(0 until 40), idx)
+    assert(v1 == 1L)
+
+    // Crashed append at v=2: cells + _base landed, marker did not.
+    val debris = s"$idx/v=2"
+    table(100 until 102)
+      .select(col("vec_id"), lit(0).as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .write.partitionBy("cell").parquet(s"$debris/cells")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$debris/_base"), "base=1".getBytes)
+
+    // Full REBUILD that drops vectors 10..39: must land on v=2 as its own
+    // chain — no _base, no union with the superseded v=1.
+    val v2 = AnnIndex.build(spark, table(0 until 10), idx)
+    assert(v2 == 2L && AnnIndex.current(spark, idx).contains((2L, 10L)))
+    assert(!new java.io.File(s"$idx/v=2/_base").exists(),
+      "stale _base must not survive a full rebuild at the same version")
+    val probes = table(0 until 4)
+      .select(col("vec_id").as("qid"), transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val seen = AnnIndex.probe(spark, idx, probes, nProbe = 3, k = 40)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(seen.nonEmpty && seen.forall(_._2 < 10L),
+      s"rebuild resurrected dropped vectors: ${seen.filter(_._2 >= 10L).take(5).toSeq}")
+    assert(seen.distinct.length == seen.length, "rebuild duplicated vectors via the stale chain")
+
+    // Same hazard for recentre: plant debris at head+1, then fold.
+    val debris2 = s"$idx/v=3"
+    table(100 until 102)
+      .select(col("vec_id"), lit(0).as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .write.partitionBy("cell").parquet(s"$debris2/cells")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$debris2/_base"), "base=2".getBytes)
+    val v3 = AnnIndex.recentre(spark, idx)
+    assert(v3 == 3L && AnnIndex.current(spark, idx).contains((3L, 10L)))
+    assert(!new java.io.File(s"$idx/v=3/_base").exists(),
+      "stale _base must not survive a recentre at the same version")
+    assert(spark.read.parquet(s"$idx/v=3/cells").count() == 10L,
+      "recentre folded debris vectors into the consolidated version")
+  }
 }

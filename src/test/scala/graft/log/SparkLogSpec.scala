@@ -370,6 +370,28 @@ class SparkLogSpec extends AnyFunSuite {
     assert(dst.highestOffset == 5L)
   }
 
+  test("self-restore from the log's own reader is safe (export materializes before the reset)") {
+    // ADVICE r8: restore() resets (= deletes every segment) before the
+    // lazy export plan runs, so passing the log's OWN reader frame would
+    // read parquet files the reset already deleted — data loss. The fix
+    // pins the sorted export in block storage first; the no-op identity
+    // restore must round-trip byte-identically.
+    val log = SparkLog(spark, TestSpark.tempDir("log-self-restore"), tinyConfig)
+    (0 until 8).foreach(i => log.appendOne(s"self-$i".getBytes("UTF-8")))
+    log.truncate(2)
+    val before = log.reader
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("offset")), new String(r.getAs[Array[Byte]]("value"), "UTF-8")))
+      .toList
+    log.restore(log.reader)
+    val after = log.reader
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("offset")), new String(r.getAs[Array[Byte]]("value"), "UTF-8")))
+      .toList
+    assert(after == before, "self-restore must be an identity round-trip")
+    assert(log.appendOne("post".getBytes("UTF-8")) == 8L)
+  }
+
   test("retention drops exactly the eligible prefix by age and by size; tail survives") {
     // Deterministic clock: each append batch lands one hour apart.
     var now = 1000L * 1000

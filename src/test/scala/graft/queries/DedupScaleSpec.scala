@@ -379,4 +379,44 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(expApply.exists(r => r._3 < r._2), "apply must actually remove tokens somewhere")
     assert(gotApply == expApply, "cleaned corpus differs from the single-node reference")
   }
+
+  test("edit-distance blocks are capped against a planted hot boilerplate prefix") {
+    // The skew adversary: 10k web pages opening with identical boilerplate
+    // share one 16-char prefix block. Uncapped, that block is a ~50M-pair
+    // quadratic join group (the ItemSimUserCap skew class); capped, it
+    // contributes at most cap·(cap−1)/2 pairs from the deterministic
+    // smallest-doc_id members — which is also why this test finishes in
+    // seconds instead of minutes.
+    import spark.implicits._
+    val boiler = "<!doctype html> " // exactly the 16-char block key
+    val hot = (0 until 10000).map(i => (i.toLong, "en", s"$boiler page $i body ${"x" * (i % 7)}"))
+    // Organic tail: ten 3-doc blocks with distinct prefixes (below any cap).
+    val organic = (0 until 30).map { i =>
+      val g = i / 3
+      (100000L + i, "en", f"organicprefix$g%03d tail variant $i word$i")
+    }
+    val df = (hot ++ organic).toDF("doc_id", "lang", "text")
+
+    val cap = 50
+    // (a) deterministic membership: the hot block keeps exactly its `cap`
+    //     smallest doc ids; small organic blocks are untouched.
+    val kept = Dedup.editBlocked(df, cap).select("doc_id").as[Long].collect().toSet
+    assert(kept.filter(_ < 100000L) == (0L until cap.toLong).toSet, "hot block not capped to smallest ids")
+    assert(organic.map(_._1).toSet.subsetOf(kept), "organic blocks must be untouched by the cap")
+
+    // (b) the pair bound — the whole point of the guard.
+    val pairs = Dedup.editDistancePairs(df, cap)
+    val hotPairs = pairs.filter(col("d1") < 100000L).count()
+    assert(hotPairs <= cap.toLong * (cap - 1) / 2, s"hot block produced $hotPairs pairs")
+    assert(hotPairs > 0, "planted near-identical boilerplate must produce pairs")
+
+    // (c) below-cap equivalence: on a corpus whose largest block is under
+    //     the default cap, the capped pipeline is byte-identical to the
+    //     uncapped join — why the CORRECTNESS oracle (uncapped SQL) still
+    //     matches at every test SF.
+    val small = (hot.take(30) ++ organic).toDF("doc_id", "lang", "text")
+    val capped = Dedup.editDistancePairs(small).collect().toSeq
+    val uncapped = Dedup.editDistancePairs(small, Int.MaxValue).collect().toSeq
+    assert(capped == uncapped, "default cap changed output on a below-cap corpus")
+  }
 }
