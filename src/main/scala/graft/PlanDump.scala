@@ -193,7 +193,33 @@ object PlanDump {
       "a cell-keyed shuffle join, the k-NN means reduce the candidate " +
       "stream with partial top-k, and the margin is computed over the " +
       "checkpointed candidate rows. Top-1 per source via a keyed window " +
-      "— no global sort.")
+      "— no global sort."),
+    "q_heavy_hitters" -> ("Per-day heavy hitters: counts partial-aggregate " +
+      "on (day, user), then the rank<=3 filter plans as Partial+Final " +
+      "WindowGroupLimit — each task keeps 3 rows per day BEFORE the " +
+      "day-keyed shuffle, so the raw count table never sorts globally; " +
+      "the only full sort is the presentation ORDER BY over the " +
+      "3-per-day survivors. Day keys are calendar-cardinality — the " +
+      "window cannot skew."),
+    "corpus_chunk" -> ("Document chunking is ONE map-side higher-order " +
+      "expression per row (sequence → slice → md5 inside codegen) " +
+      "exploded with a factor bounded by n_tokens/stride: no join, no " +
+      "aggregate, no hash shuffle at any corpus size — the only exchange " +
+      "is the presentation ORDER BY's range partitioning."),
+    "corpus_decontaminate_near" -> ("Fuzzy benchmark decontamination: the " +
+      "banded MinHash signature table computes once (checkpointed, shared " +
+      "by both roles); the benchmark band keys are eval-suite-sized and " +
+      "carry the query's ONLY broadcast hint, so the corpus side probes " +
+      "map-side; the only corpus-scale hash shuffle groups band hits per " +
+      "doc (the bench-side distinct shuffles eval-suite-sized rows). The " +
+      "verdict join back to doc ids rides AQE (broadcast at small sf, " +
+      "shuffle join at scale)."),
+    "corpus_source_triage" -> ("Per-source triage: the dup-hash and " +
+      "6-dp-integer quality signals evaluate inside the scan's codegen; " +
+      "count(distinct h) rides the standard two-phase distinct aggregate " +
+      "((source,h) partial → source final) — every shuffle key is " +
+      "source-bounded and the output is |sources| rows at any corpus " +
+      "size. No window, no join.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -337,6 +337,74 @@ class PlanSpec extends AnyFunSuite {
       s"containment prefix path lost its explicit-count repartition:\n$p")
   }
 
+  test("heavy hitters keep the rank filter in Partial+Final WindowGroupLimit, no global count sort") {
+    // q_heavy_hitters' scale contract: the rank<=3 filter must plan as a
+    // WindowGroupLimit PAIR — each task keeps 3 rows per day before the
+    // day-keyed shuffle (Partial), the reduce side keeps 3 after (Final) —
+    // so the raw (day, user) count table never crosses the wire whole and
+    // never sorts globally. The only global sort allowed is the
+    // presentation ORDER BY over the 3-per-day survivors.
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank filter lost its partial (map-side) WindowGroupLimit:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected Partial AND Final WindowGroupLimit:\n$p")
+    val globalSorts = p.linesIterator.count(l => l.contains("Sort [") && l.contains("], true,"))
+    assert(globalSorts == 1,
+      s"only the presentation ORDER BY may sort globally (found $globalSorts):\n$p")
+    assert(!p.contains("CartesianProduct"), s"heavy hitters planned a cartesian:\n$p")
+  }
+
+  test("chunking is map-side: no join, no aggregate, no hash shuffle before the output sort") {
+    // corpus_chunk is one codegen'd higher-order expression per row; the
+    // only exchange in the whole plan must be the presentation ORDER BY's
+    // range partitioning — a hash shuffle or aggregate appearing here
+    // means the chunker stopped being embarrassingly parallel.
+    val p = plan("corpus_chunk")
+    assert(!p.contains("hashpartitioning"), s"corpus_chunk gained a hash shuffle:\n$p")
+    assert(!p.contains("HashAggregate"), s"corpus_chunk must not aggregate:\n$p")
+    assert(!p.contains("Join"), s"corpus_chunk must not join:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"only the output-sort range exchange is allowed (found $exchanges):\n$p")
+  }
+
+  test("fuzzy decontamination broadcasts only the benchmark bands; one corpus-scale shuffle") {
+    // corpus_decontaminate_near's scale contract: the ONLY broadcast hint
+    // is the eval-suite-sized benchmark band set (hinting the corpus side
+    // would cap it at driver memory), the band probe is a broadcast join,
+    // and the corpus-scale hash shuffles stop at two — the per-doc hit
+    // count plus the bench-side distinct (which shuffles benchmark-sized
+    // rows only). The verdict join rides AQE, so it is not pinned here.
+    val df = SparkEntry.queries("corpus_decontaminate_near")(spark, d)
+    val analyzed = df.queryExecution.analyzed.toString
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    val hints = analyzed.linesIterator.count(_.contains("ResolvedHint"))
+    assert(hints == 1, s"expected exactly the benchmark-band broadcast hint, found $hints:\n$analyzed")
+    assert(!p.contains("CartesianProduct"), s"decontamination planned a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"band probe must be a broadcast join:\n$p")
+    val hashShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashShuffles <= 2,
+      s"corpus-scale shuffles grew beyond hit-count + bench distinct (found $hashShuffles):\n$p")
+  }
+
+  test("source triage is one two-phase distinct aggregate keyed on source, no window or join") {
+    // corpus_source_triage: per-doc signals in the scan's codegen, then
+    // the standard distinct-aggregate ladder — (source, h) partial →
+    // source final. Every hash shuffle key must start with source (the
+    // |sources|-row output bound); a window or join here means the
+    // per-source rollup stopped being a pure aggregate.
+    val p = plan("corpus_source_triage")
+    assert(!p.contains("Window"), s"source triage must not plan a window:\n$p")
+    assert(!p.contains("Join"), s"source triage must not join:\n$p")
+    val hashLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(hashLines.size == 2,
+      s"expected the (source,h) and (source) shuffles only, found ${hashLines.size}:\n$p")
+    assert(hashLines.forall(_.contains("hashpartitioning(source")),
+      s"a triage shuffle lost its source key prefix:\n$p")
+    assert(p.contains("partial_count"), s"triage lost its map-side partial aggregation:\n$p")
+  }
+
   test("substring-dedup apply keeps the map-side-combinable min and never explodes positions") {
     // Same skew contract as dedup_substring (hash-key min with a partial
     // phase, no window over the hash), plus: the strip is an array
