@@ -561,6 +561,15 @@ object Main {
             seqLen = seqLen
           )
           stageCounts.foreach(c => println(s"stage ${c.stage}: docs=${c.docs} tokens=${c.tokens}"))
+          // Per-document lineage summary: the drops table partitions the
+          // input (audit any doc with a point query on doc_id).
+          spark.read
+            .parquet(s"$out/v=$v/drops")
+            .groupBy("stage")
+            .count()
+            .orderBy("stage")
+            .collect()
+            .foreach(r => println(s"dropped ${r.getString(0)}: ${r.getLong(1)}"))
           println(s"built corpus v=$v at $out")
         case "compact-near-index" :: index :: Nil =>
           Engine.compactNearIndex(spark, index) match {

@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
   * quality gates → exact dedup → LSH near-dedup → benchmark
   * decontamination → LM quality gate → mixture-weighted token-budget
   * sampling → sequence packing — composed into a single driven pipeline
-  * that materializes the packed corpus plus per-stage counts.
+  * that materializes the packed corpus plus per-stage counts and a
+  * per-document lineage table (`drops` parquet: which stage dropped each
+  * doc and why — curate_gate / exact_dup / near_dup / decontaminate /
+  * lm_gate / token_budget — whose per-reason counts reconcile exactly
+  * with `stages.json`).
   *
   * Each stage is the SAME recipe as its oracle-backed query (cited per
   * stage below), applied at document level, so the build's stage counts
@@ -120,6 +124,22 @@ object CorpusBuilder {
         counts += StageCount(name, row.getLong(0), row.getLong(1))
         ck
       }
+      // PER-DOCUMENT LINEAGE: alongside the stage counts, every dropped doc
+      // records WHICH stage dropped it (`drops` parquet in the version dir)
+      // — the verdict table a production curation pipeline audits ("why is
+      // doc X not in the corpus?"). Each entry is an anti-join between a
+      // stage's (checkpointed) input and output, so the per-reason counts
+      // reconcile EXACTLY with stages.json by construction:
+      // docs(stage k−1) − docs(stage k) = |drops where stage = k| (with the
+      // curate stage split into its gate and exact-dup reasons).
+      // Scale: the anti-joins shuffle bare (doc_id) rows off already-
+      // materialized checkpoints — corpus-cardinality ids, never text.
+      val dropsB = Seq.newBuilder[DataFrame]
+      def recordDrops(prev: DataFrame, next: DataFrame, reason: String): Unit =
+        dropsB += prev
+          .select("doc_id")
+          .join(next.select("doc_id"), Seq("doc_id"), "left_anti")
+          .withColumn("stage", lit(reason))
 
       val input = stage(
         "input",
@@ -144,6 +164,10 @@ object CorpusBuilder {
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       val curated = stage("curate", scored.join(keepIds, "doc_id").drop("text_hash"))
+      // The curate stage has two distinct verdicts worth auditing apart:
+      // failing the lang/quality gate vs losing exact-dup keep-first.
+      recordDrops(input, scored, "curate_gate")
+      recordDrops(scored, curated, "exact_dup")
 
       // 2. NEAR-DEDUP (the dedup_minhash_lsh banding + Engine.nearDedupBatch
       //    decision rule): minhash16 4 bands × 4 rows; a doc drops when any
@@ -168,6 +192,7 @@ object CorpusBuilder {
         .select("doc_id")
         .distinct()
       val near = stage("near_dedup", curated.join(nearDropped, Seq("doc_id"), "left_anti"))
+      recordDrops(curated, near, "near_dup")
 
       // 3. DECONTAMINATE — two complementary rules, one stage:
       //    exact (the text_decontaminate / curate-near blocklist recipe):
@@ -215,6 +240,7 @@ object CorpusBuilder {
         case Some(hits) => stage("decontaminate", near.join(hits.distinct(), Seq("doc_id"), "left_anti"))
         case None       => stage("decontaminate", near)
       }
+      recordDrops(near, decon, "decontaminate")
 
       // 4. LM GATE (the corpus_lm_quality / curate-near --lm-model recipe):
       //    average token log-likelihood against the persisted unigram model;
@@ -234,6 +260,7 @@ object CorpusBuilder {
           )
         case None => stage("lm_gate", decon)
       }
+      recordDrops(decon, gated, "lm_gate")
 
       // 5. MIX + TOKEN BUDGET (corpus_mix_weights' mass^0.7 shares feeding
       //    corpus_token_budget's sharded running sums): per-source budgets
@@ -293,6 +320,7 @@ object CorpusBuilder {
           )
         case None => stage("token_budget", gated)
       }
+      recordDrops(gated, sampled, "token_budget")
 
       // 6. PACK (corpus_pack's bin assignment, materialized per doc): shard
       //    on the md5 bucket, deterministic (h, doc_id) order within shard,
@@ -318,6 +346,11 @@ object CorpusBuilder {
       val v = current(spark, outDir).map(_._1).getOrElse(0L) + 1
       val vd = s"$outDir/v=$v"
       done.write.mode("overwrite").partitionBy("bucket").parquet(s"$vd/corpus")
+      // The lineage table lands in the SAME version dir, before the marker
+      // — committed (or discarded on crash) atomically with the corpus it
+      // explains. Pack assigns offsets but never drops, so the six reasons
+      // here account for every input doc missing from the packed output.
+      dropsB.result().reduce(_ unionByName _).write.mode("overwrite").parquet(s"$vd/drops")
       val all = counts.result()
       val json = all
         .map(c => s"""{"stage":"${c.stage}","docs":${c.docs},"tokens":${c.tokens}}""")

@@ -287,6 +287,67 @@ class CorpusBuilderSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L))
   }
 
+  test("per-document lineage: drops.parquet partitions the input and reconciles with stages.json") {
+    import spark.implicits._
+    val docs = corpus
+    val df = docs.toDF("doc_id", "lang", "source", "text")
+    val out = TestSpark.tempDir("corpus-lineage") + "/out"
+    val (v, counts) = CorpusBuilder.build(
+      spark, df, out,
+      benchmarkGrams = Some(Seq("alpha beta gamma").toDF("gram")),
+      lmMinAvgLogp = Some(-12.0),
+      budgetTokens = Some(3000L)
+    )
+    val byStage = counts.map(c => c.stage -> c.docs).toMap
+
+    // stages.json on disk carries the same counts the builder returned —
+    // the artifact the drops table must reconcile against.
+    val stagesJson = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$out/v=$v/stages.json")), "UTF-8")
+    counts.foreach { c =>
+      assert(stagesJson.contains(s"""{"stage":"${c.stage}","docs":${c.docs}"""),
+        s"stages.json missing ${c.stage}=${c.docs}:\n$stagesJson")
+    }
+
+    val drops = spark.read.parquet(s"$out/v=$v/drops")
+      .select("doc_id", "stage").as[(Long, String)].collect()
+
+    // Per-reason counts reconcile EXACTLY with the stage-count deltas.
+    val byReason = drops.groupBy(_._2).view.mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    assert(byReason("curate_gate") + byReason("exact_dup") == byStage("input") - byStage("curate"))
+    assert(byReason("near_dup") == byStage("curate") - byStage("near_dedup"))
+    assert(byReason("decontaminate") == byStage("near_dedup") - byStage("decontaminate"))
+    assert(byReason("lm_gate") == byStage("decontaminate") - byStage("lm_gate"))
+    assert(byReason("token_budget") == byStage("lm_gate") - byStage("token_budget"))
+
+    // The lineage is a PARTITION of the input: every input doc is either
+    // packed or dropped exactly once, never both, never neither.
+    assert(drops.map(_._1).distinct.length == drops.length, "a doc carries two drop verdicts")
+    val packedIds = spark.read.parquet(s"$out/v=$v/corpus").select("doc_id").as[Long].collect().toSet
+    val droppedIds = drops.map(_._1).toSet
+    assert(packedIds.intersect(droppedIds).isEmpty, "a doc is both packed and dropped")
+    assert(packedIds ++ droppedIds == docs.map(_._1).toSet, "lineage must cover every input doc")
+
+    // Planted adversaries land on the right reason: the 12 exact clones
+    // (ids 1000+) drop as exact_dup; any surviving contaminated doc (ids
+    // 3000+, sharing the benchmark 3-gram) drops as decontaminate.
+    val reasonOf = drops.toMap
+    val exactClones = docs
+      .filter(d => d._1 >= 1000L && d._1 < 2000L)
+      // A clone of a gate-failing doc drops at the gate itself, so only
+      // gate-passing clones reach the exact-dup verdict.
+      .filter(d => Seq("en", "de", "fr").contains(d._2) && score(d._4) >= 0.5)
+      .map(_._1)
+    assert(exactClones.nonEmpty && exactClones.forall(id => reasonOf.get(id).contains("exact_dup")),
+      s"gate-passing exact clones must drop as exact_dup: ${exactClones.map(id => id -> reasonOf.get(id))}")
+    val contaminated = docs.map(_._1).filter(_ >= 3000L)
+    assert(contaminated.forall(id =>
+      Set("decontaminate", "near_dup", "curate_gate").contains(reasonOf.getOrElse(id, "KEPT"))),
+      s"contaminated docs must not survive: ${contaminated.map(id => id -> reasonOf.get(id))}")
+    assert(contaminated.exists(id => reasonOf.get(id).contains("decontaminate")),
+      "at least one planted contaminated doc must drop at the decontaminate stage")
+  }
+
   test("build is exactly-once: deterministic rebuild, crash debris overwritten") {
     import spark.implicits._
     val df = corpus.toDF("doc_id", "lang", "source", "text")
