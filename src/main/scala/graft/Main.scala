@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L])\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags])\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -516,11 +516,14 @@ object Main {
           // recomputed centroids (the staleness repair).
           val v = graft.queries.AnnIndex.recentre(spark, index)
           println(s"recentred ann index into v=$v at $index")
-        case "build-corpus" :: docs :: out :: buildRest =>
+        case verb :: docs :: out :: buildRest
+            if verb == "build-corpus" || verb == "append-corpus" =>
           // One-command corpus build: curate gates -> exact dedup -> LSH
           // near-dedup -> decontaminate -> LM gate -> mix-weighted token
           // budget -> sequence packing, with per-stage counts and a
-          // versioned exactly-once commit (CorpusBuilder).
+          // versioned exactly-once commit (CorpusBuilder). append-corpus
+          // runs the same stages incrementally: delta-only text compute
+          // against the persisted state, pool-level budget/pack recompute.
           var benchGrams: Option[String] = None
           var benchDocs: Option[String] = None
           var lmMin: Option[Double] = None
@@ -543,22 +546,27 @@ object Main {
               case "--seq-len" if bi + 1 < buildRest.length =>
                 seqLen = buildRest(bi + 1).toLong; bi += 2
               case f =>
-                System.err.println(s"build-corpus: unknown flag $f"); usage()
+                System.err.println(s"$verb: unknown flag $f"); usage()
             }
           }
           val docsPath =
             if (new java.io.File(s"$docs/documents.parquet").exists()) s"$docs/documents.parquet"
             else docs
-          val (v, stageCounts) = graft.queries.CorpusBuilder.build(
+          val run =
+            if (verb == "build-corpus") graft.queries.CorpusBuilder.build _
+            else graft.queries.CorpusBuilder.append _
+          val (v, stageCounts) = run(
             spark,
             spark.read.parquet(docsPath),
             out,
-            benchmarkGrams = benchGrams.map(spark.read.parquet(_)),
-            benchmarkDocs = benchDocs.map(spark.read.parquet(_)),
-            lmMinAvgLogp = lmMin,
-            lmModelDir = lmModel,
-            budgetTokens = budget,
-            seqLen = seqLen
+            Seq("en", "de", "fr"),
+            0.5,
+            benchGrams.map(spark.read.parquet(_)),
+            benchDocs.map(spark.read.parquet(_)),
+            lmMin,
+            lmModel,
+            budget,
+            seqLen
           )
           stageCounts.foreach(c => println(s"stage ${c.stage}: docs=${c.docs} tokens=${c.tokens}"))
           // Per-document lineage summary: the drops table partitions the
@@ -570,7 +578,7 @@ object Main {
             .orderBy("stage")
             .collect()
             .foreach(r => println(s"dropped ${r.getString(0)}: ${r.getLong(1)}"))
-          println(s"built corpus v=$v at $out")
+          println(s"committed corpus v=$v at $out")
         case "compact-near-index" :: index :: Nil =>
           Engine.compactNearIndex(spark, index) match {
             case Some(upTo) => println(s"compacted $index into batch=$upTo")

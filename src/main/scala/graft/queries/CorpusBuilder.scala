@@ -33,6 +33,24 @@ import org.apache.spark.sql.functions._
   * (md5-derived shard keys, min-id tiebreaks), so a retry reproduces the
   * same corpus byte-for-byte.
   *
+  * INCREMENTAL: [[append]] adds a document batch WITHOUT re-running the
+  * text-heavy stages over the existing corpus. Each version persists the
+  * state those stages need (`state/hashes`: curated text hashes,
+  * `state/bands`: curated LSH band keys, `state/gated`: the post-LM
+  * survivor pool); the delta runs gates → dedup-vs-state → decontaminate
+  * → LM on ITS OWN rows only, then budget selection and packing recompute
+  * over the survivor pool — metadata windows plus one output rewrite.
+  * That is the explicit RECOMPUTE BOUNDARY: per-append cost = delta text
+  * compute + pool-sized selection/pack/IO, never raw-corpus text compute
+  * (curation typically keeps a small fraction, so the pool ≪ raw input).
+  * First-wins dedup is id-ordered, so append REQUIRES delta doc ids above
+  * every previously built id — under that discipline an append commits
+  * byte-identically to a from-scratch [[build]] on the union (asserted in
+  * CorpusBuilderSpec), because existing docs' gate/dedup/LM verdicts
+  * cannot change. Staleness contract (the AnnIndex recentre analog): an
+  * auto-fitted LM model freezes at the base build; refresh it with a full
+  * [[build]].
+  *
   * SCALE: no stage collects the corpus. Gates are map-side expressions;
   * dedup keys shuffle on content hashes / band buckets; the benchmark
   * gram list broadcasts (eval-suite-sized); the LM model is a
@@ -72,6 +90,240 @@ object CorpusBuilder {
         (v, meta.stripPrefix("docs=").toLong)
     }
   }
+
+  // ------------------------------------------------- shared stage recipes
+
+  /** The pipeline's working schema: `(doc_id, lang, source, text,
+    * n_tokens)`.
+    */
+  private def withTokens(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("lang"),
+      col("source"),
+      col("text"),
+      size(Corpus.ws).cast("long").as("n_tokens")
+    )
+
+  /** Stage-1 gates (the corpus_curate recipe, TextOps.scala): lang
+    * allowlist + length/stopword quality score, plus the normalized text
+    * hash exact dedup keys on.
+    */
+  private def gateScored(input: DataFrame, langs: Seq[String], minQuality: Double): DataFrame =
+    input
+      .filter(col("lang").isin(langs.map(x => x: Any): _*))
+      .filter(TextOps.curateScore(col("text")) >= minQuality)
+      .withColumn("text_hash", md5(lower(trim(col("text")))))
+
+  /** minhash16 4×4 LSH band keys (the dedup_minhash_lsh banding — shared
+    * with the streaming near-dedup, so batch and stream agree).
+    */
+  private def lshBands(df: DataFrame, idCol: Column): DataFrame = df
+    .withColumn("mh__", expr("minhash16(array_distinct(split(lower(trim(text)), ' ')))"))
+    .select(
+      idCol.as("doc_id"),
+      explode(expr(
+        """transform(sequence(0, 3), b -> struct(
+             b AS band,
+             array_join(transform(slice(mh__, b*4 + 1, 4), x -> cast(x AS string)), ',') AS bh))"""
+      )).as("bb")
+    )
+    .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+  /** Contaminated doc ids among `docs` — exact (shared distinct 3-gram
+    * with the broadcast benchmark list) plus fuzzy (≥1 MinHash LSH band
+    * collision with a benchmark DOC, catching paraphrased leaks whose
+    * exact n-grams differ). Both benchmark sides are eval-suite-sized and
+    * broadcast. None when no benchmark input is configured.
+    */
+  private def contaminationHits(
+      docs: DataFrame,
+      benchmarkGrams: Option[DataFrame],
+      benchmarkDocs: Option[DataFrame]
+  ): Option[DataFrame] = {
+    val gramHits = benchmarkGrams.map { grams =>
+      val ngrams = expr(
+        """transform(sequence(1, size(w) - 2),
+                     i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
+                                 element_at(w, i + 2)))"""
+      )
+      docs
+        .select(col("doc_id"), Corpus.ws.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(ngrams)).as("gram"))
+        .join(broadcast(grams.select("gram").distinct()), Seq("gram"), "left_semi")
+        .select("doc_id")
+        .distinct()
+    }
+    val bandHits = benchmarkDocs.map { bdocs =>
+      val benchBands =
+        broadcast(lshBands(bdocs, monotonically_increasing_id()).select("band", "bh").distinct())
+      lshBands(docs, col("doc_id"))
+        .join(benchBands, Seq("band", "bh"), "left_semi")
+        .select("doc_id")
+        .distinct()
+    }
+    (gramHits.toSeq ++ bandHits.toSeq).reduceOption(_ unionByName _).map(_.distinct())
+  }
+
+  /** Stages 5–6 over a post-LM survivor pool: mix-weighted token-budget
+    * selection (corpus_mix_weights' mass^0.7 shares feeding
+    * corpus_token_budget's sharded running sums) and sequence packing
+    * (corpus_pack's bin assignment, per doc). `stage` is the caller's
+    * counting checkpoint. Returns (budget survivors, packed output).
+    */
+  private def budgetAndPack(
+      pool: DataFrame,
+      budgetTokens: Option[Long],
+      seqLen: Long,
+      stage: (String, DataFrame) => DataFrame
+  ): (DataFrame, DataFrame) = {
+    val sampled = budgetTokens match {
+      case Some(b) =>
+        val perSource = pool
+          .groupBy("source")
+          .agg(sum("n_tokens").as("mass"))
+          .withColumn(
+            "pw",
+            round(pow(col("mass").cast("double"), 0.7), 6).cast("decimal(28,6)")
+          )
+          .pipe(Checkpoints.checkpoint)
+        val tot = perSource.agg(sum("pw").as("tot_pw"))
+        val budgets = perSource
+          .crossJoin(broadcast(tot))
+          .select(
+            col("source"),
+            (col("pw").cast("double") / col("tot_pw").cast("double") * b).cast("long")
+              .as("budget")
+          )
+        val sharded = pool
+          .withColumn("bucket", Corpus.bucketOf(32))
+          .withColumn("h", md5(col("doc_id").cast("string")))
+        val bucketPrefix = sharded
+          .groupBy("source", "bucket")
+          .agg(sum("n_tokens").as("bt"))
+          .withColumn(
+            "bp",
+            coalesce(
+              sum(col("bt")).over(
+                Window.partitionBy("source").orderBy("bucket")
+                  .rowsBetween(Window.unboundedPreceding, -1)
+              ),
+              lit(0L)
+            )
+          )
+          .select("source", "bucket", "bp")
+        val intra = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+        stage(
+          "token_budget",
+          sharded
+            .withColumn(
+              "cb",
+              coalesce(
+                sum(col("n_tokens")).over(intra.rowsBetween(Window.unboundedPreceding, -1)),
+                lit(0L)
+              )
+            )
+            .join(broadcast(bucketPrefix), Seq("source", "bucket"))
+            .join(broadcast(budgets), Seq("source"))
+            .filter(col("bp") + col("cb") < col("budget"))
+            .drop("bucket", "h", "cb", "bp", "budget")
+        )
+      case None => stage("token_budget", pool)
+    }
+    val packW = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    val packed = sampled
+      .withColumn("bucket", Corpus.bucketOf(32))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn(
+        "token_start",
+        coalesce(
+          sum(col("n_tokens")).over(packW.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)
+        )
+      )
+      .withColumn("seq_id", expr(s"token_start div $seqLen"))
+      .drop("h")
+    val done = stage("pack", packed)
+    (sampled, done)
+  }
+
+  // ----------------------------------------------- versioned commit + state
+
+  /** Write version `v`'s artifacts in commit order: corpus, drops, the
+    * incremental-append state tables, stages.json, then the marker LAST;
+    * prune superseded versions after. Every path writes in overwrite mode,
+    * so a crashed prior attempt at the same number is fully replaced.
+    */
+  private def commitVersion(
+      spark: SparkSession,
+      outDir: String,
+      v: Long,
+      done: DataFrame,
+      drops: DataFrame,
+      hashes: DataFrame,
+      bands: DataFrame,
+      pool: DataFrame,
+      maxDocId: Long,
+      all: Seq[StageCount]
+  ): Unit = {
+    val vd = s"$outDir/v=$v"
+    done.write.mode("overwrite").partitionBy("bucket").parquet(s"$vd/corpus")
+    // The lineage table lands in the SAME version dir, before the marker
+    // — committed (or discarded on crash) atomically with the corpus it
+    // explains. Pack assigns offsets but never drops, so the six reasons
+    // here account for every input doc missing from the packed output.
+    drops.write.mode("overwrite").parquet(s"$vd/drops")
+    // Append state: what the delta-only text stages need from history.
+    hashes.select("text_hash").write.mode("overwrite").parquet(s"$vd/state/hashes")
+    bands.select("band", "bh").write.mode("overwrite").parquet(s"$vd/state/bands")
+    pool.select("doc_id", "lang", "source", "text", "n_tokens")
+      .write.mode("overwrite").parquet(s"$vd/state/gated")
+    val f = fsOf(spark, outDir)
+    val json = all
+      .map(c => s"""{"stage":"${c.stage}","docs":${c.docs},"tokens":${c.tokens}}""")
+      .mkString("[", ",", "]")
+    val js = f.create(new Path(s"$vd/stages.json"), true)
+    try js.write(json.getBytes("UTF-8"))
+    finally js.close()
+    val mj = f.create(new Path(s"$vd/state/meta.json"), true)
+    try mj.write(s"""{"max_doc_id":$maxDocId}""".getBytes("UTF-8"))
+    finally mj.close()
+    val packedDocs = all.last.docs
+    val out = f.create(markerPath(outDir, v), true)
+    try out.write(s"docs=$packedDocs".getBytes("UTF-8"))
+    finally out.close()
+    versions(spark, outDir).filter(_ < v).foreach { old =>
+      f.delete(new Path(s"$outDir/v=$old"), true)
+    }
+  }
+
+  private def readSmallFile(spark: SparkSession, path: String): String = {
+    val f = fsOf(spark, path)
+    val in = f.open(new Path(path))
+    try new String(in.readAllBytes(), "UTF-8")
+    finally in.close()
+  }
+
+  private val stageRe =
+    """\{"stage":"(\w+)","docs":(\d+),"tokens":(\d+)\}""".r
+
+  /** Parse a version's persisted stages.json back into StageCounts. */
+  private def readStages(spark: SparkSession, vd: String): Map[String, StageCount] =
+    stageRe
+      .findAllMatchIn(readSmallFile(spark, s"$vd/stages.json"))
+      .map(m => m.group(1) -> StageCount(m.group(1), m.group(2).toLong, m.group(3).toLong))
+      .toMap
+
+  private def readMaxDocId(spark: SparkSession, vd: String): Long = {
+    val meta = readSmallFile(spark, s"$vd/state/meta.json")
+    """"max_doc_id":(-?\d+)""".r
+      .findFirstMatchIn(meta)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"malformed $vd/state/meta.json: $meta"))
+  }
+
+  // ------------------------------------------------------------ full build
 
   /** Run the full build over a `documents` frame
     * (doc_id, lang, source, text, …). Returns the committed version and
@@ -141,24 +393,11 @@ object CorpusBuilder {
           .join(next.select("doc_id"), Seq("doc_id"), "left_anti")
           .withColumn("stage", lit(reason))
 
-      val input = stage(
-        "input",
-        documents.select(
-          col("doc_id"),
-          col("lang"),
-          col("source"),
-          col("text"),
-          size(Corpus.ws).cast("long").as("n_tokens")
-        )
-      )
+      val input = stage("input", withTokens(documents))
 
-      // 1. CURATE (the corpus_curate recipe, TextOps.scala: lang allowlist,
-      //    length+stopword quality score >= minQuality, exact-dup keep-first
-      //    by min doc_id per normalized text hash).
-      val scored = input
-        .filter(col("lang").isin(langs.map(x => x: Any): _*))
-        .filter(TextOps.curateScore(col("text")) >= minQuality)
-        .withColumn("text_hash", md5(lower(trim(col("text")))))
+      // 1. CURATE: gates, then exact-dup keep-first by min doc_id per
+      //    normalized text hash.
+      val scored = gateScored(input, langs, minQuality)
       val keepIds = scored
         .groupBy("text_hash")
         .agg(min(col("doc_id")).as("doc_id"))
@@ -170,21 +409,10 @@ object CorpusBuilder {
       recordDrops(scored, curated, "exact_dup")
 
       // 2. NEAR-DEDUP (the dedup_minhash_lsh banding + Engine.nearDedupBatch
-      //    decision rule): minhash16 4 bands × 4 rows; a doc drops when any
-      //    of its band buckets contains a smaller doc id — the batch analog
-      //    of streaming first-wins, deterministic in id order. Shuffles on
-      //    band-bucket keys only.
-      val bands = curated
-        .withColumn("mh", expr("minhash16(array_distinct(split(lower(trim(text)), ' ')))"))
-        .select(
-          col("doc_id"),
-          explode(expr(
-            """transform(sequence(0, 3), b -> struct(
-                 b AS band,
-                 array_join(transform(slice(mh, b*4 + 1, 4), x -> cast(x AS string)), ',') AS bh))"""
-          )).as("bb")
-        )
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      //    decision rule): a doc drops when any of its band buckets contains
+      //    a smaller doc id — the batch analog of streaming first-wins,
+      //    deterministic in id order. Shuffles on band-bucket keys only.
+      val bands = lshBands(curated, col("doc_id"))
       val wBucket = Window.partitionBy("band", "bh")
       val nearDropped = bands
         .withColumn("mn", min(col("doc_id")).over(wBucket))
@@ -194,50 +422,10 @@ object CorpusBuilder {
       val near = stage("near_dedup", curated.join(nearDropped, Seq("doc_id"), "left_anti"))
       recordDrops(curated, near, "near_dup")
 
-      // 3. DECONTAMINATE — two complementary rules, one stage:
-      //    exact (the text_decontaminate / curate-near blocklist recipe):
-      //    drop any doc sharing >= 1 distinct 3-gram with the broadcast
-      //    benchmark list; fuzzy (the corpus_decontaminate_near rule): drop
-      //    any doc colliding with a benchmark DOC in >= 1 MinHash LSH band,
-      //    catching paraphrased leaks whose exact n-grams differ. Both
-      //    benchmark sides are eval-suite-sized and broadcast. No list ->
-      //    pass-through stage (counted, so the stage roster is stable).
-      val gramHits = benchmarkGrams.map { grams =>
-        val ngrams = expr(
-          """transform(sequence(1, size(w) - 2),
-                       i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
-                                   element_at(w, i + 2)))"""
-        )
-        near
-          .select(col("doc_id"), Corpus.ws.as("w"))
-          .filter(size(col("w")) >= 3)
-          .select(col("doc_id"), explode(array_distinct(ngrams)).as("gram"))
-          .join(broadcast(grams.select("gram").distinct()), Seq("gram"), "left_semi")
-          .select("doc_id")
-          .distinct()
-      }
-      def lshBands(df: DataFrame, idCol: Column): DataFrame = df
-        .withColumn("mh__", expr("minhash16(array_distinct(split(lower(trim(text)), ' ')))"))
-        .select(
-          idCol.as("doc_id"),
-          explode(expr(
-            """transform(sequence(0, 3), b -> struct(
-                 b AS band,
-                 array_join(transform(slice(mh__, b*4 + 1, 4), x -> cast(x AS string)), ',') AS bh))"""
-          )).as("bb")
-        )
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val bandHits = benchmarkDocs.map { bdocs =>
-        val benchBands =
-          broadcast(lshBands(bdocs, monotonically_increasing_id()).select("band", "bh").distinct())
-        lshBands(near, col("doc_id"))
-          .join(benchBands, Seq("band", "bh"), "left_semi")
-          .select("doc_id")
-          .distinct()
-      }
-      val allHits = (gramHits.toSeq ++ bandHits.toSeq).reduceOption(_ unionByName _)
-      val decon = allHits match {
-        case Some(hits) => stage("decontaminate", near.join(hits.distinct(), Seq("doc_id"), "left_anti"))
+      // 3. DECONTAMINATE — exact n-gram + fuzzy band rules, one stage.
+      //    No benchmark input -> pass-through (counted, stable roster).
+      val decon = contaminationHits(near, benchmarkGrams, benchmarkDocs) match {
+        case Some(hits) => stage("decontaminate", near.join(hits, Seq("doc_id"), "left_anti"))
         case None       => stage("decontaminate", near)
       }
       recordDrops(near, decon, "decontaminate")
@@ -262,111 +450,211 @@ object CorpusBuilder {
       }
       recordDrops(decon, gated, "lm_gate")
 
-      // 5. MIX + TOKEN BUDGET (corpus_mix_weights' mass^0.7 shares feeding
-      //    corpus_token_budget's sharded running sums): per-source budgets
-      //    from the surviving mass, selection by deterministic md5-shard
-      //    order with a 32-bucket prefix table that broadcasts. No budget ->
-      //    pass-through.
-      val sampled = budgetTokens match {
-        case Some(b) =>
-          val perSource = gated
-            .groupBy("source")
-            .agg(sum("n_tokens").as("mass"))
-            .withColumn(
-              "pw",
-              round(pow(col("mass").cast("double"), 0.7), 6).cast("decimal(28,6)")
-            )
-            .pipe(Checkpoints.checkpoint)
-          val tot = perSource.agg(sum("pw").as("tot_pw"))
-          val budgets = perSource
-            .crossJoin(broadcast(tot))
-            .select(
-              col("source"),
-              (col("pw").cast("double") / col("tot_pw").cast("double") * b).cast("long")
-                .as("budget")
-            )
-          val sharded = gated
-            .withColumn("bucket", Corpus.bucketOf(32))
-            .withColumn("h", md5(col("doc_id").cast("string")))
-          val bucketPrefix = sharded
-            .groupBy("source", "bucket")
-            .agg(sum("n_tokens").as("bt"))
-            .withColumn(
-              "bp",
-              coalesce(
-                sum(col("bt")).over(
-                  Window.partitionBy("source").orderBy("bucket")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                lit(0L)
-              )
-            )
-            .select("source", "bucket", "bp")
-          val intra = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
-          stage(
-            "token_budget",
-            sharded
-              .withColumn(
-                "cb",
-                coalesce(
-                  sum(col("n_tokens")).over(intra.rowsBetween(Window.unboundedPreceding, -1)),
-                  lit(0L)
-                )
-              )
-              .join(broadcast(bucketPrefix), Seq("source", "bucket"))
-              .join(broadcast(budgets), Seq("source"))
-              .filter(col("bp") + col("cb") < col("budget"))
-              .drop("bucket", "h", "cb", "bp", "budget")
-          )
-        case None => stage("token_budget", gated)
-      }
+      // 5–6. MIX + TOKEN BUDGET, then PACK — the pool-level recompute
+      //    stages, shared verbatim with append.
+      val (sampled, done) = budgetAndPack(gated, budgetTokens, seqLen, stage)
       recordDrops(gated, sampled, "token_budget")
 
-      // 6. PACK (corpus_pack's bin assignment, materialized per doc): shard
-      //    on the md5 bucket, deterministic (h, doc_id) order within shard,
-      //    greedy running-sum bins of seqLen tokens. Emits the training-
-      //    ready layout: (bucket, seq_id, pos_in_seq-deriving token_start).
-      val packW = Window.partitionBy("bucket").orderBy("h", "doc_id")
-      val packed = sampled
-        .withColumn("bucket", Corpus.bucketOf(32))
-        .withColumn("h", md5(col("doc_id").cast("string")))
-        .withColumn(
-          "token_start",
-          coalesce(
-            sum(col("n_tokens")).over(packW.rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)
-          )
-        )
-        .withColumn("seq_id", expr(s"token_start div $seqLen"))
-        .drop("h")
-      val done = stage("pack", packed)
-
-      // Versioned commit (AnnIndex recipe): data + stages.json, marker LAST,
-      // prune after.
       val v = current(spark, outDir).map(_._1).getOrElse(0L) + 1
-      val vd = s"$outDir/v=$v"
-      done.write.mode("overwrite").partitionBy("bucket").parquet(s"$vd/corpus")
-      // The lineage table lands in the SAME version dir, before the marker
-      // — committed (or discarded on crash) atomically with the corpus it
-      // explains. Pack assigns offsets but never drops, so the six reasons
-      // here account for every input doc missing from the packed output.
-      dropsB.result().reduce(_ unionByName _).write.mode("overwrite").parquet(s"$vd/drops")
-      val all = counts.result()
-      val json = all
-        .map(c => s"""{"stage":"${c.stage}","docs":${c.docs},"tokens":${c.tokens}}""")
-        .mkString("[", ",", "]")
-      val f = fsOf(spark, outDir)
-      val js = f.create(new Path(s"$vd/stages.json"), true)
-      try js.write(json.getBytes("UTF-8"))
-      finally js.close()
-      val packedDocs = all.last.docs
-      val out = f.create(markerPath(outDir, v), true)
-      try out.write(s"docs=$packedDocs".getBytes("UTF-8"))
-      finally out.close()
-      versions(spark, outDir).filter(_ < v).foreach { old =>
-        f.delete(new Path(s"$outDir/v=$old"), true)
+      val maxDocId = input.agg(coalesce(max(col("doc_id")), lit(-1L))).first().getLong(0)
+      commitVersion(
+        spark, outDir, v,
+        done = done,
+        drops = dropsB.result().reduce(_ unionByName _),
+        hashes = scored.select("text_hash").distinct(),
+        bands = bands.select("band", "bh").distinct(),
+        pool = gated,
+        maxDocId = maxDocId,
+        all = counts.result()
+      )
+      (v, counts.result())
+    } finally ckScope.release()
+  }
+
+  // ----------------------------------------------------- incremental append
+
+  /** Incrementally add `deltaDocs` to the current build. The text-heavy
+    * stages (gates, dedup signatures, decontamination, LM scoring) run on
+    * the DELTA ONLY, deduplicating against the persisted state instead of
+    * re-reading the corpus; budget selection and packing then recompute
+    * over the post-LM survivor pool (the explicit recompute boundary —
+    * metadata windows plus the output rewrite). Commits version
+    * `current+1` with the SAME artifacts and union-wide stage counts as a
+    * from-scratch [[build]] on old∪delta, and — given monotone doc ids
+    * and a persisted LM model — byte-identical content.
+    *
+    * REQUIRES every delta doc_id to exceed every previously built id:
+    * first-wins dedup is id-ordered, and an out-of-order id would have to
+    * retroactively drop an already-committed doc (that is a full
+    * [[build]], not an append).
+    */
+  def append(
+      spark: SparkSession,
+      deltaDocs: DataFrame,
+      outDir: String,
+      langs: Seq[String] = Seq("en", "de", "fr"),
+      minQuality: Double = 0.5,
+      benchmarkGrams: Option[DataFrame] = None,
+      benchmarkDocs: Option[DataFrame] = None,
+      lmMinAvgLogp: Option[Double] = None,
+      lmModelDir: Option[String] = None,
+      budgetTokens: Option[Long] = None,
+      seqLen: Long = 512L
+  ): (Long, Seq[StageCount]) = {
+    graft.functions.GraftFunctions.register(spark)
+    val (base, _) = current(spark, outDir).getOrElse(
+      throw new IllegalStateException(s"append needs an existing complete corpus build under $outDir")
+    )
+    val bd = s"$outDir/v=$base"
+    val prevCounts = readStages(spark, bd)
+    val prevMax = readMaxDocId(spark, bd)
+    val prevHashes = spark.read.parquet(s"$bd/state/hashes")
+    val prevBands = spark.read.parquet(s"$bd/state/bands")
+    val prevGated = spark.read.parquet(s"$bd/state/gated")
+    val prevDrops = spark.read.parquet(s"$bd/drops")
+
+    val ckScope = Checkpoints.begin()
+    try {
+      val counts = Seq.newBuilder[StageCount]
+      // Union-wide accounting for the delta-only stages: history count (from
+      // the base version's stages.json) + this delta's contribution — the
+      // numbers a from-scratch build on old∪delta would report.
+      def stageUnion(name: String, deltaDf: DataFrame): DataFrame = {
+        val ck = Checkpoints.checkpoint(deltaDf)
+        val row = ck.agg(count(lit(1)), coalesce(sum("n_tokens"), lit(0L))).first()
+        val p = prevCounts.getOrElse(
+          name,
+          throw new IllegalStateException(s"base build is missing stage '$name' in stages.json")
+        )
+        counts += StageCount(name, p.docs + row.getLong(0), p.tokens + row.getLong(1))
+        ck
       }
-      (v, all)
+      // Pool-level stages count directly (they already see the union).
+      def stagePool(name: String, df: DataFrame): DataFrame = {
+        val ck = Checkpoints.checkpoint(df)
+        val row = ck.agg(count(lit(1)), coalesce(sum("n_tokens"), lit(0L))).first()
+        counts += StageCount(name, row.getLong(0), row.getLong(1))
+        ck
+      }
+      val dropsB = Seq.newBuilder[DataFrame]
+      def recordDrops(prev: DataFrame, next: DataFrame, reason: String): Unit =
+        dropsB += prev
+          .select("doc_id")
+          .join(next.select("doc_id"), Seq("doc_id"), "left_anti")
+          .withColumn("stage", lit(reason))
+
+      val input = stageUnion("input", withTokens(deltaDocs))
+      val deltaMin = input.agg(coalesce(min(col("doc_id")), lit(Long.MaxValue))).first().getLong(0)
+      require(
+        deltaMin > prevMax,
+        s"append requires delta doc ids above every built id (first-wins dedup is id-ordered); " +
+          s"got delta min=$deltaMin, history max=$prevMax — rerun as a full build instead"
+      )
+
+      // 1. CURATE on the delta: gates, within-delta keep-first, then drop
+      //    anything whose hash already exists in history (the history
+      //    keeper has the smaller id by the monotone-id requirement).
+      val scored = gateScored(input, langs, minQuality)
+      val keepIds = scored
+        .groupBy("text_hash")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val curatedDelta = stageUnion(
+        "curate",
+        scored
+          .join(keepIds, "doc_id")
+          .join(prevHashes, Seq("text_hash"), "left_anti")
+          .drop("text_hash")
+      )
+      recordDrops(input, scored, "curate_gate")
+      recordDrops(scored, curatedDelta, "exact_dup")
+
+      // 2. NEAR-DEDUP on the delta: a delta doc drops when a band bucket
+      //    holds a smaller delta id OR the bucket exists in history at all
+      //    (every history id is smaller).
+      val bandsDelta = lshBands(curatedDelta, col("doc_id"))
+      val wBucket = Window.partitionBy("band", "bh")
+      val nearDroppedDelta = bandsDelta
+        .withColumn("mn", min(col("doc_id")).over(wBucket))
+        .filter(col("doc_id") > col("mn"))
+        .select("doc_id")
+        .unionByName(
+          bandsDelta.join(prevBands, Seq("band", "bh"), "left_semi").select("doc_id")
+        )
+        .distinct()
+      val nearDelta = stageUnion(
+        "near_dedup",
+        curatedDelta.join(nearDroppedDelta, Seq("doc_id"), "left_anti")
+      )
+      recordDrops(curatedDelta, nearDelta, "near_dup")
+
+      // 3. DECONTAMINATE the delta against the same static benchmark.
+      val deconDelta = contaminationHits(nearDelta, benchmarkGrams, benchmarkDocs) match {
+        case Some(hits) =>
+          stageUnion("decontaminate", nearDelta.join(hits, Seq("doc_id"), "left_anti"))
+        case None => stageUnion("decontaminate", nearDelta)
+      }
+      recordDrops(nearDelta, deconDelta, "decontaminate")
+
+      // 4. LM GATE with the PERSISTED model only — append never refits
+      //    (scores must agree with the docs already admitted); an
+      //    auto-fitted model freezes at the base build, full build() is the
+      //    refresh.
+      val gatedDelta = lmMinAvgLogp match {
+        case Some(minLp) =>
+          val modelDir = lmModelDir.getOrElse(s"$outDir/_lm")
+          require(
+            LmModel.current(spark, modelDir).isDefined,
+            s"append with an LM gate needs the persisted model at $modelDir " +
+              "(the base build's auto-fit or an explicit lmModelDir)"
+          )
+          stageUnion(
+            "lm_gate",
+            LmModel.score(spark, deconDelta, modelDir, "doc_id")
+              .filter(col("avg_logp") >= minLp)
+              .drop("avg_logp")
+          )
+        case None => stageUnion("lm_gate", deconDelta)
+      }
+      recordDrops(deconDelta, gatedDelta, "lm_gate")
+
+      // 5–6. The RECOMPUTE BOUNDARY: budget shares and pack offsets are
+      //    global functions of the survivor pool, so they re-run over
+      //    history ∪ delta — metadata-keyed windows and the output write,
+      //    no text-stage compute.
+      val pool = Checkpoints.checkpoint(
+        prevGated.unionByName(gatedDelta.select("doc_id", "lang", "source", "text", "n_tokens"))
+      )
+      val (sampled, done) = budgetAndPack(pool, budgetTokens, seqLen, stagePool)
+      recordDrops(pool, sampled, "token_budget")
+
+      // Lineage: history text-stage verdicts stand; the budget verdict is
+      // recomputed pool-wide, so the base version's token_budget rows are
+      // replaced by this version's.
+      val drops = prevDrops
+        .filter(col("stage") =!= "token_budget")
+        .unionByName(dropsB.result().reduce(_ unionByName _))
+
+      val deltaMax = input.agg(coalesce(max(col("doc_id")), lit(-1L))).first().getLong(0)
+      commitVersion(
+        spark, outDir, base + 1,
+        done = done,
+        drops = drops,
+        hashes = prevHashes.unionByName(
+          // Disjoint from history by the anti-join above and unique within
+          // the delta by keep-first — the union is already distinct.
+          scored.join(keepIds, "doc_id").join(prevHashes, Seq("text_hash"), "left_anti")
+            .select("text_hash")
+        ),
+        bands = prevBands.unionByName(
+          bandsDelta.select("band", "bh").distinct()
+            .join(prevBands, Seq("band", "bh"), "left_anti")
+        ),
+        pool = pool,
+        maxDocId = math.max(prevMax, deltaMax),
+        all = counts.result()
+      )
+      (base + 1, counts.result())
     } finally ckScope.release()
   }
 }
