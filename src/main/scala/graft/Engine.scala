@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 
 import graft.log.{LogConfig, SparkLog}
 import graft.server.{Acl, LogService}
@@ -437,6 +437,67 @@ class Engine(
           .write
           .mode("overwrite")
           .parquet(s"$chunksDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming HEAVY HITTERS: tail the log's JSON events and maintain a
+    * derived per-window top-k table — the product surface over
+    * [[graft.streaming.EventStreams.streamingTopK]] (ONE bounded
+    * SpaceSaving summary per event-time window, constant state bytes at
+    * any user cardinality; the streaming twin of the batch
+    * `q_heavy_hitters`). Records are JSON objects with `user_id` (long),
+    * `ts` (timestamp) and optional `event_type`; undecodable records are
+    * skipped, not fatal — an ingest pipeline must not wedge on one bad
+    * row.
+    *
+    * Rows are FINAL by construction (they emit exactly once, when the
+    * watermark closes their window), so exactly-once persistence is the
+    * chunksFrom recipe: each micro-batch overwrites its own `batch=<id>`
+    * partition whose content is a pure function of (restored state,
+    * batch); readers just scan the parquet dir. Resumable: the
+    * flatMapGroupsWithState state lives in the checkpoint, so a later run
+    * picks up open windows where the last left off.
+    */
+  def topKFrom(
+      peerDir: String,
+      checkpoint: String,
+      topkDir: String,
+      windowMs: Long = 60L * 60 * 1000,
+      k: Int = 3,
+      capacity: Int = 64,
+      watermarkDelay: String = "10 minutes",
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery = {
+    val session = spark
+    import session.implicits._
+    val evSchema = StructType(
+      Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType)
+      )
+    )
+    val events = spark.readStream
+      .format("graft")
+      .load(peerDir)
+      .select(from_json(col("value").cast("string"), evSchema).as("e"))
+      .filter(col("e.user_id").isNotNull && col("e.ts").isNotNull)
+      .select(
+        col("e.user_id").as("user_id"),
+        col("e.ts").as("ts"),
+        coalesce(col("e.event_type"), lit("")).as("event_type")
+      )
+      .as[graft.streaming.EventStreams.TypedEvent]
+    graft.streaming.EventStreams
+      .streamingTopK(events, windowMs, k, capacity, watermarkDelay)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.write.mode("overwrite").parquet(s"$topkDir/batch=$batchId")
         ()
       }
       .start()

@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags])\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags])\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -579,6 +579,51 @@ object Main {
             .collect()
             .foreach(r => println(s"dropped ${r.getString(0)}: ${r.getLong(1)}"))
           println(s"committed corpus v=$v at $out")
+        case "stream-topk" :: peer :: ckpt :: out :: tkRest =>
+          // One-shot (resumable) pass over the peer log's event backlog:
+          // maintain the derived per-window heavy-hitter table
+          // (Engine.topKFrom — bounded SpaceSaving state per window, rows
+          // finalized on watermark close, exactly-once batch partitions).
+          var windowMs = 3600000L
+          var k = 3
+          var capacity = 64
+          var watermark = "10 minutes"
+          var ti = 0
+          while (ti < tkRest.length) {
+            tkRest(ti) match {
+              case "--window-ms" if ti + 1 < tkRest.length =>
+                windowMs = tkRest(ti + 1).toLong; ti += 2
+              case "--k" if ti + 1 < tkRest.length =>
+                k = tkRest(ti + 1).toInt; ti += 2
+              case "--capacity" if ti + 1 < tkRest.length =>
+                capacity = tkRest(ti + 1).toInt; ti += 2
+              case "--watermark" if ti + 1 < tkRest.length =>
+                watermark = tkRest(ti + 1); ti += 2
+              case f =>
+                System.err.println(s"stream-topk: unknown flag $f"); usage()
+            }
+          }
+          val q = engine.topKFrom(
+            peer, ckpt, out, windowMs, k, capacity, watermark,
+            org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          )
+          q.processAllAvailable()
+          q.awaitTermination()
+          val finalized =
+            try Some(spark.read.parquet(out)) catch { case _: Exception => None }
+          finalized.filter(_.columns.contains("window_start")) match {
+            case Some(df) =>
+              val total = df.count()
+              df.orderBy("window_start", "rank").limit(20).collect().foreach { r =>
+                println(
+                  s"window ${r.getAs[java.sql.Timestamp]("window_start")} " +
+                    s"rank ${r.getAs[Int]("rank")}: user ${r.getAs[Long]("user_id")} " +
+                    s"est=${r.getAs[Long]("est_count")} -${r.getAs[Long]("max_overcount")}"
+                )
+              }
+              println(s"finalized $total top-k rows at $out")
+            case None => println(s"no finalized windows yet at $out")
+          }
         case "compact-near-index" :: index :: Nil =>
           Engine.compactNearIndex(spark, index) match {
             case Some(upTo) => println(s"compacted $index into batch=$upTo")

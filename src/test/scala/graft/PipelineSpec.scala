@@ -497,6 +497,62 @@ class PipelineSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming top-k maintains the derived heavy-hitter table across a restart") {
+    // The product surface over streamingTopK (CLI stream-topk): JSON
+    // events tail from the log, each event-time window keeps ONE bounded
+    // SpaceSaving summary, and rows land in the derived table exactly
+    // once, when the watermark closes their window.
+    val session = spark
+    import session.implicits._
+    val raw = SparkLog(spark, TestSpark.tempDir("topk-raw"), LogConfig())
+    def ev(user: Long, hhmm: String): Array[Byte] =
+      s"""{"user_id":$user,"ts":"2024-01-01 $hhmm:00","event_type":"click"}""".getBytes
+    raw.append(
+      (1 to 5).map(m => ev(7L, s"10:0$m")) ++
+        (1 to 3).map(m => ev(9L, s"10:1$m")) ++
+        Seq(
+          ev(11L, "10:20"),
+          "not json at all".getBytes, // a bad record must be skipped, not fatal
+          ev(1L, "12:10") // pushes the watermark past 11:00 -> 10:00 window closes
+        )
+    )
+
+    val engine = Engine(spark, TestSpark.tempDir("topk-out"))
+    val ckpt = TestSpark.tempDir("topk-ckpt")
+    val topk = TestSpark.tempDir("topk-table")
+    def table(): Set[(java.sql.Timestamp, Long, Long, Long, Int)] = spark.read
+      .parquet(topk)
+      .select("window_start", "user_id", "est_count", "max_overcount", "rank")
+      .as[(java.sql.Timestamp, Long, Long, Long, Int)]
+      .collect()
+      .toSet
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+    val q1 = engine.topKFrom(raw.dir, ckpt, topk, k = 2)
+    try {
+      q1.processAllAvailable()
+      assert(
+        table() == Set((ts("10:00"), 7L, 5L, 0L, 1), (ts("10:00"), 9L, 3L, 0L, 2)),
+        s"closed window must finalize its top-2: ${table()}"
+      )
+    } finally q1.stop()
+
+    // Restart on the same checkpoint: the open 12:00 window's state was
+    // restored; a later event closes it, and the already-final rows are
+    // untouched.
+    raw.append(Seq(ev(2L, "14:30")))
+    val q2 = engine.topKFrom(raw.dir, ckpt, topk, k = 2)
+    try {
+      q2.processAllAvailable()
+      val t2 = table()
+      assert(t2.contains((ts("12:00"), 1L, 1L, 0L, 1)),
+        s"restored 12:00 window must finalize after restart: $t2")
+      assert(t2.filter(_._1 == ts("10:00")) ==
+        Set((ts("10:00"), 7L, 5L, 0L, 1), (ts("10:00"), 9L, 3L, 0L, 2)),
+        "final rows must never change across restarts")
+    } finally q2.stop()
+  }
+
   test("streaming media features: decode-in-stream maintains the derived table exactly-once") {
     val session = spark
     import session.implicits._
