@@ -26,7 +26,16 @@ object Bench {
     "dedup_simhash",
     "knn_brute",
     "text_fingerprint",
-    "media_meta"
+    "media_meta",
+    // Round-9 roster widening (r8 verdict #6): the original 12 covered
+    // none of the round-7/8 additions, so a perf regression in the
+    // containment index-probe, the bitext candidate pipeline, the
+    // chunker's map-side explode, or the funnel's keyed aggregates would
+    // not move any gated number. One representative per family.
+    "dedup_containment",
+    "corpus_bitext_mine",
+    "corpus_chunk",
+    "q_funnel"
   )
 
   def main(args: Array[String]): Unit = {
