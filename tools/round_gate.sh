@@ -17,7 +17,10 @@
 # stitching (dedup_substring), the persisted-index probe
 # (knn_ivf_indexed), the salted semantic pair join (dedup_semantic), and
 # the checkpointed model-fit/score splits (corpus_lm_quality,
-# corpus_dsir_weights). dedup_containment is deliberately NOT here: the
+# corpus_dsir_weights), the cell-keyed bitext candidate pipeline at 20k
+# embeddings (corpus_bitext_mine), and the WindowGroupLimit heavy-hitter
+# readout at 1M events (q_heavy_hitters). dedup_containment is
+# deliberately NOT here: the
 # 31-word sf1 universe makes its output containment-dense (~1e9 pairs);
 # its scale evidence is the Zipf soak (tools/make_zipf_corpus.py, 15k
 # docs / 39k vocab, exact) where the prefix filter actually prunes.
@@ -84,7 +87,7 @@ if [ "$SOAK" = "1" ]; then
     echo "--- regenerating tmp/sf1 (10x sf0.1)"
     python3 tools/make_scaled_sf.py /root/testdata/sf0.1 tmp/sf1 10
   fi
-  SOAK_QUERIES="dedup_clusters,dedup_ngram_jaccard,q_sessionize,dedup_substring,knn_ivf_indexed,dedup_semantic,corpus_lm_quality,corpus_dsir_weights,q_funnel,q_retention_cohorts,dedup_substring_apply,q_ab_lift,q_item_similarity,corpus_pack_apply,corpus_budget_apply"
+  SOAK_QUERIES="dedup_clusters,dedup_ngram_jaccard,q_sessionize,dedup_substring,knn_ivf_indexed,dedup_semantic,corpus_lm_quality,corpus_dsir_weights,q_funnel,q_retention_cohorts,dedup_substring_apply,q_ab_lift,q_item_similarity,corpus_pack_apply,corpus_budget_apply,corpus_bitext_mine,q_heavy_hitters"
   out="/tmp/round-gate-sf1"
   SPARK_GRAFT_MAX_PARTITION_BYTES=16777216 \
     sbt -batch "runMain graft.Verify tmp/sf1 $out $SOAK_QUERIES"
