@@ -45,7 +45,9 @@ class Engine(
       */
     val isLeader: Boolean = true,
     /** Liveness TTL for announced members (see [[Membership.ttlMillis]]). */
-    val memberTtlMillis: Long = 0L
+    val memberTtlMillis: Long = 0L,
+    /** φ accrual suspicion threshold (see [[Membership.phiThreshold]]). */
+    val memberPhiThreshold: Double = 0.0
 ) {
   if (rocksdbStateStore) Engine.enableRocksDBStateStore(spark)
 
@@ -53,7 +55,8 @@ class Engine(
   val service: LogService =
     new LogService(
       log, acl, nodeName, rpcAddr, isLeader = isLeader, peers,
-      memberTtlMillis = memberTtlMillis
+      memberTtlMillis = memberTtlMillis,
+      memberPhiThreshold = memberPhiThreshold
     )
 
   graft.functions.GraftFunctions.register(spark)

@@ -42,7 +42,7 @@ object Main {
   private def usage(): Nothing = {
     System.err.println(
       "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags])\n" +
-        "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
+        "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
     sys.exit(2)
@@ -155,6 +155,10 @@ object Main {
     // Liveness TTL in seconds: members must re-announce within this window
     // or GetServers evicts them (crash detection without gossip). 0 = off.
     var ttlSeconds = 0L
+    // Phi accrual suspicion threshold for member liveness (adaptive
+    // failure detection over the heartbeat inter-arrival distribution;
+    // see Membership.phiThreshold). 0 = TTL-only. 8 is conventional.
+    var phi = 0.0
     // mTLS for the serve verbs (reference: agent config ServerTLSConfig,
     // internal/agent/agent.go:124-149): key store = server identity, trust
     // store = client anchors. Password via --tls-pass or SPARK_GRAFT_TLS_PASS.
@@ -191,6 +195,7 @@ object Main {
               case "name"           => nodeName = Some(v)
               case "follower"       => follower = v.toBoolean
               case "ttl"            => ttlSeconds = v.toLong
+              case "phi"            => phi = v.toDouble
               case "tls-keystore"   => tlsKeyStore = Some(v)
               case "tls-truststore" => tlsTrustStore = Some(v)
               case "tls-pass"       => tlsPass = v
@@ -214,6 +219,7 @@ object Main {
         case "--name" if i + 1 < args.length      => nodeName = Some(args(i + 1)); i += 2
         case "--follower"                         => follower = true; i += 1
         case "--ttl" if i + 1 < args.length       => ttlSeconds = args(i + 1).toLong; i += 2
+        case "--phi" if i + 1 < args.length       => phi = args(i + 1).toDouble; i += 2
         case "--tls-keystore" if i + 1 < args.length   => tlsKeyStore = Some(args(i + 1)); i += 2
         case "--tls-truststore" if i + 1 < args.length => tlsTrustStore = Some(args(i + 1)); i += 2
         case "--tls-pass" if i + 1 < args.length       => tlsPass = args(i + 1); i += 2
@@ -221,8 +227,8 @@ object Main {
         case "--acl-policy-file" if i + 1 < args.length => aclPolicyFile = Some(args(i + 1)); i += 2
         case "--config-file" if i + 1 < args.length     => i += 2 // consumed in the pre-pass
         case "--data-dir" | "--bootstrap" | "--subject" | "--join" | "--name" | "--ttl" |
-            "--tls-keystore" | "--tls-truststore" | "--tls-pass" | "--acl-model-file" |
-            "--acl-policy-file" | "--config-file" => usage()
+            "--phi" | "--tls-keystore" | "--tls-truststore" | "--tls-pass" |
+            "--acl-model-file" | "--acl-policy-file" | "--config-file" => usage()
         case other                                => rest = rest :+ other; i += 1
       }
     }
@@ -270,7 +276,8 @@ object Main {
       nodeName = nodeName.getOrElse(if (follower) s"follower-$advertised" else "driver-0"),
       rpcAddr = advertised,
       isLeader = !follower,
-      memberTtlMillis = ttlSeconds * 1000L
+      memberTtlMillis = ttlSeconds * 1000L,
+      memberPhiThreshold = phi
     )
 
     try {

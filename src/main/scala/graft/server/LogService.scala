@@ -135,7 +135,11 @@ class LogService(
     /** Liveness TTL for announced members (see [[Membership.ttlMillis]]);
       * 0 keeps announcement-only membership.
       */
-    val memberTtlMillis: Long = 0L
+    val memberTtlMillis: Long = 0L,
+    /** φ accrual suspicion threshold (see [[Membership.phiThreshold]]);
+      * 0 keeps TTL-only liveness.
+      */
+    val memberPhiThreshold: Double = 0.0
 ) {
 
   /** Live topology: deployer-seeded, then fed by Join/Leave announcements
@@ -145,7 +149,8 @@ class LogService(
     new Membership(
       ServerInfo(nodeName, rpcAddr, isLeader = isLeader),
       peers,
-      ttlMillis = memberTtlMillis
+      ttlMillis = memberTtlMillis,
+      phiThreshold = memberPhiThreshold
     )
 
   /** A member announces itself (reference: discovery handler.Join,

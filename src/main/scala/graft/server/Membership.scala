@@ -10,6 +10,76 @@ trait MembershipHandler {
   def onLeave(id: String): Unit = ()
 }
 
+/** The φ accrual failure detector (Hayashibara et al., "The φ Accrual
+  * Failure Detector", SRDS 2004) — the algorithm behind the gossip-layer
+  * liveness the reference delegates to Serf. Instead of a binary verdict
+  * at a fixed TTL, each member's heartbeat INTER-ARRIVAL times feed a
+  * sliding statistical window, and suspicion is the continuous
+  *
+  *   φ(tElapsed) = −log10( P(next heartbeat arrives later than tElapsed) )
+  *
+  * under a normal model of the observed intervals. φ grows with silence
+  * and the threshold maps directly to a false-positive rate (φ=8 ⇒
+  * ~10⁻⁸ chance the member is actually alive): a jittery-but-alive
+  * member accumulates a wide interval distribution and tolerates gaps
+  * that would evict a metronome-regular member — the adaptivity the
+  * fixed TTL lacks.
+  */
+private[server] object PhiAccrual {
+
+  /** φ at `elapsed` ms of silence given the window's mean/std. The normal
+    * tail is evaluated through the logistic approximation of the normal
+    * CDF (Bowling et al. 2009: Φ(y) ≈ 1/(1+e^(−y(1.5976+0.070566·y²))))
+    * — branch on the sign so the tail never cancels to 0 at large y
+    * (φ stays finite and monotone instead of jumping to ∞).
+    */
+  def phi(elapsedMillis: Double, meanMillis: Double, stdMillis: Double): Double = {
+    val y = (elapsedMillis - meanMillis) / stdMillis
+    // Clamp the tail at the smallest positive double: past y≈21 the exp
+    // underflows to 0 and φ would read ∞ — keep it finite (~323) so
+    // comparisons and observability stay well-behaved at any silence.
+    val e = math.max(math.exp(-y * (1.5976 + 0.070566 * y * y)), Double.MinPositiveValue)
+    if (elapsedMillis > meanMillis) -math.log10(e / (1.0 + e))
+    else -math.log10(1.0 - 1.0 / (1.0 + e))
+  }
+
+  /** Sliding window of the last `maxSamples` heartbeat intervals with O(1)
+    * mean/variance via running sums. `minStdMillis` floors the deviation:
+    * a perfectly regular heartbeat would otherwise have zero variance and
+    * evict on a microsecond of jitter.
+    */
+  final class ArrivalWindow(maxSamples: Int, minStdMillis: Double) {
+    private val intervals = scala.collection.mutable.Queue.empty[Long]
+    private var sum = 0.0
+    private var sumSq = 0.0
+    private var lastMillis = -1L
+
+    def record(nowMillis: Long): Unit = {
+      if (lastMillis >= 0) {
+        val iv = (nowMillis - lastMillis).toDouble
+        intervals.enqueue(iv.toLong)
+        sum += iv; sumSq += iv * iv
+        if (intervals.size > maxSamples) {
+          val old = intervals.dequeue().toDouble
+          sum -= old; sumSq -= old * old
+        }
+      }
+      lastMillis = nowMillis
+    }
+
+    def samples: Int = intervals.size
+
+    def phiAt(nowMillis: Long): Double = {
+      if (intervals.isEmpty || lastMillis < 0) return 0.0
+      val n = intervals.size.toDouble
+      val mean = sum / n
+      val variance = math.max(0.0, sumSq / n - mean * mean)
+      val std = math.max(math.sqrt(variance), minStdMillis)
+      PhiAccrual.phi((nowMillis - lastMillis).toDouble, mean, std)
+    }
+  }
+}
+
 /** Live cluster-membership registry — the Serf stand-in
   * (reference: internal/discovery/membership.go:31-125). Serf's gossip
   * layer (failure detection, epidemic propagation) is the part with no
@@ -27,21 +97,44 @@ trait MembershipHandler {
   *
   * Failure detection: Serf evicts members that DIE as well as members that
   * leave (reference: membership.go:82-101 handles both event classes).
-  * Gossip's phi-accrual detector has no stand-in here; instead liveness is
-  * TTL-based when `ttlMillis > 0`: every Join announcement — including an
+  * Liveness here is layered: every Join announcement — including an
   * idempotent re-announce, which is the heartbeat — refreshes the member's
-  * `lastSeen`, and any view read first sweeps out members not seen within
-  * the TTL, firing `onLeave` exactly as an explicit departure would. A
-  * member that crashes without leaving therefore vanishes from GetServers
-  * within one TTL instead of lingering forever. `ttlMillis = 0` (default)
-  * preserves the announcement-only behavior for deployments whose
-  * processes always depart cleanly.
+  * `lastSeen`, and any view read first sweeps out members judged dead,
+  * firing `onLeave` exactly as an explicit departure would. The judgment
+  * has two tiers:
+  *
+  *   - TTL (`ttlMillis > 0`): evict when silence exceeds a fixed window —
+  *     simple, but a partitioned-yet-alive member and a dead one look
+  *     identical until the window lapses, regardless of how regular the
+  *     member's heartbeats were;
+  *   - φ accrual (`phiThreshold > 0`, see [[PhiAccrual]]): evict when the
+  *     suspicion level computed from the member's OWN heartbeat
+  *     inter-arrival distribution crosses the threshold — Serf-grade
+  *     adaptive detection: a metronome-regular member is evicted within a
+  *     few missed beats, a jittery one gets proportionally more slack,
+  *     and the threshold maps to a false-positive probability (φ=8 ⇒
+  *     10⁻⁸). Until a member has `phiMinSamples` recorded intervals the
+  *     TTL (when configured) governs — the bootstrap window.
+  *
+  * `ttlMillis = 0` with `phiThreshold = 0` (defaults) preserves the
+  * announcement-only behavior for deployments whose processes always
+  * depart cleanly.
   */
 final class Membership(
     val local: ServerInfo,
     initialPeers: Seq[ServerInfo] = Nil,
     /** Evict members not re-announced within this window; 0 disables. */
     val ttlMillis: Long = 0L,
+    /** φ accrual suspicion threshold; 0 disables (TTL-only liveness).
+      * 8 is the conventional production value.
+      */
+    val phiThreshold: Double = 0.0,
+    /** Heartbeat intervals required before φ governs a member (TTL rules
+      * the bootstrap).
+      */
+    val phiMinSamples: Int = 3,
+    /** Deviation floor for the interval window (see [[PhiAccrual.ArrivalWindow]]). */
+    val phiMinStdMillis: Double = 100.0,
     /** Injectable time source — tests advance it deterministically. */
     clock: () => Long = () => System.currentTimeMillis(),
     /** Reject joins of an explicitly-departed id for this window after its
@@ -63,6 +156,8 @@ final class Membership(
   private val members = scala.collection.mutable.LinkedHashMap.empty[String, ServerInfo]
   private val lastSeen = scala.collection.mutable.HashMap.empty[String, Long]
   private val tombstones = scala.collection.mutable.HashMap.empty[String, Long]
+  /** Per-member heartbeat inter-arrival windows (φ accrual state). */
+  private val arrivals = scala.collection.mutable.HashMap.empty[String, PhiAccrual.ArrivalWindow]
   private val handlers = new java.util.concurrent.CopyOnWriteArrayList[MembershipHandler]
   initialPeers.filter(_.id != local.id).foreach { p =>
     members.put(p.id, p); lastSeen.put(p.id, clock())
@@ -92,6 +187,10 @@ final class Membership(
         // An unchanged re-announce is the liveness heartbeat: refresh the
         // clock even when the view doesn't move.
         lastSeen.put(m.id, clock())
+        if (phiThreshold > 0)
+          arrivals
+            .getOrElseUpdate(m.id, new PhiAccrual.ArrivalWindow(100, phiMinStdMillis))
+            .record(clock())
         val prev = members.get(m.id)
         if (prev.contains(m)) false
         else { members.put(m.id, m); true }
@@ -114,7 +213,7 @@ final class Membership(
   def leave(id: String): Boolean = {
     val removed = synchronized {
       if (tombstoneMillis > 0) tombstones.put(id, clock())
-      lastSeen.remove(id); members.remove(id).isDefined
+      lastSeen.remove(id); arrivals.remove(id); members.remove(id).isDefined
     }
     if (removed) fireLeave(id)
     removed
@@ -139,16 +238,30 @@ final class Membership(
     synchronized {
       tombstones.filterInPlace((_, t) => nowTs - t <= tombstoneMillis)
     }
-    if (ttlMillis <= 0L) return
+    if (ttlMillis <= 0L && phiThreshold <= 0.0) return
     val now = clock()
     val stale = synchronized {
-      val ids = members.keysIterator
-        .filter(id => now - lastSeen.getOrElse(id, now) > ttlMillis)
-        .toVector
-      ids.foreach { id => members.remove(id); lastSeen.remove(id) }
+      val ids = members.keysIterator.filter { id =>
+        val window = arrivals.get(id).filter(_.samples >= phiMinSamples)
+        (phiThreshold > 0, window) match {
+          // φ governs once the member has a usable interval history.
+          case (true, Some(w)) => w.phiAt(now) > phiThreshold
+          // Bootstrap (or φ disabled): the fixed TTL, when configured.
+          case _ => ttlMillis > 0 && now - lastSeen.getOrElse(id, now) > ttlMillis
+        }
+      }.toVector
+      ids.foreach { id => members.remove(id); lastSeen.remove(id); arrivals.remove(id) }
       ids
     }
     stale.foreach(fireLeave)
+  }
+
+  /** Current suspicion level for a member — observability hook (0 when φ
+    * is disabled, the member is unknown, or no heartbeat history exists).
+    */
+  def phiOf(id: String): Double = synchronized {
+    if (phiThreshold <= 0) 0.0
+    else arrivals.get(id).map(_.phiAt(clock())).getOrElse(0.0)
   }
 
   /** Current view: this node first, then members in join order —
