@@ -942,6 +942,70 @@ object Corpus {
         FROM cum c JOIN budgets b ON c.source = b.source
         ORDER BY c.doc_id
       """)
+    ),
+
+    // --- data-constrained repeat factors (epochs per source) ---
+    // The "data recipe" readout for a token budget LARGER than the corpus
+    // (Muennighoff et al., Scaling Data-Constrained Language Models):
+    // when the training budget (here 3× the corpus mass) exceeds the
+    // available tokens, each source REPEATS to fill its mixture share —
+    // target_s = B · pw_s/Σpw with the mass^0.7 law, epochs_s =
+    // target_s/mass_s — and repeats past ~4 epochs stop helping, so the
+    // effective allocation caps there (the spill a planner would
+    // re-mix). FP discipline: targets in exact integers (6-dp micro-unit
+    // pw lift, DECIMAL(38,0) product, integral division — the
+    // corpus_budget_apply recipe); epochs is an int/int ratio rounded at
+    // 6 dp (safe IEEE); the cap compare and effective tokens are pure
+    // integer arithmetic. Plan: one partial-aggregated groupBy on source
+    // plus a 1-row broadcast total — |sources| rows at any corpus size.
+    Q(
+      "corpus_epochs",
+      (s, d) => {
+        val perSource = t(s, d, "documents")
+          .groupBy("source")
+          .agg(sum(size(ws).cast("long")).as("mass"))
+          .withColumn(
+            "pw_int",
+            (round(pow(col("mass").cast("double"), 0.7), 6).cast("decimal(28,6)") * 1000000)
+              .cast("long")
+          )
+        val tot = perSource.agg(sum("pw_int").as("tot_pw"), sum("mass").as("tot_mass"))
+        perSource
+          .crossJoin(broadcast(tot))
+          .withColumn(
+            "target_tokens",
+            expr("CAST((CAST(pw_int AS DECIMAL(38,0)) * (3 * tot_mass)) div tot_pw AS BIGINT)")
+          )
+          .withColumn(
+            "epochs",
+            round(col("target_tokens").cast("double") / col("mass").cast("double"), 6)
+          )
+          .withColumn("capped", col("target_tokens") > col("mass") * 4)
+          .withColumn("effective_tokens", least(col("target_tokens"), col("mass") * 4))
+          .select("source", "mass", "target_tokens", "epochs", "capped", "effective_tokens")
+          .orderBy("source")
+      },
+      Some("""
+        WITH per_src AS (
+          SELECT source,
+                 sum(CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)) AS mass
+          FROM documents GROUP BY source),
+        pw AS (
+          SELECT source, mass,
+                 CAST(CAST(round(pow(CAST(mass AS DOUBLE), 0.7), 6) AS DECIMAL(28,6))
+                      * 1000000 AS BIGINT) AS pw_int
+          FROM per_src),
+        tot AS (SELECT sum(pw_int) AS tot_pw, sum(mass) AS tot_mass FROM pw),
+        tgt AS (
+          SELECT source, mass,
+                 CAST((pw_int::HUGEINT * (3 * tot_mass)) // tot_pw AS BIGINT) AS target_tokens
+          FROM pw CROSS JOIN tot)
+        SELECT source, mass, target_tokens,
+               round(CAST(target_tokens AS DOUBLE) / mass, 6) AS epochs,
+               target_tokens > mass * 4 AS capped,
+               least(target_tokens, mass * 4) AS effective_tokens
+        FROM tgt ORDER BY source
+      """)
     )
   )
 }
