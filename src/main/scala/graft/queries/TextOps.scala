@@ -625,6 +625,69 @@ object TextOps {
         SELECT lang, bigram, n, CAST(rk AS INTEGER) AS rk
         FROM r WHERE rk <= 5 ORDER BY lang, rk
       """)
+    ),
+
+    // --- per-document word entropy + type-token ratio ---
+    // The information-theoretic quality signals real curation gates use
+    // alongside the heuristic score: LOW word entropy flags repetitive /
+    // templated text (the Gopher repetition family from a different
+    // angle), ANOMALOUS entropy + type-token ratio flags gibberish.
+    // entropy = log2(n) − (Σ c·log2 c)/n over the doc's word histogram
+    // (the algebraic form keeps every term a function of one count).
+    // FP discipline: each c·log2(c) term rounds at 6 dp and sums as
+    // DECIMAL (order-independent); the /n division lifts to integer
+    // micro-units with half-up rounding — a DECIMAL/n double division is
+    // exactly the cross-engine boundary case the r7 notes forbid. TTR is
+    // a safe int/int ratio. Plan: one (doc, word) count shuffle + one
+    // doc-keyed aggregate — the text_tfidf shuffle posture without the
+    // vocabulary join.
+    Q(
+      "text_entropy",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+          .groupBy("doc_id", "w")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(
+            sum("c").as("n"),
+            count(lit(1)).as("vocab"),
+            sum(
+              round(col("c").cast("double") * log2(col("c").cast("double")), 6)
+                .cast("decimal(28,6)")
+            ).as("sterm")
+          )
+          .withColumn("s_micro", (col("sterm") * 1000000).cast("long"))
+          .withColumn(
+            "l_micro",
+            (round(log2(col("n").cast("double")), 6).cast("decimal(18,6)") * 1000000)
+              .cast("long")
+          )
+          .withColumn(
+            "entropy",
+            (col("l_micro") - expr("CAST((2 * s_micro + n) div (2 * n) AS BIGINT)"))
+              .cast("double") / 1000000.0
+          )
+          .withColumn("ttr", round(col("vocab").cast("double") / col("n").cast("double"), 6))
+          .select("doc_id", "n", "vocab", "entropy", "ttr")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents),
+        c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY doc_id, w),
+        agg AS (
+          SELECT doc_id, sum(c) AS n, CAST(count(*) AS BIGINT) AS vocab,
+                 CAST(sum(CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)), 6)
+                               AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS s_micro,
+                 CAST(CAST(round(log2(CAST(sum(c) AS DOUBLE)), 6) AS DECIMAL(18,6))
+                      * 1000000 AS BIGINT) AS l_micro
+          FROM c GROUP BY doc_id)
+        SELECT doc_id, n, vocab,
+               CAST(l_micro - (2 * s_micro + n) // (2 * n) AS DOUBLE) / 1000000.0 AS entropy,
+               round(CAST(vocab AS DOUBLE) / n, 6) AS ttr
+        FROM agg ORDER BY doc_id
+      """)
     )
   )
 }
