@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags])\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -630,6 +630,37 @@ object Main {
               }
               println(s"finalized $total top-k rows at $out")
             case None => println(s"no finalized windows yet at $out")
+          }
+        case "explain-doc" :: out :: docId :: Nil =>
+          // The lineage audit: why is doc X (not) in the corpus? One
+          // pushed-down point filter against the current version's drops
+          // and corpus tables (drops partitions the input, so exactly one
+          // of the three verdicts below holds).
+          graft.queries.CorpusBuilder.current(spark, out) match {
+            case None => System.err.println(s"no complete corpus build under $out"); sys.exit(1)
+            case Some((v, _)) =>
+              val id = docId.toLong
+              val dropped = spark.read
+                .parquet(s"$out/v=$v/drops")
+                .filter(org.apache.spark.sql.functions.col("doc_id") === id)
+                .collect()
+                .headOption
+              val packed = spark.read
+                .parquet(s"$out/v=$v/corpus")
+                .filter(org.apache.spark.sql.functions.col("doc_id") === id)
+                .collect()
+                .headOption
+              (dropped, packed) match {
+                case (Some(r), _) =>
+                  println(s"doc $id: DROPPED at stage ${r.getAs[String]("stage")} (v=$v)")
+                case (None, Some(r)) =>
+                  println(
+                    s"doc $id: PACKED (v=$v, bucket ${r.getAs[Long]("bucket")}, " +
+                      s"seq ${r.getAs[Long]("seq_id")}, token_start ${r.getAs[Long]("token_start")})"
+                  )
+                case (None, None) =>
+                  println(s"doc $id: not in build v=$v's input")
+              }
           }
         case "compact-near-index" :: index :: Nil =>
           Engine.compactNearIndex(spark, index) match {
