@@ -219,7 +219,16 @@ object PlanDump {
       "count(distinct h) rides the standard two-phase distinct aggregate " +
       "((source,h) partial → source final) — every shuffle key is " +
       "source-bounded and the output is |sources| rows at any corpus " +
-      "size. No window, no join.")
+      "size. No window, no join."),
+    "corpus_epochs" -> ("Data-constrained repeat factors: one partial-" +
+      "aggregated groupBy on source, then the exact-integer mixture " +
+      "targets join only a ONE-ROW broadcast total — |sources| rows out " +
+      "at any corpus size, no window, no per-doc join."),
+    "text_entropy" -> ("Per-doc word entropy: one (doc, word) count " +
+      "shuffle and one doc-keyed aggregate (the text_tfidf posture " +
+      "without the vocabulary join); the entropy arithmetic — 6-dp " +
+      "DECIMAL term sums, half-up integer-micro division — is all " +
+      "map-side expressions after the aggregate. No window, no join.")
   )
 
   def main(args: Array[String]): Unit = {

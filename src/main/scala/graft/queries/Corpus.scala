@@ -961,6 +961,9 @@ object Corpus {
     Q(
       "corpus_epochs",
       (s, d) => {
+        // Two consumers (the per-source rows and the broadcast total) —
+        // checkpoint or the corpus scan + aggregate runs twice (the
+        // shared-subplan rule; PlanSpec asserts the single scan).
         val perSource = t(s, d, "documents")
           .groupBy("source")
           .agg(sum(size(ws).cast("long")).as("mass"))
@@ -969,6 +972,7 @@ object Corpus {
             (round(pow(col("mass").cast("double"), 0.7), 6).cast("decimal(28,6)") * 1000000)
               .cast("long")
           )
+          .pipe(Checkpoints.checkpoint)
         val tot = perSource.agg(sum("pw_int").as("tot_pw"), sum("mass").as("tot_mass"))
         perSource
           .crossJoin(broadcast(tot))

@@ -405,6 +405,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"triage lost its map-side partial aggregation:\n$p")
   }
 
+  test("epoch targets scan the corpus once and join only a one-row broadcast total") {
+    // corpus_epochs: the per-source aggregate feeds BOTH the output rows
+    // and the broadcast total, so it must be checkpointed — without it the
+    // corpus scans twice. The final plan therefore reads the checkpointed
+    // |sources|-row RDD, never parquet, and the only join is the one-row
+    // broadcast; a window or per-doc join here is a regression.
+    val df = SparkEntry.queries("corpus_epochs")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("Window"), s"corpus_epochs must not plan a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus_epochs planned a cartesian:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"the shared per-source aggregate must be checkpointed (corpus re-scanned):\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"post-checkpoint the plan needs no keyed shuffle:\n$p")
+  }
+
+  test("entropy is two keyed aggregates, no join, no window") {
+    // text_entropy: the (doc, word) count shuffle and the doc-keyed
+    // aggregate are the only exchanges besides the output sort; a join or
+    // window here means the per-doc arithmetic stopped being expressions.
+    val p = plan("text_entropy")
+    assert(!p.contains("Window"), s"text_entropy must not plan a window:\n$p")
+    assert(!p.contains("Join"), s"text_entropy must not join:\n$p")
+    val hashShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashShuffles <= 2, s"text_entropy grew beyond its two keyed shuffles:\n$p")
+    assert(p.contains("partial_count"), s"text_entropy lost map-side partial aggregation:\n$p")
+  }
+
   test("substring-dedup apply keeps the map-side-combinable min and never explodes positions") {
     // Same skew contract as dedup_substring (hash-key min with a partial
     // phase, no window over the hash), plus: the strip is an array
