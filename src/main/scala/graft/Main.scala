@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -518,6 +518,12 @@ object Main {
             else emb
           val v = graft.queries.AnnIndex.append(spark, spark.read.parquet(embPath), index)
           println(s"appended ann index delta v=$v at $index")
+        case "index-ann-delete" :: ids :: index :: Nil =>
+          // Tombstone-delete vectors (a parquet with a vec_id column):
+          // O(delta) — no inverted list rewrites; space reclaims at the
+          // next recentre.
+          val v = graft.queries.AnnIndex.delete(spark, spark.read.parquet(ids), index)
+          println(s"tombstoned ann index delta v=$v at $index")
         case "index-ann-recentre" :: index :: Nil =>
           // Fold the delta chain into one consolidated version with
           // recomputed centroids (the staleness repair).

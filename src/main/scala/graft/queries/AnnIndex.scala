@@ -218,11 +218,49 @@ object AnnIndex {
     v
   }
 
+  /** Tombstone-delete vectors from the current index without touching any
+    * inverted list: the new version holds ONLY a `deletes` table (the ids)
+    * plus the centroid copy and a `_base` pointer — the curation
+    * pipeline's natural companion (a doc dropped from the corpus must
+    * leave the index, and rewriting cell files for each drop batch would
+    * make deletion O(index)). Readers apply the chain's union of delete
+    * sets to the chain's union of cells, so deleted vectors vanish from
+    * probes the moment the marker lands; the space reclaims at the next
+    * [[recentre]], which folds the chain and drops tombstoned vectors
+    * physically (the same consolidation that repairs centroid drift).
+    * Same crash recipe as [[append]]: everything lands before the marker,
+    * debris at the next number is cleared by the next writer.
+    */
+  def delete(spark: SparkSession, vecIds: DataFrame, indexDir: String): Long = {
+    val (base, baseRows) = current(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"delete needs an existing complete index under $indexDir")
+    )
+    val v = base + 1
+    val vd = s"$indexDir/v=$v"
+    clearStaleAttempt(spark, indexDir, v)
+    val ids = vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    // Count the vectors that actually leave (ids not in the index must not
+    // corrupt the marker's row count) — one semi join against the chain.
+    val gone = allCells(spark, indexDir, base)
+      .join(ids, Seq("vec_id"), "left_semi")
+      .count()
+    ids.write.mode("overwrite").parquet(s"$vd/deletes")
+    spark.read.parquet(s"$indexDir/v=$base/centroids")
+      .write.mode("overwrite").parquet(s"$vd/centroids")
+    val f = fs(spark, indexDir)
+    val bout = f.create(basePath(indexDir, v), true)
+    try bout.write(s"base=$base".getBytes("UTF-8"))
+    finally bout.close()
+    commitAndPrune(spark, indexDir, v, baseRows - gone)
+    v
+  }
+
   /** Fold a delta chain back into one consolidated full version: all
     * chained cells re-read (cell membership preserved — vectors stay
     * where they were assigned), centroids recomputed as the mean of each
     * cell's CURRENT members, everything rewritten as a fresh base version
     * with no `_base` pointer; the old chain prunes after the marker.
+    * Tombstoned vectors are dropped physically here.
     */
   def recentre(spark: SparkSession, indexDir: String): Long = {
     val (head, rows) = current(spark, indexDir).getOrElse(
@@ -251,14 +289,29 @@ object AnnIndex {
     v
   }
 
-  /** Union of the cell tables across `head`'s delta chain. Each version's
-    * cells read with their own partition discovery, so per-cell pruning
-    * still applies to every chained directory.
+  /** Union of the cell tables across `head`'s delta chain, minus the
+    * chain's union of tombstoned ids. Each version's cells read with
+    * their own partition discovery, so per-cell pruning still applies to
+    * every chained directory; delete-only versions contribute no cells.
+    * The delete mask is CHAIN-WIDE, so a tombstoned id stays invisible
+    * even if a later append re-adds it — re-introducing an id requires a
+    * [[recentre]] first (which clears tombstones physically).
     */
-  private def allCells(spark: SparkSession, indexDir: String, head: Long): DataFrame =
-    chainOf(spark, indexDir, head)
+  private def allCells(spark: SparkSession, indexDir: String, head: Long): DataFrame = {
+    val f = fs(spark, indexDir)
+    val chain = chainOf(spark, indexDir, head)
+    val cells = chain
+      .filter(cv => f.exists(new Path(s"$indexDir/v=$cv/cells")))
       .map(cv => spark.read.parquet(s"$indexDir/v=$cv/cells"))
       .reduce(_.unionByName(_))
+    chain
+      .filter(cv => f.exists(new Path(s"$indexDir/v=$cv/deletes")))
+      .map(cv => spark.read.parquet(s"$indexDir/v=$cv/deletes"))
+      .reduceOption(_.unionByName(_)) match {
+      case Some(del) => cells.join(del.distinct(), Seq("vec_id"), "left_anti")
+      case None      => cells
+    }
+  }
 
   /** The probe side of the split: assign each probe vector to its nProbe
     * nearest persisted centroids (broadcast — k×dim model state), then

@@ -804,6 +804,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(consolidated.count() == 72L, "recentre must carry every chained vector")
   }
 
+  test("ann index: tombstone deletes hide vectors immediately; recentre reclaims the space") {
+    // The curation companion: a doc dropped from the corpus must leave
+    // the index in O(delta) — a delete version holds only the tombstone
+    // ids + a _base pointer, no inverted list rewrites; probes mask the
+    // chain-wide delete set at once, and the next recentre drops the
+    // vectors physically.
+    import graft.queries.AnnIndex
+    val session = spark
+    import session.implicits._
+    val dir = TestSpark.tempDir("ann-delete")
+    val idx = s"$dir/index"
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => (math.sin(seed * 13 + i) * 100).toFloat)
+    def table(ids: Range) =
+      ids.map(i => (i.toLong, i % 3, vec(i))).toDF("vec_id", "label", "embedding")
+    def probes() = table(10 until 14)
+      .select(col("vec_id").as("qid"), transform(col("embedding"), x => x.cast("double")).as("qv"))
+    def seen(): Set[Long] =
+      AnnIndex.probe(spark, idx, probes(), nProbe = 3, k = 60)
+        .select("vec_id").as[Long].collect().toSet
+
+    val v1 = AnnIndex.build(spark, table(0 until 40), idx)
+    assert(v1 == 1L && seen().contains(0L))
+
+    // Delete 3 vectors (plus one id that does not exist — must not skew
+    // the row count) — visible immediately, lists untouched.
+    val v2 = AnnIndex.delete(spark, Seq(0L, 1L, 2L, 999L).toDF("vec_id"), idx)
+    assert(v2 == 2L && AnnIndex.current(spark, idx).contains((2L, 37L)))
+    assert(new java.io.File(s"$idx/v=2/_base").exists() &&
+      new java.io.File(s"$idx/v=2/deletes").exists())
+    assert(!new java.io.File(s"$idx/v=2/cells").exists(), "a delete version carries no lists")
+    val s2 = seen()
+    assert(s2.intersect(Set(0L, 1L, 2L)).isEmpty, s"tombstoned ids still probed: $s2")
+    assert(s2.nonEmpty)
+
+    // Append atop the delete version: chain 3→2→1 serves new + old minus
+    // tombstoned.
+    val v3 = AnnIndex.append(spark, table(40 until 48), idx)
+    assert(v3 == 3L && AnnIndex.current(spark, idx).contains((3L, 45L)))
+    val s3 = seen()
+    assert(s3.exists(_ >= 40L) && s3.intersect(Set(0L, 1L, 2L)).isEmpty)
+
+    // Recentre folds the chain: tombstoned vectors drop PHYSICALLY.
+    val v4 = AnnIndex.recentre(spark, idx)
+    assert(v4 == 4L && AnnIndex.current(spark, idx).contains((4L, 45L)))
+    assert(spark.read.parquet(s"$idx/v=4/cells").count() == 45L,
+      "recentre must reclaim tombstoned vectors")
+    assert(!new java.io.File(s"$idx/v=4/deletes").exists() &&
+      !new java.io.File(s"$idx/v=4/_base").exists())
+    assert(seen().intersect(Set(0L, 1L, 2L)).isEmpty)
+  }
+
   test("ann index: a full build/recentre over crashed-append debris must not chain to it") {
     // ADVICE r8 (medium): an append that died between `_base` and the
     // marker leaves a stale `_base` at v=N+1. cells/centroids overwrite on
