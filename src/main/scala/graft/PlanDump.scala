@@ -86,7 +86,13 @@ object PlanDump {
       "null-bearing sides flow through one SortMergeJoin."),
     "dedup_edit_distance" -> ("Prefix-blocked Levenshtein: candidates meet on " +
       "a 16-char block key (one shuffle), the O(len²) distance runs only " +
-      "inside tiny blocks on 80-char heads — never all-pairs."),
+      "inside bounded blocks on 80-char heads — never all-pairs. Each " +
+      "block is HARD-CAPPED at Dedup.EditBlockCap=1000 smallest doc ids " +
+      "(a row_number<=k filter Spark plans as partial WindowGroupLimit " +
+      "before the block shuffle), so a boilerplate-hot prefix " +
+      "(\"<!doctype html>...\") contributes at most cap²/2 pairs instead " +
+      "of an unbounded quadratic join group; the recall trade is " +
+      "documented at the cap and covered by the shingle/SimHash variants."),
     "corpus_curate" -> ("The composed curation pipeline stays ONE plan: lang " +
       "allowlist + quality gate evaluate inside the scan's codegen stage, " +
       "then two hash aggregates (dedup keep-first, per-lang stats). Nothing " +
