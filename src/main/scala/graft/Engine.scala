@@ -463,16 +463,14 @@ class Engine(
     * flatMapGroupsWithState state lives in the checkpoint, so a later run
     * picks up open windows where the last left off.
     */
-  def topKFrom(
-      peerDir: String,
-      checkpoint: String,
-      topkDir: String,
-      windowMs: Long = 60L * 60 * 1000,
-      k: Int = 3,
-      capacity: Int = 64,
-      watermarkDelay: String = "10 minutes",
-      trigger: Trigger = Trigger.ProcessingTime("1 second")
-  ): StreamingQuery = {
+  /** Tail the log as typed JSON events (`user_id` long, `ts` timestamp,
+    * optional `event_type`) — the shared front end of the streaming
+    * analytics verbs. Undecodable records are skipped, not fatal: an
+    * ingest pipeline must not wedge on one bad row.
+    */
+  private def jsonEvents(
+      peerDir: String
+  ): org.apache.spark.sql.Dataset[graft.streaming.EventStreams.TypedEvent] = {
     val session = spark
     import session.implicits._
     val evSchema = StructType(
@@ -482,7 +480,7 @@ class Engine(
         StructField("event_type", StringType)
       )
     )
-    val events = spark.readStream
+    spark.readStream
       .format("graft")
       .load(peerDir)
       .select(from_json(col("value").cast("string"), evSchema).as("e"))
@@ -493,18 +491,70 @@ class Engine(
         coalesce(col("e.event_type"), lit("")).as("event_type")
       )
       .as[graft.streaming.EventStreams.TypedEvent]
-    graft.streaming.EventStreams
-      .streamingTopK(events, windowMs, k, capacity, watermarkDelay)
-      .toDF()
-      .writeStream
+  }
+
+  /** Exactly-once derived-table sink shared by the streaming analytics:
+    * each micro-batch overwrites its own `batch=<id>` partition whose
+    * content is a pure function of (restored state, batch), so a
+    * foreachBatch retry is idempotent and readers just scan the dir.
+    */
+  private def derivedTableSink(
+      rows: DataFrame,
+      checkpoint: String,
+      outDir: String,
+      trigger: Trigger
+  ): StreamingQuery =
+    rows.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        df.write.mode("overwrite").parquet(s"$topkDir/batch=$batchId")
+        df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .start()
-  }
+
+  def topKFrom(
+      peerDir: String,
+      checkpoint: String,
+      topkDir: String,
+      windowMs: Long = 60L * 60 * 1000,
+      k: Int = 3,
+      capacity: Int = 64,
+      watermarkDelay: String = "10 minutes",
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery =
+    derivedTableSink(
+      graft.streaming.EventStreams
+        .streamingTopK(jsonEvents(peerDir), windowMs, k, capacity, watermarkDelay)
+        .toDF(),
+      checkpoint,
+      topkDir,
+      trigger
+    )
+
+  /** Streaming FUNNEL: tail the log's JSON events and maintain a derived
+    * per-user stage table — the product surface over
+    * [[graft.streaming.EventStreams.streamingFunnel]] (the incremental
+    * twin of the batch `q_funnel`: ordered view→click→purchase within the
+    * window, stage rows immutable once emitted, per-user scalar state).
+    * Same exactly-once derived-table recipe as [[topKFrom]].
+    */
+  def funnelFrom(
+      peerDir: String,
+      checkpoint: String,
+      funnelDir: String,
+      windowMs: Long = 24L * 60 * 60 * 1000,
+      watermarkDelay: String = "10 minutes",
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery =
+    derivedTableSink(
+      graft.streaming.EventStreams
+        .streamingFunnel(jsonEvents(peerDir), windowMs, watermarkDelay)
+        .toDF(),
+      checkpoint,
+      funnelDir,
+      trigger
+    )
 
   /** Batch view of the whole log (L6). */
   def toDF: DataFrame = log.toDF

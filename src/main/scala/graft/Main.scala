@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -636,6 +636,40 @@ object Main {
               }
               println(s"finalized $total top-k rows at $out")
             case None => println(s"no finalized windows yet at $out")
+          }
+        case "stream-funnel" :: peer :: ckpt :: out :: fRest =>
+          // One-shot (resumable) funnel pass over the peer log's event
+          // backlog: maintain the derived per-user stage table
+          // (Engine.funnelFrom — stage rows immutable once emitted,
+          // exactly-once batch partitions).
+          var fWindowMs = 24L * 60 * 60 * 1000
+          var fWatermark = "10 minutes"
+          var fi = 0
+          while (fi < fRest.length) {
+            fRest(fi) match {
+              case "--window-ms" if fi + 1 < fRest.length =>
+                fWindowMs = fRest(fi + 1).toLong; fi += 2
+              case "--watermark" if fi + 1 < fRest.length =>
+                fWatermark = fRest(fi + 1); fi += 2
+              case f =>
+                System.err.println(s"stream-funnel: unknown flag $f"); usage()
+            }
+          }
+          val fq = engine.funnelFrom(
+            peer, ckpt, out, fWindowMs, fWatermark,
+            org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          )
+          fq.processAllAvailable()
+          fq.awaitTermination()
+          val stages =
+            try Some(spark.read.parquet(out)) catch { case _: Exception => None }
+          stages.filter(_.columns.contains("stage")) match {
+            case Some(df) =>
+              df.groupBy("stage").count().orderBy("stage").collect().foreach { r =>
+                println(s"stage ${r.getString(0)}: ${r.getLong(1)} users")
+              }
+              println(s"funnel table at $out (${df.count()} stage rows)")
+            case None => println(s"no finalized funnel stages yet at $out")
           }
         case "explain-doc" :: out :: docId :: Nil =>
           // The lineage audit: why is doc X (not) in the corpus? One

@@ -553,6 +553,57 @@ class PipelineSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming funnel maintains the derived stage table across a restart") {
+    // The product surface over streamingFunnel (CLI stream-funnel):
+    // stage rows are immutable once emitted, so the derived table only
+    // ever GROWS, and a restart restores in-flight per-user state from
+    // the checkpoint.
+    val session = spark
+    import session.implicits._
+    val raw = SparkLog(spark, TestSpark.tempDir("sfunnel-raw"), LogConfig())
+    def ev(user: Long, hhmm: String, t: String): Array[Byte] =
+      s"""{"user_id":$user,"ts":"2024-01-01 $hhmm:00","event_type":"$t"}""".getBytes
+    raw.append(Seq(
+      ev(5L, "10:00", "view"), ev(5L, "10:05", "click"), ev(5L, "10:30", "purchase"),
+      ev(6L, "10:02", "view"),
+      ev(9L, "23:50", "view") // advances the watermark; its own window stays open
+    ))
+
+    val engine = Engine(spark, TestSpark.tempDir("sfunnel-out"))
+    val ckpt = TestSpark.tempDir("sfunnel-ckpt")
+    val out = TestSpark.tempDir("sfunnel-table")
+    def table(): Set[(Long, String)] = spark.read
+      .parquet(out)
+      .select("user_id", "stage")
+      .as[(Long, String)]
+      .collect()
+      .toSet
+
+    val q1 = engine.funnelFrom(raw.dir, ckpt, out)
+    try {
+      q1.processAllAvailable()
+      val t1 = table()
+      assert(t1.filter(_._1 == 5L).map(_._2) == Set("1_view", "2_click", "3_purchase"),
+        s"completed funnel must emit all three stages: $t1")
+      assert(t1.filter(_._1 == 6L).map(_._2) == Set("1_view"))
+    } finally q1.stop()
+
+    // Restart: user 6 converts with an event INSIDE the restored watermark
+    // horizon (the checkpointed watermark is 23:40; an older event would
+    // be dropped as late data — correct streaming semantics) — the click
+    // stage lands without re-emitting the view, earlier rows untouched.
+    raw.append(Seq(ev(6L, "23:45", "click"), ev(9L, "23:58", "view")))
+    val q2 = engine.funnelFrom(raw.dir, ckpt, out)
+    try {
+      q2.processAllAvailable()
+      val t2 = table()
+      assert(t2.filter(_._1 == 6L).map(_._2) == Set("1_view", "2_click"),
+        s"restored state must extend user 6's funnel: $t2")
+      assert(t2.count(_ == (6L, "1_view")) == 1, "stage rows must never re-emit")
+      assert(t2.filter(_._1 == 5L).map(_._2) == Set("1_view", "2_click", "3_purchase"))
+    } finally q2.stop()
+  }
+
   test("streaming media features: decode-in-stream maintains the derived table exactly-once") {
     val session = spark
     import session.implicits._
