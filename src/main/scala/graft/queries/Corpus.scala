@@ -1010,6 +1010,46 @@ object Corpus {
                least(target_tokens, mass * 4) AS effective_tokens
         FROM tgt ORDER BY source
       """)
+    ),
+
+    // --- deterministic training-order shuffle (seeded, resumable) ---
+    // The trainer-facing global permutation: every epoch needs a
+    // reproducible pseudo-random document order, and a resumable job
+    // needs to restart mid-epoch from a cursor. A global row_number is a
+    // single-reducer sort at any scale, so the permutation SHARDs: each
+    // doc hashes to one of 64 shards by md5(seed||id) and takes its
+    // position within the shard from the same hash — reading shards in
+    // (shard, pos) order IS the epoch order, and a cursor is just a
+    // (shard, pos) pair. Changing the seed re-deals everything (a new
+    // epoch permutation); the plan is one hash shuffle on the shard key
+    // plus a per-shard window — no global sort but the presentation
+    // ORDER BY.
+    Q(
+      "corpus_shuffle",
+      (s, d) => {
+        val h = md5(concat(lit("7:"), col("doc_id").cast("string")))
+        val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            h.as("h"),
+            pmod(conv(substring(h, 1, 15), 16, 10).cast("long"), lit(64)).as("shard")
+          )
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select("doc_id", "shard", "pos")
+          .orderBy("shard", "pos")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        sh AS (
+          SELECT doc_id, h,
+                 ('0x' || substr(h, 1, 15))::BIGINT % 64 AS shard
+          FROM h)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM sh ORDER BY shard, pos
+      """)
     )
   )
 }
