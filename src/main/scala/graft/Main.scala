@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -670,6 +670,43 @@ object Main {
               }
               println(s"funnel table at $out (${df.count()} stage rows)")
             case None => println(s"no finalized funnel stages yet at $out")
+          }
+        case "corpus-report" :: out :: Nil =>
+          // One-stop build report from the persisted artifacts alone — no
+          // pipeline recompute: the stage funnel (stages.json), the drop
+          // histogram (drops parquet), and the packed layout summary.
+          graft.queries.CorpusBuilder.current(spark, out) match {
+            case None => System.err.println(s"no complete corpus build under $out"); sys.exit(1)
+            case Some((v, docs)) =>
+              import org.apache.spark.sql.functions.{col => c, countDistinct, max => smax, sum => ssum, count => scount, lit => slit}
+              println(s"corpus v=$v at $out")
+              val stagesJson = new String(
+                java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(s"$out/v=$v/stages.json")
+                ),
+                "UTF-8"
+              )
+              """\{"stage":"(\w+)","docs":(\d+),"tokens":(\d+)\}""".r
+                .findAllMatchIn(stagesJson)
+                .foreach(m =>
+                  println(f"  stage ${m.group(1)}%-14s docs=${m.group(2)}%-8s tokens=${m.group(3)}")
+                )
+              spark.read.parquet(s"$out/v=$v/drops")
+                .groupBy("stage").agg(scount(slit(1)).as("n"))
+                .orderBy("stage").collect()
+                .foreach(r => println(s"  dropped ${r.getString(0)}: ${r.getLong(1)}"))
+              val pack = spark.read.parquet(s"$out/v=$v/corpus")
+                .agg(
+                  scount(slit(1)).as("docs"),
+                  ssum("n_tokens").as("tokens"),
+                  countDistinct(c("bucket")).as("shards"),
+                  smax("seq_id").as("max_seq")
+                ).first()
+              println(
+                s"  packed: ${pack.getAs[Long]("docs")} docs / ${pack.getAs[Long]("tokens")} tokens " +
+                  s"across ${pack.getAs[Long]("shards")} shards (max seq ${pack.getAs[Long]("max_seq")})"
+              )
+              assert(pack.getAs[Long]("docs") == docs)
           }
         case "explain-doc" :: out :: docId :: Nil =>
           // The lineage audit: why is doc X (not) in the corpus? One
