@@ -234,7 +234,13 @@ object PlanDump {
       "shuffle and one doc-keyed aggregate (the text_tfidf posture " +
       "without the vocabulary join); the entropy arithmetic — 6-dp " +
       "DECIMAL term sums, half-up integer-micro division — is all " +
-      "map-side expressions after the aggregate. No window, no join.")
+      "map-side expressions after the aggregate. No window, no join."),
+    "corpus_shuffle" -> ("Deterministic training order without a global " +
+      "permutation sort: docs hash to 64 shards by md5(seed||id) and take " +
+      "in-shard positions from the same hash — one hash shuffle on the " +
+      "shard key plus a per-shard window; (shard, pos) IS the epoch " +
+      "order and the resume cursor. No global sort but the presentation " +
+      "ORDER BY.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -434,6 +434,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"text_entropy lost map-side partial aggregation:\n$p")
   }
 
+  test("training-order shuffle is one shard shuffle plus a per-shard window, no global sort") {
+    // corpus_shuffle: the epoch permutation must never become a global
+    // row_number (single reducer) — one hash shuffle on the shard key, a
+    // shard-keyed window, and only the presentation ORDER BY sorts
+    // globally.
+    val p = plan("corpus_shuffle")
+    assert(!p.contains("Join"), s"corpus_shuffle must not join:\n$p")
+    val hashLines = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(hashLines.size == 1 && hashLines.head.contains("hashpartitioning(shard"),
+      s"expected exactly the shard shuffle:\n$p")
+    val globalSorts = p.linesIterator.count(l => l.contains("Sort [") && l.contains("], true,"))
+    assert(globalSorts == 1, s"only the presentation ORDER BY may sort globally:\n$p")
+  }
+
   test("substring-dedup apply keeps the map-side-combinable min and never explodes positions") {
     // Same skew contract as dedup_substring (hash-key min with a partial
     // phase, no window over the hash), plus: the strip is an array

@@ -23,6 +23,30 @@ class PhiAccrualSpec extends AnyFunSuite {
     assert(deep > 100 && !deep.isInfinite)
   }
 
+  test("phi properties hold across random interval distributions (seeded)") {
+    // 100 random (mean, std) regimes: suspicion is non-decreasing in
+    // silence, never NaN/∞/negative, and the time to cross the φ=8
+    // eviction threshold grows with the distribution's spread — the
+    // adaptivity property, quantified.
+    val rnd = new scala.util.Random(42)
+    def crossingTime(mean: Double, std: Double): Double = {
+      var t = mean
+      while (PhiAccrual.phi(t, mean, std) <= 8.0) t += mean / 100.0
+      t
+    }
+    for (_ <- 0 until 100) {
+      val mean = 50 + rnd.nextDouble() * 1000
+      val std = 1 + rnd.nextDouble() * mean
+      val phis = (0 until 40).map(i => PhiAccrual.phi(mean * i / 8.0, mean, std))
+      assert(phis.zip(phis.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"not monotone at mean=$mean std=$std: $phis")
+      assert(phis.forall(p => p >= 0 && !p.isNaN && !p.isInfinite))
+      val tight = crossingTime(mean, std)
+      val loose = crossingTime(mean, std * 3)
+      assert(loose > tight, s"wider spread must buy more slack: $tight vs $loose")
+    }
+  }
+
   test("a regular member evicts within a few missed beats; a jittery one rides out the same gap") {
     var now = 0L
     def detector() = new Membership(
