@@ -66,6 +66,31 @@ object AnnIndex {
   /** Promote a float array column to double for exact cross-engine math. */
   private def dbl(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
 
+  /** Fail LOUDLY on vector-dimension mismatch: `cosine_similarity` yields
+    * null for mismatched lengths (a scalar-function contract — corrupt
+    * data surfaces as missing, not a truncated score), but at the INDEX
+    * level a null score would silently assign every delta vector to an
+    * arbitrary cell / return garbage neighbors. One metadata-sized
+    * aggregate per call.
+    */
+  private def requireDim(
+      centroids: DataFrame,
+      vectors: DataFrame,
+      vecCol: String,
+      op: String
+  ): Unit = {
+    val centDim = centroids.select(size(col("cv"))).first().getInt(0)
+    val dims = vectors
+      .agg(min(size(col(vecCol))).as("lo"), max(size(col(vecCol))).as("hi"))
+      .first()
+    if (!dims.isNullAt(0))
+      require(
+        dims.getInt(0) == centDim && dims.getInt(1) == centDim,
+        s"$op: vector dimension ${dims.getInt(0)}..${dims.getInt(1)} does not match " +
+          s"the index dimension $centDim"
+      )
+  }
+
   private def basePath(indexDir: String, v: Long) = new Path(s"$indexDir/v=$v/_base")
 
   /** Remove every trace of a crashed prior attempt at version `v` before
@@ -197,6 +222,7 @@ object AnnIndex {
     val vd = s"$indexDir/v=$v"
     clearStaleAttempt(spark, indexDir, v)
     val cent = spark.read.parquet(s"$indexDir/v=$base/centroids")
+    requireDim(cent, newVectors, "embedding", "append")
     // Nearest existing centroid, deterministic tiebreak — the same
     // rounding + (score desc, cell asc) order the probe side uses.
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("cell"))
@@ -332,6 +358,7 @@ object AnnIndex {
     )
     val vd = s"$indexDir/v=$v"
     val cent = spark.read.parquet(s"$vd/centroids")
+    requireDim(cent, probes, "qv", "probe")
     // The head's cells plus any append deltas it chains to — appended
     // vectors are searchable without their base lists ever rewriting.
     val cells = allCells(spark, indexDir, v)

@@ -879,6 +879,20 @@ class PipelineSpec extends AnyFunSuite {
     val v1 = AnnIndex.build(spark, table(0 until 40), idx)
     assert(v1 == 1L && seen().contains(0L))
 
+    // Dimension guard: a delta or probe with the wrong vector width must
+    // fail loudly (cosine_similarity nulls mismatched lengths, which
+    // would otherwise silently assign every vector to an arbitrary cell).
+    val wrongDim = Seq((500L, 0, Array.tabulate(4)(_.toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val eDim = intercept[IllegalArgumentException](AnnIndex.append(spark, wrongDim, idx))
+    assert(eDim.getMessage.contains("does not match"), eDim.getMessage)
+    val wrongProbe = wrongDim
+      .select(col("vec_id").as("qid"), transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val ePr = intercept[IllegalArgumentException](
+      AnnIndex.probe(spark, idx, wrongProbe).collect()
+    )
+    assert(ePr.getMessage.contains("does not match"), ePr.getMessage)
+
     // Delete 3 vectors (plus one id that does not exist — must not skew
     // the row count) — visible immediately, lists untouched.
     val v2 = AnnIndex.delete(spark, Seq(0L, 1L, 2L, 999L).toDF("vec_id"), idx)

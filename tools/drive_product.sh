@@ -1,0 +1,110 @@
+#!/usr/bin/env bash
+# Cross-process PRODUCT rehearsal: every CLI flow driven end-to-end from
+# out-of-tree JVMs against the packaged jar — the operability story the
+# in-JVM specs cannot show. Each leg asserts on real stdout; any failed
+# assertion exits non-zero. ~4 min on a quiet box.
+#
+#   1. log lifecycle: produce → consume → export → restore → consume
+#   2. corpus: build → report → explain (dropped/packed/unknown) →
+#      incremental append (union counts) → report
+#   3. ANN index: build → append → delete → recentre
+#   4. streaming analytics: produce events → stream-topk → stream-funnel
+#   5. cluster: serve-grpc hub (--ttl --phi) + heartbeating follower →
+#      SIGKILL → follower evicted from GetServers
+#
+# Usage: tools/drive_product.sh   (expects `sbt package` to be current)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+JAR=target/scala-2.13/proglogspark_2.13-0.1.0.jar
+[ -f "$JAR" ] || { echo "missing $JAR — run: sbt package"; exit 2; }
+CP="$JAR:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+D=$(mktemp -d /tmp/graft-drive.XXXXXX)
+trap 'rm -rf "$D"' EXIT
+g() { java $OPENS -Xmx4g -cp "$CP" graft.Main "$@" 2>/dev/null; }
+expect() { # expect <needle> <<< output
+  local needle="$1"; local out; out=$(cat)
+  grep -qF "$needle" <<<"$out" || { echo "DRIVE FAIL: wanted '$needle' in:"; echo "$out"; exit 1; }
+}
+
+echo "=== [1/5] log lifecycle (produce → export → restore across JVMs)"
+g --data-dir "$D/log" produce alpha beta gamma | expect "offset: 2"
+g --data-dir "$D/log" export "$D/dump" >/dev/null
+g --data-dir "$D/log2" restore "$D/dump" >/dev/null
+g --data-dir "$D/log2" consume 1 | expect "value: beta"
+
+echo "=== [2/5] corpus build → report → explain → incremental append"
+g --data-dir "$D/s" build-corpus /root/testdata/sf0.001 "$D/corpus" --budget-tokens 5000 \
+  | expect "committed corpus v=1"
+g --data-dir "$D/s" corpus-report "$D/corpus" | expect "stage pack"
+g --data-dir "$D/s" explain-doc "$D/corpus" 0 | expect "DROPPED at stage"
+PACKED_ID=$(python3 - "$D" <<'EOF'
+import sys, duckdb
+print(duckdb.sql(f"select min(doc_id) from '{sys.argv[1]}/corpus/v=1/corpus/*/*.parquet'").fetchone()[0])
+EOF
+)
+g --data-dir "$D/s" explain-doc "$D/corpus" "$PACKED_ID" | expect "PACKED"
+g --data-dir "$D/s" explain-doc "$D/corpus" 999999 | expect "not in build"
+python3 - "$D" <<'EOF'
+import sys, pyarrow as pa, pyarrow.parquet as pq
+d = sys.argv[1]
+rows = [(100000+i, "en", f"src{i%3}", " ".join(f"fresh{i}w{j}" for j in range(40))) for i in range(30)]
+pq.write_table(pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+  "lang": [r[1] for r in rows], "source": [r[2] for r in rows],
+  "text": [r[3] for r in rows]}), f"{d}/delta.parquet")
+EOF
+g --data-dir "$D/s" append-corpus "$D/delta.parquet" "$D/corpus" --budget-tokens 5000 \
+  | expect "stage input: docs=530"
+g --data-dir "$D/s" corpus-report "$D/corpus" | expect "corpus v=2"
+
+echo "=== [3/5] ANN index build → append → delete → recentre"
+g --data-dir "$D/s" index-ann /root/testdata/sf0.001 "$D/idx" | expect "built ann index v=1"
+python3 - "$D" <<'EOF'
+import sys, random, pyarrow as pa, pyarrow.parquet as pq
+d = sys.argv[1]
+rnd = random.Random(7)
+pq.write_table(pa.table({
+  "vec_id": pa.array([900000+i for i in range(5)], pa.int64()),
+  "label": pa.array([i % 3 for i in range(5)], pa.int32()),
+  "embedding": pa.array([[rnd.random() for _ in range(64)] for _ in range(5)],
+                        pa.list_(pa.float32()))}), f"{d}/emb-delta.parquet")
+pq.write_table(pa.table({"vec_id": pa.array([0,1,2], pa.int64())}), f"{d}/ids.parquet")
+EOF
+g --data-dir "$D/s" index-ann-append "$D/emb-delta.parquet" "$D/idx" \
+  | expect "appended ann index delta v=2"
+g --data-dir "$D/s" index-ann-delete "$D/ids.parquet" "$D/idx" | expect "tombstoned ann index delta v=3"
+g --data-dir "$D/s" index-ann-recentre "$D/idx" | expect "recentred ann index into v=4"
+
+echo "=== [4/5] streaming analytics: events → stream-topk → stream-funnel"
+EVENTS=()
+for i in 1 2 3 4 5; do EVENTS+=("{\"user_id\":7,\"ts\":\"2024-01-01 10:0$i:00\",\"event_type\":\"view\"}"); done
+EVENTS+=('{"user_id":7,"ts":"2024-01-01 10:06:00","event_type":"click"}')
+EVENTS+=('{"user_id":7,"ts":"2024-01-01 10:07:00","event_type":"purchase"}')
+EVENTS+=('{"user_id":9,"ts":"2024-01-01 10:11:00","event_type":"view"}')
+EVENTS+=("not json at all")
+EVENTS+=('{"user_id":1,"ts":"2024-01-03 12:10:00","event_type":"view"}')
+g --data-dir "$D/events" produce "${EVENTS[@]}" >/dev/null
+g --data-dir "$D/s" stream-topk "$D/events" "$D/tkckpt" "$D/topk" --k 2 \
+  | expect "rank 1: user 7"
+g --data-dir "$D/s" stream-funnel "$D/events" "$D/fckpt" "$D/funnel" \
+  | expect "stage 3_purchase: 1 users"
+
+echo "=== [5/5] cluster: phi accrual evicts a SIGKILLed heartbeating follower"
+java $OPENS -Xmx3g -cp "$CP" graft.Main --data-dir "$D/hub" --ttl 2 --phi 8 serve-grpc 8931 \
+  > "$D/hub.log" 2>&1 &
+HUB=$!
+sleep 12
+java $OPENS -Xmx3g -cp "$CP" graft.Main --data-dir "$D/f1" --follower --join localhost:8931 \
+  --name f1 serve-grpc 8932 > "$D/f1.log" 2>&1 &
+F1=$!
+sleep 14
+g --bootstrap localhost:8931 servers | expect "id: f1"
+kill -9 $F1
+sleep 5
+if g --bootstrap localhost:8931 servers | grep -q "id: f1"; then
+  echo "DRIVE FAIL: SIGKILLed follower still in GetServers"; kill -9 $HUB; exit 1
+fi
+kill -9 $HUB 2>/dev/null || true
+
+echo "PRODUCT DRIVE: all green"
