@@ -85,6 +85,58 @@ object MediaDecoder {
     * equality against the generator's arithmetic is exact.
     */
 
+  /** Global-mean perceptual hash (the aHash family): decode, split into an
+    * 8×8 block grid (block of pixel (x,y) is (x·8/w, y·8/h), integer
+    * division), and set bit `by·8+bx` when the block's mean luma exceeds
+    * the image's global mean. All comparisons are CROSS-MULTIPLIED
+    * integers — `blockSum·pixels > totalSum·blockCnt` — so an independent
+    * oracle recomputes every bit exactly (no rational means, no FP);
+    * the luma stays the SCALED integer `299R+587G+114B` (monotone, so
+    * thresholding is unchanged and the /1000 division never happens).
+    * Classic aHash thresholds on the mean of block means; the global-mean
+    * variant ranks blocks identically for uniform block sizes and stays
+    * integer-exact for ragged ones. Safe from overflow up to ~16-MP
+    * images (sums bounded by 130050·pixels). None for undecodable bytes.
+    */
+  def aHash(bytes: Array[Byte]): Option[Long] =
+    sniffFormat(bytes).flatMap { _ =>
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val bs = new Array[Long](64)
+          val bc = new Array[Long](64)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            val by = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val l =
+                299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+              val b = by * 8 + x * 8 / w
+              bs(b) += l
+              bc(b) += 1
+              total += l
+              x += 1
+            }
+            y += 1
+          }
+          val pixels = w.toLong * h
+          var hash = 0L
+          var b = 0
+          while (b < 64) {
+            if (bc(b) > 0 && bs(b) * pixels > total * bc(b)) hash |= (1L << b)
+            b += 1
+          }
+          Some(hash)
+        }
+      } catch { case _: Exception => None }
+    }
+
   def features(bytes: Array[Byte]): Option[PixelFeatures] =
     sniffFormat(bytes).flatMap { fmt =>
       try {

@@ -51,6 +51,103 @@ object Multimodal {
     )
   )
 
+  /** Family-keyed gradient PNG: ids in the same family of 4 render the
+    * SAME gradient at the SAME dimensions; the per-id blue perturbation
+    * shifts most pixels uniformly (which the cross-multiplied aHash
+    * threshold is invariant to) but WRAPS the pixels near 255, flipping a
+    * handful of hash bits — the planted perceptual near-dup whose bits
+    * the SQL oracle can recompute exactly.
+    */
+  private def familyPng(id: Long): Array[Byte] = {
+    val fam = id / 4
+    val pert = (id % 4).toInt
+    val w = (fam % 24 + 8).toInt
+    val h = (fam % 16 + 8).toInt
+    val img =
+      new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rr = ((fam * 17 + 7L * x + 13L * y) % 256).toInt
+        val gg = ((fam * 31 + 3L * x + 5L * y) % 256).toInt
+        val bb = ((fam + x.toLong * y + pert) % 256).toInt
+        img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  private val phashSchema = StructType(
+    Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", StringType, nullable = false)
+    )
+  )
+
+  /** (doc_id, 16-hex aHash) through the production decode+hash path. */
+  private def phashFrom(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "documents")
+      .select(col("doc_id"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val hash = graft.media.MediaDecoder
+            .aHash(familyPng(id))
+            .getOrElse(sys.error(s"synthesized PNG for doc $id did not hash"))
+          Row(id, f"$hash%016x")
+        }
+      }(Encoders.row(phashSchema))
+
+  /** DuckDB CTE recomputing every aHash bit from the generation
+    * arithmetic alone (shared by the hash and pairs oracles): per-pixel
+    * scaled luma from the modular channel formulas, 8×8 block sums and
+    * counts, cross-multiplied global-mean threshold, 16-bit bands packed
+    * into the same `%04x`×4 hex layout the Scala side formats.
+    */
+  private val phashOracleCte: String = """
+    WITH dims AS (
+      SELECT doc_id,
+             doc_id // 4 AS fam, doc_id % 4 AS pert,
+             CAST((doc_id // 4) % 24 + 8 AS BIGINT) AS w,
+             CAST((doc_id // 4) % 16 + 8 AS BIGINT) AS h
+      FROM documents),
+    blocks AS (
+      SELECT doc_id, w, h,
+        [ CAST(list_sum(list_transform(
+            list_filter(range(0, w*h),
+              p -> ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) = b),
+            p -> 299*((fam*17 + 7*(p % w) + 13*(p // w)) % 256)
+               + 587*((fam*31 + 3*(p % w) + 5*(p // w)) % 256)
+               + 114*((fam + (p % w)*(p // w) + pert) % 256))) AS BIGINT)
+          FOR b IN range(0, 64) ] AS bsum,
+        [ CAST(len(list_filter(range(0, w*h),
+              p -> ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) = b)) AS BIGINT)
+          FOR b IN range(0, 64) ] AS bcnt
+      FROM dims),
+    totals AS (
+      SELECT doc_id, w, h, bsum, bcnt, list_sum(bsum) AS tsum FROM blocks),
+    bitsets AS (
+      SELECT doc_id,
+        [ CASE WHEN bcnt[b+1] > 0 AND bsum[b+1] * (w*h) > tsum * bcnt[b+1]
+               THEN 1 ELSE 0 END
+          FOR b IN range(0, 64) ] AS bit
+      FROM totals),
+    bands AS (
+      SELECT doc_id,
+        [ CAST(list_sum([ bit[16*k + j + 1] * (1 << j) FOR j IN range(0, 16) ])
+               AS INTEGER)
+          FOR k IN range(0, 4) ] AS band
+      FROM bitsets),
+    hashes AS (
+      SELECT doc_id,
+             printf('%04x%04x%04x%04x', band[4], band[3], band[2], band[1]) AS phash
+      FROM bands)"""
+
   val all: Seq[Q] = Seq(
     // --- media metadata projection: binary length + content hash + stub dims ---
     Q(
@@ -309,6 +406,83 @@ object Multimodal {
                          + 114 * ((doc_id + (p % w) * (p // w)) % 256)) // 1000 // 16 = b))
                    FOR b IN range(0, 16) ], ',') AS luma_hist
         FROM dims ORDER BY doc_id
+      """)
+    ),
+
+    // --- perceptual near-dup: aHash + banded Hamming pairs ---
+    // Byte-exact dedup (media_dedup) misses re-encoded / slightly edited
+    // copies of the same image — the visual analog of text near-dup. The
+    // aHash tier closes it: every doc synthesizes a deterministic
+    // FAMILY-keyed gradient PNG (ids in the same family of 4 render the
+    // same gradient with a small per-id blue perturbation, so families
+    // are planted perceptual near-dups whose wraparound pixels flip a
+    // few hash bits), decodes through the production MediaDecoder, and
+    // hashes via the integer-exact global-mean aHash. The SQL oracle
+    // recomputes every bit from the generation arithmetic alone — a
+    // decoder or hash regression breaks the match.
+    Q(
+      "media_phash",
+      (s, d) => phashFrom(s, d).orderBy("doc_id"),
+      Some(s"""
+        $phashOracleCte
+        SELECT doc_id, phash FROM hashes ORDER BY doc_id
+      """)
+    ),
+
+    // Pairs within Hamming distance 3 via 4×16-bit banding — COMPLETE for
+    // τ=3 by pigeonhole (3 flipped bits cannot touch all 4 bands), the
+    // dedup_simhash_near recipe on the visual hash. Candidates meet only
+    // inside a (band index, band value) bucket — O(n·k), never all-pairs
+    // — with the explicit-count repartition pinning the pair shuffle.
+    Q(
+      "media_phash_pairs",
+      (s, d) => {
+        val hashed = Checkpoints.checkpoint(phashFrom(s, d))
+        val bands = hashed.select(
+          col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, 3),
+                 k -> CAST(conv(substring(phash, 13 - 4*k, 4), 16, 10) AS INT))"""
+          )).as(Seq("k", "band"))
+        ).repartition(32, col("k"), col("band"))
+        val cand = bands.select(col("doc_id").as("d1"), col("k"), col("band"))
+          .join(bands.select(col("doc_id").as("d2"), col("k"), col("band")), Seq("k", "band"))
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2")
+          .distinct()
+        def bandInt(p: String, k: Int) =
+          s"CAST(conv(substring($p, ${13 - 4 * k}, 4), 16, 10) AS INT)"
+        val hamming = (0 until 4)
+          .map(k => s"bit_count(${bandInt("p1", k)} ^ ${bandInt("p2", k)})")
+          .mkString(" + ")
+        cand
+          .join(hashed.select(col("doc_id").as("d1"), col("phash").as("p1")), "d1")
+          .join(hashed.select(col("doc_id").as("d2"), col("phash").as("p2")), "d2")
+          .withColumn("hamming", expr(s"CAST($hamming AS INT)"))
+          .filter(col("hamming") <= 3)
+          .select("d1", "d2", "hamming")
+          .orderBy("d1", "d2")
+      },
+      Some(s"""
+        $phashOracleCte,
+        b AS (
+          SELECT doc_id, t.k,
+                 ('0x' || substr(phash, 13 - 4*t.k, 4))::INTEGER AS band
+          FROM hashes CROSS JOIN range(0, 4) t(k)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+          FROM b a JOIN b b2 ON a.k = b2.k AND a.band = b2.band AND a.doc_id < b2.doc_id),
+        scored AS (
+          SELECT c.d1, c.d2,
+                 CAST(bit_count(xor(('0x' || substr(h1.phash, 1, 4))::INTEGER,  ('0x' || substr(h2.phash, 1, 4))::INTEGER))
+                    + bit_count(xor(('0x' || substr(h1.phash, 5, 4))::INTEGER,  ('0x' || substr(h2.phash, 5, 4))::INTEGER))
+                    + bit_count(xor(('0x' || substr(h1.phash, 9, 4))::INTEGER,  ('0x' || substr(h2.phash, 9, 4))::INTEGER))
+                    + bit_count(xor(('0x' || substr(h1.phash, 13, 4))::INTEGER, ('0x' || substr(h2.phash, 13, 4))::INTEGER))
+                   AS INTEGER) AS hamming
+          FROM cand c
+          JOIN hashes h1 ON c.d1 = h1.doc_id
+          JOIN hashes h2 ON c.d2 = h2.doc_id)
+        SELECT d1, d2, hamming FROM scored WHERE hamming <= 3 ORDER BY d1, d2
       """)
     ),
 

@@ -58,6 +58,49 @@ class MediaDecoderSpec extends AnyFunSuite {
     assert(MediaDecoder.features("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  test("aHash: format-invariant, brightness-invariant, sensitive to content, brute-force exact") {
+    def gradient(w: Int, h: Int, fmt: String, shift: Int = 0, flip: Boolean = false): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v0 = (x * 9 + y * 5) % 200 + shift // shift stays off the 255 wrap
+        val v = if (flip) 199 + shift - ((x * 9 + y * 5) % 200) + 0 else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, baos))
+      baos.toByteArray
+    }
+    val png = gradient(30, 20, "png")
+    val hash = MediaDecoder.aHash(png).get
+
+    // Brute-force re-derivation from raw pixels: the hash is a pure
+    // function of the decoded image, recomputed here independently.
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bs = Array.fill(64)(0L); val bc = Array.fill(64)(0L); var tot = 0L
+    for (y <- 0 until 20; x <- 0 until 30) {
+      val rgb = img.getRGB(x, y)
+      val l = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+      val b = (y * 8 / 20) * 8 + (x * 8 / 30)
+      bs(b) += l; bc(b) += 1; tot += l
+    }
+    val expected = (0 until 64).foldLeft(0L) { (acc, b) =>
+      if (bs(b) * 600L > tot * bc(b)) acc | (1L << b) else acc
+    }
+    assert(hash == expected, f"aHash $hash%016x != brute-force $expected%016x")
+
+    // Lossless re-encoding in another container: identical hash (the
+    // perceptual property byte-exact dedup lacks).
+    assert(MediaDecoder.aHash(gradient(30, 20, "bmp")).contains(hash))
+    // Uniform brightness shift: identical hash (threshold is relative).
+    assert(MediaDecoder.aHash(gradient(30, 20, "png", shift = 40)).contains(hash))
+    // Flipped gradient: thresholds invert — a genuinely different image
+    // must land far away in Hamming distance.
+    val flipped = MediaDecoder.aHash(gradient(30, 20, "png", flip = true)).get
+    assert(java.lang.Long.bitCount(hash ^ flipped) > 16,
+      f"flipped gradient too close: ${java.lang.Long.bitCount(hash ^ flipped)} bits")
+    assert(MediaDecoder.aHash("not an image".getBytes).isEmpty)
+  }
+
   test("non-image payloads and corrupt images degrade to None, never throw") {
     assert(MediaDecoder.decode(null).isEmpty)
     assert(MediaDecoder.decode(Array.emptyByteArray).isEmpty)
