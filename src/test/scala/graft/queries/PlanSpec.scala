@@ -35,7 +35,8 @@ class PlanSpec extends AnyFunSuite {
     // knn_brute/knn_centroid broadcast a deliberately tiny side; the
     // corpus-scale pair producers must never plan a cartesian of the corpus
     // against itself.
-    for (q <- Seq("dedup_jaccard", "dedup_simhash_pairs", "dedup_minhash_lsh", "dedup_spans")) {
+    for (q <- Seq("dedup_jaccard", "dedup_simhash_pairs", "dedup_minhash_lsh", "dedup_spans",
+        "media_phash_pairs")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product:\n$p")
     }
@@ -86,7 +87,7 @@ class PlanSpec extends AnyFunSuite {
     assert(triangle.contains("REPARTITION_BY_NUM"),
       s"triangle pair join lost its explicit-count repartition:\n$triangle")
     for (q <- Seq("dedup_simhash_pairs", "dedup_simhash_near", "dedup_minhash_lsh",
-        "dedup_embedding")) {
+        "dedup_embedding", "media_phash_pairs")) {
       val p = plan(q)
       assert(p.contains("REPARTITION_BY_NUM"),
         s"$q lost its explicit-count repartition:\n$p")
