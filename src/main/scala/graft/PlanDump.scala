@@ -240,7 +240,13 @@ object PlanDump {
       "in-shard positions from the same hash — one hash shuffle on the " +
       "shard key plus a per-shard window; (shard, pos) IS the epoch " +
       "order and the resume cursor. No global sort but the presentation " +
-      "ORDER BY.")
+      "ORDER BY."),
+    "media_phash_pairs" -> ("Perceptual image near-dup: the checkpointed " +
+      "(doc, 64-bit aHash) table meets itself only inside (band index, " +
+      "16-bit band value) buckets — 4×16 banding, complete for Hamming " +
+      "≤3 by pigeonhole — with an explicit-count repartition pinning the " +
+      "pair shuffle; the Hamming re-rank is 4 codegen'd " +
+      "bit_count(xor) terms. O(n·k) candidates, never all-pairs.")
   )
 
   def main(args: Array[String]): Unit = {
