@@ -406,6 +406,62 @@ object Temporal {
     // through WindowGroupLimit (each partition keeps 3 rows before the
     // day-keyed shuffle, the final pass keeps 3 after). Day keys are
     // calendar-cardinality, so the window can never skew.
+    // --- DAU / WAU / MAU + stickiness ---
+    // The canonical engagement dashboard. Distinct-users-over-a-trailing-
+    // window is the shape that tempts a range self-join (every day joined
+    // against its 30-day history — O(days·events) shuffle); instead each
+    // active (day, user) row CONTRIBUTES itself to the 7/30 window days
+    // it makes active — a bounded explode (≤37 rows per active pair),
+    // then plain distinct counts keyed on the day. Exact, partition-
+    // parallel, and the shuffle keys stay (day[, user]) at any event
+    // volume. Stickiness is a safe int/int ratio. Output days are the
+    // days with actual activity (DAU ≥ 1).
+    Q(
+      "q_active_users",
+      (s, d) => {
+        val active = Q.events(s, d)
+          .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+          .distinct()
+          .pipe(Checkpoints.checkpoint) // three consumers: dau + both windows
+        val dau = active.groupBy("day").agg(count(lit(1)).as("dau"))
+        def windowed(days: Int, out: String) = active
+          .select(
+            explode(expr(s"transform(sequence(0, ${days - 1}), i -> date_add(day, i))"))
+              .as("wday"),
+            col("user_id")
+          )
+          .distinct()
+          .groupBy(col("wday").as(out + "_day"))
+          .agg(count(lit(1)).as(out))
+        dau
+          .join(windowed(7, "wau"), col("day") === col("wau_day"))
+          .join(windowed(30, "mau"), col("day") === col("mau_day"))
+          .select(
+            col("day"),
+            col("dau"),
+            col("wau"),
+            col("mau"),
+            round(col("dau").cast("double") / col("mau").cast("double"), 6).as("stickiness")
+          )
+          .orderBy("day")
+      },
+      Some("""
+        WITH active AS (
+          SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events),
+        dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM active GROUP BY day),
+        wexp AS (SELECT DISTINCT day + CAST(t.i AS INTEGER) AS wday, user_id
+                 FROM active CROSS JOIN range(0, 7) t(i)),
+        wau AS (SELECT wday, CAST(count(*) AS BIGINT) AS wau FROM wexp GROUP BY wday),
+        mexp AS (SELECT DISTINCT day + CAST(t.i AS INTEGER) AS mday, user_id
+                 FROM active CROSS JOIN range(0, 30) t(i)),
+        mau AS (SELECT mday, CAST(count(*) AS BIGINT) AS mau FROM mexp GROUP BY mday)
+        SELECT d.day, d.dau, w.wau, m.mau,
+               round(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+        FROM dau d JOIN wau w ON d.day = w.wday JOIN mau m ON d.day = m.mday
+        ORDER BY d.day
+      """)
+    ),
+
     Q(
       "q_heavy_hitters",
       (s, d) => {
