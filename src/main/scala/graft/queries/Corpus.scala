@@ -1050,6 +1050,74 @@ object Corpus {
                CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
         FROM sh ORDER BY shard, pos
       """)
+    ),
+
+    // --- per-document novelty: fraction of first-seen word trigrams ---
+    // The marginal-contribution signal data-selection pipelines rank by
+    // (e.g. "does this crawl snapshot add anything the corpus lacks?"):
+    // a document's novelty is the fraction of its DISTINCT word trigrams
+    // whose first appearance (min doc_id — ingestion order here) is this
+    // document. Boilerplate-heavy late duplicates score near 0, genuinely
+    // new material near 1 — the aggregate view the pairwise dedup family
+    // can't give cheaply. Plan: distinct (doc, gram) pairs — one
+    // gram+doc-keyed shuffle, never raw text — feed BOTH aggregates:
+    // per-doc totals (doc-keyed count) and gram→min-doc (gram-keyed min,
+    // partial-aggregated so a corpus-wide stop-trigram like "of the and"
+    // combines map-side instead of funnelling rows to one reducer); novel
+    // counts group that |vocab|-sized table by its min doc, and the final
+    // doc-keyed join is |docs|×|docs|-sized — no pair join anywhere, so
+    // the op is linear in corpus token volume at any scale. The pair set
+    // is checkpointed once for its two consumers. Novelty is a safe
+    // int/int ratio rounded at 6 dp.
+    Q(
+      "corpus_novelty",
+      (s, d) => {
+        val grams = t(s, d, "documents")
+          .select(col("doc_id"), ws.as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(
+            col("doc_id"),
+            explode(
+              expr("""transform(sequence(1, size(w) - 2),
+                                i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
+                                            ' ', element_at(w, i + 2)))""")
+            ).as("g")
+          )
+          .distinct()
+          .pipe(Checkpoints.checkpoint) // two consumers: totals + first-seen
+        val total = grams.groupBy("doc_id").agg(count(lit(1)).as("grams"))
+        val novel = grams
+          .groupBy("g")
+          .agg(min("doc_id").as("doc_id"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("novel"))
+        total
+          .join(novel, Seq("doc_id"), "left")
+          .withColumn("novel", coalesce(col("novel"), lit(0L)))
+          .withColumn(
+            "novelty",
+            round(col("novel").cast("double") / col("grams").cast("double"), 6)
+          )
+          .select("doc_id", "grams", "novel", "novelty")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+        f AS (SELECT doc_id, w FROM t WHERE len(w) >= 3),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(w) - 1),
+                        i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1]
+                             || ' ' || w[CAST(i AS INTEGER) + 2])) AS g
+          FROM f),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS grams FROM g GROUP BY doc_id),
+        fm AS (SELECT g, min(doc_id) AS doc_id FROM g GROUP BY g),
+        nov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS novel FROM fm GROUP BY doc_id)
+        SELECT t.doc_id, t.grams, CAST(COALESCE(n.novel, 0) AS BIGINT) AS novel,
+               round(CAST(COALESCE(n.novel, 0) AS DOUBLE) / t.grams, 6) AS novelty
+        FROM tot t LEFT JOIN nov n ON t.doc_id = n.doc_id ORDER BY t.doc_id
+      """)
     )
   )
 }

@@ -557,6 +557,121 @@ object Temporal {
         SELECT item, other, c, cosine, CAST(rank AS INTEGER) AS rank
         FROM r WHERE rank <= 3 ORDER BY item, rank
       """)
+    ),
+
+    // --- event-flow transition matrix (user-path Markov chain) ---
+    // The product-flow readout behind sankey/path dashboards: for each
+    // ordered pair of consecutive events within a user's timeline, the
+    // transition count and probability P(next | current). One user-keyed
+    // window (lead over (ts, event_id) — the unique id breaks timestamp
+    // ties deterministically, the sessionize posture: linearithmic in each
+    // user's own event count, never cross-user), then the pair counts
+    // partial-aggregate onto a |types|²-sized key space and the per-source
+    // normaliser is a window over that same metadata-sized table — nothing
+    // after the first shuffle scales with event volume. P is a safe
+    // int/int double division rounded at 6 dp.
+    Q(
+      "q_event_flow",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val counts = Q.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val norm = Window.partitionBy("from_type")
+        counts
+          .withColumn(
+            "p",
+            round(col("n").cast("double") / sum("n").over(norm).cast("double"), 6)
+          )
+          .select("from_type", "to_type", "n", "p")
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH s AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          FROM events),
+        c AS (
+          SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n
+          FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        FROM c ORDER BY from_type, to_type
+      """)
+    ),
+
+    // --- daily-volume anomaly detection (trailing-window z-score) ---
+    // The ops/abuse alarm over event volume: each day's count against the
+    // mean/std of the 7 PRECEDING active days (rows-based, so a dark day
+    // doesn't shrink the baseline sample). The window input is the daily
+    // aggregate — calendar-cardinality (thousands of rows at ANY event
+    // volume) — so the unpartitioned ordered window is bounded by the
+    // calendar, not the data; everything event-scale happened in the
+    // partial-aggregated day count before it. Cross-engine discipline: the
+    // sums s1/s2 are exact integers (|s2| < 2⁶³ up to ~10⁹ events/day — an
+    // order of magnitude above 100 TB/yr event rates); zero variance is
+    // detected by the EXACT min=max test, never by comparing a computed
+    // double to 0; the z chain (n − s1/7)/√((7·s2 − s1²)/42) is evaluated
+    // with the identical correctly-rounded IEEE expression tree in both
+    // engines, then rounded at 6 dp, and the boolean flag compares the
+    // ROUNDED z so no sub-ulp drift can flip it.
+    Q(
+      "q_anomaly_days",
+      (s, d) => {
+        val daily = Q.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val win = Window.orderBy("day").rowsBetween(-7, -1)
+        val s1d = col("s1").cast("double")
+        daily
+          .withColumn("k", count(lit(1)).over(win))
+          .withColumn("s1", sum("n").over(win))
+          .withColumn("s2", sum(col("n") * col("n")).over(win))
+          .withColumn("flat", max("n").over(win) === min("n").over(win))
+          .filter(col("k") === 7)
+          .withColumn("mean", round(s1d / 7.0, 6))
+          .withColumn(
+            "z",
+            when(col("flat"), lit(null).cast("double")).otherwise(
+              round(
+                (col("n").cast("double") - s1d / 7.0) /
+                  sqrt((lit(7.0) * col("s2").cast("double") - s1d * s1d) / 42.0),
+                6
+              )
+            )
+          )
+          .withColumn("is_anomaly", coalesce(abs(col("z")) > 3.0, lit(false)))
+          .select("day", "n", "mean", "z", "is_anomaly")
+          .orderBy("day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+        w AS (
+          SELECT day, n,
+                 CAST(count(*) OVER win AS BIGINT) AS k,
+                 CAST(sum(n) OVER win AS BIGINT) AS s1,
+                 CAST(sum(n * n) OVER win AS BIGINT) AS s2,
+                 max(n) OVER win = min(n) OVER win AS flat
+          FROM daily
+          WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        zc AS (
+          SELECT day, n,
+                 round(CAST(s1 AS DOUBLE) / 7.0, 6) AS mean,
+                 CASE WHEN flat THEN NULL
+                      ELSE round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)
+                                 / sqrt((7.0 * CAST(s2 AS DOUBLE)
+                                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / 42.0), 6)
+                 END AS z
+          FROM w WHERE k = 7)
+        SELECT day, n, mean, z, COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
+        FROM zc ORDER BY day
+      """)
     )
   )
 

@@ -477,6 +477,53 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"co-counts lost their partial phase:\n$p")
   }
 
+  test("novelty never pair-joins: keyed aggregates off one checkpointed pair set") {
+    // corpus_novelty: the distinct (doc, gram) pairs are checkpointed for
+    // their two consumers, so the final plan reads the checkpoint RDD (no
+    // parquet re-scan) and everything downstream is keyed aggregation plus
+    // one |docs|-sized join — a cartesian or a gram-keyed window would mean
+    // the op regressed onto a pair-join shape, and losing partial_min means
+    // a corpus-wide stop-trigram funnels to one reducer.
+    val df = SparkEntry.queries("corpus_novelty")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("CartesianProduct"), s"corpus_novelty planned a cartesian:\n$p")
+    assert(!p.contains("Window"), s"corpus_novelty must not plan a window:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"the pair set must be checkpointed (corpus re-scanned):\n$p")
+    assert(p.contains("partial_min"), s"gram first-seen min lost its partial phase:\n$p")
+    assert(p.contains("partial_count"), s"per-doc totals lost partial aggregation:\n$p")
+  }
+
+  test("event flow windows stay user- and type-keyed; counts partial-aggregate") {
+    // q_event_flow: the lead() window must shuffle on user_id (each user
+    // sorts only its own events) and the probability normaliser on
+    // from_type (a |types|²-sized table) — an unkeyed window here would be
+    // a global event sort. Pair counts keep their map-side partial phase.
+    val p = plan("q_event_flow")
+    assert(!p.contains("CartesianProduct"), s"q_event_flow planned a cartesian:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the lead window lost its user-keyed shuffle:\n$p")
+    assert(p.contains("hashpartitioning(from_type"),
+      s"the normaliser window lost its from_type key:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q_event_flow must never single-partition event-scale data:\n$p")
+    assert(p.contains("partial_count"), s"pair counts lost partial aggregation:\n$p")
+  }
+
+  test("anomaly window runs on the partial-aggregated daily table only") {
+    // q_anomaly_days: the one SinglePartition exchange is the trailing
+    // window over the |days|-row aggregate (calendar-bounded at any event
+    // volume); the event-scale count must partial-aggregate BEFORE it, and
+    // no join may appear.
+    val p = plan("q_anomaly_days")
+    assert(!p.contains("Join"), s"q_anomaly_days must not join:\n$p")
+    assert(p.contains("partial_count"),
+      s"daily counts lost map-side partial aggregation:\n$p")
+    val singles = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singles == 1, s"expected exactly the one calendar-bounded window exchange:\n$p")
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
