@@ -246,7 +246,23 @@ object PlanDump {
       "16-bit band value) buckets — 4×16 banding, complete for Hamming " +
       "≤3 by pigeonhole — with an explicit-count repartition pinning the " +
       "pair shuffle; the Hamming re-rank is 4 codegen'd " +
-      "bit_count(xor) terms. O(n·k) candidates, never all-pairs.")
+      "bit_count(xor) terms. O(n·k) candidates, never all-pairs."),
+    "corpus_novelty" -> ("Per-doc first-seen-trigram fraction with NO pair " +
+      "join: the checkpointed distinct (doc, gram) pairs feed per-doc " +
+      "totals (doc-keyed count) and the gram→min-doc table (gram-keyed " +
+      "min with a partial phase, so stop-trigrams combine map-side); " +
+      "novel counts group that vocabulary-sized table by its min doc and " +
+      "join back |docs|-keyed. Linear in token volume."),
+    "q_event_flow" -> ("User-path transition matrix: lead() over a " +
+      "user-keyed window (each user sorts only its own events), pair " +
+      "counts partial-aggregate onto the |types|² key space, and the " +
+      "P(next|current) normaliser windows over that metadata-sized " +
+      "table — nothing after the first shuffle scales with events."),
+    "q_anomaly_days" -> ("Daily-volume z-score vs the 7 preceding active " +
+      "days: the event-scale work is one partial-aggregated day count; " +
+      "the trailing window runs single-partition BY DESIGN on the " +
+      "calendar-bounded daily table (thousands of rows at any volume). " +
+      "Exact integer sums, min=max zero-variance test, one IEEE chain.")
   )
 
   def main(args: Array[String]): Unit = {
