@@ -262,7 +262,17 @@ object PlanDump {
       "days: the event-scale work is one partial-aggregated day count; " +
       "the trailing window runs single-partition BY DESIGN on the " +
       "calendar-bounded daily table (thousands of rows at any volume). " +
-      "Exact integer sums, min=max zero-variance test, one IEEE chain.")
+      "Exact integer sums, min=max zero-variance test, one IEEE chain."),
+    "corpus_interleave" -> ("Stride-scheduled source mixing: the r-th of " +
+      "a source's n docs runs at vtime (2r−1)/(2n), so sources spread " +
+      "evenly over the epoch. The per-source rank stitches through " +
+      "(source, md5-bucket) windows + broadcast per-bucket count " +
+      "prefixes — never a per-source global row_number — and only the " +
+      "presentation ORDER BY sorts globally."),
+    "corpus_source_diversity" -> ("Source concentration curve: one " +
+      "partial-aggregated (source → token mass) pass; ranking window + " +
+      "broadcast total both run on the checkpointed |sources|-row " +
+      "aggregate (catalog-bounded single-partition stages by design).")
   )
 
   def main(args: Array[String]): Unit = {

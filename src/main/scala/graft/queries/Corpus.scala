@@ -1118,6 +1118,140 @@ object Corpus {
                round(CAST(COALESCE(n.novel, 0) AS DOUBLE) / t.grams, 6) AS novelty
         FROM tot t LEFT JOIN nov n ON t.doc_id = n.doc_id ORDER BY t.doc_id
       """)
+    ),
+
+    // --- proportional source interleave (stride-scheduled mixing order) ---
+    // The trainer-facing complement of corpus_shuffle: instead of one
+    // global pseudo-random deal, every source's documents spread EVENLY
+    // over the epoch — the r-th of a source's n docs runs at virtual time
+    // (2r−1)/(2n) ∈ (0,1), so all sources finish together and no window of
+    // training is ever dominated by one source (stride scheduling, the
+    // deterministic analog of proportional sampling). A per-source global
+    // rank is the scale hazard here — one giant source would row_number
+    // through a single reducer — so the rank stitches exactly like
+    // corpus_token_budget's running sums: docs land in (source, md5-bucket)
+    // partitions, rank within the bucket is a keyed window over the hash
+    // order, and the cross-bucket offsets come from a metadata-sized
+    // (|sources|×32-row) per-bucket count table that broadcasts back. The
+    // within-source order is therefore the (bucket, h) hash order — a
+    // deterministic pseudo-random deal, same contract as corpus_shuffle.
+    // vtime is ONE IEEE division of exact integers (identical cross-engine)
+    // and (vtime, source, doc_id) IS the epoch order and the resume
+    // cursor; the only global sort is the presentation ORDER BY.
+    Q(
+      "corpus_interleave",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("source"),
+            bucketOf(32).as("bucket"),
+            md5(concat(lit("7:"), col("doc_id").cast("string"))).as("h")
+          )
+          .pipe(Checkpoints.checkpoint) // three consumers: totals, prefixes, ranks
+        val nSrc = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+        val bucketPrefix = docs
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("bucket_n"))
+          .withColumn(
+            "bucket_prefix",
+            coalesce(
+              sum(col("bucket_n")).over(
+                Window.partitionBy("source").orderBy("bucket")
+                  .rowsBetween(Window.unboundedPreceding, -1)
+              ),
+              lit(0L)
+            )
+          )
+          .select("source", "bucket", "bucket_prefix")
+        val intra = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+        docs
+          .withColumn("intra_rank", row_number().over(intra).cast("long"))
+          .join(broadcast(bucketPrefix), Seq("source", "bucket"))
+          .join(broadcast(nSrc), Seq("source"))
+          .withColumn("src_rank", col("bucket_prefix") + col("intra_rank"))
+          .withColumn(
+            "vtime",
+            (lit(2) * col("src_rank") - lit(1)).cast("double") /
+              (lit(2) * col("n_src")).cast("double")
+          )
+          .select("doc_id", "source", "src_rank", "vtime")
+          .orderBy("vtime", "source", "doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS bucket,
+                 md5('7:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM docs GROUP BY source),
+        bp AS (
+          SELECT source, bucket,
+                 coalesce(sum(count(*)) OVER (
+                   PARTITION BY source ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bucket_prefix
+          FROM docs GROUP BY source, bucket),
+        ranked AS (
+          SELECT d.doc_id, d.source,
+                 CAST(bp.bucket_prefix
+                      + row_number() OVER (PARTITION BY d.source, d.bucket
+                                           ORDER BY d.h, d.doc_id) AS BIGINT) AS src_rank
+          FROM docs d JOIN bp ON d.source = bp.source AND d.bucket = bp.bucket)
+        SELECT r.doc_id, r.source, r.src_rank,
+               CAST(2 * r.src_rank - 1 AS DOUBLE) / CAST(2 * n.n_src AS DOUBLE) AS vtime
+        FROM ranked r JOIN ns n ON r.source = n.source
+        ORDER BY vtime, r.source, r.doc_id
+      """)
+    ),
+
+    // --- source concentration: coverage curve + shares ---
+    // The corpus-imbalance readout pipelines alarm on (one crawl dump
+    // quietly becoming 80% of the tokens): per-source token mass, share,
+    // and the cumulative share of the top-k sources in mass order. The
+    // event-scale work is one partial-aggregated (source → token sum);
+    // the ranking window runs single-partition BY DESIGN on the
+    // |sources|-row aggregate — bounded by the source catalog, not the
+    // corpus, exactly like q_anomaly_days' calendar window. Shares are
+    // int/int divisions of exact token masses rounded at 6 dp; ties in
+    // mass order break by source name.
+    Q(
+      "corpus_source_diversity",
+      (s, d) => {
+        // Two consumers (the ranked rows + the broadcast total): checkpoint
+        // or the corpus tokenizes twice.
+        val masses = t(s, d, "documents")
+          .groupBy("source")
+          .agg(sum(size(ws).cast("long")).as("mass"))
+          .pipe(Checkpoints.checkpoint)
+        val ord = Window.orderBy(desc("mass"), asc("source"))
+        masses
+          .withColumn("rank", row_number().over(ord).cast("int"))
+          .withColumn("cum_mass", sum("mass").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .crossJoin(broadcast(masses.agg(sum("mass").as("total"))))
+          .withColumn("share", round(col("mass").cast("double") / col("total").cast("double"), 6))
+          .withColumn(
+            "cum_share",
+            round(col("cum_mass").cast("double") / col("total").cast("double"), 6)
+          )
+          .select("rank", "source", "mass", "share", "cum_share")
+          .orderBy("rank")
+      },
+      Some("""
+        WITH m AS (
+          SELECT source, CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS mass
+          FROM documents GROUP BY source),
+        t AS (SELECT sum(mass) AS total FROM m),
+        r AS (
+          SELECT source, mass,
+                 CAST(row_number() OVER (ORDER BY mass DESC, source) AS INTEGER) AS rank,
+                 CAST(sum(mass) OVER (ORDER BY mass DESC, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_mass
+          FROM m)
+        SELECT r.rank, r.source, r.mass,
+               round(CAST(r.mass AS DOUBLE) / t.total, 6) AS share,
+               round(CAST(r.cum_mass AS DOUBLE) / t.total, 6) AS cum_share
+        FROM r CROSS JOIN t ORDER BY r.rank
+      """)
     )
   )
 }

@@ -524,6 +524,47 @@ class PlanSpec extends AnyFunSuite {
     assert(singles == 1, s"expected exactly the one calendar-bounded window exchange:\n$p")
   }
 
+  test("interleave ranks stitch through buckets: keyed windows + broadcast prefixes only") {
+    // corpus_interleave: the per-source rank must never become a global
+    // per-source row_number (one reducer per giant source) — the intra
+    // window shuffles on (source, bucket), the prefix/count tables come
+    // back as broadcasts, and only the presentation ORDER BY sorts
+    // globally. The projected doc table is checkpointed for its three
+    // consumers (no parquet re-scan).
+    val df = SparkEntry.queries("corpus_interleave")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("CartesianProduct"), s"corpus_interleave planned a cartesian:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"the projected docs must be checkpointed (corpus re-scanned):\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"the intra-bucket rank window lost its (source, bucket) key:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"prefix/count tables must join as broadcasts:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no corpus-scale single-partition stage may appear:\n$p")
+    val globalSorts = p.linesIterator.count(l => l.contains("Sort [") && l.contains("], true,"))
+    assert(globalSorts == 1, s"only the presentation ORDER BY may sort globally:\n$p")
+  }
+
+  test("source diversity windows only the |sources|-row aggregate") {
+    // corpus_source_diversity: the corpus-scale work is the checkpointed
+    // partial-aggregated (source → mass) table; the ranking window and
+    // the broadcast total both run on |sources| rows.
+    val df = SparkEntry.queries("corpus_source_diversity")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("FileScan parquet"),
+      s"the mass aggregate must be checkpointed (corpus re-tokenized):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the total must broadcast, not sort-merge:\n$p")
+    // Two catalog-bounded SinglePartition stages are by design (the
+    // ranking window + the grand-total final phase), BOTH reading the
+    // checkpointed |sources|-row RDD — growth means corpus-scale data
+    // slipped into one.
+    val singles = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 2, s"only the ranking window and the total may single-partition:\n$p")
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
