@@ -532,6 +532,31 @@ class Engine(
       trigger
     )
 
+  /** Streaming DAILY VOLUME: tail the log's JSON events and maintain the
+    * derived (day, n) table feeding the anomaly readout — the streaming
+    * half of the batch `q_anomaly_days` split at its natural seam: the
+    * event-scale day count runs incrementally here (one state row per
+    * OPEN day, rows final on watermark close), and the calendar-bounded
+    * z-score arithmetic runs as a batch pass over the finalized table
+    * ([[Engine.anomalyReport]], sharing `Temporal.anomalyOver` with the
+    * oracle query so both surfaces flag identical rows). Same
+    * exactly-once derived-table recipe as [[topKFrom]].
+    */
+  def dailyCountsFrom(
+      peerDir: String,
+      checkpoint: String,
+      dailyDir: String,
+      watermarkDelay: String = "1 hour",
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery =
+    derivedTableSink(
+      graft.streaming.EventStreams
+        .streamingDailyCounts(jsonEvents(peerDir).toDF(), "ts", watermarkDelay),
+      checkpoint,
+      dailyDir,
+      trigger
+    )
+
   /** Streaming FUNNEL: tail the log's JSON events and maintain a derived
     * per-user stage table — the product surface over
     * [[graft.streaming.EventStreams.streamingFunnel]] (the incremental
@@ -576,6 +601,29 @@ class Engine(
 
 object Engine {
   def apply(spark: SparkSession, dataDir: String): Engine = new Engine(spark, dataDir)
+
+  /** Batch anomaly readout over a streamed daily-counts table
+    * ([[Engine.dailyCountsFrom]]'s output): re-runs the EXACT
+    * `q_anomaly_days` arithmetic — the shared `Temporal.anomalyOver` —
+    * over the finalized (day, n) rows, so the streaming surface and the
+    * oracle-checked batch query flag identical days for identical counts.
+    * Fails loudly if any day finalized twice: append mode emits a day
+    * exactly once, so a duplicate means the derived table's exactly-once
+    * contract broke (e.g. two writers on one dir) and a silent re-sum
+    * would double-count the baseline.
+    */
+  def anomalyReport(spark: SparkSession, dailyDir: String): DataFrame = {
+    val daily = spark.read
+      .parquet(dailyDir)
+      .select(col("day").cast("date").as("day"), col("n").cast("long").as("n"))
+    val dup = daily.groupBy("day").count().filter(col("count") > 1).limit(1).collect()
+    require(
+      dup.isEmpty,
+      s"day ${dup.headOption.map(_.get(0)).orNull} finalized more than once in $dailyDir — " +
+        "the derived table lost exactly-once"
+    )
+    graft.queries.Temporal.anomalyOver(daily)
+  }
 
   /** One record's media features — mirrors the batch `media_features` row
     * shape keyed by log offset instead of doc id.

@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -670,6 +670,45 @@ object Main {
               }
               println(s"funnel table at $out (${df.count()} stage rows)")
             case None => println(s"no finalized funnel stages yet at $out")
+          }
+        case "stream-anomaly" :: peer :: ckpt :: out :: aRest =>
+          // One-shot (resumable) pass over the peer log's event backlog:
+          // maintain the derived finalized daily-counts table
+          // (Engine.dailyCountsFrom — one state row per open day, rows
+          // final on watermark close), then print the trailing-z-score
+          // anomaly report (Engine.anomalyReport — the exact
+          // q_anomaly_days arithmetic over the finalized days).
+          var aWatermark = "1 hour"
+          var ai = 0
+          while (ai < aRest.length) {
+            aRest(ai) match {
+              case "--watermark" if ai + 1 < aRest.length =>
+                aWatermark = aRest(ai + 1); ai += 2
+              case f =>
+                System.err.println(s"stream-anomaly: unknown flag $f"); usage()
+            }
+          }
+          val aq = engine.dailyCountsFrom(
+            peer, ckpt, out, aWatermark,
+            org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          )
+          aq.processAllAvailable()
+          aq.awaitTermination()
+          val dailyTable =
+            try Some(spark.read.parquet(out)) catch { case _: Exception => None }
+          dailyTable.filter(_.columns.contains("day")) match {
+            case Some(df) =>
+              val report = Engine.anomalyReport(spark, out).collect()
+              report.foreach { r =>
+                val zs = Option(r.get(3)).map(_.toString).getOrElse("null (flat baseline)")
+                val flag = if (r.getBoolean(4)) "  << ANOMALY" else ""
+                println(s"day ${r.getDate(0)}: n=${r.getLong(1)} mean=${r.getDouble(2)} z=$zs$flag")
+              }
+              println(
+                s"${df.count()} finalized days at $out, ${report.length} scored, " +
+                  s"${report.count(_.getBoolean(4))} anomalous"
+              )
+            case None => println(s"no finalized days yet at $out")
           }
         case "corpus-report" :: out :: Nil =>
           // One-stop build report from the persisted artifacts alone — no

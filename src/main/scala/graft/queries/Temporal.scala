@@ -621,33 +621,12 @@ object Temporal {
     // ROUNDED z so no sub-ulp drift can flip it.
     Q(
       "q_anomaly_days",
-      (s, d) => {
-        val daily = Q.events(s, d)
-          .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
-          .agg(count(lit(1)).as("n"))
-        val win = Window.orderBy("day").rowsBetween(-7, -1)
-        val s1d = col("s1").cast("double")
-        daily
-          .withColumn("k", count(lit(1)).over(win))
-          .withColumn("s1", sum("n").over(win))
-          .withColumn("s2", sum(col("n") * col("n")).over(win))
-          .withColumn("flat", max("n").over(win) === min("n").over(win))
-          .filter(col("k") === 7)
-          .withColumn("mean", round(s1d / 7.0, 6))
-          .withColumn(
-            "z",
-            when(col("flat"), lit(null).cast("double")).otherwise(
-              round(
-                (col("n").cast("double") - s1d / 7.0) /
-                  sqrt((lit(7.0) * col("s2").cast("double") - s1d * s1d) / 42.0),
-                6
-              )
-            )
-          )
-          .withColumn("is_anomaly", coalesce(abs(col("z")) > 3.0, lit(false)))
-          .select("day", "n", "mean", "z", "is_anomaly")
-          .orderBy("day")
-      },
+      (s, d) =>
+        anomalyOver(
+          Q.events(s, d)
+            .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+            .agg(count(lit(1)).as("n"))
+        ),
       Some("""
         WITH daily AS (
           SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
@@ -674,6 +653,43 @@ object Temporal {
       """)
     )
   )
+
+  /** The trailing-z-score anomaly arithmetic over a (day DATE, n BIGINT)
+    * frame — shared by the batch `q_anomaly_days` and the streaming
+    * daily-counts report ([[graft.Engine.anomalyReport]]) so both surfaces
+    * flag the IDENTICAL rows for the same counts. Each day scores against
+    * the 7 preceding active days (rows-based, so a dark day doesn't shrink
+    * the baseline). Cross-engine/FP discipline (see the q_anomaly_days
+    * oracle): exact integer s1/s2 sums, zero variance via the exact
+    * min=max test, one identical correctly-rounded IEEE chain, flag on the
+    * ROUNDED z. The unpartitioned window is calendar-bounded by
+    * construction — callers must hand in the aggregated daily table, never
+    * raw events.
+    */
+  def anomalyOver(daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val win = Window.orderBy("day").rowsBetween(-7, -1)
+    val s1d = col("s1").cast("double")
+    daily
+      .withColumn("k", count(lit(1)).over(win))
+      .withColumn("s1", sum("n").over(win))
+      .withColumn("s2", sum(col("n") * col("n")).over(win))
+      .withColumn("flat", max("n").over(win) === min("n").over(win))
+      .filter(col("k") === 7)
+      .withColumn("mean", round(s1d / 7.0, 6))
+      .withColumn(
+        "z",
+        when(col("flat"), lit(null).cast("double")).otherwise(
+          round(
+            (col("n").cast("double") - s1d / 7.0) /
+              sqrt((lit(7.0) * col("s2").cast("double") - s1d * s1d) / 42.0),
+            6
+          )
+        )
+      )
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > 3.0, lit(false)))
+      .select("day", "n", "mean", "z", "is_anomaly")
+      .orderBy("day")
+  }
 
   /** Per-user distinct-item cap for `q_item_similarity`. The self-join's
     * worst case is quadratic in a single user's distinct-item count, so one

@@ -150,6 +150,26 @@ object EventStreams {
       }
   }
 
+  /** Daily event-volume counts with watermark-FINAL rows — the streaming
+    * feed of the volume-anomaly readout (the batch `q_anomaly_days` over a
+    * live log: [[graft.Engine.dailyCountsFrom]] maintains the derived
+    * (day, n) table, `Engine.anomalyReport` re-runs the shared
+    * `Temporal.anomalyOver` arithmetic over it). State is one count row
+    * per OPEN day — calendar-bounded at any event volume — and append
+    * mode emits each day exactly once, when the watermark passes
+    * midnight, so downstream baselines never see a half-counted day.
+    */
+  def streamingDailyCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("day"), col("n"))
+
   /** Streaming exact dedup on `keyCols` + event time within the watermark
     * horizon (same key at a different timestamp is a distinct event) —
     * `dropDuplicates` keeps per-key state only until the watermark passes,

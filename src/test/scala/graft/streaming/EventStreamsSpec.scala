@@ -501,4 +501,93 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(rows().drop(2) == Seq((w2, 9L, 1L, 0L, 1)), s"got ${rows()}")
     } finally q.stop()
   }
+
+  test("daily counts finalize on watermark close; anomalyOver flags the planted spike exactly") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Day i (from 2024-02-01) gets counts(i) events; day 7 is a 10× spike.
+    val counts = Seq(8, 10, 12, 9, 11, 10, 10, 100, 10, 10)
+    val day0 = Timestamp.valueOf("2024-02-01 00:00:00").getTime
+    def at(day: Int, idx: Int): Timestamp =
+      new Timestamp(day0 + day * 86400000L + (idx % 1440) * 60000L)
+    val evs = for {
+      (c, day) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield Ev(at(day, i), "click", 1.0)
+    val input = MemoryStream[Ev]
+    val q = EventStreams
+      .streamingDailyCounts(input.toDF(), "ts", "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("daily")
+      .outputMode("append")
+      .start()
+    val got =
+      try {
+        // Two micro-batches split mid-stream (the day-5 count must merge
+        // across batches), then a far-future sentinel closes every real day.
+        val (a, b) = evs.splitAt(evs.length / 2)
+        input.addData(a: _*)
+        q.processAllAvailable()
+        input.addData(b: _*)
+        q.processAllAvailable()
+        input.addData(Ev(at(30, 0), "click", 1.0))
+        q.processAllAvailable()
+        val rows = spark
+          .sql("select day, n from daily")
+          .collect()
+          .map(r => (r.getDate(0).toString, r.getLong(1)))
+          .toMap
+        val expected = counts.zipWithIndex.map { case (c, d) =>
+          java.time.LocalDate.of(2024, 2, 1).plusDays(d.toLong).toString -> c.toLong
+        }.toMap
+        assert(rows == expected, s"finalized days: $rows")
+        // A straggler behind the watermark is dropped — day 0 must not
+        // re-finalize (which would double-count a closed baseline day).
+        input.addData(Ev(at(0, 3), "click", 1.0))
+        q.processAllAvailable()
+        assert(spark.sql("select * from daily").count() == counts.length.toLong)
+        rows
+      } finally q.stop()
+
+    // The shared arithmetic over the streamed table: days 7-9 have a full
+    // 7-day baseline; the spike's z matches the hand computation and only
+    // it flags.
+    val dailyDf = got.toSeq
+      .map { case (d, n) => (java.sql.Date.valueOf(d), n) }
+      .toDF("day", "n")
+    val rep = graft.queries.Temporal.anomalyOver(dailyDf).collect()
+    assert(rep.length == 3, s"expected days 7-9 scored, got ${rep.toSeq}")
+    val spike = rep.find(_.getDate(0).toString == "2024-02-08").get
+    val base = counts.take(7)
+    val s1 = base.sum.toDouble
+    val s2 = base.map(x => x.toLong * x).sum.toDouble
+    val z = BigDecimal((100.0 - s1 / 7.0) / math.sqrt((7.0 * s2 - s1 * s1) / 42.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(spike.getDouble(3) == z && spike.getBoolean(4), s"spike row $spike expected z=$z")
+    assert(rep.count(_.getBoolean(4)) == 1, "only the planted spike flags")
+  }
+
+  test("anomaly report refuses a twice-finalized day, else matches the shared arithmetic") {
+    val session = spark
+    import session.implicits._
+    val daily = (0 until 10)
+      .map(d =>
+        (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(d.toLong)),
+          (10 + (d % 3)).toLong))
+      .toDF("day", "n")
+    val dir = graft.TestSpark.tempDir("daily-report")
+    daily.write.parquet(s"$dir/batch=0")
+    val viaReport = graft.Engine.anomalyReport(spark, dir).collect().toSeq
+    val direct = graft.queries.Temporal.anomalyOver(daily).collect().toSeq
+    assert(viaReport == direct, "report must be the shared arithmetic over the table")
+    // A second writer re-finalizing one day must fail loudly, not re-sum.
+    daily.limit(1).write.parquet(s"$dir/batch=1")
+    val ex = intercept[IllegalArgumentException] {
+      graft.Engine.anomalyReport(spark, dir)
+    }
+    assert(ex.getMessage.contains("finalized more than once"), ex.getMessage)
+  }
 }

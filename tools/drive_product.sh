@@ -9,6 +9,7 @@
 #      incremental append (union counts) → report
 #   3. ANN index: build → append → delete → recentre
 #   4. streaming analytics: produce events → stream-topk → stream-funnel
+#      → stream-anomaly (finalized daily table + z-report)
 #   5. cluster: serve-grpc hub (--ttl --phi) + heartbeating follower →
 #      SIGKILL → follower evicted from GetServers
 #
@@ -89,6 +90,11 @@ g --data-dir "$D/s" stream-topk "$D/events" "$D/tkckpt" "$D/topk" --k 2 \
   | expect "rank 1: user 7"
 g --data-dir "$D/s" stream-funnel "$D/events" "$D/fckpt" "$D/funnel" \
   | expect "stage 3_purchase: 1 users"
+# The 2024-01-03 event pushes the watermark past 2024-01-01 midnight, so
+# exactly one day (8 valid events; the bad-json row is skipped) finalizes;
+# the z-report has no 7-day baseline yet — 0 scored is the correct readout.
+g --data-dir "$D/s" stream-anomaly "$D/events" "$D/ackpt" "$D/daily" \
+  | expect "1 finalized days at $D/daily, 0 scored, 0 anomalous"
 
 echo "=== [5/5] cluster: phi accrual evicts a SIGKILLed heartbeating follower"
 java $OPENS -Xmx3g -cp "$CP" graft.Main --data-dir "$D/hub" --ttl 2 --phi 8 serve-grpc 8931 \
