@@ -272,7 +272,13 @@ object PlanDump {
     "corpus_source_diversity" -> ("Source concentration curve: one " +
       "partial-aggregated (source → token mass) pass; ranking window + " +
       "broadcast total both run on the checkpointed |sources|-row " +
-      "aggregate (catalog-bounded single-partition stages by design).")
+      "aggregate (catalog-bounded single-partition stages by design)."),
+    "text_bm25" -> ("BM25 retrieval: query terms picked by TakeOrdered " +
+      "(distributed partial top-k over the vocabulary, never a one-reducer " +
+      "sort); the checkpointed tf table feeds doc lengths and the " +
+      "candidate probe; the 3-term query set and 1-row stats broadcast; " +
+      "scoring is map-side, the per-query top-5 windows over " +
+      "query-keyed candidates. idf's libm ln rounds to 6 dp in isolation.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -106,6 +108,107 @@ object TextOps {
           FROM scored)
         SELECT doc_id, CAST(rk AS INTEGER) AS rk, word, tf, df, score
         FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+      """)
+    ),
+
+    // --- BM25 retrieval scoring: top-5 docs per query term ---
+    // The search/retrieval operator (Robertson-Spärck Jones BM25 with the
+    // Lucene +1 idf, k1=1.2 b=0.75) a corpus pipeline runs for RAG
+    // retrieval audits and targeted sampling. Queries are data-derived so
+    // the op is meaningful on ANY corpus: the 3 highest-df terms, taken
+    // with distributed partial top-k (TakeOrdered — never a vocabulary
+    // sort through one reducer). Plan: the (doc, word) tf counts shuffle
+    // once and checkpoint for their two consumers (doc lengths + the
+    // candidate probe); the 3-term query set and the 1-row corpus stats
+    // broadcast; scoring is map-side; the per-query top-5 windows over
+    // query-keyed candidates. FP discipline: idf — the one libm ln in the
+    // chain — rounds to 6 dp on its own, then the remaining score chain is
+    // identical correctly-rounded IEEE arithmetic in both engines, rounded
+    // once more at 6 dp (the corpus_lm_quality isolation pattern; with
+    // multi-term queries the 6-dp term scores would DECIMAL-sum).
+    Q(
+      "text_bm25",
+      (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("word"))
+          .groupBy("doc_id", "word")
+          .agg(count(lit(1)).as("tf"))
+          .pipe(Checkpoints.checkpoint) // two consumers: doc lengths + probe
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val stats = dl.agg(
+          count(lit(1)).as("n_docs"),
+          (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl")
+        )
+        val qterms = tf
+          .groupBy("word")
+          .agg(count(lit(1)).as("df"))
+          .orderBy(desc("df"), asc("word"))
+          .limit(3)
+        val w = Window.partitionBy("query_term").orderBy(desc("score"), asc("doc_id"))
+        tf.join(broadcast(qterms), "word")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn(
+            "idf",
+            round(
+              log(
+                (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+                  (col("df").cast("double") + 0.5) + 1.0
+              ),
+              6
+            )
+          )
+          .withColumn(
+            "score",
+            round(
+              col("idf") * (col("tf").cast("double") * 2.2) /
+                (col("tf").cast("double") +
+                  lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))),
+              6
+            )
+          )
+          .withColumn("query_term", col("word"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(
+            col("query_term"),
+            col("rank").cast("int").as("rank"),
+            col("doc_id"),
+            col("tf"),
+            col("dl"),
+            col("score")
+          )
+          .orderBy("query_term", "rank")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+          FROM documents),
+        tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+        qt AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY word ORDER BY df DESC, word LIMIT 3),
+        scored AS (
+          SELECT q.word AS query_term, tf.doc_id, tf.tf, dl.dl,
+                 round(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+                                / (CAST(q.df AS DOUBLE) + 0.5) + 1.0), 6)
+                       * (CAST(tf.tf AS DOUBLE) * 2.2)
+                       / (CAST(tf.tf AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl))), 6)
+                   AS score
+          FROM tf JOIN qt q USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s),
+        ranked AS (
+          SELECT query_term, doc_id, tf, dl, score,
+                 row_number() OVER (PARTITION BY query_term
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM scored)
+        SELECT query_term, CAST(rank AS INTEGER) AS rank, doc_id, tf, dl, score
+        FROM ranked WHERE rank <= 5 ORDER BY query_term, rank
       """)
     ),
 

@@ -565,6 +565,24 @@ class PlanSpec extends AnyFunSuite {
     assert(singles <= 2, s"only the ranking window and the total may single-partition:\n$p")
   }
 
+  test("bm25 picks query terms by partial top-k and probes the checkpointed tf table") {
+    // text_bm25: the 3-term query selection must plan TakeOrdered
+    // (distributed partial top-k over the vocabulary — never a vocab sort
+    // through one reducer); the tf table is checkpointed for its two
+    // consumers (no parquet re-scan); the query set joins as a broadcast;
+    // scoring stays map-side (no corpus-scale cartesian — the one
+    // nested-loop join is the broadcast 1-row stats table).
+    val df = SparkEntry.queries("text_bm25")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(p.contains("TakeOrderedAndProject"),
+      s"query-term selection lost its partial top-k:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"the tf table must be checkpointed (corpus re-tokenized):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the query-term probe must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"text_bm25 planned a cartesian:\n$p")
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
