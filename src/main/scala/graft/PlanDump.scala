@@ -278,7 +278,12 @@ object PlanDump {
       "sort); the checkpointed tf table feeds doc lengths and the " +
       "candidate probe; the 3-term query set and 1-row stats broadcast; " +
       "scoring is map-side, the per-query top-5 windows over " +
-      "query-keyed candidates. idf's libm ln rounds to 6 dp in isolation.")
+      "query-keyed candidates. idf's libm ln rounds to 6 dp in isolation."),
+    "vec_outliers" -> ("Embedding QA: per-label centroid cosines score " +
+      "map-side against the broadcast centroid table, lift to exact " +
+      "1e4-unit integers, and the moment pass + z-window stay label-keyed " +
+      "(catalog-cardinality) over the checkpointed scored table. Zero " +
+      "variance by the exact min=max test; z is one IEEE chain at 6 dp.")
   )
 
   def main(args: Array[String]): Unit = {

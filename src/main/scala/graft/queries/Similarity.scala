@@ -924,6 +924,121 @@ object Similarity {
         SELECT sid AS src_id, tid AS tgt_id, cos, margin
         FROM r WHERE rk = 1 ORDER BY src_id
       """)
+    ),
+
+    // --- embedding outlier detection: per-label centroid-cosine z ---
+    // The embedding-QA alarm (mislabeled examples, encoder glitches,
+    // corrupt vectors): within each label, score every vector's cosine to
+    // the label centroid, then flag the tail by z-score against the
+    // label's own cosine distribution — the relative criterion that works
+    // whether a label is naturally tight or diffuse. Shuffle posture is
+    // the knn_centroid family: one (label, pos)-keyed shuffle builds the
+    // broadcast centroid table, cosines score map-side, and the moment
+    // pass + z are keyed on the label (catalog-cardinality). Cross-engine
+    // discipline: centroid cosines round at 4 dp (avg is engine-order FP;
+    // the knn_centroid precedent), lift to EXACT 1e4-unit integers whose
+    // label sums s1/s2 are order-independent, zero variance is the exact
+    // min=max test (z = 0: a perfectly tight label has no outliers), and
+    // the z chain is one identical correctly-rounded IEEE tree rounded at
+    // 6 dp with vec_id tie-breaks. Top-3 LEAST-central per label emit.
+    Q(
+      "vec_outliers",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+        val cent = e
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          .agg(avg("x").as("cx"))
+          .groupBy("label")
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("cx")))),
+              st => st.getField("cx")
+            ).as("cv")
+          )
+          .select(col("label").as("clabel"), col("cv"))
+        // Two consumers of the scored table (label moments + the z rows):
+        // checkpoint, or the embedding scan + centroid join run twice.
+        val scored = e
+          .join(broadcast(cent), col("label") === col("clabel"))
+          .withColumn("ccos", round(expr("cosine_similarity(v, cv)"), 4))
+          // round() before the cast: the double product of a 4-dp value and
+          // 10000 can sit an ulp below its integer, and a bare BIGINT cast
+          // TRUNCATES in Spark but ROUNDS in DuckDB (the r7 lesson).
+          .withColumn("m", round(col("ccos") * 10000).cast("long"))
+          .select("label", "vec_id", "ccos", "m")
+          .pipe(Checkpoints.checkpoint)
+        val moments = scored
+          .groupBy(col("label").as("mlabel"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum("m").as("s1"),
+            sum(col("m") * col("m")).as("s2"),
+            (max("m") === min("m")).as("flat")
+          )
+        val w = Window.partitionBy("label").orderBy(asc("z"), asc("vec_id"))
+        scored
+          .join(broadcast(moments), col("label") === col("mlabel"))
+          .withColumn(
+            "z",
+            when(col("flat"), lit(0.0)).otherwise(
+              round(
+                (col("m").cast("double") - col("s1").cast("double") / col("n").cast("double")) /
+                  sqrt(
+                    (col("n").cast("double") * col("s2").cast("double") -
+                      col("s1").cast("double") * col("s1").cast("double")) /
+                      (col("n").cast("double") * (col("n").cast("double") - 1.0))
+                  ),
+                6
+              )
+            )
+          )
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(
+            col("label"),
+            col("rank").cast("int").as("rank"),
+            col("vec_id"),
+            col("ccos").as("centroid_cos"),
+            col("z")
+          )
+          .orderBy("label", "rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        u AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        c AS (SELECT label AS clabel, pos, avg(x) AS cx FROM u GROUP BY 1, 2),
+        cvt AS (SELECT clabel, list(cx ORDER BY pos) AS cv FROM c GROUP BY 1),
+        sc AS (
+          SELECT e.label, e.vec_id,
+                 round(list_dot_product(e.v, cvt.cv) /
+                       sqrt(list_dot_product(e.v, e.v) * list_dot_product(cvt.cv, cvt.cv)), 4)
+                   AS ccos
+          FROM e JOIN cvt ON e.label = cvt.clabel),
+        sm AS (SELECT label, vec_id, ccos, CAST(round(ccos * 10000) AS BIGINT) AS m FROM sc),
+        mo AS (
+          SELECT label AS mlabel, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(m) AS BIGINT) AS s1, CAST(sum(m * m) AS BIGINT) AS s2,
+                 max(m) = min(m) AS flat
+          FROM sm GROUP BY label),
+        z AS (
+          SELECT sm.label, sm.vec_id, sm.ccos,
+                 CASE WHEN mo.flat THEN 0.0
+                      ELSE round((CAST(sm.m AS DOUBLE) - CAST(mo.s1 AS DOUBLE) / mo.n)
+                                 / sqrt((CAST(mo.n AS DOUBLE) * CAST(mo.s2 AS DOUBLE)
+                                         - CAST(mo.s1 AS DOUBLE) * CAST(mo.s1 AS DOUBLE))
+                                        / (CAST(mo.n AS DOUBLE) * (CAST(mo.n AS DOUBLE) - 1.0))), 6)
+                 END AS z
+          FROM sm JOIN mo ON sm.label = mo.mlabel),
+        r AS (
+          SELECT label, vec_id, ccos, z,
+                 row_number() OVER (PARTITION BY label ORDER BY z ASC, vec_id ASC) AS rank
+          FROM z)
+        SELECT label, CAST(rank AS INTEGER) AS rank, vec_id, ccos AS centroid_cos, z
+        FROM r WHERE rank <= 3 ORDER BY label, rank
+      """)
     )
   )
 }

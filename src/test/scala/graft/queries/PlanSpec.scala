@@ -583,6 +583,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"text_bm25 planned a cartesian:\n$p")
   }
 
+  test("vec outliers: broadcast moments over the checkpointed scores, label-keyed throughout") {
+    // vec_outliers: the scored (label, vec_id, ccos) table is checkpointed
+    // for its two consumers (moments + z rows), the moment table joins
+    // back as a broadcast, and every shuffle key is the label
+    // (catalog-cardinality) — a SinglePartition stage or cartesian here
+    // means vector-scale data lost its key.
+    val df = SparkEntry.queries("vec_outliers")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("CartesianProduct"), s"vec_outliers planned a cartesian:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"the scored table must be checkpointed (embeddings re-scanned):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the moment table must broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"vector-scale data must stay label-keyed:\n$p")
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
