@@ -283,7 +283,12 @@ object PlanDump {
       "map-side against the broadcast centroid table, lift to exact " +
       "1e4-unit integers, and the moment pass + z-window stay label-keyed " +
       "(catalog-cardinality) over the checkpointed scored table. Zero " +
-      "variance by the exact min=max test; z is one IEEE chain at 6 dp.")
+      "variance by the exact min=max test; z is one IEEE chain at 6 dp."),
+    "corpus_drift" -> ("Per-source quality drift (early vs late halves at " +
+      "the exact integer id midpoint): per-doc scores in scan codegen, " +
+      "checkpointed for the bounds pass and the halves aggregate; the " +
+      "|sources|-row bounds broadcast back; one source-keyed partial " +
+      "aggregate ends it. Triage's micro-int FP discipline throughout.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -460,6 +460,86 @@ object TextOps {
       """)
     ),
 
+    // --- per-source quality drift: early vs late halves ---
+    // The crawl-degradation alarm triage's single mean hides: a source
+    // whose quality decays over ingestion (doc_id order) still averages
+    // fine overall. Each source splits at its exact integer id midpoint
+    // (doc_id·2 > lo+hi — no division, no rounding, engine-identical) and
+    // the two halves' mean qualities compare. Plan: per-doc scores in
+    // scan codegen, checkpointed for the bounds pass and the final
+    // aggregate; the |sources|-row bounds table broadcasts back; one
+    // source-keyed partial aggregate ends it — |sources| rows out at any
+    // corpus size. FP: the triage discipline end-to-end (6-dp score →
+    // DECIMAL lift → exact micro-int sums → half-up micro average), and
+    // the drift is a subtraction of two micro-exact 6-dp doubles.
+    Q(
+      "corpus_drift",
+      (s, d) => {
+        val q = curateScore(col("text"))
+        val scored = t(s, d, "documents")
+          .select(
+            col("source"),
+            col("doc_id"),
+            (round(q, 6).cast("decimal(18,6)") * 1000000).cast("long").as("qm")
+          )
+          .pipe(Checkpoints.checkpoint) // two consumers: bounds + halves
+        val bounds = scored
+          .groupBy("source")
+          .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        scored
+          .join(broadcast(bounds), "source")
+          .withColumn("late", col("doc_id") * 2 > col("lo") + col("hi"))
+          .groupBy("source")
+          .agg(
+            sum(when(!col("late"), 1L).otherwise(0L)).as("n_early"),
+            sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+            sum(when(!col("late"), col("qm")).otherwise(0L)).as("m_early"),
+            sum(when(col("late"), col("qm")).otherwise(0L)).as("m_late")
+          )
+          .filter(col("n_early") > 0 && col("n_late") > 0)
+          .withColumn("q_early", Q.halfUpMicroAvg("m_early", "n_early"))
+          .withColumn("q_late", Q.halfUpMicroAvg("m_late", "n_late"))
+          .withColumn("drift", round(col("q_late") - col("q_early"), 6))
+          .withColumn("drifted", abs(col("drift")) > 0.05)
+          .select("source", "n_early", "n_late", "q_early", "q_late", "drift", "drifted")
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT source, doc_id,
+                 CAST(CAST(round(
+                   least(CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5 +
+                     (1.0 - CAST(${sqlStopCount(enStop)} AS DOUBLE) /
+                       CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE)) * 0.5,
+                   6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS qm
+          FROM documents),
+        b AS (SELECT source, min(doc_id) AS lo, max(doc_id) AS hi FROM scored GROUP BY source),
+        halves AS (
+          SELECT s.source, s.qm, s.doc_id * 2 > b.lo + b.hi AS late
+          FROM scored s JOIN b USING (source)),
+        agg AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+                 CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                 CAST(sum(CASE WHEN NOT late THEN qm ELSE 0 END) AS BIGINT) AS m_early,
+                 CAST(sum(CASE WHEN late THEN qm ELSE 0 END) AS BIGINT) AS m_late
+          FROM halves GROUP BY source),
+        m AS (
+          SELECT source, n_early, n_late,
+                 CAST(CASE WHEN m_early >= 0 THEN (2 * m_early + n_early) // (2 * n_early)
+                           ELSE -((2 * (-m_early) + n_early) // (2 * n_early)) END AS DOUBLE)
+                   / 1000000.0 AS q_early,
+                 CAST(CASE WHEN m_late >= 0 THEN (2 * m_late + n_late) // (2 * n_late)
+                           ELSE -((2 * (-m_late) + n_late) // (2 * n_late)) END AS DOUBLE)
+                   / 1000000.0 AS q_late
+          FROM agg WHERE n_early > 0 AND n_late > 0)
+        SELECT source, n_early, n_late, q_early, q_late,
+               round(q_late - q_early, 6) AS drift,
+               abs(round(q_late - q_early, 6)) > 0.05 AS drifted
+        FROM m ORDER BY source
+      """)
+    ),
+
     // --- stratified corpus sampling: per-language rates, zero shuffles ---
     // Downsample the dominant language, keep more of the rest — the usual
     // corpus-balancing move. The stratum rate is a CASE over a stable

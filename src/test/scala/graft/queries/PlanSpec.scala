@@ -600,6 +600,22 @@ class PlanSpec extends AnyFunSuite {
       s"vector-scale data must stay label-keyed:\n$p")
   }
 
+  test("quality drift: broadcast bounds over the checkpointed scores, one source-keyed agg") {
+    // corpus_drift: per-doc scores are checkpointed for the bounds pass
+    // and the halves aggregate (no corpus re-tokenize); the |sources|-row
+    // bounds table joins back as a broadcast; no window appears and the
+    // final aggregate keeps its map-side partial phase.
+    val df = SparkEntry.queries("corpus_drift")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("CartesianProduct"), s"corpus_drift planned a cartesian:\n$p")
+    assert(!p.contains("Window"), s"corpus_drift must not plan a window:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"the scored table must be checkpointed (corpus re-tokenized):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the bounds table must broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"the halves aggregate lost its partial phase:\n$p")
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
