@@ -557,6 +557,33 @@ class Engine(
       trigger
     )
 
+  /** Streaming TRANSITIONS: tail the log's JSON events and maintain the
+    * derived per-user (from, to) transition-pair table — the incremental
+    * twin of the batch `q_event_flow` ([[graft.streaming.EventStreams
+    * .streamingTransitions]]: event-time-ordered pairs correct under
+    * out-of-order arrival, one scalar + watermark-horizon buffer per user,
+    * idle users evicted). The matrix readout runs as a batch pass over
+    * the finalized rows ([[Engine.flowReport]], sharing
+    * `Temporal.flowOver` with the oracle query). Same exactly-once
+    * derived-table recipe as [[topKFrom]].
+    */
+  def transitionsFrom(
+      peerDir: String,
+      checkpoint: String,
+      flowDir: String,
+      watermarkDelay: String = "10 minutes",
+      idleTimeoutMs: Long = 24L * 60 * 60 * 1000,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery =
+    derivedTableSink(
+      graft.streaming.EventStreams
+        .streamingTransitions(jsonEvents(peerDir), watermarkDelay, idleTimeoutMs)
+        .toDF(),
+      checkpoint,
+      flowDir,
+      trigger
+    )
+
   /** Streaming FUNNEL: tail the log's JSON events and maintain a derived
     * per-user stage table — the product surface over
     * [[graft.streaming.EventStreams.streamingFunnel]] (the incremental
@@ -624,6 +651,17 @@ object Engine {
     )
     graft.queries.Temporal.anomalyOver(daily)
   }
+
+  /** Batch transition-matrix readout over a streamed transitions table
+    * ([[Engine.transitionsFrom]]'s output): the literally shared
+    * `Temporal.flowOver`, so the streaming surface and the oracle-checked
+    * `q_event_flow` compute identical counts and probabilities for
+    * identical pairs.
+    */
+  def flowReport(spark: SparkSession, flowDir: String): DataFrame =
+    graft.queries.Temporal.flowOver(
+      spark.read.parquet(flowDir).select(col("from_type"), col("to_type"))
+    )
 
   /** One record's media features — mirrors the batch `media_features` row
     * shape keyed by log offset instead of doc id.

@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -709,6 +709,45 @@ object Main {
                   s"${report.count(_.getBoolean(4))} anomalous"
               )
             case None => println(s"no finalized days yet at $out")
+          }
+        case "stream-flow" :: peer :: ckpt :: out :: fwRest =>
+          // One-shot (resumable) pass over the peer log's event backlog:
+          // maintain the derived transition-pair table
+          // (Engine.transitionsFrom — event-time-ordered pairs, scalar
+          // per-user state, idle eviction), then print the transition
+          // matrix (Engine.flowReport — the exact q_event_flow
+          // aggregation over the finalized pairs).
+          var fwWatermark = "10 minutes"
+          var fwIdle = 24L * 60 * 60 * 1000
+          var fwi = 0
+          while (fwi < fwRest.length) {
+            fwRest(fwi) match {
+              case "--watermark" if fwi + 1 < fwRest.length =>
+                fwWatermark = fwRest(fwi + 1); fwi += 2
+              case "--idle-ms" if fwi + 1 < fwRest.length =>
+                fwIdle = fwRest(fwi + 1).toLong; fwi += 2
+              case f =>
+                System.err.println(s"stream-flow: unknown flag $f"); usage()
+            }
+          }
+          val fwq = engine.transitionsFrom(
+            peer, ckpt, out, fwWatermark, fwIdle,
+            org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          )
+          fwq.processAllAvailable()
+          fwq.awaitTermination()
+          val pairTable =
+            try Some(spark.read.parquet(out)) catch { case _: Exception => None }
+          pairTable.filter(_.columns.contains("from_type")) match {
+            case Some(df) =>
+              val matrix = Engine.flowReport(spark, out).collect()
+              matrix.foreach { r =>
+                println(
+                  s"${r.getString(0)} -> ${r.getString(1)}: n=${r.getLong(2)} p=${r.getDouble(3)}"
+                )
+              }
+              println(s"${df.count()} finalized transitions at $out, ${matrix.length} matrix cells")
+            case None => println(s"no finalized transitions yet at $out")
           }
         case "corpus-report" :: out :: Nil =>
           // One-stop build report from the persisted artifacts alone — no

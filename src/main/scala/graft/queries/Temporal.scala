@@ -574,20 +574,13 @@ object Temporal {
       "q_event_flow",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val counts = Q.events(s, d)
-          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-          .withColumn("next_type", lead("event_type", 1).over(w))
-          .filter(col("next_type").isNotNull)
-          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-          .agg(count(lit(1)).as("n"))
-        val norm = Window.partitionBy("from_type")
-        counts
-          .withColumn(
-            "p",
-            round(col("n").cast("double") / sum("n").over(norm).cast("double"), 6)
-          )
-          .select("from_type", "to_type", "n", "p")
-          .orderBy("from_type", "to_type")
+        flowOver(
+          Q.events(s, d)
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+            .withColumn("next_type", lead("event_type", 1).over(w))
+            .filter(col("next_type").isNotNull)
+            .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        )
       },
       Some("""
         WITH s AS (
@@ -653,6 +646,25 @@ object Temporal {
       """)
     )
   )
+
+  /** The transition-matrix aggregation over (from_type, to_type) pair rows
+    * — shared by the batch `q_event_flow` and the streaming transitions
+    * report ([[graft.Engine.flowReport]]) so both surfaces compute the
+    * identical counts and P(next|current). The key space is |types|², so
+    * both the aggregate and the normaliser window are metadata-sized.
+    */
+  def flowOver(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val norm = Window.partitionBy("from_type")
+    pairs
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "p",
+        round(col("n").cast("double") / sum("n").over(norm).cast("double"), 6)
+      )
+      .select("from_type", "to_type", "n", "p")
+      .orderBy("from_type", "to_type")
+  }
 
   /** The trailing-z-score anomaly arithmetic over a (day DATE, n BIGINT)
     * frame — shared by the batch `q_anomaly_days` and the streaming

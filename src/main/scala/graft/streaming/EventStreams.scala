@@ -327,6 +327,93 @@ object EventStreams {
   }
 
   final case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+
+  final case class TransitionState(pending: List[(Long, String)], last: Option[(Long, String)])
+  final case class TransitionRow(
+      user_id: Long,
+      from_type: String,
+      to_type: String,
+      from_ts: Timestamp,
+      to_ts: Timestamp
+  )
+
+  /** The transition fold, PURE so it can be model-checked: buffer incoming
+    * events, finalize everything strictly below the watermark in EVENT-TIME
+    * order (ties break on event_type — the streaming contract; the batch
+    * `q_event_flow` breaks ties on event_id, so the two agree whenever a
+    * user's timestamps are unique, the practical case at µs granularity),
+    * and emit one (from, to) row per consecutive pair. `last` carries the
+    * newest finalized event across batches so chains continue seamlessly;
+    * transitions are immutable once emitted because nothing can finalize
+    * below the watermark twice.
+    */
+  private[streaming] object TransitionFold {
+    def advance(
+        st0: TransitionState,
+        incoming: List[(Long, String)],
+        wm: Long
+    ): (TransitionState, List[(String, String, Long, Long)]) = {
+      val (ready, pending) = (st0.pending ++ incoming).partition(_._1 < wm)
+      var last = st0.last
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long, Long)]
+      ready.sortBy { case (ms, tp) => (ms, tp) }.foreach { e =>
+        last.foreach(l => out += ((l._2, e._2, l._1, e._1)))
+        last = Some((e._1, e._2))
+      }
+      (TransitionState(pending, last), out.toList)
+    }
+
+    /** Batch reference: the complete history through one fold. */
+    def reference(events: Seq[(Long, String)]): List[(String, String, Long, Long)] =
+      advance(TransitionState(Nil, None), events.toList, Long.MaxValue)._2
+  }
+
+  /** Streaming user-path transitions — the incremental twin of the batch
+    * `q_event_flow`: one immutable (from, to) row per consecutive pair of
+    * a user's events, correct under out-of-order arrival because events
+    * buffer until the watermark passes them and finalize in event-time
+    * order ([[TransitionFold]]). State per user is the watermark-horizon
+    * buffer plus ONE scalar (the newest finalized event); a user idle for
+    * `idleTimeoutMs` of EVENT time evicts entirely — the returning user
+    * starts a fresh chain (the session-boundary contract), which is what
+    * bounds state on a user population that only grows.
+    */
+  def streamingTransitions(
+      events: Dataset[TypedEvent],
+      watermarkDelay: String = "10 minutes",
+      idleTimeoutMs: Long = 24L * 60 * 60 * 1000
+  ): Dataset[TransitionRow] = {
+    val session = events.sparkSession
+    import session.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransitionState, TransitionRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (user: Long, evts: Iterator[TypedEvent], state: GroupState[TransitionState]) =>
+        val st0 = state.getOption.getOrElse(TransitionState(Nil, None))
+        val incoming = evts.map(e => (e.ts.getTime, e.event_type)).toList
+        val wm = state.getCurrentWatermarkMs()
+        if (state.hasTimedOut && st0.pending.isEmpty && incoming.isEmpty) {
+          // Idle eviction: the chain ends; a comeback starts fresh.
+          state.remove()
+          Iterator.empty
+        } else {
+          val (st1, emitted) = TransitionFold.advance(st0, incoming, wm)
+          state.update(st1)
+          // Pending rows finalize on the next watermark advance; an empty
+          // buffer waits out the idle TTL from the newest finalized event.
+          val wake =
+            if (st1.pending.nonEmpty) wm + 1
+            else math.max(st1.last.map(_._1 + idleTimeoutMs).getOrElse(wm + 1), wm + 1)
+          state.setTimeoutTimestamp(wake)
+          emitted.iterator.map { case (f, t, fm, tm) =>
+            TransitionRow(user, f, t, new Timestamp(fm), new Timestamp(tm))
+          }
+        }
+      }
+  }
   final case class FunnelState(
       buffered: List[(Long, String)],
       t1: Option[Long],

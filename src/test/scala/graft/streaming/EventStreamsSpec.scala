@@ -570,6 +570,88 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rep.count(_.getBoolean(4)) == 1, "only the planted spike flags")
   }
 
+  test("streamed transitions reproduce the batch event-flow matrix on a shuffled history") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val types = Vector("view", "click", "purchase", "scroll")
+    val rnd = new scala.util.Random(7)
+    val base = Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    // Globally unique, strictly increasing timestamps: the documented
+    // regime where the stream's event_type tiebreak and the batch query's
+    // event_id tiebreak cannot diverge.
+    val evs = (0 until 80).map { i =>
+      (i.toLong, new Timestamp(base + i * 61000L + rnd.nextInt(50000)),
+        1L + rnd.nextInt(6), types(rnd.nextInt(4)), 1.0, "{}")
+    }
+    val dir = graft.TestSpark.tempDir("flow-agreement")
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.SparkEntry.queries("q_event_flow")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toList
+
+    // Same events through the stream, shuffled within three contiguous
+    // slices (bounded lateness inside the 2h watermark), closed by a
+    // fresh-user sentinel.
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams
+      .streamingTransitions(input.toDS(), watermarkDelay = "2 hours")
+      .writeStream
+      .format("memory")
+      .queryName("trans_agree")
+      .outputMode("append")
+      .start()
+    try {
+      evs.grouped(30).foreach { slice =>
+        rnd.shuffle(slice).foreach(e =>
+          input.addData(EventStreams.TypedEvent(e._3, e._2, e._4)))
+        q.processAllAvailable()
+      }
+      input.addData(EventStreams.TypedEvent(999L, new Timestamp(base + 86400000L), "view"))
+      q.processAllAvailable()
+      val streamed = graft.queries.Temporal
+        .flowOver(spark.sql("select from_type, to_type from trans_agree"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toList
+      assert(streamed == batch, s"streamed $streamed\nvs batch $batch")
+    } finally q.stop()
+  }
+
+  test("idle users evict from transition state; a comeback starts a fresh chain") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-06-01 $hm:00")
+    val input = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams
+      .streamingTransitions(input.toDS(), watermarkDelay = "1 minute",
+        idleTimeoutMs = 30L * 60 * 1000)
+      .writeStream
+      .format("memory")
+      .queryName("trans_idle")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(EventStreams.TypedEvent(1L, t("10:00"), "view"),
+        EventStreams.TypedEvent(1L, t("10:05"), "click"))
+      q.processAllAvailable()
+      // Sentinels advance the watermark: finalize the pair, then pass the
+      // 10:35 idle deadline so user 1's chain state evicts.
+      for (s <- Seq("10:30", "11:30", "12:30")) {
+        input.addData(EventStreams.TypedEvent(99L, t(s), "view"))
+        q.processAllAvailable()
+      }
+      // The comeback event: with the chain evicted it must NOT pair with
+      // the 10:05 click.
+      input.addData(EventStreams.TypedEvent(1L, t("12:40"), "purchase"))
+      q.processAllAvailable()
+      input.addData(EventStreams.TypedEvent(99L, Timestamp.valueOf("2024-06-02 12:00:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.sql("select user_id, from_type, to_type from trans_idle where user_id = 1")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toList
+      assert(rows == List((1L, "view", "click")), s"got $rows")
+    } finally q.stop()
+  }
+
   test("anomaly report refuses a twice-finalized day, else matches the shared arithmetic") {
     val session = spark
     import session.implicits._

@@ -10,6 +10,7 @@
 #   3. ANN index: build → append → delete → recentre
 #   4. streaming analytics: produce events → stream-topk → stream-funnel
 #      → stream-anomaly (finalized daily table + z-report)
+#      → stream-flow (finalized transition pairs + matrix readout)
 #   5. cluster: serve-grpc hub (--ttl --phi) + heartbeating follower →
 #      SIGKILL → follower evicted from GetServers
 #
@@ -95,6 +96,10 @@ g --data-dir "$D/s" stream-funnel "$D/events" "$D/fckpt" "$D/funnel" \
 # the z-report has no 7-day baseline yet — 0 scored is the correct readout.
 g --data-dir "$D/s" stream-anomaly "$D/events" "$D/ackpt" "$D/daily" \
   | expect "1 finalized days at $D/daily, 0 scored, 0 anomalous"
+# User 7's ordered day-1 chain (5 views, click, purchase) finalizes into 6
+# transition pairs; the matrix readout is the shared q_event_flow math.
+g --data-dir "$D/s" stream-flow "$D/events" "$D/fwckpt" "$D/flow" \
+  | expect "click -> purchase: n=1 p=1.0"
 
 echo "=== [5/5] cluster: phi accrual evicts a SIGKILLed heartbeating follower"
 java $OPENS -Xmx3g -cp "$CP" graft.Main --data-dir "$D/hub" --ttl 2 --phi 8 serve-grpc 8931 \
