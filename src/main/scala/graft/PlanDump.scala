@@ -288,7 +288,13 @@ object PlanDump {
       "the exact integer id midpoint): per-doc scores in scan codegen, " +
       "checkpointed for the bounds pass and the halves aggregate; the " +
       "|sources|-row bounds broadcast back; one source-keyed partial " +
-      "aggregate ends it. Triage's micro-int FP discipline throughout.")
+      "aggregate ends it. Triage's micro-int FP discipline throughout."),
+    "q_pagerank" -> ("Fixed-point PageRank (3 unrolled iterations, d=0.85 " +
+      "as integer 85/100 mixing): the degree-annotated edge table " +
+      "checkpoints once and feeds three node-keyed message shuffles; pr " +
+      "lives in exact 1e12-unit integers so receiver sums are " +
+      "order-independent; mass conservation bounds every in_sum at ~1e12; " +
+      "the final top-10 is TakeOrdered, never a global node sort.")
   )
 
   def main(args: Array[String]): Unit = {

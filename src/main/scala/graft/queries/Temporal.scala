@@ -559,6 +559,90 @@ object Temporal {
       """)
     ),
 
+    // --- fixed-point PageRank over the item co-occurrence graph ---
+    // Iterative graph ranking beyond connected components — the
+    // centrality signal web-scale curation ranks domains by (Common
+    // Crawl's harmonic/PageRank ordering) and recommenders use for item
+    // importance, here over the same co-occurrence graph as
+    // q_item_similarity. Three unrolled power iterations, damping 0.85.
+    // The cross-engine trick is FIXED-POINT arithmetic: pr lives in exact
+    // 1e12-unit integers, messages floor-divide by the sender's degree,
+    // receiver sums are order-independent BIGINT aggregates, and the
+    // damping mix is integer (85·Σ) div 100 — so the whole iteration is
+    // deterministic integer arithmetic in both engines, where a
+    // floating-point power iteration would drift with partition order.
+    // Plan: the degree-annotated edge table checkpoints once and feeds
+    // all three node-keyed message shuffles; mass conservation bounds
+    // every in_sum at ~1e12 (no overflow at any catalog size); the final
+    // top-10 is TakeOrdered, never a global sort.
+    Q(
+      "q_pagerank",
+      (s, d) => {
+        val inter = itemInteractions(s, d).pipe(Checkpoints.checkpoint)
+        val pairs = inter
+          .select(col("user_id"), col("item").as("i"))
+          .join(inter.select(col("user_id"), col("item").as("j")), Seq("user_id"))
+          .filter(col("i") < col("j"))
+          .select("i", "j")
+          .distinct()
+        val und = pairs
+          .select(col("i").as("src"), col("j").as("dst"))
+          .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+        val deg = und.groupBy("src").agg(count(lit(1)).as("src_deg"))
+        val edges = und.join(deg, "src").pipe(Checkpoints.checkpoint)
+        val nodes = edges.select(col("src").as("item")).distinct().pipe(Checkpoints.checkpoint)
+        val nTotal = nodes.agg(count(lit(1)).as("n"))
+        val pr0 = nodes
+          .crossJoin(broadcast(nTotal))
+          .withColumn("pr", expr("1000000000000 div n"))
+          .select("item", "pr", "n")
+        val pr3 = (1 to 3).foldLeft(pr0)((pr, _) => prStep(pr, edges))
+        pr3
+          .orderBy(desc("pr"), asc("item"))
+          .limit(10)
+          .withColumn(
+            "rank",
+            row_number().over(Window.orderBy(desc("pr"), asc("item"))).cast("int")
+          )
+          .select("rank", "item", "pr")
+          .orderBy("rank")
+      },
+      Some("""
+        WITH inter AS (
+          SELECT DISTINCT user_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        pairs AS (
+          SELECT DISTINCT a.item AS i, b.item AS j
+          FROM inter a JOIN inter b ON a.user_id = b.user_id AND a.item < b.item),
+        und AS (SELECT i AS src, j AS dst FROM pairs
+                UNION ALL SELECT j AS src, i AS dst FROM pairs),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS src_deg FROM und GROUP BY src),
+        e AS (SELECT u.src, u.dst, d.src_deg FROM und u JOIN deg d USING (src)),
+        nodes AS (SELECT DISTINCT src AS item FROM und),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        p0 AS (SELECT item, 1000000000000 // n AS pr FROM nodes CROSS JOIN nt),
+        m1 AS (SELECT e.dst AS item, CAST(sum(p.pr // e.src_deg) AS BIGINT) AS s
+               FROM e JOIN p0 p ON e.src = p.item GROUP BY 1),
+        p1 AS (SELECT nodes.item,
+                      (15 * (1000000000000 // nt.n)) // 100 + (85 * coalesce(m1.s, 0)) // 100 AS pr
+               FROM nodes CROSS JOIN nt LEFT JOIN m1 ON nodes.item = m1.item),
+        m2 AS (SELECT e.dst AS item, CAST(sum(p.pr // e.src_deg) AS BIGINT) AS s
+               FROM e JOIN p1 p ON e.src = p.item GROUP BY 1),
+        p2 AS (SELECT nodes.item,
+                      (15 * (1000000000000 // nt.n)) // 100 + (85 * coalesce(m2.s, 0)) // 100 AS pr
+               FROM nodes CROSS JOIN nt LEFT JOIN m2 ON nodes.item = m2.item),
+        m3 AS (SELECT e.dst AS item, CAST(sum(p.pr // e.src_deg) AS BIGINT) AS s
+               FROM e JOIN p2 p ON e.src = p.item GROUP BY 1),
+        p3 AS (SELECT nodes.item,
+                      (15 * (1000000000000 // nt.n)) // 100 + (85 * coalesce(m3.s, 0)) // 100 AS pr
+               FROM nodes CROSS JOIN nt LEFT JOIN m3 ON nodes.item = m3.item),
+        r AS (SELECT item, pr, row_number() OVER (ORDER BY pr DESC, item) AS rank FROM p3)
+        SELECT CAST(rank AS INTEGER) AS rank, item, pr
+        FROM r WHERE rank <= 10 ORDER BY rank
+      """)
+    ),
+
     // --- event-flow transition matrix (user-path Markov chain) ---
     // The product-flow readout behind sankey/path dashboards: for each
     // ordered pair of consecutive events within a user's timeline, the
@@ -646,6 +730,31 @@ object Temporal {
       """)
     )
   )
+
+  /** Fixed-point PageRank message passing, shared across the three unrolled
+    * iterations of `q_pagerank`: one node-keyed shuffle join puts pr onto
+    * the outgoing edges, messages floor-divide by the sender's degree in
+    * EXACT integer micro-units, and the receiver sum is an order-independent
+    * BIGINT aggregate — the property that makes iterative ranking
+    * cross-engine exact where floating-point power iteration is not.
+    */
+  private def prStep(
+      pr: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
+    val msgs = edges
+      .join(pr.select(col("item").as("src"), col("pr")), "src")
+      .select(col("dst").as("item"), expr("pr div src_deg").as("msg"))
+      .groupBy("item")
+      .agg(sum("msg").as("in_sum"))
+    pr.select("item", "n")
+      .join(msgs, Seq("item"), "left")
+      .withColumn(
+        "pr",
+        expr("(15 * (1000000000000 div n)) div 100 + (85 * coalesce(in_sum, 0)) div 100")
+      )
+      .select("item", "pr", "n")
+  }
 
   /** The transition-matrix aggregation over (from_type, to_type) pair rows
     * — shared by the batch `q_event_flow` and the streaming transitions

@@ -616,6 +616,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"the halves aggregate lost its partial phase:\n$p")
   }
 
+  test("pagerank iterates off the checkpointed edge table; final top-10 is TakeOrdered") {
+    // q_pagerank: the degree-annotated edges checkpoint once and feed all
+    // three node-keyed message shuffles (no parquet or pair-join re-run in
+    // the final plan); the top-10 is distributed partial top-k, never a
+    // global node sort; the only nested-loop joins are the broadcast
+    // 1-row count — a CartesianProduct means a message join lost its key.
+    val df = SparkEntry.queries("q_pagerank")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("CartesianProduct"), s"q_pagerank planned a cartesian:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"edges/nodes must be checkpointed (graph rebuilt per iteration):\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 lost its partial top-k:\n$p")
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
