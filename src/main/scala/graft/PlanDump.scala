@@ -294,7 +294,12 @@ object PlanDump {
       "checkpoints once and feeds three node-keyed message shuffles; pr " +
       "lives in exact 1e12-unit integers so receiver sums are " +
       "order-independent; mass conservation bounds every in_sum at ~1e12; " +
-      "the final top-10 is TakeOrdered, never a global node sort.")
+      "the final top-10 is TakeOrdered, never a global node sort."),
+    "q_session_paths" -> ("Top user journeys: q_sessionize's " +
+      "gaps-and-islands sessions, per-session paths HARD-BOUNDED at 8 " +
+      "steps BEFORE collect_list (a mega-session contributes an 8-element " +
+      "array, never unbounded state), path counts partial-aggregate, and " +
+      "the top-10 is TakeOrdered. All windows (user[, session])-keyed.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -643,6 +643,93 @@ object Temporal {
       """)
     ),
 
+    // --- top session paths (full user journeys) ---
+    // The sequence-analytics complement of q_event_flow (1-step) and
+    // q_funnel (one fixed pattern): the most common COMPLETE journeys,
+    // as the first 8 event types of each 30-minute-gap session. Sessions
+    // reuse q_sessionize's gaps-and-islands arithmetic; the per-session
+    // path array is HARD-BOUNDED at 8 steps BEFORE collection (a step
+    // window filter, so a bot's million-event session contributes an
+    // 8-element array, never an unbounded collect_list); path counts
+    // partial-aggregate on a key space bounded by |types|⁸ in theory and
+    // the observed journey variety in practice, and the top-10 is
+    // TakeOrdered. Everything shuffles on (user[, session]) then path —
+    // no global sort, no unbounded state.
+    Q(
+      "q_session_paths",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = Q.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn(
+            "new_sess",
+            when(
+              col("prev_ts").isNull ||
+                (col("ts") - col("prev_ts")) > expr("INTERVAL '30' MINUTE"),
+              1
+            ).otherwise(0)
+          )
+          .withColumn("session_id", sum("new_sess").over(cum))
+        val sw = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+        val paths = sess
+          .withColumn("step", row_number().over(sw))
+          .filter(col("step") <= 8)
+          .groupBy("user_id", "session_id")
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("step"), col("event_type")))),
+                x => x.getField("event_type")
+              ),
+              ">"
+            ).as("path")
+          )
+        paths
+          .groupBy("path")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("path"))
+          .limit(10)
+          .withColumn(
+            "rank",
+            row_number().over(Window.orderBy(desc("n"), asc("path"))).cast("int")
+          )
+          .select("rank", "path", "n")
+          .orderBy("rank")
+      },
+      Some("""
+        WITH x AS (
+          SELECT user_id, event_id, ts, event_type,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        y AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM x),
+        z AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM y),
+        st AS (
+          SELECT user_id, session_id, event_type,
+                 row_number() OVER (PARTITION BY user_id, session_id
+                                    ORDER BY ts, event_id) AS step
+          FROM z),
+        p AS (
+          SELECT user_id, session_id,
+                 array_to_string(list(event_type ORDER BY step), '>') AS path
+          FROM st WHERE step <= 8 GROUP BY user_id, session_id),
+        c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path),
+        r AS (SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rank FROM c)
+        SELECT CAST(rank AS INTEGER) AS rank, path, n
+        FROM r WHERE rank <= 10 ORDER BY rank
+      """)
+    ),
+
     // --- event-flow transition matrix (user-path Markov chain) ---
     // The product-flow readout behind sankey/path dashboards: for each
     // ordered pair of consecutive events within a user's timeline, the

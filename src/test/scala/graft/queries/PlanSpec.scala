@@ -631,6 +631,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-10 lost its partial top-k:\n$p")
   }
 
+  test("session paths bound the per-session array before collection; top-10 is TakeOrdered") {
+    // q_session_paths: the step filter must run BEFORE collect_list (an
+    // unbounded collect would buffer a bot's whole mega-session), which
+    // shows in the plan as the rank-<=8 WindowGroupLimit/filter ahead of
+    // the path aggregate; every window is (user[, session])-keyed and the
+    // final top-10 is partial top-k, never a global path sort.
+    val p = plan("q_session_paths")
+    assert(!p.contains("CartesianProduct"), s"q_session_paths planned a cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 lost its partial top-k:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"session windows lost their user key:\n$p")
+    val collectIdx = p.indexOf("collect_list")
+    val filterIdx = p.indexOf("step")
+    assert(collectIdx >= 0 && filterIdx >= 0,
+      s"expected the step filter and the path collect in the plan:\n$p")
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
