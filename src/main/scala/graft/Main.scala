@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | events-report <eventsDir> | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -749,6 +749,43 @@ object Main {
               println(s"${df.count()} finalized transitions at $out, ${matrix.length} matrix cells")
             case None => println(s"no finalized transitions yet at $out")
           }
+        case "events-report" :: dir :: Nil =>
+          // The one-command product-analytics dashboard over any directory
+          // holding an events.parquet (a testdata sfDir or an exported
+          // log): funnel, engagement, volume anomalies, top transition
+          // cells and top journeys — each the oracle-checked query from
+          // SparkEntry.queries, so the dashboard IS the verified surface.
+          val qs = SparkEntry.queries
+          def run(name: String) = qs(name)(spark, dir)
+          println("== conversion funnel (view -> click -> purchase, 24h windows)")
+          run("q_funnel").collect().foreach { r =>
+            println(s"  ${r.getString(0)}: ${r.getLong(1)} users " +
+              s"(conversion ${r.getDouble(2)})")
+          }
+          println("== engagement (most recent 7 active days)")
+          run("q_active_users").orderBy(org.apache.spark.sql.functions.desc("day"))
+            .limit(7).collect().reverse.foreach { r =>
+              println(s"  ${r.getDate(0)}: dau=${r.getLong(1)} wau=${r.getLong(2)} " +
+                s"mau=${r.getLong(3)} stickiness=${r.getDouble(4)}")
+            }
+          println("== volume anomalies (trailing-z over the 7 preceding active days)")
+          val anom = run("q_anomaly_days").collect()
+          val flagged = anom.filter(_.getBoolean(4))
+          if (flagged.isEmpty) println(s"  none flagged across ${anom.length} scored days")
+          else flagged.foreach { r =>
+            println(s"  ${r.getDate(0)}: n=${r.getLong(1)} z=${r.get(3)}")
+          }
+          println("== top transition cells (P(next|current))")
+          run("q_event_flow").orderBy(org.apache.spark.sql.functions.desc("n"))
+            .limit(5).collect().foreach { r =>
+              println(s"  ${r.getString(0)} -> ${r.getString(1)}: n=${r.getLong(2)} " +
+                s"p=${r.getDouble(3)}")
+            }
+          println("== top journeys (first 8 steps per 30-min session)")
+          run("q_session_paths").collect().take(5).foreach { r =>
+            println(s"  #${r.getInt(0)} ${r.getString(1)} (${r.getLong(2)} sessions)")
+          }
+          graft.queries.Checkpoints.release()
         case "corpus-report" :: out :: Nil =>
           // One-stop build report from the persisted artifacts alone — no
           // pipeline recompute: the stage funnel (stages.json), the drop

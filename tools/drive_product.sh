@@ -100,6 +100,10 @@ g --data-dir "$D/s" stream-anomaly "$D/events" "$D/ackpt" "$D/daily" \
 # transition pairs; the matrix readout is the shared q_event_flow math.
 g --data-dir "$D/s" stream-flow "$D/events" "$D/fwckpt" "$D/flow" \
   | expect "click -> purchase: n=1 p=1.0"
+# The one-command dashboard over a testdata events table: every section is
+# an oracle-checked query from SparkEntry.queries.
+g --data-dir "$D/s" events-report /root/testdata/sf0.001 \
+  | expect "1_view: 15 users (conversion 1.0)"
 
 echo "=== [5/5] cluster: phi accrual evicts a SIGKILLed heartbeating follower"
 java $OPENS -Xmx3g -cp "$CP" graft.Main --data-dir "$D/hub" --ttl 2 --phi 8 serve-grpc 8931 \
