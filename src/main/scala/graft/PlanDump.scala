@@ -299,7 +299,13 @@ object PlanDump {
       "gaps-and-islands sessions, per-session paths HARD-BOUNDED at 8 " +
       "steps BEFORE collect_list (a mega-session contributes an 8-element " +
       "array, never unbounded state), path counts partial-aggregate, and " +
-      "the top-10 is TakeOrdered. All windows (user[, session])-keyed.")
+      "the top-10 is TakeOrdered. All windows (user[, session])-keyed."),
+    "corpus_leakage_report" -> ("The decontamination flip side (per " +
+      "benchmark item, how many training docs near-collide): same " +
+      "checkpointed 4×4 band table, benchmark bands broadcast WITH their " +
+      "doc ids (still eval-suite-sized), corpus probes map-side, pair " +
+      "dedup + per-bench counts on the tiny collision set; the zero-fill " +
+      "join broadcasts the bench-sized counts.")
   )
 
   def main(args: Array[String]): Unit = {

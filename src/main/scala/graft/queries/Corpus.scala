@@ -780,6 +780,93 @@ object Corpus {
       """)
     ),
 
+    // --- benchmark leakage report: the decontamination flip side ---
+    // corpus_decontaminate_near flags TRAINING docs; eval owners need the
+    // reverse artifact — per BENCHMARK item, how many training documents
+    // near-collide with it (the "which eval rows leak, and how badly"
+    // report attached to every serious eval release). Same 4×4 minhash16
+    // banding and checkpointed band table; the benchmark side (bands
+    // CARRYING their doc ids — still eval-suite-sized) broadcasts, the
+    // corpus probes map-side, candidate pairs dedupe on (bench, train)
+    // and the per-bench count is a tiny aggregate. Zero-leak items emit
+    // with 0 so the report covers the whole suite.
+    Q(
+      "corpus_leakage_report",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val bands = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            expr("minhash16(array_distinct(split(lower(trim(text)), ' ')))").as("mh")
+          )
+          .select(
+            col("doc_id"),
+            explode(expr(
+              """transform(sequence(0, 3), b -> struct(
+                   b AS band,
+                   array_join(transform(slice(mh, b*4 + 1, 4), x -> cast(x AS string)), ',') AS bh))"""
+            )).as("bb")
+          )
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+          .pipe(Checkpoints.checkpoint)
+        val bench = broadcast(
+          bands
+            .filter(col("doc_id") % 97 === 0)
+            .select(col("doc_id").as("bench_doc_id"), col("band"), col("bh"))
+            .distinct()
+        )
+        val pairs = bands
+          .filter(col("doc_id") % 97 =!= 0)
+          .join(bench, Seq("band", "bh"))
+          .select("bench_doc_id", "doc_id")
+          .distinct()
+        val counts = pairs.groupBy("bench_doc_id").agg(count(lit(1)).as("n_leaking_docs"))
+        bands
+          .filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("bench_doc_id"))
+          .distinct()
+          // Both sides of the zero-fill join are eval-suite-sized; the
+          // hint keeps the plan broadcast even under static estimation.
+          .join(broadcast(counts), Seq("bench_doc_id"), "left")
+          .select(
+            col("bench_doc_id"),
+            coalesce(col("n_leaking_docs"), lit(0L)).as("n_leaking_docs"),
+            coalesce(col("n_leaking_docs") > 0, lit(false)).as("leaked")
+          )
+          .orderBy("bench_doc_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS hh FROM w),
+        x AS (
+          SELECT doc_id, t.i,
+                 min(((2*t.i + 3) * hh + (104729*(t.i + 1)) % 2147483647) % 2147483647) AS mh
+          FROM h CROSS JOIN range(0, 16) t(i) GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bh
+          FROM x GROUP BY doc_id, i // 4),
+        bench AS (
+          SELECT DISTINCT doc_id AS bench_doc_id, band, bh
+          FROM bands WHERE doc_id % 97 = 0),
+        pairs AS (
+          SELECT DISTINCT bench.bench_doc_id, b.doc_id
+          FROM bands b JOIN bench USING (band, bh)
+          WHERE b.doc_id % 97 <> 0),
+        c AS (
+          SELECT bench_doc_id, CAST(count(*) AS BIGINT) AS n_leaking_docs
+          FROM pairs GROUP BY 1)
+        SELECT bd.bench_doc_id,
+               coalesce(c.n_leaking_docs, 0) AS n_leaking_docs,
+               coalesce(c.n_leaking_docs > 0, false) AS leaked
+        FROM (SELECT DISTINCT doc_id AS bench_doc_id FROM bands WHERE doc_id % 97 = 0) bd
+        LEFT JOIN c USING (bench_doc_id) ORDER BY bench_doc_id
+      """)
+    ),
+
     // --- sequence-packing APPLY: the per-document bin assignment ---
     // corpus_pack reports bin statistics; this materializes the layout a
     // trainer actually consumes (CorpusBuilder's pack stage, per doc):

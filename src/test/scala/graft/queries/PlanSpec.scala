@@ -648,6 +648,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected the step filter and the path collect in the plan:\n$p")
   }
 
+  test("leakage report broadcasts only the benchmark bands off the checkpointed band table") {
+    // corpus_leakage_report: the decontamination shuffle posture in
+    // reverse — the (eval-suite-sized) benchmark band table is the ONLY
+    // broadcast, the corpus probes it map-side off the checkpointed band
+    // table (no re-MinHash), and everything downstream of the probe is
+    // keyed aggregation on the tiny (bench, train) pair set.
+    val df = SparkEntry.queries("corpus_leakage_report")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("CartesianProduct"), s"leakage report planned a cartesian:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"the band table must be checkpointed (corpus re-hashed):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark band probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-scale sort-merge join may appear:\n$p")
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
