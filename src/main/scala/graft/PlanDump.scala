@@ -279,6 +279,10 @@ object PlanDump {
       "candidate probe; the 3-term query set and 1-row stats broadcast; " +
       "scoring is map-side, the per-query top-5 windows over " +
       "query-keyed candidates. idf's libm ln rounds to 6 dp in isolation."),
+    "text_bm25_phrase" -> ("Multi-term BM25 over the same shared pipeline: " +
+      "6-dp per-(doc, term) scores DECIMAL-sum per document " +
+      "(order-independent at any partition layout), one decimal→double " +
+      "conversion at the end, TakeOrdered top-5."),
     "vec_outliers" -> ("Embedding QA: per-label centroid cosines score " +
       "map-side against the broadcast centroid table, lift to exact " +
       "1e4-unit integers, and the moment pass + z-window stay label-keyed " +

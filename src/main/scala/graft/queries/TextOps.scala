@@ -43,6 +43,60 @@ object TextOps {
     least(nWords / lit(50.0), lit(1.0)) * 0.5 + (lit(1.0) - stopRatio) * 0.5
   }
 
+  /** The BM25 scoring pipeline shared by `text_bm25` (per-term top-5) and
+    * `text_bm25_phrase` (multi-term sum): (doc, word) tf counts shuffle
+    * once and checkpoint for their two consumers, the `nTerms` highest-df
+    * query terms come from TakeOrdered partial top-k, the query set and
+    * 1-row corpus stats broadcast, and scoring is map-side. The one libm
+    * ln (idf) rounds to 6 dp in isolation, leaving the rest an identical
+    * correctly-rounded IEEE chain; per-(doc, term) scores round at 6 dp so
+    * multi-term consumers can DECIMAL-sum them order-independently.
+    */
+  private def bm25TermScores(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      nTerms: Int
+  ): org.apache.spark.sql.DataFrame = {
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+      .pipe(Checkpoints.checkpoint) // two consumers: doc lengths + probe
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl")
+    )
+    val qterms = tf
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("word"))
+      .limit(nTerms)
+    tf.join(broadcast(qterms), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "idf",
+        round(
+          log(
+            (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5) + 1.0
+          ),
+          6
+        )
+      )
+      .withColumn(
+        "score",
+        round(
+          col("idf") * (col("tf").cast("double") * 2.2) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))),
+          6
+        )
+      )
+      .select("word", "doc_id", "tf", "dl", "score")
+  }
+
   private def sqlStopCount(stops: Seq[String]): String =
     s"CAST(len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN (${stops
         .map(s => s"'$s'")
@@ -129,44 +183,8 @@ object TextOps {
     Q(
       "text_bm25",
       (s, d) => {
-        val tf = t(s, d, "documents")
-          .select(col("doc_id"), explode(words(col("text"))).as("word"))
-          .groupBy("doc_id", "word")
-          .agg(count(lit(1)).as("tf"))
-          .pipe(Checkpoints.checkpoint) // two consumers: doc lengths + probe
-        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        val stats = dl.agg(
-          count(lit(1)).as("n_docs"),
-          (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl")
-        )
-        val qterms = tf
-          .groupBy("word")
-          .agg(count(lit(1)).as("df"))
-          .orderBy(desc("df"), asc("word"))
-          .limit(3)
         val w = Window.partitionBy("query_term").orderBy(desc("score"), asc("doc_id"))
-        tf.join(broadcast(qterms), "word")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn(
-            "idf",
-            round(
-              log(
-                (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
-                  (col("df").cast("double") + 0.5) + 1.0
-              ),
-              6
-            )
-          )
-          .withColumn(
-            "score",
-            round(
-              col("idf") * (col("tf").cast("double") * 2.2) /
-                (col("tf").cast("double") +
-                  lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))),
-              6
-            )
-          )
+        bm25TermScores(s, d, nTerms = 3)
           .withColumn("query_term", col("word"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
@@ -209,6 +227,67 @@ object TextOps {
           FROM scored)
         SELECT query_term, CAST(rank AS INTEGER) AS rank, doc_id, tf, dl, score
         FROM ranked WHERE rank <= 5 ORDER BY query_term, rank
+      """)
+    ),
+
+    // --- multi-term BM25: the phrase-query sum discipline ---
+    // The 2-term query over the same shared pipeline, proving the
+    // documented multi-term contract: per-(doc, term) scores are already
+    // 6-dp-rounded, so the document score is a DECIMAL sum of them —
+    // order-independent at any partition layout — converted to double
+    // once at the end. Top-5 docs by (score, doc_id); n_terms records
+    // how many query terms each hit matched.
+    Q(
+      "text_bm25_phrase",
+      (s, d) => {
+        bm25TermScores(s, d, nTerms = 2)
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_terms"),
+            sum(col("score").cast("decimal(18,6)")).as("dsum")
+          )
+          .withColumn("score", col("dsum").cast("double"))
+          .orderBy(desc("score"), asc("doc_id"))
+          .limit(5)
+          .withColumn(
+            "rank",
+            row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("int")
+          )
+          .select("rank", "doc_id", "n_terms", "score")
+          .orderBy("rank")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+          FROM documents),
+        tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+        qt AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY word ORDER BY df DESC, word LIMIT 2),
+        scored AS (
+          SELECT tf.doc_id,
+                 round(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+                                / (CAST(q.df AS DOUBLE) + 0.5) + 1.0), 6)
+                       * (CAST(tf.tf AS DOUBLE) * 2.2)
+                       / (CAST(tf.tf AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl))), 6)
+                   AS score
+          FROM tf JOIN qt q USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                 CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS score
+          FROM scored GROUP BY doc_id),
+        r AS (
+          SELECT doc_id, n_terms, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM agg)
+        SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_terms, score
+        FROM r WHERE rank <= 5 ORDER BY rank
       """)
     ),
 
