@@ -553,6 +553,106 @@ class PipelineSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming transitions maintain the derived pair table across a restart") {
+    // The product surface over streamingTransitions (CLI stream-flow):
+    // pair rows are immutable once emitted; a restart restores each
+    // user's chain scalar + pending buffer from the checkpoint, so
+    // chains CONTINUE across restarts (the purchase->view edge below
+    // spans the restart boundary).
+    val session = spark
+    import session.implicits._
+    val raw = SparkLog(spark, TestSpark.tempDir("sflow-raw"), LogConfig())
+    def ev(user: Long, hhmm: String, t: String): Array[Byte] =
+      s"""{"user_id":$user,"ts":"2024-01-01 $hhmm:00","event_type":"$t"}""".getBytes
+    raw.append(Seq(
+      ev(5L, "10:00", "view"), ev(5L, "10:05", "click"),
+      "not json at all".getBytes, // skipped, not fatal
+      ev(5L, "10:10", "purchase"),
+      ev(9L, "12:10", "view") // advances the watermark to 12:00; itself pending
+    ))
+    val engine = Engine(spark, TestSpark.tempDir("sflow-out"))
+    val ckpt = TestSpark.tempDir("sflow-ckpt")
+    val out = TestSpark.tempDir("sflow-table")
+    def table(): Set[(Long, String, String)] = spark.read
+      .parquet(out)
+      .select("user_id", "from_type", "to_type")
+      .as[(Long, String, String)]
+      .collect()
+      .toSet
+
+    val q1 = engine.transitionsFrom(raw.dir, ckpt, out)
+    try {
+      q1.processAllAvailable()
+      assert(
+        table() == Set((5L, "view", "click"), (5L, "click", "purchase")),
+        s"user 5's chain below the watermark must finalize: ${table()}"
+      )
+    } finally q1.stop()
+
+    // Restart: user 5's chain continues from its restored scalar, user
+    // 9's buffered view pairs with its click, and the already-final rows
+    // are untouched.
+    raw.append(Seq(
+      ev(9L, "12:20", "click"), ev(5L, "12:30", "view"),
+      ev(1L, "23:00", "view") // watermark pusher; itself pending
+    ))
+    val q2 = engine.transitionsFrom(raw.dir, ckpt, out)
+    try {
+      q2.processAllAvailable()
+      assert(
+        table() == Set(
+          (5L, "view", "click"), (5L, "click", "purchase"), (5L, "purchase", "view"),
+          (9L, "view", "click")
+        ),
+        s"chains must continue across the restart: ${table()}"
+      )
+    } finally q2.stop()
+  }
+
+  test("streaming daily counts merge a day's events across restart and never re-finalize") {
+    // The feed of the anomaly surface (CLI stream-anomaly): a day's count
+    // can accumulate across batches AND a restart (the windowed-agg state
+    // restores from the checkpoint); each day lands in the derived table
+    // exactly once, when the watermark passes midnight.
+    val session = spark
+    import session.implicits._
+    val raw = SparkLog(spark, TestSpark.tempDir("sdaily-raw"), LogConfig())
+    def ev(day: Int, hhmm: String): Array[Byte] =
+      s"""{"user_id":1,"ts":"2024-01-0$day $hhmm:00","event_type":"view"}""".getBytes
+    raw.append(Seq(
+      ev(1, "10:00"), ev(1, "10:05"), ev(1, "10:10"),
+      ev(3, "00:30") // pushes the watermark past Jan 1 midnight; counts into Jan 3
+    ))
+    val engine = Engine(spark, TestSpark.tempDir("sdaily-out"))
+    val ckpt = TestSpark.tempDir("sdaily-ckpt")
+    val out = TestSpark.tempDir("sdaily-table")
+    def table(): Set[(String, Long)] = spark.read
+      .parquet(out)
+      .select("day", "n")
+      .as[(java.sql.Date, Long)]
+      .collect()
+      .map { case (d, n) => (d.toString, n) }
+      .toSet
+
+    val q1 = engine.dailyCountsFrom(raw.dir, ckpt, out)
+    try {
+      q1.processAllAvailable()
+      assert(table() == Set(("2024-01-01", 3L)), s"Jan 1 must finalize with 3: ${table()}")
+    } finally q1.stop()
+
+    // Restart: Jan 3 gains a second event (restored open-day state must
+    // merge it), then a Jan 5 event closes Jan 3. Jan 1 stays untouched.
+    raw.append(Seq(ev(3, "23:00"), ev(5, "12:00")))
+    val q2 = engine.dailyCountsFrom(raw.dir, ckpt, out)
+    try {
+      q2.processAllAvailable()
+      assert(
+        table() == Set(("2024-01-01", 3L), ("2024-01-03", 2L)),
+        s"Jan 3 must merge across the restart to 2: ${table()}"
+      )
+    } finally q2.stop()
+  }
+
   test("streaming funnel maintains the derived stage table across a restart") {
     // The product surface over streamingFunnel (CLI stream-funnel):
     // stage rows are immutable once emitted, so the derived table only
