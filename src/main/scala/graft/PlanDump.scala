@@ -279,6 +279,11 @@ object PlanDump {
       "candidate probe; the 3-term query set and 1-row stats broadcast; " +
       "scoring is map-side, the per-query top-5 windows over " +
       "query-keyed candidates. idf's libm ln rounds to 6 dp in isolation."),
+    "text_lang_confusion" -> ("Classifier QA: the literally-shared " +
+      "langPred expression evaluates per doc in scan codegen, the matrix " +
+      "is one partial-aggregated (lang, pred) count — ≤|langs|² rows at " +
+      "any corpus size — and the row normaliser windows over that " +
+      "metadata-sized table."),
     "text_bm25_phrase" -> ("Multi-term BM25 over the same shared pipeline: " +
       "6-dp per-(doc, term) scores DECIMAL-sum per document " +
       "(order-independent at any partition layout), one decimal→double " +

@@ -97,6 +97,24 @@ object TextOps {
       .select("word", "doc_id", "tf", "dl", "score")
   }
 
+  /** The stoplist-argmax language predictor, shared by `lang_id` (per-doc
+    * verdicts) and `text_lang_confusion` (the classifier-QA matrix):
+    * deterministic en>de>es>fr>zh tie-break, pure scan-codegen expressions.
+    */
+  private def langPred(text: Column): Column = {
+    val ws = words(text)
+    val cEn = stopCount(ws, enStop)
+    val cDe = stopCount(ws, deStop)
+    val cEs = stopCount(ws, esStop)
+    val cFr = stopCount(ws, frStop)
+    val cZh = stopCount(ws, zhStop)
+    when(cEn >= cDe && cEn >= cEs && cEn >= cFr && cEn >= cZh, "en")
+      .when(cDe >= cEs && cDe >= cFr && cDe >= cZh, "de")
+      .when(cEs >= cFr && cEs >= cZh, "es")
+      .when(cFr >= cZh, "fr")
+      .otherwise("zh")
+  }
+
   private def sqlStopCount(stops: Seq[String]): String =
     s"CAST(len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN (${stops
         .map(s => s"'$s'")
@@ -807,17 +825,7 @@ object TextOps {
     Q(
       "lang_id",
       (s, d) => {
-        val ws = words(col("text"))
-        val cEn = stopCount(ws, enStop)
-        val cDe = stopCount(ws, deStop)
-        val cEs = stopCount(ws, esStop)
-        val cFr = stopCount(ws, frStop)
-        val cZh = stopCount(ws, zhStop)
-        val pred = when(cEn >= cDe && cEn >= cEs && cEn >= cFr && cEn >= cZh, "en")
-          .when(cDe >= cEs && cDe >= cFr && cDe >= cZh, "de")
-          .when(cEs >= cFr && cEs >= cZh, "es")
-          .when(cFr >= cZh, "fr")
-          .otherwise("zh")
+        val pred = langPred(col("text"))
         t(s, d, "documents")
           .select(col("doc_id"), pred.as("pred_lang"), (pred === col("lang")).as("is_match"))
           .orderBy("doc_id")
@@ -841,6 +849,55 @@ object TextOps {
           FROM x)
         SELECT doc_id, pred_lang, pred_lang = lang AS is_match
         FROM y ORDER BY doc_id
+      """)
+    ),
+
+    // --- language-ID confusion matrix (classifier QA) ---
+    // The artifact that decides whether a lang-ID gate is trustworthy per
+    // language before it drops corpora: the labeled-vs-predicted matrix
+    // with per-true-language rates. The predictor is the LITERALLY shared
+    // `langPred` expression, so the matrix audits exactly the classifier
+    // lang_id (and corpus gates) run. Per-doc predictions stay in scan
+    // codegen, the matrix is one partial-aggregated (lang, pred) count —
+    // ≤|langs|² rows at any corpus size — and the row normaliser windows
+    // over that metadata-sized table. Rate = safe int/int at 6 dp.
+    Q(
+      "text_lang_confusion",
+      (s, d) => {
+        val norm = Window.partitionBy("lang")
+        t(s, d, "documents")
+          .select(col("lang"), langPred(col("text")).as("pred_lang"))
+          .groupBy("lang", "pred_lang")
+          .agg(count(lit(1)).as("n"))
+          .withColumn(
+            "rate",
+            round(col("n").cast("double") / sum("n").over(norm).cast("double"), 6)
+          )
+          .select("lang", "pred_lang", "n", "rate")
+          .orderBy("lang", "pred_lang")
+      },
+      Some(s"""
+        WITH x AS (
+          SELECT doc_id, lang,
+                 ${sqlStopCount(enStop)} AS c_en,
+                 ${sqlStopCount(deStop)} AS c_de,
+                 ${sqlStopCount(esStop)} AS c_es,
+                 ${sqlStopCount(frStop)} AS c_fr,
+                 ${sqlStopCount(zhStop)} AS c_zh
+          FROM documents),
+        y AS (
+          SELECT lang,
+                 CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                      WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                      WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                      WHEN c_fr >= c_zh THEN 'fr'
+                      ELSE 'zh' END AS pred_lang
+          FROM x),
+        c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM y GROUP BY 1, 2)
+        SELECT lang, pred_lang, n,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS rate
+        FROM c ORDER BY lang, pred_lang
       """)
     ),
 
