@@ -279,6 +279,17 @@ object PlanDump {
       "candidate probe; the 3-term query set and 1-row stats broadcast; " +
       "scoring is map-side, the per-query top-5 windows over " +
       "query-keyed candidates. idf's libm ln rounds to 6 dp in isolation."),
+    "q_new_vs_returning" -> ("Acquisition split: two keyed aggregates off " +
+      "the checkpointed distinct (day, user) active set — per-user min day " +
+      "partial-aggregates, DAU counts day-keyed — and a broadcast " +
+      "zero-fill on calendar-cardinality day keys."),
+    "q_basket_rules" -> ("Association rules over capped co-baskets: the " +
+      "q_item_similarity join machinery (user-keyed self-join, " +
+      "partial-aggregated co-counts), all three measures single int/int " +
+      "divisions, global top-10 by lift via TakeOrdered."),
+    "corpus_sample_holdout" -> ("Train/val/test manifest: the seeded " +
+      "md5-bucket split decides in scan codegen, so the whole op is one " +
+      "partial aggregate onto ≤3·|langs| rows at any corpus size."),
     "text_lang_confusion" -> ("Classifier QA: the literally-shared " +
       "langPred expression evaluates per doc in scan codegen, the matrix " +
       "is one partial-aggregated (lang, pred) count — ≤|langs|² rows at " +

@@ -867,6 +867,47 @@ object Corpus {
       """)
     ),
 
+    // --- deterministic train/val/test holdout manifest ---
+    // The split every training run pins before anything else: docs deal
+    // 98/1/1 into train/val/test by a seeded md5 bucket of the doc id —
+    // stable across reruns, engines, and corpus growth (a doc's split
+    // never changes when others arrive, unlike any rank-based split).
+    // The emitted manifest is per-(split, lang) doc and token counts —
+    // the artifact training configs reference. Plan: the split decision
+    // is pure scan codegen (zero shuffles before the one partial
+    // aggregate onto ≤3·|langs| rows at any corpus size).
+    Q(
+      "corpus_sample_holdout",
+      (s, d) => {
+        val bucket = pmod(
+          conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long"),
+          lit(100)
+        )
+        val split = when(bucket < 98, "train").when(bucket < 99, "val").otherwise("test")
+        t(s, d, "documents")
+          .select(col("lang"), split.as("split"), size(ws).cast("long").as("n_tokens"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+          .orderBy("split", "lang")
+      },
+      Some("""
+        WITH x AS (
+          SELECT lang,
+                 CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split,
+                 n_tokens
+          FROM (
+            SELECT lang,
+                   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 AS b,
+                   CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+            FROM documents))
+        SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens
+        FROM x GROUP BY split, lang ORDER BY split, lang
+      """)
+    ),
+
     // --- sequence-packing APPLY: the per-document bin assignment ---
     // corpus_pack reports bin statistics; this materializes the layout a
     // trainer actually consumes (CorpusBuilder's pack stage, per doc):

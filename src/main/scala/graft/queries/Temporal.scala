@@ -462,6 +462,54 @@ object Temporal {
       """)
     ),
 
+    // --- daily new vs returning users ---
+    // The acquisition/retention split every engagement dashboard pairs
+    // with DAU: a user is NEW on their first-seen day, RETURNING after.
+    // Two keyed aggregates off one checkpointed distinct (day, user)
+    // active set — per-user min day (user-keyed, partial-aggregated min)
+    // grouped onto its day for the new counts, the plain day count for
+    // DAU — and a broadcast zero-fill join on the calendar-cardinality
+    // day key. new_frac is a safe int/int ratio at 6 dp.
+    Q(
+      "q_new_vs_returning",
+      (s, d) => {
+        val active = Q.events(s, d)
+          .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+          .distinct()
+          .pipe(Checkpoints.checkpoint) // two consumers: dau + first-seen
+        val dau = active.groupBy("day").agg(count(lit(1)).as("dau"))
+        val firstSeen = active
+          .groupBy("user_id")
+          .agg(min("day").as("day"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("new_users"))
+        dau
+          .join(broadcast(firstSeen), Seq("day"), "left")
+          .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+          .withColumn("returning", col("dau") - col("new_users"))
+          .withColumn(
+            "new_frac",
+            round(col("new_users").cast("double") / col("dau").cast("double"), 6)
+          )
+          .select("day", "dau", "new_users", "returning", "new_frac")
+          .orderBy("day")
+      },
+      Some("""
+        WITH active AS (
+          SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events),
+        dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM active GROUP BY day),
+        fs AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM (
+            SELECT user_id, min(day) AS day FROM active GROUP BY user_id)
+          GROUP BY day)
+        SELECT d.day, d.dau,
+               coalesce(fs.new_users, 0) AS new_users,
+               d.dau - coalesce(fs.new_users, 0) AS returning,
+               round(CAST(coalesce(fs.new_users, 0) AS DOUBLE) / d.dau, 6) AS new_frac
+        FROM dau d LEFT JOIN fs ON d.day = fs.day ORDER BY d.day
+      """)
+    ),
+
     Q(
       "q_heavy_hitters",
       (s, d) => {
@@ -556,6 +604,99 @@ object Temporal {
           FROM bi)
         SELECT item, other, c, cosine, CAST(rank AS INTEGER) AS rank
         FROM r WHERE rank <= 3 ORDER BY item, rank
+      """)
+    ),
+
+    // --- association rules over item co-baskets ---
+    // Market-basket rules (support / confidence / lift) — the
+    // interpretable complement of q_item_similarity's cosine: which item
+    // IMPLIES which, and with how much lift over independence. Baskets
+    // are the capped distinct (user, item) interactions (one checkpoint,
+    // the q_item_similarity machinery), co-counts partial-aggregate off
+    // the user-keyed self-join, and each pair emits BOTH rule
+    // directions. All three measures are single int/int IEEE divisions
+    // at 6 dp (lift's numerator c·n_users and denominator n_a·n_c stay
+    // exact integers); the global top-10 by lift is TakeOrdered with
+    // full tie-breaks, never a rule-table sort.
+    Q(
+      "q_basket_rules",
+      (s, d) => {
+        val inter = itemInteractions(s, d).pipe(Checkpoints.checkpoint)
+        val nu = inter.agg(countDistinct("user_id").as("n_users"))
+        val ni = inter.groupBy("item").agg(count(lit(1)).as("n"))
+        val co = inter
+          .select(col("user_id"), col("item").as("i"))
+          .join(inter.select(col("user_id"), col("item").as("j")), Seq("user_id"))
+          .filter(col("i") < col("j"))
+          .groupBy("i", "j")
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+        val both = co
+          .select(col("i").as("antecedent"), col("j").as("consequent"), col("c"))
+          .unionByName(co.select(col("j").as("antecedent"), col("i").as("consequent"), col("c")))
+        both
+          .join(ni.select(col("item").as("antecedent"), col("n").as("n_a")), "antecedent")
+          .join(ni.select(col("item").as("consequent"), col("n").as("n_c")), "consequent")
+          .crossJoin(broadcast(nu))
+          .withColumn(
+            "support",
+            round(col("c").cast("double") / col("n_users").cast("double"), 6)
+          )
+          .withColumn(
+            "confidence",
+            round(col("c").cast("double") / col("n_a").cast("double"), 6)
+          )
+          .withColumn(
+            "lift",
+            round(
+              (col("c") * col("n_users")).cast("double") / (col("n_a") * col("n_c")).cast("double"),
+              6
+            )
+          )
+          .orderBy(desc("lift"), desc("confidence"), asc("antecedent"), asc("consequent"))
+          .limit(10)
+          .withColumn(
+            "rank",
+            row_number()
+              .over(Window.orderBy(desc("lift"), desc("confidence"),
+                asc("antecedent"), asc("consequent")))
+              .cast("int")
+          )
+          .select("rank", "antecedent", "consequent", "c", "support", "confidence", "lift")
+          .orderBy("rank")
+      },
+      Some("""
+        WITH inter AS (
+          SELECT DISTINCT user_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM inter),
+        ni AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM inter GROUP BY item),
+        co AS (
+          SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS c
+          FROM inter a JOIN inter b ON a.user_id = b.user_id AND a.item < b.item
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        bi AS (
+          SELECT i AS antecedent, j AS consequent, c FROM co
+          UNION ALL
+          SELECT j AS antecedent, i AS consequent, c FROM co),
+        m AS (
+          SELECT b.antecedent, b.consequent, b.c,
+                 round(CAST(b.c AS DOUBLE) / nu.n_users, 6) AS support,
+                 round(CAST(b.c AS DOUBLE) / x.n, 6) AS confidence,
+                 round(CAST(b.c * nu.n_users AS DOUBLE) / CAST(x.n * y.n AS DOUBLE), 6) AS lift
+          FROM bi b
+          JOIN ni x ON b.antecedent = x.item
+          JOIN ni y ON b.consequent = y.item
+          CROSS JOIN nu),
+        r AS (
+          SELECT antecedent, consequent, c, support, confidence, lift,
+                 row_number() OVER (ORDER BY lift DESC, confidence DESC,
+                                    antecedent, consequent) AS rank
+          FROM m)
+        SELECT CAST(rank AS INTEGER) AS rank, antecedent, consequent, c,
+               support, confidence, lift
+        FROM r WHERE rank <= 10 ORDER BY rank
       """)
     ),
 

@@ -666,6 +666,39 @@ class PlanSpec extends AnyFunSuite {
       s"no corpus-scale sort-merge join may appear:\n$p")
   }
 
+  test("holdout manifest is scan-codegen split + one partial aggregate, zero joins") {
+    // corpus_sample_holdout: the split decision is a pure md5-bucket
+    // expression in the scan, so the whole manifest is one
+    // partial-aggregated groupBy onto ≤3·|langs| rows — a join, window, or
+    // second corpus-scale shuffle here is a regression.
+    val p = plan("corpus_sample_holdout")
+    assert(!p.contains("Join"), s"corpus_sample_holdout must not join:\n$p")
+    assert(!p.contains("Window"), s"corpus_sample_holdout must not plan a window:\n$p")
+    assert(p.contains("partial_count"), s"the manifest lost partial aggregation:\n$p")
+    val hashShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashShuffles <= 1, s"one (split, lang) shuffle only:\n$p")
+  }
+
+  test("new-vs-returning and basket rules stay keyed off their checkpointed inputs") {
+    // q_new_vs_returning: two keyed aggregates off the checkpointed active
+    // set + a broadcast zero-fill on calendar-cardinality days.
+    // q_basket_rules: the capped co-basket join machinery (no cartesian,
+    // partial-aggregated co-counts, TakeOrdered top-10).
+    val df1 = SparkEntry.queries("q_new_vs_returning")(spark, d)
+    val p1 = df1.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p1.contains("FileScan parquet"),
+      s"the active set must be checkpointed (events re-scanned):\n$p1")
+    assert(!p1.contains("CartesianProduct"))
+    assert(p1.contains("BroadcastHashJoin"), s"the zero-fill must broadcast:\n$p1")
+    val df2 = SparkEntry.queries("q_basket_rules")(spark, d)
+    val p2 = df2.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p2.contains("CartesianProduct"), s"q_basket_rules planned a cartesian:\n$p2")
+    assert(p2.contains("partial_count"), s"co-counts lost their partial phase:\n$p2")
+    assert(p2.contains("TakeOrderedAndProject"), s"top-10 lost its partial top-k:\n$p2")
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
