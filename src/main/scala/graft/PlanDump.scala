@@ -290,6 +290,14 @@ object PlanDump {
     "corpus_sample_holdout" -> ("Train/val/test manifest: the seeded " +
       "md5-bucket split decides in scan codegen, so the whole op is one " +
       "partial aggregate onto ≤3·|langs| rows at any corpus size."),
+    "q_rfm_segments" -> ("Fixed-threshold RFM: per-user aggregates " +
+      "partial-combine on user_id (purchase cents floor-quantized exact), " +
+      "the only join is the broadcast 1-row max-day, labels are pure " +
+      "expressions, the readout keys on |segments| rows."),
+    "corpus_ngram_coverage" -> ("Vocabulary coverage curve: word counts " +
+      "partial-aggregate and checkpoint; the top-1000 slice is TakeOrdered " +
+      "(never a one-reducer vocab sort); the three cumulative masses " +
+      "reduce over that bounded slice against the broadcast total."),
     "text_lang_confusion" -> ("Classifier QA: the literally-shared " +
       "langPred expression evaluates per doc in scan codegen, the matrix " +
       "is one partial-aggregated (lang, pred) count — ≤|langs|² rows at " +

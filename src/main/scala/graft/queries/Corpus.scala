@@ -867,6 +867,70 @@ object Corpus {
       """)
     ),
 
+    // --- vocabulary coverage curve (tokenizer-design artifact) ---
+    // How much of the corpus token mass the top-k vocabulary words cover
+    // (k = 10 / 100 / 1000) — the readout that sizes vocabularies and
+    // predicts OOV rates before a tokenizer is trained. Word counts
+    // partial-aggregate on the word key; the top-1000 slice comes from
+    // TakeOrdered (distributed partial top-k — the vocabulary never
+    // sorts through one reducer); the three cumulative masses reduce
+    // over that BOUNDED 1000-row slice, and the total is a broadcast
+    // 1-row aggregate. Coverage is exact-integer mass over mass at 6 dp.
+    Q(
+      "corpus_ngram_coverage",
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .select(explode(ws).as("word"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("n"))
+          .pipe(Checkpoints.checkpoint) // two consumers: total + top slice
+        val total = counts.agg(sum("n").as("total"))
+        val top = counts
+          .orderBy(desc("n"), asc("word"))
+          .limit(1000)
+          .withColumn("rk", row_number().over(Window.orderBy(desc("n"), asc("word"))))
+        top
+          .select(
+            explode(
+              array(
+                when(col("rk") <= 10, lit(10)).otherwise(lit(null)).cast("int"),
+                when(col("rk") <= 100, lit(100)).otherwise(lit(null)).cast("int"),
+                when(col("rk") <= 1000, lit(1000)).otherwise(lit(null)).cast("int")
+              )
+            ).as("k"),
+            col("n")
+          )
+          .filter(col("k").isNotNull)
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_words"), sum("n").as("mass"))
+          .crossJoin(broadcast(total))
+          .withColumn(
+            "coverage",
+            round(col("mass").cast("double") / col("total").cast("double"), 6)
+          )
+          .select("k", "n_words", "mass", "coverage")
+          .orderBy("k")
+      },
+      Some("""
+        WITH c AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)
+          GROUP BY word),
+        tot AS (SELECT sum(n) AS total FROM c),
+        top AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rk
+          FROM c ORDER BY n DESC, word LIMIT 1000),
+        e AS (
+          SELECT k, n FROM top
+          CROSS JOIN (SELECT unnest([10, 100, 1000]) AS k)
+          WHERE rk <= k)
+        SELECT CAST(e.k AS INTEGER) AS k, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(e.n) AS BIGINT) AS mass,
+               round(CAST(sum(e.n) AS DOUBLE) / t.total, 6) AS coverage
+        FROM e CROSS JOIN tot t GROUP BY e.k, t.total ORDER BY k
+      """)
+    ),
+
     // --- deterministic train/val/test holdout manifest ---
     // The split every training run pins before anything else: docs deal
     // 98/1/1 into train/val/test by a seeded md5 bucket of the doc id —

@@ -607,6 +607,80 @@ object Temporal {
       """)
     ),
 
+    // --- RFM segmentation (fixed thresholds) ---
+    // The recency/frequency/monetary segment counts CRM dashboards run.
+    // Thresholds are FIXED business constants (recency ≤7/≤30 days from
+    // the corpus max day, frequency ≥20/≥5 events, monetary ≥$500/≥$50)
+    // — quantile-based variants would need cross-engine-exact tertiles
+    // over |users| rows (the ntile trap corpus_lm_quality's broadcast
+    // cutoffs exist to avoid). Per-user aggregates partial-combine on
+    // user_id (purchase cents exact via floor-quantization, the q_ab_lift
+    // rule), recency is exact integer day arithmetic against the
+    // broadcast 1-row max-day, the 3-letter segment label is a pure
+    // expression, and the readout is a |segments|-row count.
+    Q(
+      "q_rfm_segments",
+      (s, d) => {
+        val ev = Q.events(s, d)
+        val perUser = ev
+          .groupBy("user_id")
+          .agg(
+            max(date_trunc("day", col("ts")).cast("date")).as("last_day"),
+            count(lit(1)).as("freq"),
+            sum(
+              when(
+                col("event_type") === "purchase",
+                floor(col("value") * 100).cast("long")
+              ).otherwise(0L)
+            ).as("cents")
+          )
+        val maxDay = ev.agg(max(date_trunc("day", col("ts")).cast("date")).as("max_day"))
+        perUser
+          .crossJoin(broadcast(maxDay))
+          .withColumn("recency_days", datediff(col("max_day"), col("last_day")).cast("long"))
+          .withColumn(
+            "r",
+            when(col("recency_days") <= 7, "1").when(col("recency_days") <= 30, "2").otherwise("3")
+          )
+          .withColumn("f", when(col("freq") >= 20, "1").when(col("freq") >= 5, "2").otherwise("3"))
+          .withColumn(
+            "m",
+            when(col("cents") >= 50000L, "1").when(col("cents") >= 5000L, "2").otherwise("3")
+          )
+          .withColumn("segment", concat(col("r"), col("f"), col("m")))
+          .groupBy("segment")
+          .agg(
+            count(lit(1)).as("n_users"),
+            sum("cents").as("cents"),
+            sum("freq").as("events")
+          )
+          .orderBy("segment")
+      },
+      Some("""
+        WITH pu AS (
+          SELECT user_id,
+                 max(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+                 CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY user_id),
+        md AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events),
+        seg AS (
+          SELECT (CASE WHEN md.max_day - pu.last_day <= 7 THEN '1'
+                       WHEN md.max_day - pu.last_day <= 30 THEN '2' ELSE '3' END)
+                 || (CASE WHEN pu.freq >= 20 THEN '1' WHEN pu.freq >= 5 THEN '2' ELSE '3' END)
+                 || (CASE WHEN pu.cents >= 50000 THEN '1'
+                          WHEN pu.cents >= 5000 THEN '2' ELSE '3' END) AS segment,
+                 pu.cents, pu.freq
+          FROM pu CROSS JOIN md)
+        SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(cents) AS BIGINT) AS cents,
+               CAST(sum(freq) AS BIGINT) AS events
+        FROM seg GROUP BY segment ORDER BY segment
+      """)
+    ),
+
     // --- association rules over item co-baskets ---
     // Market-basket rules (support / confidence / lift) — the
     // interpretable complement of q_item_similarity's cosine: which item

@@ -699,6 +699,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("TakeOrderedAndProject"), s"top-10 lost its partial top-k:\n$p2")
   }
 
+  test("rfm segments are one user-keyed aggregate + a broadcast max-day; coverage is bounded top-k") {
+    // q_rfm_segments: per-user aggregates partial-combine on user_id, the
+    // only join is the broadcast 1-row max-day, segment labels are pure
+    // expressions, the readout keys on |segments|.
+    val p1 = plan("q_rfm_segments")
+    assert(!p1.contains("CartesianProduct"))
+    assert(!p1.contains("Window"), s"q_rfm_segments must not plan a window:\n$p1")
+    assert(p1.contains("partial_count") || p1.contains("partial_sum"),
+      s"per-user aggregates lost their partial phase:\n$p1")
+    assert(!p1.contains("SortMergeJoin"), s"the max-day join must broadcast:\n$p1")
+    // corpus_ngram_coverage: the vocabulary slice comes from TakeOrdered
+    // (never a one-reducer vocab sort) off the checkpointed counts, and
+    // the k-expansion reduces over that bounded 1000-row slice.
+    val df = SparkEntry.queries("corpus_ngram_coverage")(spark, d)
+    val p2 = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"the top-1000 slice lost its partial top-k:\n$p2")
+    assert(!p2.contains("FileScan parquet"),
+      s"word counts must be checkpointed (corpus re-tokenized):\n$p2")
+    assert(!p2.contains("CartesianProduct"))
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
