@@ -768,6 +768,12 @@ object Main {
               println(s"  ${r.getDate(0)}: dau=${r.getLong(1)} wau=${r.getLong(2)} " +
                 s"mau=${r.getLong(3)} stickiness=${r.getDouble(4)}")
             }
+          println("== acquisition (new vs returning, most recent 7 active days)")
+          run("q_new_vs_returning").orderBy(org.apache.spark.sql.functions.desc("day"))
+            .limit(7).collect().reverse.foreach { r =>
+              println(s"  ${r.getDate(0)}: new=${r.getLong(2)} returning=${r.getLong(3)} " +
+                s"(new_frac ${r.getDouble(4)})")
+            }
           println("== volume anomalies (trailing-z over the 7 preceding active days)")
           val anom = run("q_anomaly_days").collect()
           val flagged = anom.filter(_.getBoolean(4))
