@@ -294,6 +294,26 @@ object PlanDump {
       "partial-combine on user_id (purchase cents floor-quantized exact), " +
       "the only join is the broadcast 1-row max-day, labels are pure " +
       "expressions, the readout keys on |segments| rows."),
+    "q_growth_accounting" -> ("Weekly growth decomposition: one user-keyed " +
+      "lag/lead window over the checkpointed distinct user-week set, " +
+      "status and churn counts partial-aggregate onto calendar-cardinality " +
+      "weeks, and the min..max calendar zero-fill joins broadcast. Every " +
+      "measure is an exact integer count."),
+    "q_ltv_cohorts" -> ("Cohort LTV matrix: per-customer first-month " +
+      "cohorts checkpoint once for the orders join and the broadcast " +
+      "cohort sizes; monthly cells partial-aggregate onto the " +
+      "metadata-sized (cohort, offset) key, the cumulative sum windows " +
+      "over that matrix, and LTV divides exact cents by cohort size with " +
+      "half-up integer arithmetic."),
+    "q_promo_share" -> ("TPC-H Q14 shape: the part dimension broadcasts " +
+      "into the pruned lineitem scan, revenue accumulates in exact " +
+      "1e4-unit integers partial-aggregated onto calendar month keys, and " +
+      "the share is one IEEE division of two exact integer sums."),
+    "q_supplier_variety" -> ("Q16 shape without partsupp: per-supplier " +
+      "return rates checkpoint (|suppliers| rows), the taint predicate is " +
+      "a cross-multiplied exact integer compare against a broadcast 1-row " +
+      "global, and the clean set + part table broadcast into the fact " +
+      "scan before the distinct-supplier count."),
     "corpus_ngram_coverage" -> ("Vocabulary coverage curve: word counts " +
       "partial-aggregate and checkpoint; the top-1000 slice is TakeOrdered " +
       "(never a one-reducer vocab sort); the three cumulative masses " +

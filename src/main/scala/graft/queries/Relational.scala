@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType}
@@ -1163,6 +1165,189 @@ object Relational {
                round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
                true AS p50_ok, true AS p90_ok
         FROM orders GROUP BY 1 ORDER BY 1
+      """)
+    ),
+
+    // --- customer lifetime-value cohorts ---
+    // The revenue-side twin of q_retention_cohorts: customers cohorted by
+    // first-order month (exact integer month index year*12+month — no
+    // months_between FP), each later month's buyers and revenue laid out
+    // as a (cohort, offset) matrix with cumulative revenue and per-member
+    // LTV. Money is exact cents end-to-end (DECIMAL(12,2)·100 → BIGINT),
+    // the cumulative sum is a window over the metadata-sized matrix, and
+    // LTV divides cumulative cents by cohort size with HALF-UP EXACT
+    // integer arithmetic — `round(decimal/n)` is the cross-engine trap.
+    // The per-customer cohort table checkpoints once for its two plan
+    // roles (the orders join and the cohort sizes); sizes broadcast.
+    Q(
+      "q_ltv_cohorts",
+      (s, d) => {
+        val o = t(s, d, "orders").select(
+          col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("midx"),
+          (money(col("o_totalprice")) * 100).cast("long").as("cents")
+        )
+        val first = o
+          .groupBy("o_custkey")
+          .agg(min("midx").as("cohort"))
+          .pipe(Checkpoints.checkpoint) // two consumers: orders join + sizes
+        val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+        val cells = o
+          .join(first, "o_custkey")
+          .groupBy(col("cohort"), (col("midx") - col("cohort")).as("month_offset"))
+          .agg(
+            countDistinct("o_custkey").as("buyers"),
+            sum("cents").as("revenue_cents")
+          )
+        val w = Window.partitionBy("cohort").orderBy("month_offset")
+        cells
+          .withColumn("cum_revenue_cents", sum("revenue_cents").over(w))
+          .join(broadcast(sizes), "cohort")
+          .select(
+            col("cohort"),
+            col("month_offset"),
+            col("buyers"),
+            col("revenue_cents"),
+            col("cum_revenue_cents"),
+            expr("(2 * cum_revenue_cents + cohort_users) div (2 * cohort_users)")
+              .as("ltv_cents")
+          )
+          .orderBy("cohort", "month_offset")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey,
+                 year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM orders),
+        f AS (SELECT o_custkey, min(midx) AS cohort FROM o GROUP BY 1),
+        sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM f GROUP BY 1),
+        cells AS (
+          SELECT f.cohort, o.midx - f.cohort AS month_offset,
+                 CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS buyers,
+                 CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+          FROM o JOIN f ON o.o_custkey = f.o_custkey
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT cohort, month_offset, buyers, revenue_cents,
+                 CAST(sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY month_offset) AS BIGINT)
+                   AS cum_revenue_cents
+          FROM cells)
+        SELECT c.cohort, c.month_offset, c.buyers, c.revenue_cents, c.cum_revenue_cents,
+               (2 * c.cum_revenue_cents + s.cohort_users) // (2 * s.cohort_users) AS ltv_cents
+        FROM cum c JOIN sz s ON c.cohort = s.cohort
+        ORDER BY c.cohort, c.month_offset
+      """)
+    ),
+
+    // --- promotional revenue share per month (TPC-H Q14 shape) ---
+    // Case-conditional aggregation over a fact⋈dimension join: lineitems
+    // meet the broadcast part table, revenue accumulates in the exact
+    // 1e4-unit integers of q1_agg, and the monthly promo share is one
+    // IEEE division of two exact integer sums rounded at 6 dp (an
+    // unstructured ratio — safe where decimal/n would not be). Month keys
+    // are exact integer year*100+month; nothing after the scan shuffles
+    // more than the calendar-cardinality month key.
+    Q(
+      "q_promo_share",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val p = t(s, d, "part").select("p_partkey", "p_type")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(
+            (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym")
+          )
+          .agg(
+            sum(
+              when(
+                col("p_type") === "PROMO",
+                round(col("l_extendedprice") * 100).cast("long") *
+                  (lit(100L) - round(col("l_discount") * 100).cast("long"))
+              ).otherwise(0L)
+            ).as("promo_units"),
+            sum(
+              round(col("l_extendedprice") * 100).cast("long") *
+                (lit(100L) - round(col("l_discount") * 100).cast("long"))
+            ).as("total_units")
+          )
+          .select(
+            col("ym"),
+            (col("promo_units").cast("double") / 10000.0).as("promo_revenue"),
+            (col("total_units").cast("double") / 10000.0).as("total_revenue"),
+            round(col("promo_units").cast("double") / col("total_units").cast("double"), 6)
+              .as("promo_share")
+          )
+          .orderBy("ym")
+      },
+      Some("""
+        WITH r AS (
+          SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+                 CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                                    * (100 - CAST(round(l_discount*100) AS BIGINT))
+                               ELSE 0 END) AS BIGINT) AS promo_units,
+                 CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                          * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS total_units
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY 1)
+        SELECT ym,
+               CAST(promo_units AS DOUBLE) / 10000.0 AS promo_revenue,
+               CAST(total_units AS DOUBLE) / 10000.0 AS total_revenue,
+               round(CAST(promo_units AS DOUBLE) / CAST(total_units AS DOUBLE), 6) AS promo_share
+        FROM r ORDER BY ym
+      """)
+    ),
+
+    // --- supplier variety per part line, tainted suppliers excluded ---
+    // The TPC-H Q16 shape on this schema (no partsupp table): how many
+    // DISTINCT suppliers ship each (brand, type), counting only suppliers
+    // whose return rate is at or below the corpus-wide rate. The taint
+    // predicate is a CROSS-MULTIPLIED exact integer compare
+    // (r_s·total > R·total_s) — no FP rate can straddle engines — against
+    // a broadcast 1-row global; the clean-supplier set is supplier-
+    // cardinality and broadcasts into a left-semi join before the part
+    // join, so the distinct-count aggregate only ever sees clean rows.
+    Q(
+      "q_supplier_variety",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val perSup = li
+          .groupBy("l_suppkey")
+          .agg(
+            count(when(col("l_returnflag") === "R", 1)).as("r_s"),
+            count(lit(1)).as("n_s")
+          )
+          .pipe(Checkpoints.checkpoint) // two consumers: global moments + clean filter
+        val global = perSup.agg(sum("r_s").as("r_all"), sum("n_s").as("n_all"))
+        val clean = perSup
+          .join(broadcast(global))
+          .filter(col("r_s") * col("n_all") <= col("r_all") * col("n_s"))
+          .select("l_suppkey")
+        val p = t(s, d, "part").select("p_partkey", "p_brand", "p_type")
+        li.join(broadcast(clean), Seq("l_suppkey"), "left_semi")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type")
+          .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"))
+      },
+      Some("""
+        WITH per_sup AS (
+          SELECT l_suppkey,
+                 CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS r_s,
+                 CAST(count(*) AS BIGINT) AS n_s
+          FROM lineitem GROUP BY 1),
+        g AS (SELECT CAST(sum(r_s) AS BIGINT) AS r_all, CAST(sum(n_s) AS BIGINT) AS n_all
+              FROM per_sup),
+        clean AS (
+          SELECT l_suppkey FROM per_sup CROSS JOIN g
+          WHERE r_s * n_all <= r_all * n_s)
+        SELECT p.p_brand, p.p_type,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN clean c ON l.l_suppkey = c.l_suppkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
       """)
     )
   )

@@ -1030,6 +1030,100 @@ object Temporal {
         SELECT day, n, mean, z, COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
         FROM zc ORDER BY day
       """)
+    ),
+
+    // --- weekly growth accounting ---
+    // The canonical growth decomposition (new / retained / resurrected /
+    // churned per week) that DAU and new-vs-returning only hint at: every
+    // active user-week is classified by its per-user PREVIOUS active week
+    // (lag over a user-keyed window — one shuffle, then counts partial-
+    // aggregate onto calendar-cardinality weeks), and a user churns INTO
+    // week w+1 when week w was active but w+1 is not (lead gap, with the
+    // final observed week exempt — the corpus ending is not churn). The
+    // report frame is the full min..max week calendar (a 1-row broadcast
+    // bound exploded), zero-filled, so quiet weeks still carry their
+    // churn counts. Weeks use the exact floor-division arithmetic shared
+    // with q_retention_cohorts; every measure is an integer count.
+    Q(
+      "q_growth_accounting",
+      (s, d) => {
+        val act = Q
+          .events(s, d)
+          .select(
+            col("user_id"),
+            expr("""(datediff(CAST(ts AS DATE), DATE'2024-01-01')
+                     - ((datediff(CAST(ts AS DATE), DATE'2024-01-01') % 7) + 7) % 7)
+                    div 7""").as("wk")
+          )
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("wk")
+        val lagged = act
+          .withColumn("prev", lag("wk", 1).over(w))
+          .withColumn("nxt", lead("wk", 1).over(w))
+          .pipe(Checkpoints.checkpoint) // three consumers: status, churn, bounds
+        val bounds = lagged.agg(min("wk").as("lo"), max("wk").as("hi"))
+        val status = lagged
+          .groupBy("wk")
+          .agg(
+            count(when(col("prev").isNull, 1)).as("new_users"),
+            count(when(col("prev") === col("wk") - 1, 1)).as("retained"),
+            count(when(col("prev") < col("wk") - 1, 1)).as("resurrected")
+          )
+        val churn = lagged
+          .join(broadcast(bounds))
+          .filter(
+            (col("nxt").isNull && col("wk") < col("hi")) || col("nxt") > col("wk") + 1
+          )
+          .groupBy((col("wk") + 1).as("wk"))
+          .agg(count(lit(1)).as("churned"))
+        bounds
+          .select(explode(sequence(col("lo"), col("hi"))).as("wk"))
+          .join(broadcast(status), Seq("wk"), "left")
+          .join(broadcast(churn), Seq("wk"), "left")
+          .select(
+            col("wk").as("week"),
+            coalesce(col("new_users"), lit(0L)).as("new_users"),
+            coalesce(col("retained"), lit(0L)).as("retained"),
+            coalesce(col("resurrected"), lit(0L)).as("resurrected"),
+            coalesce(col("churned"), lit(0L)).as("churned")
+          )
+          .orderBy("week")
+      },
+      Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id,
+                 (datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  - ((datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7) + 7) % 7) // 7 AS wk
+          FROM events),
+        lagged AS (
+          SELECT user_id, wk,
+                 lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+                 lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+          FROM act),
+        bounds AS (SELECT min(wk) AS lo, max(wk) AS hi FROM lagged),
+        status AS (
+          SELECT wk,
+                 CAST(count(*) FILTER (WHERE prev IS NULL) AS BIGINT) AS new_users,
+                 CAST(count(*) FILTER (WHERE prev = wk - 1) AS BIGINT) AS retained,
+                 CAST(count(*) FILTER (WHERE prev < wk - 1) AS BIGINT) AS resurrected
+          FROM lagged GROUP BY wk),
+        churn AS (
+          SELECT l.wk + 1 AS wk, CAST(count(*) AS BIGINT) AS churned
+          FROM lagged l CROSS JOIN bounds b
+          WHERE (l.nxt IS NULL AND l.wk < b.hi) OR l.nxt > l.wk + 1
+          GROUP BY 1),
+        cal AS (SELECT b.lo + CAST(t.i AS BIGINT) AS wk
+                FROM bounds b CROSS JOIN range(0, 10000) t(i)
+                WHERE b.lo + t.i <= b.hi)
+        SELECT cal.wk AS week,
+               COALESCE(s.new_users, 0) AS new_users,
+               COALESCE(s.retained, 0) AS retained,
+               COALESCE(s.resurrected, 0) AS resurrected,
+               COALESCE(c.churned, 0) AS churned
+        FROM cal LEFT JOIN status s ON cal.wk = s.wk
+                 LEFT JOIN churn c ON cal.wk = c.wk
+        ORDER BY week
+      """)
     )
   )
 

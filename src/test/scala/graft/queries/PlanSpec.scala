@@ -722,6 +722,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("CartesianProduct"))
   }
 
+  test("growth accounting and LTV cohorts stay keyed, broadcast, and checkpoint-fed") {
+    // q_growth_accounting: the lagged user-week table checkpoints once for
+    // its three consumers (status counts, churn counts, bounds) — the
+    // final plan must not re-scan events — and the calendar zero-fill
+    // joins broadcast onto calendar-cardinality weeks.
+    val df1 = SparkEntry.queries("q_growth_accounting")(spark, d)
+    val p1 = df1.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p1.contains("FileScan parquet"),
+      s"the lagged active set must be checkpointed (events re-scanned):\n$p1")
+    assert(!p1.contains("CartesianProduct"))
+    assert(p1.contains("BroadcastHashJoin"), s"the zero-fill must broadcast:\n$p1")
+    // q_ltv_cohorts: the per-customer cohort table checkpoints (its two
+    // roles: the orders join + cohort sizes), the sizes join broadcasts,
+    // the cumulative window runs on the metadata-sized (cohort, offset)
+    // matrix, and the monthly cells partial-aggregate before the shuffle.
+    val df2 = SparkEntry.queries("q_ltv_cohorts")(spark, d)
+    val p2 = df2.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p2.contains("CartesianProduct"))
+    assert(p2.contains("BroadcastHashJoin"), s"cohort sizes must broadcast:\n$p2")
+    assert(p2.contains("Window"), s"cumulative revenue lost its window:\n$p2")
+    assert(
+      p2.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"exactly one orders scan expected (cohorts ride the checkpoint):\n$p2")
+  }
+
+  test("promo share and supplier variety broadcast dimensions and partial-aggregate") {
+    // q_promo_share: one broadcast part join, revenue partial-aggregates
+    // onto the calendar-cardinality month key, and the scan reads only
+    // the four lineitem columns the query touches.
+    val p1 = plan("q_promo_share")
+    assert(p1.contains("BroadcastHashJoin"), s"the part join must broadcast:\n$p1")
+    assert(!p1.contains("SortMergeJoin"), s"no sort-merge at dimension size:\n$p1")
+    assert(p1.contains("partial_sum"), s"revenue lost its partial phase:\n$p1")
+    val scan = p1.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_extendedprice")).getOrElse("")
+    assert(scan.nonEmpty && !scan.contains("l_tax") && !scan.contains("l_quantity"),
+      s"lineitem scan reads pruned columns:\n$scan")
+    // q_supplier_variety: the per-supplier rate table checkpoints (global
+    // moments + clean filter), the clean set and part table broadcast into
+    // the fact scan, and nothing sort-merges.
+    val df = SparkEntry.queries("q_supplier_variety")(spark, d)
+    val p2 = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p2.contains("CartesianProduct"))
+    assert(!p2.contains("SortMergeJoin"), s"clean/part joins must broadcast:\n$p2")
+    assert(p2.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p2")
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
