@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | events-report <eventsDir> | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -790,6 +790,44 @@ object Main {
           println("== top journeys (first 8 steps per 30-min session)")
           run("q_session_paths").collect().take(5).foreach { r =>
             println(s"  #${r.getInt(0)} ${r.getString(1)} (${r.getLong(2)} sessions)")
+          }
+          println("== weekly growth accounting (new / retained / resurrected / churned)")
+          run("q_growth_accounting").collect().foreach { r =>
+            println(s"  week ${r.get(0)}: +${r.getLong(1)} new, ${r.getLong(2)} retained, " +
+              s"${r.getLong(3)} resurrected, -${r.getLong(4)} churned")
+          }
+          graft.queries.Checkpoints.release()
+        case "sales-report" :: dir :: Nil =>
+          // The commerce twin of events-report over the TPC-H-ish tables:
+          // revenue rollup, regional revenue, monthly promo share, cohort
+          // LTV, and supplier variety — each the oracle-checked query from
+          // SparkEntry.queries, so the report IS the verified surface.
+          val qs = SparkEntry.queries
+          def run(name: String) = qs(name)(spark, dir)
+          println("== revenue rollup by return flag / line status")
+          run("q1_agg").collect().foreach { r =>
+            println(f"  ${r.getString(0)}/${r.getString(1)}: ${r.getLong(7)} items, " +
+              f"disc revenue ${r.getDouble(4)}%.2f")
+          }
+          println("== revenue by region")
+          run("q5_region_revenue").collect().foreach { r =>
+            println(f"  ${r.getString(0)}: ${r.getDouble(1)}%.2f (${r.getLong(2)} items)")
+          }
+          println("== promo revenue share (most recent 6 months)")
+          run("q_promo_share").collect().takeRight(6).foreach { r =>
+            println(f"  ${r.getInt(0)}: share ${r.getDouble(3)} " +
+              f"(${r.getDouble(1)}%.2f of ${r.getDouble(2)}%.2f)")
+          }
+          println("== cohort LTV (5 earliest cohorts, latest month)")
+          val ltv = run("q_ltv_cohorts").collect()
+          ltv.map(_.getInt(0)).distinct.sorted.take(5).foreach { c =>
+            val last = ltv.filter(_.getInt(0) == c).maxBy(_.getInt(1))
+            println(s"  cohort $c: ${last.getInt(1) + 1} months, " +
+              s"ltv ${last.getLong(5)} cents/member")
+          }
+          println("== supplier variety (top 5 part lines, tainted suppliers excluded)")
+          run("q_supplier_variety").collect().take(5).foreach { r =>
+            println(s"  ${r.getString(0)} ${r.getString(1)}: ${r.getLong(2)} suppliers")
           }
           graft.queries.Checkpoints.release()
         case "corpus-report" :: out :: Nil =>

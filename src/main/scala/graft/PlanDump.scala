@@ -314,6 +314,12 @@ object PlanDump {
       "a cross-multiplied exact integer compare against a broadcast 1-row " +
       "global, and the clean set + part table broadcast into the fact " +
       "scan before the distinct-supplier count."),
+    "text_collocations" -> ("Collocation mining: document frequencies " +
+      "partial-aggregate once, the top-100 vocabulary slice broadcasts " +
+      "WITH its df's (PMI needs no second lookup join), the per-doc pair " +
+      "self-join runs over the checkpointed ≤100-rows-per-doc slice " +
+      "(≤4,950 pairs/doc at any scale), and the top-10 is TakeOrdered " +
+      "on the 6-dp-rounded PMI."),
     "corpus_ngram_coverage" -> ("Vocabulary coverage curve: word counts " +
       "partial-aggregate and checkpoint; the top-1000 slice is TakeOrdered " +
       "(never a one-reducer vocab sort); the three cumulative masses " +

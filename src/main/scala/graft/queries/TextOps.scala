@@ -1007,6 +1007,77 @@ object TextOps {
                round(CAST(vocab AS DOUBLE) / n, 6) AS ttr
         FROM agg ORDER BY doc_id
       """)
+    ),
+
+    // --- collocation mining: top word-pair PMI over the top-100 vocabulary ---
+    // The tokenizer-design companion to corpus_ngram_coverage: which word
+    // pairs co-occur in documents far more than chance (candidates for
+    // merged tokens / multi-word entries). The pair space is HARD-BOUNDED
+    // before any join: document frequencies partial-aggregate once, the
+    // top-100 vocabulary slice broadcasts (with its df's, so PMI needs no
+    // second lookup join), and the per-doc self-join runs over ≤100 rows
+    // per doc — ≤4,950 pairs per document at ANY corpus scale. PMI's one
+    // libm ln evaluates on a double built from exact integer counts and
+    // rounds at 6 dp in isolation (the BM25 idf discipline); ordering uses
+    // the ROUNDED value with full (w1, w2) tie-breaks, and the top-10 is
+    // TakeOrdered — no global sort.
+    Q(
+      "text_collocations",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dw = docs.select(
+          col("doc_id"),
+          explode(array_distinct(words(col("text")))).as("w")
+        )
+        val df = dw.groupBy("w").agg(count(lit(1)).as("df"))
+        val top = df.orderBy(desc("df"), asc("w")).limit(100)
+        val dt = dw
+          .join(broadcast(top), "w")
+          .pipe(Checkpoints.checkpoint) // both sides of the pair self-join
+        val a = dt.select(col("doc_id"), col("w").as("w1"), col("df").as("df1"))
+        val b = dt.select(col("doc_id"), col("w").as("w2"), col("df").as("df2"))
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        a.join(b, Seq("doc_id"))
+          .filter(col("w1") < col("w2"))
+          .groupBy("w1", "df1", "w2", "df2")
+          .agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+          .join(broadcast(nd))
+          .select(
+            col("w1"),
+            col("w2"),
+            col("c_xy"),
+            round(
+              log(
+                (col("nd") * col("c_xy")).cast("double") /
+                  (col("df1") * col("df2")).cast("double")
+              ),
+              6
+            ).as("pmi")
+          )
+          .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+          .limit(10)
+      },
+      Some("""
+        WITH dw AS (
+          SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+            FROM documents)),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY 1),
+        top100 AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT 100),
+        dt AS (SELECT dw.doc_id, dw.w, t.df FROM dw JOIN top100 t USING (w)),
+        p AS (
+          SELECT a.w AS w1, a.df AS df1, b.w AS w2, b.df AS df2,
+                 CAST(count(*) AS BIGINT) AS c_xy
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+          GROUP BY 1, 2, 3, 4),
+        d AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+        SELECT w1, w2, c_xy,
+               round(ln(CAST(d.nd * c_xy AS DOUBLE) / CAST(df1 * df2 AS DOUBLE)), 6) AS pmi
+        FROM p CROSS JOIN d
+        WHERE c_xy >= 5
+        ORDER BY pmi DESC, w1, w2 LIMIT 10
+      """)
     )
   )
 }

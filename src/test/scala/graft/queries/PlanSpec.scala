@@ -772,6 +772,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p2")
   }
 
+  test("collocations bound the pair join to the broadcast top-100 slice") {
+    // text_collocations: the pair self-join must run over the checkpointed
+    // top-100-filtered slice (never re-tokenize the corpus), the top-100
+    // and doc-count joins broadcast, and the top-10 is a partial top-k.
+    val df = SparkEntry.queries("text_collocations")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("FileScan parquet") ||
+      p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"only the doc-count scan may read parquet (pair sides must ride the checkpoint):\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 lost its partial top-k:\n$p")
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")

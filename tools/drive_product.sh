@@ -104,6 +104,10 @@ g --data-dir "$D/s" stream-flow "$D/events" "$D/fwckpt" "$D/flow" \
 # an oracle-checked query from SparkEntry.queries.
 g --data-dir "$D/s" events-report /root/testdata/sf0.001 \
   | expect "1_view: 15 users (conversion 1.0)"
+# The commerce twin over the TPC-H-ish tables: same contract, every
+# section an oracle-checked query.
+g --data-dir "$D/s" sales-report /root/testdata/sf0.001 \
+  | expect "AFRICA: 59507966.02 (1208 items)"
 
 echo "=== [5/5] cluster: phi accrual evicts a SIGKILLed heartbeating follower"
 java $OPENS -Xmx3g -cp "$CP" graft.Main --data-dir "$D/hub" --ttl 2 --phi 8 serve-grpc 8931 \
