@@ -320,6 +320,22 @@ object PlanDump {
       "self-join runs over the checkpointed ≤100-rows-per-doc slice " +
       "(≤4,950 pairs/doc at any scale), and the top-10 is TakeOrdered " +
       "on the 6-dp-rounded PMI."),
+    "text_readability" -> ("FORCAST readability: both the word and " +
+      "monosyllable counts evaluate in the scan's codegen (size/filter " +
+      "on the split array — no explode, no join), the grade is one IEEE " +
+      "division of exact integers, and the only exchange is the output " +
+      "sort."),
+    "text_bpe_pairs" -> ("BPE merge candidates: the within-word char-pair " +
+      "explode is map-side and linear in corpus bytes, the count " +
+      "partial-aggregates onto an alphabet²-bounded key space (constant " +
+      "shuffle rows per partition at any corpus size), and the top-10 is " +
+      "TakeOrdered with full tie-breaks."),
+    "q_engagement_gini" -> ("Event-concentration Gini: per-user counts " +
+      "partial-aggregate, collapse to counts-of-counts (one row per " +
+      "distinct activity level — degree-distribution cardinality, never " +
+      "user cardinality), the rank-sum folds per tie block in closed form " +
+      "over that tiny table's window, products lift through DECIMAL(38,0), " +
+      "and the final G is one IEEE chain over three exact aggregates."),
     "corpus_ngram_coverage" -> ("Vocabulary coverage curve: word counts " +
       "partial-aggregate and checkpoint; the top-1000 slice is TakeOrdered " +
       "(never a one-reducer vocab sort); the three cumulative masses " +

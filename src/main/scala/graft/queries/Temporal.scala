@@ -1124,6 +1124,74 @@ object Temporal {
                  LEFT JOIN churn c ON cal.wk = c.wk
         ORDER BY week
       """)
+    ),
+
+    // --- engagement concentration: Gini coefficient of events per user ---
+    // The inequality readout behind every "top 1% of users" claim: how
+    // concentrated is event volume across users. The naive formulation
+    // ranks every user by activity through ONE global sort; instead the
+    // per-user counts collapse to a COUNTS-OF-COUNTS table (one row per
+    // distinct activity level — bounded by the max per-user count, the
+    // degree-distribution shape, thousands of rows when users are
+    // billions), and the rank-sum Σ i·cᵢ folds per tie block in closed
+    // form: the m users at level c with B quieter users below them occupy
+    // ranks B+1..B+m, contributing c·(B·m + m(m+1)/2). Everything
+    // is exact BIGINT (the tie-block product lifts through DECIMAL(38,0)
+    // so a 10¹²-event corpus cannot overflow); the final
+    // G = (2·S₁ − (n+1)·T) / (n·T) is ONE identical IEEE chain over
+    // exactly-cast doubles, rounded at 6 dp.
+    Q(
+      "q_engagement_gini",
+      (s, d) => {
+        val coc = Q
+          .events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("c")
+          .agg(count(lit(1)).as("m"))
+        val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+        coc
+          .withColumn("b", coalesce(sum("m").over(w), lit(0L)))
+          .agg(
+            sum(col("m")).as("users"),
+            sum(col("c") * col("m")).as("events"),
+            sum(
+              expr("""CAST(c AS DECIMAL(38,0)) *
+                      (CAST(b AS DECIMAL(38,0)) * m + (m * (m + 1)) div 2)""")
+            ).as("s1")
+          )
+          .select(
+            col("users"),
+            col("events"),
+            round(
+              (lit(2.0) * col("s1").cast("double")
+                - (col("users").cast("double") + lit(1.0)) * col("events").cast("double"))
+                / (col("users").cast("double") * col("events").cast("double")),
+              6
+            ).as("gini")
+          )
+      },
+      Some("""
+        WITH cnt AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        coc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM cnt GROUP BY 1),
+        ranked AS (
+          SELECT c, m,
+                 COALESCE(sum(m) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+          FROM coc),
+        agg AS (
+          SELECT CAST(sum(m) AS BIGINT) AS users,
+                 CAST(sum(c * m) AS BIGINT) AS events,
+                 sum(CAST(c AS DECIMAL(38,0)) *
+                     (CAST(b AS DECIMAL(38,0)) * m + (m * (m + 1)) // 2)) AS s1
+          FROM ranked)
+        SELECT users, events,
+               round((2.0 * CAST(s1 AS DOUBLE)
+                      - (CAST(users AS DOUBLE) + 1.0) * CAST(events AS DOUBLE))
+                     / (CAST(users AS DOUBLE) * CAST(events AS DOUBLE)), 6) AS gini
+        FROM agg
+      """)
     )
   )
 

@@ -1078,6 +1078,90 @@ object TextOps {
         WHERE c_xy >= 5
         ORDER BY pmi DESC, w1, w2 LIMIT 10
       """)
+    ),
+
+    // --- FORCAST readability: sentence-free per-doc grade estimate ---
+    // The readability gate for a corpus with no reliable sentence
+    // segmentation (exactly what raw web text is before cleaning):
+    // FORCAST grades on monosyllable density alone — grade = 20 − 15·M/W,
+    // M = monosyllabic words (one vowel group), W = words — so it needs
+    // no sentence-boundary heuristic that tokenizer noise would poison.
+    // Both counts evaluate in the scan's codegen (size/filter/rlike on
+    // the split array — no explode, no shuffle but the output sort), and
+    // the grade is a ratio of exact integers: one correctly-rounded IEEE
+    // division, identical in both engines, rounded at 6 dp.
+    Q(
+      "text_readability",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ws = words(col("text"))
+        docs
+          .select(
+            col("doc_id"),
+            size(ws).cast("long").as("n_words"),
+            size(filter(ws, w => w.rlike("^[^aeiou]*[aeiou]+[^aeiou]*$")))
+              .cast("long")
+              .as("mono")
+          )
+          .withColumn(
+            "forcast",
+            round(
+              (lit(20L) * col("n_words") - lit(15L) * col("mono")).cast("double")
+                / col("n_words").cast("double"),
+              6
+            )
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                      x -> regexp_matches(x, '^[^aeiou]*[aeiou]+[^aeiou]*$'))) AS BIGINT) AS mono
+          FROM documents)
+        SELECT doc_id, n_words, mono,
+               round(CAST(20 * n_words - 15 * mono AS DOUBLE)
+                     / CAST(n_words AS DOUBLE), 6) AS forcast
+        FROM w ORDER BY doc_id
+      """)
+    ),
+
+    // --- BPE merge candidates: top adjacent character pairs ---
+    // The first iteration of byte-pair encoding, as a corpus statistic:
+    // which adjacent character pairs (within words) are the most frequent
+    // merge candidates. The explode is map-side and linear in corpus
+    // bytes, the aggregate keys on the pair — an alphabet²-bounded key
+    // space, so the shuffle moves |Σ|² rows per partition no matter how
+    // many petabytes feed it — and the top-10 is TakeOrdered with full
+    // (count desc, pair asc) tie-breaks. Pure integer counts; nothing to
+    // round.
+    Q(
+      "text_bpe_pairs",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            explode(
+              expr("""filter(
+                        flatten(transform(split(lower(trim(text)), ' '),
+                          w -> transform(sequence(1, greatest(length(w) - 1, 1)),
+                                         i -> substring(w, i, 2)))),
+                        p -> length(p) = 2)""")
+            ).as("pair")
+          )
+          .groupBy("pair")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("pair"))
+          .limit(10),
+      Some("""
+        SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT unnest(flatten(list_transform(string_split(lower(trim(text)), ' '),
+                   w -> CASE WHEN length(w) >= 2
+                             THEN list_transform(range(1, length(w)), i -> substr(w, i, 2))
+                             ELSE [] END))) AS pair
+          FROM documents) t
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 10
+      """)
     )
   )
 }

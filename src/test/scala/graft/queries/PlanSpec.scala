@@ -786,6 +786,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-10 lost its partial top-k:\n$p")
   }
 
+  test("readability is join-free scan codegen; bpe pairs keep the partial top-k") {
+    // text_readability: both counts are per-row expressions on the split
+    // array — no join, no aggregation shuffle, only the output sort.
+    val pr = plan("text_readability")
+    assert(!pr.contains("Join"), s"readability must not join:\n$pr")
+    assert(!pr.contains("Exchange hashpartitioning"),
+      s"readability must not shuffle before the output sort:\n$pr")
+    // text_bpe_pairs: map-side explode, partial-aggregated pair counts,
+    // TakeOrdered top-10 — never a global sort of the pair space.
+    val pb = plan("text_bpe_pairs")
+    assert(pb.contains("TakeOrderedAndProject"), s"bpe top-10 lost its partial top-k:\n$pb")
+    assert(!pb.contains("Exchange rangepartitioning"),
+      s"bpe pairs must not plan a global sort:\n$pb")
+  }
+
+  test("engagement gini windows over counts-of-counts, not users") {
+    // The single-partition window is only scale-safe because it runs over
+    // the counts-of-counts table (degree-distribution cardinality): the
+    // plan must aggregate per-user THEN per-count before the window, and
+    // the tie-block products must stay decimal-exact.
+    val p = plan("q_engagement_gini")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), s"gini lost its rank-sum window:\n$p")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"gini must two-phase both the per-user and counts-of-counts aggregates:\n$p")
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
