@@ -336,6 +336,23 @@ object PlanDump {
       "user cardinality), the rank-sum folds per tie block in closed form " +
       "over that tiny table's window, products lift through DECIMAL(38,0), " +
       "and the final G is one IEEE chain over three exact aggregates."),
+    "q_pareto_share" -> ("Top-1%/10% event concentration: the same " +
+      "counts-of-counts collapse as the Gini, levels windowed DESCENDING " +
+      "over degree-distribution cardinality, top-k cuts take whole levels " +
+      "plus an exact boundary slice in BIGINT, k = ceil(users·pct) in " +
+      "integer arithmetic off the broadcast 1-row totals, and each share " +
+      "is one int/int IEEE division."),
+    "q_session_duration_hist" -> ("Log2-bucketed session durations: one " +
+      "user-keyed window shuffle (q_sessionize's arithmetic), the " +
+      "(user, session) aggregate reuses that partitioning, buckets are " +
+      "EXACT integer log2 (binary digit count — no floating log at a " +
+      "boundary), and the bucket aggregate partial-combines onto ≤~40 " +
+      "rows."),
+    "text_zipf_slope" -> ("Zipf exponent OLS fit: the top-1000 vocabulary " +
+      "slice is TakeOrdered partial top-k, each libm ln rounds to 6 dp in " +
+      "isolation, moment sums accumulate as exact DECIMAL (partition-order " +
+      "independent), and slope/intercept are one identical IEEE chain over " +
+      "the five aggregates."),
     "corpus_ngram_coverage" -> ("Vocabulary coverage curve: word counts " +
       "partial-aggregate and checkpoint; the top-1000 slice is TakeOrdered " +
       "(never a one-reducer vocab sort); the three cumulative masses " +

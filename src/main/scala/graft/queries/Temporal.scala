@@ -1192,6 +1192,158 @@ object Temporal {
                      / (CAST(users AS DOUBLE) * CAST(events AS DOUBLE)), 6) AS gini
         FROM agg
       """)
+    ),
+
+    // --- Pareto concentration: event share of the top 1% / 10% users ---
+    // The "top x% of users drive y% of volume" companion to the Gini,
+    // computed WITHOUT ranking users: per-user counts collapse to the
+    // same counts-of-counts table, levels order DESCENDING by activity,
+    // and the top-k cut takes whole levels plus an exact partial slice of
+    // the boundary level — its users are indistinguishable (identical
+    // count c), so "the top k" is well-defined as any k of them and the
+    // boundary mass is exactly t·c for the t users still needed. k itself
+    // is ceil(users·pct) in pure integer arithmetic off the broadcast
+    // 1-row totals (never a percentile over users). Everything until the
+    // two shares is exact BIGINT; each share is ONE int/int IEEE division
+    // rounded at 6 dp. The descending window runs over degree-distribution
+    // cardinality, like the Gini's ascending one.
+    Q(
+      "q_pareto_share",
+      (s, d) => {
+        val coc = Q
+          .events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("c")
+          .agg(count(lit(1)).as("m"))
+          .pipe(Checkpoints.checkpoint) // two consumers: totals + levels
+        val tot = coc.agg(
+          sum(col("m")).as("users"),
+          sum(col("c") * col("m")).as("events")
+        )
+        val wd = Window.orderBy(desc("c")).rowsBetween(Window.unboundedPreceding, -1)
+        coc
+          .withColumn("a", coalesce(sum("m").over(wd), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("k1", expr("(users + 99) div 100"))
+          .withColumn("k10", expr("(users + 9) div 10"))
+          .agg(
+            max("users").as("users"),
+            max("events").as("events"),
+            max("k1").as("top1_users"),
+            sum(expr("greatest(least(m, k1 - a), 0) * c")).as("top1_events"),
+            max("k10").as("top10_users"),
+            sum(expr("greatest(least(m, k10 - a), 0) * c")).as("top10_events")
+          )
+          .select(
+            col("users"),
+            col("events"),
+            col("top1_users"),
+            col("top1_events"),
+            round(col("top1_events").cast("double") / col("events").cast("double"), 6)
+              .as("top1_share"),
+            col("top10_users"),
+            col("top10_events"),
+            round(col("top10_events").cast("double") / col("events").cast("double"), 6)
+              .as("top10_share")
+          )
+      },
+      Some("""
+        WITH cnt AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        coc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM cnt GROUP BY 1),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS users,
+                       CAST(sum(c * m) AS BIGINT) AS events FROM coc),
+        lv AS (
+          SELECT c, m,
+                 COALESCE(sum(m) OVER (ORDER BY c DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+          FROM coc),
+        x AS (
+          SELECT t.users, t.events,
+                 (t.users + 99) // 100 AS k1, (t.users + 9) // 10 AS k10,
+                 lv.c, lv.m, lv.a
+          FROM lv CROSS JOIN tot t),
+        agg AS (
+          SELECT max(users) AS users, max(events) AS events,
+                 max(k1) AS top1_users,
+                 CAST(sum(greatest(least(m, k1 - a), 0) * c) AS BIGINT) AS top1_events,
+                 max(k10) AS top10_users,
+                 CAST(sum(greatest(least(m, k10 - a), 0) * c) AS BIGINT) AS top10_events
+          FROM x)
+        SELECT users, events, top1_users, top1_events,
+               round(CAST(top1_events AS DOUBLE) / CAST(events AS DOUBLE), 6) AS top1_share,
+               top10_users, top10_events,
+               round(CAST(top10_events AS DOUBLE) / CAST(events AS DOUBLE), 6) AS top10_share
+        FROM agg
+      """)
+    ),
+
+    // --- session duration histogram: log2-bucketed dwell times ---
+    // The engagement-depth distribution behind "median session length"
+    // dashboards, without a percentile over sessions: each session's
+    // duration (q_sessionize's gaps-and-islands arithmetic, 30-minute
+    // gap) lands in a power-of-two bucket computed as EXACT integer
+    // log2 — bucket = length(bin(dur+1)), the binary digit count, so no
+    // floating log can misplace a boundary duration in one engine only.
+    // Plan: one user-keyed window shuffle (each user sorts only its own
+    // events), the (user, session) aggregate reuses that partitioning,
+    // and the bucket aggregate partial-combines onto ≤~40 rows — nothing
+    // after the first shuffle scales with event volume.
+    Q(
+      "q_session_duration_hist",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Q.events(s, d)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn(
+            "new_sess",
+            when(
+              col("prev_ts").isNull ||
+                (col("ts") - col("prev_ts")) > expr("INTERVAL '30' MINUTE"),
+              1
+            ).otherwise(0)
+          )
+          .withColumn("session_id", sum("new_sess").over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(
+            (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("dur_s")
+          )
+          .select(length(bin(col("dur_s") + 1)).cast("long").as("bucket"), col("dur_s"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            min("dur_s").as("min_s"),
+            max("dur_s").as("max_s")
+          )
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH x AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        y AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM x),
+        z AS (
+          SELECT user_id, ts,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+          FROM y),
+        sess AS (
+          SELECT user_id, session_id,
+                 CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS dur_s
+          FROM z GROUP BY user_id, session_id),
+        b AS (SELECT CAST(length(bin(dur_s + 1)) AS BIGINT) AS bucket, dur_s FROM sess)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions,
+               min(dur_s) AS min_s, max(dur_s) AS max_s
+        FROM b GROUP BY bucket ORDER BY bucket
+      """)
     )
   )
 

@@ -1162,6 +1162,87 @@ object TextOps {
           FROM documents) t
         GROUP BY pair ORDER BY n DESC, pair LIMIT 10
       """)
+    ),
+
+    // --- Zipf exponent: OLS fit of ln(freq) on ln(rank), top-1000 ---
+    // The one-number summary of vocabulary shape (natural corpora sit
+    // near slope −1; tokenizer or scraping damage shows up as a bent or
+    // flattened curve). The fit runs over the top-1000 vocabulary slice —
+    // TakeOrdered partial top-k with (count desc, word asc) tie-breaks,
+    // never a vocabulary sort through one reducer — and the rank window
+    // runs single-partition BY DESIGN on that ≤1000-row slice. Cross-
+    // engine FP discipline: each libm ln rounds to 6 dp in ISOLATION,
+    // the moment sums (Σx, Σy, Σxy, Σx²) accumulate those 6-dp values as
+    // exact DECIMAL — partition-order independent — and slope/intercept
+    // are one identical IEEE chain over exactly-cast doubles, rounded at
+    // 6 dp. The closed-form OLS needs no iteration, so nothing drifts.
+    Q(
+      "text_zipf_slope",
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .select(explode(words(col("text"))).as("word"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("n"))
+        val top = counts
+          .orderBy(desc("n"), asc("word"))
+          .limit(1000)
+          .withColumn("rk", row_number().over(Window.orderBy(desc("n"), asc("word"))))
+        val moments = top
+          .select(
+            round(log(col("rk").cast("double")), 6).cast("decimal(18,6)").as("x"),
+            round(log(col("n").cast("double")), 6).cast("decimal(18,6)").as("y")
+          )
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(col("x")).cast("decimal(38,6)").as("sx"),
+            sum(col("y")).cast("decimal(38,6)").as("sy"),
+            sum(col("x") * col("y")).cast("decimal(38,12)").as("sxy"),
+            sum(col("x") * col("x")).cast("decimal(38,12)").as("sxx")
+          )
+        val nw = col("n_words").cast("double")
+        val sx = col("sx").cast("double")
+        val sy = col("sy").cast("double")
+        val sxy = col("sxy").cast("double")
+        val sxx = col("sxx").cast("double")
+        val slope = (nw * sxy - sx * sy) / (nw * sxx - sx * sx)
+        moments.select(
+          col("n_words"),
+          round(slope, 6).as("slope"),
+          round((sy - slope * sx) / nw, 6).as("intercept")
+        )
+      },
+      Some("""
+        WITH c AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)
+          GROUP BY word),
+        top AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rk
+          FROM c ORDER BY n DESC, word LIMIT 1000),
+        p AS (
+          SELECT CAST(round(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+                 CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+          FROM top),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+                 CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+                 CAST(sum(x * y) AS DECIMAL(38,12)) AS sxy,
+                 CAST(sum(x * x) AS DECIMAL(38,12)) AS sxx
+          FROM p)
+        SELECT n_words,
+               round((CAST(n_words AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_words AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - ((CAST(n_words AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n_words AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE)) / CAST(n_words AS DOUBLE), 6) AS intercept
+        FROM a
+      """)
     )
   )
 }

@@ -813,6 +813,44 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs >= 4, s"gini must two-phase both the per-user and counts-of-counts aggregates:\n$p")
   }
 
+  test("pareto share and session-duration histogram stay cardinality-bounded") {
+    // q_pareto_share: the descending window runs over the checkpointed
+    // counts-of-counts table (degree-distribution cardinality), and the
+    // totals join is the broadcast 1-row cross join — never a cartesian
+    // of real tables, never a rank over users.
+    val df = SparkEntry.queries("q_pareto_share")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), s"pareto lost its level window:\n$p")
+    assert(
+      p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the totals join must broadcast:\n$p"
+    )
+    assert(!p.contains("FileScan parquet"),
+      s"counts-of-counts must be checkpointed (events re-scanned):\n$p")
+    // q_session_duration_hist: ONE user-keyed window shuffle; the
+    // (user, session) duration aggregate reuses that partitioning (user_id
+    // hash satisfies the (user, session) clustering), and the bucket
+    // aggregate partial-combines onto the ≤~40-row bucket space.
+    val p2 = plan("q_session_duration_hist")
+    val ex = p2.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 2, s"expected exactly 2 hash exchanges (window + bucket agg), got $ex:\n$p2")
+    assert(p2.contains("partial_count") || p2.contains("partial_min"),
+      s"bucket aggregate lost its partial phase:\n$p2")
+  }
+
+  test("zipf slope fits over the TakeOrdered vocabulary slice") {
+    // text_zipf_slope: the top-1000 slice is TakeOrdered partial top-k
+    // (never a one-reducer vocabulary sort); the rank window and moment
+    // aggregate run on that bounded slice.
+    val p = plan("text_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"), s"top-1000 slice lost its partial top-k:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"zipf slope must not plan a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("point-lookup filter pushes down to the parquet scan") {
     val p = plan("log_point_lookup")
     assert(p.contains("PushedFilters: [IsNotNull(event_id), EqualTo(event_id"), s"no pushdown:\n$p")
