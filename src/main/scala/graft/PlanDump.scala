@@ -348,6 +348,24 @@ object PlanDump {
       "EXACT integer log2 (binary digit count — no floating log at a " +
       "boundary), and the bucket aggregate partial-combines onto ≤~40 " +
       "rows."),
+    "vec_pca" -> ("Fixed-point power-iteration PCA: inputs quantize once " +
+      "to 1e4-unit BIGINTs, the scatter matrix S = n·Σqqᵀ − (Σq)(Σq)ᵀ is " +
+      "exact integers off a MAP-SIDE flatten/explode outer product (no " +
+      "self-join; partial sums onto the d²-row key space), three " +
+      "iterations run DECIMAL products over the checkpointed 4096-row S " +
+      "with sign-aware div renormalisation, and loadings + Rayleigh share " +
+      "are single IEEE chains over exact integers."),
+    "q_attribution" -> ("Last-touch attribution: the running " +
+      "last-non-purchase type is one ignoreNulls last() over the user-keyed " +
+      "window (the as-of formulation, ONE shuffle), revenue floor-quantizes " +
+      "to exact cents, the channel rollup partial-combines onto |event " +
+      "types| rows, and the share normaliser window runs on that " +
+      "metadata-sized table."),
+    "q_purchase_intervals" -> ("Repurchase cadence: gap days are exact " +
+      "epoch-second differences div 86400 off one customer-keyed window " +
+      "shuffle, buckets are exact integer log2 (binary digit count), the " +
+      "bucket aggregate partial-combines onto ≤~40 rows, and the mean gap " +
+      "is one int/int IEEE division."),
     "text_zipf_slope" -> ("Zipf exponent OLS fit: the top-1000 vocabulary " +
       "slice is TakeOrdered partial top-k, each libm ln rounds to 6 dp in " +
       "isolation, moment sums accumulate as exact DECIMAL (partition-order " +

@@ -1039,6 +1039,180 @@ object Similarity {
         SELECT label, CAST(rank AS INTEGER) AS rank, vec_id, ccos AS centroid_cos, z
         FROM r WHERE rank <= 3 ORDER BY label, rank
       """)
+    ),
+
+    // --- top principal component: fixed-point power iteration ---
+    // The embedding-QA drift detector: the dominant covariance direction
+    // (and its explained-variance share) flags a collapsed or drifting
+    // embedding space in one number per dimension. Iterative numerics are
+    // the cross-engine trap (a floating-point power iteration drifts with
+    // partition order — the q_pagerank lesson), so EVERYTHING here is
+    // exact arithmetic until two final IEEE readouts:
+    //   - inputs quantize once to 1e4-unit BIGINTs (round-before-cast);
+    //   - the scatter matrix is the exact integer identity
+    //     S = n·Σqqᵀ − (Σq)(Σq)ᵀ (covariance × n², so no mean division);
+    //   - three power-iteration steps run over the 4096-row S table with
+    //     DECIMAL products and a sign-aware renormalisation
+    //     v ← sign(u)·((|u|·1e6) div max|u|) — Spark `div` equals DuckDB
+    //     HUGEINT `//` on the non-negative operands we feed them;
+    //   - loadings (v/1e6) and the Rayleigh share (vᵀSv/vᵀv)/tr(S) are
+    //     single identical IEEE chains over exact integers, rounded 6 dp.
+    // Scale: the ONLY volume-bearing stage is the outer-product aggregate —
+    // a map-side flatten/explode (d² rows per vector, no join) that
+    // partial-combines onto the d²-row key space before its one shuffle;
+    // qi·qj ≤ 3.3e7 so the per-key BIGINT sum holds past 10¹⁰ vectors.
+    // Everything downstream (sums, S, iterations) is metadata-sized
+    // (≤ d² = 4096 rows) with broadcast joins. The quantized table
+    // checkpoints once for its three consumers; S checkpoints once for the
+    // three iteration joins + trace + Rayleigh numerator.
+    Q(
+      "vec_pca",
+      (s, d) => {
+        val base = t(s, d, "embeddings")
+          .select(
+            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+              .as("q")
+          )
+          .pipe(graft.queries.Checkpoints.checkpoint)
+        val scat = scatterFrom(base).pipe(graft.queries.Checkpoints.checkpoint)
+        def step(v: DataFrame): DataFrame = {
+          val u = scat
+            .join(broadcast(v.select(col("i").as("j"), col("v"))), "j")
+            .groupBy("i")
+            .agg(sum(col("sij") * col("v")).cast("decimal(38,0)").as("u"))
+          val m = u.agg(
+            greatest(max(abs(col("u"))), lit(1).cast("decimal(38,0)")).as("m")
+          )
+          u.crossJoin(broadcast(m))
+            .select(
+              col("i"),
+              (when(col("u") < 0, -1).otherwise(1).cast("long")
+                * expr("(abs(u) * 1000000) div m")).as("v")
+            )
+        }
+        // v0 = all-ones off the checkpointed diagonal — no extra pass over
+        // the corpus for the dimension ids.
+        val v0 = scat
+          .filter(col("i") === col("j"))
+          .select(col("i"), lit(1000000L).as("v"))
+        val v3 = step(step(step(v0)))
+          .pipe(graft.queries.Checkpoints.checkpoint)
+        val w = scat
+          .join(broadcast(v3.select(col("i").as("j"), col("v"))), "j")
+          .groupBy("i")
+          .agg(sum(col("sij") * col("v")).cast("decimal(38,0)").as("w"))
+        val scal = v3
+          .join(w, "i")
+          .agg(
+            sum(col("v") * col("w")).cast("decimal(38,0)").as("num"),
+            sum(col("v") * col("v")).cast("decimal(22,0)").as("den")
+          )
+        val trace = scat
+          .filter(col("i") === col("j"))
+          .agg(sum("sij").cast("decimal(28,0)").as("tr"))
+        v3.crossJoin(broadcast(scal))
+          .crossJoin(broadcast(trace))
+          .select(
+            col("i").cast("int").as("dim"),
+            round(col("v").cast("double") / lit(1000000.0), 6).as("loading"),
+            round(
+              (col("num").cast("double") / col("den").cast("double"))
+                / col("tr").cast("double"),
+              6
+            ).as("ev_share")
+          )
+          .orderBy("dim")
+      },
+      Some("""
+        WITH base AS (
+          SELECT [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) FOR x IN embedding] AS q,
+                 vec_id
+          FROM embeddings),
+        e AS (
+          SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS qi FROM base),
+        raw AS (
+          SELECT a.i AS i, b.i AS j, CAST(sum(a.qi * b.qi) AS DECIMAL(20,0)) AS sraw
+          FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+        sums AS (SELECT i, CAST(sum(qi) AS DECIMAL(16,0)) AS s FROM e GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS DECIMAL(12,0)) AS n FROM base),
+        S AS (
+          SELECT r.i, r.j, CAST(nn.n * r.sraw - si.s * sj.s AS DECIMAL(26,0)) AS sij
+          FROM raw r CROSS JOIN nn
+          JOIN sums si ON si.i = r.i JOIN sums sj ON sj.i = r.j),
+        v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM sums),
+        u1 AS (SELECT S.i, sum(CAST(S.sij AS HUGEINT) * v.v) AS u
+               FROM S JOIN v0 v ON v.i = S.j GROUP BY S.i),
+        m1 AS (SELECT greatest(max(abs(u)), CAST(1 AS HUGEINT)) AS m FROM u1),
+        v1 AS (SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                         * ((abs(u) * 1000000) // m) AS v
+               FROM u1 CROSS JOIN m1),
+        u2 AS (SELECT S.i, sum(CAST(S.sij AS HUGEINT) * v.v) AS u
+               FROM S JOIN v1 v ON v.i = S.j GROUP BY S.i),
+        m2 AS (SELECT greatest(max(abs(u)), CAST(1 AS HUGEINT)) AS m FROM u2),
+        v2 AS (SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                         * ((abs(u) * 1000000) // m) AS v
+               FROM u2 CROSS JOIN m2),
+        u3 AS (SELECT S.i, sum(CAST(S.sij AS HUGEINT) * v.v) AS u
+               FROM S JOIN v2 v ON v.i = S.j GROUP BY S.i),
+        m3 AS (SELECT greatest(max(abs(u)), CAST(1 AS HUGEINT)) AS m FROM u3),
+        v3 AS (SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+                         * ((abs(u) * 1000000) // m) AS v
+               FROM u3 CROSS JOIN m3),
+        w AS (SELECT S.i, sum(CAST(S.sij AS HUGEINT) * v.v) AS w
+              FROM S JOIN v3 v ON v.i = S.j GROUP BY S.i),
+        scal AS (
+          SELECT sum(v3.v * w.w) AS num, sum(v3.v * v3.v) AS den
+          FROM v3 JOIN w ON w.i = v3.i),
+        tr AS (SELECT CAST(sum(sij) AS DECIMAL(28,0)) AS tr FROM S WHERE i = j)
+        SELECT CAST(v3.i AS INTEGER) AS dim,
+               round(CAST(v3.v AS DOUBLE) / 1000000.0, 6) AS loading,
+               round((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                     / CAST(tr AS DOUBLE), 6) AS ev_share
+        FROM v3 CROSS JOIN scal CROSS JOIN tr ORDER BY dim
+      """)
     )
   )
+
+  /** Exact integer scatter matrix S = n·Σqqᵀ − (Σq)(Σq)ᵀ (covariance × n²,
+    * so no mean division ever happens) from a frame with one quantized
+    * BIGINT-array column `q` — the volume-bearing stage of `vec_pca`,
+    * factored out so PlanSpec can pin its shape: the d²-per-row outer
+    * product is a map-side flatten/explode (NO self-join), both aggregates
+    * partial-combine onto d- and d²-row key spaces before their single
+    * shuffles, and the S assembly joins only broadcast metadata tables.
+    * qi·qj ≤ 3.3e7 for unit-norm inputs at the 1e4 quantization, so the
+    * per-key BIGINT partial sums hold past 10¹⁰ vectors; the DECIMAL lift
+    * happens once, on the d²-row result.
+    */
+  def scatterFrom(quantized: DataFrame): DataFrame = {
+    val nRow = quantized.agg(count(lit(1)).cast("decimal(12,0)").as("n"))
+    // Consumed twice (the si and sj broadcast sides) — checkpoint so the
+    // per-dim sum pass over the corpus runs once, not per consumer.
+    val sums = quantized
+      .select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i")
+      .agg(sum("qi").cast("decimal(16,0)").as("s"))
+      .pipe(graft.queries.Checkpoints.checkpoint)
+    val raw = quantized
+      .select(
+        explode(
+          expr(
+            "flatten(transform(q, (qi, i) -> " +
+              "transform(q, (qj, j) -> named_struct('i', i, 'j', j, 'p', qi * qj))))"
+          )
+        ).as("e")
+      )
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum("p").cast("decimal(20,0)").as("sraw"))
+    raw
+      .crossJoin(broadcast(nRow))
+      .join(broadcast(sums.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .select(
+        col("i"),
+        col("j"),
+        (col("n") * col("sraw") - col("si") * col("sj")).cast("decimal(26,0)").as("sij")
+      )
+  }
 }

@@ -1344,6 +1344,125 @@ object Temporal {
                min(dur_s) AS min_s, max(dur_s) AS max_s
         FROM b GROUP BY bucket ORDER BY bucket
       """)
+    ),
+
+    // --- last-touch attribution: conversions credited to the channel ---
+    // The marketing readout behind "which touchpoint drives purchases":
+    // each purchase is credited to the SAME USER'S most recent preceding
+    // non-purchase event type ("direct" when the purchase is the user's
+    // first recorded touch). The running last-non-purchase type is one
+    // ignoreNulls last() over the user-keyed window — the as-of-join
+    // formulation, ONE shuffle, no per-purchase range scan — revenue
+    // quantizes to exact integer cents with floor (the q_ab_lift
+    // discipline: a bare BIGINT cast truncates in Spark and rounds in
+    // DuckDB), the channel rollup partial-combines onto |event types|
+    // rows, and the share normaliser window runs on that metadata-sized
+    // table. Shares are single int/int IEEE divisions at 6 dp.
+    Q(
+      "q_attribution",
+      (s, d) => {
+        val w = Window
+          .partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Q.events(s, d)
+          .withColumn(
+            "last_touch",
+            last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+              .over(w)
+          )
+          .filter(col("event_type") === "purchase")
+          .select(
+            coalesce(col("last_touch"), lit("direct")).as("channel"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("cents")
+          )
+          .groupBy("channel")
+          .agg(count(lit(1)).as("conversions"), sum("cents").as("revenue_cents"))
+          .withColumn(
+            "conv_share",
+            round(
+              col("conversions").cast("double")
+                / sum("conversions").over(Window.partitionBy()).cast("double"),
+              6
+            )
+          )
+          .orderBy("channel")
+      },
+      Some("""
+        WITH x AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+          FROM events),
+        p AS (
+          SELECT COALESCE(last_touch, 'direct') AS channel,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM x WHERE event_type = 'purchase'),
+        agg AS (
+          SELECT channel, CAST(count(*) AS BIGINT) AS conversions,
+                 CAST(sum(cents) AS BIGINT) AS revenue_cents
+          FROM p GROUP BY channel)
+        SELECT channel, conversions, revenue_cents,
+               round(CAST(conversions AS DOUBLE)
+                     / CAST(sum(conversions) OVER () AS DOUBLE), 6) AS conv_share
+        FROM agg ORDER BY channel
+      """)
+    ),
+
+    // --- inter-purchase intervals: log2-bucketed repurchase gaps ---
+    // The repeat-purchase cadence behind replenishment/churn models: the
+    // gap in whole days between each customer's consecutive orders, rolled
+    // into power-of-two buckets. Gap days are EXACT integer arithmetic —
+    // epoch-second difference div 86400, never date_diff('day') whose
+    // boundary-counting semantics differ from elapsed time — and the
+    // bucket is the same exact integer log2 as the session histogram
+    // (binary digit count, no floating log at a boundary). Plan: one
+    // customer-keyed window shuffle over orders (each customer sorts only
+    // its own orders), then the bucket aggregate partial-combines onto
+    // ≤~40 rows; the mean gap is one int/int IEEE division at 6 dp.
+    Q(
+      "q_purchase_intervals",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("sec", "o_orderkey")
+        t(s, d, "orders")
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            unix_timestamp(col("o_orderdate")).as("sec")
+          )
+          .withColumn("prev_sec", lag("sec", 1).over(w))
+          .filter(col("prev_sec").isNotNull)
+          .select(expr("(sec - prev_sec) div 86400").as("gap_days"))
+          .groupBy(length(bin(col("gap_days") + 1)).cast("long").as("bucket"))
+          .agg(
+            count(lit(1)).as("n_gaps"),
+            min("gap_days").as("min_days"),
+            max("gap_days").as("max_days"),
+            round(
+              sum("gap_days").cast("double") / count(lit(1)).cast("double"),
+              6
+            ).as("mean_days")
+          )
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey, o_orderkey,
+                 CAST(epoch(o_orderdate) AS BIGINT) AS sec
+          FROM orders),
+        g AS (
+          SELECT (sec - lag(sec) OVER (PARTITION BY o_custkey
+                                       ORDER BY sec, o_orderkey)) // 86400 AS gap_days
+          FROM o),
+        f AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL)
+        SELECT CAST(length(bin(gap_days + 1)) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               min(gap_days) AS min_days, max(gap_days) AS max_days,
+               round(CAST(sum(gap_days) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_days
+        FROM f GROUP BY bucket ORDER BY bucket
+      """)
     )
   )
 

@@ -840,6 +840,49 @@ class PlanSpec extends AnyFunSuite {
       s"bucket aggregate lost its partial phase:\n$p2")
   }
 
+  test("attribution and purchase intervals plan one keyed window each") {
+    // q_attribution: ONE user-keyed window shuffle (the as-of last-touch),
+    // one channel groupBy; the share normaliser runs single-partition on
+    // the |event types|-row rollup, never on events.
+    val p = plan("q_attribution")
+    assert(!p.contains("CartesianProduct"))
+    val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 2, s"expected exactly 2 hash exchanges (user window + channel agg), got $ex:\n$p")
+    assert(p.contains("partial_count"), s"channel rollup lost its partial phase:\n$p")
+    // q_purchase_intervals: one customer-keyed window shuffle, bucket
+    // aggregate partial-combines onto the ≤~40-row bucket space.
+    val p2 = plan("q_purchase_intervals")
+    val ex2 = p2.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex2 == 2, s"expected exactly 2 hash exchanges (custkey window + bucket agg), got $ex2:\n$p2")
+    assert(p2.contains("partial_count") || p2.contains("partial_min"),
+      s"bucket aggregate lost its partial phase:\n$p2")
+  }
+
+  test("vec_pca's scatter matrix is a map-side outer product") {
+    // The only volume-bearing stage of vec_pca: the d²-per-row outer
+    // product must be flatten/explode + partial aggregation (never a
+    // posexplode self-join on vec_id, which would shuffle the corpus
+    // twice), and the S assembly must join only broadcast metadata tables.
+    import org.apache.spark.sql.functions.expr
+    val base = spark.read
+      .parquet(s"$d/embeddings.parquet")
+      .select(
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+          .as("q")
+      )
+    val p = Similarity.scatterFrom(base).queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("SortMergeJoin"), s"scatter assembly must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate explode"), s"outer product lost its map-side explode:\n$p")
+    // ONE hash exchange: the outer-product (i,j) aggregate. The dim-sums
+    // table is checkpointed (two broadcast consumers), so it contributes a
+    // pre-materialized scan, not repeated aggregation subplans.
+    val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1, s"expected exactly 1 hash exchange (outer-product agg), got $ex:\n$p")
+    assert(p.contains("partial_sum"), s"outer-product aggregate lost its partial phase:\n$p")
+  }
+
   test("zipf slope fits over the TakeOrdered vocabulary slice") {
     // text_zipf_slope: the top-1000 slice is TakeOrdered partial top-k
     // (never a one-reducer vocabulary sort); the rank window and moment
