@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -796,6 +796,11 @@ object Main {
             println(s"  week ${r.get(0)}: +${r.getLong(1)} new, ${r.getLong(2)} retained, " +
               s"${r.getLong(3)} resurrected, -${r.getLong(4)} churned")
           }
+          println("== last-touch attribution (purchases credited to the preceding channel)")
+          run("q_attribution").collect().foreach { r =>
+            println(s"  ${r.getString(0)}: ${r.getLong(1)} conversions " +
+              s"(${r.getLong(2)} cents, share ${r.getDouble(3)})")
+          }
           graft.queries.Checkpoints.release()
         case "sales-report" :: dir :: Nil =>
           // The commerce twin of events-report over the TPC-H-ish tables:
@@ -828,6 +833,46 @@ object Main {
           println("== supplier variety (top 5 part lines, tainted suppliers excluded)")
           run("q_supplier_variety").collect().take(5).foreach { r =>
             println(s"  ${r.getString(0)} ${r.getString(1)}: ${r.getLong(2)} suppliers")
+          }
+          println("== repurchase cadence (day-gap buckets between consecutive orders)")
+          run("q_purchase_intervals").collect().foreach { r =>
+            println(s"  bucket ${r.getLong(0)}: ${r.getLong(1)} gaps, " +
+              s"${r.getLong(2)}-${r.getLong(3)} days (mean ${r.getDouble(4)})")
+          }
+          graft.queries.Checkpoints.release()
+        case "embedding-report" :: dir :: Nil =>
+          // The embedding-QA dashboard over any directory holding an
+          // embeddings.parquet: corpus shape, the dominant principal
+          // component (collapse/drift detector), per-label cluster quality,
+          // and the least-central members per label — each the
+          // oracle-checked query from SparkEntry.queries, so the report IS
+          // the verified surface.
+          val qs = SparkEntry.queries
+          def run(name: String) = qs(name)(spark, dir)
+          println("== corpus shape")
+          import org.apache.spark.sql.functions.{col => c, count => scount, max => smax, min => smin}
+          run("vec_stats")
+            .agg(scount(c("vec_id")).as("n"), smax(c("dim")).as("dim"),
+              smin(c("l2_norm")).as("min_norm"), smax(c("l2_norm")).as("max_norm"))
+            .collect().foreach { r =>
+              println(s"  ${r.getLong(0)} vectors, dim=${r.getInt(1)}, " +
+                s"l2 norm in [${r.getDouble(2)}, ${r.getDouble(3)}]")
+            }
+          println("== top principal component (fixed-point power iteration)")
+          val pca = run("vec_pca").collect()
+          println(s"  explained-variance share: ${pca.head.getDouble(2)}")
+          pca.sortBy(r => (-math.abs(r.getDouble(1)), r.getInt(0))).take(5).foreach { r =>
+            println(s"  dim ${r.getInt(0)}: loading ${r.getDouble(1)}")
+          }
+          println("== cluster quality (cohesion vs nearest-centroid separation)")
+          run("vec_cluster_quality").collect().foreach { r =>
+            println(s"  label ${r.get(0)}: n=${r.getLong(1)} cohesion=${r.getDouble(2)} " +
+              s"nearest=${r.get(3)} separation=${r.getDouble(4)} margin=${r.getDouble(5)}")
+          }
+          println("== least-central members (top outlier per label, z ascending)")
+          run("vec_outliers").filter(c("rank") === 1).collect().foreach { r =>
+            println(s"  label ${r.get(0)}: vec ${r.getLong(2)} " +
+              s"centroid_cos=${r.getDouble(3)} z=${r.getDouble(4)}")
           }
           graft.queries.Checkpoints.release()
         case "corpus-report" :: out :: Nil =>

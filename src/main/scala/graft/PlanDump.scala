@@ -348,6 +348,12 @@ object PlanDump {
       "EXACT integer log2 (binary digit count — no floating log at a " +
       "boundary), and the bucket aggregate partial-combines onto ≤~40 " +
       "rows."),
+    "vec_cluster_quality" -> ("Per-label cohesion vs nearest-centroid " +
+      "separation: centroids one (label,pos)-keyed shuffle, member scoring " +
+      "map-side against the broadcast k×d centroid table with 4-dp-rounded " +
+      "cosines lifted to exact 1e4-unit integers, the mean a sign-aware " +
+      "half-up integer division, and the k²-row pair table metadata-sized " +
+      "at any corpus size."),
     "vec_pca" -> ("Fixed-point power-iteration PCA: inputs quantize once " +
       "to 1e4-unit BIGINTs, the scatter matrix S = n·Σqqᵀ − (Σq)(Σq)ᵀ is " +
       "exact integers off a MAP-SIDE flatten/explode outer product (no " +

@@ -1170,6 +1170,118 @@ object Similarity {
                      / CAST(tr AS DOUBLE), 6) AS ev_share
         FROM v3 CROSS JOIN scal CROSS JOIN tr ORDER BY dim
       """)
+    ),
+
+    // --- cluster quality: per-label cohesion vs nearest-centroid separation ---
+    // The one-table answer to "are my labels/clusters actually separated?":
+    // for each label, the mean cosine of its members to their own centroid
+    // (cohesion), the most-confusable other label and the two centroids'
+    // cosine (separation), and the margin between them — a collapsed or
+    // mislabeled cluster shows a margin near (or below) zero. FP
+    // discipline is the vec_outliers recipe: per-vector centroid cosines
+    // round at 4 dp THEN lift to exact 1e4-unit integers (round-before-
+    // cast), label sums are order-independent BIGINTs, the mean is the
+    // sign-aware half-up integer division, and centroid-pair cosines round
+    // at 4 dp before the exact max/tie-break. Plan: centroids are one
+    // (label, pos)-keyed shuffle; member scoring is map-side against the
+    // broadcast k×d centroid table; the pair table is k² rows — everything
+    // after the first aggregate is metadata-sized at any corpus size.
+    Q(
+      "vec_cluster_quality",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+        val cent = e
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          .agg(avg("x").as("cx"))
+          .groupBy("label")
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("cx")))),
+              st => st.getField("cx")
+            ).as("cv")
+          )
+          // Three consumers (member scoring + both pair sides): checkpoint,
+          // or the centroid build runs once per consumer.
+          .pipe(Checkpoints.checkpoint)
+        val coh = e
+          .join(broadcast(cent.select(col("label").as("clabel"), col("cv"))),
+            col("label") === col("clabel"))
+          .withColumn("ccos", round(expr("cosine_similarity(v, cv)"), 4))
+          .withColumn("m", round(col("ccos") * 10000).cast("long"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"), sum("m").as("s4"))
+          .withColumn(
+            "coh4",
+            expr(
+              "CASE WHEN s4 >= 0 THEN (2 * s4 + n_vecs) div (2 * n_vecs) " +
+                "ELSE -((2 * (-s4) + n_vecs) div (2 * n_vecs)) END"
+            )
+          )
+        val pairs = cent
+          .select(col("label"), col("cv"))
+          .join(
+            broadcast(cent.select(col("label").as("olabel"), col("cv").as("ov"))),
+            col("label") =!= col("olabel")
+          )
+          .withColumn("pcos", round(expr("cosine_similarity(cv, ov)"), 4))
+          .withColumn("sep4", round(col("pcos") * 10000).cast("long"))
+        val wn = Window.partitionBy("label").orderBy(desc("sep4"), asc("olabel"))
+        val nearest = pairs
+          .withColumn("rk", row_number().over(wn))
+          .filter(col("rk") === 1)
+          .select(col("label"), col("olabel").as("nearest_label"), col("sep4"))
+        coh
+          .join(broadcast(nearest), "label")
+          .select(
+            col("label"),
+            col("n_vecs"),
+            round(col("coh4").cast("double") / lit(10000.0), 6).as("cohesion"),
+            col("nearest_label"),
+            round(col("sep4").cast("double") / lit(10000.0), 6).as("separation"),
+            round((col("coh4") - col("sep4")).cast("double") / lit(10000.0), 6).as("margin")
+          )
+          .orderBy("label")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        u AS (SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+        c AS (SELECT label AS clabel, pos, avg(x) AS cx FROM u GROUP BY 1, 2),
+        cvt AS (SELECT clabel, list(cx ORDER BY pos) AS cv FROM c GROUP BY 1),
+        sc AS (
+          SELECT e.label,
+                 CAST(round(round(list_dot_product(e.v, cvt.cv) /
+                       sqrt(list_dot_product(e.v, e.v) * list_dot_product(cvt.cv, cvt.cv)), 4)
+                       * 10000) AS BIGINT) AS m
+          FROM e JOIN cvt ON e.label = cvt.clabel),
+        coh AS (
+          SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(m) AS BIGINT) AS s4
+          FROM sc GROUP BY 1),
+        ch AS (
+          SELECT label, n_vecs,
+                 CASE WHEN s4 >= 0 THEN (2 * s4 + n_vecs) // (2 * n_vecs)
+                      ELSE -((2 * (-s4) + n_vecs) // (2 * n_vecs)) END AS coh4
+          FROM coh),
+        pr AS (
+          SELECT a.clabel AS label, b.clabel AS olabel,
+                 CAST(round(round(list_dot_product(a.cv, b.cv) /
+                       sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b.cv, b.cv)), 4)
+                       * 10000) AS BIGINT) AS sep4
+          FROM cvt a JOIN cvt b ON a.clabel <> b.clabel),
+        nr AS (
+          SELECT label, olabel AS nearest_label, sep4,
+                 row_number() OVER (PARTITION BY label ORDER BY sep4 DESC, olabel ASC) AS rk
+          FROM pr)
+        SELECT ch.label, ch.n_vecs,
+               round(CAST(coh4 AS DOUBLE) / 10000.0, 6) AS cohesion,
+               nr.nearest_label,
+               round(CAST(nr.sep4 AS DOUBLE) / 10000.0, 6) AS separation,
+               round(CAST(coh4 - nr.sep4 AS DOUBLE) / 10000.0, 6) AS margin
+        FROM ch JOIN nr ON nr.label = ch.label AND nr.rk = 1
+        ORDER BY ch.label
+      """)
     )
   )
 

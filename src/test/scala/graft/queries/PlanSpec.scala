@@ -883,6 +883,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"outer-product aggregate lost its partial phase:\n$p")
   }
 
+  test("vec_cluster_quality scores map-side against broadcast centroids") {
+    // Member scoring joins the corpus against the checkpointed k×d
+    // centroid table by broadcast — never a sort-merge (a corpus-wide sort
+    // for a 10-row build side) and never a cartesian; the label rollup
+    // keeps its partial phase.
+    val df = SparkEntry.queries("vec_cluster_quality")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(p.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"centroid join must not sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"label rollup lost its partial phase:\n$p")
+  }
+
   test("zipf slope fits over the TakeOrdered vocabulary slice") {
     // text_zipf_slope: the top-1000 slice is TakeOrdered partial top-k
     // (never a one-reducer vocabulary sort); the rank window and moment

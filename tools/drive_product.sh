@@ -108,6 +108,10 @@ g --data-dir "$D/s" events-report /root/testdata/sf0.001 \
 # section an oracle-checked query.
 g --data-dir "$D/s" sales-report /root/testdata/sf0.001 \
   | expect "AFRICA: 59507966.02 (1208 items)"
+# The embedding-QA twin: corpus shape, fixed-point PCA, cluster quality,
+# per-label outliers — same oracle-checked contract.
+g --data-dir "$D/s" embedding-report /root/testdata/sf0.001 \
+  | expect "500 vectors, dim=64"
 
 echo "=== [5/5] cluster: phi accrual evicts a SIGKILLed heartbeating follower"
 java $OPENS -Xmx3g -cp "$CP" graft.Main --data-dir "$D/hub" --ttl 2 --phi 8 serve-grpc 8931 \
