@@ -348,6 +348,16 @@ object PlanDump {
       "EXACT integer log2 (binary digit count — no floating log at a " +
       "boundary), and the bucket aggregate partial-combines onto ≤~40 " +
       "rows."),
+    "q_seasonality" -> ("Weekday volume profile: weekday is PURE integer " +
+      "arithmetic off the Mon-2024-01-01 epoch anchor (engine dayofweek " +
+      "conventions differ), the distinct-user count shuffles on " +
+      "(weekday, user) then collapses to 7 rows, and the share normaliser " +
+      "windows over that 7-row profile."),
+    "q_shipping_delay" -> ("TPC-H Q12 shape: exact integer day delays off " +
+      "the fact-to-fact l_orderkey join (broadcast at test SF, THE " +
+      "bucketing candidate at warehouse scale), priority rollup " +
+      "partial-combines onto |priorities| rows, mean/late_frac single " +
+      "int/int IEEE divisions."),
     "vec_cluster_quality" -> ("Per-label cohesion vs nearest-centroid " +
       "separation: centroids one (label,pos)-keyed shuffle, member scoring " +
       "map-side against the broadcast k×d centroid table with 4-dp-rounded " +

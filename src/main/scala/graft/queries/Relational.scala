@@ -1349,6 +1349,78 @@ object Relational {
         GROUP BY 1, 2
         ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
       """)
+    ),
+
+    // --- shipping delay by order priority (TPC-H Q12 shape) ---
+    // The fulfillment-SLA readout: per priority class, how long after the
+    // order date lines actually ship, and what fraction blows a 90-day
+    // SLA. Delay is EXACT integer day arithmetic (datediff of dates in
+    // both engines); the fact-to-fact lineitem⋈orders join shuffles on
+    // the natural key l_orderkey = o_orderkey — at warehouse scale this
+    // is THE canonical co-location candidate (bucket both tables by
+    // orderkey and the shuffle disappears; at test SF the orders side
+    // auto-broadcasts, which is equally right). The rollup
+    // partial-combines onto |priorities| rows, and mean/late_frac are
+    // single int/int IEEE divisions at 6 dp.
+    Q(
+      "q_shipping_delay",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+          .join(
+            t(s, d, "orders").select(
+              col("o_orderkey"),
+              col("o_orderdate"),
+              col("o_orderpriority")
+            ),
+            col("l_orderkey") === col("o_orderkey")
+          )
+          .select(
+            col("o_orderpriority"),
+            expr("CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT)")
+              .as("delay_days")
+          )
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            min("delay_days").as("min_days"),
+            max("delay_days").as("max_days"),
+            sum("delay_days").as("sum_days"),
+            sum(when(col("delay_days") > 90, 1L).otherwise(0L)).as("late_lines")
+          )
+          .select(
+            col("o_orderpriority"),
+            col("n_lines"),
+            col("min_days"),
+            col("max_days"),
+            round(col("sum_days").cast("double") / col("n_lines").cast("double"), 6)
+              .as("mean_days"),
+            col("late_lines"),
+            round(col("late_lines").cast("double") / col("n_lines").cast("double"), 6)
+              .as("late_frac")
+          )
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        WITH x AS (
+          SELECT o.o_orderpriority,
+                 CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay_days
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        agg AS (
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_lines,
+                 min(delay_days) AS min_days,
+                 max(delay_days) AS max_days,
+                 CAST(sum(delay_days) AS BIGINT) AS sum_days,
+                 CAST(sum(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) AS BIGINT) AS late_lines
+          FROM x GROUP BY 1)
+        SELECT o_orderpriority, n_lines, min_days, max_days,
+               round(CAST(sum_days AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS mean_days,
+               late_lines,
+               round(CAST(late_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS late_frac
+        FROM agg ORDER BY o_orderpriority
+      """)
     )
   )
 }

@@ -1463,6 +1463,64 @@ object Temporal {
                round(CAST(sum(gap_days) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_days
         FROM f GROUP BY bucket ORDER BY bucket
       """)
+    ),
+
+    // --- weekday seasonality: the day-of-week volume profile ---
+    // The staffing/alerting baseline behind "is Tuesday always this
+    // quiet?". Weekday extraction is the cross-engine trap here — Spark's
+    // dayofweek() is 1=Sunday while DuckDB's dayofweek() is 0=Sunday, and
+    // locale-dependent day names are worse — so the weekday is PURE
+    // integer arithmetic off the same epoch anchor the retention queries
+    // use: ((days since Mon 2024-01-01) % 7 + 7) % 7 ⇒ 0=Mon..6=Sun,
+    // identical in any engine. One partial-aggregated groupBy onto 7 rows
+    // (the distinct-user count shuffles on (weekday, user) first); the
+    // share normaliser windows over the 7-row profile.
+    Q(
+      "q_seasonality",
+      (s, d) => {
+        Q.events(s, d)
+          .select(
+            expr(
+              "CAST(((datediff(CAST(ts AS DATE), DATE'2024-01-01') % 7) + 7) % 7 AS BIGINT)"
+            ).as("weekday"),
+            col("user_id")
+          )
+          .groupBy("weekday")
+          .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+          .withColumn(
+            "wd_name",
+            expr(
+              "element_at(array('Mon','Tue','Wed','Thu','Fri','Sat','Sun'), " +
+                "CAST(weekday AS INT) + 1)"
+            )
+          )
+          .withColumn(
+            "share",
+            round(
+              col("n_events").cast("double")
+                / sum("n_events").over(Window.partitionBy()).cast("double"),
+              6
+            )
+          )
+          .select("weekday", "wd_name", "n_events", "n_users", "share")
+          .orderBy("weekday")
+      },
+      Some("""
+        WITH x AS (
+          SELECT CAST(((datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7) + 7) % 7
+                      AS BIGINT) AS weekday,
+                 user_id
+          FROM events),
+        agg AS (
+          SELECT weekday, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM x GROUP BY 1)
+        SELECT weekday,
+               ['Mon','Tue','Wed','Thu','Fri','Sat','Sun'][CAST(weekday AS INT) + 1] AS wd_name,
+               n_events, n_users,
+               round(CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER () AS DOUBLE), 6) AS share
+        FROM agg ORDER BY weekday
+      """)
     )
   )
 

@@ -898,6 +898,25 @@ class PlanSpec extends AnyFunSuite {
       s"label rollup lost its partial phase:\n$p")
   }
 
+  test("seasonality and shipping delay keep partial aggregation, no cartesians") {
+    // q_seasonality: the distinct-user count shuffles on (weekday, user)
+    // then the 7-row profile; the share normaliser's SinglePartition
+    // window runs on 7 rows BY DESIGN. No joins at all.
+    val p = plan("q_seasonality")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Join"), s"seasonality must not join:\n$p")
+    assert(p.contains("partial_count"), s"profile rollup lost its partial phase:\n$p")
+    // q_shipping_delay: the fact-to-fact join on l_orderkey = o_orderkey —
+    // broadcast at test SF (orders fits), the bucketing candidate at
+    // warehouse scale; never a cartesian, and the priority rollup
+    // partial-combines before its |priorities|-row shuffle.
+    val p2 = plan("q_shipping_delay")
+    assert(!p2.contains("CartesianProduct"))
+    assert(p2.contains("BroadcastHashJoin") || p2.contains("SortMergeJoin") ||
+      p2.contains("ShuffledHashJoin"), s"orderkey join missing:\n$p2")
+    assert(p2.contains("partial_count"), s"priority rollup lost its partial phase:\n$p2")
+  }
+
   test("zipf slope fits over the TakeOrdered vocabulary slice") {
     // text_zipf_slope: the top-1000 slice is TakeOrdered partial top-k
     // (never a one-reducer vocabulary sort); the rank window and moment
