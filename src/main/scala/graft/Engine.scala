@@ -493,6 +493,37 @@ class Engine(
       .as[graft.streaming.EventStreams.TypedEvent]
   }
 
+  /** [[jsonEvents]] plus the `value` field — the attribution stream needs
+    * purchase amounts; absent/null values coalesce to 0.0 so a
+    * typed-event-only producer still attributes (with zero revenue).
+    */
+  private def jsonValuedEvents(
+      peerDir: String
+  ): org.apache.spark.sql.Dataset[graft.streaming.EventStreams.ValuedEvent] = {
+    val session = spark
+    import session.implicits._
+    val evSchema = StructType(
+      Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", org.apache.spark.sql.types.DoubleType)
+      )
+    )
+    spark.readStream
+      .format("graft")
+      .load(peerDir)
+      .select(from_json(col("value").cast("string"), evSchema).as("e"))
+      .filter(col("e.user_id").isNotNull && col("e.ts").isNotNull)
+      .select(
+        col("e.user_id").as("user_id"),
+        col("e.ts").as("ts"),
+        coalesce(col("e.event_type"), lit("")).as("event_type"),
+        coalesce(col("e.value"), lit(0.0)).as("value")
+      )
+      .as[graft.streaming.EventStreams.ValuedEvent]
+  }
+
   /** Exactly-once derived-table sink shared by the streaming analytics:
     * each micro-batch overwrites its own `batch=<id>` partition whose
     * content is a pure function of (restored state, batch), so a
@@ -584,6 +615,33 @@ class Engine(
       trigger
     )
 
+  /** Streaming ATTRIBUTION: tail the log's JSON events and maintain the
+    * derived credited-purchase table — the incremental twin of the batch
+    * `q_attribution` ([[graft.streaming.EventStreams
+    * .streamingAttribution]]: event-time-ordered last-touch credit,
+    * correct under out-of-order arrival, two scalars + watermark-horizon
+    * buffer per user, idle users evicted). The channel rollup runs as a
+    * batch pass over the finalized rows ([[Engine.attributionReport]],
+    * sharing `Temporal.attributionOver` with the oracle query). Same
+    * exactly-once derived-table recipe as [[topKFrom]].
+    */
+  def attributionFrom(
+      peerDir: String,
+      checkpoint: String,
+      attrDir: String,
+      watermarkDelay: String = "10 minutes",
+      idleTimeoutMs: Long = 24L * 60 * 60 * 1000,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery =
+    derivedTableSink(
+      graft.streaming.EventStreams
+        .streamingAttribution(jsonValuedEvents(peerDir), watermarkDelay, idleTimeoutMs)
+        .toDF(),
+      checkpoint,
+      attrDir,
+      trigger
+    )
+
   /** Streaming FUNNEL: tail the log's JSON events and maintain a derived
     * per-user stage table — the product surface over
     * [[graft.streaming.EventStreams.streamingFunnel]] (the incremental
@@ -661,6 +719,17 @@ object Engine {
   def flowReport(spark: SparkSession, flowDir: String): DataFrame =
     graft.queries.Temporal.flowOver(
       spark.read.parquet(flowDir).select(col("from_type"), col("to_type"))
+    )
+
+  /** Batch attribution readout over a streamed credited-purchase table
+    * ([[Engine.attributionFrom]]'s output): the literally shared
+    * `Temporal.attributionOver`, so the streaming surface and the
+    * oracle-checked `q_attribution` compute identical conversions,
+    * revenue and shares for identical credited rows.
+    */
+  def attributionReport(spark: SparkSession, attrDir: String): DataFrame =
+    graft.queries.Temporal.attributionOver(
+      spark.read.parquet(attrDir).select(col("channel"), col("cents"))
     )
 
   /** One record's media features — mirrors the batch `media_features` row

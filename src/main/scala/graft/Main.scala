@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-attribution <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -748,6 +748,44 @@ object Main {
               }
               println(s"${df.count()} finalized transitions at $out, ${matrix.length} matrix cells")
             case None => println(s"no finalized transitions yet at $out")
+          }
+        case "stream-attribution" :: peer :: ckpt :: out :: atRest =>
+          // One-shot (resumable) pass over the peer log's event backlog:
+          // maintain the derived credited-purchase table
+          // (Engine.attributionFrom — event-time-ordered last-touch
+          // credit, two scalars per user, idle eviction), then print the
+          // channel rollup (Engine.attributionReport — the exact
+          // q_attribution aggregation over the finalized rows).
+          var atWatermark = "10 minutes"
+          var atIdle = 24L * 60 * 60 * 1000
+          var ati = 0
+          while (ati < atRest.length) {
+            atRest(ati) match {
+              case "--watermark" if ati + 1 < atRest.length =>
+                atWatermark = atRest(ati + 1); ati += 2
+              case "--idle-ms" if ati + 1 < atRest.length =>
+                atIdle = atRest(ati + 1).toLong; ati += 2
+              case f =>
+                System.err.println(s"stream-attribution: unknown flag $f"); usage()
+            }
+          }
+          val atq = engine.attributionFrom(
+            peer, ckpt, out, atWatermark, atIdle,
+            org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          )
+          atq.processAllAvailable()
+          atq.awaitTermination()
+          val credited =
+            try Some(spark.read.parquet(out)) catch { case _: Exception => None }
+          credited.filter(_.columns.contains("channel")) match {
+            case Some(df) =>
+              val rollup = Engine.attributionReport(spark, out).collect()
+              rollup.foreach { r =>
+                println(s"${r.getString(0)}: ${r.getLong(1)} conversions " +
+                  s"(${r.getLong(2)} cents, share ${r.getDouble(3)})")
+              }
+              println(s"${df.count()} credited purchases at $out, ${rollup.length} channels")
+            case None => println(s"no credited purchases yet at $out")
           }
         case "events-report" :: dir :: Nil =>
           // The one-command product-analytics dashboard over any directory

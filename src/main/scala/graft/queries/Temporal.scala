@@ -1365,28 +1365,19 @@ object Temporal {
           .partitionBy("user_id")
           .orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        Q.events(s, d)
-          .withColumn(
-            "last_touch",
-            last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
-              .over(w)
-          )
-          .filter(col("event_type") === "purchase")
-          .select(
-            coalesce(col("last_touch"), lit("direct")).as("channel"),
-            expr("CAST(floor(value * 100) AS BIGINT)").as("cents")
-          )
-          .groupBy("channel")
-          .agg(count(lit(1)).as("conversions"), sum("cents").as("revenue_cents"))
-          .withColumn(
-            "conv_share",
-            round(
-              col("conversions").cast("double")
-                / sum("conversions").over(Window.partitionBy()).cast("double"),
-              6
+        attributionOver(
+          Q.events(s, d)
+            .withColumn(
+              "last_touch",
+              last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+                .over(w)
             )
-          )
-          .orderBy("channel")
+            .filter(col("event_type") === "purchase")
+            .select(
+              coalesce(col("last_touch"), lit("direct")).as("channel"),
+              expr("CAST(floor(value * 100) AS BIGINT)").as("cents")
+            )
+        )
       },
       Some("""
         WITH x AS (
@@ -1548,6 +1539,27 @@ object Temporal {
       )
       .select("item", "pr", "n")
   }
+
+  /** The attribution rollup over credited (channel, cents BIGINT) rows —
+    * shared by the batch `q_attribution` and the streaming attribution
+    * report ([[graft.Engine.attributionReport]]) so both surfaces compute
+    * identical conversions, revenue and shares for identical credited
+    * rows. The channel rollup partial-combines onto |event types| rows and
+    * the share normaliser windows over that metadata-sized table.
+    */
+  def attributionOver(credited: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    credited
+      .groupBy("channel")
+      .agg(count(lit(1)).as("conversions"), sum("cents").as("revenue_cents"))
+      .withColumn(
+        "conv_share",
+        round(
+          col("conversions").cast("double")
+            / sum("conversions").over(Window.partitionBy()).cast("double"),
+          6
+        )
+      )
+      .orderBy("channel")
 
   /** The transition-matrix aggregation over (from_type, to_type) pair rows
     * — shared by the batch `q_event_flow` and the streaming transitions

@@ -414,6 +414,96 @@ object EventStreams {
         }
       }
   }
+  final case class ValuedEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  final case class AttributionState(
+      pending: List[(Long, String, Long)],
+      lastTouch: Option[String],
+      lastMs: Option[Long]
+  )
+  final case class AttributionRow(user_id: Long, channel: String, cents: Long, ts: Timestamp)
+
+  /** The attribution fold, PURE so it can be model-checked: buffer
+    * incoming (ms, type, cents) triples, finalize everything strictly
+    * below the watermark in event-time order (ties on event_type — the
+    * same streaming contract as [[TransitionFold]]; the batch
+    * `q_attribution` breaks ties on event_id, so the two agree whenever a
+    * user's timestamps are unique, the practical case at µs granularity),
+    * credit each finalized purchase to the newest finalized non-purchase
+    * type ("direct" when none), and carry that last touch across batches.
+    * Credited rows are immutable once emitted because nothing can
+    * finalize below the watermark twice.
+    */
+  private[streaming] object AttributionFold {
+    def advance(
+        st0: AttributionState,
+        incoming: List[(Long, String, Long)],
+        wm: Long
+    ): (AttributionState, List[(String, Long, Long)]) = {
+      val (ready, pending) = (st0.pending ++ incoming).partition(_._1 < wm)
+      var lastTouch = st0.lastTouch
+      var lastMs = st0.lastMs
+      val out = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
+      ready.sortBy { case (ms, tp, _) => (ms, tp) }.foreach { case (ms, tp, cents) =>
+        if (tp == "purchase") out += ((lastTouch.getOrElse("direct"), cents, ms))
+        else lastTouch = Some(tp)
+        lastMs = Some(ms)
+      }
+      (AttributionState(pending, lastTouch, lastMs), out.toList)
+    }
+
+    /** Batch reference: the complete history through one fold. */
+    def reference(events: Seq[(Long, String, Long)]): List[(String, Long, Long)] =
+      advance(AttributionState(Nil, None, None), events.toList, Long.MaxValue)._2
+  }
+
+  /** Streaming last-touch ATTRIBUTION — the incremental twin of the batch
+    * `q_attribution`: one immutable credited row per finalized purchase,
+    * correct under out-of-order arrival ([[AttributionFold]]). State per
+    * user is the watermark-horizon buffer plus TWO scalars (the last
+    * non-purchase touch and the newest finalized time); a user idle for
+    * `idleTimeoutMs` of EVENT time evicts entirely — the returning user's
+    * first purchase credits "direct" (the session-boundary contract),
+    * which is what bounds state on a user population that only grows.
+    * Cents quantize with floor exactly as the batch plan's
+    * `floor(value * 100)` so both surfaces credit identical amounts.
+    */
+  def streamingAttribution(
+      events: Dataset[ValuedEvent],
+      watermarkDelay: String = "10 minutes",
+      idleTimeoutMs: Long = 24L * 60 * 60 * 1000
+  ): Dataset[AttributionRow] = {
+    val session = events.sparkSession
+    import session.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttributionState, AttributionRow](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (user: Long, evts: Iterator[ValuedEvent], state: GroupState[AttributionState]) =>
+        val st0 = state.getOption.getOrElse(AttributionState(Nil, None, None))
+        val incoming = evts
+          .map(e => (e.ts.getTime, e.event_type, math.floor(e.value * 100).toLong))
+          .toList
+        val wm = state.getCurrentWatermarkMs()
+        if (state.hasTimedOut && st0.pending.isEmpty && incoming.isEmpty) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val (st1, emitted) = AttributionFold.advance(st0, incoming, wm)
+          state.update(st1)
+          val wake =
+            if (st1.pending.nonEmpty) wm + 1
+            else math.max(st1.lastMs.map(_ + idleTimeoutMs).getOrElse(wm + 1), wm + 1)
+          state.setTimeoutTimestamp(wake)
+          emitted.iterator.map { case (ch, cents, ms) =>
+            AttributionRow(user, ch, cents, new Timestamp(ms))
+          }
+        }
+      }
+  }
+
   final case class FunnelState(
       buffered: List[(Long, String)],
       t1: Option[Long],

@@ -652,6 +652,90 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed attribution reproduces the batch channel rollup on a shuffled history") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val types = Vector("view", "click", "purchase", "scroll")
+    val rnd = new scala.util.Random(11)
+    val base = Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    // Globally unique, strictly increasing timestamps: the documented
+    // regime where the stream's event_type tiebreak and the batch query's
+    // event_id tiebreak cannot diverge.
+    val evs = (0 until 80).map { i =>
+      (i.toLong, new Timestamp(base + i * 61000L + rnd.nextInt(50000)),
+        1L + rnd.nextInt(6), types(rnd.nextInt(4)), rnd.nextInt(10000) / 100.0, "{}")
+    }
+    val dir = graft.TestSpark.tempDir("attr-agreement")
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.SparkEntry.queries("q_attribution")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+
+    val input = MemoryStream[EventStreams.ValuedEvent]
+    val q = EventStreams
+      .streamingAttribution(input.toDS(), watermarkDelay = "2 hours")
+      .writeStream
+      .format("memory")
+      .queryName("attr_agree")
+      .outputMode("append")
+      .start()
+    try {
+      evs.grouped(30).foreach { slice =>
+        rnd.shuffle(slice).foreach(e =>
+          input.addData(EventStreams.ValuedEvent(e._3, e._2, e._4, e._5)))
+        q.processAllAvailable()
+      }
+      // Sentinel advances the watermark past every real event; a view
+      // emits no credited row, so the rollup is untouched by it... except
+      // for the sentinel user's own channels, which never purchase.
+      input.addData(EventStreams.ValuedEvent(999L, new Timestamp(base + 86400000L), "view", 0.0))
+      q.processAllAvailable()
+      val streamed = graft.queries.Temporal
+        .attributionOver(spark.sql("select channel, cents from attr_agree"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+      assert(streamed == batch, s"streamed $streamed\nvs batch $batch")
+    } finally q.stop()
+  }
+
+  test("idle users evict from attribution state; a comeback purchase credits direct") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-06-01 $hm:00")
+    val input = MemoryStream[EventStreams.ValuedEvent]
+    val q = EventStreams
+      .streamingAttribution(input.toDS(), watermarkDelay = "1 minute",
+        idleTimeoutMs = 30L * 60 * 1000)
+      .writeStream
+      .format("memory")
+      .queryName("attr_idle")
+      .outputMode("append")
+      .start()
+    try {
+      input.addData(EventStreams.ValuedEvent(1L, t("10:00"), "click", 0.0),
+        EventStreams.ValuedEvent(1L, t("10:05"), "purchase", 5.0))
+      q.processAllAvailable()
+      // Sentinels advance the watermark: finalize the purchase (credited
+      // to the 10:00 click), then pass the idle deadline so user 1's
+      // last-touch state evicts.
+      for (s <- Seq("10:30", "11:30", "12:30")) {
+        input.addData(EventStreams.ValuedEvent(99L, t(s), "view", 0.0))
+        q.processAllAvailable()
+      }
+      // The comeback purchase: with the touch evicted it must credit
+      // "direct", not the 10:00 click.
+      input.addData(EventStreams.ValuedEvent(1L, t("12:40"), "purchase", 7.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStreams.ValuedEvent(99L, Timestamp.valueOf("2024-06-02 12:00:00"), "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select channel, cents from attr_idle where user_id = 1 order by ts")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toList
+      assert(rows == List(("click", 500L), ("direct", 700L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("anomaly report refuses a twice-finalized day, else matches the shared arithmetic") {
     val session = spark
     import session.implicits._

@@ -100,6 +100,11 @@ g --data-dir "$D/s" stream-anomaly "$D/events" "$D/ackpt" "$D/daily" \
 # transition pairs; the matrix readout is the shared q_event_flow math.
 g --data-dir "$D/s" stream-flow "$D/events" "$D/fwckpt" "$D/flow" \
   | expect "click -> purchase: n=1 p=1.0"
+# User 7's finalized purchase credits its last non-purchase touch (the
+# 10:06 click); the producer's JSON carries no value, so cents = 0. The
+# rollup is the shared q_attribution arithmetic.
+g --data-dir "$D/s" stream-attribution "$D/events" "$D/atckpt" "$D/attr" \
+  | expect "click: 1 conversions (0 cents, share 1.0)"
 # The one-command dashboard over a testdata events table: every section is
 # an oracle-checked query from SparkEntry.queries.
 g --data-dir "$D/s" events-report /root/testdata/sf0.001 \
