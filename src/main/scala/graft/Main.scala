@@ -872,6 +872,11 @@ object Main {
           run("q_supplier_variety").collect().take(5).foreach { r =>
             println(s"  ${r.getString(0)} ${r.getString(1)}: ${r.getLong(2)} suppliers")
           }
+          println("== top returners (customers by returned-item revenue)")
+          run("q_top_returners").collect().take(5).foreach { r =>
+            println(f"  ${r.getString(1)} (${r.getString(2)}): " +
+              f"${r.getDouble(3)}%.2f returned across ${r.getLong(4)} lines")
+          }
           println("== repurchase cadence (day-gap buckets between consecutive orders)")
           run("q_purchase_intervals").collect().foreach { r =>
             println(s"  bucket ${r.getLong(0)}: ${r.getLong(1)} gaps, " +

@@ -348,6 +348,19 @@ object PlanDump {
       "EXACT integer log2 (binary digit count — no floating log at a " +
       "boundary), and the bucket aggregate partial-combines onto ≤~40 " +
       "rows."),
+    "q_top_returners" -> ("TPC-H Q10 shape: R-flag filter pushed to the " +
+      "lineitem scan, q5's exact 1e4-unit integer revenue, orderkey " +
+      "shuffle join (bucketing candidate), customer+nation broadcast, " +
+      "top-10 via TakeOrdered with full tie-breaks."),
+    "q_funnel_latency" -> ("Time-to-convert per completed-funnel leg: the " +
+      "IDENTICAL sequenced-minima stage arithmetic as q_funnel (user-keyed " +
+      "partial-agg shuffles + joins, no event arrays, no window), exact " +
+      "integer epoch-second leg latencies, and the 3-row leg explode " +
+      "aggregates onto a 3-row key space."),
+    "corpus_length_hist" -> ("Per-source log2 token-length histogram: " +
+      "counts in scan codegen (size() — docs never unnest), exact integer " +
+      "log2 buckets, one partial-aggregated shuffle onto the " +
+      "|sources|×~40-row key space."),
     "q_seasonality" -> ("Weekday volume profile: weekday is PURE integer " +
       "arithmetic off the Mon-2024-01-01 epoch anchor (engine dayofweek " +
       "conventions differ), the distinct-user count shuffles on " +

@@ -1421,6 +1421,73 @@ object Relational {
                round(CAST(late_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS late_frac
         FROM agg ORDER BY o_orderpriority
       """)
+    ),
+
+    // --- top customers by returned revenue (TPC-H Q10 shape) ---
+    // The returns-triage list: which customers generate the most
+    // returned-item revenue. The R-flag filter pushes into the lineitem
+    // scan; revenue is q5's exact integer arithmetic (1e4-unit products
+    // of rounded cents — partition-order independent where a double sum
+    // is not); the lineitem⋈orders join shuffles on the natural orderkey
+    // (bucketing candidate), customers and the nation dimension
+    // broadcast; the top-10 is TakeOrdered (partial top-k, never a
+    // global sort) with full (revenue desc, custkey) tie-breaks.
+    Q(
+      "q_top_returners",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .join(
+            t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey")
+          )
+          .groupBy("o_custkey")
+          .agg(
+            sum(
+              round(col("l_extendedprice") * 100).cast("long") *
+                (lit(100L) - round(col("l_discount") * 100).cast("long"))
+            ).as("rev_1e4"),
+            count(lit(1)).as("n_returned")
+          )
+          .join(
+            broadcast(
+              t(s, d, "customer")
+                .join(
+                  broadcast(t(s, d, "nation")),
+                  col("c_nationkey") === col("n_nationkey")
+                )
+                .select(col("c_custkey"), col("c_name"), col("n_name"))
+            ),
+            col("o_custkey") === col("c_custkey")
+          )
+          .select(
+            col("o_custkey").as("custkey"),
+            col("c_name"),
+            col("n_name").as("nation"),
+            (col("rev_1e4").cast("double") / 10000.0).as("returned_revenue"),
+            col("n_returned")
+          )
+          .orderBy(desc("returned_revenue"), asc("custkey"))
+          .limit(10)
+      },
+      Some("""
+        WITH r AS (
+          SELECT o.o_custkey,
+                 CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+                   AS rev_1e4,
+                 CAST(count(*) AS BIGINT) AS n_returned
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_returnflag = 'R'
+          GROUP BY 1)
+        SELECT r.o_custkey AS custkey, c.c_name, n.n_name AS nation,
+               CAST(rev_1e4 AS DOUBLE) / 10000.0 AS returned_revenue,
+               n_returned
+        FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY returned_revenue DESC, custkey LIMIT 10
+      """)
     )
   )
 }

@@ -1512,6 +1512,97 @@ object Temporal {
                round(CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER () AS DOUBLE), 6) AS share
         FROM agg ORDER BY weekday
       """)
+    ),
+
+    // --- funnel latency: time-to-convert per completed-funnel leg ---
+    // The "how fast do converters convert" companion to q_funnel's
+    // conversion counts: for every user who completes the sequenced
+    // view→click→purchase funnel (the IDENTICAL stage arithmetic — first
+    // view, first click strictly after it within 24h, first purchase
+    // strictly after that within 24h), the elapsed whole seconds of each
+    // leg. Latencies are exact integer epoch-second differences; the
+    // mean is one int/int IEEE division at 6 dp. Plan: the same three
+    // user-keyed partial-agg shuffles + user-keyed joins as q_funnel (no
+    // per-user event arrays, no global-sort window), then the 3-row leg
+    // explode aggregates onto a 3-row key space.
+    Q(
+      "q_funnel_latency",
+      (s, d) => {
+        val e = Q.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        val t1 = e
+          .filter(col("event_type") === "view")
+          .groupBy("user_id")
+          .agg(min("ts").as("t1"))
+        val t2 = e
+          .filter(col("event_type") === "click")
+          .join(t1, "user_id")
+          .filter(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 24 HOUR"))
+          .groupBy("user_id")
+          .agg(min("ts").as("t2"))
+        val t3 = e
+          .filter(col("event_type") === "purchase")
+          .join(t2, "user_id")
+          .filter(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 24 HOUR"))
+          .groupBy("user_id")
+          .agg(min("ts").as("t3"))
+        t3.join(t2, "user_id")
+          .join(t1, "user_id")
+          .select(
+            (unix_timestamp(col("t2")) - unix_timestamp(col("t1"))).as("s12"),
+            (unix_timestamp(col("t3")) - unix_timestamp(col("t2"))).as("s23"),
+            (unix_timestamp(col("t3")) - unix_timestamp(col("t1"))).as("s13")
+          )
+          .select(
+            explode(
+              array(
+                struct(lit("1_view_to_click").as("leg"), col("s12").as("sec")),
+                struct(lit("2_click_to_purchase").as("leg"), col("s23").as("sec")),
+                struct(lit("3_view_to_purchase").as("leg"), col("s13").as("sec"))
+              )
+            ).as("r")
+          )
+          .select(col("r.leg").as("leg"), col("r.sec").as("sec"))
+          .groupBy("leg")
+          .agg(
+            count(lit(1)).as("n_users"),
+            min("sec").as("min_s"),
+            max("sec").as("max_s"),
+            round(sum("sec").cast("double") / count(lit(1)).cast("double"), 6).as("mean_s")
+          )
+          .orderBy("leg")
+      },
+      Some("""
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.t1
+            AND e.ts <= t1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        t3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+            AND e.ts <= t2.t2 + INTERVAL 24 HOUR GROUP BY 1),
+        done AS (
+          -- date_diff('second') counts whole-second boundaries =
+          -- floor(b) - floor(a), matching Spark's unix_timestamp
+          -- subtraction; epoch() would keep fractional seconds and drift
+          -- by one around sub-second offsets.
+          SELECT CAST(date_diff('second', t1.t1, t2.t2) AS BIGINT) AS s12,
+                 CAST(date_diff('second', t2.t2, t3.t3) AS BIGINT) AS s23,
+                 CAST(date_diff('second', t1.t1, t3.t3) AS BIGINT) AS s13
+          FROM t3 JOIN t2 ON t3.user_id = t2.user_id
+                  JOIN t1 ON t3.user_id = t1.user_id),
+        legs AS (
+          SELECT '1_view_to_click' AS leg, s12 AS sec FROM done
+          UNION ALL SELECT '2_click_to_purchase', s23 FROM done
+          UNION ALL SELECT '3_view_to_purchase', s13 FROM done)
+        SELECT leg, CAST(count(*) AS BIGINT) AS n_users,
+               min(sec) AS min_s, max(sec) AS max_s,
+               round(CAST(sum(sec) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_s
+        FROM legs GROUP BY leg ORDER BY leg
+      """)
     )
   )
 

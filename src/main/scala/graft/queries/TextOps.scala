@@ -1243,6 +1243,41 @@ object TextOps {
                         * CAST(sx AS DOUBLE)) / CAST(n_words AS DOUBLE), 6) AS intercept
         FROM a
       """)
+    ),
+
+    // --- per-source length histogram: log2 token-count buckets ---
+    // The corpus-QA shape check behind truncation/boilerplate alarms: a
+    // healthy source shows a smooth log-length distribution; a scraper
+    // that truncates at a byte limit or pads with boilerplate shows a
+    // spike bucket. Token counts are exact integers off the shared
+    // whitespace split (size() in scan codegen — no explode, the doc
+    // never unnests), the bucket is the same exact integer log2 as the
+    // session/interval histograms, and the aggregate partial-combines
+    // onto the |sources|×~40-row key space. Everything is map-side until
+    // that one metadata-sized shuffle.
+    Q(
+      "corpus_length_hist",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(col("source"), size(words(col("text"))).cast("long").as("n_tok"))
+          .groupBy(col("source"), length(bin(col("n_tok") + 1)).cast("long").as("bucket"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min("n_tok").as("min_tok"),
+            max("n_tok").as("max_tok")
+          )
+          .orderBy("source", "bucket")
+      },
+      Some("""
+        WITH x AS (
+          SELECT source,
+                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+          FROM documents)
+        SELECT source, CAST(length(bin(n_tok + 1)) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(n_tok) AS min_tok, max(n_tok) AS max_tok
+        FROM x GROUP BY source, bucket ORDER BY source, bucket
+      """)
     )
   )
 }

@@ -917,6 +917,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("partial_count"), s"priority rollup lost its partial phase:\n$p2")
   }
 
+  test("funnel latency and length histogram stay window-free and map-side") {
+    // q_funnel_latency: the same user-keyed partial-agg shuffles + joins
+    // as q_funnel — no per-user event arrays, no window anywhere, no
+    // cartesian; the leg explode lands on a 3-row key space.
+    val p = plan("q_funnel_latency")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), s"funnel latency must not plan a window:\n$p")
+    assert(p.contains("partial_min"), s"stage minima lost their partial phase:\n$p")
+    // corpus_length_hist: token counts in scan codegen (size() — the doc
+    // never unnests), ONE hash exchange for the (source, bucket) rollup.
+    val p2 = plan("corpus_length_hist")
+    assert(!p2.contains("Generate explode"), s"length hist must not unnest docs:\n$p2")
+    val ex = p2.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1, s"expected exactly 1 hash exchange (source-bucket rollup), got $ex:\n$p2")
+    assert(p2.contains("partial_count"), s"rollup lost its partial phase:\n$p2")
+  }
+
+  test("top returners push the R filter to the scan and TakeOrdered the top-10") {
+    val p = plan("q_top_returners")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 lost its partial top-k:\n$p")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"R filter must push to the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer/nation sides must broadcast:\n$p")
+  }
+
   test("zipf slope fits over the TakeOrdered vocabulary slice") {
     // text_zipf_slope: the top-1000 slice is TakeOrdered partial top-k
     // (never a one-reducer vocabulary sort); the rank window and moment
