@@ -834,6 +834,11 @@ object Main {
             println(s"  week ${r.get(0)}: +${r.getLong(1)} new, ${r.getLong(2)} retained, " +
               s"${r.getLong(3)} resurrected, -${r.getLong(4)} churned")
           }
+          println("== weekday seasonality (volume profile)")
+          run("q_seasonality").collect().foreach { r =>
+            println(s"  ${r.getString(1)}: ${r.getLong(2)} events, " +
+              s"${r.getLong(3)} users (share ${r.getDouble(4)})")
+          }
           println("== last-touch attribution (purchases credited to the preceding channel)")
           run("q_attribution").collect().foreach { r =>
             println(s"  ${r.getString(0)}: ${r.getLong(1)} conversions " +

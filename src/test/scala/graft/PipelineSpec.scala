@@ -609,6 +609,59 @@ class PipelineSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming attribution credits continue across restart over the real log") {
+    // The feed of the CLI stream-attribution: the last-touch scalar
+    // restores from the checkpoint, so a purchase AFTER the restart
+    // credits a touch finalized BEFORE it; already-credited rows are
+    // untouched; bad records skip.
+    val session = spark
+    import session.implicits._
+    val raw = SparkLog(spark, TestSpark.tempDir("sattr-raw"), LogConfig())
+    def ev(user: Long, hhmm: String, t: String, v: Double): Array[Byte] =
+      s"""{"user_id":$user,"ts":"2024-01-01 $hhmm:00","event_type":"$t","value":$v}""".getBytes
+    raw.append(Seq(
+      ev(5L, "10:00", "view", 0.0),
+      "not json at all".getBytes, // skipped, not fatal
+      ev(5L, "10:10", "purchase", 12.34),
+      ev(9L, "12:10", "view", 0.0) // advances the watermark to 12:00; itself pending
+    ))
+    val engine = Engine(spark, TestSpark.tempDir("sattr-out"))
+    val ckpt = TestSpark.tempDir("sattr-ckpt")
+    val out = TestSpark.tempDir("sattr-table")
+    def table(): Set[(Long, String, Long)] = spark.read
+      .parquet(out)
+      .select("user_id", "channel", "cents")
+      .as[(Long, String, Long)]
+      .collect()
+      .toSet
+
+    val q1 = engine.attributionFrom(raw.dir, ckpt, out)
+    try {
+      q1.processAllAvailable()
+      assert(
+        table() == Set((5L, "view", 1234L)),
+        s"user 5's purchase below the watermark must credit its view: ${table()}"
+      )
+    } finally q1.stop()
+
+    // Restart: user 5 purchases again with NO new touch — the restored
+    // last-touch scalar (the 10:00 view) must credit it; user 9's
+    // buffered view becomes its touch for a later purchase.
+    raw.append(Seq(
+      ev(5L, "12:30", "purchase", 5.0),
+      ev(9L, "12:40", "purchase", 7.0),
+      ev(1L, "23:00", "view", 0.0) // watermark pusher; itself pending
+    ))
+    val q2 = engine.attributionFrom(raw.dir, ckpt, out)
+    try {
+      q2.processAllAvailable()
+      assert(
+        table() == Set((5L, "view", 1234L), (5L, "view", 500L), (9L, "view", 700L)),
+        s"credits must continue across the restart: ${table()}"
+      )
+    } finally q2.stop()
+  }
+
   test("streaming daily counts merge a day's events across restart and never re-finalize") {
     // The feed of the anomaly surface (CLI stream-anomaly): a day's count
     // can accumulate across batches AND a restart (the windowed-agg state
