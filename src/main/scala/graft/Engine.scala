@@ -721,6 +721,19 @@ object Engine {
       spark.read.parquet(flowDir).select(col("from_type"), col("to_type"))
     )
 
+  /** Weekday-seasonality readout over the SAME streamed daily-counts table
+    * the anomaly surface uses ([[Engine.dailyCountsFrom]]'s output): the
+    * shared `Temporal.seasonalityOver`, whose per-day sums reproduce the
+    * oracle-checked `q_seasonality` volume columns exactly (grouping by
+    * weekday factors through grouping by day).
+    */
+  def seasonalityReport(spark: SparkSession, dailyDir: String): DataFrame =
+    graft.queries.Temporal.seasonalityOver(
+      spark.read
+        .parquet(dailyDir)
+        .select(col("day").cast("date").as("day"), col("n").cast("long").as("n"))
+    )
+
   /** Batch attribution readout over a streamed credited-purchase table
     * ([[Engine.attributionFrom]]'s output): the literally shared
     * `Temporal.attributionOver`, so the streaming surface and the

@@ -704,6 +704,11 @@ object Main {
                 val flag = if (r.getBoolean(4)) "  << ANOMALY" else ""
                 println(s"day ${r.getDate(0)}: n=${r.getLong(1)} mean=${r.getDouble(2)} z=$zs$flag")
               }
+              // The same finalized table answers the staffing question:
+              // the weekday profile (shared q_seasonality volume columns).
+              Engine.seasonalityReport(spark, out).collect().foreach { r =>
+                println(s"  ${r.getString(1)}: ${r.getLong(2)} events (share ${r.getDouble(3)})")
+              }
               println(
                 s"${df.count()} finalized days at $out, ${report.length} scored, " +
                   s"${report.count(_.getBoolean(4))} anomalous"

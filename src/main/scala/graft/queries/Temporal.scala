@@ -1631,6 +1631,39 @@ object Temporal {
       .select("item", "pr", "n")
   }
 
+  /** The weekday volume profile over a finalized (day DATE, n BIGINT)
+    * frame — the seasonality seam of the streaming daily-counts table
+    * ([[graft.Engine.seasonalityReport]]): summing per-day counts by the
+    * SAME pure-integer epoch-anchor weekday as `q_seasonality` yields
+    * exactly that query's (weekday, wd_name, n_events, share) columns
+    * (asserted in EventStreamsSpec), because per-event weekday grouping
+    * factors through per-day grouping. The distinct-user column is the one
+    * thing a counts-only table cannot carry.
+    */
+  def seasonalityOver(daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    daily
+      .groupBy(
+        expr("CAST(((datediff(day, DATE'2024-01-01') % 7) + 7) % 7 AS BIGINT)").as("weekday")
+      )
+      .agg(sum("n").as("n_events"))
+      .withColumn(
+        "wd_name",
+        expr(
+          "element_at(array('Mon','Tue','Wed','Thu','Fri','Sat','Sun'), " +
+            "CAST(weekday AS INT) + 1)"
+        )
+      )
+      .withColumn(
+        "share",
+        round(
+          col("n_events").cast("double")
+            / sum("n_events").over(Window.partitionBy()).cast("double"),
+          6
+        )
+      )
+      .select("weekday", "wd_name", "n_events", "share")
+      .orderBy("weekday")
+
   /** The attribution rollup over credited (channel, cents BIGINT) rows —
     * shared by the batch `q_attribution` and the streaming attribution
     * report ([[graft.Engine.attributionReport]]) so both surfaces compute

@@ -736,6 +736,33 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seasonality over daily counts reproduces the batch weekday volume columns") {
+    // Grouping by weekday factors through grouping by day, so summing the
+    // anomaly surface's finalized (day, n) table by the shared
+    // epoch-anchor weekday must equal q_seasonality's (weekday, wd_name,
+    // n_events, share) columns on the same events.
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = Timestamp.valueOf("2024-04-01 00:00:00").getTime
+    val evs = (0 until 200).map { i =>
+      (i.toLong, new Timestamp(base + rnd.nextInt(21 * 86400) * 1000L),
+        1L + rnd.nextInt(9), Vector("view", "click")(rnd.nextInt(2)), 1.0, "{}")
+    }
+    val dir = graft.TestSpark.tempDir("seasonality-agreement")
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.SparkEntry.queries("q_seasonality")(spark, dir)
+      .select("weekday", "wd_name", "n_events", "share")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toList
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(org.apache.spark.sql.functions.to_date($"ts").as("day"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val viaDaily = graft.queries.Temporal.seasonalityOver(daily)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toList
+    assert(viaDaily == batch, s"daily-rollup $viaDaily\nvs batch $batch")
+  }
+
   test("anomaly report refuses a twice-finalized day, else matches the shared arithmetic") {
     val session = spark
     import session.implicits._
