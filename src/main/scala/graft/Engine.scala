@@ -615,6 +615,40 @@ class Engine(
       trigger
     )
 
+  /** Streaming SESSIONS: tail the log's JSON events and maintain the
+    * derived finalized-session table ([[graft.streaming.EventStreams
+    * .sessionize]] — the same 30-minute gaps-and-islands contract as the
+    * batch `q_sessionize`, sessions immutable only once the watermark
+    * passes end + gap). The histogram readout runs as a batch pass over
+    * the finalized rows ([[Engine.sessionHistReport]], sharing
+    * `Temporal.durationHistOver` with the oracle query). Same
+    * exactly-once derived-table recipe as [[topKFrom]].
+    */
+  def sessionsFrom(
+      peerDir: String,
+      checkpoint: String,
+      sessDir: String,
+      gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "10 minutes",
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery = {
+    val session = spark
+    import session.implicits._
+    derivedTableSink(
+      graft.streaming.EventStreams
+        .sessionize(
+          jsonEvents(peerDir)
+            .map(e => graft.streaming.EventStreams.Event(e.user_id, e.ts)),
+          gapMs,
+          watermarkDelay
+        )
+        .toDF(),
+      checkpoint,
+      sessDir,
+      trigger
+    )
+  }
+
   /** Streaming ATTRIBUTION: tail the log's JSON events and maintain the
     * derived credited-purchase table — the incremental twin of the batch
     * `q_attribution` ([[graft.streaming.EventStreams
@@ -719,6 +753,23 @@ object Engine {
   def flowReport(spark: SparkSession, flowDir: String): DataFrame =
     graft.queries.Temporal.flowOver(
       spark.read.parquet(flowDir).select(col("from_type"), col("to_type"))
+    )
+
+  /** Duration-histogram readout over a streamed finalized-session table
+    * ([[Engine.sessionsFrom]]'s output): durations convert with
+    * unix_timestamp truncation — the batch query's exact semantics — and
+    * roll up through the literally shared `Temporal.durationHistOver`, so
+    * the streaming surface and the oracle-checked
+    * `q_session_duration_hist` bucket identical sessions identically.
+    */
+  def sessionHistReport(spark: SparkSession, sessDir: String): DataFrame =
+    graft.queries.Temporal.durationHistOver(
+      spark.read
+        .parquet(sessDir)
+        .select(
+          (org.apache.spark.sql.functions.unix_timestamp(col("end"))
+            - org.apache.spark.sql.functions.unix_timestamp(col("start"))).as("dur_s")
+        )
     )
 
   /** Weekday-seasonality readout over the SAME streamed daily-counts table

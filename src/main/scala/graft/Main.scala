@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-attribution <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-attribution <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-sessions <peerDir> <ckptDir> <outDir> [--watermark D] [--gap-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -753,6 +753,44 @@ object Main {
               }
               println(s"${df.count()} finalized transitions at $out, ${matrix.length} matrix cells")
             case None => println(s"no finalized transitions yet at $out")
+          }
+        case "stream-sessions" :: peer :: ckpt :: out :: ssRest =>
+          // One-shot (resumable) pass over the peer log's event backlog:
+          // maintain the derived finalized-session table
+          // (Engine.sessionsFrom — the batch q_sessionize gap contract,
+          // sessions immutable once the watermark passes end + gap), then
+          // print the dwell-time histogram (Engine.sessionHistReport —
+          // the exact q_session_duration_hist bucketing).
+          var ssWatermark = "10 minutes"
+          var ssGap = 30L * 60 * 1000
+          var ssi = 0
+          while (ssi < ssRest.length) {
+            ssRest(ssi) match {
+              case "--watermark" if ssi + 1 < ssRest.length =>
+                ssWatermark = ssRest(ssi + 1); ssi += 2
+              case "--gap-ms" if ssi + 1 < ssRest.length =>
+                ssGap = ssRest(ssi + 1).toLong; ssi += 2
+              case f =>
+                System.err.println(s"stream-sessions: unknown flag $f"); usage()
+            }
+          }
+          val ssq = engine.sessionsFrom(
+            peer, ckpt, out, ssGap, ssWatermark,
+            org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          )
+          ssq.processAllAvailable()
+          ssq.awaitTermination()
+          val sessTable =
+            try Some(spark.read.parquet(out)) catch { case _: Exception => None }
+          sessTable.filter(_.columns.contains("start")) match {
+            case Some(df) =>
+              val hist = Engine.sessionHistReport(spark, out).collect()
+              hist.foreach { r =>
+                println(s"bucket ${r.getLong(0)}: ${r.getLong(1)} sessions, " +
+                  s"${r.getLong(2)}-${r.getLong(3)} s")
+              }
+              println(s"${df.count()} finalized sessions at $out, ${hist.length} buckets")
+            case None => println(s"no finalized sessions yet at $out")
           }
         case "stream-attribution" :: peer :: ckpt :: out :: atRest =>
           // One-shot (resumable) pass over the peer log's event backlog:

@@ -1310,14 +1310,7 @@ object Temporal {
           .agg(
             (unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("dur_s")
           )
-          .select(length(bin(col("dur_s") + 1)).cast("long").as("bucket"), col("dur_s"))
-          .groupBy("bucket")
-          .agg(
-            count(lit(1)).as("n_sessions"),
-            min("dur_s").as("min_s"),
-            max("dur_s").as("max_s")
-          )
-          .orderBy("bucket")
+          .pipe(durationHistOver)
       },
       Some("""
         WITH x AS (
@@ -1630,6 +1623,24 @@ object Temporal {
       )
       .select("item", "pr", "n")
   }
+
+  /** The log2 duration-histogram rollup over a (dur_s BIGINT) frame —
+    * shared by the batch `q_session_duration_hist` and the streaming
+    * session report ([[graft.Engine.sessionHistReport]]) so both surfaces
+    * bucket identical durations identically: bucket = length(bin(dur+1)),
+    * the exact integer binary digit count, so no floating log can
+    * misplace a boundary duration in one engine (or surface) only.
+    */
+  def durationHistOver(durs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    durs
+      .select(length(bin(col("dur_s") + 1)).cast("long").as("bucket"), col("dur_s"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        min("dur_s").as("min_s"),
+        max("dur_s").as("max_s")
+      )
+      .orderBy("bucket")
 
   /** The weekday volume profile over a finalized (day DATE, n BIGINT)
     * frame — the seasonality seam of the streaming daily-counts table

@@ -763,6 +763,58 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(viaDaily == batch, s"daily-rollup $viaDaily\nvs batch $batch")
   }
 
+  test("streamed sessions reproduce the batch duration histogram on a shuffled history") {
+    // The sessionizer shares the batch query's 30-minute gaps-and-islands
+    // contract, and the histogram report shares its exact bucketing
+    // (Temporal.durationHistOver + unix_timestamp truncation) — so the
+    // streamed finalized sessions must bucket identically to
+    // q_session_duration_hist on the same events.
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val base = Timestamp.valueOf("2024-07-01 00:00:00").getTime
+    // Clustered bursts with occasional >30-min gaps so multiple sessions
+    // per user arise; unique timestamps (the documented tie regime).
+    var t = base
+    val evs = (0 until 120).map { i =>
+      t += (if (rnd.nextInt(5) == 0) 45 * 60 * 1000L else rnd.nextInt(10 * 60 * 1000).toLong + 1)
+      (i.toLong, new Timestamp(t), 1L + rnd.nextInt(4), "view", 1.0, "{}")
+    }
+    val dir = graft.TestSpark.tempDir("sess-hist-agreement")
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.SparkEntry.queries("q_session_duration_hist")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams
+      .sessionize(input.toDS(), gapMs = 30 * 60 * 1000, watermarkDelay = "2 hours")
+      .writeStream
+      .format("memory")
+      .queryName("sess_hist")
+      .outputMode("append")
+      .start()
+    try {
+      evs.grouped(40).foreach { slice =>
+        rnd.shuffle(slice).foreach(e => input.addData(EventStreams.Event(e._3, e._2)))
+        q.processAllAvailable()
+      }
+      // Sentinel pushes the watermark past every session's end + gap.
+      input.addData(EventStreams.Event(999L, new Timestamp(t + 7L * 86400000L)))
+      q.processAllAvailable()
+      val streamed = graft.queries.Temporal
+        .durationHistOver(
+          spark.sql(
+            "select unix_timestamp(end) - unix_timestamp(start) as dur_s " +
+              "from sess_hist where user_id < 999"
+          )
+        )
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+      assert(streamed == batch, s"streamed $streamed\nvs batch $batch")
+    } finally q.stop()
+  }
+
   test("anomaly report refuses a twice-finalized day, else matches the shared arithmetic") {
     val session = spark
     import session.implicits._

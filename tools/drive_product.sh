@@ -105,6 +105,12 @@ g --data-dir "$D/s" stream-flow "$D/events" "$D/fwckpt" "$D/flow" \
 # rollup is the shared q_attribution arithmetic.
 g --data-dir "$D/s" stream-attribution "$D/events" "$D/atckpt" "$D/attr" \
   | expect "click: 1 conversions (0 cents, share 1.0)"
+# User 7's 10:01-10:07 chain is one 360 s session (bucket 9) and user 9's
+# lone view a 0 s session (bucket 1); user 1's session is still inside
+# the watermark horizon. The histogram is the shared
+# q_session_duration_hist bucketing.
+g --data-dir "$D/s" stream-sessions "$D/events" "$D/ssckpt" "$D/sess" \
+  | expect "2 finalized sessions at $D/sess, 2 buckets"
 # The one-command dashboard over a testdata events table: every section is
 # an oracle-checked query from SparkEntry.queries.
 g --data-dir "$D/s" events-report /root/testdata/sf0.001 \
