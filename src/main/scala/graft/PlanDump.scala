@@ -348,6 +348,17 @@ object PlanDump {
       "EXACT integer log2 (binary digit count — no floating log at a " +
       "boundary), and the bucket aggregate partial-combines onto ≤~40 " +
       "rows."),
+    "corpus_cross_source_dup" -> ("Cross-source duplication matrix: the " +
+      "LITERAL dedup_minhash_lsh candidate pair set (shared " +
+      "lshCandidatePairsFrom, banded bucket join, pinned pair-shuffle " +
+      "width), each side joined to the doc→source map on its doc id, " +
+      "unordered pairs normalized via least/greatest, rollup " +
+      "partial-combined onto |sources|² rows."),
+    "q_activity_power_law" -> ("Degree-distribution exponent: the " +
+      "Gini/Pareto counts-of-counts collapse feeds text_zipf_slope's " +
+      "closed-form OLS discipline — 6-dp-isolated libm lns, exact DECIMAL " +
+      "moment sums, one shared IEEE chain — over one row per distinct " +
+      "activity level at any user cardinality."),
     "q_top_returners" -> ("TPC-H Q10 shape: R-flag filter pushed to the " +
       "lineitem scan, q5's exact 1e4-unit integer revenue, orderkey " +
       "shuffle join (bucketing candidate), customer+nation broadcast, " +

@@ -1444,6 +1444,60 @@ object Corpus {
                round(CAST(r.cum_mass AS DOUBLE) / t.total, 6) AS cum_share
         FROM r CROSS JOIN t ORDER BY r.rank
       """)
+    ),
+
+    // --- cross-source duplication matrix: who copies whom ---
+    // The provenance question behind source weighting: how many near-dup
+    // pairs land WITHIN each source vs BETWEEN each source pair. Mirror
+    // sites, syndication and scraped re-posts show up as heavy
+    // off-diagonal cells; a source that mostly duplicates itself is a
+    // template farm. The pair set is LITERALLY `dedup_minhash_lsh`'s
+    // candidate set (the shared `lshCandidatePairsFrom` — banded bucket
+    // join, never all-pairs); each side joins to the doc→source map on
+    // its doc id (shuffle joins on corpus keys at scale, auto-broadcast
+    // at test SF), the unordered source pair normalizes through
+    // least/greatest, and the rollup partial-combines onto the
+    // |sources|²-row key space.
+    Q(
+      "corpus_cross_source_dup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val srcs = docs.select(col("doc_id"), col("source"))
+        Dedup
+          .lshCandidatePairsFrom(s, docs)
+          .join(srcs.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+          .join(srcs.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+          .groupBy(
+            least(col("s1"), col("s2")).as("source_a"),
+            greatest(col("s1"), col("s2")).as("source_b")
+          )
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""
+        WITH w AS (
+          SELECT DISTINCT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 AS hh FROM w),
+        x AS (
+          SELECT doc_id, t.i,
+                 min(((2*t.i + 3) * hh + (104729*(t.i + 1)) % 2147483647) % 2147483647) AS mh
+          FROM h CROSS JOIN range(0, 16) t(i) GROUP BY 1, 2),
+        banded AS (
+          SELECT doc_id, i // 4 AS band, list(mh ORDER BY i) AS sig
+          FROM x GROUP BY doc_id, i // 4),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs JOIN documents da ON pairs.d1 = da.doc_id
+                   JOIN documents db ON pairs.d2 = db.doc_id
+        GROUP BY 1, 2 ORDER BY source_a, source_b
+      """)
     )
   )
 }

@@ -284,6 +284,42 @@ object Dedup {
     *    only its rare-first prefix, container side is the full inverted
     *    index) + exact array_intersect verify.
     */
+  /** The distinct MinHash-LSH candidate pair set (d1 < d2) — the body of
+    * `dedup_minhash_lsh`, factored out so the cross-source provenance
+    * matrix (`corpus_cross_source_dup`) aggregates the IDENTICAL pair set
+    * the dedup query emits. 4 bands × 4 rows: a pair is a candidate iff
+    * some band matches — the join meets only within (band, signature)
+    * buckets, so candidates are O(Σ bucket²), never all-pairs.
+    */
+  private[queries] def lshCandidatePairsFrom(s: SparkSession, documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sigs = documents
+      .select(
+        col("doc_id"),
+        expr("minhash16(array_distinct(split(lower(trim(text)), ' ')))").as("mh")
+      )
+    // Shuffle on the bucket keys BEFORE the self-join. Without this, a
+    // small corpus file makes Catalyst broadcast `banded` and run the
+    // probe side at the SCAN's parallelism — one task when the table is a
+    // single compressed file, which is exactly when the bucket expansion
+    // is quadratic-heavy (sf1 soak: a 15-minute single-thread aggregate).
+    // At 100 TB the shuffled hash/merge join on (band, sig) is the only
+    // viable shape anyway — banded is corpus-sized, never broadcastable.
+    // Explicit count so AQE cannot coalesce the pair expansion
+    // (pairShufflePartitions).
+    val banded = sigs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, slice(mh, b*4 + 1, 4) AS sig))"
+      )).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .repartition(pairShufflePartitions(s), col("band"), col("sig"))
+    val x = banded.select(col("doc_id").as("d1"), col("band"), col("sig"))
+    val y = banded.select(col("doc_id").as("d2"), col("band").as("band2"), col("sig").as("sig2"))
+    x.join(y, col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+  }
+
   private[queries] def containmentPairsFrom(s: SparkSession, documents: DataFrame): DataFrame = {
     import s.implicits._
     val docsTok = documents
@@ -1322,38 +1358,7 @@ object Dedup {
     // --- MinHash LSH banding: candidate pairs sharing any 4-row band ---
     Q(
       "dedup_minhash_lsh",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val sigs = t(s, d, "documents")
-          .select(
-            col("doc_id"),
-            expr("minhash16(array_distinct(split(lower(trim(text)), ' ')))").as("mh")
-          )
-        // 4 bands × 4 rows: a pair is a candidate iff some band matches —
-        // the join meets only within (band, signature) buckets, so
-        // candidates are O(Σ bucket²), never all-pairs.
-        val banded = sigs
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, 3), b -> struct(b AS band, slice(mh, b*4 + 1, 4) AS sig))"
-          )).as("bs"))
-          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-          // Shuffle on the bucket keys BEFORE the self-join. Without this,
-          // a small corpus file makes Catalyst broadcast `banded` and run
-          // the probe side at the SCAN's parallelism — one task when the
-          // table is a single compressed file, which is exactly when the
-          // bucket expansion is quadratic-heavy (sf1 soak: a 15-minute
-          // single-thread aggregate). At 100 TB the shuffled hash/merge
-          // join on (band, sig) is the only viable shape anyway — banded
-          // is corpus-sized, never broadcastable. Explicit count so AQE
-          // cannot coalesce the pair expansion (pairShufflePartitions).
-          .repartition(pairShufflePartitions(s), col("band"), col("sig"))
-        val x = banded.select(col("doc_id").as("d1"), col("band"), col("sig"))
-        val y = banded.select(col("doc_id").as("d2"), col("band").as("band2"), col("sig").as("sig2"))
-        x.join(y, col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
-          .select("d1", "d2")
-          .distinct()
-          .orderBy("d1", "d2")
-      },
+      (s, d) => lshCandidatePairsFrom(s, t(s, d, "documents")).orderBy("d1", "d2"),
       Some("""
         WITH w AS (
           SELECT DISTINCT doc_id, word FROM (

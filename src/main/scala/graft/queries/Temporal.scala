@@ -1596,6 +1596,79 @@ object Temporal {
                round(CAST(sum(sec) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_s
         FROM legs GROUP BY leg ORDER BY leg
       """)
+    ),
+
+    // --- activity power-law exponent: the degree-distribution fit ---
+    // The one-number bot/health summary of the user-activity distribution
+    // (organic engagement sits near a power law; a bot farm bends or
+    // truncates it): OLS of ln(users-at-level) on ln(level) over the
+    // counts-of-counts table — the same degree-distribution collapse as
+    // the Gini/Pareto, so the fit input has one row per distinct activity
+    // level at ANY user cardinality, and the same closed-form OLS
+    // discipline as text_zipf_slope: each libm ln rounds to 6 dp in
+    // ISOLATION, the moment sums accumulate those 6-dp values as exact
+    // DECIMAL (partition-order independent), and slope/intercept are one
+    // identical IEEE chain over exactly-cast doubles at 6 dp.
+    Q(
+      "q_activity_power_law",
+      (s, d) => {
+        val moments = Q
+          .events(s, d)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("c")
+          .agg(count(lit(1)).as("m"))
+          .select(
+            round(log(col("c").cast("double")), 6).cast("decimal(18,6)").as("x"),
+            round(log(col("m").cast("double")), 6).cast("decimal(18,6)").as("y")
+          )
+          .agg(
+            count(lit(1)).as("n_levels"),
+            sum(col("x")).cast("decimal(38,6)").as("sx"),
+            sum(col("y")).cast("decimal(38,6)").as("sy"),
+            sum(col("x") * col("y")).cast("decimal(38,12)").as("sxy"),
+            sum(col("x") * col("x")).cast("decimal(38,12)").as("sxx")
+          )
+        val nl = col("n_levels").cast("double")
+        val sx = col("sx").cast("double")
+        val sy = col("sy").cast("double")
+        val sxy = col("sxy").cast("double")
+        val sxx = col("sxx").cast("double")
+        val slope = (nl * sxy - sx * sy) / (nl * sxx - sx * sx)
+        moments.select(
+          col("n_levels"),
+          round(slope, 6).as("slope"),
+          round((sy - slope * sx) / nl, 6).as("intercept")
+        )
+      },
+      Some("""
+        WITH cnt AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        coc AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM cnt GROUP BY 1),
+        p AS (
+          SELECT CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+                 CAST(round(ln(CAST(m AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+          FROM coc),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_levels,
+                 CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+                 CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+                 CAST(sum(x * y) AS DECIMAL(38,12)) AS sxy,
+                 CAST(sum(x * x) AS DECIMAL(38,12)) AS sxx
+          FROM p)
+        SELECT n_levels,
+               round((CAST(n_levels AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_levels AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - ((CAST(n_levels AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n_levels AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE)) / CAST(n_levels AS DOUBLE), 6) AS intercept
+        FROM a
+      """)
     )
   )
 

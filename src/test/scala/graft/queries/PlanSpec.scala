@@ -87,11 +87,20 @@ class PlanSpec extends AnyFunSuite {
     assert(triangle.contains("REPARTITION_BY_NUM"),
       s"triangle pair join lost its explicit-count repartition:\n$triangle")
     for (q <- Seq("dedup_simhash_pairs", "dedup_simhash_near", "dedup_minhash_lsh",
-        "dedup_embedding", "media_phash_pairs")) {
+        "dedup_embedding", "media_phash_pairs", "corpus_cross_source_dup")) {
       val p = plan(q)
       assert(p.contains("REPARTITION_BY_NUM"),
         s"$q lost its explicit-count repartition:\n$p")
     }
+  }
+
+  test("cross-source dup matrix aggregates the banded pair set, no cartesian") {
+    // The provenance rollup must ride the shared lshCandidatePairsFrom
+    // (banded bucket join) and partial-combine onto the |sources|²-row
+    // key space — never an all-pairs join of documents.
+    val p = plan("corpus_cross_source_dup")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), s"source rollup lost its partial phase:\n$p")
   }
 
   test("exact-jaccard carries no forced broadcast; pair join is triangle-partitioned") {
