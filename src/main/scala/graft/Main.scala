@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-attribution <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-sessions <peerDir> <ckptDir> <outDir> [--watermark D] [--gap-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-attribution <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-sessions <peerDir> <ckptDir> <outDir> [--watermark D] [--gap-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | text-report <docsDir> | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -930,6 +930,55 @@ object Main {
             println(s"  bucket ${r.getLong(0)}: ${r.getLong(1)} gaps, " +
               s"${r.getLong(2)}-${r.getLong(3)} days (mean ${r.getDouble(4)})")
           }
+          graft.queries.Checkpoints.release()
+        case "text-report" :: dir :: Nil =>
+          // The corpus-QA dashboard over any directory holding a
+          // documents.parquet: per-source triage, language-ID confusion,
+          // vocabulary health (Zipf slope), readability, length shape and
+          // the cross-source duplication matrix — each the oracle-checked
+          // query from SparkEntry.queries, so the report IS the verified
+          // surface. Completes the dashboard quartet (events / sales /
+          // embedding / text).
+          val qs = SparkEntry.queries
+          def run(name: String) = qs(name)(spark, dir)
+          import org.apache.spark.sql.functions.{avg => savg, col => c, desc => sdesc, max => smax, min => smin, round => sround, sum => ssum}
+          println("== per-source triage (docs, dup fraction, mean quality)")
+          run("corpus_source_triage").collect().take(10).foreach { r =>
+            val flag = if (r.getBoolean(4)) "  << FLAGGED" else ""
+            println(s"  ${r.getString(0)}: ${r.getLong(1)} docs, dup ${r.getDouble(2)}, " +
+              s"quality ${r.getDouble(3)}$flag")
+          }
+          println("== language-ID confusion (labeled vs predicted)")
+          run("text_lang_confusion").collect().take(10).foreach { r =>
+            println(s"  ${r.getString(0)} -> ${r.getString(1)}: ${r.getLong(2)} docs " +
+              s"(rate ${r.getDouble(3)})")
+          }
+          println("== vocabulary health (Zipf fit over the top-1000 slice)")
+          run("text_zipf_slope").collect().foreach { r =>
+            println(s"  slope ${r.getDouble(1)} intercept ${r.getDouble(2)} " +
+              s"(natural corpora sit near -1)")
+          }
+          println("== readability (FORCAST grade over raw docs)")
+          run("text_readability")
+            .agg(smin(c("forcast")).as("min"), sround(savg(c("forcast")), 2).as("mean"),
+              smax(c("forcast")).as("max"))
+            .collect().foreach { r =>
+              println(s"  grade min=${r.getDouble(0)} mean=${r.getDouble(1)} max=${r.getDouble(2)}")
+            }
+          println("== length shape (log2 token buckets, all sources)")
+          run("corpus_length_hist")
+            .groupBy("bucket").agg(ssum(c("n_docs")).as("n_docs"))
+            .orderBy("bucket")
+            .collect().foreach { r =>
+              println(s"  bucket ${r.getLong(0)}: ${r.getLong(1)} docs")
+            }
+          println("== cross-source duplication (top near-dup cells)")
+          run("corpus_cross_source_dup")
+            .orderBy(sdesc("n_pairs"), c("source_a"), c("source_b"))
+            .collect().take(5).foreach { r =>
+              val kind = if (r.getString(0) == r.getString(1)) "within" else "BETWEEN"
+              println(s"  ${r.getString(0)} ~ ${r.getString(1)}: ${r.getLong(2)} pairs ($kind)")
+            }
           graft.queries.Checkpoints.release()
         case "embedding-report" :: dir :: Nil =>
           // The embedding-QA dashboard over any directory holding an

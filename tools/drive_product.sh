@@ -123,6 +123,10 @@ g --data-dir "$D/s" sales-report /root/testdata/sf0.001 \
 # per-label outliers — same oracle-checked contract.
 g --data-dir "$D/s" embedding-report /root/testdata/sf0.001 \
   | expect "500 vectors, dim=64"
+# The corpus-QA twin: triage, lang confusion, Zipf health, readability,
+# length shape, cross-source duplication — the fourth dashboard.
+g --data-dir "$D/s" text-report /root/testdata/sf0.001 \
+  | expect "src0: 25 docs, dup 0.0"
 
 echo "=== [5/5] cluster: phi accrual evicts a SIGKILLed heartbeating follower"
 java $OPENS -Xmx3g -cp "$CP" graft.Main --data-dir "$D/hub" --ttl 2 --phi 8 serve-grpc 8931 \
