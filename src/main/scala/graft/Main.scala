@@ -920,6 +920,10 @@ object Main {
           run("q_supplier_variety").collect().take(5).foreach { r =>
             println(s"  ${r.getString(0)} ${r.getString(1)}: ${r.getLong(2)} suppliers")
           }
+          println("== discount forecast (Q6: revenue from eliminating the 5-7% band)")
+          run("q6_forecast_revenue").collect().foreach { r =>
+            println(f"  ${r.getDouble(0)}%.2f across ${r.getLong(1)} lines")
+          }
           println("== top returners (customers by returned-item revenue)")
           run("q_top_returners").collect().take(5).foreach { r =>
             println(f"  ${r.getString(1)} (${r.getString(2)}): " +

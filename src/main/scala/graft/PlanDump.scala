@@ -359,6 +359,10 @@ object PlanDump {
       "closed-form OLS discipline — 6-dp-isolated libm lns, exact DECIMAL " +
       "moment sums, one shared IEEE chain — over one row per distinct " +
       "activity level at any user cardinality."),
+    "q6_forecast_revenue" -> ("TPC-H Q6 shape: all three predicates reach " +
+      "the parquet scan, revenue is exact 1e4-unit integer cents×discount " +
+      "with the discount band compared on ROUNDED integers, and the only " +
+      "exchange is the 1-row final combine."),
     "q_top_returners" -> ("TPC-H Q10 shape: R-flag filter pushed to the " +
       "lineitem scan, q5's exact 1e4-unit integer revenue, orderkey " +
       "shuffle join (bucketing candidate), customer+nation broadcast, " +

@@ -1488,6 +1488,48 @@ object Relational {
                JOIN nation n ON c.c_nationkey = n.n_nationkey
         ORDER BY returned_revenue DESC, custkey LIMIT 10
       """)
+    ),
+
+    // --- forecast revenue change (TPC-H Q6 shape) ---
+    // The iconic single-scan aggregate: revenue that would have been
+    // gained by eliminating discounts in a band — a one-year shipdate
+    // range, a ±1% discount band, a quantity cap, ONE filtered sum with
+    // no join and no shuffle beyond the final 1-row combine. All three
+    // predicates must reach the parquet scan (PlanSpec asserts the
+    // pushed quantity filter); revenue is exact integer cents×discount
+    // (1e4-unit products of rounded integers — the q5 discipline), and
+    // the discount band compares ROUNDED integer discounts so no float
+    // boundary can split engines.
+    Q(
+      "q6_forecast_revenue",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1995-01-01") &&
+              col("l_shipdate") < lit("1996-01-01") &&
+              col("l_quantity") < 24.0
+          )
+          .select(
+            round(col("l_extendedprice") * 100).cast("long").as("cents"),
+            round(col("l_discount") * 100).cast("long").as("disc")
+          )
+          .filter(col("disc") >= 5L && col("disc") <= 7L)
+          .agg(
+            (sum(col("cents") * col("disc")).cast("double") / 10000.0).as("forecast_revenue"),
+            count(lit(1)).as("n_lines")
+          )
+      },
+      Some("""
+        SELECT CAST(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                             * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / 10000.0 AS forecast_revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_quantity < 24.0
+          AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+      """)
     )
   )
 }

@@ -943,6 +943,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("partial_count"), s"rollup lost its partial phase:\n$p2")
   }
 
+  test("q6 pushes its predicates to the scan and plans no shuffle but the combine") {
+    val p = plan("q6_forecast_revenue")
+    assert(!p.contains("Join"), s"Q6 must not join:\n$p")
+    // PushedFilters renders truncated in toString; the shipdate bound is
+    // visible in it, and the quantity bound in the residual Filter.
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1995-01-01"),
+      s"shipdate filter must push to the scan:\n$p")
+    assert(p.contains("< 24.0)"), s"quantity filter missing:\n$p")
+    assert(p.contains("partial_sum"), s"revenue sum lost its partial phase:\n$p")
+    val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 0, s"Q6 must plan no hash exchange (1-row combine only), got $ex:\n$p")
+  }
+
   test("top returners push the R filter to the scan and TakeOrdered the top-10") {
     val p = plan("q_top_returners")
     assert(!p.contains("CartesianProduct"))
