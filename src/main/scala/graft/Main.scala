@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-attribution <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-sessions <peerDir> <ckptDir> <outDir> [--watermark D] [--gap-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | text-report <docsDir> | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-attribution <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-sessions <peerDir> <ckptDir> <outDir> [--watermark D] [--gap-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | text-report <docsDir> | media-report <docsDir> | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -934,6 +934,39 @@ object Main {
             println(s"  bucket ${r.getLong(0)}: ${r.getLong(1)} gaps, " +
               s"${r.getLong(2)}-${r.getLong(3)} days (mean ${r.getDouble(4)})")
           }
+          graft.queries.Checkpoints.release()
+        case "media-report" :: dir :: Nil =>
+          // The media-QA dashboard over any directory holding a documents
+          // table with binary payloads: blob shape, exact-duplicate
+          // collapse, and perceptual near-dup pressure — each the
+          // oracle-checked query from SparkEntry.queries. The fifth
+          // dashboard (events / sales / embedding / text / media).
+          val qs = SparkEntry.queries
+          def run(name: String) = qs(name)(spark, dir)
+          import org.apache.spark.sql.functions.{avg => savg, col => c, count => scount, countDistinct => scountd, max => smax, min => smin, round => sround, sum => ssum}
+          println("== blob shape")
+          run("media_meta")
+            .agg(scount(c("doc_id")).as("n"), smin(c("n_bytes")).as("min_b"),
+              smax(c("n_bytes")).as("max_b"), ssum(c("n_bytes")).as("total_b"),
+              smax(c("width")).as("max_w"), smax(c("height")).as("max_h"))
+            .collect().foreach { r =>
+              println(s"  ${r.get(0)} blobs, ${r.get(1)}-${r.get(2)} bytes " +
+                s"(${r.get(3)} total), max dims ${r.get(4)}x${r.get(5)}")
+            }
+          println("== exact duplicates (content-hash collapse)")
+          val md = run("media_dedup")
+          md.agg(scount(c("content_hash")).as("groups"), ssum(c("n_copies")).as("blobs"))
+            .collect().foreach { r =>
+              println(s"  ${r.get(1)} blobs collapse to ${r.get(0)} distinct contents")
+            }
+          println("== perceptual near-dup pressure (aHash banded pairs)")
+          val pp = run("media_phash_pairs")
+          pp.agg(scount(c("d1")).as("pairs"), sround(savg(c("hamming")), 2).as("mean_ham"),
+            smin(c("hamming")).as("min_ham"))
+            .collect().foreach { r =>
+              println(s"  ${r.get(0)} candidate pairs, hamming mean ${r.get(1)} " +
+                s"min ${r.get(2)}")
+            }
           graft.queries.Checkpoints.release()
         case "text-report" :: dir :: Nil =>
           // The corpus-QA dashboard over any directory holding a

@@ -127,6 +127,9 @@ g --data-dir "$D/s" embedding-report /root/testdata/sf0.001 \
 # length shape, cross-source duplication — the fourth dashboard.
 g --data-dir "$D/s" text-report /root/testdata/sf0.001 \
   | expect "src0: 25 docs, dup 0.0"
+# The media-QA twin: blob shape, exact-dup collapse, perceptual pairs.
+g --data-dir "$D/s" media-report /root/testdata/sf0.001 \
+  | expect "500 blobs collapse to 500 distinct contents"
 
 echo "=== [5/5] cluster: phi accrual evicts a SIGKILLed heartbeating follower"
 java $OPENS -Xmx3g -cp "$CP" graft.Main --data-dir "$D/hub" --ttl 2 --phi 8 serve-grpc 8931 \
