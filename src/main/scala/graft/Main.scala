@@ -1009,6 +1009,11 @@ object Main {
             .collect().foreach { r =>
               println(s"  bucket ${r.getLong(0)}: ${r.getLong(1)} docs")
             }
+          println("== character-class mix (tokenizer-design profile, first 5 sources)")
+          run("text_char_classes").collect().take(5).foreach { r =>
+            println(s"  ${r.getString(0)}: alpha ${r.getDouble(2)} digit ${r.getDouble(3)} " +
+              s"space ${r.getDouble(4)} other ${r.getDouble(5)}")
+          }
           println("== cross-source duplication (top near-dup cells)")
           run("corpus_cross_source_dup")
             .orderBy(sdesc("n_pairs"), c("source_a"), c("source_b"))
@@ -1046,6 +1051,13 @@ object Main {
             println(s"  label ${r.get(0)}: n=${r.getLong(1)} cohesion=${r.getDouble(2)} " +
               s"nearest=${r.get(3)} separation=${r.getDouble(4)} margin=${r.getDouble(5)}")
           }
+          println("== exact duplicates (bit-identical vectors, pipeline-bug alarm)")
+          run("vec_exact_dups")
+            .agg(scount(c("content_hash")).as("groups"),
+              org.apache.spark.sql.functions.sum(c("n_copies")).as("vecs"))
+            .collect().foreach { r =>
+              println(s"  ${r.getLong(1)} vectors collapse to ${r.getLong(0)} distinct contents")
+            }
           println("== least-central members (top outlier per label, z ascending)")
           run("vec_outliers").filter(c("rank") === 1).collect().foreach { r =>
             println(s"  label ${r.get(0)}: vec ${r.getLong(2)} " +

@@ -386,6 +386,15 @@ object PlanDump {
       "bucketing candidate at warehouse scale), priority rollup " +
       "partial-combines onto |priorities| rows, mean/late_frac single " +
       "int/int IEEE divisions."),
+    "vec_exact_dups" -> ("Exact-duplicate embeddings: 1e6-quantized md5 " +
+      "group key in scan codegen, one partial-aggregated groupBy onto " +
+      "distinct-content cardinality — completes exact dedup across " +
+      "text/media/vector payloads."),
+    "text_char_classes" -> ("Character-class mix per source: exact " +
+      "codepoint class counts in scan codegen (regexp_replace strips all " +
+      "matches; the DuckDB twin needs the 'g' flag), order-independent " +
+      "BIGINT sums, int/int IEEE fractions, one shuffle onto |sources| " +
+      "rows."),
     "vec_cluster_quality" -> ("Per-label cohesion vs nearest-centroid " +
       "separation: centroids one (label,pos)-keyed shuffle, member scoring " +
       "map-side against the broadcast k×d centroid table with 4-dp-rounded " +

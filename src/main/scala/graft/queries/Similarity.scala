@@ -1282,6 +1282,42 @@ object Similarity {
         FROM ch JOIN nr ON nr.label = ch.label AND nr.rk = 1
         ORDER BY ch.label
       """)
+    ),
+
+    // --- exact-duplicate embeddings: the pipeline-bug detector ---
+    // Bit-identical vectors in an embedding table almost always mean an
+    // upstream bug (a stuck encoder, a repeated batch, a join fan-out) —
+    // semantic near-dups are expected, exact dups are not. Vectors
+    // quantize at 1e6 (round-before-cast) and hash to an md5 group key in
+    // scan codegen — one map-side expression, then ONE partial-aggregated
+    // groupBy onto distinct-content cardinality. The same shape as
+    // media_dedup/dedup_exact, completing exact-dedup across all three
+    // payload types (text / media / vectors).
+    Q(
+      "vec_exact_dups",
+      (s, d) => {
+        t(s, d, "embeddings")
+          .select(
+            col("vec_id"),
+            expr(
+              "md5(array_join(transform(embedding, " +
+                "x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS STRING)), ','))"
+            ).as("content_hash")
+          )
+          .groupBy("content_hash")
+          .agg(min("vec_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("content_hash")
+      },
+      Some("""
+        WITH h AS (
+          SELECT vec_id,
+                 md5(array_to_string(
+                   [CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)
+                    FOR x IN embedding], ',')) AS content_hash
+          FROM embeddings)
+        SELECT content_hash, min(vec_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        FROM h GROUP BY 1 ORDER BY content_hash
+      """)
     )
   )
 

@@ -1278,6 +1278,71 @@ object TextOps {
                min(n_tok) AS min_tok, max(n_tok) AS max_tok
         FROM x GROUP BY source, bucket ORDER BY source, bucket
       """)
+    ),
+
+    // --- character-class mix: the script/tokenizer-design profile ---
+    // Per source, what fraction of characters are Latin letters, digits,
+    // whitespace, and everything else (CJK, punctuation, control bytes) —
+    // the signal behind tokenizer vocabulary budgeting and the alarm for
+    // markup-soup or binary-contaminated sources. Class counts are exact
+    // codepoint arithmetic in scan codegen (length of the class-stripped
+    // string — regexp_replace replaces ALL matches in Spark; the DuckDB
+    // twin needs the explicit 'g' flag, and both count CODEPOINTS, not
+    // bytes, so CJK text agrees); per-source sums are order-independent
+    // BIGINTs and each fraction is one int/int IEEE division at 6 dp.
+    // One partial-aggregated shuffle onto |sources| rows.
+    Q(
+      "text_char_classes",
+      (s, d) => {
+        t(s, d, "documents")
+          .select(
+            col("source"),
+            length(col("text")).cast("long").as("n"),
+            length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("alpha"),
+            length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("digit"),
+            length(regexp_replace(col("text"), "[^ \\t\\n]", "")).cast("long").as("ws")
+          )
+          .groupBy("source")
+          .agg(
+            sum("n").as("n_chars"),
+            sum("alpha").as("a"),
+            sum("digit").as("dg"),
+            sum("ws").as("w")
+          )
+          .select(
+            col("source"),
+            col("n_chars"),
+            round(col("a").cast("double") / col("n_chars").cast("double"), 6).as("alpha_frac"),
+            round(col("dg").cast("double") / col("n_chars").cast("double"), 6).as("digit_frac"),
+            round(col("w").cast("double") / col("n_chars").cast("double"), 6).as("space_frac"),
+            round(
+              (col("n_chars") - col("a") - col("dg") - col("w")).cast("double")
+                / col("n_chars").cast("double"),
+              6
+            ).as("other_frac")
+          )
+          .orderBy("source")
+      },
+      Some("""
+        WITH x AS (
+          SELECT source,
+                 CAST(length(text) AS BIGINT) AS n,
+                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+                 CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit,
+                 CAST(length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS BIGINT) AS ws
+          FROM documents),
+        agg AS (
+          SELECT source, CAST(sum(n) AS BIGINT) AS n_chars, CAST(sum(alpha) AS BIGINT) AS a,
+                 CAST(sum(digit) AS BIGINT) AS dg, CAST(sum(ws) AS BIGINT) AS w
+          FROM x GROUP BY 1)
+        SELECT source, n_chars,
+               round(CAST(a AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS alpha_frac,
+               round(CAST(dg AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS digit_frac,
+               round(CAST(w AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS space_frac,
+               round(CAST(n_chars - a - dg - w AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+                 AS other_frac
+        FROM agg ORDER BY source
+      """)
     )
   )
 }

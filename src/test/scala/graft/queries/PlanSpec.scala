@@ -964,6 +964,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"customer/nation sides must broadcast:\n$p")
   }
 
+  test("exact-dup embeddings and char classes stay map-side to one shuffle") {
+    // vec_exact_dups: quantize+hash in scan codegen, one partial-agg
+    // groupBy — and a planted duplicate must collapse.
+    val p = plan("vec_exact_dups")
+    assert(!p.contains("Generate explode"), s"hash must not unnest vectors:\n$p")
+    assert(p.contains("partial_count"), s"dup rollup lost its partial phase:\n$p")
+    val session = spark
+    import session.implicits._
+    val dir = graft.TestSpark.tempDir("planted-vec-dups")
+    val v = Array.fill(8)(0.25f)
+    Seq((1L, v, 0), (2L, v, 1), (3L, Array.fill(8)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("vec_exact_dups")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 2L), (3L, 1L)), s"planted dup must collapse to keep_id 1: $rows")
+    // text_char_classes: class counts in scan codegen, one shuffle.
+    val p2 = plan("text_char_classes")
+    assert(!p2.contains("Generate explode"), s"char classes must not unnest docs:\n$p2")
+    val ex = p2.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1, s"expected exactly 1 hash exchange (source rollup), got $ex:\n$p2")
+  }
+
   test("zipf slope fits over the TakeOrdered vocabulary slice") {
     // text_zipf_slope: the top-1000 slice is TakeOrdered partial top-k
     // (never a one-reducer vocabulary sort); the rank window and moment
