@@ -1014,6 +1014,11 @@ object Main {
             println(s"  ${r.getString(0)}: alpha ${r.getDouble(2)} digit ${r.getDouble(3)} " +
               s"space ${r.getDouble(4)} other ${r.getDouble(5)}")
           }
+          println("== dedup threshold audit (pair-similarity deciles above tau)")
+          run("dedup_sim_hist").collect().foreach { r =>
+            println(s"  decile ${r.getLong(0)}: ${r.getLong(1)} pairs " +
+              s"(j ${r.getDouble(2)}-${r.getDouble(3)})")
+          }
           println("== cross-source duplication (top near-dup cells)")
           run("corpus_cross_source_dup")
             .orderBy(sdesc("n_pairs"), c("source_a"), c("source_b"))

@@ -386,6 +386,14 @@ object PlanDump {
       "bucketing candidate at warehouse scale), priority rollup " +
       "partial-combines onto |priorities| rows, mean/late_frac single " +
       "int/int IEEE divisions."),
+    "dedup_sim_hist" -> ("Threshold audit: decile counts over the LITERAL " +
+      "dedup_jaccard pair set (shared jaccardPairsFrom), round-before-cast " +
+      "decile cut on bit-identical int/int similarities, rollup onto ≤5 " +
+      "rows."),
+    "q_hourly_profile" -> ("Intraday volume curve: hour-of-day is pure " +
+      "integer epoch-second arithmetic (unix_timestamp truncation ≡ " +
+      "DuckDB whole-second date_diff), one partial-aggregated rollup onto " +
+      "24 rows with the share window on that profile."),
     "vec_exact_dups" -> ("Exact-duplicate embeddings: 1e6-quantized md5 " +
       "group key in scan codegen, one partial-aggregated groupBy onto " +
       "distinct-content cardinality — completes exact dedup across " +

@@ -849,6 +849,69 @@ object Dedup {
       """)
     ),
 
+    // --- similarity histogram: is the dedup threshold in a valley? ---
+    // The threshold-audit readout over the exact Jaccard pair set: decile
+    // counts of pair similarities above τ. A healthy corpus shows mass
+    // piled at 1.0 (true dups) with a thin tail near τ — meaning the
+    // cutoff sits in a density valley and the dedup decision is robust; a
+    // fat bucket AT the threshold decile means tiny τ changes move many
+    // verdicts and the gate needs retuning. Pairs are the LITERAL
+    // dedup_jaccard set (shared jaccardPairsFrom — same three-branch
+    // machinery, same int/int IEEE similarities, so the decile cut is
+    // bit-identical cross-engine via round-before-cast); the rollup
+    // partial-combines onto ≤5 decile rows.
+    Q(
+      "dedup_sim_hist",
+      (s, d) => {
+        jaccardPairsFrom(s, t(s, d, "documents"))
+          .select(expr("CAST(round(jaccard * 10) AS BIGINT)").as("decile"), col("jaccard"))
+          .groupBy("decile")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            min("jaccard").as("min_j"),
+            max("jaccard").as("max_j")
+          )
+          .orderBy("decile")
+      },
+      Some("""
+        WITH w AS MATERIALIZED (
+          SELECT DISTINCT doc_id, lang, word FROM (
+            SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
+        k AS MATERIALIZED (SELECT doc_id, lang, string_agg(word, chr(1) ORDER BY word) AS set_key
+              FROM w GROUP BY doc_id, lang),
+        grp AS MATERIALIZED (SELECT lang, set_key, min(doc_id) AS rep FROM k GROUP BY lang, set_key),
+        docrep AS MATERIALIZED (
+          SELECT k.doc_id, g.rep
+          FROM k JOIN grp g ON g.lang = k.lang AND g.set_key = k.set_key),
+        rw AS MATERIALIZED (SELECT g.rep AS doc_id, g.lang, w.word
+               FROM grp g JOIN w ON w.doc_id = g.rep AND w.lang = g.lang),
+        sz AS (SELECT doc_id, count(*) AS sz FROM rw GROUP BY doc_id),
+        p AS MATERIALIZED (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM rw a JOIN rw b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        reppairs AS MATERIALIZED (
+          SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+          FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6),
+        cross_pairs AS (
+          SELECT least(da.doc_id, db.doc_id) AS d1,
+                 greatest(da.doc_id, db.doc_id) AS d2, r.jaccard
+          FROM reppairs r
+          JOIN docrep da ON da.rep = r.d1
+          JOIN docrep db ON db.rep = r.d2),
+        within_pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(1.0 AS DOUBLE) AS jaccard
+          FROM docrep a JOIN docrep b ON a.rep = b.rep AND a.doc_id < b.doc_id),
+        allp AS (
+          SELECT jaccard FROM cross_pairs UNION ALL SELECT jaccard FROM within_pairs)
+        SELECT CAST(round(jaccard * 10) AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               min(jaccard) AS min_j, max(jaccard) AS max_j
+        FROM allp GROUP BY 1 ORDER BY decile
+      """)
+    ),
+
     // --- char n-gram Jaccard near-dup: trigram-set similarity pairs ---
     // The character-level twin of dedup_jaccard: tokens are the distinct
     // char TRIGRAMS of the normalized text instead of words, so edits

@@ -1598,6 +1598,44 @@ object Temporal {
       """)
     ),
 
+    // --- hour-of-day profile: the intraday volume curve ---
+    // The staffing/scheduling companion of q_seasonality at hour grain:
+    // hour-of-day is PURE integer arithmetic on epoch seconds —
+    // (sec % 86400) div 3600 — with seconds derived identically in both
+    // engines (unix_timestamp truncation ≡ DuckDB whole-second
+    // date_diff; epoch() would keep fractions and round differently).
+    // One partial-aggregated rollup onto 24 rows; the share normaliser
+    // windows over that 24-row profile.
+    Q(
+      "q_hourly_profile",
+      (s, d) => {
+        Q.events(s, d)
+          .select(expr("(unix_timestamp(ts) % 86400) div 3600").as("hour"))
+          .groupBy("hour")
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn(
+            "share",
+            round(
+              col("n_events").cast("double")
+                / sum("n_events").over(Window.partitionBy()).cast("double"),
+              6
+            )
+          )
+          .orderBy("hour")
+      },
+      Some("""
+        WITH x AS (
+          SELECT (CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS BIGINT)
+                  % 86400) // 3600 AS hour
+          FROM events),
+        agg AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_events FROM x GROUP BY 1)
+        SELECT hour, n_events,
+               round(CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER () AS DOUBLE), 6)
+                 AS share
+        FROM agg ORDER BY hour
+      """)
+    ),
+
     // --- activity power-law exponent: the degree-distribution fit ---
     // The one-number bot/health summary of the user-activity distribution
     // (organic engagement sits near a power law; a bot farm bends or

@@ -987,6 +987,20 @@ class PlanSpec extends AnyFunSuite {
     assert(ex == 1, s"expected exactly 1 hash exchange (source rollup), got $ex:\n$p2")
   }
 
+  test("sim histogram and hourly profile roll up without cartesians or joins") {
+    // dedup_sim_hist rides the guarded jaccardPairsFrom machinery; its own
+    // rollup must partial-combine onto <=5 decile rows.
+    val df = SparkEntry.queries("dedup_sim_hist")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), s"decile rollup lost its partial phase:\n$p")
+    // q_hourly_profile: join-free, one partial-agg rollup onto 24 rows.
+    val p2 = plan("q_hourly_profile")
+    assert(!p2.contains("Join"), s"hourly profile must not join:\n$p2")
+    assert(p2.contains("partial_count"), s"hourly rollup lost its partial phase:\n$p2")
+  }
+
   test("zipf slope fits over the TakeOrdered vocabulary slice") {
     // text_zipf_slope: the top-1000 slice is TakeOrdered partial top-k
     // (never a one-reducer vocabulary sort); the rank window and moment

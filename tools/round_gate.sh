@@ -63,7 +63,7 @@ if [ "$SOAK" = "1" ]; then
     echo "--- regenerating tmp/zipf-gate (5k docs, Zipf vocab)"
     python3 tools/make_zipf_corpus.py /root/testdata/sf0.1 tmp/zipf-gate 5000
   fi
-  ZIPF_QUERIES="dedup_jaccard,dedup_containment,dedup_clusters,corpus_decontaminate_near,corpus_chunk,corpus_source_triage,text_entropy,corpus_novelty,corpus_interleave,corpus_source_diversity,text_bm25,text_bm25_phrase,corpus_drift,corpus_leakage_report,text_lang_confusion,corpus_sample_holdout,corpus_ngram_coverage,text_collocations,text_readability,text_bpe_pairs,text_zipf_slope,corpus_length_hist,corpus_cross_source_dup,text_char_classes"
+  ZIPF_QUERIES="dedup_jaccard,dedup_containment,dedup_clusters,corpus_decontaminate_near,corpus_chunk,corpus_source_triage,text_entropy,corpus_novelty,corpus_interleave,corpus_source_diversity,text_bm25,text_bm25_phrase,corpus_drift,corpus_leakage_report,text_lang_confusion,corpus_sample_holdout,corpus_ngram_coverage,text_collocations,text_readability,text_bpe_pairs,text_zipf_slope,corpus_length_hist,corpus_cross_source_dup,text_char_classes,dedup_sim_hist"
   out="/tmp/round-gate-zipf"
   sbt -batch "runMain graft.Verify tmp/zipf-gate $out $ZIPF_QUERIES"
   report="/tmp/round-gate-zipf.report"
@@ -87,7 +87,7 @@ if [ "$SOAK" = "1" ]; then
     echo "--- regenerating tmp/sf1 (10x sf0.1)"
     python3 tools/make_scaled_sf.py /root/testdata/sf0.1 tmp/sf1 10
   fi
-  SOAK_QUERIES="dedup_clusters,dedup_ngram_jaccard,q_sessionize,dedup_substring,knn_ivf_indexed,dedup_semantic,corpus_lm_quality,corpus_dsir_weights,q_funnel,q_retention_cohorts,dedup_substring_apply,q_ab_lift,q_item_similarity,corpus_pack_apply,corpus_budget_apply,corpus_bitext_mine,q_heavy_hitters,q_active_users,q_event_flow,q_anomaly_days,vec_outliers,q_pagerank,q_session_paths,q_new_vs_returning,q_basket_rules,q_rfm_segments,q_growth_accounting,q_ltv_cohorts,q_promo_share,q_supplier_variety,q_engagement_gini,q_pareto_share,q_session_duration_hist,q_attribution,q_purchase_intervals,vec_pca,vec_cluster_quality,q_seasonality,q_shipping_delay,q_funnel_latency,q_top_returners,q_activity_power_law,q6_forecast_revenue,vec_exact_dups"
+  SOAK_QUERIES="dedup_clusters,dedup_ngram_jaccard,q_sessionize,dedup_substring,knn_ivf_indexed,dedup_semantic,corpus_lm_quality,corpus_dsir_weights,q_funnel,q_retention_cohorts,dedup_substring_apply,q_ab_lift,q_item_similarity,corpus_pack_apply,corpus_budget_apply,corpus_bitext_mine,q_heavy_hitters,q_active_users,q_event_flow,q_anomaly_days,vec_outliers,q_pagerank,q_session_paths,q_new_vs_returning,q_basket_rules,q_rfm_segments,q_growth_accounting,q_ltv_cohorts,q_promo_share,q_supplier_variety,q_engagement_gini,q_pareto_share,q_session_duration_hist,q_attribution,q_purchase_intervals,vec_pca,vec_cluster_quality,q_seasonality,q_shipping_delay,q_funnel_latency,q_top_returners,q_activity_power_law,q6_forecast_revenue,vec_exact_dups,q_hourly_profile"
   out="/tmp/round-gate-sf1"
   SPARK_GRAFT_MAX_PARTITION_BYTES=16777216 \
     sbt -batch "runMain graft.Verify tmp/sf1 $out $SOAK_QUERIES"
