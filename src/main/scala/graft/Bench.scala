@@ -35,7 +35,13 @@ object Bench {
     "dedup_containment",
     "corpus_bitext_mine",
     "corpus_chunk",
-    "q_funnel"
+    "q_funnel",
+    // Round-9 session-7 widening (same logic): one representative each
+    // for the fixed-point linear-algebra family (the d²-per-row
+    // outer-product aggregate + iteration joins) and the as-of-window
+    // analytics family added this session.
+    "vec_pca",
+    "q_attribution"
   )
 
   def main(args: Array[String]): Unit = {
