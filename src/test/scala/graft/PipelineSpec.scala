@@ -662,6 +662,56 @@ class PipelineSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming sessions merge across restart; finalized sessions never reopen") {
+    // The feed of the CLI stream-sessions: an OPEN session (not yet past
+    // end + gap at the watermark) restores from the checkpoint, so an
+    // event arriving AFTER the restart extends it rather than starting a
+    // new row; sessions already finalized stay untouched.
+    val session = spark
+    import session.implicits._
+    val raw = SparkLog(spark, TestSpark.tempDir("ssess-raw"), LogConfig())
+    def ev(user: Long, hhmm: String): Array[Byte] =
+      s"""{"user_id":$user,"ts":"2024-01-01 $hhmm:00","event_type":"view"}""".getBytes
+    raw.append(Seq(
+      ev(5L, "10:00"), ev(5L, "10:10"),
+      ev(9L, "12:10") // watermark → 12:00; user 5's session (ends 10:10,
+      //                 +30min gap = 10:40 < 12:00) finalizes; 9 pending
+    ))
+    val engine = Engine(spark, TestSpark.tempDir("ssess-out"))
+    val ckpt = TestSpark.tempDir("ssess-ckpt")
+    val out = TestSpark.tempDir("ssess-table")
+    def table(): Set[(Long, String, String, Long)] = spark.read
+      .parquet(out)
+      .selectExpr("user_id", "CAST(start AS STRING)", "CAST(end AS STRING)", "n_events")
+      .as[(Long, String, String, Long)]
+      .collect()
+      .toSet
+
+    val q1 = engine.sessionsFrom(raw.dir, ckpt, out)
+    try {
+      q1.processAllAvailable()
+      assert(
+        table() == Set((5L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L)),
+        s"user 5's gap-closed session must finalize: ${table()}"
+      )
+    } finally q1.stop()
+
+    // Restart: user 9's 12:15 event EXTENDS its restored open session
+    // (12:10 + gap not yet passed); the pusher finalizes both.
+    raw.append(Seq(ev(9L, "12:15"), ev(1L, "23:00")))
+    val q2 = engine.sessionsFrom(raw.dir, ckpt, out)
+    try {
+      q2.processAllAvailable()
+      assert(
+        table() == Set(
+          (5L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L),
+          (9L, "2024-01-01 12:10:00", "2024-01-01 12:15:00", 2L)
+        ),
+        s"the restored open session must extend, not split: ${table()}"
+      )
+    } finally q2.stop()
+  }
+
   test("streaming daily counts merge a day's events across restart and never re-finalize") {
     // The feed of the anomaly surface (CLI stream-anomaly): a day's count
     // can accumulate across batches AND a restart (the windowed-agg state
