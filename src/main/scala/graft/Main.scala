@@ -877,6 +877,13 @@ object Main {
             println(s"  week ${r.get(0)}: +${r.getLong(1)} new, ${r.getLong(2)} retained, " +
               s"${r.getLong(3)} resurrected, -${r.getLong(4)} churned")
           }
+          println("== hourly profile (intraday volume curve, top 5 hours)")
+          run("q_hourly_profile")
+            .orderBy(org.apache.spark.sql.functions.desc("n_events"),
+              org.apache.spark.sql.functions.col("hour"))
+            .limit(5).collect().foreach { r =>
+              println(s"  ${r.getLong(0)}:00 UTC: ${r.getLong(1)} events (share ${r.getDouble(2)})")
+            }
           println("== weekday seasonality (volume profile)")
           run("q_seasonality").collect().foreach { r =>
             println(s"  ${r.getString(1)}: ${r.getLong(2)} events, " +
