@@ -94,4 +94,39 @@ object Q {
 
   /** Discount/tax rate as exact 4-decimal fraction (`DECIMAL(6,4)` twin). */
   def rate(c: Column): Column = c.cast(DecimalType(6, 4))
+
+  /** Closed-form OLS fit over a (x DOUBLE, y DOUBLE) frame with the shared
+    * cross-engine discipline (`text_zipf_slope` and `q_activity_power_law`
+    * both route here): each input rounds to 6 dp in ISOLATION (callers do
+    * this for libm values like ln), then lifts to DECIMAL(18,6) so the
+    * four moment sums accumulate exactly — partition-order independent —
+    * and slope/intercept are one identical IEEE chain over exactly-cast
+    * doubles, rounded at 6 dp. Output: (n_points, slope, intercept).
+    */
+  def olsFitOver(points: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val moments = points
+      .select(
+        col("x").cast(DecimalType(18, 6)).as("x"),
+        col("y").cast(DecimalType(18, 6)).as("y")
+      )
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("x")).cast(DecimalType(38, 6)).as("sx"),
+        sum(col("y")).cast(DecimalType(38, 6)).as("sy"),
+        sum(col("x") * col("y")).cast(DecimalType(38, 12)).as("sxy"),
+        sum(col("x") * col("x")).cast(DecimalType(38, 12)).as("sxx")
+      )
+    val n = col("n_points").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    moments.select(
+      col("n_points"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / n, 6).as("intercept")
+    )
+  }
 }

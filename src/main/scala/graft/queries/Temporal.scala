@@ -1650,34 +1650,17 @@ object Temporal {
     Q(
       "q_activity_power_law",
       (s, d) => {
-        val moments = Q
-          .events(s, d)
-          .groupBy("user_id")
-          .agg(count(lit(1)).as("c"))
-          .groupBy("c")
-          .agg(count(lit(1)).as("m"))
-          .select(
-            round(log(col("c").cast("double")), 6).cast("decimal(18,6)").as("x"),
-            round(log(col("m").cast("double")), 6).cast("decimal(18,6)").as("y")
-          )
-          .agg(
-            count(lit(1)).as("n_levels"),
-            sum(col("x")).cast("decimal(38,6)").as("sx"),
-            sum(col("y")).cast("decimal(38,6)").as("sy"),
-            sum(col("x") * col("y")).cast("decimal(38,12)").as("sxy"),
-            sum(col("x") * col("x")).cast("decimal(38,12)").as("sxx")
-          )
-        val nl = col("n_levels").cast("double")
-        val sx = col("sx").cast("double")
-        val sy = col("sy").cast("double")
-        val sxy = col("sxy").cast("double")
-        val sxx = col("sxx").cast("double")
-        val slope = (nl * sxy - sx * sy) / (nl * sxx - sx * sx)
-        moments.select(
-          col("n_levels"),
-          round(slope, 6).as("slope"),
-          round((sy - slope * sx) / nl, 6).as("intercept")
-        )
+        Q.olsFitOver(
+          Q.events(s, d)
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("c"))
+            .groupBy("c")
+            .agg(count(lit(1)).as("m"))
+            .select(
+              round(log(col("c").cast("double")), 6).as("x"),
+              round(log(col("m").cast("double")), 6).as("y")
+            )
+        ).withColumnRenamed("n_points", "n_levels")
       },
       Some("""
         WITH cnt AS (

@@ -1187,29 +1187,12 @@ object TextOps {
           .orderBy(desc("n"), asc("word"))
           .limit(1000)
           .withColumn("rk", row_number().over(Window.orderBy(desc("n"), asc("word"))))
-        val moments = top
-          .select(
-            round(log(col("rk").cast("double")), 6).cast("decimal(18,6)").as("x"),
-            round(log(col("n").cast("double")), 6).cast("decimal(18,6)").as("y")
+        Q.olsFitOver(
+          top.select(
+            round(log(col("rk").cast("double")), 6).as("x"),
+            round(log(col("n").cast("double")), 6).as("y")
           )
-          .agg(
-            count(lit(1)).as("n_words"),
-            sum(col("x")).cast("decimal(38,6)").as("sx"),
-            sum(col("y")).cast("decimal(38,6)").as("sy"),
-            sum(col("x") * col("y")).cast("decimal(38,12)").as("sxy"),
-            sum(col("x") * col("x")).cast("decimal(38,12)").as("sxx")
-          )
-        val nw = col("n_words").cast("double")
-        val sx = col("sx").cast("double")
-        val sy = col("sy").cast("double")
-        val sxy = col("sxy").cast("double")
-        val sxx = col("sxx").cast("double")
-        val slope = (nw * sxy - sx * sy) / (nw * sxx - sx * sx)
-        moments.select(
-          col("n_words"),
-          round(slope, 6).as("slope"),
-          round((sy - slope * sx) / nw, 6).as("intercept")
-        )
+        ).withColumnRenamed("n_points", "n_words")
       },
       Some("""
         WITH c AS (
