@@ -1021,6 +1021,11 @@ object Main {
             println(s"  ${r.getString(0)}: alpha ${r.getDouble(2)} digit ${r.getDouble(3)} " +
               s"space ${r.getDouble(4)} other ${r.getDouble(5)}")
           }
+          println("== dedup proposal (keep-first over near-dup clusters)")
+          run("dedup_reduction").collect().foreach { r =>
+            println(s"  ${r.getLong(0)} docs -> ${r.getLong(1)} kept " +
+              s"(doc reduction ${r.getDouble(2)}, token reduction ${r.getDouble(5)})")
+          }
           println("== dedup threshold audit (pair-similarity deciles above tau)")
           run("dedup_sim_hist").collect().foreach { r =>
             println(s"  decile ${r.getLong(0)}: ${r.getLong(1)} pairs " +

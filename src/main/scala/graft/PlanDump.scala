@@ -386,6 +386,11 @@ object PlanDump {
       "bucketing candidate at warehouse scale), priority rollup " +
       "partial-combines onto |priorities| rows, mean/late_frac single " +
       "int/int IEEE divisions."),
+    "dedup_reduction" -> ("The one-row dedup proposal: keep-first over " +
+      "the LITERAL dedup_clusters output (shared clustersFrom — a doc " +
+      "survives iff its id IS its min-label cluster id), token counts in " +
+      "scan codegen, reductions as int/int IEEE divisions over exact " +
+      "BIGINT sums."),
     "dedup_sim_hist" -> ("Threshold audit: decile counts over the LITERAL " +
       "dedup_jaccard pair set (shared jaccardPairsFrom), round-before-cast " +
       "decile cut on bit-identical int/int similarities, rollup onto ≤5 " +

@@ -1050,6 +1050,111 @@ object Dedup {
       """)
     ),
 
+    // --- dedup reduction: the one-row "what would dedup buy" summary ---
+    // The capacity-planning number every curation proposal leads with:
+    // keep-first over the near-dup clusters (a doc survives iff its id IS
+    // its cluster label — min-label propagation converges to the
+    // component's minimum doc id, which is a member) removes X% of docs
+    // and Y% of tokens. Clusters are the LITERAL dedup_clusters output
+    // (shared clustersFrom); token counts ride the same whitespace split
+    // in scan codegen; reductions are single int/int IEEE divisions at
+    // 6 dp over exact BIGINT sums. Output is ONE row at any corpus size.
+    Q(
+      "dedup_reduction",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tok = docs.select(
+          col("doc_id"),
+          size(split(lower(trim(col("text"))), " ")).cast("long").as("n_tok")
+        )
+        clustersFrom(s, docs)
+          .join(tok, "doc_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct("cluster_id").as("n_kept"),
+            sum("n_tok").as("total_tokens"),
+            sum(when(col("doc_id") === col("cluster_id"), col("n_tok")).otherwise(0L))
+              .as("kept_tokens")
+          )
+          .select(
+            col("n_docs"),
+            col("n_kept"),
+            round(
+              (col("n_docs") - col("n_kept")).cast("double") / col("n_docs").cast("double"),
+              6
+            ).as("doc_reduction"),
+            col("total_tokens"),
+            col("kept_tokens"),
+            round(
+              (col("total_tokens") - col("kept_tokens")).cast("double")
+                / col("total_tokens").cast("double"),
+              6
+            ).as("token_reduction")
+          )
+      },
+      Some("""
+        WITH RECURSIVE w AS MATERIALIZED (
+          SELECT DISTINCT doc_id, lang, word FROM (
+            SELECT doc_id, lang, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)),
+        k AS MATERIALIZED (SELECT doc_id, lang, string_agg(word, chr(1) ORDER BY word) AS set_key
+              FROM w GROUP BY doc_id, lang),
+        grp AS MATERIALIZED (SELECT lang, set_key, min(doc_id) AS rep FROM k GROUP BY lang, set_key),
+        docrep AS MATERIALIZED (
+          SELECT k.doc_id, g.rep
+          FROM k JOIN grp g ON g.lang = k.lang AND g.set_key = k.set_key),
+        rw AS MATERIALIZED (SELECT g.rep AS doc_id, g.lang, w.word
+               FROM grp g JOIN w ON w.doc_id = g.rep AND w.lang = g.lang),
+        sz AS (SELECT doc_id, count(*) AS sz FROM rw GROUP BY doc_id),
+        p AS MATERIALIZED (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM rw a JOIN rw b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS MATERIALIZED (
+          SELECT d1, d2 FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.6),
+        edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        l1 AS MATERIALIZED (SELECT a AS node, least(a, min(b)) AS lbl FROM edges GROUP BY a),
+        e1 AS MATERIALIZED (SELECT DISTINCT la.lbl AS a, lb.lbl AS b
+               FROM edges e JOIN l1 la ON la.node = e.a JOIN l1 lb ON lb.node = e.b
+               WHERE la.lbl <> lb.lbl),
+        l2 AS MATERIALIZED (SELECT a AS node, least(a, min(b)) AS lbl FROM e1 GROUP BY a),
+        e2 AS MATERIALIZED (SELECT DISTINCT la.lbl AS a, lb.lbl AS b
+               FROM e1 e JOIN l2 la ON la.node = e.a JOIN l2 lb ON lb.node = e.b
+               WHERE la.lbl <> lb.lbl),
+        reach(a, b) AS (
+          SELECT a, b FROM e2
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a WHERE e.b <> r.a),
+        comp AS (SELECT a AS node, least(a, min(b)) AS lbl FROM reach GROUP BY a),
+        cl AS (
+          SELECT d.doc_id,
+                 coalesce(c.lbl, x2.lbl, x1.lbl, dr.rep) AS cluster_id
+          FROM documents d
+          JOIN docrep dr ON dr.doc_id = d.doc_id
+          LEFT JOIN l1 x1 ON x1.node = dr.rep
+          LEFT JOIN l2 x2 ON x2.node = x1.lbl
+          LEFT JOIN comp c ON c.node = coalesce(x2.lbl, x1.lbl)),
+        tok AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT cl.cluster_id) AS BIGINT) AS n_kept,
+                 CAST(sum(tok.n_tok) AS BIGINT) AS total_tokens,
+                 CAST(sum(CASE WHEN cl.doc_id = cl.cluster_id THEN tok.n_tok ELSE 0 END)
+                      AS BIGINT) AS kept_tokens
+          FROM cl JOIN tok ON cl.doc_id = tok.doc_id)
+        SELECT n_docs, n_kept,
+               round(CAST(n_docs - n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                 AS doc_reduction,
+               total_tokens, kept_tokens,
+               round(CAST(total_tokens - kept_tokens AS DOUBLE)
+                     / CAST(total_tokens AS DOUBLE), 6) AS token_reduction
+        FROM agg
+      """)
+    ),
+
     // --- SimHash 60-bit fingerprint per document ---
     Q(
       "dedup_simhash",

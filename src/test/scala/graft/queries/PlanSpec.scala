@@ -999,6 +999,13 @@ class PlanSpec extends AnyFunSuite {
     val p2 = plan("q_hourly_profile")
     assert(!p2.contains("Join"), s"hourly profile must not join:\n$p2")
     assert(p2.contains("partial_count"), s"hourly rollup lost its partial phase:\n$p2")
+    // dedup_reduction rides the guarded clustersFrom machinery; its own
+    // 1-row summary must partial-combine and never plan a cartesian.
+    val df3 = SparkEntry.queries("dedup_reduction")(spark, d)
+    val p3 = df3.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p3.contains("CartesianProduct"))
+    assert(p3.contains("partial_count"), s"reduction summary lost its partial phase:\n$p3")
   }
 
   test("zipf slope fits over the TakeOrdered vocabulary slice") {
