@@ -97,6 +97,23 @@ object Main {
     * local view from the response, heartbeat at TTL/3 when liveness is on,
     * and depart on shutdown. Shared by serve-grpc and serve-mux.
     */
+  /** Read a stream verb's derived table; None ONLY for the two
+    * no-output-yet shapes (missing path / empty dir with no inferable
+    * schema). A genuinely corrupt or unreadable table propagates — it must
+    * not print as "no finalized ... yet".
+    */
+  private def readDerived(
+      spark: SparkSession,
+      out: String
+  ): Option[org.apache.spark.sql.DataFrame] =
+    try Some(spark.read.parquet(out))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition)
+            .exists(c => c == "PATH_NOT_FOUND" || c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+        None
+    }
+
   private def announceTo(addr: String, engine: Engine, ttlSeconds: Long): Unit = {
     val (h, p) = addr.lastIndexOf(':') match {
       case -1 => usage()
@@ -268,6 +285,13 @@ object Main {
           s"localhost:${restArgs.headOption.map(_.toInt).getOrElse(defaultPort)}"
         )
       case _ => "local[*]"
+    }
+    if (phi > 0 && ttlSeconds <= 0) {
+      // φ needs heartbeats (paced at ttl/3) to accrue intervals, and the
+      // TTL is the bootstrap evictor for members that die before
+      // phiMinSamples beats — a φ-only config can never evict them.
+      System.err.println("--phi requires --ttl: heartbeats are paced by the TTL and the TTL governs the phi bootstrap window")
+      sys.exit(2)
     }
     val engine = new Engine(
       spark,
@@ -623,7 +647,7 @@ object Main {
           q.processAllAvailable()
           q.awaitTermination()
           val finalized =
-            try Some(spark.read.parquet(out)) catch { case _: Exception => None }
+            readDerived(spark, out)
           finalized.filter(_.columns.contains("window_start")) match {
             case Some(df) =>
               val total = df.count()
@@ -662,7 +686,7 @@ object Main {
           fq.processAllAvailable()
           fq.awaitTermination()
           val stages =
-            try Some(spark.read.parquet(out)) catch { case _: Exception => None }
+            readDerived(spark, out)
           stages.filter(_.columns.contains("stage")) match {
             case Some(df) =>
               df.groupBy("stage").count().orderBy("stage").collect().foreach { r =>
@@ -695,7 +719,7 @@ object Main {
           aq.processAllAvailable()
           aq.awaitTermination()
           val dailyTable =
-            try Some(spark.read.parquet(out)) catch { case _: Exception => None }
+            readDerived(spark, out)
           dailyTable.filter(_.columns.contains("day")) match {
             case Some(df) =>
               val report = Engine.anomalyReport(spark, out).collect()
@@ -742,7 +766,7 @@ object Main {
           fwq.processAllAvailable()
           fwq.awaitTermination()
           val pairTable =
-            try Some(spark.read.parquet(out)) catch { case _: Exception => None }
+            readDerived(spark, out)
           pairTable.filter(_.columns.contains("from_type")) match {
             case Some(df) =>
               val matrix = Engine.flowReport(spark, out).collect()
@@ -781,7 +805,7 @@ object Main {
           ssq.processAllAvailable()
           ssq.awaitTermination()
           val sessTable =
-            try Some(spark.read.parquet(out)) catch { case _: Exception => None }
+            readDerived(spark, out)
           sessTable.filter(_.columns.contains("start")) match {
             case Some(df) =>
               val hist = Engine.sessionHistReport(spark, out).collect()
@@ -819,7 +843,7 @@ object Main {
           atq.processAllAvailable()
           atq.awaitTermination()
           val credited =
-            try Some(spark.read.parquet(out)) catch { case _: Exception => None }
+            readDerived(spark, out)
           credited.filter(_.columns.contains("channel")) match {
             case Some(df) =>
               val rollup = Engine.attributionReport(spark, out).collect()
@@ -1116,7 +1140,13 @@ object Main {
                 s"  packed: ${pack.getAs[Long]("docs")} docs / ${pack.getAs[Long]("tokens")} tokens " +
                   s"across ${pack.getAs[Long]("shards")} shards (max seq ${pack.getAs[Long]("max_seq")})"
               )
-              assert(pack.getAs[Long]("docs") == docs)
+              // require, not assert: this audit-path consistency check must
+              // survive -Xdisable-assertions (the rest of the codebase's
+              // invariant style).
+              require(
+                pack.getAs[Long]("docs") == docs,
+                s"packed table docs=${pack.getAs[Long]("docs")} != commit marker docs=$docs"
+              )
           }
         case "explain-doc" :: out :: docId :: Nil =>
           // The lineage audit: why is doc X (not) in the corpus? One

@@ -95,9 +95,22 @@ object MediaDecoder {
     * thresholding is unchanged and the /1000 division never happens).
     * Classic aHash thresholds on the mean of block means; the global-mean
     * variant ranks blocks identically for uniform block sizes and stays
-    * integer-exact for ragged ones. Safe from overflow up to ~16-MP
-    * images (sums bounded by 130050·pixels). None for undecodable bytes.
+    * integer-exact for ragged ones. The cross-multiplied products exceed
+    * a Long for images past ~48 MP (255000·pixels²/64 > 2⁶³), so the
+    * compare runs in 128 bits via `Math.multiplyHigh` — exact at any
+    * pixel count a BufferedImage can hold. None for undecodable bytes.
     */
+  /** Exact `a·b > c·d` for non-negative 63-bit operands via a 128-bit
+    * product: signed high halves first (`multiplyHigh` is exact for
+    * non-negative inputs), unsigned low halves on a tie.
+    */
+  @inline private[media] def gt128(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val h1 = Math.multiplyHigh(a, b)
+    val h2 = Math.multiplyHigh(c, d)
+    if (h1 != h2) h1 > h2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+
   def aHash(bytes: Array[Byte]): Option[Long] =
     sniffFormat(bytes).flatMap { _ =>
       try {
@@ -129,7 +142,7 @@ object MediaDecoder {
           var hash = 0L
           var b = 0
           while (b < 64) {
-            if (bc(b) > 0 && bs(b) * pixels > total * bc(b)) hash |= (1L << b)
+            if (bc(b) > 0 && gt128(bs(b), pixels, total, bc(b))) hash |= (1L << b)
             b += 1
           }
           Some(hash)

@@ -1184,7 +1184,8 @@ object Corpus {
       Some("""
         WITH per_src AS (
           SELECT source,
-                 sum(CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)) AS mass
+                 CAST(sum(CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT))
+                      AS BIGINT) AS mass
           FROM documents GROUP BY source),
         pw AS (
           SELECT source, mass,
@@ -1199,7 +1200,7 @@ object Corpus {
         SELECT source, mass, target_tokens,
                round(CAST(target_tokens AS DOUBLE) / mass, 6) AS epochs,
                target_tokens > mass * 4 AS capped,
-               least(target_tokens, mass * 4) AS effective_tokens
+               CAST(least(target_tokens, mass * 4) AS BIGINT) AS effective_tokens
         FROM tgt ORDER BY source
       """)
     ),

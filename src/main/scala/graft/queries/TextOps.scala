@@ -996,7 +996,7 @@ object TextOps {
           SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents),
         c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY doc_id, w),
         agg AS (
-          SELECT doc_id, sum(c) AS n, CAST(count(*) AS BIGINT) AS vocab,
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS vocab,
                  CAST(sum(CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)), 6)
                                AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS s_micro,
                  CAST(CAST(round(log2(CAST(sum(c) AS DOUBLE)), 6) AS DECIMAL(18,6))

@@ -149,6 +149,17 @@ final class Membership(
       */
     val tombstoneMillis: Long = 2000L
 ) {
+  // φ can only judge a member once phiMinSamples heartbeat intervals have
+  // accrued; a member that dies BEFORE that (and in a φ-only deployment,
+  // heartbeats themselves are paced by the TTL — ttl/3 in the CLI) would
+  // otherwise linger in GetServers forever. The TTL is the mandatory
+  // bootstrap window, not an alternative.
+  require(
+    phiThreshold <= 0 || ttlMillis > 0,
+    s"phiThreshold=$phiThreshold requires ttlMillis > 0: the TTL governs the " +
+      "bootstrap window before a member has phiMinSamples heartbeat intervals, " +
+      "and without it an early-dying member is never evicted"
+  )
 
   /** id → member, join order preserved (GetServers answers local-first then
     * join order, so round-robin routing is stable across resolutions).

@@ -115,4 +115,26 @@ class MediaDecoderSpec extends AnyFunSuite {
     val truncated = image(30, 30, 0x123456, "png").take(40)
     assert(MediaDecoder.decode(truncated).isEmpty)
   }
+
+  test("aHash threshold compare is exact past the 64-bit product bound") {
+    // The cross-multiplied compare bs·pixels vs total·bc overflows a Long
+    // above ~48 MP; gt128 must agree with BigInt at any magnitude. Probe
+    // the exact shapes aHash produces: bs ≤ 255000·bc, pixels up to the
+    // 2^31-ish counts a giant BufferedImage could hold.
+    val cases = Seq[(Long, Long, Long, Long)](
+      // 100 MP uniform image: every block mean equals the global mean.
+      (255000L * 1562500L, 100000000L, 255000L * 100000000L, 1562500L),
+      // One block 1 luma-unit above the global mean at 100 MP.
+      (255000L * 1562500L + 1, 100000000L, 255000L * 100000000L, 1562500L),
+      // And 1 below.
+      (255000L * 1562500L - 1, 100000000L, 255000L * 100000000L, 1562500L),
+      // Small-image sanity (no overflow): 30x20 gradient block.
+      (123456L, 600L, 98765432L, 75L),
+      (0L, 600L, 98765432L, 75L)
+    )
+    for ((a, b, c, d) <- cases) {
+      val exact = BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)
+      assert(MediaDecoder.gt128(a, b, c, d) == exact, s"gt128($a,$b,$c,$d) != $exact")
+    }
+  }
 }

@@ -51,7 +51,9 @@ class PhiAccrualSpec extends AnyFunSuite {
     var now = 0L
     def detector() = new Membership(
       ServerInfo("local", "h:0", isLeader = true),
-      ttlMillis = 0L, // phi only: no TTL fallback noise
+      // TTL is mandatory with phi (bootstrap window); huge here so phi —
+      // which governs once samples exist — is the only live detector.
+      ttlMillis = 1000000L,
       phiThreshold = 8.0,
       phiMinSamples = 3,
       phiMinStdMillis = 1.0, // tight floor so the regular member's variance is its own
@@ -119,6 +121,7 @@ class PhiAccrualSpec extends AnyFunSuite {
     var now = 0L
     val m = new Membership(
       ServerInfo("local", "h:0", isLeader = true),
+      ttlMillis = 1000000L, // mandatory bootstrap window; inert in this test
       phiThreshold = 8.0,
       phiMinSamples = 2,
       phiMinStdMillis = 1.0,
@@ -133,5 +136,19 @@ class PhiAccrualSpec extends AnyFunSuite {
     m.join(info)
     assert(m.list.exists(_.id == "peer"))
     assert(m.phiOf("peer") == 0.0, "revived member must start with an empty window")
+  }
+
+  test("phi without a TTL is rejected at construction — the bootstrap hole") {
+    // A member that dies before accumulating phiMinSamples intervals can
+    // only be evicted by the TTL; with ttlMillis = 0 it would linger in
+    // GetServers forever. The constructor closes that configuration off.
+    val e = intercept[IllegalArgumentException] {
+      new Membership(
+        ServerInfo("local", "h:0", isLeader = true),
+        ttlMillis = 0L,
+        phiThreshold = 8.0
+      )
+    }
+    assert(e.getMessage.contains("ttlMillis"))
   }
 }

@@ -96,7 +96,10 @@ for name in sorted(os.listdir(out_dir)):
         else:
             record(name, f"VALUES-AGG: count={nrows} but multiset hash differs ({mine_agg[1]} vs {ref_agg[1]})")
         continue
-    mine = pq.read_table(p).to_pandas()  # directory read: all part files
+    # date_as_object=False: a DATE column must land as datetime64 like the
+    # DuckDB side, not as python date objects (a pandas representation
+    # artifact, not an engine type difference).
+    mine = pq.read_table(p).to_pandas(date_as_object=False)  # directory read: all part files
     if name not in oracle:
         record(name, f"rows-only ({len(mine)} rows)")
         continue
@@ -118,6 +121,23 @@ for name in sorted(os.listdir(out_dir)):
         continue
     mine = mine.reindex(sorted(mine.columns), axis=1)
     ref = ref.reindex(sorted(ref.columns), axis=1)
+    # Canonicalize WITHIN type families, losslessly, on both sides:
+    # integer widths -> int64, datetime64[any unit] -> datetime64[ns].
+    # The driver's typed hash tolerates exactly these (r9 evidence:
+    # int32-vs-int64 q_ltv_cohorts and ns-vs-us q_time_bucket were
+    # driver-green) while failing CROSS-family diffs (int64-vs-float64
+    # corpus_epochs/text_entropy were driver-red). After this, any
+    # remaining dtype difference is a FAILING verdict — local OK implies
+    # driver OK.
+    def canon(df):
+        for c in df.columns:
+            k = df[c].dtype.kind
+            if k in "iu" and str(df[c].dtype) != "int64":
+                df[c] = df[c].astype("int64")
+            elif k == "M" and str(df[c].dtype) != "datetime64[ns]":
+                df[c] = df[c].astype("datetime64[ns]")
+        return df
+    mine, ref = canon(mine), canon(ref)
     if list(mine.columns) != list(ref.columns):
         record(name, f"SCHEMA-NAMES: mine={list(mine.columns)} ref={list(ref.columns)}")
         continue
@@ -139,8 +159,18 @@ for name in sorted(os.listdir(out_dir)):
     if mismatch:
         record(name, "VALUES: " + "; ".join(mismatch[:3]))
     else:
+        # Dtype-STRICT (round-10): the driver hashes typed values, so a
+        # value-equal frame with a dtype mismatch (e.g. DuckDB HUGEINT
+        # sum() surfacing as float64 against Spark's int64) still fails
+        # the driver gate. Local OK must imply driver OK — any dtype
+        # difference is therefore a FAILING verdict here, not a footnote
+        # (this exact leniency shipped corpus_epochs/text_entropy red in
+        # r9 while the local gate read 175/175).
         dt = [f"{c}:{ms[c].dtype}!={rs[c].dtype}" for c in ms.columns if ms[c].dtype != rs[c].dtype]
-        record(name, f"OK ({len(mine)} rows)" + (f" [dtype-diff {dt}]" if dt else ""))
+        if dt:
+            record(name, f"DTYPE: values equal but dtypes differ {dt}")
+        else:
+            record(name, f"OK ({len(mine)} rows)")
 
 agg = sum(1 for v in results.values() if v.startswith("OK-AGG"))
 ok = sum(1 for v in results.values() if v.startswith("OK")) - agg
