@@ -49,8 +49,9 @@ for sf in sf0.001 sf0.01; do
   grep -q " 0 FAILING" "$report" || { echo "FAILING rows at $sf"; exit 1; }
 done
 
-echo "=== [3/4] Bench @ sf0.1 (exits non-zero if any headline query breaks)"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench"
+echo "=== [3/4] Bench @ sf0.1 (exits non-zero if any headline query breaks or regresses past 2x its pin)"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" | tee /tmp/round-gate-bench.out
+python3 tools/check_bench.py /tmp/round-gate-bench.out
 
 if [ "$SOAK" = "1" ]; then
   echo "=== [soak] Zipf realistic-vocabulary gate (PPJoin prefix path)"
