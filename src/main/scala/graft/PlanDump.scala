@@ -505,7 +505,18 @@ object PlanDump {
     sb.append("assertions are enforced in `PlanSpec` (and `PlanSf1Spec` at soak\n")
     sb.append("statistics). Skeleton lines only\n")
     sb.append("(joins / exchanges / windows / scans / aggregates) — run\n")
-    sb.append("`.explain(\"formatted\")` on any `SparkEntry.queries` entry for the full plan.\n")
+    sb.append("`.explain(\"formatted\")` on any `SparkEntry.queries` entry for the full plan.\n\n")
+    sb.append("A note on the `WindowExec: No Partition Defined` warnings the bench\n")
+    sb.append("tail logs: they come from by-design single-partition windows — the\n")
+    sb.append("share normalisers (q_attribution), rank-sum/level windows\n")
+    sb.append("(q_engagement_gini / q_pareto_share), the trailing-z window\n")
+    sb.append("(q_anomaly_days) and the OLS stage over the TakeOrdered(1000)\n")
+    sb.append("vocabulary slice (text_zipf_slope). PlanSpec's shape guard\n")
+    sb.append("(`assertSinglesFedByAggregates`) proves every `Exchange\n")
+    sb.append("SinglePartition` is fed by an aggregate (or a checkpointed metadata\n")
+    sb.append("materialization) BEFORE any parquet scan, so only partial-aggregated\n")
+    sb.append("metadata tables (|event types|, counts-of-counts, |days|, top-1000\n")
+    sb.append("vocab) ever cross the one-reducer stage — bounded at any corpus size.\n")
 
     commentary.foreach { case (name, why) =>
       val df = SparkEntry.queries(name)(spark, d)

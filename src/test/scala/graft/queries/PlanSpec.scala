@@ -16,6 +16,56 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
 
+  /** Shape guard for the by-design one-reducer windows (the bench tail's
+    * `WindowExec: No Partition Defined` warnings): inside every
+    * `Exchange SinglePartition` subtree, an aggregate — or a checkpointed
+    * metadata materialization (`Scan ExistingRDD`) whose aggregate ran
+    * before the checkpoint — must appear BEFORE any parquet scan. Raw
+    * corpus/event rows can then never reach the single-partition stage:
+    * what crosses it is the partial-aggregated metadata table
+    * (|event types|, counts-of-counts, |days|, top-1000 vocab).
+    */
+  private def assertSinglesFedByAggregates(p: String, name: String): Unit = {
+    val lines = p.linesIterator.toVector
+    def depth(s: String): Int = {
+      val i = s.indexOf("+-"); val j = s.indexOf(":-")
+      if (i >= 0 && (j < 0 || i < j)) i else math.max(j, 0)
+    }
+    val exchanges = lines.indices.filter(lines(_).contains("Exchange SinglePartition"))
+    assert(exchanges.nonEmpty, s"$name: expected a by-design SinglePartition window:\n$p")
+    for (i <- exchanges) {
+      val d0 = depth(lines(i))
+      val subtree = lines.drop(i + 1).takeWhile(l => depth(l) > d0)
+      val fedIdx = subtree.indexWhere(l =>
+        l.contains("HashAggregate") || l.contains("SortAggregate") ||
+          l.contains("ObjectHashAggregate") || l.contains("Scan ExistingRDD"))
+      val scanIdx = subtree.indexWhere(l => l.contains("Scan parquet") || l.contains("FileScan"))
+      assert(fedIdx >= 0,
+        s"$name: SinglePartition exchange is not fed by an aggregate or checkpoint:\n$p")
+      assert(scanIdx == -1 || fedIdx < scanIdx,
+        s"$name: a parquet scan reaches the SinglePartition exchange before any aggregate " +
+          s"(raw rows into one reducer):\n$p")
+    }
+  }
+
+  test("by-design SinglePartition windows run over partial-aggregated metadata only") {
+    // Closes the bench-tail WindowExec warning as provably harmless for
+    // every query that intentionally ends in a single-partition window:
+    // the share normalisers (attribution), rank-sum/level windows
+    // (gini/pareto) and the trailing-z window (anomaly) all see bounded
+    // metadata, never raw rows. (text_zipf_slope's unpartitioned window
+    // needs no exchange at all — it sits directly on the
+    // TakeOrderedAndProject(1000) vocabulary slice, asserted in its own
+    // test below.)
+    for (q <- Seq("q_attribution", "q_engagement_gini", "q_pareto_share",
+        "q_anomaly_days")) {
+      val df = SparkEntry.queries(q)(spark, d)
+      val p = df.queryExecution.executedPlan.toString
+      Checkpoints.release()
+      assertSinglesFedByAggregates(p, q)
+    }
+  }
+
   test("text_winnow is map-only: no exchange anywhere in the plan") {
     // Per-doc fingerprint stats are per-row expressions
     // (size(array_distinct)/array_min/array_max) — the plan must be a pure
