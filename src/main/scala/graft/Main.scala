@@ -97,6 +97,13 @@ object Main {
     * local view from the response, heartbeat at TTL/3 when liveness is on,
     * and depart on shutdown. Shared by serve-grpc and serve-mux.
     */
+  /** stages.json repeat-plan entry (CorpusBuilder.repeatPlanJson shape):
+    * source, mass, target_tokens, epochs, capped, effective_tokens.
+    */
+  private val repeatPlanRe =
+    ("""\{"source":"([^"]*)","mass":(\d+),"target_tokens":(\d+),""" +
+      """"epochs":([0-9.E-]+),"capped":(true|false),"effective_tokens":(\d+)\}""").r
+
   /** Read a stream verb's derived table; None ONLY for the two
     * no-output-yet shapes (missing path / empty dir with no inferable
     * schema). A genuinely corrupt or unreadable table propagates — it must
@@ -615,6 +622,24 @@ object Main {
             .orderBy("stage")
             .collect()
             .foreach(r => println(s"dropped ${r.getString(0)}: ${r.getLong(1)}"))
+          // With a token budget, the persisted data recipe: per-source
+          // repeat schedule (corpus_epochs arithmetic) from stages.json.
+          if (budget.isDefined) {
+            val sj = new String(
+              java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(s"$out/v=$v/stages.json")
+              ),
+              "UTF-8"
+            )
+            repeatPlanRe
+              .findAllMatchIn(sj)
+              .foreach(m =>
+                println(
+                  s"repeat ${m.group(1)}: mass=${m.group(2)} target=${m.group(3)} " +
+                    s"epochs=${m.group(4)} capped=${m.group(5)} effective=${m.group(6)}"
+                )
+              )
+          }
           println(s"committed corpus v=$v at $out")
         case "stream-topk" :: peer :: ckpt :: out :: tkRest =>
           // One-shot (resumable) pass over the peer log's event backlog:
@@ -1124,6 +1149,19 @@ object Main {
                 .findAllMatchIn(stagesJson)
                 .foreach(m =>
                   println(f"  stage ${m.group(1)}%-14s docs=${m.group(2)}%-8s tokens=${m.group(3)}")
+                )
+              // Data recipe, when the build carried a token budget: the
+              // per-source repeat schedule (corpus_epochs arithmetic).
+              """"budget_tokens":(\d+)""".r
+                .findFirstMatchIn(stagesJson)
+                .foreach(m => println(s"  budget_tokens=${m.group(1)}"))
+              repeatPlanRe
+                .findAllMatchIn(stagesJson)
+                .foreach(m =>
+                  println(
+                    f"  repeat ${m.group(1)}%-10s mass=${m.group(2)}%-8s target=${m.group(3)}%-8s " +
+                      s"epochs=${m.group(4)} capped=${m.group(5)} effective=${m.group(6)}"
+                  )
                 )
               spark.read.parquet(s"$out/v=$v/drops")
                 .groupBy("stage").agg(scount(slit(1)).as("n"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import scala.util.chaining._
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,6 +34,45 @@ object Corpus {
     */
   private[queries] def bucketOf(buckets: Int) =
     pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(buckets))
+
+  /** The data-constrained repeat plan (Muennighoff et al.) over a
+    * per-source mass table — the SHARED seam between the `corpus_epochs`
+    * query and `CorpusBuilder`'s persisted repeat plan, so the stages.json
+    * readout and the query agree by construction. Input: (source, mass
+    * BIGINT). `budgetExpr` is evaluated with the broadcast totals
+    * (`tot_pw`, `tot_mass`) in scope — the query passes `3 * tot_mass`,
+    * the builder a literal `--budget-tokens`. All arithmetic is exact
+    * integers (6-dp micro-unit pw lift, DECIMAL(38,0) product, integral
+    * division); epochs is an int/int ratio rounded at 6 dp; the 4-epoch
+    * cap compare and effective tokens are pure integer arithmetic. The
+    * per-source table is checkpointed: it feeds both the output rows and
+    * the broadcast total (the shared-subplan rule). Plan: one partial-
+    * aggregated input plus a 1-row broadcast — |sources| rows at any
+    * corpus size.
+    */
+  private[graft] def epochsPlanOver(perSourceMass: DataFrame, budgetExpr: Column): DataFrame = {
+    val pw = perSourceMass
+      .withColumn(
+        "pw_int",
+        (round(pow(col("mass").cast("double"), 0.7), 6).cast("decimal(28,6)") * 1000000)
+          .cast("long")
+      )
+      .pipe(Checkpoints.checkpoint)
+    val tot = pw.agg(sum("pw_int").as("tot_pw"), sum("mass").as("tot_mass"))
+    pw.crossJoin(broadcast(tot))
+      .withColumn("budget_tokens", budgetExpr.cast("long"))
+      .withColumn(
+        "target_tokens",
+        expr("CAST((CAST(pw_int AS DECIMAL(38,0)) * budget_tokens) div tot_pw AS BIGINT)")
+      )
+      .withColumn(
+        "epochs",
+        round(col("target_tokens").cast("double") / col("mass").cast("double"), 6)
+      )
+      .withColumn("capped", col("target_tokens") > col("mass") * 4)
+      .withColumn("effective_tokens", least(col("target_tokens"), col("mass") * 4))
+      .select("source", "mass", "target_tokens", "epochs", "capped", "effective_tokens")
+  }
 
   val all: Seq[Q] = Seq(
     // --- benchmark decontamination: n-gram overlap against an eval set ---
@@ -1153,32 +1193,16 @@ object Corpus {
     Q(
       "corpus_epochs",
       (s, d) => {
-        // Two consumers (the per-source rows and the broadcast total) —
-        // checkpoint or the corpus scan + aggregate runs twice (the
-        // shared-subplan rule; PlanSpec asserts the single scan).
-        val perSource = t(s, d, "documents")
-          .groupBy("source")
-          .agg(sum(size(ws).cast("long")).as("mass"))
-          .withColumn(
-            "pw_int",
-            (round(pow(col("mass").cast("double"), 0.7), 6).cast("decimal(28,6)") * 1000000)
-              .cast("long")
+        // The shared epochsPlanOver seam (also the CorpusBuilder persisted
+        // repeat plan): checkpointed per-source masses, broadcast total,
+        // exact-integer targets; budget here is 3x the corpus mass.
+        Corpus
+          .epochsPlanOver(
+            t(s, d, "documents")
+              .groupBy("source")
+              .agg(sum(size(ws).cast("long")).as("mass")),
+            expr("3 * tot_mass")
           )
-          .pipe(Checkpoints.checkpoint)
-        val tot = perSource.agg(sum("pw_int").as("tot_pw"), sum("mass").as("tot_mass"))
-        perSource
-          .crossJoin(broadcast(tot))
-          .withColumn(
-            "target_tokens",
-            expr("CAST((CAST(pw_int AS DECIMAL(38,0)) * (3 * tot_mass)) div tot_pw AS BIGINT)")
-          )
-          .withColumn(
-            "epochs",
-            round(col("target_tokens").cast("double") / col("mass").cast("double"), 6)
-          )
-          .withColumn("capped", col("target_tokens") > col("mass") * 4)
-          .withColumn("effective_tokens", least(col("target_tokens"), col("mass") * 4))
-          .select("source", "mass", "target_tokens", "epochs", "capped", "effective_tokens")
           .orderBy("source")
       },
       Some("""

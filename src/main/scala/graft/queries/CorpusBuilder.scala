@@ -248,6 +248,33 @@ object CorpusBuilder {
     (sampled, done)
   }
 
+  /** The persisted data-constrained training recipe: when a token budget
+    * was given, the repeat plan over the budget stage's input pool —
+    * per-source targets/epochs/caps from the SAME exact-integer
+    * arithmetic as the `corpus_epochs` query ([[Corpus.epochsPlanOver]]),
+    * so a budget larger than the corpus mass lands in `stages.json` as
+    * the explicit per-source repeat schedule a trainer consumes
+    * (epochs > 1, 4-epoch effective cap). |sources| rows — collect is a
+    * metadata read.
+    */
+  private def repeatPlanJson(pool: DataFrame, budgetTokens: Option[Long]): Option[String] =
+    budgetTokens.map { b =>
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val rows = Corpus
+        .epochsPlanOver(
+          pool.groupBy("source").agg(sum("n_tokens").as("mass")),
+          lit(b)
+        )
+        .orderBy("source")
+        .collect()
+        .map { r =>
+          s"""{"source":"${esc(r.getString(0))}","mass":${r.getLong(1)},""" +
+            s""""target_tokens":${r.getLong(2)},"epochs":${r.getDouble(3)},""" +
+            s""""capped":${r.getBoolean(4)},"effective_tokens":${r.getLong(5)}}"""
+        }
+      s""""budget_tokens":$b,"repeat_plan":${rows.mkString("[", ",", "]")}"""
+    }
+
   // ----------------------------------------------- versioned commit + state
 
   /** Write version `v`'s artifacts in commit order: corpus, drops, the
@@ -265,7 +292,8 @@ object CorpusBuilder {
       bands: DataFrame,
       pool: DataFrame,
       maxDocId: Long,
-      all: Seq[StageCount]
+      all: Seq[StageCount],
+      repeatPlan: Option[String]
   ): Unit = {
     val vd = s"$outDir/v=$v"
     done.write.mode("overwrite").partitionBy("bucket").parquet(s"$vd/corpus")
@@ -280,9 +308,14 @@ object CorpusBuilder {
     pool.select("doc_id", "lang", "source", "text", "n_tokens")
       .write.mode("overwrite").parquet(s"$vd/state/gated")
     val f = fsOf(spark, outDir)
-    val json = all
+    // Object-wrapped since round 10 (was a bare stage array): every reader
+    // regex-scans for the stage objects, so both shapes parse. The
+    // repeat-plan fragment (data-constrained training recipe) rides along
+    // when a token budget was given.
+    val stagesArr = all
       .map(c => s"""{"stage":"${c.stage}","docs":${c.docs},"tokens":${c.tokens}}""")
       .mkString("[", ",", "]")
+    val json = s"""{"stages":$stagesArr${repeatPlan.map("," + _).getOrElse("")}}"""
     val js = f.create(new Path(s"$vd/stages.json"), true)
     try js.write(json.getBytes("UTF-8"))
     finally js.close()
@@ -465,7 +498,8 @@ object CorpusBuilder {
         bands = bands.select("band", "bh").distinct(),
         pool = gated,
         maxDocId = maxDocId,
-        all = counts.result()
+        all = counts.result(),
+        repeatPlan = repeatPlanJson(gated, budgetTokens)
       )
       (v, counts.result())
     } finally ckScope.release()
@@ -652,7 +686,8 @@ object CorpusBuilder {
         ),
         pool = pool,
         maxDocId = math.max(prevMax, deltaMax),
-        all = counts.result()
+        all = counts.result(),
+        repeatPlan = repeatPlanJson(pool, budgetTokens)
       )
       (base + 1, counts.result())
     } finally ckScope.release()

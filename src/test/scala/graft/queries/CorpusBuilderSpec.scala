@@ -529,4 +529,69 @@ class CorpusBuilderSpec extends AnyFunSuite {
     assert(CorpusBuilder.current(spark, out).map(_._1).contains(3L))
     assert(contentHash(3L) == h1)
   }
+
+  private val repeatPlanRe =
+    ("""\{"source":"([^"]*)","mass":(\d+),"target_tokens":(\d+),""" +
+      """"epochs":([0-9.E-]+),"capped":(true|false),"effective_tokens":(\d+)\}""").r
+
+  private def parsedPlan(out: String, v: Long): Seq[(String, Long, Long, Double, Boolean, Long)] = {
+    val sj = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$out/v=$v/stages.json")), "UTF-8")
+    repeatPlanRe.findAllMatchIn(sj).map(m =>
+      (m.group(1), m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toDouble, m.group(5).toBoolean, m.group(6).toLong)).toSeq.sortBy(_._1)
+  }
+
+  test("a budget past the corpus mass persists the repeat plan; plan == corpus_epochs arithmetic") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "lang", "source", "text")
+    val base = TestSpark.tempDir("corpus-epochs")
+
+    // Build with a budget far beyond any corpus mass: every source must
+    // repeat, so the persisted plan is the full data-constrained recipe.
+    val bigBudget = 1L << 40
+    val out1 = s"$base/big"
+    val (v1, _) = CorpusBuilder.build(
+      spark, df, out1, lmMinAvgLogp = Some(-12.0), budgetTokens = Some(bigBudget))
+    val pool = spark.read.parquet(s"$out1/v=$v1/state/gated")
+    val perSrc = pool.groupBy("source")
+      .agg(sum("n_tokens").as("mass")).as[(String, Long)].collect().sortBy(_._1).toSeq
+
+    // Third implementation: the exact-integer corpus_epochs arithmetic in
+    // plain BigInt/BigDecimal (6-dp micro-unit pw lift, integral division,
+    // half-up 6-dp epochs), source by source.
+    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val pwInt = perSrc.map { case (s, m) => s -> (round6(math.pow(m.toDouble, 0.7)) * 1000000).toBigInt }
+    val totPw = pwInt.map(_._2).sum
+    val expected = perSrc.zip(pwInt).map { case ((s, m), (_, pw)) =>
+      val target = (pw * BigInt(bigBudget) / totPw).toLong
+      val epochs = round6(target.toDouble / m.toDouble).toDouble
+      (s, m, target, epochs, target > 4 * m, math.min(target, 4 * m))
+    }
+    val persisted = parsedPlan(out1, v1)
+    assert(persisted == expected,
+      s"persisted repeat plan != BigInt re-derivation:\n$persisted\n$expected")
+    assert(persisted.forall(_._5), "a 2^40 budget must cap every source at 4 epochs")
+    assert(persisted.forall(p => p._6 == 4 * p._2))
+
+    // Query agreement: with budget = 3x the pool mass (corpus_epochs' own
+    // B), the persisted plan must equal the corpus_epochs query run over
+    // the same pool as a documents table, row for row.
+    val out2 = s"$base/three"
+    val threeBudget = 3L * perSrc.map(_._2).sum
+    val (v2, _) = CorpusBuilder.build(
+      spark, df, out2, lmMinAvgLogp = Some(-12.0), budgetTokens = Some(threeBudget))
+    val docsDir = s"$base/docs"
+    pool.select("doc_id", "lang", "source", "text").write.parquet(s"$docsDir/documents.parquet")
+    val query = graft.SparkEntry.queries("corpus_epochs")(spark, docsDir)
+      .as[(String, Long, Long, Double, Boolean, Long)].collect().toSeq.sortBy(_._1)
+    Checkpoints.release()
+    assert(parsedPlan(out2, v2) == query,
+      s"persisted plan != corpus_epochs query on the same pool")
+
+    // No budget -> no plan fragment in stages.json.
+    val out3 = s"$base/none"
+    val (v3, _) = CorpusBuilder.build(spark, df, out3, lmMinAvgLogp = Some(-12.0))
+    assert(parsedPlan(out3, v3).isEmpty)
+  }
 }

@@ -59,6 +59,13 @@ EOF
 g --data-dir "$D/s" append-corpus "$D/delta.parquet" "$D/corpus" --budget-tokens 5000 \
   | expect "stage input: docs=530"
 g --data-dir "$D/s" corpus-report "$D/corpus" | expect "corpus v=2"
+# Budget past the corpus mass: the committed build must carry the
+# per-source repeat plan (corpus_epochs arithmetic) in stages.json, and
+# corpus-report must read it back — epochs > 1 shows as capped repeats.
+g --data-dir "$D/s" build-corpus /root/testdata/sf0.001 "$D/corpus-big" --budget-tokens 100000000 \
+  | expect "capped=true"
+g --data-dir "$D/s" corpus-report "$D/corpus-big" | expect "budget_tokens=100000000"
+g --data-dir "$D/s" corpus-report "$D/corpus-big" | expect "capped=true"
 
 echo "=== [3/5] ANN index build → append → delete → recentre"
 g --data-dir "$D/s" index-ann /root/testdata/sf0.001 "$D/idx" | expect "built ann index v=1"
