@@ -41,6 +41,13 @@ object Bench {
     // outer-product aggregate + iteration joins) and the as-of-window
     // analytics family added this session.
     "vec_pca",
+    // The serving-shaped twin (r9 verdict #8): the SAME query under
+    // spark.graft.pca.reuseScatter=true — repeated invocations on an
+    // unchanged corpus reuse the pinned scatter checkpoint instead of
+    // re-paying the quantize+scatter passes (~24% of the warm total).
+    // The cold sweep builds the cache; the timed sweeps measure the
+    // repeat-invocation cost. Plain vec_pca above stays uncached.
+    "vec_pca_reuse",
     "q_attribution"
   )
 
@@ -85,7 +92,9 @@ object Bench {
     // measured 0.39 s and the 3.5× spread never tripped the 5× guard).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     def run(name: String): Double = {
-      val fn = SparkEntry.queries(name)
+      val reuse = name == "vec_pca_reuse"
+      val fn = SparkEntry.queries(if (reuse) "vec_pca" else name)
+      if (reuse) spark.conf.set("spark.graft.pca.reuseScatter", "true")
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -97,6 +106,7 @@ object Bench {
         // Storage hygiene: the dedup queries localCheckpoint shared
         // subplans; 6 runs × 12 queries would strand dozens of dead RDDs
         // in storage memory and skew later samples via eviction churn.
+        if (reuse) spark.conf.set("spark.graft.pca.reuseScatter", "false")
         graft.queries.Checkpoints.release()
       }
     }

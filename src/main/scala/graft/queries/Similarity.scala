@@ -1068,13 +1068,10 @@ object Similarity {
     Q(
       "vec_pca",
       (s, d) => {
-        val base = t(s, d, "embeddings")
-          .select(
-            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
-              .as("q")
-          )
-          .pipe(graft.queries.Checkpoints.checkpoint)
-        val scat = scatterFrom(base).pipe(graft.queries.Checkpoints.checkpoint)
+        // Quantize + scatter via scatterFor: fresh checkpoints per
+        // invocation by default, the pinned per-dir cache under
+        // spark.graft.pca.reuseScatter=true (serving-shaped repeats).
+        val scat = scatterFor(s, d)
         def step(v: DataFrame): DataFrame = {
           val u = scat
             .join(broadcast(v.select(col("i").as("j"), col("v"))), "j")
@@ -1320,6 +1317,45 @@ object Similarity {
       """)
     )
   )
+
+  /** Serving-shaped reuse for repeated `vec_pca` over an UNCHANGED
+    * embeddings dir: the eager quantize + scatter checkpoints re-run per
+    * invocation by design (correct for a changing corpus, ~24% of the warm
+    * bench total when the corpus never changes between calls). With
+    * `spark.graft.pca.reuseScatter=true` the materialized d²-row scatter
+    * matrix is cached per (application, dir) in a PINNED localCheckpoint
+    * that `Checkpoints.release()` does not touch — trivially small
+    * (≤ 4096 rows; MEMORY_AND_DISK, so eviction spills rather than loses
+    * it). OPT-IN only: the caller asserts the dir's content is unchanged
+    * for the session (no content fingerprint is taken — that would cost
+    * the very pass being saved). Results are bit-identical to the
+    * uncached path: the cache stores the same exact-integer S the fresh
+    * build produces (PcaReuseSpec asserts equality across release()).
+    */
+  private val scatterCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def pcaScatterCacheSize: Int = scatterCache.size
+
+  private def scatterFor(s: SparkSession, d: String): DataFrame = {
+    def quantized = t(s, d, "embeddings")
+      .select(
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+          .as("q")
+      )
+      .pipe(graft.queries.Checkpoints.checkpoint)
+    val reuse =
+      try s.conf.get("spark.graft.pca.reuseScatter", "false").toBoolean
+      catch { case _: IllegalArgumentException => false }
+    if (!reuse) scatterFrom(quantized).pipe(graft.queries.Checkpoints.checkpoint)
+    else
+      scatterCache.getOrElseUpdate(
+        s"${s.sparkContext.applicationId}|$d",
+        // Pinned (NOT scope-tracked): materializes now, while the scope-
+        // tracked quantized/sums checkpoints are still alive; they free
+        // with the invoking query, the 4096-row S survives the session.
+        scatterFrom(quantized).localCheckpoint(true)
+      )
+  }
 
   /** Exact integer scatter matrix S = n·Σqqᵀ − (Σq)(Σq)ᵀ (covariance × n²,
     * so no mean division ever happens) from a frame with one quantized
