@@ -96,6 +96,14 @@ if [ "$SOAK" = "1" ]; then
   ONLY="$SOAK_QUERIES" ORACLE_TIMEOUT_SEC=900 \
     python3 tools/check_correctness.py tmp/sf1 "$out" | tee "$report" | tail -3
   grep -q " 0 FAILING" "$report" || { echo "FAILING rows at sf1 soak"; exit 1; }
+
+  echo "=== [soak] ANN delete -> recentre lifecycle @ sf1 (20k vectors)"
+  # Tombstones 10% across 3 delta versions, asserts chain probes equal a
+  # fresh build on the survivors (all-cell probe), tombstone invisibility
+  # at every nProbe, and that recentre folds to an artifact-identical
+  # index (small-nProbe equality + exact centroid match + physical
+  # reclaim). Exits non-zero on any divergence.
+  sbt -batch "runMain graft.AnnSoak tmp/sf1 tmp/ann-soak"
 fi
 
 echo "=== [4/4] Plan evidence is current?"
