@@ -230,6 +230,13 @@ object PlanDump {
       "aggregated groupBy on source, then the exact-integer mixture " +
       "targets join only a ONE-ROW broadcast total — |sources| rows out " +
       "at any corpus size, no window, no per-doc join."),
+    "corpus_repeat_apply" -> ("The epoch-expanded training stream: the " +
+      "corpus_epochs plan MATERIALIZED. Explode fan-out is bounded by " +
+      "the 4-epoch cap (never data-sized); the |sources|-row plan joins " +
+      "by broadcast; the partial-epoch running sum shards over " +
+      "(source, bucket) with a broadcast prefix table — the " +
+      "corpus_token_budget posture, no global window. Emitted token " +
+      "mass equals effective_tokens per source exactly."),
     "text_entropy" -> ("Per-doc word entropy: one (doc, word) count " +
       "shuffle and one doc-keyed aggregate (the text_tfidf posture " +
       "without the vocabulary join); the entropy arithmetic — 6-dp " +

@@ -1229,6 +1229,123 @@ object Corpus {
       """)
     ),
 
+    // --- apply the repeat plan: the epoch-expanded training stream ---
+    // corpus_epochs says HOW MANY epochs each source repeats for a
+    // data-constrained budget; this MATERIALIZES that recipe (r10): every
+    // doc of a source appears once per full epoch (0..full-1), plus a
+    // partial epoch `full` filled in deterministic md5 order until the
+    // remainder tokens are consumed — the corpus_token_budget selection
+    // rule applied to the leftover budget, so the emitted stream's token
+    // mass equals effective_tokens per source exactly. Scale: the explode
+    // factor is BOUNDED BY THE 4-EPOCH CAP (never a data-sized blowup);
+    // the plan table is a |sources|-row broadcast; the partial-epoch
+    // running sum shards over (source, bucket) with a broadcast
+    // |sources|×32-row prefix table — the token_budget posture, no
+    // global window. FP: everything integer (div/% on BIGINTs).
+    Q(
+      "corpus_repeat_apply",
+      (s, d) => {
+        // Three consumers of the projected doc table (mass aggregate,
+        // bucket prefixes, running sum) — checkpoint: tokenize once.
+        val docs = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("source"),
+            size(ws).cast("long").as("n_tokens"),
+            bucketOf(32).as("bucket"),
+            md5(col("doc_id").cast("string")).as("h")
+          )
+          .pipe(Checkpoints.checkpoint)
+        val plan = Corpus
+          .epochsPlanOver(
+            docs.groupBy("source").agg(sum("n_tokens").as("mass")),
+            expr("3 * tot_mass")
+          )
+          .withColumn("fullep", expr("effective_tokens div mass"))
+          .withColumn("rem", expr("effective_tokens % mass"))
+          .select("source", "fullep", "rem")
+        val fullRows = docs
+          .join(broadcast(plan), "source")
+          .filter(col("fullep") > 0)
+          .withColumn("epoch", explode(expr("sequence(0L, fullep - 1)")))
+          .select("doc_id", "source", "epoch", "n_tokens")
+        val bucketPrefix = docs
+          .groupBy("source", "bucket")
+          .agg(sum(col("n_tokens")).as("bt"))
+          .withColumn(
+            "bpre",
+            coalesce(
+              sum(col("bt")).over(
+                Window.partitionBy("source").orderBy("bucket")
+                  .rowsBetween(Window.unboundedPreceding, -1)
+              ),
+              lit(0L)
+            )
+          )
+          .select("source", "bucket", "bpre")
+        val intra = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+        val partRows = docs
+          .withColumn(
+            "cb",
+            coalesce(
+              sum(col("n_tokens")).over(intra.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)
+            )
+          )
+          .join(broadcast(bucketPrefix), Seq("source", "bucket"))
+          .join(broadcast(plan), "source")
+          .filter(col("bpre") + col("cb") < col("rem"))
+          .select(col("doc_id"), col("source"), col("fullep").as("epoch"), col("n_tokens"))
+        fullRows
+          .unionByName(partRows)
+          .orderBy("source", "epoch", "doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS bucket,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        per_src AS (
+          SELECT source, CAST(sum(n_tokens) AS BIGINT) AS mass FROM docs GROUP BY source),
+        pw AS (
+          SELECT source, mass,
+                 CAST(CAST(round(pow(CAST(mass AS DOUBLE), 0.7), 6) AS DECIMAL(28,6))
+                      * 1000000 AS BIGINT) AS pw_int
+          FROM per_src),
+        tot AS (SELECT sum(pw_int) AS tot_pw, sum(mass) AS tot_mass FROM pw),
+        planx AS (
+          SELECT source,
+                 CAST(least(tgt, mass * 4) // mass AS BIGINT) AS fullep,
+                 CAST(least(tgt, mass * 4) % mass AS BIGINT) AS rem
+          FROM (SELECT source, mass,
+                       CAST((pw_int::HUGEINT * (3 * tot_mass)) // tot_pw AS BIGINT) AS tgt
+                FROM pw CROSS JOIN tot)),
+        fullrows AS (
+          SELECT d.doc_id, d.source, CAST(unnest(generate_series(0, p.fullep - 1)) AS BIGINT) AS epoch,
+                 d.n_tokens
+          FROM docs d JOIN planx p USING (source) WHERE p.fullep > 0),
+        bp AS (
+          SELECT source, bucket,
+                 coalesce(sum(sum(n_tokens)) OVER (
+                   PARTITION BY source ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bpre
+          FROM docs GROUP BY source, bucket),
+        partrows AS (
+          SELECT d.doc_id, d.source, p.fullep AS epoch, d.n_tokens
+          FROM (SELECT d0.doc_id, d0.source, d0.n_tokens,
+                       bp.bpre + coalesce(sum(d0.n_tokens) OVER (
+                         PARTITION BY d0.source, d0.bucket ORDER BY d0.h, d0.doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+                FROM docs d0 JOIN bp ON d0.source = bp.source AND d0.bucket = bp.bucket) d
+          JOIN planx p USING (source) WHERE d.before < p.rem)
+        SELECT doc_id, source, epoch, n_tokens
+        FROM (SELECT * FROM fullrows UNION ALL SELECT * FROM partrows) u
+        ORDER BY source, epoch, doc_id
+      """)
+    ),
+
     // --- deterministic training-order shuffle (seeded, resumable) ---
     // The trainer-facing global permutation: every epoch needs a
     // reproducible pseudo-random document order, and a resumable job

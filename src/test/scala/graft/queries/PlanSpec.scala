@@ -465,6 +465,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"triage lost its map-side partial aggregation:\n$p")
   }
 
+  test("repeat_apply explodes only the cap-bounded epoch sequence over broadcast plans") {
+    // corpus_repeat_apply: the Generate (epoch explode) fans out by at
+    // most the 4-epoch cap — its input must join the |sources|-row plan
+    // by BROADCAST, never shuffle; the partial-epoch running sum shuffles
+    // on (source, bucket) with broadcast prefix stitching; nothing
+    // single-partitions and nothing cartesians.
+    val df = SparkEntry.queries("corpus_repeat_apply")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("CartesianProduct"), s"repeat_apply planned a cartesian:\n$p")
+    // The only single-partition stages allowed are the metadata totals
+    // inside the epochs plan (one-row broadcast aggregates) — the shape
+    // guard proves no doc-scale rows reach them.
+    assertSinglesFedByAggregates(p, "corpus_repeat_apply")
+    assert(p.contains("Generate explode"), s"epoch fan-out lost its explode:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the plan tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join against the |sources|-row plan table is a regression:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"the partial-epoch running sum lost its (source, bucket) shuffle:\n$p")
+  }
+
   test("epoch targets scan the corpus once and join only a one-row broadcast total") {
     // corpus_epochs: the per-source aggregate feeds BOTH the output rows
     // and the broadcast total, so it must be checkpointed — without it the

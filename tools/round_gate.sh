@@ -64,13 +64,34 @@ if [ "$SOAK" = "1" ]; then
     echo "--- regenerating tmp/zipf-gate (5k docs, Zipf vocab)"
     python3 tools/make_zipf_corpus.py /root/testdata/sf0.1 tmp/zipf-gate 5000
   fi
-  ZIPF_QUERIES="dedup_jaccard,dedup_containment,dedup_clusters,corpus_decontaminate_near,corpus_chunk,corpus_source_triage,text_entropy,corpus_novelty,corpus_interleave,corpus_source_diversity,text_bm25,text_bm25_phrase,corpus_drift,corpus_leakage_report,text_lang_confusion,corpus_sample_holdout,corpus_ngram_coverage,text_collocations,text_readability,text_bpe_pairs,text_zipf_slope,corpus_length_hist,corpus_cross_source_dup,text_char_classes,dedup_sim_hist,dedup_reduction"
+  ZIPF_QUERIES="corpus_repeat_apply,dedup_jaccard,dedup_containment,dedup_clusters,corpus_decontaminate_near,corpus_chunk,corpus_source_triage,text_entropy,corpus_novelty,corpus_interleave,corpus_source_diversity,text_bm25,text_bm25_phrase,corpus_drift,corpus_leakage_report,text_lang_confusion,corpus_sample_holdout,corpus_ngram_coverage,text_collocations,text_readability,text_bpe_pairs,text_zipf_slope,corpus_length_hist,corpus_cross_source_dup,text_char_classes,dedup_sim_hist,dedup_reduction"
   out="/tmp/round-gate-zipf"
   sbt -batch "runMain graft.Verify tmp/zipf-gate $out $ZIPF_QUERIES"
   report="/tmp/round-gate-zipf.report"
   ONLY="$ZIPF_QUERIES" ORACLE_TIMEOUT_SEC=900 \
     python3 tools/check_correctness.py tmp/zipf-gate "$out" | tee "$report" | tail -3
   grep -q " 0 FAILING" "$report" || { echo "FAILING rows at Zipf soak"; exit 1; }
+
+  echo "=== [soak] Zipf 50k-doc pair-family decade (PPJoin/banding at 10x the 5k gate)"
+  # One decade past the 5k gate on the same realistic vocabulary: the
+  # four pair producers hash-compare against the SAME DuckDB oracles
+  # (multiset-hash agg path above MAX_COMPARE_ROWS). r10 exponents
+  # (5k -> 50k wall time): jaccard 0.78, containment 0.55, LSH 0.37,
+  # winnow 0.38 — recorded in SCALE.md; a super-linear regression here
+  # is a skew/explosion bug the small gates cannot see. The DuckDB
+  # oracle needs ~15-30 min at this scale; a per-query ORACLE-TIMEOUT
+  # degrades that query to rows-only rather than hanging the gate.
+  if [ ! -d tmp/zipf-50k ]; then
+    echo "--- regenerating tmp/zipf-50k (50k docs, Zipf vocab)"
+    python3 tools/make_zipf_corpus.py /root/testdata/sf0.1 tmp/zipf-50k 50000
+  fi
+  Z50_QUERIES="dedup_jaccard,dedup_containment,dedup_minhash_lsh,dedup_winnow_pairs"
+  out="/tmp/round-gate-zipf50k"
+  sbt -batch "runMain graft.Verify tmp/zipf-50k $out $Z50_QUERIES"
+  report="/tmp/round-gate-zipf50k.report"
+  ONLY="$Z50_QUERIES" ORACLE_TIMEOUT_SEC=1800 \
+    python3 tools/check_correctness.py tmp/zipf-50k "$out" | tee "$report" | tail -3
+  grep -q " 0 FAILING" "$report" || { echo "FAILING rows at Zipf-50k soak"; exit 1; }
 
   echo "=== [soak] small-vocab containment (triangle escape) @ sf0.1"
   # dedup_containment's OTHER branch: sf0.1's 31-word universe routes the
