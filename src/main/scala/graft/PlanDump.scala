@@ -236,7 +236,8 @@ object PlanDump {
       "by broadcast; the partial-epoch running sum shards over " +
       "(source, bucket) with a broadcast prefix table — the " +
       "corpus_token_budget posture, no global window. Emitted token " +
-      "mass equals effective_tokens per source exactly."),
+      "mass covers effective_tokens per source, overshooting only " +
+      "into the final admitted doc."),
     "text_entropy" -> ("Per-doc word entropy: one (doc, word) count " +
       "shuffle and one doc-keyed aggregate (the text_tfidf posture " +
       "without the vocabulary join); the entropy arithmetic — 6-dp " +

@@ -1236,7 +1236,8 @@ object Corpus {
     // partial epoch `full` filled in deterministic md5 order until the
     // remainder tokens are consumed — the corpus_token_budget selection
     // rule applied to the leftover budget, so the emitted stream's token
-    // mass equals effective_tokens per source exactly. Scale: the explode
+    // mass covers effective_tokens per source, overshooting only into
+    // the final admitted doc (exact at zero remainder). Scale: the explode
     // factor is BOUNDED BY THE 4-EPOCH CAP (never a data-sized blowup);
     // the plan table is a |sources|-row broadcast; the partial-epoch
     // running sum shards over (source, bucket) with a broadcast
