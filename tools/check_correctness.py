@@ -21,6 +21,11 @@ con = duckdb.connect()
 # ORACLE_MEM=64GB.
 con.sql(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '48GB')}'")
 con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+# Bound the spill too (r10 lesson: the 50k-doc containment oracle wrote
+# ~77 GB of temp and filled the DISK, failing an unrelated concurrent
+# build with ENOSPC). Over budget, the one oracle errors gracefully into
+# an ORACLE-ERROR row instead of taking down the box.
+con.sql(f"SET max_temp_directory_size='{os.environ.get('ORACLE_SPILL', '40GB')}'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
