@@ -2038,13 +2038,36 @@ object Dedup {
       (s, d) =>
         containmentPairsFrom(s, t(s, d, "documents")).orderBy("contained", "container"),
       Some("""
+        -- Prefix-filtered (r10): the naive all-co-occurring-pairs `inter`
+        -- is ~n^2 and blew past 100 GB at 50k Zipf docs. Exact-complete
+        -- candidate generation by pigeonhole: a pair passing
+        -- inter >= ceil(19*sz_i/20) can miss at most
+        -- f = sz_i - ceil(19*sz_i/20) of i's tokens, so it MUST share one
+        -- of ANY fixed (f+1)-subset of them; rarest-first (df asc) makes
+        -- that subset cheap to probe. Exact intersections are then
+        -- computed on candidates only — same rows as the naive form at
+        -- every scale (verified sf0.001/sf0.01/sf0.1/zipf5k/15k/50k).
         WITH w AS (
           SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
           FROM documents),
         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM w GROUP BY doc_id),
+        df AS (SELECT word, count(*) AS df FROM w GROUP BY word),
+        pref AS (
+          SELECT r.doc_id, r.word
+          FROM (SELECT w.doc_id, w.word,
+                       row_number() OVER (PARTITION BY w.doc_id
+                                          ORDER BY df.df, w.word) AS rk
+                FROM w JOIN df USING (word)) r
+          JOIN sz ON r.doc_id = sz.doc_id
+          WHERE r.rk <= sz.sz - (19 * sz.sz + 19) // 20 + 1),
+        cand AS (
+          SELECT DISTINCT p.doc_id AS i, o.doc_id AS j
+          FROM pref p JOIN w o ON p.word = o.word AND p.doc_id <> o.doc_id),
         inter AS (
-          SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS inter
-          FROM w a JOIN w b ON a.word = b.word AND a.doc_id <> b.doc_id
+          SELECT c.i, c.j, CAST(count(*) AS BIGINT) AS inter
+          FROM cand c
+          JOIN w a ON a.doc_id = c.i
+          JOIN w b ON b.doc_id = c.j AND b.word = a.word
           GROUP BY 1, 2)
         SELECT i AS contained, j AS container,
                sa.sz AS sz_contained, sb.sz AS sz_container, inter,

@@ -73,26 +73,24 @@ if [ "$SOAK" = "1" ]; then
   grep -q " 0 FAILING" "$report" || { echo "FAILING rows at Zipf soak"; exit 1; }
 
   echo "=== [soak] Zipf 50k-doc pair-family decade (PPJoin/banding at 10x the 5k gate)"
-  # One decade past the 5k gate on the same realistic vocabulary. r10
-  # exponents (5k -> 50k wall time, recorded in SCALE.md): jaccard 0.78,
+  # One decade past the 5k gate on the same realistic vocabulary: ALL
+  # FOUR pair producers hash-compare against the same DuckDB oracles
+  # (multiset-hash agg path above MAX_COMPARE_ROWS). r10 exponents
+  # (5k -> 50k wall time, recorded in SCALE.md): jaccard 0.78,
   # containment 0.55, LSH 0.37, winnow 0.38 — a super-linear regression
-  # here is a skew/explosion bug the small gates cannot see. All four
-  # run through Verify (the timing evidence); jaccard/LSH/winnow also
-  # hash-compare against the SAME DuckDB oracles (multiset-hash agg
-  # path). dedup_containment is timing-only at THIS scale: its oracle
-  # SQL materializes the ~n^2 candidate pair set (no prefix filter in
-  # SQL), which at 50k docs exceeds 100 GB of memory+spill and filled
-  # the disk in r10 — its hash-exactness tops out at the 15k Zipf leg
-  # (where it IS exact), and the 5k gate leg above stays its per-round
-  # exact check.
+  # here is a skew/explosion bug the small gates cannot see. The
+  # containment oracle is prefix-filtered in SQL (the exact-complete
+  # pigeonhole candidate bound; the original ~n^2 form blew past 100 GB
+  # of spill at this scale), so the whole leg fits the ORACLE_SPILL cap.
   if [ ! -d tmp/zipf-50k ]; then
     echo "--- regenerating tmp/zipf-50k (50k docs, Zipf vocab)"
     python3 tools/make_zipf_corpus.py /root/testdata/sf0.1 tmp/zipf-50k 50000
   fi
+  Z50_QUERIES="dedup_jaccard,dedup_containment,dedup_minhash_lsh,dedup_winnow_pairs"
   out="/tmp/round-gate-zipf50k"
-  sbt -batch "runMain graft.Verify tmp/zipf-50k $out dedup_jaccard,dedup_containment,dedup_minhash_lsh,dedup_winnow_pairs"
+  sbt -batch "runMain graft.Verify tmp/zipf-50k $out $Z50_QUERIES"
   report="/tmp/round-gate-zipf50k.report"
-  ONLY="dedup_jaccard,dedup_minhash_lsh,dedup_winnow_pairs" ORACLE_TIMEOUT_SEC=1800 \
+  ONLY="$Z50_QUERIES" ORACLE_TIMEOUT_SEC=1800 ORACLE_MEM=60GB \
     python3 tools/check_correctness.py tmp/zipf-50k "$out" | tee "$report" | tail -3
   grep -q " 0 FAILING" "$report" || { echo "FAILING rows at Zipf-50k soak"; exit 1; }
 
