@@ -2108,13 +2108,30 @@ object Dedup {
           .orderBy("doc_id")
       },
       Some("""
+        -- Same prefix-filtered candidate bound as dedup_containment's
+        -- oracle (r10): exact-complete by pigeonhole, never the ~n^2
+        -- co-occurring pair set.
         WITH w AS (
           SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
           FROM documents),
         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM w GROUP BY doc_id),
+        df AS (SELECT word, count(*) AS df FROM w GROUP BY word),
+        pref AS (
+          SELECT r.doc_id, r.word
+          FROM (SELECT w.doc_id, w.word,
+                       row_number() OVER (PARTITION BY w.doc_id
+                                          ORDER BY df.df, w.word) AS rk
+                FROM w JOIN df USING (word)) r
+          JOIN sz ON r.doc_id = sz.doc_id
+          WHERE r.rk <= sz.sz - (19 * sz.sz + 19) // 20 + 1),
+        cand AS (
+          SELECT DISTINCT p.doc_id AS i, o.doc_id AS j
+          FROM pref p JOIN w o ON p.word = o.word AND p.doc_id <> o.doc_id),
         inter AS (
-          SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS inter
-          FROM w a JOIN w b ON a.word = b.word AND a.doc_id <> b.doc_id
+          SELECT c.i, c.j, CAST(count(*) AS BIGINT) AS inter
+          FROM cand c
+          JOIN w a ON a.doc_id = c.i
+          JOIN w b ON b.doc_id = c.j AND b.word = a.word
           GROUP BY 1, 2),
         drops AS (
           SELECT DISTINCT i AS doc_id
