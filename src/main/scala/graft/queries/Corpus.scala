@@ -1257,6 +1257,9 @@ object Corpus {
             md5(col("doc_id").cast("string")).as("h")
           )
           .pipe(Checkpoints.checkpoint)
+        // Two consumers (full-epoch fan-out + partial-epoch filter):
+        // checkpoint, or the seam's plan — including its own eager
+        // checkpoint — materializes once per consumer.
         val plan = Corpus
           .epochsPlanOver(
             docs.groupBy("source").agg(sum("n_tokens").as("mass")),
@@ -1265,6 +1268,7 @@ object Corpus {
           .withColumn("fullep", expr("effective_tokens div mass"))
           .withColumn("rem", expr("effective_tokens % mass"))
           .select("source", "fullep", "rem")
+          .pipe(Checkpoints.checkpoint)
         val fullRows = docs
           .join(broadcast(plan), "source")
           .filter(col("fullep") > 0)

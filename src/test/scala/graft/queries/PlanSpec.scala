@@ -475,10 +475,12 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     Checkpoints.release()
     assert(!p.contains("CartesianProduct"), s"repeat_apply planned a cartesian:\n$p")
-    // The only single-partition stages allowed are the metadata totals
-    // inside the epochs plan (one-row broadcast aggregates) — the shape
-    // guard proves no doc-scale rows reach them.
-    assertSinglesFedByAggregates(p, "corpus_repeat_apply")
+    // The checkpointed plan table hides the seam's one-row total
+    // aggregates (they materialize at build time, inside the checkpoint);
+    // the visible plan must therefore have NO single-partition exchange
+    // at all — doc-scale rows never cross one reducer here.
+    assert(!p.contains("Exchange SinglePartition"),
+      s"repeat_apply's visible plan must not single-partition (the seam is checkpointed):\n$p")
     assert(p.contains("Generate explode"), s"epoch fan-out lost its explode:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"the plan tables must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
