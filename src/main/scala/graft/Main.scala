@@ -1051,6 +1051,11 @@ object Main {
             println(s"  slope ${r.getDouble(1)} intercept ${r.getDouble(2)} " +
               s"(natural corpora sit near -1)")
           }
+          println("== quality calibration (heuristic deciles vs LM mean logp; slope ~ 0 = heuristic is no proxy)")
+          run("corpus_quality_calibration").collect().foreach { r =>
+            println(s"  decile ${r.getLong(0)}: ${r.getLong(1)} docs, mean_logp ${r.getDouble(2)} " +
+              s"(fit slope ${r.getDouble(3)} intercept ${r.getDouble(4)})")
+          }
           println("== readability (FORCAST grade over raw docs)")
           run("text_readability")
             .agg(smin(c("forcast")).as("min"), sround(savg(c("forcast")), 2).as("mean"),

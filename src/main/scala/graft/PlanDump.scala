@@ -230,6 +230,12 @@ object PlanDump {
       "aggregated groupBy on source, then the exact-integer mixture " +
       "targets join only a ONE-ROW broadcast total — |sources| rows out " +
       "at any corpus size, no window, no per-doc join."),
+    "corpus_quality_calibration" -> ("Heuristic-vs-LM quality audit: one " +
+      "token shuffle + one doc aggregate (the corpus_lm_quality posture), " +
+      "broadcast vocab totals, a <=10-row decile rollup and a 1-row " +
+      "broadcast OLS fit (Q.olsFitOver). The per-doc table checkpoints " +
+      "for its two consumers; nothing beyond the lm scoring touches " +
+      "corpus-scale rows."),
     "corpus_repeat_apply" -> ("The epoch-expanded training stream: the " +
       "corpus_epochs plan MATERIALIZED. Explode fan-out is bounded by " +
       "the 4-epoch cap (never data-sized); the |sources|-row plan joins " +

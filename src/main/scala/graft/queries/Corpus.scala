@@ -1351,6 +1351,133 @@ object Corpus {
       """)
     ),
 
+    // --- quality-signal calibration: heuristic score vs LM log-likelihood ---
+    // The "which quality gate should I trust" audit a curation pipeline
+    // runs before picking thresholds: bucket docs by the HEURISTIC
+    // curate score's decile and report each decile's mean LM avg-logp
+    // (the corpus_lm_quality recipe), plus an OLS fit of logp ~ score
+    // through the shared Q.olsFitOver seam — a near-zero slope means the
+    // cheap heuristic is NOT a proxy for model quality on this corpus,
+    // and a decile whose mean breaks the monotone trend localizes where
+    // the heuristic lies. FP discipline: per-token logp rounds at 6 dp
+    // and DECIMAL-sums (lm_quality recipe), per-doc means half-up in
+    // exact micro-units, decile means likewise off round-before-cast
+    // micro lifts; the heuristic score is an engine-identical IEEE chain
+    // (text_quality relies on the same bit-identity). Plan: one token
+    // shuffle + one doc aggregate (the lm_quality posture), a broadcast
+    // vocab total, a ≤10-row decile rollup and a 1-row broadcast fit —
+    // the per-doc table checkpoints for its two consumers.
+    Q(
+      "corpus_quality_calibration",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tok = docs
+          .select(col("doc_id"), explode(ws).as("word"))
+          .pipe(Checkpoints.checkpoint)
+        val counts = tok.groupBy("word").agg(count(lit(1)).as("c"))
+        val totals = counts.agg(sum("c").as("n_total"), count(lit(1)).as("vocab"))
+        val logp = counts
+          .crossJoin(broadcast(totals))
+          .select(
+            col("word"),
+            round(
+              log((col("c") + 1).cast("double") / (col("n_total") + col("vocab")).cast("double")),
+              6
+            ).cast("decimal(18,6)").as("logp")
+          )
+        val scored = tok
+          .join(logp, "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("logp").as("sum_logp"))
+          .withColumn("m", (col("sum_logp") * 1000000).cast("long"))
+          .withColumn("avg_logp", Q.halfUpMicroAvg("m", "n_tokens"))
+          .select("doc_id", "avg_logp")
+        val joined = scored
+          .join(docs.select(col("doc_id"), TextOps.curateScore(col("text")).as("q")), "doc_id")
+          .pipe(Checkpoints.checkpoint)
+        val fit = Q.olsFitOver(
+          joined.select(round(col("q"), 6).as("x"), col("avg_logp").as("y"))
+        )
+        joined
+          .withColumn("decile", least(floor(col("q") * 10), lit(9)).cast("long"))
+          .withColumn("lm", expr("CAST(round(avg_logp * 1000000) AS BIGINT)"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"), sum("lm").as("mm"))
+          .withColumn("mean_logp", Q.halfUpMicroAvg("mm", "n_docs"))
+          .crossJoin(broadcast(fit.select(col("slope"), col("intercept"))))
+          .select("decile", "n_docs", "mean_logp", "slope", "intercept")
+          .orderBy("decile")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+          FROM documents),
+        counts AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY word),
+        tot AS (SELECT sum(c) AS n_total, count(*) AS vocab FROM counts),
+        logp AS (
+          SELECT word,
+                 CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS logp
+          FROM counts CROSS JOIN tot),
+        scored0 AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(logp) * 1000000 AS BIGINT) AS m
+          FROM tok JOIN logp USING (word) GROUP BY doc_id),
+        scored AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN m >= 0 THEN (2 * m + n_tokens) // (2 * n_tokens)
+                           ELSE -((2 * (-m) + n_tokens) // (2 * n_tokens)) END AS DOUBLE)
+                   / 1000000.0 AS avg_logp
+          FROM scored0),
+        quality AS (
+          SELECT doc_id,
+                 least(CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) / 50.0, 1.0)
+                   * 0.5
+                 + (1.0 - CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                        w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                        / CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE)) * 0.5 AS q
+          FROM documents),
+        joined AS (
+          SELECT s.doc_id, s.avg_logp, qu.q
+          FROM scored s JOIN quality qu ON s.doc_id = qu.doc_id),
+        pts AS (
+          SELECT CAST(round(q, 6) AS DECIMAL(18,6)) AS x,
+                 CAST(avg_logp AS DECIMAL(18,6)) AS y
+          FROM joined),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_points,
+                 CAST(sum(x) AS DECIMAL(38,6)) AS sx,
+                 CAST(sum(y) AS DECIMAL(38,6)) AS sy,
+                 CAST(sum(x * y) AS DECIMAL(38,12)) AS sxy,
+                 CAST(sum(x * x) AS DECIMAL(38,12)) AS sxx
+          FROM pts),
+        fit AS (
+          SELECT round((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+                 round((CAST(sy AS DOUBLE)
+                        - ((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                          * CAST(sx AS DOUBLE)) / CAST(n_points AS DOUBLE), 6) AS intercept
+          FROM a),
+        dec AS (
+          SELECT least(CAST(floor(q * 10) AS BIGINT), 9) AS decile,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CAST(round(avg_logp * 1000000) AS BIGINT)) AS BIGINT) AS mm
+          FROM joined GROUP BY 1)
+        SELECT decile, n_docs,
+               CAST(CASE WHEN mm >= 0 THEN (2 * mm + n_docs) // (2 * n_docs)
+                         ELSE -((2 * (-mm) + n_docs) // (2 * n_docs)) END AS DOUBLE)
+                 / 1000000.0 AS mean_logp,
+               f.slope, f.intercept
+        FROM dec CROSS JOIN fit f
+        ORDER BY decile
+      """)
+    ),
+
     // --- deterministic training-order shuffle (seeded, resumable) ---
     // The trainer-facing global permutation: every epoch needs a
     // reproducible pseudo-random document order, and a resumable job

@@ -465,6 +465,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"triage lost its map-side partial aggregation:\n$p")
   }
 
+  test("quality calibration keeps the lm posture: token shuffle + broadcast fit only") {
+    // corpus_quality_calibration: the expensive stage is the lm-quality
+    // token scoring (one word-keyed shuffle + one doc aggregate); the
+    // decile rollup partial-combines onto <=10 rows and the OLS fit joins
+    // back as a one-row broadcast. The per-doc table is checkpointed for
+    // its two consumers, so the visible plan re-reads the RDD, not
+    // parquet, and nothing cartesians.
+    val df = SparkEntry.queries("corpus_quality_calibration")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(!p.contains("CartesianProduct"), s"calibration planned a cartesian:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"the per-doc (q, logp) table must be checkpointed (corpus re-scanned):\n$p")
+    assert(p.contains("partial_count"), s"decile rollup lost its partial phase:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the one-row fit must broadcast:\n$p")
+    assertSinglesFedByAggregates(p, "corpus_quality_calibration")
+  }
+
   test("repeat_apply explodes only the cap-bounded epoch sequence over broadcast plans") {
     // corpus_repeat_apply: the Generate (epoch explode) fans out by at
     // most the 4-epoch cap — its input must join the |sources|-row plan

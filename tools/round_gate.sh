@@ -64,7 +64,7 @@ if [ "$SOAK" = "1" ]; then
     echo "--- regenerating tmp/zipf-gate (5k docs, Zipf vocab)"
     python3 tools/make_zipf_corpus.py /root/testdata/sf0.1 tmp/zipf-gate 5000
   fi
-  ZIPF_QUERIES="corpus_repeat_apply,dedup_jaccard,dedup_containment,dedup_clusters,corpus_decontaminate_near,corpus_chunk,corpus_source_triage,text_entropy,corpus_novelty,corpus_interleave,corpus_source_diversity,text_bm25,text_bm25_phrase,corpus_drift,corpus_leakage_report,text_lang_confusion,corpus_sample_holdout,corpus_ngram_coverage,text_collocations,text_readability,text_bpe_pairs,text_zipf_slope,corpus_length_hist,corpus_cross_source_dup,text_char_classes,dedup_sim_hist,dedup_reduction"
+  ZIPF_QUERIES="corpus_quality_calibration,corpus_repeat_apply,dedup_jaccard,dedup_containment,dedup_clusters,corpus_decontaminate_near,corpus_chunk,corpus_source_triage,text_entropy,corpus_novelty,corpus_interleave,corpus_source_diversity,text_bm25,text_bm25_phrase,corpus_drift,corpus_leakage_report,text_lang_confusion,corpus_sample_holdout,corpus_ngram_coverage,text_collocations,text_readability,text_bpe_pairs,text_zipf_slope,corpus_length_hist,corpus_cross_source_dup,text_char_classes,dedup_sim_hist,dedup_reduction"
   out="/tmp/round-gate-zipf"
   sbt -batch "runMain graft.Verify tmp/zipf-gate $out $ZIPF_QUERIES"
   report="/tmp/round-gate-zipf.report"
