@@ -98,11 +98,12 @@ object Main {
     * and depart on shutdown. Shared by serve-grpc and serve-mux.
     */
   /** stages.json repeat-plan entry (CorpusBuilder.repeatPlanJson shape):
-    * source, mass, target_tokens, epochs, capped, effective_tokens.
+    * source, mass, target_tokens, epochs, capped, effective_tokens. The
+    * shared escape-aware regex lives next to the writer; group 1 needs
+    * [[graft.queries.CorpusBuilder.unescapeJsonString]] before printing.
     */
-  private val repeatPlanRe =
-    ("""\{"source":"([^"]*)","mass":(\d+),"target_tokens":(\d+),""" +
-      """"epochs":([0-9.E-]+),"capped":(true|false),"effective_tokens":(\d+)\}""").r
+  private def repeatPlanRe = graft.queries.CorpusBuilder.repeatPlanRe
+  private def unescapeSrc(s: String) = graft.queries.CorpusBuilder.unescapeJsonString(s)
 
   /** Read a stream verb's derived table; None ONLY for the two
     * no-output-yet shapes (missing path / empty dir with no inferable
@@ -625,17 +626,16 @@ object Main {
           // With a token budget, the persisted data recipe: per-source
           // repeat schedule (corpus_epochs arithmetic) from stages.json.
           if (budget.isDefined) {
-            val sj = new String(
-              java.nio.file.Files.readAllBytes(
-                java.nio.file.Paths.get(s"$out/v=$v/stages.json")
-              ),
-              "UTF-8"
-            )
+            // Hadoop-FS read, NOT java.nio: outDir may be hdfs://s3a://
+            // (a local-only read here would fail AFTER the version
+            // committed, exiting nonzero on a successful build).
+            val sj = graft.queries.CorpusBuilder
+              .readSmallFile(spark, s"$out/v=$v/stages.json")
             repeatPlanRe
               .findAllMatchIn(sj)
               .foreach(m =>
                 println(
-                  s"repeat ${m.group(1)}: mass=${m.group(2)} target=${m.group(3)} " +
+                  s"repeat ${unescapeSrc(m.group(1))}: mass=${m.group(2)} target=${m.group(3)} " +
                     s"epochs=${m.group(4)} capped=${m.group(5)} effective=${m.group(6)}"
                 )
               )
@@ -1144,12 +1144,8 @@ object Main {
             case Some((v, docs)) =>
               import org.apache.spark.sql.functions.{col => c, countDistinct, max => smax, sum => ssum, count => scount, lit => slit}
               println(s"corpus v=$v at $out")
-              val stagesJson = new String(
-                java.nio.file.Files.readAllBytes(
-                  java.nio.file.Paths.get(s"$out/v=$v/stages.json")
-                ),
-                "UTF-8"
-              )
+              val stagesJson = graft.queries.CorpusBuilder
+                .readSmallFile(spark, s"$out/v=$v/stages.json")
               """\{"stage":"(\w+)","docs":(\d+),"tokens":(\d+)\}""".r
                 .findAllMatchIn(stagesJson)
                 .foreach(m =>
@@ -1164,7 +1160,7 @@ object Main {
                 .findAllMatchIn(stagesJson)
                 .foreach(m =>
                   println(
-                    f"  repeat ${m.group(1)}%-10s mass=${m.group(2)}%-8s target=${m.group(3)}%-8s " +
+                    f"  repeat ${unescapeSrc(m.group(1))}%-10s mass=${m.group(2)}%-8s target=${m.group(3)}%-8s " +
                       s"epochs=${m.group(4)} capped=${m.group(5)} effective=${m.group(6)}"
                   )
                 )

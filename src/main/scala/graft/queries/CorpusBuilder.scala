@@ -257,6 +257,28 @@ object CorpusBuilder {
     * (epochs > 1, 4-epoch effective cap). |sources| rows — collect is a
     * metadata read.
     */
+  /** Matches one [[repeatPlanJson]] row. Group 1 is the source name STILL
+    * JSON-escaped (the escape-aware group accepts `\"`/`\\` sequences the
+    * old `[^"]*` form silently truncated on) — readers must pass it through
+    * [[unescapeJsonString]] before display/compare.
+    */
+  private[graft] val repeatPlanRe =
+    ("""\{"source":"((?:[^"\\]|\\.)*)","mass":(\d+),"target_tokens":(\d+),""" +
+      """"epochs":([0-9.E-]+),"capped":(true|false),"effective_tokens":(\d+)\}""").r
+
+  /** Inverse of repeatPlanJson's esc(): only `\"` and `\\` are ever
+    * produced, so dropping each backslash before its escaped char is exact.
+    */
+  private[graft] def unescapeJsonString(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) { b.append(s.charAt(i + 1)); i += 2 }
+      else { b.append(s.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
+
   private def repeatPlanJson(pool: DataFrame, budgetTokens: Option[Long]): Option[String] =
     budgetTokens.map { b =>
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -331,7 +353,11 @@ object CorpusBuilder {
     }
   }
 
-  private def readSmallFile(spark: SparkSession, path: String): String = {
+  /** Read a small metadata file through the Hadoop FS API — outDir may be
+    * any Hadoop filesystem (file://, hdfs://, s3a://), so callers (incl.
+    * the CLI's build/report readouts) must NOT use java.nio on it.
+    */
+  private[graft] def readSmallFile(spark: SparkSession, path: String): String = {
     val f = fsOf(spark, path)
     val in = f.open(new Path(path))
     try new String(in.readAllBytes(), "UTF-8")

@@ -530,16 +530,35 @@ class CorpusBuilderSpec extends AnyFunSuite {
     assert(contentHash(3L) == h1)
   }
 
-  private val repeatPlanRe =
-    ("""\{"source":"([^"]*)","mass":(\d+),"target_tokens":(\d+),""" +
-      """"epochs":([0-9.E-]+),"capped":(true|false),"effective_tokens":(\d+)\}""").r
-
   private def parsedPlan(out: String, v: Long): Seq[(String, Long, Long, Double, Boolean, Long)] = {
     val sj = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$out/v=$v/stages.json")), "UTF-8")
-    repeatPlanRe.findAllMatchIn(sj).map(m =>
-      (m.group(1), m.group(2).toLong, m.group(3).toLong,
+    // The writer-adjacent shared regex: source arrives still-escaped.
+    CorpusBuilder.repeatPlanRe.findAllMatchIn(sj).map(m =>
+      (CorpusBuilder.unescapeJsonString(m.group(1)), m.group(2).toLong, m.group(3).toLong,
         m.group(4).toDouble, m.group(5).toBoolean, m.group(6).toLong)).toSeq.sortBy(_._1)
+  }
+
+  test("quote/backslash-bearing source names round-trip through the persisted plan") {
+    import spark.implicits._
+    val weird = Seq("""he said "hi"""", """c:\data\web""", "plain")
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 30).map { i =>
+      (i.toLong, "en", weird(i % 3),
+        Seq.fill(60)(s"w${rnd.nextInt(4000)}").mkString(" "))
+    }
+    val out = TestSpark.tempDir("corpus-escape") + "/c"
+    val (v, _) = CorpusBuilder.build(
+      spark, rows.toDF("doc_id", "lang", "source", "text"),
+      out, budgetTokens = Some(1L << 30))
+    val plan = parsedPlan(out, v)
+    // Every source that survived the pipeline must appear UNDER ITS EXACT
+    // NAME (the old [^"]* group dropped the quoted one from every reader).
+    val pool = spark.read.parquet(s"$out/v=$v/state/gated")
+      .select("source").distinct().as[String].collect().toSet
+    assert(pool.exists(_.contains("\"")), "test corpus lost its quoted source pre-plan")
+    assert(plan.map(_._1).toSet == pool,
+      s"plan sources ${plan.map(_._1).toSet} != pool sources $pool")
   }
 
   test("a budget past the corpus mass persists the repeat plan; plan == corpus_epochs arithmetic") {

@@ -40,7 +40,12 @@ queries = bench["queries"]
 fails = []
 for name, sec in sorted(queries.items()):
     pin = pins.get(name)
-    if pin is None:
+    if sec < 0:
+        # Bench marks a query that threw with sec = -1.0; fail it HERE so
+        # the per-query log never prints a nonsensical "ok name: -1.000s"
+        # (and so a negative time fails even if bench['failed'] were empty).
+        fails.append(f"BROKEN: {name} failed in bench (sec={sec})")
+    elif pin is None:
         fails.append(f"UNPINNED: {name} measured {sec:.3f}s but has no pin in BASELINE.json")
     elif sec > factor * pin:
         fails.append(f"REGRESSION: {name} {sec:.3f}s > {factor:.1f}x pin {pin:.3f}s")

@@ -138,11 +138,22 @@ for name in sorted(os.listdir(out_dir)):
         for c in df.columns:
             k = df[c].dtype.kind
             if k in "iu" and str(df[c].dtype) != "int64":
+                # uint values above int64.max would WRAP silently under
+                # astype (masking a real diff / manufacturing a fake one);
+                # fail loudly instead — int64 canonicalization must be
+                # lossless or not happen at all.
+                if k == "u" and len(df) and int(df[c].max()) > 2**63 - 1:
+                    raise ValueError(
+                        f"column {c}: uint value {df[c].max()} exceeds int64 range")
                 df[c] = df[c].astype("int64")
             elif k == "M" and str(df[c].dtype) != "datetime64[ns]":
                 df[c] = df[c].astype("datetime64[ns]")
         return df
-    mine, ref = canon(mine), canon(ref)
+    try:
+        mine, ref = canon(mine), canon(ref)
+    except ValueError as e:
+        record(name, f"CANON-ERROR: {e}")
+        continue
     if list(mine.columns) != list(ref.columns):
         record(name, f"SCHEMA-NAMES: mine={list(mine.columns)} ref={list(ref.columns)}")
         continue
