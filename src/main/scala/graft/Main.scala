@@ -1134,6 +1134,11 @@ object Main {
             println(s"  label ${r.get(0)}: vec ${r.getLong(2)} " +
               s"centroid_cos=${r.getDouble(3)} z=${r.getDouble(4)}")
           }
+          println("== ANN recall@5 vs exact brute force (tune nProbe/planes/budget HERE)")
+          run("knn_recall").collect().foreach { r =>
+            println(f"  ${r.getString(0)}%-10s setting=${r.getInt(1)}%-3d " +
+              f"hits=${r.getLong(2)}%3d/${r.getLong(3)} recall=${r.getDouble(4)}%.3f")
+          }
           graft.queries.Checkpoints.release()
         case "corpus-report" :: out :: Nil =>
           // One-stop build report from the persisted artifacts alone — no

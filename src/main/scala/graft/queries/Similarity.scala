@@ -1315,6 +1315,229 @@ object Similarity {
         SELECT content_hash, min(vec_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         FROM h GROUP BY 1 ORDER BY content_hash
       """)
+    ),
+
+    // --- ANN accuracy audit: recall@5 of every approximate method vs the
+    // exact brute-force ground truth, swept across each method's tuning
+    // knob (LSH planes 4/6/8, quantized candidate budget 8/16/32, IVF's
+    // own-cell probe). A 100 TB user tunes nProbe/bands against THIS
+    // table instead of flying blind — approximate search without a recall
+    // contract is the classic silent-quality failure. Everything is exact
+    // integer counting (hits, totals) except the one final IEEE division,
+    // so the oracle is hash-exact. Scale shape: the ground truth and every
+    // per-setting top-k are ≤ |queries|·k rows (metadata); the only
+    // volume-bearing stages are the same broadcast-query map-side scoring
+    // streams the underlying knn_* queries already run; shared inputs
+    // (scan, LSH bits, quantized candidates) are checkpointed once, and
+    // sweeping a knob reuses them instead of rescanning the corpus.
+    Q(
+      "knn_recall",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val k = 5
+        val e = Checkpoints.checkpoint(
+          t(s, d, "embeddings")
+            .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+        )
+        val q = e
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+        val wCos = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+        // Ground truth: the knn_brute top-k (rounded-cosine rank, vec_id
+        // tie-break — identical membership per engine).
+        val truth = Checkpoints.checkpoint(
+          e.join(broadcast(q), col("vec_id") =!= col("qid"))
+            .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
+            .withColumn("rank", row_number().over(wCos))
+            .filter(col("rank") <= k)
+            .select("qid", "vec_id")
+        )
+        // IVF (label cells, probe = own cell) — the knn_ivf retrieval set.
+        val ivfTop = e
+          .join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+          .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
+          .withColumn("rank", row_number().over(wCos))
+          .filter(col("rank") <= k)
+          .select("qid", "vec_id")
+        // LSH sweep: derive 8 deterministic hyperplane bits ONCE, then a
+        // setting nP reads the first nP bits — the knn_lsh plane recipe.
+        val nMax = 8
+        val planes: Seq[Seq[Double]] = (0 until nMax).map { p =>
+          (0 until 64).map { i =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hex = md.digest(s"p${p}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+            ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001) - 1000) / 1000.0
+          }
+        }
+        val bits = Checkpoints.checkpoint(
+          (0 until nMax).foldLeft(e.drop("label")) { (df, p) =>
+            val proj = aggregate(
+              zip_with(col("v"), typedlit(planes(p)), (x, w) => x * w),
+              lit(0.0),
+              (acc, x) => acc + x
+            )
+            df.withColumn(s"bit_$p", when(proj >= 0, 1).otherwise(0))
+          }
+        )
+        val lshTops = Seq(4, 6, 8).map { nP =>
+          val bk = bits.withColumn(
+            "bucket",
+            (0 until nP).map(p => col(s"bit_$p") * (1 << p)).reduce(_ + _)
+          )
+          val qb = bk
+            .filter(col("vec_id") < 8)
+            .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
+          val top = bk
+            .join(broadcast(qb), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+            .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
+            .withColumn("rank", row_number().over(wCos))
+            .filter(col("rank") <= k)
+            .select("qid", "vec_id")
+          ("lsh", nP, top)
+        }
+        // Quantized sweep: the knn_quantized int8 candidate stream ranked
+        // ONCE at the max budget; a setting b filters crank <= b.
+        val eq = e
+          .drop("label")
+          .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+          .filter(col("amax") > 0)
+          .withColumn("scale", lit(127.0) / col("amax"))
+          .withColumn("q8", transform(col("v"), x => round(x * col("scale")).cast("long")))
+          .drop("amax", "scale")
+        val qq = eq
+          .filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("q8").as("qq"))
+        val wIdot = Window.partitionBy("qid").orderBy(desc("idot"), asc("vec_id"))
+        val cand = Checkpoints.checkpoint(
+          eq.join(broadcast(qq), col("vec_id") =!= col("qid"))
+            .withColumn(
+              "idot",
+              expr("aggregate(zip_with(q8, qq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+            )
+            .withColumn("crank", row_number().over(wIdot))
+            .filter(col("crank") <= 32)
+            .withColumn("cos", round(expr("cosine_similarity(qv, v)"), 6))
+        )
+        val quantTops = Seq(8, 16, 32).map { b =>
+          val top = cand
+            .filter(col("crank") <= b)
+            .withColumn("rank", row_number().over(wCos))
+            .filter(col("rank") <= k)
+            .select("qid", "vec_id")
+          ("quantized", b, top)
+        }
+        // hits = |approx-top-k ∩ truth| per (method, setting); a global
+        // count aggregate yields an explicit hits=0 row when a setting's
+        // retrieval set is empty (sparse high-plane LSH buckets).
+        val variants = Seq(("ivf", 1, ivfTop)) ++ lshTops ++ quantTops
+        val hitRows = variants
+          .map { case (m, set, df) =>
+            df.join(truth, Seq("qid", "vec_id"))
+              .agg(count(lit(1)).as("hits"))
+              .select(lit(m).as("method"), lit(set).cast("int").as("setting"), col("hits"))
+          }
+          .reduce(_ union _)
+        val tot = truth.agg(count(lit(1)).as("total"))
+        hitRows
+          .crossJoin(broadcast(tot))
+          .withColumn("recall", col("hits").cast("double") / col("total"))
+          .select("method", "setting", "hits", "total", "recall")
+          .orderBy("method", "setting")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 8),
+        p AS (
+          SELECT qid, vec_id,
+                 round(list_dot_product(qv, v) /
+                       sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)), 6) AS cos
+          FROM e CROSS JOIN q WHERE vec_id <> qid),
+        truth AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM p)
+          WHERE rank <= 5),
+        tot AS (SELECT count(*) AS total FROM truth),
+        ivfp AS (
+          SELECT q.qid, e.vec_id,
+                 round(list_dot_product(q.qv, e.v) /
+                       sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(e.v, e.v)), 6) AS cos
+          FROM e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.qid),
+        ivf AS (
+          SELECT 'ivf' AS method, 1 AS setting, qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM ivfp)
+          WHERE rank <= 5),
+        planes AS (
+          SELECT pp.p,
+                 list_transform(range(0, 64),
+                   i -> ((('0x' || substr(md5('p' || CAST(pp.p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS w
+          FROM range(0, 8) pp(p)),
+        bits AS (
+          SELECT e.vec_id, pl.p,
+                 CASE WHEN list_dot_product(e.v, pl.w) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM e CROSS JOIN planes pl),
+        lset(np) AS (VALUES (4), (6), (8)),
+        bk AS (
+          SELECT vec_id, np,
+                 CAST(sum(CASE WHEN p < np THEN (bit << p) ELSE 0 END) AS INTEGER) AS bucket
+          FROM bits CROSS JOIN lset GROUP BY vec_id, np),
+        bc AS (SELECT bk.vec_id, bk.np, bk.bucket, e.v FROM bk JOIN e USING (vec_id)),
+        lq AS (SELECT vec_id AS qid, np, bucket AS qbucket, v AS qv FROM bc WHERE vec_id < 8),
+        lp AS (
+          SELECT lq.np, lq.qid, bc.vec_id,
+                 round(list_dot_product(lq.qv, bc.v) /
+                       sqrt(list_dot_product(lq.qv, lq.qv) * list_dot_product(bc.v, bc.v)), 6) AS cos
+          FROM bc JOIN lq ON bc.np = lq.np AND bc.bucket = lq.qbucket AND bc.vec_id <> lq.qid),
+        lsh AS (
+          SELECT 'lsh' AS method, np AS setting, qid, vec_id FROM (
+            SELECT np, qid, vec_id,
+                   row_number() OVER (PARTITION BY np, qid ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM lp)
+          WHERE rank <= 5),
+        v8 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+        q8 AS (
+          SELECT vec_id, v,
+                 list_transform(v, x -> CAST(round(x * (127.0 / amax)) AS BIGINT)) AS q
+          FROM v8 WHERE amax > 0),
+        qq AS (SELECT vec_id AS qid, v AS qv, q AS qcode FROM q8 WHERE vec_id < 8),
+        qscored AS (
+          SELECT qq.qid, q8.vec_id, q8.v, qq.qv,
+                 CAST(list_dot_product(
+                        list_transform(q8.q, x -> CAST(x AS DOUBLE)),
+                        list_transform(qq.qcode, x -> CAST(x AS DOUBLE))) AS BIGINT) AS idot
+          FROM q8 CROSS JOIN qq WHERE q8.vec_id <> qq.qid),
+        qcand AS (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY idot DESC, vec_id ASC) AS crank
+          FROM qscored),
+        qset(b) AS (VALUES (8), (16), (32)),
+        qrer AS (
+          SELECT qset.b, qcand.qid, qcand.vec_id,
+                 round(list_dot_product(qcand.qv, qcand.v) /
+                       sqrt(list_dot_product(qcand.qv, qcand.qv) * list_dot_product(qcand.v, qcand.v)), 6) AS cos
+          FROM qcand CROSS JOIN qset WHERE qcand.crank <= qset.b),
+        quant AS (
+          SELECT 'quantized' AS method, b AS setting, qid, vec_id FROM (
+            SELECT b, qid, vec_id,
+                   row_number() OVER (PARTITION BY b, qid ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM qrer)
+          WHERE rank <= 5),
+        allsettings AS (
+          SELECT * FROM (VALUES ('ivf', 1), ('lsh', 4), ('lsh', 6), ('lsh', 8),
+                                ('quantized', 8), ('quantized', 16), ('quantized', 32)) s(method, setting)),
+        tops AS (
+          SELECT * FROM ivf UNION ALL SELECT * FROM lsh UNION ALL SELECT * FROM quant),
+        hits AS (
+          SELECT t.method, t.setting, count(*) AS hits
+          FROM tops t JOIN truth USING (qid, vec_id) GROUP BY t.method, t.setting)
+        SELECT a.method, a.setting, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, tot.total,
+               CAST(COALESCE(h.hits, 0) AS DOUBLE) / tot.total AS recall
+        FROM allsettings a LEFT JOIN hits h ON a.method = h.method AND a.setting = h.setting
+        CROSS JOIN tot
+        ORDER BY a.method, a.setting
+      """)
     )
   )
 
