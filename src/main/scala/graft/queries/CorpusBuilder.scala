@@ -94,16 +94,36 @@ object CorpusBuilder {
   // ------------------------------------------------- shared stage recipes
 
   /** The pipeline's working schema: `(doc_id, lang, source, text,
-    * n_tokens)`.
+    * n_tokens)`. `tokenizer` picks the mass unit every downstream stage
+    * (budget, pack, epochs, stage counts) runs in: `ws` = whitespace
+    * tokens; `bpe` = BPE-applied counts ([[Bpe.tokenCounts]], merges
+    * learned on THIS input) — the unit a trainer actually budgets in.
     */
-  private def withTokens(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      col("lang"),
-      col("source"),
-      col("text"),
-      size(Corpus.ws).cast("long").as("n_tokens")
-    )
+  private def withTokens(documents: DataFrame, tokenizer: String): DataFrame =
+    tokenizer match {
+      case "bpe" =>
+        val cnt = Bpe
+          .tokenCounts(documents, Bpe.DefaultMerges)
+          .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+        documents.select("doc_id", "lang", "source", "text").join(cnt, Seq("doc_id"))
+      case _ =>
+        documents.select(
+          col("doc_id"),
+          col("lang"),
+          col("source"),
+          col("text"),
+          size(Corpus.ws).cast("long").as("n_tokens")
+        )
+    }
+
+  /** The mass unit a version was built in (stages.json `tokenizer` field;
+    * pre-r11 builds wrote none and were always whitespace).
+    */
+  private[graft] def readTokenizer(spark: SparkSession, vd: String): String =
+    """"tokenizer":"(\w+)"""".r
+      .findFirstMatchIn(readSmallFile(spark, s"$vd/stages.json"))
+      .map(_.group(1))
+      .getOrElse("ws")
 
   /** Stage-1 gates (the corpus_curate recipe, TextOps.scala): lang
     * allowlist + length/stopword quality score, plus the normalized text
@@ -315,7 +335,8 @@ object CorpusBuilder {
       pool: DataFrame,
       maxDocId: Long,
       all: Seq[StageCount],
-      repeatPlan: Option[String]
+      repeatPlan: Option[String],
+      tokenizer: String
   ): Unit = {
     val vd = s"$outDir/v=$v"
     done.write.mode("overwrite").partitionBy("bucket").parquet(s"$vd/corpus")
@@ -337,7 +358,8 @@ object CorpusBuilder {
     val stagesArr = all
       .map(c => s"""{"stage":"${c.stage}","docs":${c.docs},"tokens":${c.tokens}}""")
       .mkString("[", ",", "]")
-    val json = s"""{"stages":$stagesArr${repeatPlan.map("," + _).getOrElse("")}}"""
+    val json =
+      s"""{"tokenizer":"$tokenizer","stages":$stagesArr${repeatPlan.map("," + _).getOrElse("")}}"""
     val js = f.create(new Path(s"$vd/stages.json"), true)
     try js.write(json.getBytes("UTF-8"))
     finally js.close()
@@ -415,8 +437,13 @@ object CorpusBuilder {
       lmMinAvgLogp: Option[Double] = None,
       lmModelDir: Option[String] = None,
       budgetTokens: Option[Long] = None,
-      seqLen: Long = 512L
+      seqLen: Long = 512L,
+      tokenizer: String = "ws"
   ): (Long, Seq[StageCount]) = {
+    require(
+      tokenizer == "ws" || tokenizer == "bpe",
+      s"unknown tokenizer '$tokenizer' (ws | bpe)"
+    )
     graft.functions.GraftFunctions.register(spark)
     // Stage checkpoints are BUILD-scoped: this method owns every terminal
     // action on them (stage counts + the versioned write), so it releases
@@ -452,7 +479,7 @@ object CorpusBuilder {
           .join(next.select("doc_id"), Seq("doc_id"), "left_anti")
           .withColumn("stage", lit(reason))
 
-      val input = stage("input", withTokens(documents))
+      val input = stage("input", withTokens(documents, tokenizer))
 
       // 1. CURATE: gates, then exact-dup keep-first by min doc_id per
       //    normalized text hash.
@@ -525,7 +552,8 @@ object CorpusBuilder {
         pool = gated,
         maxDocId = maxDocId,
         all = counts.result(),
-        repeatPlan = repeatPlanJson(gated, budgetTokens)
+        repeatPlan = repeatPlanJson(gated, budgetTokens),
+        tokenizer = tokenizer
       )
       (v, counts.result())
     } finally ckScope.release()
@@ -559,13 +587,27 @@ object CorpusBuilder {
       lmMinAvgLogp: Option[Double] = None,
       lmModelDir: Option[String] = None,
       budgetTokens: Option[Long] = None,
-      seqLen: Long = 512L
+      seqLen: Long = 512L,
+      tokenizer: String = "ws"
   ): (Long, Seq[StageCount]) = {
+    // BPE masses are BUILD-scoped: the merge table is learned on the build
+    // input and not persisted, so a delta tokenized with its own merges
+    // would mix units with history. Refuse both directions loudly — the
+    // remedy is a full re-build, which re-learns merges over old∪delta.
+    require(
+      tokenizer == "ws",
+      "append-corpus supports --tokenizer ws only; re-run build-corpus for BPE masses"
+    )
     graft.functions.GraftFunctions.register(spark)
     val (base, _) = current(spark, outDir).getOrElse(
       throw new IllegalStateException(s"append needs an existing complete corpus build under $outDir")
     )
     val bd = s"$outDir/v=$base"
+    require(
+      readTokenizer(spark, bd) == "ws",
+      s"base build under $outDir was tokenized with BPE; " +
+        "append would mix mass units — re-run build-corpus on old∪delta"
+    )
     val prevCounts = readStages(spark, bd)
     val prevMax = readMaxDocId(spark, bd)
     val prevHashes = spark.read.parquet(s"$bd/state/hashes")
@@ -603,7 +645,7 @@ object CorpusBuilder {
           .join(next.select("doc_id"), Seq("doc_id"), "left_anti")
           .withColumn("stage", lit(reason))
 
-      val input = stageUnion("input", withTokens(deltaDocs))
+      val input = stageUnion("input", withTokens(deltaDocs, tokenizer))
       val deltaMin = input.agg(coalesce(min(col("doc_id")), lit(Long.MaxValue))).first().getLong(0)
       require(
         deltaMin > prevMax,
@@ -713,7 +755,8 @@ object CorpusBuilder {
         pool = pool,
         maxDocId = math.max(prevMax, deltaMax),
         all = counts.result(),
-        repeatPlan = repeatPlanJson(pool, budgetTokens)
+        repeatPlan = repeatPlanJson(pool, budgetTokens),
+        tokenizer = tokenizer
       )
       (base + 1, counts.result())
     } finally ckScope.release()

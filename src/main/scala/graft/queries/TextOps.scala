@@ -1326,6 +1326,67 @@ object TextOps {
                  AS other_frac
         FROM agg ORDER BY source
       """)
+    ),
+
+    // --- BPE-applied token accounting: the trainer-facing counts ---
+    // Learn DefaultMerges byte-pair merges on the corpus's own word table
+    // (weighted pair argmax, (count DESC, pair ASC) tie-break), apply them
+    // greedily, and report per-doc whitespace vs BPE token counts. The
+    // oracle unrolls the SAME K merge stages in SQL — each stage is a
+    // weighted pair aggregate + a one-row argmax + one string replace, so
+    // the learned merge sequence and every count are engine-exact. See
+    // [[Bpe]] for the encoding and the 100 TB shape (one corpus pass +
+    // one count join; learning is vocabulary-scale).
+    Q(
+      "text_bpe_apply",
+      (s, d) =>
+        Bpe
+          .tokenCounts(t(s, d, "documents"), Bpe.DefaultMerges)
+          .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+          .orderBy("doc_id"),
+      Some {
+        val stages = (1 to Bpe.DefaultMerges)
+          .map { k =>
+            val prev = s"v${k - 1}"
+            s"""
+        m$k AS MATERIALIZED (
+          SELECT '.' || string_split(pr, '.')[1] || '..' || string_split(pr, '.')[2] || '.' AS pat,
+                 '.' || string_split(pr, '.')[1] || string_split(pr, '.')[2] || '.' AS rep
+          FROM (
+            SELECT pr, sum(wn) AS c FROM (
+              SELECT wn, unnest(list_transform(range(1, len(syms)),
+                           i -> syms[i] || '.' || syms[i + 1])) AS pr
+              FROM (SELECT wn, list_filter(string_split(s, '..'), x -> x <> '') AS syms
+                    FROM $prev))
+            GROUP BY pr ORDER BY c DESC, pr LIMIT 1)),
+        v$k AS MATERIALIZED (
+          SELECT word, wn,
+                 replace(s, COALESCE((SELECT pat FROM m$k), chr(1)),
+                            COALESCE((SELECT rep FROM m$k), chr(1))) AS s
+          FROM $prev)"""
+          }
+          .mkString(",")
+        s"""
+        WITH dw AS MATERIALIZED (
+          SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+          FROM documents),
+        vw AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS wn
+          FROM dw WHERE regexp_full_match(word, '[a-z0-9]+') GROUP BY word),
+        v0 AS MATERIALIZED (
+          SELECT word, wn,
+                 '..' || array_to_string(list_transform(range(1, length(word) + 1),
+                           i -> substr(word, i, 1)), '..') || '..' AS s
+          FROM vw),$stages,
+        seg AS (
+          SELECT word, len(list_filter(string_split(s, '..'), x -> x <> '')) AS nsym
+          FROM v${Bpe.DefaultMerges})
+        SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(COALESCE(seg.nsym, 1)) AS BIGINT) AS n_bpe_tokens
+        FROM dw d LEFT JOIN seg ON d.word = seg.word
+        GROUP BY d.doc_id ORDER BY doc_id
+      """
+      }
     )
   )
 }

@@ -539,6 +539,60 @@ class CorpusBuilderSpec extends AnyFunSuite {
         m.group(4).toDouble, m.group(5).toBoolean, m.group(6).toLong)).toSeq.sortBy(_._1)
   }
 
+  test("--tokenizer bpe: budget/plan masses are the BPE-applied counts, not whitespace") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "lang", "source", "text")
+    val base = TestSpark.tempDir("corpus-bpe")
+
+    // Build with a beyond-mass budget so the persisted plan exposes every
+    // source's mass in the tokenizer's unit.
+    val out = s"$base/bpe"
+    val (v, stageCounts) = CorpusBuilder.build(
+      spark, df, out, lmMinAvgLogp = Some(-12.0),
+      budgetTokens = Some(1L << 40), tokenizer = "bpe")
+
+    // Independent re-derivation: the text_bpe_apply pipeline (Bpe
+    // .tokenCounts with the same K) over the SAME input docs, summed per
+    // source over the gated pool's survivors.
+    val bpeCounts = Bpe.tokenCounts(df, Bpe.DefaultMerges)
+      .select($"doc_id", $"n_bpe_tokens")
+    val pool = spark.read.parquet(s"$out/v=$v/state/gated")
+    val expectedMass = pool.select("doc_id", "source")
+      .join(bpeCounts, "doc_id")
+      .groupBy("source").agg(sum("n_bpe_tokens").as("mass"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val persistedMass = parsedPlan(out, v).map(p => (p._1, p._2))
+    assert(persistedMass == expectedMass,
+      s"plan masses != independent BPE recount:\n$persistedMass\n$expectedMass")
+
+    // The gated pool itself must carry BPE n_tokens (budget/pack/epochs
+    // all read this column), and they must differ from whitespace counts
+    // somewhere — otherwise the flag did nothing.
+    val poolTok = pool.select("doc_id", "n_tokens")
+      .join(bpeCounts, "doc_id")
+      .filter($"n_tokens" =!= $"n_bpe_tokens").count()
+    Checkpoints.release()
+    assert(poolTok == 0, s"$poolTok pool docs carry non-BPE n_tokens")
+    val wsDiff = pool
+      .withColumn("ws_n", org.apache.spark.sql.functions.size(
+        split(lower(trim($"text")), " ")).cast("long"))
+      .filter($"n_tokens" =!= $"ws_n").count()
+    assert(wsDiff > 0, "BPE counts never diverged from whitespace — vacuous test corpus")
+
+    // stages.json records the unit; appending onto a BPE build refuses.
+    assert(stageCounts.nonEmpty)
+    val sj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/v=$v/stages.json")), "UTF-8")
+    assert(sj.contains(""""tokenizer":"bpe""""))
+    val delta = Seq((900000L, "en", "src0", "a fresh appended document with new words entirely"))
+      .toDF("doc_id", "lang", "source", "text")
+    val ex = intercept[IllegalArgumentException](CorpusBuilder.append(spark, delta, out))
+    assert(ex.getMessage.contains("mass units"))
+    val ex2 = intercept[IllegalArgumentException](
+      CorpusBuilder.append(spark, delta, out, tokenizer = "bpe"))
+    assert(ex2.getMessage.contains("tokenizer ws only"))
+  }
+
   test("quote/backslash-bearing source names round-trip through the persisted plan") {
     import spark.implicits._
     val weird = Seq("""he said "hi"""", """c:\data\web""", "plain")
