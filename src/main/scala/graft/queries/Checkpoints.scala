@@ -120,6 +120,10 @@ object Checkpoints {
   def releaseAll(): Unit = {
     val all = synchronized(scopes.toList)
     all.foreach(releaseScope)
+    // The pinned PCA scatter cache deliberately survives per-query
+    // release(); a full drain frees it too (advisor r10: otherwise a
+    // long-lived session over many dirs accumulates unreleasable storage).
+    Similarity.releaseScatterCache()
   }
 
   /** Total un-released checkpoints across all scopes — test hook. */

@@ -1549,15 +1549,42 @@ object Similarity {
     * matrix is cached per (application, dir) in a PINNED localCheckpoint
     * that `Checkpoints.release()` does not touch — trivially small
     * (≤ 4096 rows; MEMORY_AND_DISK, so eviction spills rather than loses
-    * it). OPT-IN only: the caller asserts the dir's content is unchanged
-    * for the session (no content fingerprint is taken — that would cost
-    * the very pass being saved). Results are bit-identical to the
-    * uncached path: the cache stores the same exact-integer S the fresh
-    * build produces (PcaReuseSpec asserts equality across release()).
+    * it). Entries are guarded by a METADATA-ONLY content fingerprint of
+    * the embeddings file listing (names + lengths + mtimes — one
+    * `listStatus`, no data pass): an in-place rewrite of the dir changes
+    * the fingerprint, the stale pinned checkpoint is unpersisted and the
+    * scatter rebuilt, so the serving shape can never return results for
+    * data that is no longer on disk. Still opt-in (the fresh path is the
+    * default); results are bit-identical to the uncached path
+    * (PcaReuseSpec asserts equality across release() AND that an
+    * overwrite invalidates). [[releaseScatterCache]] frees every pinned
+    * entry and is wired into [[Checkpoints.releaseAll]].
     */
-  private val scatterCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val scatterCache =
+    scala.collection.mutable.HashMap.empty[String, (String, DataFrame)]
 
-  private[graft] def pcaScatterCacheSize: Int = scatterCache.size
+  private[graft] def pcaScatterCacheSize: Int = scatterCache.synchronized(scatterCache.size)
+
+  /** Unpersist and forget every pinned scatter (session drain point). */
+  def releaseScatterCache(): Unit = scatterCache.synchronized {
+    scatterCache.values.foreach { case (_, df) =>
+      try df.unpersist(blocking = false)
+      catch { case _: Exception => () }
+    }
+    scatterCache.clear()
+  }
+
+  /** Fingerprint the dir's embeddings file listing — metadata only. */
+  private def embFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = fs
+      .listStatus(p)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    entries.mkString(";")
+  }
 
   private def scatterFor(s: SparkSession, d: String): DataFrame = {
     def quantized = t(s, d, "embeddings")
@@ -1570,14 +1597,36 @@ object Similarity {
       try s.conf.get("spark.graft.pca.reuseScatter", "false").toBoolean
       catch { case _: IllegalArgumentException => false }
     if (!reuse) scatterFrom(quantized).pipe(graft.queries.Checkpoints.checkpoint)
-    else
-      scatterCache.getOrElseUpdate(
-        s"${s.sparkContext.applicationId}|$d",
-        // Pinned (NOT scope-tracked): materializes now, while the scope-
-        // tracked quantized/sums checkpoints are still alive; they free
-        // with the invoking query, the 4096-row S survives the session.
-        scatterFrom(quantized).localCheckpoint(true)
-      )
+    else {
+      val key = s"${s.sparkContext.applicationId}|$d"
+      val fp = embFingerprint(s, d)
+      scatterCache.synchronized {
+        scatterCache.get(key) match {
+          case Some((oldFp, df)) if oldFp == fp => df
+          case stale =>
+            // Either a first sighting or an in-place rewrite: drop the
+            // stale pinned checkpoint (if any), rebuild, re-pin. Pinned =
+            // NOT scope-tracked: materializes now, while the scope-tracked
+            // quantized/sums checkpoints are still alive; they free with
+            // the invoking query, the ≤4096-row S survives the session.
+            stale.foreach { case (_, old) =>
+              try old.unpersist(blocking = false)
+              catch { case _: Exception => () }
+            }
+            val fresh = scatterFrom(quantized).localCheckpoint(true)
+            scatterCache.put(key, (fp, fresh))
+            if (scatterCache.size > 8)
+              org.slf4j.LoggerFactory
+                .getLogger(getClass)
+                .warn(
+                  s"graft: pca scatter cache holds ${scatterCache.size} pinned entries " +
+                    "(one per embeddings dir) — call Similarity.releaseScatterCache() " +
+                    "if dirs are transient"
+                )
+            fresh
+        }
+      }
+    }
   }
 
   /** Exact integer scatter matrix S = n·Σqqᵀ − (Σq)(Σq)ᵀ (covariance × n²,

@@ -43,4 +43,38 @@ class PcaReuseSpec extends AnyFunSuite {
     assert(runOnce() == fresh)
     assert(Similarity.pcaScatterCacheSize == cacheBefore + 1)
   }
+
+  test("an in-place rewrite of the embeddings dir invalidates the cached scatter") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = TestSpark.tempDir("pca-invalidate")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    def runAt(): Seq[(Int, Double, Double)] = {
+      import spark.implicits._
+      val out = SparkEntry.queries("vec_pca")(spark, base)
+        .as[(Int, Double, Double)].collect().toSeq.sortBy(_._1)
+      Checkpoints.release()
+      out
+    }
+    emb.write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    spark.conf.set("spark.graft.pca.reuseScatter", "true")
+    try {
+      val full = runAt()
+      assert(runAt() == full, "warm repeat must be stable")
+      // Rewrite the SAME path with different content: half the corpus,
+      // every vector negated on one dim — loadings must move.
+      emb.filter(col("vec_id") % 2 === 0)
+        .withColumn("embedding",
+          expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN -x ELSE x END)"))
+        .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+      val rewritten = runAt()
+      spark.conf.set("spark.graft.pca.reuseScatter", "false")
+      val freshRewritten = runAt()
+      assert(rewritten == freshRewritten,
+        "post-rewrite reuse must serve the NEW data, not the stale pinned scatter")
+      assert(rewritten != full, "rewrite was supposed to change the loadings")
+    } finally {
+      spark.conf.set("spark.graft.pca.reuseScatter", "false")
+      Similarity.releaseScatterCache()
+    }
+  }
 }
