@@ -238,7 +238,14 @@ final case class CompactJournal(
     lo: Long,
     next: Long,
     newDir: String,
-    olds: Seq[(Long, String)]
+    olds: Seq[(Long, String)],
+    /** File names of the merged segment's parts (fresh UUIDs — never
+      * collide with an original part name). What split-rename-safe
+      * rollback needs to evict half-swapped-in merged data from
+      * `segment-<lo>` without guessing by offset range; empty on journals
+      * written before this field existed.
+      */
+    newParts: Seq[String] = Nil
 )
 
 object CompactJournal {
@@ -248,7 +255,11 @@ object CompactJournal {
     val olds = j.olds
       .map { case (b, d) => s"""{"base":$b,"dir":"$d"}""" }
       .mkString("[", ",", "]")
-    val json = s"""{"lo":${j.lo},"next":${j.next},"newDir":"${j.newDir}","olds":$olds}"""
+    // newParts rides as ONE pipe-joined string field: the olds parser
+    // takes the first '['..last ']' slice, so a second JSON array here
+    // would corrupt it.
+    val json = s"""{"lo":${j.lo},"next":${j.next},"newDir":"${j.newDir}",""" +
+      s""""newParts":"${j.newParts.mkString("|")}","olds":$olds}"""
     LogFs.forPath(dir).writeMeta(dir, FileName, json.getBytes(StandardCharsets.UTF_8))
   }
 
@@ -266,7 +277,19 @@ object CompactJournal {
             .split("\\},\\s*\\{")
             .toVector
             .map(raw => (longField(raw, "base"), strField(raw, "dir")))
-      CompactJournal(longField(json, "lo"), longField(json, "next"), strField(json, "newDir"), olds)
+      val newParts = scala.util
+        .Try(strField(json, "newParts"))
+        .toOption
+        .filter(_.nonEmpty)
+        .map(_.split('|').toVector)
+        .getOrElse(Vector.empty)
+      CompactJournal(
+        longField(json, "lo"),
+        longField(json, "next"),
+        strField(json, "newDir"),
+        olds,
+        newParts
+      )
     }
 
   def delete(dir: String): Unit = LogFs.forPath(dir).deleteMeta(dir, FileName)

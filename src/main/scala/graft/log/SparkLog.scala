@@ -171,20 +171,43 @@ class SparkLog(
         // Manifest already points at the merged segment: finish deletions.
         j.olds.foreach { case (_, d) => fs.deleteRecursively(fs.child(dir, d)) }
       } else {
-        // Roll back. If the merged dir was already swapped in (old lo moved
-        // away and the staging name is gone), segment=<lo> holds NEW data —
-        // remove it before restoring the originals.
+        // Roll back — SPLIT-RENAME-SAFE. On an object store a directory
+        // rename is a per-file copy+delete, so a crash can leave ANY dir
+        // half-moved: originals split across segment-<b> and _old-*, or
+        // merged parts split across _compact-* and segment-<lo>. Treat
+        // every state as a mixture; all steps are idempotent, so a crash
+        // inside this rollback re-runs cleanly.
         val newDirPath = fs.child(dir, j.newDir)
-        val loMoved = j.olds.find(_._1 == j.lo).map(o => fs.child(dir, o._2))
-        if (
-          loMoved.exists(fs.isDir) && !fs.isDir(newDirPath) &&
-          fs.isDir(segmentPath(j.lo))
-        )
-          fs.deleteRecursively(segmentPath(j.lo))
+        // 1. Evict merged data from segment-<lo>. The journal names the
+        //    merged part files exactly (fresh UUIDs — no collision with an
+        //    original part name is possible). Pre-field journals fall back
+        //    to the old whole-dir heuristic, correct for atomic-rename
+        //    backends where dirs never split.
+        if (j.newParts.nonEmpty)
+          j.newParts.foreach(n => fs.delete(fs.child(segmentPath(j.lo), n)))
+        else {
+          val loMoved = j.olds.find(_._1 == j.lo).map(o => fs.child(dir, o._2))
+          if (
+            loMoved.exists(fs.isDir) && !fs.isDir(newDirPath) &&
+            fs.isDir(segmentPath(j.lo))
+          )
+            fs.deleteRecursively(segmentPath(j.lo))
+        }
+        // 2. Restore originals PER FILE: a file present on both sides
+        //    means the copy landed and only the source delete was lost —
+        //    drop the straggler (object PUTs appear complete or not at
+        //    all, so the destination copy is whole).
         j.olds.foreach { case (b, d) =>
           val src = fs.child(dir, d)
-          if (fs.isDir(src) && !fs.isDir(segmentPath(b)))
-            fs.move(src, segmentPath(b))
+          if (fs.isDir(src)) {
+            fs.mkdirs(segmentPath(b))
+            fs.list(src).foreach { f =>
+              val dst = fs.child(segmentPath(b), fs.fileName(f))
+              if (!fs.exists(dst)) fs.move(f, dst)
+              else fs.delete(f)
+            }
+            fs.deleteRecursively(src)
+          }
         }
         if (fs.isDir(newDirPath)) fs.deleteRecursively(newDirPath)
       }
@@ -896,7 +919,7 @@ class SparkLog(
         .option("parquet.page.row.count.limit", "2048")
         .parquet(staging)
       val newSeg = fs.child(dir, s"_compact-$lo-${UUID.randomUUID().toString.take(8)}")
-      val (bytes, _) = publishPartsTo(staging, newSeg) // fresh _compact-* dir: no rollback set needed
+      val (bytes, newParts) = publishPartsTo(staging, newSeg) // fresh _compact-* dir: no rollback set needed
       // Crash-safe swap: journal FIRST, then olds out → new in → manifest →
       // delete olds → delete journal. Recovery (recoverCompaction) rolls a
       // half-done swap back (manifest not yet written) or forward (it was),
@@ -905,7 +928,8 @@ class SparkLog(
         s.base -> fs.child(dir, s"_old-${s.base}-${UUID.randomUUID().toString.take(8)}")
       )
       CompactJournal.write(dir, CompactJournal(lo, r.last.next, fs.fileName(newSeg),
-        olds.map { case (b, p) => b -> fs.fileName(p) }))
+        olds.map { case (b, p) => b -> fs.fileName(p) },
+        newParts = newParts.map(fs.fileName)))
       olds.foreach { case (b, moved) =>
         fs.move(segmentPath(b), moved)
       }

@@ -13,6 +13,11 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Object-store semantics shim (ObjectStoreFileSystem): rename is a
+      // non-atomic copy+delete that OVERWRITES, with injectable crash
+      // points — the `s3a://`-shaped adversary HadoopFsLogSpec/FencingSpec
+      // drive the metadata protocol against.
+      .config("spark.hadoop.fs.objstore.impl", "graft.log.ObjectStoreFileSystem")
       .config(
         "spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString
