@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-attribution <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-sessions <peerDir> <ckptDir> <outDir> [--watermark D] [--gap-ms N] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] [--tokenizer ws|bpe] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags; --tokenizer ws only] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | text-report <docsDir> | media-report <docsDir> | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-attribution <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-sessions <peerDir> <ckptDir> <outDir> [--watermark D] [--gap-ms N] | stream-repeat <docsOrSfDir> <outDir> [--page-docs N] [--max-pages M] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] [--tokenizer ws|bpe] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags; --tokenizer ws only] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | text-report <docsDir> | media-report <docsDir> | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -807,6 +807,47 @@ object Main {
               println(s"${df.count()} finalized transitions at $out, ${matrix.length} matrix cells")
             case None => println(s"no finalized transitions yet at $out")
           }
+        case "stream-repeat" :: docs :: out :: srRest =>
+          // Resumable trainer-facing epoch stream: page the
+          // corpus_repeat_apply expansion in (source, epoch, shard, pos)
+          // order (the corpus_shuffle deal) into committed chunk-N
+          // parquet dirs. Re-running continues from the last committed
+          // chunk — exactly-once, crash-safe (RepeatStream Scaladoc).
+          var pageDocs = 1000
+          var maxPages = Int.MaxValue
+          var si = 0
+          while (si < srRest.length) {
+            srRest(si) match {
+              case "--page-docs" if si + 1 < srRest.length =>
+                pageDocs = srRest(si + 1).toInt; si += 2
+              case "--max-pages" if si + 1 < srRest.length =>
+                maxPages = srRest(si + 1).toInt; si += 2
+              case f =>
+                System.err.println(s"stream-repeat: unknown flag $f"); usage()
+            }
+          }
+          val docsDir =
+            if (new java.io.File(s"$docs/documents.parquet").exists()) docs
+            else {
+              System.err.println(s"stream-repeat: no documents.parquet under $docs")
+              sys.exit(1)
+            }
+          val already = graft.queries.RepeatStream.committedSeqs(spark, out)
+          if (already.nonEmpty)
+            println(s"resuming after committed chunk ${already.last} (${already.size} chunks)")
+          var pages = 0
+          var drained = false
+          while (pages < maxPages && !drained) {
+            graft.queries.RepeatStream.emitNext(spark, docsDir, out, pageDocs) match {
+              case Some((seq, rows, last)) =>
+                println(f"chunk $seq%06d: rows=$rows cursor=$last")
+                pages += 1
+              case None =>
+                drained = true
+            }
+          }
+          if (drained) println("stream drained: epoch stream fully emitted")
+          else println(s"paused after $pages pages; re-run to continue")
         case "stream-sessions" :: peer :: ckpt :: out :: ssRest =>
           // One-shot (resumable) pass over the peer log's event backlog:
           // maintain the derived finalized-session table

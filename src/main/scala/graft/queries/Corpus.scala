@@ -2,7 +2,7 @@ package graft.queries
 
 import scala.util.chaining._
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,6 +73,121 @@ object Corpus {
       .withColumn("effective_tokens", least(col("target_tokens"), col("mass") * 4))
       .select("source", "mass", "target_tokens", "epochs", "capped", "effective_tokens")
   }
+
+
+  /** `corpus_repeat_apply`'s body, factored out so the resumable
+    * `stream-repeat` pager ([[RepeatStream]]) consumes the SAME epoch
+    * expansion the oracle-checked query emits. Unordered — the query adds
+    * its presentation sort, the pager joins the corpus_shuffle deal and
+    * pages in (source, epoch, shard, pos) order. See the query's Scaladoc
+    * for the plan/FP discipline.
+    */
+  private[graft] def repeatApplyFrom(s: SparkSession, d: String): DataFrame = {
+    // Three consumers of the projected doc table (mass aggregate,
+    // bucket prefixes, running sum) — checkpoint: tokenize once.
+    val docs = t(s, d, "documents")
+
+          .select(
+            col("doc_id"),
+            col("source"),
+            size(ws).cast("long").as("n_tokens"),
+            bucketOf(32).as("bucket"),
+            md5(col("doc_id").cast("string")).as("h")
+          )
+          .pipe(Checkpoints.checkpoint)
+        // Two consumers (full-epoch fan-out + partial-epoch filter):
+        // checkpoint, or the seam's plan — including its own eager
+        // checkpoint — materializes once per consumer.
+        val plan = Corpus
+          .epochsPlanOver(
+            docs.groupBy("source").agg(sum("n_tokens").as("mass")),
+            expr("3 * tot_mass")
+          )
+          .withColumn("fullep", expr("effective_tokens div mass"))
+          .withColumn("rem", expr("effective_tokens % mass"))
+          .select("source", "fullep", "rem")
+          .pipe(Checkpoints.checkpoint)
+        val fullRows = docs
+          .join(broadcast(plan), "source")
+          .filter(col("fullep") > 0)
+          .withColumn("epoch", explode(expr("sequence(0L, fullep - 1)")))
+          .select("doc_id", "source", "epoch", "n_tokens")
+        val bucketPrefix = docs
+          .groupBy("source", "bucket")
+          .agg(sum(col("n_tokens")).as("bt"))
+          .withColumn(
+            "bpre",
+            coalesce(
+              sum(col("bt")).over(
+                Window.partitionBy("source").orderBy("bucket")
+                  .rowsBetween(Window.unboundedPreceding, -1)
+              ),
+              lit(0L)
+            )
+          )
+          .select("source", "bucket", "bpre")
+        val intra = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+        val partRows = docs
+          .withColumn(
+            "cb",
+            coalesce(
+              sum(col("n_tokens")).over(intra.rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)
+            )
+          )
+          .join(broadcast(bucketPrefix), Seq("source", "bucket"))
+          .join(broadcast(plan), "source")
+          .filter(col("bpre") + col("cb") < col("rem"))
+          .select(col("doc_id"), col("source"), col("fullep").as("epoch"), col("n_tokens"))
+        fullRows
+          .unionByName(partRows)
+  }
+
+  /** The corpus_repeat_apply oracle (next to [[repeatApplyFrom]]). */
+  private val RepeatApplyOracle = """
+        WITH docs AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS bucket,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        per_src AS (
+          SELECT source, CAST(sum(n_tokens) AS BIGINT) AS mass FROM docs GROUP BY source),
+        pw AS (
+          SELECT source, mass,
+                 CAST(CAST(round(pow(CAST(mass AS DOUBLE), 0.7), 6) AS DECIMAL(28,6))
+                      * 1000000 AS BIGINT) AS pw_int
+          FROM per_src),
+        tot AS (SELECT sum(pw_int) AS tot_pw, sum(mass) AS tot_mass FROM pw),
+        planx AS (
+          SELECT source,
+                 CAST(least(tgt, mass * 4) // mass AS BIGINT) AS fullep,
+                 CAST(least(tgt, mass * 4) % mass AS BIGINT) AS rem
+          FROM (SELECT source, mass,
+                       CAST((pw_int::HUGEINT * (3 * tot_mass)) // tot_pw AS BIGINT) AS tgt
+                FROM pw CROSS JOIN tot)),
+        fullrows AS (
+          SELECT d.doc_id, d.source, CAST(unnest(generate_series(0, p.fullep - 1)) AS BIGINT) AS epoch,
+                 d.n_tokens
+          FROM docs d JOIN planx p USING (source) WHERE p.fullep > 0),
+        bp AS (
+          SELECT source, bucket,
+                 coalesce(sum(sum(n_tokens)) OVER (
+                   PARTITION BY source ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bpre
+          FROM docs GROUP BY source, bucket),
+        partrows AS (
+          SELECT d.doc_id, d.source, p.fullep AS epoch, d.n_tokens
+          FROM (SELECT d0.doc_id, d0.source, d0.n_tokens,
+                       bp.bpre + coalesce(sum(d0.n_tokens) OVER (
+                         PARTITION BY d0.source, d0.bucket ORDER BY d0.h, d0.doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+                FROM docs d0 JOIN bp ON d0.source = bp.source AND d0.bucket = bp.bucket) d
+          JOIN planx p USING (source) WHERE d.before < p.rem)
+        SELECT doc_id, source, epoch, n_tokens
+        FROM (SELECT * FROM fullrows UNION ALL SELECT * FROM partrows) u
+        ORDER BY source, epoch, doc_id
+  """
 
   val all: Seq[Q] = Seq(
     // --- benchmark decontamination: n-gram overlap against an eval set ---
@@ -1245,110 +1360,8 @@ object Corpus {
     // global window. FP: everything integer (div/% on BIGINTs).
     Q(
       "corpus_repeat_apply",
-      (s, d) => {
-        // Three consumers of the projected doc table (mass aggregate,
-        // bucket prefixes, running sum) — checkpoint: tokenize once.
-        val docs = t(s, d, "documents")
-          .select(
-            col("doc_id"),
-            col("source"),
-            size(ws).cast("long").as("n_tokens"),
-            bucketOf(32).as("bucket"),
-            md5(col("doc_id").cast("string")).as("h")
-          )
-          .pipe(Checkpoints.checkpoint)
-        // Two consumers (full-epoch fan-out + partial-epoch filter):
-        // checkpoint, or the seam's plan — including its own eager
-        // checkpoint — materializes once per consumer.
-        val plan = Corpus
-          .epochsPlanOver(
-            docs.groupBy("source").agg(sum("n_tokens").as("mass")),
-            expr("3 * tot_mass")
-          )
-          .withColumn("fullep", expr("effective_tokens div mass"))
-          .withColumn("rem", expr("effective_tokens % mass"))
-          .select("source", "fullep", "rem")
-          .pipe(Checkpoints.checkpoint)
-        val fullRows = docs
-          .join(broadcast(plan), "source")
-          .filter(col("fullep") > 0)
-          .withColumn("epoch", explode(expr("sequence(0L, fullep - 1)")))
-          .select("doc_id", "source", "epoch", "n_tokens")
-        val bucketPrefix = docs
-          .groupBy("source", "bucket")
-          .agg(sum(col("n_tokens")).as("bt"))
-          .withColumn(
-            "bpre",
-            coalesce(
-              sum(col("bt")).over(
-                Window.partitionBy("source").orderBy("bucket")
-                  .rowsBetween(Window.unboundedPreceding, -1)
-              ),
-              lit(0L)
-            )
-          )
-          .select("source", "bucket", "bpre")
-        val intra = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
-        val partRows = docs
-          .withColumn(
-            "cb",
-            coalesce(
-              sum(col("n_tokens")).over(intra.rowsBetween(Window.unboundedPreceding, -1)),
-              lit(0L)
-            )
-          )
-          .join(broadcast(bucketPrefix), Seq("source", "bucket"))
-          .join(broadcast(plan), "source")
-          .filter(col("bpre") + col("cb") < col("rem"))
-          .select(col("doc_id"), col("source"), col("fullep").as("epoch"), col("n_tokens"))
-        fullRows
-          .unionByName(partRows)
-          .orderBy("source", "epoch", "doc_id")
-      },
-      Some("""
-        WITH docs AS (
-          SELECT doc_id, source,
-                 CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
-                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS bucket,
-                 md5(CAST(doc_id AS VARCHAR)) AS h
-          FROM documents),
-        per_src AS (
-          SELECT source, CAST(sum(n_tokens) AS BIGINT) AS mass FROM docs GROUP BY source),
-        pw AS (
-          SELECT source, mass,
-                 CAST(CAST(round(pow(CAST(mass AS DOUBLE), 0.7), 6) AS DECIMAL(28,6))
-                      * 1000000 AS BIGINT) AS pw_int
-          FROM per_src),
-        tot AS (SELECT sum(pw_int) AS tot_pw, sum(mass) AS tot_mass FROM pw),
-        planx AS (
-          SELECT source,
-                 CAST(least(tgt, mass * 4) // mass AS BIGINT) AS fullep,
-                 CAST(least(tgt, mass * 4) % mass AS BIGINT) AS rem
-          FROM (SELECT source, mass,
-                       CAST((pw_int::HUGEINT * (3 * tot_mass)) // tot_pw AS BIGINT) AS tgt
-                FROM pw CROSS JOIN tot)),
-        fullrows AS (
-          SELECT d.doc_id, d.source, CAST(unnest(generate_series(0, p.fullep - 1)) AS BIGINT) AS epoch,
-                 d.n_tokens
-          FROM docs d JOIN planx p USING (source) WHERE p.fullep > 0),
-        bp AS (
-          SELECT source, bucket,
-                 coalesce(sum(sum(n_tokens)) OVER (
-                   PARTITION BY source ORDER BY bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bpre
-          FROM docs GROUP BY source, bucket),
-        partrows AS (
-          SELECT d.doc_id, d.source, p.fullep AS epoch, d.n_tokens
-          FROM (SELECT d0.doc_id, d0.source, d0.n_tokens,
-                       bp.bpre + coalesce(sum(d0.n_tokens) OVER (
-                         PARTITION BY d0.source, d0.bucket ORDER BY d0.h, d0.doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-                FROM docs d0 JOIN bp ON d0.source = bp.source AND d0.bucket = bp.bucket) d
-          JOIN planx p USING (source) WHERE d.before < p.rem)
-        SELECT doc_id, source, epoch, n_tokens
-        FROM (SELECT * FROM fullrows UNION ALL SELECT * FROM partrows) u
-        ORDER BY source, epoch, doc_id
-      """)
+      (s, d) => Corpus.repeatApplyFrom(s, d).orderBy("source", "epoch", "doc_id"),
+      Some(RepeatApplyOracle)
     ),
 
     // --- quality-signal calibration: heuristic score vs LM log-likelihood ---

@@ -137,6 +137,63 @@ g --data-dir "$D/s" text-report /root/testdata/sf0.001 \
 # The media-QA twin: blob shape, exact-dup collapse, perceptual pairs.
 g --data-dir "$D/s" media-report /root/testdata/sf0.001 \
   | expect "500 blobs collapse to 500 distinct contents"
+# Resumable epoch stream (stream-repeat): two pages in one process, resume
+# in a SECOND process, drain; the committed chunks must reproduce the
+# corpus_repeat_apply expansion exactly (duckdb recomputes the multiset
+# from the raw documents table and compares counts + a content checksum).
+g --data-dir "$D/s" stream-repeat /root/testdata/sf0.001 "$D/repeat" --page-docs 700 --max-pages 2 \
+  | expect "paused after 2 pages"
+g --data-dir "$D/s" stream-repeat /root/testdata/sf0.001 "$D/repeat" \
+  | expect "resuming after committed chunk 1"
+g --data-dir "$D/s" stream-repeat /root/testdata/sf0.001 "$D/repeat" \
+  | expect "stream drained"
+python3 - "$D" <<'EOF'
+import sys, duckdb
+d = sys.argv[1]
+con = duckdb.connect()
+got = con.sql(f"""
+  SELECT count(*) AS n, CAST(sum(hash(doc_id::VARCHAR || '|' || source || '|' || epoch)
+                               % 1000000007) AS BIGINT) AS cks
+  FROM read_parquet('{d}/repeat/chunk-*/*.parquet')""").fetchone()
+ref = con.sql("""
+  WITH docs AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS bucket,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM read_parquet('/root/testdata/sf0.001/documents.parquet')),
+  per_src AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS mass FROM docs GROUP BY source),
+  pw AS (SELECT source, mass,
+                CAST(CAST(round(pow(CAST(mass AS DOUBLE), 0.7), 6) AS DECIMAL(28,6))
+                     * 1000000 AS BIGINT) AS pw_int FROM per_src),
+  tot AS (SELECT sum(pw_int) AS tot_pw, sum(mass) AS tot_mass FROM pw),
+  planx AS (
+    SELECT source, CAST(least(tgt, mass * 4) // mass AS BIGINT) AS fullep,
+           CAST(least(tgt, mass * 4) % mass AS BIGINT) AS rem
+    FROM (SELECT source, mass,
+                 CAST((pw_int::HUGEINT * (3 * tot_mass)) // tot_pw AS BIGINT) AS tgt
+          FROM pw CROSS JOIN tot)),
+  fullrows AS (
+    SELECT d.doc_id, d.source, CAST(unnest(generate_series(0, p.fullep - 1)) AS BIGINT) AS epoch
+    FROM docs d JOIN planx p USING (source) WHERE p.fullep > 0),
+  bp AS (SELECT source, bucket,
+                coalesce(sum(sum(n_tokens)) OVER (PARTITION BY source ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bpre
+         FROM docs GROUP BY source, bucket),
+  partrows AS (
+    SELECT d.doc_id, d.source, p.fullep AS epoch
+    FROM (SELECT d0.doc_id, d0.source,
+                 bp.bpre + coalesce(sum(d0.n_tokens) OVER (
+                   PARTITION BY d0.source, d0.bucket ORDER BY d0.h, d0.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM docs d0 JOIN bp ON d0.source = bp.source AND d0.bucket = bp.bucket) d
+    JOIN planx p USING (source) WHERE d.before < p.rem)
+  SELECT count(*) AS n, CAST(sum(hash(doc_id::VARCHAR || '|' || source || '|' || epoch)
+                               % 1000000007) AS BIGINT) AS cks
+  FROM (SELECT * FROM fullrows UNION ALL SELECT * FROM partrows)""").fetchone()
+assert got == ref, f"DRIVE FAIL: stream-repeat chunks {got} != batch expansion {ref}"
+print(f"stream-repeat multiset verified: {got[0]} rows, checksum match")
+EOF
 
 echo "=== [5/5] cluster: phi accrual evicts a SIGKILLed heartbeating follower"
 java $OPENS -Xmx3g -cp "$CP" graft.Main --data-dir "$D/hub" --ttl 2 --phi 8 serve-grpc 8931 \
