@@ -824,11 +824,46 @@ object Dedup {
           FROM k JOIN grp g ON g.lang = k.lang AND g.set_key = k.set_key),
         rw AS MATERIALIZED (SELECT g.rep AS doc_id, g.lang, w.word
                FROM grp g JOIN w ON w.doc_id = g.rep AND w.lang = g.lang),
-        sz AS (SELECT doc_id, count(*) AS sz FROM rw GROUP BY doc_id),
+        sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM rw GROUP BY doc_id),
+        -- PREFIX-FILTERED candidates (the r10 containment-oracle lesson:
+        -- never materialize the full co-occurring pair set — it grows
+        -- quadratically with token density and blew the spill cap at the
+        -- dense 150k leg). Complete by the PPJoin prefix theorem:
+        -- J >= 0.6 forces inter >= ceil(0.6*sz) on EACH side, so under
+        -- one global token order (df asc, word asc) the globally-smallest
+        -- shared token sits inside BOTH docs'
+        -- (sz - ceil(0.6*sz) + 1)-prefixes — joining prefixes alone loses
+        -- nothing; exact intersections then compute on candidates only.
+        dfreq AS MATERIALIZED (SELECT lang, word, count(*) AS df FROM rw GROUP BY lang, word),
+        ordw AS MATERIALIZED (
+          SELECT rw.doc_id, rw.lang, rw.word,
+                 row_number() OVER (PARTITION BY rw.doc_id
+                                    ORDER BY dfreq.df, rw.word) AS rk
+          FROM rw JOIN dfreq ON rw.lang = dfreq.lang AND rw.word = dfreq.word),
+        jpref AS MATERIALIZED (
+          SELECT o.doc_id, o.lang, o.word, sz.sz
+          FROM ordw o JOIN sz ON o.doc_id = sz.doc_id
+          WHERE o.rk <= sz.sz - CAST(ceil(0.6 * sz.sz) AS BIGINT) + 1),
+        -- Length filter rides the prefix join (PPJoin's other exact
+        -- bound): J >= 0.6 forces inter >= 0.6*max(szA, szB) <= min, so
+        -- sizes within a 0.6 ratio — integer-form compare, no FP.
+        jcand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM jpref a JOIN jpref b
+            ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+           AND b.sz * 10 >= a.sz * 6 AND a.sz * 10 >= b.sz * 6),
+        -- Exact intersections via per-doc token LISTS, not a token
+        -- re-join: cand x tokens would materialize ~|cand| * doc_len rows
+        -- before the second join prunes (2B+ at the 150k leg); the list
+        -- probe streams one row per candidate against a |reps|-row build
+        -- side. rw is per-doc DISTINCT, so len(list_intersect) = |A∩B|.
+        jlists AS MATERIALIZED (
+          SELECT doc_id, list(word ORDER BY word) AS ws FROM rw GROUP BY doc_id),
         p AS MATERIALIZED (
-          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-          FROM rw a JOIN rw b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
+          SELECT c.d1, c.d2, CAST(len(list_intersect(l1.ws, l2.ws)) AS BIGINT) AS inter
+          FROM jcand c
+          JOIN jlists l1 ON c.d1 = l1.doc_id
+          JOIN jlists l2 ON c.d2 = l2.doc_id),
         reppairs AS MATERIALIZED (
           SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
           FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
@@ -885,11 +920,46 @@ object Dedup {
           FROM k JOIN grp g ON g.lang = k.lang AND g.set_key = k.set_key),
         rw AS MATERIALIZED (SELECT g.rep AS doc_id, g.lang, w.word
                FROM grp g JOIN w ON w.doc_id = g.rep AND w.lang = g.lang),
-        sz AS (SELECT doc_id, count(*) AS sz FROM rw GROUP BY doc_id),
+        sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM rw GROUP BY doc_id),
+        -- PREFIX-FILTERED candidates (the r10 containment-oracle lesson:
+        -- never materialize the full co-occurring pair set — it grows
+        -- quadratically with token density and blew the spill cap at the
+        -- dense 150k leg). Complete by the PPJoin prefix theorem:
+        -- J >= 0.6 forces inter >= ceil(0.6*sz) on EACH side, so under
+        -- one global token order (df asc, word asc) the globally-smallest
+        -- shared token sits inside BOTH docs'
+        -- (sz - ceil(0.6*sz) + 1)-prefixes — joining prefixes alone loses
+        -- nothing; exact intersections then compute on candidates only.
+        dfreq AS MATERIALIZED (SELECT lang, word, count(*) AS df FROM rw GROUP BY lang, word),
+        ordw AS MATERIALIZED (
+          SELECT rw.doc_id, rw.lang, rw.word,
+                 row_number() OVER (PARTITION BY rw.doc_id
+                                    ORDER BY dfreq.df, rw.word) AS rk
+          FROM rw JOIN dfreq ON rw.lang = dfreq.lang AND rw.word = dfreq.word),
+        jpref AS MATERIALIZED (
+          SELECT o.doc_id, o.lang, o.word, sz.sz
+          FROM ordw o JOIN sz ON o.doc_id = sz.doc_id
+          WHERE o.rk <= sz.sz - CAST(ceil(0.6 * sz.sz) AS BIGINT) + 1),
+        -- Length filter rides the prefix join (PPJoin's other exact
+        -- bound): J >= 0.6 forces inter >= 0.6*max(szA, szB) <= min, so
+        -- sizes within a 0.6 ratio — integer-form compare, no FP.
+        jcand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM jpref a JOIN jpref b
+            ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+           AND b.sz * 10 >= a.sz * 6 AND a.sz * 10 >= b.sz * 6),
+        -- Exact intersections via per-doc token LISTS, not a token
+        -- re-join: cand x tokens would materialize ~|cand| * doc_len rows
+        -- before the second join prunes (2B+ at the 150k leg); the list
+        -- probe streams one row per candidate against a |reps|-row build
+        -- side. rw is per-doc DISTINCT, so len(list_intersect) = |A∩B|.
+        jlists AS MATERIALIZED (
+          SELECT doc_id, list(word ORDER BY word) AS ws FROM rw GROUP BY doc_id),
         p AS MATERIALIZED (
-          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-          FROM rw a JOIN rw b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
+          SELECT c.d1, c.d2, CAST(len(list_intersect(l1.ws, l2.ws)) AS BIGINT) AS inter
+          FROM jcand c
+          JOIN jlists l1 ON c.d1 = l1.doc_id
+          JOIN jlists l2 ON c.d2 = l2.doc_id),
         reppairs AS MATERIALIZED (
           SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
           FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
@@ -963,11 +1033,46 @@ object Dedup {
           FROM k JOIN grp g ON g.lang = k.lang AND g.set_key = k.set_key),
         rw AS MATERIALIZED (SELECT g.rep AS doc_id, g.lang, w.word
                FROM grp g JOIN w ON w.doc_id = g.rep AND w.lang = g.lang),
-        sz AS (SELECT doc_id, count(*) AS sz FROM rw GROUP BY doc_id),
+        sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM rw GROUP BY doc_id),
+        -- PREFIX-FILTERED candidates (the r10 containment-oracle lesson:
+        -- never materialize the full co-occurring pair set — it grows
+        -- quadratically with token density and blew the spill cap at the
+        -- dense 150k leg). Complete by the PPJoin prefix theorem:
+        -- J >= 0.6 forces inter >= ceil(0.6*sz) on EACH side, so under
+        -- one global token order (df asc, word asc) the globally-smallest
+        -- shared token sits inside BOTH docs'
+        -- (sz - ceil(0.6*sz) + 1)-prefixes — joining prefixes alone loses
+        -- nothing; exact intersections then compute on candidates only.
+        dfreq AS MATERIALIZED (SELECT lang, word, count(*) AS df FROM rw GROUP BY lang, word),
+        ordw AS MATERIALIZED (
+          SELECT rw.doc_id, rw.lang, rw.word,
+                 row_number() OVER (PARTITION BY rw.doc_id
+                                    ORDER BY dfreq.df, rw.word) AS rk
+          FROM rw JOIN dfreq ON rw.lang = dfreq.lang AND rw.word = dfreq.word),
+        jpref AS MATERIALIZED (
+          SELECT o.doc_id, o.lang, o.word, sz.sz
+          FROM ordw o JOIN sz ON o.doc_id = sz.doc_id
+          WHERE o.rk <= sz.sz - CAST(ceil(0.6 * sz.sz) AS BIGINT) + 1),
+        -- Length filter rides the prefix join (PPJoin's other exact
+        -- bound): J >= 0.6 forces inter >= 0.6*max(szA, szB) <= min, so
+        -- sizes within a 0.6 ratio — integer-form compare, no FP.
+        jcand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM jpref a JOIN jpref b
+            ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+           AND b.sz * 10 >= a.sz * 6 AND a.sz * 10 >= b.sz * 6),
+        -- Exact intersections via per-doc token LISTS, not a token
+        -- re-join: cand x tokens would materialize ~|cand| * doc_len rows
+        -- before the second join prunes (2B+ at the 150k leg); the list
+        -- probe streams one row per candidate against a |reps|-row build
+        -- side. rw is per-doc DISTINCT, so len(list_intersect) = |A∩B|.
+        jlists AS MATERIALIZED (
+          SELECT doc_id, list(word ORDER BY word) AS ws FROM rw GROUP BY doc_id),
         p AS MATERIALIZED (
-          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-          FROM rw a JOIN rw b ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
+          SELECT c.d1, c.d2, CAST(len(list_intersect(l1.ws, l2.ws)) AS BIGINT) AS inter
+          FROM jcand c
+          JOIN jlists l1 ON c.d1 = l1.doc_id
+          JOIN jlists l2 ON c.d2 = l2.doc_id),
         reppairs AS MATERIALIZED (
           SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
           FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id

@@ -18,7 +18,14 @@ Corpus shape (seeded, deterministic):
 Non-document tables are hard-copied from SRC so the relational queries
 keep working against the same directory.
 
-Usage: python3 tools/make_zipf_corpus.py SRC_DIR DST_DIR [N_DOCS] [SEED]
+Usage: python3 tools/make_zipf_corpus.py SRC_DIR DST_DIR [N_DOCS] [SEED] [N_WORDS]
+
+N_WORDS (default 50_000) sets the vocabulary size. Growing it with N_DOCS
+(Heaps-law-ish) keeps per-token document frequency — and therefore
+prefix-filter/band candidate density — comparable across soak scales; a
+FIXED vocabulary under growing N instead stresses densification (candidate
+sets grow ~quadratically while outputs stay linear — a legitimate but
+different adversary, see SCALE.md's 150k notes).
 """
 import os
 import random
@@ -45,6 +52,7 @@ def main():
     src, dst = sys.argv[1], sys.argv[2]
     n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 5000
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 20260813
+    n_words = int(sys.argv[5]) if len(sys.argv) > 5 else 50_000
     os.makedirs(dst, exist_ok=True)
 
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
@@ -54,7 +62,7 @@ def main():
             shutil.copyfile(p, os.path.join(dst, f"{t}.parquet"))
 
     rnd = random.Random(seed)
-    vocab = zipf_vocab(50_000)
+    vocab = zipf_vocab(n_words)
     weights = zipf_weights(len(vocab))
     langs = ["en", "zh", "es", "fr", "de"]
 

@@ -94,6 +94,48 @@ if [ "$SOAK" = "1" ]; then
     python3 tools/check_correctness.py tmp/zipf-50k "$out" | tee "$report" | tail -3
   grep -q " 0 FAILING" "$report" || { echo "FAILING rows at Zipf-50k soak"; exit 1; }
 
+  echo "=== [soak] Zipf 150k-doc pair-family decade (Heaps-scaled vocabulary)"
+  # One more decade-third past 50k, with the VOCABULARY scaled with the
+  # corpus (150k words for 150k docs — Heaps-law-ish), keeping per-token
+  # density comparable across legs. All FOUR pair producers hash-compare.
+  # r11 wall times (Spark side): lsh 8.3s (e≈0.52 vs 50k), winnow 58.6s
+  # (0.65), containment 40.8s (0.89), jaccard 121.5s (e≈1.27 — admitted
+  # OUTPUT triples linearly; the remaining growth is Zipf-head candidate
+  # density, see SCALE.md). The jaccard ORACLE is prefix+length-filtered
+  # with list-probe intersections (r11 rewrite) — the naive and even the
+  # prefix-only forms blew the 60GB spill cap at this scale.
+  if [ ! -d tmp/zipf-150k-h ]; then
+    echo "--- regenerating tmp/zipf-150k-h (150k docs, 150k-word Zipf vocab)"
+    python3 tools/make_zipf_corpus.py /root/testdata/sf0.1 tmp/zipf-150k-h 150000 20260813 150000
+  fi
+  Z150_QUERIES="dedup_jaccard,dedup_containment,dedup_minhash_lsh,dedup_winnow_pairs"
+  out="/tmp/round-gate-zipf150k"
+  SPARK_GRAFT_MAX_PARTITION_BYTES=16777216 \
+    sbt -batch "runMain graft.Verify tmp/zipf-150k-h $out $Z150_QUERIES"
+  report="/tmp/round-gate-zipf150k.report"
+  ONLY="$Z150_QUERIES" ORACLE_TIMEOUT_SEC=3600 ORACLE_MEM=60GB ORACLE_SPILL=60GB \
+    python3 tools/check_correctness.py tmp/zipf-150k-h "$out" | tee "$report" | tail -3
+  grep -q " 0 FAILING" "$report" || { echo "FAILING rows at Zipf-150k soak"; exit 1; }
+
+  echo "=== [soak] media pair-family decade (10k synthesized images)"
+  # The media twin of the Zipf decade: 10k doc ids = 10k deterministic
+  # PNGs (2.5k near-dup families; content classes repeat with the
+  # generator's period, so the admitted pair OUTPUT grows super-linearly
+  # BY CONSTRUCTION — the candidate join stays band-bucketed). Both the
+  # hash table and the banded pair set hash-compare against the DuckDB
+  # bit-exact aHash recomputation. r11 decade: 1k/3k/10k all exact
+  # (2,793 / 18,635 / 218,836 pairs), Spark wall time ~flat (SCALE.md).
+  if [ ! -d tmp/media-10k ]; then
+    echo "--- regenerating tmp/media-10k (10k synthetic media ids)"
+    python3 tools/make_media_corpus.py tmp/media-10k 10000
+  fi
+  out="/tmp/round-gate-media10k"
+  sbt -batch "runMain graft.Verify tmp/media-10k $out media_phash,media_phash_pairs"
+  report="/tmp/round-gate-media10k.report"
+  ONLY="media_phash,media_phash_pairs" ORACLE_TIMEOUT_SEC=1800 \
+    python3 tools/check_correctness.py tmp/media-10k "$out" | tee "$report" | tail -3
+  grep -q " 0 FAILING" "$report" || { echo "FAILING rows at media-10k soak"; exit 1; }
+
   echo "=== [soak] small-vocab containment (triangle escape) @ sf0.1"
   # dedup_containment's OTHER branch: sf0.1's 31-word universe routes the
   # strategy probe to the triangle all-pairs bitmap join; the dense output
