@@ -48,7 +48,16 @@ object Bench {
     // The cold sweep builds the cache; the timed sweeps measure the
     // repeat-invocation cost. Plain vec_pca above stays uncached.
     "vec_pca_reuse",
-    "q_attribution"
+    "q_attribution",
+    // Round-11 widening (same one-per-family logic): the ANN accuracy
+    // audit (seven retrieval variants swept off shared checkpointed
+    // inputs — a regression in the sweep sharing shows here first) and
+    // the BPE token-accounting pipeline (vocab-scale merge learning +
+    // the per-doc count join — the build-corpus --tokenizer bpe hot
+    // path). Totals are NOT comparable across roster widenings; compare
+    // per-query or the original-12 subset.
+    "knn_recall",
+    "text_bpe_apply"
   )
 
   def main(args: Array[String]): Unit = {

@@ -244,6 +244,21 @@ object PlanDump {
       "corpus_token_budget posture, no global window. Emitted token " +
       "mass covers effective_tokens per source, overshooting only " +
       "into the final admitted doc."),
+    "knn_recall" -> ("The ANN accuracy audit: ground truth and every " +
+      "per-setting top-k are <= |queries|*k rows (metadata); the only " +
+      "volume-bearing stages are the broadcast-query map-side scoring " +
+      "streams the audited knn_* queries already run. Shared inputs " +
+      "(scan, 8-plane LSH bits, int8 candidate stream at the max budget) " +
+      "checkpoint ONCE and sweep per setting — a knob reads a cached " +
+      "table, never rescans the corpus. Hit counts join a checkpointed " +
+      "40-row truth; the final recall division is one IEEE op."),
+    "text_bpe_apply" -> ("BPE token accounting at the word-frequency " +
+      "table (Sennrich): the corpus contributes ONE tokenize pass (the " +
+      "distinct-word count) and ONE shuffle join (counts back onto " +
+      "docs); each of the K=8 merge iterations is a vocab-scale pair " +
+      "aggregate plus a one-row argmax collect (the kmeans-centroid " +
+      "metadata pattern). Merge application is a per-row string replace " +
+      "in codegen. At 100 TB: corpus passes stay O(1) in K."),
     "text_entropy" -> ("Per-doc word entropy: one (doc, word) count " +
       "shuffle and one doc-keyed aggregate (the text_tfidf posture " +
       "without the vocabulary join); the entropy arithmetic — 6-dp " +
