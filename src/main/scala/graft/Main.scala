@@ -826,8 +826,13 @@ object Main {
                 System.err.println(s"stream-repeat: unknown flag $f"); usage()
             }
           }
+          // Existence check via the Hadoop FS API, not java.io.File —
+          // RepeatStream reads docs through Hadoop, so the guard must see
+          // the same namespace (hdfs:// / s3a:// paths included).
+          val docsParquet = new org.apache.hadoop.fs.Path(s"$docs/documents.parquet")
+          val docsFs = docsParquet.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val docsDir =
-            if (new java.io.File(s"$docs/documents.parquet").exists()) docs
+            if (docsFs.exists(docsParquet)) docs
             else {
               System.err.println(s"stream-repeat: no documents.parquet under $docs")
               sys.exit(1)

@@ -252,6 +252,14 @@ object CompactJournal {
   private val FileName = "_compact_journal.json"
 
   def write(dir: String, j: CompactJournal): Unit = {
+    // newParts rides pipe-joined inside a JSON string (below); a '|' or '"'
+    // in a part name would silently corrupt the journal and break the
+    // named-parts rollback. publishPartsTo's generated names can't contain
+    // either today — fail loudly if a future naming change breaks that.
+    require(
+      j.newParts.forall(n => !n.contains('|') && !n.contains('"')),
+      s"CompactJournal part names must not contain '|' or '\"': ${j.newParts.mkString(",")}"
+    )
     val olds = j.olds
       .map { case (b, d) => s"""{"base":$b,"dir":"$d"}""" }
       .mkString("[", ",", "]")

@@ -85,6 +85,23 @@ object Checkpoints {
     s
   }
 
+  /** Run `body` in a fresh scope and release exactly that scope's
+    * checkpoints afterwards, restoring the calling thread's previous scope
+    * — for library entry points (e.g. [[RepeatStream.emitNext]]) that may
+    * be composed INSIDE another query build on the same thread: the outer
+    * build's live localCheckpoints survive, and its subsequent
+    * [[checkpoint]] calls keep landing in its own scope.
+    */
+  def scoped[T](body: => T): T = {
+    val prev = current.get()
+    val s = begin()
+    try body
+    finally {
+      releaseScope(s)
+      current.set(prev)
+    }
+  }
+
   /** `df.localCheckpoint(eager = true)` with its backing RDD recorded in
     * the calling thread's current scope for a later [[release]].
     */

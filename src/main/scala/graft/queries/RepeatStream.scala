@@ -83,7 +83,18 @@ object RepeatStream {
     * drained. Safe to call after a crash at any point: an uncommitted
     * chunk dir is recomputed and overwritten identically.
     */
-  def emitNext(s: SparkSession, docsDir: String, outDir: String, pageRows: Int): Option[(Int, Long, String)] = {
+  def emitNext(s: SparkSession, docsDir: String, outDir: String, pageRows: Int): Option[(Int, Long, String)] =
+    // Scoped: free only THIS page build's localCheckpoints — a caller
+    // composing emitNext inside its own query build keeps its live
+    // checkpoints (advisor r11).
+    Checkpoints.scoped(emitNextInScope(s, docsDir, outDir, pageRows))
+
+  private def emitNextInScope(
+      s: SparkSession,
+      docsDir: String,
+      outDir: String,
+      pageRows: Int
+  ): Option[(Int, Long, String)] = {
     require(pageRows > 0, "pageRows must be positive")
     val seqs = committedSeqs(s, outDir)
     val next = seqs.lastOption.map(_ + 1).getOrElse(0)
@@ -112,7 +123,6 @@ object RepeatStream {
     val page = after.orderBy("source", "epoch", "shard", "pos").limit(pageRows)
     val dest = chunkPath(outDir, next)
     page.write.mode("overwrite").parquet(dest)
-    Checkpoints.release()
     val written = s.read.parquet(dest)
     val n = written.count()
     if (n == 0L) {

@@ -1600,30 +1600,44 @@ object Similarity {
     else {
       val key = s"${s.sparkContext.applicationId}|$d"
       val fp = embFingerprint(s, d)
-      scatterCache.synchronized {
-        scatterCache.get(key) match {
-          case Some((oldFp, df)) if oldFp == fp => df
-          case stale =>
-            // Either a first sighting or an in-place rewrite: drop the
-            // stale pinned checkpoint (if any), rebuild, re-pin. Pinned =
-            // NOT scope-tracked: materializes now, while the scope-tracked
-            // quantized/sums checkpoints are still alive; they free with
-            // the invoking query, the ≤4096-row S survives the session.
-            stale.foreach { case (_, old) =>
-              try old.unpersist(blocking = false)
+      val hit = scatterCache.synchronized {
+        scatterCache.get(key).collect { case (oldFp, df) if oldFp == fp => df }
+      }
+      hit.getOrElse {
+        // Build OUTSIDE the lock: the eager localCheckpoint is a full
+        // Spark job, and holding the global lock through it would
+        // serialize concurrent reuse-mode PCA queries even across
+        // unrelated embeddings dirs (advisor r11). Pinned = NOT
+        // scope-tracked: materializes now, while the scope-tracked
+        // quantized/sums checkpoints are still alive; they free with the
+        // invoking query, the ≤4096-row S survives the session.
+        val fresh = scatterFrom(quantized).localCheckpoint(true)
+        scatterCache.synchronized {
+          scatterCache.get(key) match {
+            case Some((oldFp, df)) if oldFp == fp =>
+              // Another thread won the same build race — keep its entry
+              // (results are identical), drop our duplicate pin.
+              try fresh.unpersist(blocking = false)
               catch { case _: Exception => () }
-            }
-            val fresh = scatterFrom(quantized).localCheckpoint(true)
-            scatterCache.put(key, (fp, fresh))
-            if (scatterCache.size > 8)
-              org.slf4j.LoggerFactory
-                .getLogger(getClass)
-                .warn(
-                  s"graft: pca scatter cache holds ${scatterCache.size} pinned entries " +
-                    "(one per embeddings dir) — call Similarity.releaseScatterCache() " +
-                    "if dirs are transient"
-                )
-            fresh
+              df
+            case stale =>
+              // First sighting, or an in-place rewrite: drop the stale
+              // pinned checkpoint (if any) and swap ours in.
+              stale.foreach { case (_, old) =>
+                try old.unpersist(blocking = false)
+                catch { case _: Exception => () }
+              }
+              scatterCache.put(key, (fp, fresh))
+              if (scatterCache.size > 8)
+                org.slf4j.LoggerFactory
+                  .getLogger(getClass)
+                  .warn(
+                    s"graft: pca scatter cache holds ${scatterCache.size} pinned entries " +
+                      "(one per embeddings dir) — call Similarity.releaseScatterCache() " +
+                      "if dirs are transient"
+                  )
+              fresh
+          }
         }
       }
     }

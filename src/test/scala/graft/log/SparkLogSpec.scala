@@ -266,6 +266,19 @@ class SparkLogSpec extends AnyFunSuite {
     assert(CompactJournal.read(dir).isEmpty)
   }
 
+  test("CompactJournal.write rejects part names that would corrupt the pipe-joined field") {
+    val dir = TestSpark.tempDir("log-journal-guard")
+    // newParts rides pipe-joined inside a JSON string; a '|' or '"' in a
+    // name would silently corrupt rollback. Must fail loudly at write.
+    for (bad <- Seq("part|evil.parquet", "part\"evil.parquet")) {
+      val ex = intercept[IllegalArgumentException] {
+        CompactJournal.write(dir, CompactJournal(0L, 1L, "_compact-x", Nil, Seq(bad)))
+      }
+      assert(ex.getMessage.contains("must not contain"))
+    }
+    assert(CompactJournal.read(dir).isEmpty, "a rejected write must leave no journal")
+  }
+
   test("crash after manifest update (olds not yet deleted) rolls forward on reopen") {
     import java.nio.file.{Files, Paths}
     val dir = TestSpark.tempDir("log-crash-fwd")

@@ -42,6 +42,33 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     assert(persistedRddCount <= base)
   }
 
+  test("scoped {} frees only the inner build and restores the outer scope") {
+    import spark.implicits._
+    Checkpoints.releaseAll()
+
+    // Outer build checkpoints something...
+    val outer = Checkpoints.checkpoint(Seq(1, 2, 3).toDF("a"))
+    assert(Checkpoints.trackedCount == 1)
+
+    // ...then composes a scoped library call (the RepeatStream.emitNext
+    // shape) on the SAME thread: the inner checkpoints must free on exit,
+    // the outer one must stay live AND usable.
+    Checkpoints.scoped {
+      val inner = Checkpoints.checkpoint(Seq(4).toDF("a"))
+      assert(inner.count() == 1)
+      assert(Checkpoints.trackedCount == 2)
+    }
+    assert(Checkpoints.trackedCount == 1, "inner scope should have freed exactly itself")
+    assert(outer.count() == 3, "outer checkpoint must survive the nested scope")
+
+    // Post-scope checkpoints land back in the OUTER scope: one release()
+    // frees everything this thread built.
+    Checkpoints.checkpoint(Seq(5).toDF("a"))
+    assert(Checkpoints.trackedCount == 2)
+    Checkpoints.release()
+    assert(Checkpoints.trackedCount == 0)
+  }
+
   test("releasing one query's scope leaves another's checkpoints live") {
     import spark.implicits._
     Checkpoints.releaseAll()

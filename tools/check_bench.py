@@ -17,7 +17,10 @@ import sys, os, json
 
 factor = float(os.environ.get("PIN_FACTOR", "2.0"))
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-pins = json.load(open(os.path.join(repo, "BASELINE.json")))["per_query_pins_sec"]
+# BASELINE_JSON overrides the repo pin file — lets test_check_tools.py gate
+# this gate against synthetic pins without touching the real baseline.
+baseline_path = os.environ.get("BASELINE_JSON") or os.path.join(repo, "BASELINE.json")
+pins = json.load(open(baseline_path))["per_query_pins_sec"]
 
 raw = open(sys.argv[1]).read() if len(sys.argv) > 1 else sys.stdin.read()
 # The bench line is the last stdout line that parses as a JSON object with

@@ -35,6 +35,11 @@ for arg in "$@"; do
   esac
 done
 
+echo "=== [0/4] gate-tool self-tests (check_correctness / check_bench)"
+# The two Python gates are load-bearing for every verdict below; test THEM
+# first so a broken gate fails loudly instead of silently passing a red run.
+python3 tools/test_check_tools.py
+
 echo "=== [1/4] sbt test"
 sbt -batch test
 

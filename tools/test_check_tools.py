@@ -1,0 +1,222 @@
+#!/usr/bin/env python3
+"""Tests for the two load-bearing gate tools (judge r11 #6): every round's
+green/red verdict flows through check_correctness.py canon()/compare and
+check_bench.py's pin logic, but until now only the happy paths were
+exercised by real runs. Each test drives the tool as a subprocess with a
+synthetic fixture and asserts on the verdict lines + exit code — the same
+interface the driver and round_gate.sh consume.
+
+Run directly (`python3 tools/test_check_tools.py`) or via pytest.
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_correctness(out_dir, sf_dir=None, env=None):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    # sf_dir may be any empty dir: oracle SQL literals need no tables.
+    sf = sf_dir or tempfile.mkdtemp(prefix="sf-empty-")
+    p = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "check_correctness.py"), sf, out_dir],
+        capture_output=True, text=True, env=e,
+    )
+    return p.stdout
+
+
+def dump(out_dir, name, table):
+    d = os.path.join(out_dir, name)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, "part-0.parquet"))
+
+
+def fixture(oracle):
+    out = tempfile.mkdtemp(prefix="verify-fix-")
+    with open(os.path.join(out, "oracle_sql.json"), "w") as f:
+        json.dump(oracle, f)
+    return out
+
+
+def verdict_line(report, name):
+    for line in report.splitlines():
+        if line.strip().startswith(f"{name}:") or line.strip().startswith(f"✗ {name}:"):
+            return line
+    raise AssertionError(f"no verdict line for {name} in:\n{report}")
+
+
+# --- check_correctness.py -------------------------------------------------
+
+def test_exact_match_ok():
+    out = fixture({"q": "SELECT CAST(1 AS BIGINT) AS a, 'x' AS b"})
+    dump(out, "q", pa.table({"a": pa.array([1], pa.int64()), "b": ["x"]}))
+    r = run_correctness(out)
+    assert "OK (1 rows)" in verdict_line(r, "q")
+    assert "1 exact-match" in r and "0 FAILING" in r
+
+
+def test_uint64_overflow_fails_loudly():
+    # A uint64 above int64.max must raise inside canon() (CANON-ERROR), not
+    # wrap under astype into a fake int64 value.
+    out = fixture({"q": "SELECT CAST(1 AS BIGINT) AS a"})
+    dump(out, "q", pa.table({"a": pa.array([2**63 + 41], pa.uint64())}))
+    r = run_correctness(out)
+    line = verdict_line(r, "q")
+    assert "CANON-ERROR" in line and "exceeds int64 range" in line
+    assert "1 FAILING" in r
+
+
+def test_lossless_uint_canonicalizes_ok():
+    # Within-family width canonicalization must stay lenient: uint32 vs the
+    # oracle's BIGINT is the exact int32-vs-int64 case the driver tolerates.
+    out = fixture({"q": "SELECT CAST(7 AS BIGINT) AS a"})
+    dump(out, "q", pa.table({"a": pa.array([7], pa.uint32())}))
+    r = run_correctness(out)
+    assert "OK (1 rows)" in verdict_line(r, "q")
+
+
+def test_cross_family_dtype_fails():
+    # Values equal (1.0 == 1) but float64 vs int64: the driver's typed hash
+    # fails this, so the local gate must too (the r9 corpus_epochs lesson).
+    out = fixture({"q": "SELECT CAST(1 AS BIGINT) AS a"})
+    dump(out, "q", pa.table({"a": pa.array([1.0], pa.float64())}))
+    r = run_correctness(out)
+    line = verdict_line(r, "q")
+    assert "DTYPE" in line and "values equal but dtypes differ" in line
+    assert "1 FAILING" in r
+
+
+def test_value_diff_fails():
+    out = fixture({"q": "SELECT CAST(2 AS BIGINT) AS a"})
+    dump(out, "q", pa.table({"a": pa.array([3], pa.int64())}))
+    r = run_correctness(out)
+    assert "VALUES:" in verdict_line(r, "q")
+    assert "1 FAILING" in r
+
+
+def test_rowcount_diff_fails():
+    out = fixture({"q": "SELECT CAST(1 AS BIGINT) AS a"})
+    dump(out, "q", pa.table({"a": pa.array([1, 1], pa.int64())}))
+    r = run_correctness(out)
+    assert "ROWCOUNT: mine=2 ref=1" in verdict_line(r, "q")
+
+
+def test_missing_dump_fails():
+    # An oracle entry with no dump dir must be a loud failing row (the
+    # round-5 vanishing-queries lesson), wired to Verify's _failures.json.
+    out = fixture({"gone": "SELECT 1 AS a"})
+    with open(os.path.join(out, "_failures.json"), "w") as f:
+        json.dump({"gone": "AnalysisException: boom"}, f)
+    r = run_correctness(out)
+    line = verdict_line(r, "gone")
+    assert "MISSING-DUMP" in line and "boom" in line
+    assert "1 FAILING" in r
+
+
+def test_rows_only_without_oracle():
+    out = fixture({})
+    dump(out, "noracle", pa.table({"a": pa.array([1], pa.int64())}))
+    r = run_correctness(out)
+    assert "rows-only (1 rows)" in verdict_line(r, "noracle")
+    assert "0 FAILING" in r
+
+
+# --- check_bench.py -------------------------------------------------------
+
+def run_bench_gate(bench_obj, pins, factor=None):
+    tmp = tempfile.mkdtemp(prefix="bench-fix-")
+    baseline = os.path.join(tmp, "BASELINE.json")
+    with open(baseline, "w") as f:
+        json.dump({"per_query_pins_sec": pins}, f)
+    inp = os.path.join(tmp, "bench.out")
+    with open(inp, "w") as f:
+        f.write("WARN: sbt noise line\n")
+        f.write(json.dumps(bench_obj) + "\n")
+        f.write("[success] Total time: 1 s\n")
+    env = dict(os.environ, BASELINE_JSON=baseline)
+    if factor:
+        env["PIN_FACTOR"] = str(factor)
+    p = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "check_bench.py"), inp],
+        capture_output=True, text=True, env=env,
+    )
+    return p.returncode, p.stdout
+
+
+def test_bench_all_green():
+    rc, out = run_bench_gate({"queries": {"q1": 1.0}, "failed": []}, {"q1": 0.9})
+    assert rc == 0 and "ok q1" in out and "0 failing" in out
+
+
+def test_bench_negative_sec_fails():
+    # sec = -1.0 marks a query that threw; must fail in the per-query loop
+    # even when bench['failed'] is (wrongly) empty.
+    rc, out = run_bench_gate({"queries": {"q1": -1.0}, "failed": []}, {"q1": 0.9})
+    assert rc == 1 and "BROKEN: q1 failed in bench (sec=-1.0)" in out
+    assert "ok q1" not in out
+
+
+def test_bench_unpinned_query_fails():
+    rc, out = run_bench_gate({"queries": {"newq": 0.5}, "failed": []}, {})
+    assert rc == 1 and "UNPINNED: newq" in out
+
+
+def test_bench_missing_pinned_query_fails():
+    rc, out = run_bench_gate({"queries": {}, "failed": []}, {"gone": 1.0})
+    assert rc == 1 and "MISSING: pinned query gone was not measured" in out
+
+
+def test_bench_planted_3x_regression_fails():
+    rc, out = run_bench_gate({"queries": {"q1": 3.0}, "failed": []}, {"q1": 1.0})
+    assert rc == 1 and "REGRESSION: q1 3.000s > 2.0x pin 1.000s" in out
+
+
+def test_bench_within_2x_passes_and_custom_factor_tightens():
+    rc, _ = run_bench_gate({"queries": {"q1": 1.9}, "failed": []}, {"q1": 1.0})
+    assert rc == 0
+    rc, out = run_bench_gate({"queries": {"q1": 1.9}, "failed": []}, {"q1": 1.0}, factor=1.5)
+    assert rc == 1 and "REGRESSION" in out
+
+
+def test_bench_failed_list_fails():
+    rc, out = run_bench_gate({"queries": {"q1": 1.0}, "failed": ["q2"]}, {"q1": 0.9})
+    assert rc == 1 and "bench reported failed queries" in out
+
+
+def test_bench_no_json_line_fails():
+    tmp = tempfile.mkdtemp(prefix="bench-fix-")
+    baseline = os.path.join(tmp, "BASELINE.json")
+    with open(baseline, "w") as f:
+        json.dump({"per_query_pins_sec": {}}, f)
+    inp = os.path.join(tmp, "bench.out")
+    with open(inp, "w") as f:
+        f.write("only sbt noise here\n")
+    p = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "check_bench.py"), inp],
+        capture_output=True, text=True, env=dict(os.environ, BASELINE_JSON=baseline),
+    )
+    assert p.returncode == 1 and "no bench JSON line" in p.stdout
+
+
+if __name__ == "__main__":
+    # Plain-python runner (no pytest dependency in the gate path).
+    fns = [(n, f) for n, f in sorted(globals().items())
+           if n.startswith("test_") and callable(f)]
+    failed = 0
+    for n, f in fns:
+        try:
+            f()
+            print(f"  ok {n}")
+        except Exception as e:  # noqa: BLE001 — report and continue
+            failed += 1
+            print(f"✗ {n}: {e}")
+    print(f"test_check_tools: {len(fns) - failed}/{len(fns)} passed")
+    sys.exit(1 if failed else 0)
