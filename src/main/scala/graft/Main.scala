@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-attribution <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-sessions <peerDir> <ckptDir> <outDir> [--watermark D] [--gap-ms N] | stream-repeat <docsOrSfDir> <outDir> [--page-docs N] [--max-pages M] | fit-lm <docsOrSfDir> <modelDir> | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] [--tokenizer ws|bpe] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags; --tokenizer ws only] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | text-report <docsDir> | media-report <docsDir> | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-attribution <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-sessions <peerDir> <ckptDir> <outDir> [--watermark D] [--gap-ms N] | stream-repeat <docsOrSfDir> <outDir> [--page-docs N] [--max-pages M] | fit-lm <docsOrSfDir> <modelDir> | build-tokenizer <docsOrSfDir> <indexDir> [--merges K] | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] [--tokenizer ws|bpe] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags; --tokenizer ws only] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | text-report <docsDir> | media-report <docsDir> | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -531,6 +531,25 @@ object Main {
           val v = graft.queries.LmModel.fit(spark, spark.read.parquet(docsPath), model)
           val (_, rows, floor) = graft.queries.LmModel.current(spark, model).get
           println(s"fitted lm model v=$v at $model (docs=$rows, oov floor=$floor)")
+        case "build-tokenizer" :: docs :: index :: btRest =>
+          // Train the BPE merge table once and publish it versioned
+          // (v=N/merges + _complete marker last) — the build half of the
+          // tokenizer build/apply split; text_bpe_apply and token-budget
+          // accounting probe the committed version. `docs` is a dir
+          // containing documents.parquet (sf dir or corpus output).
+          var merges = graft.queries.Bpe.DefaultMerges
+          var bi = 0
+          while (bi < btRest.length) {
+            btRest(bi) match {
+              case "--merges" if bi + 1 < btRest.length =>
+                merges = btRest(bi + 1).toInt; bi += 2
+              case f =>
+                System.err.println(s"build-tokenizer: unknown flag $f"); usage()
+            }
+          }
+          val v = graft.queries.Tokenizer.build(spark, docs, index, merges)
+          val learned = graft.queries.Tokenizer.merges(spark, index)
+          println(s"built tokenizer v=$v at $index (${learned.size} merges: ${learned.mkString(", ")})")
         case "index-ann" :: emb :: index :: Nil =>
           // Build (or rebuild) the persistent IVF index for an embeddings
           // table — the build half of the build/probe split; knn queries

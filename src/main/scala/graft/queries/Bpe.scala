@@ -36,25 +36,31 @@ object Bpe {
   private def symsOf(sCol: String): String =
     s"filter(split($sCol, '\\\\.\\\\.'), x -> x != '')"
 
-  /** `(word, nsym)` after learning `k` merges over the weighted word table
-    * `vw` (`word`, `wn`). Checkpointed per iteration: each merge both
-    * feeds the next pair count and the final segmentation, and the argmax
-    * runs a job per iteration anyway.
-    */
-  def segmentationOver(vw: DataFrame, k: Int): DataFrame = {
-    var vocab = Checkpoints.checkpoint(
-      vw.withColumn(
-        "s",
-        concat(
-          lit(".."),
-          array_join(
-            expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-            ".."
-          ),
-          lit("..")
-        )
+  private def initialSeg(vw: DataFrame): DataFrame =
+    vw.withColumn(
+      "s",
+      concat(
+        lit(".."),
+        array_join(
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          ".."
+        ),
+        lit("..")
       )
     )
+
+  /** Learn up to `k` merges over the weighted word table `vw`
+    * (`word`, `wn`): returns the ORDERED merge pairs (`"a.b"` strings,
+    * rank order) plus the segmented vocab. Checkpointed per iteration:
+    * each merge both feeds the next pair count and the final
+    * segmentation, and the argmax runs a job per iteration anyway.
+    * Training is the expensive/stateful half — persist its output with
+    * [[Tokenizer.build]] and re-apply it for months ([[segmentWith]]),
+    * the same build/probe split as the ANN index.
+    */
+  def learn(vw: DataFrame, k: Int): (Vector[String], DataFrame) = {
+    var vocab = Checkpoints.checkpoint(initialSeg(vw))
+    val learned = Vector.newBuilder[String]
     var i = 0
     var exhausted = false
     while (i < k && !exhausted) {
@@ -78,6 +84,7 @@ object Bpe {
       if (best.isEmpty) exhausted = true
       else {
         val pr = best(0).getString(0)
+        learned += pr
         val Array(a, b) = pr.split("\\.", 2)
         vocab = Checkpoints.checkpoint(
           vocab.withColumn("s", expr(s"replace(s, '.$a..$b.', '.$a$b.')"))
@@ -85,14 +92,42 @@ object Bpe {
       }
       i += 1
     }
+    (learned.result(), vocab)
+  }
+
+  /** `(word, nsym)` after learning `k` merges over `vw` — trains inline. */
+  def segmentationOver(vw: DataFrame, k: Int): DataFrame = {
+    val (_, vocab) = learn(vw, k)
     vocab.select(col("word"), expr(s"CAST(size(${symsOf("s")}) AS BIGINT)").as("nsym"))
+  }
+
+  /** `(word, nsym)` from a PRE-LEARNED ordered merge list — the apply-only
+    * path. No argmax jobs, no checkpoints: the whole merge sequence folds
+    * into ONE nested-replace column expression (codegen'd, map-side), so
+    * applying a persisted tokenizer to 100 TB is a single corpus pass.
+    */
+  def segmentWith(vw: DataFrame, merges: Seq[String]): DataFrame = {
+    val seg = merges.foldLeft(initialSeg(vw)) { (acc, pr) =>
+      val Array(a, b) = pr.split("\\.", 2)
+      acc.withColumn("s", expr(s"replace(s, '.$a..$b.', '.$a$b.')"))
+    }
+    seg.select(col("word"), expr(s"CAST(size(${symsOf("s")}) AS BIGINT)").as("nsym"))
   }
 
   /** Per-doc counts after learning `k` merges on `docs` itself:
     * `(doc_id, n_words, n_bpe_tokens)` — whitespace tokens and their
     * BPE-applied mass (non-`[a-z0-9]+` tokens count 1).
     */
-  def tokenCounts(docs: DataFrame, k: Int): DataFrame = {
+  def tokenCounts(docs: DataFrame, k: Int): DataFrame =
+    tokenCountsOver(docs, segmentationOver(_, k))
+
+  /** Per-doc counts applying a PRE-LEARNED merge list (see
+    * [[segmentWith]]): the persisted-tokenizer serving path.
+    */
+  def tokenCountsWith(docs: DataFrame, merges: Seq[String]): DataFrame =
+    tokenCountsOver(docs, segmentWith(_, merges))
+
+  private def tokenCountsOver(docs: DataFrame, seg: DataFrame => DataFrame): DataFrame = {
     val dw = docs.select(
       col("doc_id"),
       explode(split(lower(trim(col("text"))), " ")).as("word")
@@ -101,8 +136,7 @@ object Bpe {
       .filter(col("word").rlike("^[a-z0-9]+$"))
       .groupBy("word")
       .agg(count(lit(1)).as("wn"))
-    val seg = segmentationOver(vw, k)
-    dw.join(seg, Seq("word"), "left")
+    dw.join(seg(vw), Seq("word"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_words"),
