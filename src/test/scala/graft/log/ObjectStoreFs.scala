@@ -74,11 +74,32 @@ object ObjectStoreFileSystem {
     */
   @volatile var failAfterPuts: Int = -1
 
+  /** Total completed PUTs since the last reset — lets a sweep measure an
+    * operation's PUT-boundary count before crashing each boundary in turn.
+    */
+  @volatile var putCount: Long = 0L
+
+  val InjectedMessage = "objstore: injected crash after PUT, before source delete"
+
+  /** True when `t` (or anything in its cause chain) is an injected crash —
+    * Spark wraps executor-side failures in SparkException layers.
+    */
+  def isInjected(t: Throwable): Boolean = {
+    var cur: Throwable = t
+    val seen = scala.collection.mutable.Set.empty[Throwable]
+    while (cur != null && seen.add(cur)) {
+      if (cur.getMessage != null && cur.getMessage.contains(InjectedMessage)) return true
+      cur = cur.getCause
+    }
+    false
+  }
+
   private def onPutDone(): Unit = synchronized {
+    putCount += 1
     if (failAfterPuts > 0) failAfterPuts -= 1
     else if (failAfterPuts == 0) {
       failAfterPuts = -1
-      throw new java.io.IOException("objstore: injected crash after PUT, before source delete")
+      throw new java.io.IOException(InjectedMessage)
     }
   }
 }
