@@ -861,17 +861,23 @@ object Main {
             println(s"resuming after committed chunk ${already.last} (${already.size} chunks)")
           var pages = 0
           var drained = false
-          while (pages < maxPages && !drained) {
-            graft.queries.RepeatStream.emitNext(spark, docsDir, out, pageDocs) match {
-              case Some((seq, rows, last)) =>
-                println(f"chunk $seq%06d: rows=$rows cursor=$last")
-                pages += 1
-              case None =>
-                drained = true
+          try {
+            while (pages < maxPages && !drained) {
+              graft.queries.RepeatStream.emitNext(spark, docsDir, out, pageDocs) match {
+                case Some((seq, rows, last)) =>
+                  println(f"chunk $seq%06d: rows=$rows cursor=$last")
+                  pages += 1
+                case None =>
+                  drained = true
+              }
             }
+            if (drained) println("stream drained: epoch stream fully emitted")
+            else println(s"paused after $pages pages; re-run to continue")
+          } catch {
+            case e: graft.queries.RepeatStream.CorpusChangedException =>
+              System.err.println(s"stream-repeat: ${e.getMessage}")
+              sys.exit(1)
           }
-          if (drained) println("stream drained: epoch stream fully emitted")
-          else println(s"paused after $pages pages; re-run to continue")
         case "stream-sessions" :: peer :: ckpt :: out :: ssRest =>
           // One-shot (resumable) pass over the peer log's event backlog:
           // maintain the derived finalized-session table

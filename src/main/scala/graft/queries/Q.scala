@@ -17,6 +17,26 @@ final case class Q(
 
 object Q {
 
+  /** Metadata-only fingerprint of a dir's documents.parquet listing
+    * (names + lengths + mtimes — one `listStatus`, no data pass). The
+    * change detector behind [[Tokenizer.ensureFor]]'s rebuild guard and
+    * [[RepeatStream]]'s corpus-version pin.
+    */
+  private[graft] def docsFingerprint(spark: SparkSession, docsOrSfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$docsOrSfDir/documents.parquet")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = f
+      .listStatus(p)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(entries.mkString(";").getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+  }
+
   /** Load one testdata table (TESTDATA.md: `<dir>/<name>.parquet`). */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)

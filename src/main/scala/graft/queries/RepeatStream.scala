@@ -24,8 +24,32 @@ import org.apache.spark.sql.functions._
   * the per-page recompute amortizes by page size — a trainer pulls
   * millions of rows per page, not thousands (tests use tiny pages to
   * force many boundaries).
+  *
+  * CORPUS-VERSION PIN (the swap contract): the first page writes a
+  * `_source` meta recording a metadata-only fingerprint of the docs
+  * listing; every later page requires it to match. The cursor is a
+  * position in the PINNED corpus's shuffle deal — after an in-place
+  * corpus rewrite (a v=N bump republishing documents.parquet) the deal
+  * is a different permutation over different rows, so the old cursor is
+  * meaningless in the new version. Rather than silently emitting a page
+  * that straddles versions, [[emitNext]] throws [[CorpusChangedException]];
+  * trainers start a fresh stream dir per corpus version (committed
+  * chunks remain readable — they are wholly from the pinned version).
+  *
+  * CONCURRENT READERS: pages are deterministic functions of the cursor,
+  * and in-process emitters serialize per outDir, so N readers racing
+  * [[emitNext]] extend ONE shared stream — each seq commits exactly once
+  * and every consumer reading `chunk-*` in seq order sees identical page
+  * contents. Cross-process emitters converge to the same bytes
+  * (deterministic pages + overwrite), but should still be coordinated —
+  * two JVMs committing the same seq concurrently waste work.
   */
 object RepeatStream {
+
+  /** The stream's pinned corpus changed underneath it — the cursor
+    * cannot be carried into the new version (see the class doc).
+    */
+  final class CorpusChangedException(msg: String) extends RuntimeException(msg)
 
   /** The full ordered stream table:
     * `(doc_id, source, epoch, n_tokens, shard, pos)`.
@@ -83,11 +107,47 @@ object RepeatStream {
     * drained. Safe to call after a crash at any point: an uncommitted
     * chunk dir is recomputed and overwritten identically.
     */
-  def emitNext(s: SparkSession, docsDir: String, outDir: String, pageRows: Int): Option[(Int, Long, String)] =
-    // Scoped: free only THIS page build's localCheckpoints — a caller
-    // composing emitNext inside its own query build keeps its live
-    // checkpoints (advisor r11).
-    Checkpoints.scoped(emitNextInScope(s, docsDir, outDir, pageRows))
+  private val emitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def emitNext(s: SparkSession, docsDir: String, outDir: String, pageRows: Int): Option[(Int, Long, String)] = {
+    // In-process emitters serialize per stream dir: concurrent readers
+    // extend one shared stream, each seq committed exactly once.
+    val lock = emitLocks.computeIfAbsent(outDir.stripSuffix("/"), _ => new Object)
+    lock.synchronized {
+      // Scoped: free only THIS page build's localCheckpoints — a caller
+      // composing emitNext inside its own query build keeps its live
+      // checkpoints (advisor r11).
+      Checkpoints.scoped(emitNextInScope(s, docsDir, outDir, pageRows))
+    }
+  }
+
+  /** Enforce (or establish, on the first page) the stream's corpus pin. */
+  private def pinSource(s: SparkSession, docsDir: String, outDir: String): Unit = {
+    val f = fsOf(s, outDir)
+    val meta = new Path(s"$outDir/_source")
+    val fp = Q.docsFingerprint(s, docsDir)
+    if (f.exists(meta)) {
+      val in = f.open(meta)
+      val pinned =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (pinned != fp)
+        throw new CorpusChangedException(
+          s"stream at $outDir is pinned to corpus fingerprint $pinned but $docsDir " +
+            s"now fingerprints $fp — the cursor cannot be carried across a corpus " +
+            "version bump; start a fresh stream dir for the new version"
+        )
+    } else {
+      // First page (or a legacy pre-pin stream): pin the CURRENT corpus.
+      // Concurrent first writers race to an identical value; a crash
+      // between this PUT and chunk-0 re-pins the same fingerprint.
+      f.mkdirs(new Path(outDir))
+      val out = f.create(meta, true)
+      try out.write(fp.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
 
   private def emitNextInScope(
       s: SparkSession,
@@ -96,6 +156,7 @@ object RepeatStream {
       pageRows: Int
   ): Option[(Int, Long, String)] = {
     require(pageRows > 0, "pageRows must be positive")
+    pinSource(s, docsDir, outDir)
     val seqs = committedSeqs(s, outDir)
     val next = seqs.lastOption.map(_ + 1).getOrElse(0)
     // Cursor = max order key of the last committed chunk (pages are

@@ -68,20 +68,8 @@ object Tokenizer {
   }
 
   /** Metadata-only fingerprint of the corpus' documents listing. */
-  private[graft] def docsFingerprint(spark: SparkSession, docsOrSfDir: String): String = {
-    val p = new Path(s"$docsOrSfDir/documents.parquet")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = f
-      .listStatus(p)
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-      .sortBy(_.getPath.getName)
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-    java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(entries.mkString(";").getBytes("UTF-8"))
-      .map("%02x".format(_))
-      .mkString
-  }
+  private[graft] def docsFingerprint(spark: SparkSession, docsOrSfDir: String): String =
+    Q.docsFingerprint(spark, docsOrSfDir)
 
   /** Train on `docsOrSfDir`'s documents table and publish as the next
     * version. Returns the committed version id. Crash-safe: merges land

@@ -102,6 +102,106 @@ class RepeatStreamSpec extends AnyFunSuite {
     assert(concatenated(out) == ref)
   }
 
+  test("two concurrent resuming readers extend one stream; every consumer sees identical pages") {
+    val ref = batchReference()
+    val pageRows = math.max(1, ref.size / 9)
+    val out = TestSpark.tempDir("repeat-conc") + "/s"
+    // Reader A emits one page, "pauses"; both readers then race resuming
+    // emitNext-until-drained from separate threads.
+    assert(drain(out, pageRows, maxPages = 1).size == 1)
+    val emitted =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val readers = Seq("A", "B").map { name =>
+      new Thread(() => {
+        try {
+          var done = false
+          while (!done) {
+            RepeatStream.emitNext(spark, d, out, pageRows) match {
+              case Some((seq, rows, _)) => emitted.add((name, seq, rows))
+              case None                 => done = true
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    readers.foreach(_.start())
+    readers.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent readers threw: ${errors.toArray.mkString("; ")}")
+    // Exactly-once: each seq was committed by exactly one reader, and the
+    // union covers the stream with no gaps.
+    import scala.jdk.CollectionConverters._
+    val bySeq = emitted.asScala.toVector.groupBy(_._2)
+    assert(bySeq.forall(_._2.size == 1), s"a chunk was emitted twice: $bySeq")
+    val seqs = RepeatStream.committedSeqs(spark, out)
+    assert(seqs == (0 until seqs.size).toVector)
+    // Every consumer reading chunk-* in seq order sees the reference
+    // stream byte-for-byte — identical page contents for both readers.
+    assert(concatenated(out) == ref)
+  }
+
+  test("a corpus bump mid-stream refuses to straddle versions; a fresh stream serves the new corpus") {
+    val session = spark
+    import session.implicits._
+    val docsDir = TestSpark.tempDir("repeat-bump-docs")
+    // Distinct doc_id ranges per version so every emitted row attributes
+    // to exactly one corpus version.
+    def writeCorpus(idBase: Long, n: Int): Unit =
+      (0 until n)
+        .map(i => (idBase + i, s"src${i % 2}", Seq.fill(20)(s"d${idBase + i} w${i % 7}").mkString(" ")))
+        .toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+
+    writeCorpus(0L, 12)
+    val out = TestSpark.tempDir("repeat-bump") + "/s"
+    val emittedV1 = {
+      var rows = Vector.empty[(Int, Long)]
+      (0 until 2).foreach { _ =>
+        RepeatStream.emitNext(spark, docsDir, out, 15).foreach(r => rows :+= ((r._1, r._2)))
+      }
+      rows
+    }
+    assert(emittedV1.size == 2)
+    val v1Chunks = RepeatStream.committedSeqs(spark, out)
+    val v1Content = concatWithDocs(out)
+
+    // v=N bump: the corpus republishes in place (different docs).
+    writeCorpus(100L, 9)
+
+    // BOTH a fresh reader and a would-be resumer refuse: the cursor is a
+    // position in the old corpus's deal — no page may straddle versions.
+    val e = intercept[RepeatStream.CorpusChangedException] {
+      RepeatStream.emitNext(spark, docsDir, out, 15)
+    }
+    assert(e.getMessage.contains("fresh stream dir"))
+    // Committed chunks are untouched and still wholly old-corpus pages.
+    assert(RepeatStream.committedSeqs(spark, out) == v1Chunks)
+    assert(concatWithDocs(out) == v1Content)
+    assert(v1Content.forall(_ < 100L), "a page straddled corpus versions")
+
+    // The new version streams from a FRESH dir, pinned to the new bytes.
+    val out2 = TestSpark.tempDir("repeat-bump2") + "/s"
+    while (RepeatStream.emitNext(spark, docsDir, out2, 1000).nonEmpty) ()
+    val v2Content = concatWithDocs(out2)
+    assert(v2Content.nonEmpty && v2Content.forall(_ >= 100L))
+  }
+
+  /** Emitted doc_ids in stream order — attributes every page row to a
+    * corpus version via the per-version doc_id ranges.
+    */
+  private def concatWithDocs(out: String): Vector[Long] = {
+    import spark.implicits._
+    RepeatStream.committedSeqs(spark, out).flatMap { seq =>
+      spark.read
+        .parquet(f"$out/chunk-$seq%06d")
+        .orderBy("source", "epoch", "shard", "pos")
+        .select("doc_id")
+        .as[Long]
+        .collect()
+        .toVector
+    }
+  }
+
   test("page size does not change the concatenated stream") {
     val ref = batchReference()
     val outA = TestSpark.tempDir("repeat-pgA") + "/s"
