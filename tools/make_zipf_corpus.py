@@ -64,13 +64,21 @@ def main():
     rnd = random.Random(seed)
     vocab = zipf_vocab(n_words)
     weights = zipf_weights(len(vocab))
+    # Precompute the cumulative weights ONCE: random.choices(weights=...)
+    # rebuilds this O(|vocab|) prefix sum on EVERY call, which turns the
+    # 500k-doc Heaps-scaled leg into hours of pure accumulation. Passing
+    # cum_weights uses the identical bisect-over-random() path, so the
+    # sampled sequence — and every previously generated corpus — is
+    # byte-identical for a given seed.
+    from itertools import accumulate
+    cum = list(accumulate(weights))
     langs = ["en", "zh", "es", "fr", "de"]
 
     n_base = int(n_docs * 0.70)
     docs = []  # (text, lang)
     for _ in range(n_base):
         n = rnd.randint(20, 120)
-        words = rnd.choices(vocab, weights=weights, k=n)
+        words = rnd.choices(vocab, cum_weights=cum, k=n)
         docs.append((" ".join(words), rnd.choice(langs)))
     # Exact clones of random base docs (same lang — cross-lang twins are
     # NOT duplicates under the lang-scoped queries, keep a few anyway).
@@ -83,7 +91,7 @@ def main():
         words = t.split(" ")
         k = max(1, len(words) // rnd.choice([8, 10, 12]))
         for _ in range(k):
-            words[rnd.randrange(len(words))] = rnd.choices(vocab, weights=weights, k=1)[0]
+            words[rnd.randrange(len(words))] = rnd.choices(vocab, cum_weights=cum, k=1)[0]
         docs.append((" ".join(words), lang))
 
     rnd.shuffle(docs)

@@ -122,6 +122,25 @@ if [ "$SOAK" = "1" ]; then
     python3 tools/check_correctness.py tmp/zipf-150k-h "$out" | tee "$report" | tail -3
   grep -q " 0 FAILING" "$report" || { echo "FAILING rows at Zipf-150k soak"; exit 1; }
 
+  echo "=== [soak] Zipf 500k-doc pair-family decade-third (Heaps-scaled vocabulary)"
+  # r12: one more scale step past 150k (500k docs, 500k-word vocab). All
+  # FOUR pair producers hash-compare via the multiset-agg path; the
+  # oracles carry the r10/r11 prefix+length rewrites. r12 measured
+  # exponents vs the 150k leg are recorded in SCALE.md — a super-linear
+  # surprise here is a skew/explosion bug the smaller legs cannot see.
+  if [ ! -d tmp/zipf-500k-h ]; then
+    echo "--- regenerating tmp/zipf-500k-h (500k docs, 500k-word Zipf vocab)"
+    python3 tools/make_zipf_corpus.py /root/testdata/sf0.1 tmp/zipf-500k-h 500000 20260815 500000
+  fi
+  Z500_QUERIES="dedup_jaccard,dedup_containment,dedup_minhash_lsh,dedup_winnow_pairs"
+  out="/tmp/round-gate-zipf500k"
+  SPARK_GRAFT_MAX_PARTITION_BYTES=8388608 \
+    sbt -batch "runMain graft.Verify tmp/zipf-500k-h $out $Z500_QUERIES"
+  report="/tmp/round-gate-zipf500k.report"
+  ONLY="$Z500_QUERIES" ORACLE_TIMEOUT_SEC=7200 ORACLE_MEM=60GB ORACLE_SPILL=60GB \
+    python3 tools/check_correctness.py tmp/zipf-500k-h "$out" | tee "$report" | tail -3
+  grep -q " 0 FAILING" "$report" || { echo "FAILING rows at Zipf-500k soak"; exit 1; }
+
   echo "=== [soak] media pair-family decade (10k synthesized images)"
   # The media twin of the Zipf decade: 10k doc ids = 10k deterministic
   # PNGs (2.5k near-dup families; content classes repeat with the
@@ -140,6 +159,21 @@ if [ "$SOAK" = "1" ]; then
   ONLY="media_phash,media_phash_pairs" ORACLE_TIMEOUT_SEC=1800 \
     python3 tools/check_correctness.py tmp/media-10k "$out" | tee "$report" | tail -3
   grep -q " 0 FAILING" "$report" || { echo "FAILING rows at media-10k soak"; exit 1; }
+
+  echo "=== [soak] media decade extension (30k synthesized images)"
+  # r12: 3x the 10k leg. Pair output grows super-linearly BY CONSTRUCTION
+  # (generator content classes repeat); the candidate join must stay
+  # band-bucketed — wall time and pair counts recorded in SCALE.md.
+  if [ ! -d tmp/media-30k ]; then
+    echo "--- regenerating tmp/media-30k (30k synthetic media ids)"
+    python3 tools/make_media_corpus.py tmp/media-30k 30000
+  fi
+  out="/tmp/round-gate-media30k"
+  sbt -batch "runMain graft.Verify tmp/media-30k $out media_phash,media_phash_pairs"
+  report="/tmp/round-gate-media30k.report"
+  ONLY="media_phash,media_phash_pairs" ORACLE_TIMEOUT_SEC=3600 ORACLE_MEM=60GB \
+    python3 tools/check_correctness.py tmp/media-30k "$out" | tee "$report" | tail -3
+  grep -q " 0 FAILING" "$report" || { echo "FAILING rows at media-30k soak"; exit 1; }
 
   echo "=== [soak] small-vocab containment (triangle escape) @ sf0.1"
   # dedup_containment's OTHER branch: sf0.1's 31-word universe routes the
