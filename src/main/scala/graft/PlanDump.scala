@@ -444,12 +444,14 @@ object PlanDump {
       "half-up integer division, and the k²-row pair table metadata-sized " +
       "at any corpus size."),
     "vec_pca" -> ("Fixed-point power-iteration PCA: inputs quantize once " +
-      "to 1e4-unit BIGINTs, the scatter matrix S = n·Σqqᵀ − (Σq)(Σq)ᵀ is " +
-      "exact integers off a MAP-SIDE flatten/explode outer product (no " +
-      "self-join; partial sums onto the d²-row key space), three " +
-      "iterations run DECIMAL products over the checkpointed 4096-row S " +
-      "with sign-aware div renormalisation, and loadings + Rayleigh share " +
-      "are single IEEE chains over exact integers."),
+      "to 1e4-unit BIGINTs; count, Σq and the upper-triangle Σqqᵀ " +
+      "accumulate in ONE imperative mapPartitions pass (the MLlib Gramian " +
+      "pattern, r12 — d(d+1)/2+d+1 partial rows per PARTITION, never a " +
+      "d²-wide explode, never a join), the exact-integer S assembles from " +
+      "the checkpointed tiny merge, three iterations run DECIMAL products " +
+      "over the 4096-row S with sign-aware div renormalisation, and " +
+      "loadings + Rayleigh share are single IEEE chains over exact " +
+      "integers."),
     "q_attribution" -> ("Last-touch attribution: the running " +
       "last-non-purchase type is one ignoreNulls last() over the user-keyed " +
       "window (the as-of formulation, ONE shuffle), revenue floor-quantizes " +

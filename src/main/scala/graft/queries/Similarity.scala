@@ -1057,68 +1057,25 @@ object Similarity {
     //     HUGEINT `//` on the non-negative operands we feed them;
     //   - loadings (v/1e6) and the Rayleigh share (vᵀSv/vᵀv)/tr(S) are
     //     single identical IEEE chains over exact integers, rounded 6 dp.
-    // Scale: the ONLY volume-bearing stage is the outer-product aggregate —
-    // a map-side flatten/explode (d² rows per vector, no join) that
-    // partial-combines onto the d²-row key space before its one shuffle;
-    // qi·qj ≤ 3.3e7 so the per-key BIGINT sum holds past 10¹⁰ vectors.
-    // Everything downstream (sums, S, iterations) is metadata-sized
-    // (≤ d² = 4096 rows) with broadcast joins. The quantized table
-    // checkpoints once for its three consumers; S checkpoints once for the
-    // three iteration joins + trace + Rayleigh numerator.
+    // Scale: the ONLY volume-bearing stage is ONE imperative mapPartitions
+    // pass (scatterFrom — the MLlib Gramian pattern) that accumulates
+    // count, Σq and the upper-triangle Σqqᵀ into flat local arrays and
+    // emits d(d+1)/2 + d + 1 partial rows per PARTITION — the corpus is
+    // never exploded d²-wide and never joined; qi·qj ≤ 3.3e7 so the Long
+    // partials hold past 10¹⁰ vectors. Everything downstream (S assembly,
+    // iterations) is metadata-sized (≤ d² = 4096 rows) with broadcast
+    // joins; S checkpoints once for the three iteration joins + trace +
+    // Rayleigh numerator.
     Q(
       "vec_pca",
       (s, d) => {
         // Quantize + scatter via scatterFor: fresh checkpoints per
         // invocation by default, the pinned per-dir cache under
         // spark.graft.pca.reuseScatter=true (serving-shaped repeats).
-        val scat = scatterFor(s, d)
-        def step(v: DataFrame): DataFrame = {
-          val u = scat
-            .join(broadcast(v.select(col("i").as("j"), col("v"))), "j")
-            .groupBy("i")
-            .agg(sum(col("sij") * col("v")).cast("decimal(38,0)").as("u"))
-          val m = u.agg(
-            greatest(max(abs(col("u"))), lit(1).cast("decimal(38,0)")).as("m")
-          )
-          u.crossJoin(broadcast(m))
-            .select(
-              col("i"),
-              (when(col("u") < 0, -1).otherwise(1).cast("long")
-                * expr("(abs(u) * 1000000) div m")).as("v")
-            )
-        }
-        // v0 = all-ones off the checkpointed diagonal — no extra pass over
-        // the corpus for the dimension ids.
-        val v0 = scat
-          .filter(col("i") === col("j"))
-          .select(col("i"), lit(1000000L).as("v"))
-        val v3 = step(step(step(v0)))
-          .pipe(graft.queries.Checkpoints.checkpoint)
-        val w = scat
-          .join(broadcast(v3.select(col("i").as("j"), col("v"))), "j")
-          .groupBy("i")
-          .agg(sum(col("sij") * col("v")).cast("decimal(38,0)").as("w"))
-        val scal = v3
-          .join(w, "i")
-          .agg(
-            sum(col("v") * col("w")).cast("decimal(38,0)").as("num"),
-            sum(col("v") * col("v")).cast("decimal(22,0)").as("den")
-          )
-        val trace = scat
-          .filter(col("i") === col("j"))
-          .agg(sum("sij").cast("decimal(28,0)").as("tr"))
-        v3.crossJoin(broadcast(scal))
-          .crossJoin(broadcast(trace))
-          .select(
-            col("i").cast("int").as("dim"),
-            round(col("v").cast("double") / lit(1000000.0), 6).as("loading"),
-            round(
-              (col("num").cast("double") / col("den").cast("double"))
-                / col("tr").cast("double"),
-              6
-            ).as("ev_share")
-          )
-          .orderBy("dim")
+        // The iteration + readout half is the shared pcaFromScatter, so
+        // the streaming drift monitor (Engine.pcaDriftFrom) reproduces
+        // this query's arithmetic LITERALLY.
+        pcaFromScatter(scatterFor(s, d))
       },
       Some("""
         WITH base AS (
@@ -1587,12 +1544,14 @@ object Similarity {
   }
 
   private def scatterFor(s: SparkSession, d: String): DataFrame = {
+    // No checkpoint: scatterFrom consumes the quantized corpus in exactly
+    // ONE mapPartitions pass, so materializing it first would only add a
+    // write+read of the whole corpus.
     def quantized = t(s, d, "embeddings")
       .select(
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
           .as("q")
       )
-      .pipe(graft.queries.Checkpoints.checkpoint)
     val reuse =
       try s.conf.get("spark.graft.pca.reuseScatter", "false").toBoolean
       catch { case _: IllegalArgumentException => false }
@@ -1645,36 +1604,116 @@ object Similarity {
 
   /** Exact integer scatter matrix S = n·Σqqᵀ − (Σq)(Σq)ᵀ (covariance × n²,
     * so no mean division ever happens) from a frame with one quantized
-    * BIGINT-array column `q` — the volume-bearing stage of `vec_pca`,
-    * factored out so PlanSpec can pin its shape: the d²-per-row outer
-    * product is a map-side flatten/explode (NO self-join), both aggregates
-    * partial-combine onto d- and d²-row key spaces before their single
-    * shuffles, and the S assembly joins only broadcast metadata tables.
-    * qi·qj ≤ 3.3e7 for unit-norm inputs at the 1e4 quantization, so the
-    * per-key BIGINT partial sums hold past 10¹⁰ vectors; the DECIMAL lift
-    * happens once, on the d²-row result.
+    * BIGINT-array column `q` — the volume-bearing stage of `vec_pca`.
+    *
+    * ONE imperative pass per partition (the classic MLlib
+    * `RowMatrix.computeGramianMatrix` pattern — genuine per-partition
+    * accumulation, the case mapPartitions exists for): the row count, the
+    * per-dimension sums and the UPPER-TRIANGLE outer product accumulate
+    * into flat local Long arrays, so the corpus emits d(d+1)/2 + d + 1
+    * partial rows per PARTITION instead of d² rows per VECTOR, and what
+    * used to be three separate corpus passes (count, Σq, Σqqᵀ via a
+    * d²-wide explode) folds into one. The tiny (i, j)-keyed aggregate that
+    * merges partitions checkpoints once for its four consumers below, so
+    * the pass runs exactly once. All arithmetic stays exact and
+    * order-independent: Long partials sum per partition then across
+    * partitions — the same total, in any order, as the old explode plan —
+    * and |qi·qj| ≤ 3.3e7 for unit-norm inputs at the 1e4 quantization
+    * bounds a partition at ~2.8e11 rows before Long overflow, far past
+    * any real partition. The DECIMAL lift happens once, on the d²-row
+    * result.
     */
-  def scatterFrom(quantized: DataFrame): DataFrame = {
-    val nRow = quantized.agg(count(lit(1)).cast("decimal(12,0)").as("n"))
-    // Consumed twice (the si and sj broadcast sides) — checkpoint so the
-    // per-dim sum pass over the corpus runs once, not per consumer.
-    val sums = quantized
-      .select(posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy("i")
-      .agg(sum("qi").cast("decimal(16,0)").as("s"))
-      .pipe(graft.queries.Checkpoints.checkpoint)
-    val raw = quantized
-      .select(
-        explode(
-          expr(
-            "flatten(transform(q, (qi, i) -> " +
-              "transform(q, (qj, j) -> named_struct('i', i, 'j', j, 'p', qi * qj))))"
-          )
-        ).as("e")
+  def scatterFrom(quantized: DataFrame): DataFrame =
+    scatterAssemble(
+      scatterPartials(quantized)
+        .groupBy("i", "j")
+        .agg(sum("p").as("p"))
+        // ≤ d(d+1)/2 + d + 1 rows; materializing here guarantees the
+        // corpus pass runs ONCE for the four assembly consumers.
+        .pipe(graft.queries.Checkpoints.checkpoint)
+    )
+
+  /** Three power-iteration steps + the (dim, loading, ev_share) readout
+    * over a MATERIALIZED scatter matrix (the `vec_pca` query's iteration
+    * half, factored out so the streaming drift monitor runs the literally
+    * same arithmetic over its merged cross-batch scatter). `scat` must be
+    * checkpointed/cached by the caller — it is consumed by the three
+    * iteration joins, v0, the Rayleigh numerator and the trace.
+    */
+  def pcaFromScatter(scat: DataFrame): DataFrame = {
+    def step(v: DataFrame): DataFrame = {
+      val u = scat
+        .join(broadcast(v.select(col("i").as("j"), col("v"))), "j")
+        .groupBy("i")
+        .agg(sum(col("sij") * col("v")).cast("decimal(38,0)").as("u"))
+      val m = u.agg(
+        greatest(max(abs(col("u"))), lit(1).cast("decimal(38,0)")).as("m")
       )
-      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
-      .groupBy("i", "j")
-      .agg(sum("p").cast("decimal(20,0)").as("sraw"))
+      u.crossJoin(broadcast(m))
+        .select(
+          col("i"),
+          (when(col("u") < 0, -1).otherwise(1).cast("long")
+            * expr("(abs(u) * 1000000) div m")).as("v")
+        )
+    }
+    // v0 = all-ones off the materialized diagonal — no extra pass over
+    // the corpus for the dimension ids.
+    val v0 = scat
+      .filter(col("i") === col("j"))
+      .select(col("i"), lit(1000000L).as("v"))
+    val v3 = step(step(step(v0)))
+      .pipe(graft.queries.Checkpoints.checkpoint)
+    val w = scat
+      .join(broadcast(v3.select(col("i").as("j"), col("v"))), "j")
+      .groupBy("i")
+      .agg(sum(col("sij") * col("v")).cast("decimal(38,0)").as("w"))
+    val scal = v3
+      .join(w, "i")
+      .agg(
+        sum(col("v") * col("w")).cast("decimal(38,0)").as("num"),
+        sum(col("v") * col("v")).cast("decimal(22,0)").as("den")
+      )
+    val trace = scat
+      .filter(col("i") === col("j"))
+      .agg(sum("sij").cast("decimal(28,0)").as("tr"))
+    v3.crossJoin(broadcast(scal))
+      .crossJoin(broadcast(trace))
+      .select(
+        col("i").cast("int").as("dim"),
+        round(col("v").cast("double") / lit(1000000.0), 6).as("loading"),
+        round(
+          (col("num").cast("double") / col("den").cast("double"))
+            / col("tr").cast("double"),
+          6
+        ).as("ev_share")
+      )
+      .orderBy("dim")
+  }
+
+  /** Assemble S = n·Σqqᵀ − (Σq)(Σq)ᵀ from the MERGED (i, j, p) partial
+    * rows (the [[scatterPartials]] key contract) — factored out of
+    * [[scatterFrom]] because the partials are ADDITIVE: the streaming
+    * drift monitor sums per-batch partials across batches and assembles
+    * the exact same S the batch query would compute over the union.
+    * `agg` must be materialized by the caller (four consumers).
+    */
+  def scatterAssemble(agg: DataFrame): DataFrame = {
+    val nRow = agg
+      .filter(col("i") === -1)
+      .select(col("p").cast("decimal(12,0)").as("n"))
+    val sums = agg
+      .filter(col("i") >= 0 && col("j") === -1)
+      .select(col("i"), col("p").cast("decimal(16,0)").as("s"))
+    val upper = agg.filter(col("j") >= 0)
+    // S is symmetric: the pass accumulates i ≤ j only; mirror the strict
+    // upper triangle to recover the full d²-row matrix.
+    val raw = upper
+      .union(
+        upper
+          .filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("p"))
+      )
+      .select(col("i"), col("j"), col("p").cast("decimal(20,0)").as("sraw"))
     raw
       .crossJoin(broadcast(nRow))
       .join(broadcast(sums.select(col("i"), col("s").as("si"))), "i")
@@ -1684,5 +1723,68 @@ object Similarity {
         col("j"),
         (col("n") * col("sraw") - col("si") * col("sj")).cast("decimal(26,0)").as("sij")
       )
+  }
+
+  /** The per-partition partial rows behind [[scatterFrom]], factored out so
+    * PlanSpec can pin the volume-bearing stage's shape: (i, j, p) with
+    * j ≥ i ≥ 0 for the upper-triangle products, (i, -1, Σqᵢ) for the
+    * dimension sums, (-1, -1, n) for the row count. Equivalence with the
+    * old explode plan under nulls: a null ELEMENT folds to 0 before the
+    * primitive-array decode (contributing 0 to a sum ≡ the explode plan's
+    * null-skipping), and a null/empty ROW still counts toward n, exactly
+    * like the count(lit(1)) this replaces. Ragged dimensions grow the
+    * accumulators to the longest row seen, so the emitted key set matches
+    * the explode plan's (every i below the partition max appears).
+    */
+  private[graft] def scatterPartials(quantized: DataFrame): DataFrame = {
+    val spark = quantized.sparkSession
+    import spark.implicits._
+    quantized
+      .select(expr("transform(q, x -> coalesce(x, 0L))").as("q"))
+      .as[Array[Long]]
+      .mapPartitions { it =>
+        var n = 0L
+        var d = 0
+        var sums = new Array[Long](0)
+        var tri = new Array[Long](0) // row-major d×d square, upper half used
+        def grow(nd: Int): Unit = {
+          val ns = new Array[Long](nd)
+          System.arraycopy(sums, 0, ns, 0, d)
+          val nt = new Array[Long](nd * nd)
+          var i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) { nt(i * nd + j) = tri(i * d + j); j += 1 }
+            i += 1
+          }
+          sums = ns; tri = nt; d = nd
+        }
+        it.foreach { q =>
+          n += 1
+          if (q != null) {
+            if (q.length > d) grow(q.length)
+            var i = 0
+            while (i < q.length) {
+              val qi = q(i)
+              sums(i) += qi
+              val base = i * d
+              var j = i
+              while (j < q.length) { tri(base + j) += qi * q(j); j += 1 }
+              i += 1
+            }
+          }
+        }
+        val out = Vector.newBuilder[(Int, Int, Long)]
+        if (n > 0) out += ((-1, -1, n))
+        var i = 0
+        while (i < d) {
+          out += ((i, -1, sums(i)))
+          var j = i
+          while (j < d) { out += ((i, j, tri(i * d + j))); j += 1 }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF("i", "j", "p")
   }
 }

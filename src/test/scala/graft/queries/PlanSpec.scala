@@ -960,29 +960,35 @@ class PlanSpec extends AnyFunSuite {
       s"bucket aggregate lost its partial phase:\n$p2")
   }
 
-  test("vec_pca's scatter matrix is a map-side outer product") {
-    // The only volume-bearing stage of vec_pca: the d²-per-row outer
-    // product must be flatten/explode + partial aggregation (never a
-    // posexplode self-join on vec_id, which would shuffle the corpus
-    // twice), and the S assembly must join only broadcast metadata tables.
-    import org.apache.spark.sql.functions.expr
+  test("vec_pca's scatter matrix is one imperative corpus pass") {
+    // The only volume-bearing stage of vec_pca: count, dimension sums and
+    // the upper-triangle outer product must accumulate in ONE mapPartitions
+    // pass (the MLlib Gramian pattern) emitting d(d+1)/2 + d + 1 partial
+    // rows per partition — the corpus is never exploded d²-wide (the old
+    // shape: d² rows per VECTOR through a flatten/explode) and never
+    // joined — and the S assembly must join only broadcast metadata tables.
+    import org.apache.spark.sql.functions.{expr, sum => fsum}
     val base = spark.read
       .parquet(s"$d/embeddings.parquet")
       .select(
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
           .as("q")
       )
+    val partials = Similarity
+      .scatterPartials(base)
+      .groupBy("i", "j")
+      .agg(fsum("p").as("p"))
+    val pp = partials.queryExecution.executedPlan.toString
+    assert(!pp.contains("Generate"), s"scatter pass must not explode the corpus:\n$pp")
+    assert(!pp.contains("Join"), s"scatter pass must not join:\n$pp")
+    // ONE hash exchange: the tiny (i, j) merge of per-partition partials.
+    val ex = pp.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex == 1, s"expected exactly 1 hash exchange (partials merge), got $ex:\n$pp")
+    assert(pp.contains("partial_sum"), s"partials merge lost its partial phase:\n$pp")
     val p = Similarity.scatterFrom(base).queryExecution.executedPlan.toString
     Checkpoints.release()
     assert(!p.contains("SortMergeJoin"), s"scatter assembly must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("Generate explode"), s"outer product lost its map-side explode:\n$p")
-    // ONE hash exchange: the outer-product (i,j) aggregate. The dim-sums
-    // table is checkpointed (two broadcast consumers), so it contributes a
-    // pre-materialized scan, not repeated aggregation subplans.
-    val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(ex == 1, s"expected exactly 1 hash exchange (outer-product agg), got $ex:\n$p")
-    assert(p.contains("partial_sum"), s"outer-product aggregate lost its partial phase:\n$p")
   }
 
   test("vec_cluster_quality scores map-side against broadcast centroids") {
