@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -445,6 +447,90 @@ class Engine(
       .start()
   }
 
+  /** Streaming EMBEDDING-DRIFT monitor: tail the log's JSON embedding
+    * records (`{"vec_id": N, "embedding": [x, ...]}`) and maintain a
+    * derived PCA table — after every micro-batch, the top principal
+    * component and explained-variance share of ALL vectors ingested so
+    * far, the collapse/drift alarm for a continuously-fed embedding
+    * store. The readout is the LITERALLY shared `vec_pca` arithmetic
+    * ([[graft.queries.Similarity.pcaFromScatter]] over
+    * [[graft.queries.Similarity.scatterAssemble]]), so the streamed rows
+    * are bit-exact equal to running the oracle-checked batch query over
+    * the same vectors (StreamingPcaSpec asserts it).
+    *
+    * The full history is NEVER recomputed: the Gramian partials are
+    * ADDITIVE (exact integer sums), so each batch contributes one
+    * ≤ d(d+1)/2 + d + 1-row partition and the per-batch cost is one pass
+    * over the BATCH plus a d²-row merge, at any history size.
+    *
+    * EXACTLY-ONCE by the band-index recipe, applied twice: each batch
+    * overwrites (a) its own `gram/batch=<id>` partials partition — a pure
+    * function of the batch — and (b) its `pc/batch=<id>` readout — a pure
+    * function of the committed partials at or below <id> (later
+    * partitions cannot exist while <id> is in flight), so a foreachBatch
+    * retry rewrites identical data. Undecodable records are skipped, not
+    * fatal (the ingest house rule), so n counts decoded vectors.
+    */
+  def pcaDriftFrom(
+      peerDir: String,
+      checkpoint: String,
+      driftDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")
+  ): StreamingQuery = {
+    val vecSchema = StructType(
+      Seq(
+        StructField("vec_id", LongType),
+        StructField(
+          "embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)
+        )
+      )
+    )
+    spark.readStream
+      .format("graft")
+      .load(peerDir)
+      .select(from_json(col("value").cast("string"), vecSchema).as("r"))
+      .filter(col("r.embedding").isNotNull)
+      .select(col("r.embedding").as("embedding"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val session = df.sparkSession
+        // Scoped: the merge/assembly checkpoints free with this batch even
+        // when a caller composes the stream inside its own query build.
+        graft.queries.Checkpoints.scoped {
+          val quantized = df.select(
+            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+              .as("q")
+          )
+          graft.queries.Similarity
+            .scatterPartials(quantized)
+            .groupBy("i", "j")
+            .agg(sum("p").as("p"))
+            .write
+            .mode("overwrite")
+            .parquet(s"$driftDir/gram/batch=$batchId")
+          val merged = session.read
+            .parquet(s"$driftDir/gram")
+            .filter(col("batch") <= batchId)
+            .groupBy("i", "j")
+            .agg(sum("p").as("p"))
+            .pipe(graft.queries.Checkpoints.checkpoint)
+          val scat = graft.queries.Similarity
+            .scatterAssemble(merged)
+            .pipe(graft.queries.Checkpoints.checkpoint)
+          graft.queries.Similarity
+            .pcaFromScatter(scat)
+            .write
+            .mode("overwrite")
+            .parquet(s"$driftDir/pc/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming HEAVY HITTERS: tail the log's JSON events and maintain a
     * derived per-window top-k table — the product surface over
     * [[graft.streaming.EventStreams.streamingTopK]] (ONE bounded
@@ -742,6 +828,19 @@ object Engine {
         "the derived table lost exactly-once"
     )
     graft.queries.Temporal.anomalyOver(daily)
+  }
+
+  /** Latest drift readout over a streamed PCA table
+    * ([[Engine.pcaDriftFrom]]'s output): the (dim, loading, ev_share)
+    * rows of the HIGHEST committed batch — bit-exact equal to the batch
+    * `vec_pca` query over every vector ingested up to that batch.
+    */
+  def pcaDriftReport(spark: SparkSession, driftDir: String): DataFrame = {
+    val pc = spark.read.parquet(s"$driftDir/pc")
+    val last = pc.agg(max(col("batch").cast("long"))).collect()(0).getLong(0)
+    pc.filter(col("batch").cast("long") === last)
+      .select(col("dim"), col("loading"), col("ev_share"))
+      .orderBy("dim")
   }
 
   /** Batch transition-matrix readout over a streamed transitions table

@@ -41,7 +41,7 @@ import graft.server.{ConsumeRequest, PermissionDeniedException, ProduceRequest}
 object Main {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-attribution <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-sessions <peerDir> <ckptDir> <outDir> [--watermark D] [--gap-ms N] | stream-repeat <docsOrSfDir> <outDir> [--page-docs N] [--max-pages M] | fit-lm <docsOrSfDir> <modelDir> | build-tokenizer <docsOrSfDir> <indexDir> [--merges K] | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] [--tokenizer ws|bpe] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags; --tokenizer ws only] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | text-report <docsDir> | media-report <docsDir> | explain-doc <corpusOutDir> <docId>)\n" +
+      "usage: graft.Main --data-dir DIR [--config-file F] [--subject S] [--name N] [--acl-model-file F] [--acl-policy-file F] [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | stat | servers | truncate <low> | retain <maxAgeS> <maxBytes> | export <outDir> | restore <exportDir> | compact [bytes] | serve [port] | serve-grpc [port] | serve-mux [port] | replicate <peerDir> <ckptDir> | curate-near <peerDir> <ckptDir> <indexDir> [benchGramsParquet] [--bench-docs P] [--repetition-gate] [--lm-model DIR [--lm-min X]] | compact-near-index <indexDir> | stream-topk <peerDir> <ckptDir> <outDir> [--window-ms N] [--k N] [--capacity N] [--watermark D] | stream-funnel <peerDir> <ckptDir> <outDir> [--window-ms N] [--watermark D] | stream-anomaly <peerDir> <ckptDir> <outDir> [--watermark D] | stream-flow <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-attribution <peerDir> <ckptDir> <outDir> [--watermark D] [--idle-ms N] | stream-sessions <peerDir> <ckptDir> <outDir> [--watermark D] [--gap-ms N] | stream-pca-drift <peerDir> <ckptDir> <outDir> | stream-repeat <docsOrSfDir> <outDir> [--page-docs N] [--max-pages M] | fit-lm <docsOrSfDir> <modelDir> | build-tokenizer <docsOrSfDir> <indexDir> [--merges K] | index-ann <embeddings> <indexDir> | index-ann-append <embeddings> <indexDir> | index-ann-delete <idsParquet> <indexDir> | index-ann-recentre <indexDir> | build-corpus <docsOrSfDir> <outDir> [--bench-grams P] [--bench-docs P] [--lm-min X [--lm-model DIR]] [--budget-tokens N] [--seq-len L] [--tokenizer ws|bpe] | append-corpus <deltaDocsOrSfDir> <outDir> [same flags; --tokenizer ws only] | corpus-report <corpusOutDir> | events-report <eventsDir> | sales-report <sfDir> | embedding-report <embDir> | text-report <docsDir> | media-report <docsDir> | explain-doc <corpusOutDir> <docId>)\n" +
         "       graft.Main --data-dir DIR --follower --join HOST:PORT [--ttl S] [--phi X] (serve-grpc | serve-mux) [port]   (announce to a cluster; heartbeat every S/3; leave on shutdown)\n" +
         "       graft.Main --bootstrap HOST:PORT [--tls-keystore P12 --tls-truststore P12 [--tls-pass PW]] (produce <v>... | consume <off> | servers)"
     )
@@ -786,6 +786,30 @@ object Main {
                   s"${report.count(_.getBoolean(4))} anomalous"
               )
             case None => println(s"no finalized days yet at $out")
+          }
+        case "stream-pca-drift" :: peer :: ckpt :: out :: Nil =>
+          // One-shot (resumable) pass over the peer log's embedding-record
+          // backlog: maintain the derived additive-Gramian PCA table
+          // (Engine.pcaDriftFrom — one O(d²) partials partition per batch,
+          // history merged, never recomputed), then print the latest
+          // readout — bit-exact to the batch vec_pca query over every
+          // vector ingested so far.
+          val pq = engine.pcaDriftFrom(
+            peer, ckpt, out,
+            org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          )
+          pq.processAllAvailable()
+          pq.awaitTermination()
+          val pcRows = Engine.pcaDriftReport(spark, out).collect()
+          graft.queries.Checkpoints.release()
+          if (pcRows.isEmpty) println(s"no committed drift readout yet at $out")
+          else {
+            val top = pcRows.maxBy(r => math.abs(r.getDouble(1)))
+            pcRows.foreach(r => println(s"dim ${r.getInt(0)}: loading ${r.getDouble(1)}"))
+            println(
+              s"top component dim ${top.getInt(0)} (|loading| ${math.abs(top.getDouble(1))}), " +
+                s"ev_share ${pcRows.head.getDouble(2)} — ${pcRows.length} dims at $out"
+            )
           }
         case "stream-flow" :: peer :: ckpt :: out :: fwRest =>
           // One-shot (resumable) pass over the peer log's event backlog:
