@@ -62,6 +62,17 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Off-gate scale runs (e.g. the sf1 bench decade in SCALE.md) skip
+    // queries whose SYNTHETIC-corpus output is pathological at that SF —
+    // the sf tables' 31-word vocabulary makes the jaccard/containment pair
+    // OUTPUT explode by construction (their scale evidence is the Zipf
+    // legs). Never set in the driver's gated sf0.1 run, where check_bench
+    // requires every pinned query present.
+    val skip: Set[String] = sys.env
+      .get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val headline = Bench.headline.filterNot(skip)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession
       .builder()
