@@ -11,6 +11,7 @@
 #   4. streaming analytics: produce events → stream-topk → stream-funnel
 #      → stream-anomaly (finalized daily table + z-report)
 #      → stream-flow (finalized transition pairs + matrix readout)
+#      → stream-pca-drift (incremental PCA, resumed across processes)
 #   5. cluster: serve-grpc hub (--ttl --phi) + heartbeating follower →
 #      SIGKILL → follower evicted from GetServers
 #
@@ -118,6 +119,19 @@ g --data-dir "$D/s" stream-attribution "$D/events" "$D/atckpt" "$D/attr" \
 # q_session_duration_hist bucketing.
 g --data-dir "$D/s" stream-sessions "$D/events" "$D/ssckpt" "$D/sess" \
   | expect "2 finalized sessions at $D/sess, 2 buckets"
+# Incremental PCA drift monitor (r12): the first pass commits one additive
+# Gramian partition + readout; the resumed pass in a NEW process merges
+# the new vector without recomputing history, and the readout is bit-exact
+# to batch vec_pca over the union (StreamingPcaSpec proves the equality;
+# here the fixed-point values pin it cross-process).
+g --data-dir "$D/emb" produce '{"vec_id":0,"embedding":[0.5,-0.25,0.125,1.0]}' \
+  '{"vec_id":1,"embedding":[-0.5,0.75,0.0,0.25]}' \
+  '{"vec_id":2,"embedding":[0.1,0.9,-0.3,0.6]}' >/dev/null
+g --data-dir "$D/s" stream-pca-drift "$D/emb" "$D/pdckpt" "$D/pdrift" \
+  | expect "top component dim 1 (|loading| 1.0), ev_share 0.846862"
+g --data-dir "$D/emb" produce '{"vec_id":3,"embedding":[0.8,0.1,0.4,-0.9]}' >/dev/null
+g --data-dir "$D/s" stream-pca-drift "$D/emb" "$D/pdckpt" "$D/pdrift" \
+  | expect "top component dim 3 (|loading| 1.0), ev_share 0.584606"
 # The one-command dashboard over a testdata events table: every section is
 # an oracle-checked query from SparkEntry.queries.
 g --data-dir "$D/s" events-report /root/testdata/sf0.001 \
