@@ -123,11 +123,19 @@ if [ "$SOAK" = "1" ]; then
   grep -q " 0 FAILING" "$report" || { echo "FAILING rows at Zipf-150k soak"; exit 1; }
 
   echo "=== [soak] Zipf 500k-doc pair-family decade-third (Heaps-scaled vocabulary)"
-  # r12: one more scale step past 150k (500k docs, 500k-word vocab). All
-  # FOUR pair producers hash-compare via the multiset-agg path; the
-  # oracles carry the r10/r11 prefix+length rewrites. r12 measured
-  # exponents vs the 150k leg are recorded in SCALE.md — a super-linear
-  # surprise here is a skew/explosion bug the smaller legs cannot see.
+  # r12: one more scale step past 150k (500k docs, 500k-word vocab). Run
+  # this leg EXCLUSIVELY — the only 500k failure ever seen was a JVM NIO
+  # race (NativeThreadSet AIOOBE) with two unrelated Spark JVMs running
+  # alongside; the exclusive re-run passed first try (BASELINE.md r12).
+  # Containment/LSH/winnow hash-compare via the multiset-agg path. The
+  # JACCARD oracle is a MEASURED single-node capacity boundary at this
+  # scale (60 GB spill cap exceeded; a 90 GB-memory + 70 GB-spill retry
+  # exhausted too — SCALE.md r12), so jaccard is guarded by a row-count
+  # pin instead: the corpus is seed-pinned, so the admitted pair count is
+  # deterministic — an engine regression (broken prefix filter, changed
+  # candidate bound, repartition drift) moves it. Exponents vs the 150k
+  # leg are recorded in SCALE.md — a super-linear surprise here is a
+  # skew/explosion bug the smaller legs cannot see.
   if [ ! -d tmp/zipf-500k-h ]; then
     echo "--- regenerating tmp/zipf-500k-h (500k docs, 500k-word Zipf vocab)"
     python3 tools/make_zipf_corpus.py /root/testdata/sf0.1 tmp/zipf-500k-h 500000 20260815 500000
@@ -137,9 +145,18 @@ if [ "$SOAK" = "1" ]; then
   SPARK_GRAFT_MAX_PARTITION_BYTES=8388608 \
     sbt -batch "runMain graft.Verify tmp/zipf-500k-h $out $Z500_QUERIES"
   report="/tmp/round-gate-zipf500k.report"
-  ONLY="$Z500_QUERIES" ORACLE_TIMEOUT_SEC=7200 ORACLE_MEM=60GB ORACLE_SPILL=60GB \
+  ONLY="dedup_containment,dedup_minhash_lsh,dedup_winnow_pairs" \
+    ORACLE_TIMEOUT_SEC=7200 ORACLE_MEM=60GB ORACLE_SPILL=60GB \
     python3 tools/check_correctness.py tmp/zipf-500k-h "$out" | tee "$report" | tail -3
   grep -q " 0 FAILING" "$report" || { echo "FAILING rows at Zipf-500k soak"; exit 1; }
+  python3 - "$out" <<'PYEOF'
+import sys, glob
+import pyarrow.parquet as pq
+n = sum(pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{sys.argv[1]}/dedup_jaccard/*.parquet"))
+assert n == 173693, f"zipf-500k dedup_jaccard row-count pin: got {n}, want 173693"
+print(f"dedup_jaccard @500k row-count pin ok ({n})")
+PYEOF
 
   echo "=== [soak] media pair-family decade (10k synthesized images)"
   # The media twin of the Zipf decade: 10k doc ids = 10k deterministic
