@@ -5,7 +5,15 @@ import scala.util.chaining._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{
+  DoubleType,
+  IntegerType,
+  LongType,
+  StringType,
+  StructField,
+  StructType,
+  TimestampType
+}
 
 import graft.log.{LogConfig, SparkLog}
 import graft.server.{Acl, LogService}
@@ -458,18 +466,29 @@ class Engine(
     * are bit-exact equal to running the oracle-checked batch query over
     * the same vectors (StreamingPcaSpec asserts it).
     *
-    * The full history is NEVER recomputed: the Gramian partials are
-    * ADDITIVE (exact integer sums), so each batch contributes one
-    * ≤ d(d+1)/2 + d + 1-row partition and the per-batch cost is one pass
-    * over the BATCH plus a d²-row merge, at any history size.
+    * The full history is NEVER recomputed OR re-read: the Gramian
+    * partials are ADDITIVE (exact integer sums), so alongside each
+    * batch's own `gram/batch=<id>` partition the monitor maintains a
+    * RUNNING merged partial `merged/batch=<id>` =
+    * `merged/batch=<prev>` + `gram/batch=<id>` — per-batch input is two
+    * ≤ d(d+1)/2 + d + 1-row partitions, independent of history size
+    * (this is the log's own compaction discipline, [[SparkLog.compact]] /
+    * reference snapshot D4, applied to a derived table). Batches older
+    * than the previous commit are deleted after each commit, so every
+    * monitor directory holds at most 2 partitions at any history length —
+    * a monitor that runs for a year lists the same handful of files as
+    * one that ran for a minute.
     *
-    * EXACTLY-ONCE by the band-index recipe, applied twice: each batch
-    * overwrites (a) its own `gram/batch=<id>` partials partition — a pure
-    * function of the batch — and (b) its `pc/batch=<id>` readout — a pure
-    * function of the committed partials at or below <id> (later
-    * partitions cannot exist while <id> is in flight), so a foreachBatch
-    * retry rewrites identical data. Undecodable records are skipped, not
-    * fatal (the ingest house rule), so n counts decoded vectors.
+    * EXACTLY-ONCE by the band-index recipe: each batch overwrites
+    * (a) `gram/batch=<id>` — a pure function of the batch; (b)
+    * `merged/batch=<id>` — a pure function of (the highest committed
+    * merged partial below <id>, the batch), both deterministic at retry
+    * time because batch <id> only runs after every earlier batch fully
+    * committed and retention never deletes that predecessor until <id>'s
+    * successor commits; and (c) `pc/batch=<id>` — a pure function of
+    * (b). A foreachBatch retry therefore rewrites identical data.
+    * Undecodable records are skipped, not fatal (the ingest house rule),
+    * so n counts decoded vectors.
     */
   def pcaDriftFrom(
       peerDir: String,
@@ -511,12 +530,24 @@ class Engine(
             .write
             .mode("overwrite")
             .parquet(s"$driftDir/gram/batch=$batchId")
-          val merged = session.read
-            .parquet(s"$driftDir/gram")
-            .filter(col("batch") <= batchId)
+          // Highest committed merged partial below this batch. Every batch
+          // below batchId committed fully before this one started
+          // (structured streaming serializes batches), so prev's partition
+          // is complete; prev is None only on the very first batch of a
+          // drift dir.
+          val prev = Engine
+            .batchIds(session, s"$driftDir/merged")
+            .filter(_ < batchId)
+            .sorted
+            .lastOption
+          val gram = session.read.parquet(s"$driftDir/gram/batch=$batchId")
+          val merged = prev
+            .map(p => session.read.parquet(s"$driftDir/merged/batch=$p").unionByName(gram))
+            .getOrElse(gram)
             .groupBy("i", "j")
             .agg(sum("p").as("p"))
             .pipe(graft.queries.Checkpoints.checkpoint)
+          merged.write.mode("overwrite").parquet(s"$driftDir/merged/batch=$batchId")
           val scat = graft.queries.Similarity
             .scatterAssemble(merged)
             .pipe(graft.queries.Checkpoints.checkpoint)
@@ -525,6 +556,21 @@ class Engine(
             .write
             .mode("overwrite")
             .parquet(s"$driftDir/pc/batch=$batchId")
+          // Retention: batches below prev can never be read again — a
+          // retry of batchId needs only merged(prev) and its own batch —
+          // so drop them. Bounds every dir at ≤ 2 partitions forever.
+          prev.foreach { p =>
+            Seq("gram", "merged", "pc").foreach { sub =>
+              Engine
+                .batchIds(session, s"$driftDir/$sub")
+                .filter(_ < p)
+                .foreach { old =>
+                  val dirPath = new org.apache.hadoop.fs.Path(s"$driftDir/$sub/batch=$old")
+                  val f = dirPath.getFileSystem(session.sparkContext.hadoopConfiguration)
+                  f.delete(dirPath, true)
+                }
+            }
+          }
         }
         ()
       }
@@ -807,6 +853,31 @@ class Engine(
 object Engine {
   def apply(spark: SparkSession, dataDir: String): Engine = new Engine(spark, dataDir)
 
+  private val BatchRe = "^batch=(\\d+)$".r
+
+  /** Sorted batch ids under a `batch=<id>`-partitioned derived-table dir;
+    * empty when the dir does not exist yet. One `listStatus`, no data
+    * read — and the monitor dirs hold ≤ 2 partitions by retention, so the
+    * listing is O(1) at any history length.
+    */
+  private[graft] def batchIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Seq.empty
+    else
+      f.listStatus(p)
+        .toSeq
+        .collect {
+          case st if st.isDirectory =>
+            st.getPath.getName match {
+              case BatchRe(n) => Some(n.toLong)
+              case _          => None
+            }
+        }
+        .flatten
+        .sorted
+  }
+
   /** Batch anomaly readout over a streamed daily-counts table
     * ([[Engine.dailyCountsFrom]]'s output): re-runs the EXACT
     * `q_anomaly_days` arithmetic — the shared `Temporal.anomalyOver` —
@@ -833,14 +904,37 @@ object Engine {
   /** Latest drift readout over a streamed PCA table
     * ([[Engine.pcaDriftFrom]]'s output): the (dim, loading, ev_share)
     * rows of the HIGHEST committed batch — bit-exact equal to the batch
-    * `vec_pca` query over every vector ingested up to that batch.
+    * `vec_pca` query over every vector ingested up to that batch. An
+    * absent or empty drift table yields an EMPTY frame (the monitor may
+    * not have committed a batch yet — Main prints its "no committed
+    * drift readout yet" line off this), and a torn readout partition
+    * (crash mid-write, before the streaming retry lands) is skipped in
+    * favor of the newest one carrying a `_SUCCESS` commit marker.
     */
   def pcaDriftReport(spark: SparkSession, driftDir: String): DataFrame = {
-    val pc = spark.read.parquet(s"$driftDir/pc")
-    val last = pc.agg(max(col("batch").cast("long"))).collect()(0).getLong(0)
-    pc.filter(col("batch").cast("long") === last)
-      .select(col("dim"), col("loading"), col("ev_share"))
-      .orderBy("dim")
+    val schema = StructType(
+      Seq(
+        StructField("dim", IntegerType),
+        StructField("loading", DoubleType),
+        StructField("ev_share", DoubleType)
+      )
+    )
+    val ids = batchIds(spark, s"$driftDir/pc")
+    val f = new org.apache.hadoop.fs.Path(driftDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last = ids.reverse
+      .find(id => f.exists(new org.apache.hadoop.fs.Path(s"$driftDir/pc/batch=$id/_SUCCESS")))
+      // No marker anywhere (marksuccessfuljobs disabled): trust the newest.
+      .orElse(ids.lastOption)
+    last match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(id) =>
+        spark.read
+          .parquet(s"$driftDir/pc/batch=$id")
+          .select(col("dim"), col("loading"), col("ev_share"))
+          .orderBy("dim")
+    }
   }
 
   /** Batch transition-matrix readout over a streamed transitions table

@@ -83,8 +83,87 @@ class StreamingPcaSpec extends AnyFunSuite {
         .listFiles()
         .count(_.getName.startsWith("batch="))
       assert(parts("gram") == 2, "each micro-batch owns exactly one partials partition")
+      assert(parts("merged") == 2, "running merged partial: previous + current only")
       assert(parts("pc") == 2, "each micro-batch owns exactly one readout partition")
     } finally q2.stop()
+  }
+
+  test("per-batch state stays bounded across 50 micro-batches (no history re-read)") {
+    val rnd = new Random(97)
+    val dim = 4
+    def mk(n: Int) = Seq.fill(n)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+
+    val raw = SparkLog(spark, TestSpark.tempDir("pca-soak-raw"), LogConfig())
+    val engine = Engine(spark, TestSpark.tempDir("pca-soak-eng"))
+    val drift = TestSpark.tempDir("pca-soak-table")
+    def batchParts(sub: String): Seq[String] = {
+      val fs = Option(new java.io.File(s"$drift/$sub").listFiles()).getOrElse(Array.empty)
+      fs.map(_.getName).filter(_.startsWith("batch=")).toSeq
+    }
+    def filesUnder(sub: String): Int = batchParts(sub).map { part =>
+      new java.io.File(s"$drift/$sub/$part").listFiles().count(_.getName.endsWith(".parquet"))
+    }.sum
+
+    var all = Seq.empty[Array[Float]]
+    var nextId = 0L
+    val q = engine.pcaDriftFrom(raw.dir, TestSpark.tempDir("pca-soak-ckpt"), drift)
+    try {
+      (1 to 50).foreach { _ =>
+        val b = mk(3)
+        raw.append(b.zipWithIndex.map { case (v, i) => rec(nextId + i, v) })
+        nextId += b.size
+        all ++= b
+        q.processAllAvailable()
+        // Retention bounds EVERY monitor dir at ≤ 2 batch partitions, so
+        // the per-batch merge physically cannot re-read history: its only
+        // inputs are the previous merged partial and this batch's partials
+        // (two ≤ d(d+1)/2 + d + 1-row partitions at any history length).
+        Seq("gram", "merged", "pc").foreach { sub =>
+          assert(
+            batchParts(sub).size <= 2,
+            s"$sub grew past retention after a batch: ${batchParts(sub)}"
+          )
+        }
+      }
+      // File counts are flat, not O(history): a year-long monitor lists the
+      // same handful of files as a minute-long one.
+      Seq("gram", "merged", "pc").foreach { sub =>
+        assert(batchParts(sub).size == 2, s"$sub should hold exactly {prev, last}")
+        assert(filesUnder(sub) <= 2 * spark.sparkContext.defaultParallelism + 4)
+      }
+      // The merged partial's row count is the d-bound d(d+1)/2 + d + 1,
+      // independent of how many batches fed it.
+      val lastMerged = batchParts("merged").map(_.stripPrefix("batch=").toLong).max
+      val mergedRows = spark.read.parquet(s"$drift/merged/batch=$lastMerged").count()
+      assert(mergedRows == dim * (dim + 1) / 2 + dim + 1)
+      // And the readout is still bit-exact to batch vec_pca over the union
+      // of all 50 batches.
+      val got = {
+        val session = spark
+        import session.implicits._
+        val r = Engine.pcaDriftReport(spark, drift).as[(Int, Double, Double)].collect().toSeq
+        Checkpoints.release()
+        r
+      }
+      assert(got == batchPca(all, TestSpark.tempDir("pca-soak-batch")))
+    } finally q.stop()
+  }
+
+  test("readout on an absent or not-yet-committed drift table is empty, not a crash") {
+    val session = spark
+    import session.implicits._
+    val missing = TestSpark.tempDir("pca-report-missing") + "/never-written"
+    assert(Engine.pcaDriftReport(spark, missing).collect().isEmpty)
+    assert(
+      Engine.pcaDriftReport(spark, missing).schema.fieldNames.toSeq ==
+        Seq("dim", "loading", "ev_share")
+    )
+    // Dir exists but no committed pc partition yet (monitor started, zero
+    // batches): still empty, and Main's "no committed drift readout yet"
+    // branch is reachable.
+    val started = TestSpark.tempDir("pca-report-empty")
+    new java.io.File(s"$started/pc").mkdirs()
+    assert(Engine.pcaDriftReport(spark, started).collect().isEmpty)
   }
 
   test("undecodable records are skipped, not fatal") {
