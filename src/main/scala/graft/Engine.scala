@@ -535,7 +535,7 @@ class Engine(
           // (structured streaming serializes batches), so prev's partition
           // is complete; prev is None only on the very first batch of a
           // drift dir.
-          val prev = Engine
+          val prev = graft.streaming.DerivedTable
             .batchIds(session, s"$driftDir/merged")
             .filter(_ < batchId)
             .sorted
@@ -561,7 +561,7 @@ class Engine(
           // so drop them. Bounds every dir at ≤ 2 partitions forever.
           prev.foreach { p =>
             Seq("gram", "merged", "pc").foreach { sub =>
-              Engine
+              graft.streaming.DerivedTable
                 .batchIds(session, s"$driftDir/$sub")
                 .filter(_ < p)
                 .foreach { old =>
@@ -659,7 +659,12 @@ class Engine(
   /** Exactly-once derived-table sink shared by the streaming analytics:
     * each micro-batch overwrites its own `batch=<id>` partition whose
     * content is a pure function of (restored state, batch), so a
-    * foreachBatch retry is idempotent and readers just scan the dir.
+    * foreachBatch retry is idempotent. Readers go through
+    * [[graft.streaming.DerivedTable.readOpt]]: every `compactEvery`
+    * batches (spark conf `spark.graft.derived.compactEvery`, default 16;
+    * 0 disables) old partitions fold into a compaction generation
+    * ([[graft.streaming.DerivedTable.compact]]), so a table written one
+    * tiny directory per trigger forever stays a bounded listing.
     */
   private def derivedTableSink(
       rows: DataFrame,
@@ -672,6 +677,12 @@ class Engine(
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val every =
+          df.sparkSession.conf.get("spark.graft.derived.compactEvery", "16").toInt
+        val keep =
+          df.sparkSession.conf.get("spark.graft.derived.keepBatches", "4").toInt
+        if (every > 0 && batchId > 0 && batchId % every == 0)
+          graft.streaming.DerivedTable.compact(df.sparkSession, outDir, keep)
         ()
       }
       .start()
@@ -853,31 +864,6 @@ class Engine(
 object Engine {
   def apply(spark: SparkSession, dataDir: String): Engine = new Engine(spark, dataDir)
 
-  private val BatchRe = "^batch=(\\d+)$".r
-
-  /** Sorted batch ids under a `batch=<id>`-partitioned derived-table dir;
-    * empty when the dir does not exist yet. One `listStatus`, no data
-    * read — and the monitor dirs hold ≤ 2 partitions by retention, so the
-    * listing is O(1) at any history length.
-    */
-  private[graft] def batchIds(spark: SparkSession, dir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) Seq.empty
-    else
-      f.listStatus(p)
-        .toSeq
-        .collect {
-          case st if st.isDirectory =>
-            st.getPath.getName match {
-              case BatchRe(n) => Some(n.toLong)
-              case _          => None
-            }
-        }
-        .flatten
-        .sorted
-  }
-
   /** Batch anomaly readout over a streamed daily-counts table
     * ([[Engine.dailyCountsFrom]]'s output): re-runs the EXACT
     * `q_anomaly_days` arithmetic — the shared `Temporal.anomalyOver` —
@@ -889,8 +875,8 @@ object Engine {
     * would double-count the baseline.
     */
   def anomalyReport(spark: SparkSession, dailyDir: String): DataFrame = {
-    val daily = spark.read
-      .parquet(dailyDir)
+    val daily = graft.streaming.DerivedTable
+      .read(spark, dailyDir)
       .select(col("day").cast("date").as("day"), col("n").cast("long").as("n"))
     val dup = daily.groupBy("day").count().filter(col("count") > 1).limit(1).collect()
     require(
@@ -919,7 +905,7 @@ object Engine {
         StructField("ev_share", DoubleType)
       )
     )
-    val ids = batchIds(spark, s"$driftDir/pc")
+    val ids = graft.streaming.DerivedTable.batchIds(spark, s"$driftDir/pc")
     val f = new org.apache.hadoop.fs.Path(driftDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val last = ids.reverse
@@ -945,7 +931,7 @@ object Engine {
     */
   def flowReport(spark: SparkSession, flowDir: String): DataFrame =
     graft.queries.Temporal.flowOver(
-      spark.read.parquet(flowDir).select(col("from_type"), col("to_type"))
+      graft.streaming.DerivedTable.read(spark, flowDir).select(col("from_type"), col("to_type"))
     )
 
   /** Duration-histogram readout over a streamed finalized-session table
@@ -957,8 +943,8 @@ object Engine {
     */
   def sessionHistReport(spark: SparkSession, sessDir: String): DataFrame =
     graft.queries.Temporal.durationHistOver(
-      spark.read
-        .parquet(sessDir)
+      graft.streaming.DerivedTable
+        .read(spark, sessDir)
         .select(
           (org.apache.spark.sql.functions.unix_timestamp(col("end"))
             - org.apache.spark.sql.functions.unix_timestamp(col("start"))).as("dur_s")
@@ -973,8 +959,8 @@ object Engine {
     */
   def seasonalityReport(spark: SparkSession, dailyDir: String): DataFrame =
     graft.queries.Temporal.seasonalityOver(
-      spark.read
-        .parquet(dailyDir)
+      graft.streaming.DerivedTable
+        .read(spark, dailyDir)
         .select(col("day").cast("date").as("day"), col("n").cast("long").as("n"))
     )
 
@@ -986,7 +972,7 @@ object Engine {
     */
   def attributionReport(spark: SparkSession, attrDir: String): DataFrame =
     graft.queries.Temporal.attributionOver(
-      spark.read.parquet(attrDir).select(col("channel"), col("cents"))
+      graft.streaming.DerivedTable.read(spark, attrDir).select(col("channel"), col("cents"))
     )
 
   /** One record's media features — mirrors the batch `media_features` row

@@ -105,22 +105,19 @@ object Main {
   private def repeatPlanRe = graft.queries.CorpusBuilder.repeatPlanRe
   private def unescapeSrc(s: String) = graft.queries.CorpusBuilder.unescapeJsonString(s)
 
-  /** Read a stream verb's derived table; None ONLY for the two
-    * no-output-yet shapes (missing path / empty dir with no inferable
-    * schema). A genuinely corrupt or unreadable table propagates — it must
-    * not print as "no finalized ... yet".
+  /** Read a stream verb's derived table through the shared
+    * compaction-aware reader ([[graft.streaming.DerivedTable.readOpt]] —
+    * the raw dir scan would double-count rows in a compaction's
+    * marker-to-prune crash window and lose folded batches after the
+    * prune); None ONLY for the no-output-yet shape (nothing ever
+    * committed). A genuinely corrupt or unreadable table propagates — it
+    * must not print as "no finalized ... yet".
     */
   private def readDerived(
       spark: SparkSession,
       out: String
   ): Option[org.apache.spark.sql.DataFrame] =
-    try Some(spark.read.parquet(out))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if Option(e.getCondition)
-            .exists(c => c == "PATH_NOT_FOUND" || c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
-        None
-    }
+    graft.streaming.DerivedTable.readOpt(spark, out)
 
   private def announceTo(addr: String, engine: Engine, ttlSeconds: Long): Unit = {
     val (h, p) = addr.lastIndexOf(':') match {
