@@ -78,7 +78,8 @@ object Tokenizer {
     */
   def build(spark: SparkSession, docsOrSfDir: String, indexDir: String, k: Int): Long = {
     import spark.implicits._
-    val v = current(spark, indexDir).map(_._1).getOrElse(0L) + 1
+    val prev = current(spark, indexDir).map(_._1)
+    val v = prev.getOrElse(0L) + 1
     val vd = s"$indexDir/v=$v"
     val f = fs(spark, indexDir)
     if (f.exists(new Path(vd))) { val _ = f.delete(new Path(vd), true) }
@@ -106,7 +107,12 @@ object Tokenizer {
     val out = f.create(markerPath(indexDir, v), true)
     try out.write(s"fp=$fp;k=$k;nmerges=${merges.size}".getBytes("UTF-8"))
     finally out.close()
-    versions(spark, indexDir).filter(_ < v).foreach { old =>
+    // Live-chain retention (the [[AnnIndex]] recipe): keep the version
+    // that was current WHEN THIS BUILD STARTED until the NEXT build
+    // commits — a reader that resolved it an instant before this marker
+    // landed can still be scanning its merges. Only versions no reader
+    // could have resolved die here.
+    versions(spark, indexDir).filter(old => old < prev.getOrElse(v)).foreach { old =>
       f.delete(new Path(s"$indexDir/v=$old"), true)
     }
     v
@@ -129,6 +135,11 @@ object Tokenizer {
     * [[AnnIndex.ensureFor]] pattern): one index per distinct corpus path
     * (path-digest namespace), rebuilt only when the documents listing
     * fingerprint or the requested k no longer match the committed marker.
+    * The artifact root comes from `spark.graft.tokenizer.dir` (default
+    * `tmp/tokenizer`) and is resolved through the Hadoop FileSystem of
+    * whatever scheme it carries — an `hdfs://`/`s3a://` root works
+    * exactly like the build/read paths do; nothing here touches
+    * `java.io.File`.
     */
   def ensureFor(spark: SparkSession, docsOrSfDir: String, k: Int): String = {
     val digest = java.security.MessageDigest
@@ -137,7 +148,11 @@ object Tokenizer {
       .map("%02x".format(_))
       .mkString
       .take(12)
-    val indexDir = new java.io.File(s"tmp/tokenizer/$digest").getAbsolutePath
+    val root = new Path(
+      spark.conf.get("spark.graft.tokenizer.dir", "tmp/tokenizer")
+    )
+    val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val indexDir = rootFs.makeQualified(new Path(root, digest)).toString
     val fp = docsFingerprint(spark, docsOrSfDir)
     val fresh = current(spark, indexDir).exists { case (_, meta) =>
       meta.contains(s"fp=$fp;") && meta.contains(s";k=$k;")

@@ -63,11 +63,68 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.merges(spark, idx) == before)
 
     // The retry claims the same number: stale attempt cleared, commit
-    // lands, old version pruned.
+    // lands. v=1 SURVIVES this commit (live-chain retention: a reader
+    // that resolved it just before the marker may still be scanning) and
+    // dies only when the NEXT build commits.
     assert(Tokenizer.build(spark, dir, idx, 4) == 2L)
     assert(Tokenizer.merges(spark, idx) == before)
-    assert(!f.exists(new Path(s"$idx/v=1")), "committed build should prune superseded versions")
+    assert(f.exists(new Path(s"$idx/v=1")), "previous version retained until the next commit")
     assert(!f.exists(new Path(s"$idx/v=2/merges/part-junk.parquet")), "stale attempt cleared")
+    assert(Tokenizer.build(spark, dir, idx, 2) == 3L)
+    assert(!f.exists(new Path(s"$idx/v=1")), "v=1 dies once v=3 commits (no reader can hold it)")
+    assert(f.exists(new Path(s"$idx/v=2")), "v=2 retained for readers racing v=3's commit")
+  }
+
+  test("a reader racing a rebuild never sees a missing or torn merge list") {
+    val dir = TestSpark.tempDir("tok-race-docs")
+    writeDocs(dir, Seq(1L -> "aa ab aa ab", 2L -> "ab aa ab ab aa"))
+    val idx = TestSpark.tempDir("tok-race-idx")
+    assert(Tokenizer.build(spark, dir, idx, 4) == 1L)
+    val v1Merges = Tokenizer.merges(spark, idx)
+
+    // Reader thread: loop merges() (resolve current -> read its parquet —
+    // exactly the gap live-chain retention protects) while the main
+    // thread rebuilds TWICE. Every read must return one of the three
+    // committed merge lists, never throw.
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() =>
+      while (!stop.get()) {
+        try {
+          val m = Tokenizer.merges(spark, idx)
+          assert(m.nonEmpty, "a resolved version must serve a complete list")
+          reads.incrementAndGet()
+        } catch { case t: Throwable => failures.add(t); stop.set(true) }
+      }
+    )
+    reader.start()
+    try {
+      writeDocs(dir, Seq(1L -> "cd cd ce", 2L -> "cd ce ce cd"))
+      assert(Tokenizer.build(spark, dir, idx, 4) == 2L)
+      writeDocs(dir, Seq(1L -> "fg fg fh", 2L -> "fg fh fh fg"))
+      assert(Tokenizer.build(spark, dir, idx, 4) == 3L)
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    assert(failures.isEmpty, s"racing reader failed: ${Option(failures.peek()).map(_.toString)}")
+    assert(reads.get() > 0, "the reader must have completed reads during the rebuilds")
+    assert(Tokenizer.merges(spark, idx) != v1Merges, "the rebuilds actually changed the artifact")
+  }
+
+  test("ensureFor resolves its root through the Hadoop FileSystem (scheme URIs work)") {
+    val dir = TestSpark.tempDir("tok-scheme-docs")
+    writeDocs(dir, Seq(1L -> "mm mn mm", 2L -> "mn mm mn mn"))
+    val root = "file://" + TestSpark.tempDir("tok-scheme-root")
+    spark.conf.set("spark.graft.tokenizer.dir", root)
+    try {
+      val idx = Tokenizer.ensureFor(spark, dir, 4)
+      assert(idx.startsWith("file:"), s"root must stay on its scheme: $idx")
+      assert(Tokenizer.current(spark, idx).nonEmpty)
+      assert(Tokenizer.merges(spark, idx).nonEmpty)
+      assert(Tokenizer.ensureFor(spark, dir, 4) == idx, "idempotent on the scheme root too")
+    } finally spark.conf.unset("spark.graft.tokenizer.dir")
   }
 
   test("ensureFor is idempotent until the corpus bytes or k change") {
