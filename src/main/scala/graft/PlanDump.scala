@@ -194,7 +194,9 @@ object PlanDump {
       "before the output ordering."),
     "corpus_bitext_mine" -> ("Margin-based bitext mining (Artetxe & " +
       "Schwenk): the full bipartite cosine matrix never materializes — " +
-      "each side broadcasts only its 5-row opposite-cell centroid table, " +
+      "each side broadcasts only its opposite-cell centroid table (the " +
+      "5 label cells at gated SFs; k ≈ √n seeded k-means cells past the " +
+      "10k-vector threshold, so candidates stay ~O(n^1.5) at any scale), " +
       "vectors assign to top-2 cells in codegen, candidates meet through " +
       "a cell-keyed shuffle join, the k-NN means reduce the candidate " +
       "stream with partial top-k, and the margin is computed over the " +

@@ -789,6 +789,16 @@ object Similarity {
     //      partial top-k (WindowGroupLimit) before the shuffle;
     //   3. margin = 2·cos / (ax + ay) over the already-materialized
     //      candidate rows; top-1 per source vector, no global sort.
+    // CELLS GROW WITH THE CORPUS: at gated SFs the cells are the fixed
+    // label partition (DuckDB-reproducible — the oracle stays exact), but
+    // a fixed cell count makes the candidate join O(n²/cells); above
+    // `spark.graft.bitext.kmeansThreshold` total vectors (default 10k)
+    // each side learns k ≈ √n seeded k-means cells instead (the
+    // knn_ivf_kmeans machinery), so candidates stay ~O(n^1.5) at any
+    // scale. `spark.graft.bitext.cells` (or SPARK_GRAFT_BITEXT_CELLS)
+    // forces a mode: label | kmeans | exact (one cell = true all-pairs
+    // margins, the recall reference) | auto. BitextCellsSpec pins the
+    // kmeans-vs-exact margin-recall contract at the crossover.
     // FP discipline: cosines round to 6 dp; the k-NN means sum those as
     // exact DECIMALs and divide by the count (decimal→double is one
     // correctly-rounded conversion in both engines); the margin is a
@@ -805,8 +815,8 @@ object Similarity {
           .select(col("vec_id").as("sid"), col("label").as("slabel"), col("v").as("sv"))
         val tgt = e.filter(col("label") >= 5)
           .select(col("vec_id").as("tid"), col("label").as("tlabel"), col("v").as("tv"))
-        def centroids(side: DataFrame, vcol: String, labCol: String): DataFrame = side
-          .select(col(labCol).as("cell"), posexplode(col(vcol)).as(Seq("pos", "x")))
+        def meanCentroids(side: DataFrame, vcol: String, cellCol: Column): DataFrame = side
+          .select(cellCol.as("cell"), posexplode(col(vcol)).as(Seq("pos", "x")))
           .groupBy("cell", "pos")
           .agg(avg("x").as("cx"))
           .groupBy("cell")
@@ -816,9 +826,61 @@ object Similarity {
               st => st.getField("cx")
             ).as("cv")
           )
+        // Seeded k-means side quantizer: k ≈ √n cells, centroid table is
+        // model state (k×dim, metadata-scale — broadcastable at any n).
+        def kmeansCells(side: DataFrame, idCol: String, vcol: String): (DataFrame, DataFrame) = {
+          import org.apache.spark.ml.clustering.KMeans
+          import org.apache.spark.ml.functions.array_to_vector
+          val k = math.max(10, math.sqrt(side.count().toDouble).toInt)
+          val feat = side.withColumn("features", array_to_vector(col(vcol)))
+          val model = new KMeans()
+            .setK(k)
+            .setSeed(42L)
+            .setFeaturesCol("features")
+            .setPredictionCol("cell")
+            .fit(feat)
+          val assigned = model.transform(feat).select(col(idCol), col(vcol), col("cell"))
+          val session = s
+          import session.implicits._
+          val cents = model.clusterCenters.toSeq
+            .map(_.toArray.toSeq)
+            .zipWithIndex
+            .map { case (cv, i) => (i, cv) }
+            .toDF("cell", "cv")
+          (assigned, cents)
+        }
+        val mode = s.conf
+          .getOption("spark.graft.bitext.cells")
+          .orElse(sys.env.get("SPARK_GRAFT_BITEXT_CELLS"))
+          .getOrElse("auto")
+        val threshold = s.conf
+          .getOption("spark.graft.bitext.kmeansThreshold")
+          .orElse(sys.env.get("SPARK_GRAFT_BITEXT_KMEANS_THRESHOLD"))
+          .getOrElse("10000")
+          .toLong
+        val useKmeans = mode == "kmeans" || (mode == "auto" && e.count() > threshold)
+        val (srcCells, srcCents, tgtCells, tgtCents) =
+          if (mode == "exact")
+            (
+              src.select(col("sid"), col("sv"), lit(0).as("cell")),
+              meanCentroids(src, "sv", lit(0)),
+              tgt.select(col("tid"), col("tv"), lit(0).as("cell")),
+              meanCentroids(tgt, "tv", lit(0))
+            )
+          else if (useKmeans) {
+            val (sa, sc) = kmeansCells(src, "sid", "sv")
+            val (ta, tc) = kmeansCells(tgt, "tid", "tv")
+            (sa, sc, ta, tc)
+          } else
+            (
+              src.select(col("sid"), col("sv"), col("slabel").as("cell")),
+              meanCentroids(src, "sv", col("slabel")),
+              tgt.select(col("tid"), col("tv"), col("tlabel").as("cell")),
+              meanCentroids(tgt, "tv", col("tlabel"))
+            )
         val wS = Window.partitionBy("sid").orderBy(desc("ccos"), asc("cell"))
         val xCells = src
-          .crossJoin(broadcast(centroids(tgt, "tv", "tlabel")))
+          .crossJoin(broadcast(tgtCents))
           .withColumn("ccos", round(expr("cosine_similarity(sv, cv)"), 4))
           .withColumn("pr", row_number().over(wS))
           .filter(col("pr") <= 2)
@@ -826,19 +888,19 @@ object Similarity {
         // Both the margin scoring and the src-side k-NN mean read candX —
         // checkpoint or the cell join + cosine pass runs twice.
         val candX = xCells
-          .join(tgt, col("cell") === col("tlabel"))
+          .join(tgtCells, "cell")
           .withColumn("cos", round(expr("cosine_similarity(sv, tv)"), 6))
           .select("sid", "tid", "cos")
           .pipe(graft.queries.Checkpoints.checkpoint)
         val wT = Window.partitionBy("tid").orderBy(desc("ccos"), asc("cell"))
         val yCells = tgt
-          .crossJoin(broadcast(centroids(src, "sv", "slabel")))
+          .crossJoin(broadcast(srcCents))
           .withColumn("ccos", round(expr("cosine_similarity(tv, cv)"), 4))
           .withColumn("pr", row_number().over(wT))
           .filter(col("pr") <= 2)
           .select(col("tid"), col("tv"), col("cell"))
         val candY = yCells
-          .join(src, col("cell") === col("slabel"))
+          .join(srcCells, "cell")
           .withColumn("cos", round(expr("cosine_similarity(tv, sv)"), 6))
           .select("tid", "sid", "cos")
         val wX = Window.partitionBy("sid").orderBy(desc("cos"), asc("tid"))

