@@ -230,6 +230,15 @@ PYEOF
   # index (small-nProbe equality + exact centroid match + physical
   # reclaim). Exits non-zero on any divergence.
   sbt -batch "runMain graft.AnnSoak tmp/sf1 tmp/ann-soak"
+
+  echo "=== [soak] drift-monitor 1k-micro-batch soak (bounded state, flat latency)"
+  # r13: the embedding-drift monitor's indefinite-run contract — 1000
+  # micro-batches must keep every monitor dir at <= 2 partitions, keep
+  # per-batch latency flat (last-100 median <= 2x the early median; the
+  # r12 design re-read all history per batch and grows linearly), and
+  # end bit-exact to the batch PCA arithmetic. ~35 min. Exits non-zero
+  # on any violation.
+  sbt -batch "runMain graft.DriftSoak 1000 tmp/drift-soak"
 fi
 
 echo "=== [4/4] Plan evidence is current?"
