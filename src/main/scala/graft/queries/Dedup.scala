@@ -558,12 +558,24 @@ object Dedup {
               "pref",
               expr("slice(wids, 1, greatest(sz - ((sz * 3 + 4) div 5) + 1, 1))")
             )
+            // Explicit-count repartition on the candidate-join keys (the
+            // [[pairShufflePartitions]] rule, already applied on the
+            // triangle and LSH paths but MISSED here until r13): the
+            // prefix rows' map output is small, so AQE sized the reduce —
+            // where the quadratic candidate meet actually happens — from
+            // those bytes and coalesced it to a handful of tasks
+            // (profiled at the 500k soak: the ENTIRE candidate join ran
+            // as 4 tasks × ~30 min CPU each on a 32-core box; the r12
+            // "memory pressure" at that leg was mostly this starvation).
+            val P = pairShufflePartitions(s)
             val prefA = pref.select(
               col("doc_id").as("d1"), col("lang"), col("sz").as("psz1"),
               explode(col("pref")).as("wid"))
+              .repartition(P, col("wid"), col("lang"))
             val prefB = pref.select(
               col("doc_id").as("d2"), col("lang").as("lang2"), col("sz").as("psz2"),
               explode(col("pref")).as("wid"))
+              .repartition(P, col("wid"), col("lang2"))
             val cand = prefA
               .join(
                 prefB,

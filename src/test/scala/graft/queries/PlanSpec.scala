@@ -195,6 +195,14 @@ class PlanSpec extends AnyFunSuite {
         p.linesIterator.exists(l => l.contains("Join") && l.contains("wid")),
         s"$label branch candidate join no longer keyed on the prefix token id:\n$p"
       )
+      // r13: the candidate join must carry its explicit-count repartition
+      // (REPARTITION_BY_NUM — the origin AQE cannot coalesce). Without it
+      // AQE sized the reduce from the tiny prefix-row map bytes and ran
+      // the entire quadratic candidate meet on 4 tasks at the 500k soak.
+      assert(
+        p.contains("REPARTITION_BY_NUM"),
+        s"$label branch candidate join lost its explicit-count repartition:\n$p"
+      )
     }
   }
 
