@@ -127,15 +127,13 @@ if [ "$SOAK" = "1" ]; then
   # this leg EXCLUSIVELY — the only 500k failure ever seen was a JVM NIO
   # race (NativeThreadSet AIOOBE) with two unrelated Spark JVMs running
   # alongside; the exclusive re-run passed first try (BASELINE.md r12).
-  # Containment/LSH/winnow hash-compare via the multiset-agg path. The
-  # JACCARD oracle is a MEASURED single-node capacity boundary at this
+  # Containment/LSH/winnow hash-compare via the multiset-agg path. A
+  # SINGLE jaccard oracle run is a MEASURED capacity boundary at this
   # scale (60 GB spill cap exceeded; a 90 GB-memory + 70 GB-spill retry
-  # exhausted too — SCALE.md r12), so jaccard is guarded by a row-count
-  # pin instead: the corpus is seed-pinned, so the admitted pair count is
-  # deterministic — an engine regression (broken prefix filter, changed
-  # candidate bound, repartition drift) moves it. Exponents vs the 150k
-  # leg are recorded in SCALE.md — a super-linear surprise here is a
-  # skew/explosion bug the smaller legs cannot see.
+  # exhausted too — SCALE.md r12), so the jaccard compare runs SHARDED
+  # below (check_jaccard_sharded.py) — content-exact again as of r13.
+  # Exponents vs the 150k leg are recorded in SCALE.md — a super-linear
+  # surprise here is a skew/explosion bug the smaller legs cannot see.
   if [ ! -d tmp/zipf-500k-h ]; then
     echo "--- regenerating tmp/zipf-500k-h (500k docs, 500k-word Zipf vocab)"
     python3 tools/make_zipf_corpus.py /root/testdata/sf0.1 tmp/zipf-500k-h 500000 20260815 500000
@@ -149,14 +147,17 @@ if [ "$SOAK" = "1" ]; then
     ORACLE_TIMEOUT_SEC=7200 ORACLE_MEM=60GB ORACLE_SPILL=60GB \
     python3 tools/check_correctness.py tmp/zipf-500k-h "$out" | tee "$report" | tail -3
   grep -q " 0 FAILING" "$report" || { echo "FAILING rows at Zipf-500k soak"; exit 1; }
-  python3 - "$out" <<'PYEOF'
-import sys, glob
-import pyarrow.parquet as pq
-n = sum(pq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(f"{sys.argv[1]}/dedup_jaccard/*.parquet"))
-assert n == 173693, f"zipf-500k dedup_jaccard row-count pin: got {n}, want 173693"
-print(f"dedup_jaccard @500k row-count pin ok ({n})")
-PYEOF
+  # r13: the jaccard oracle runs SHARDED (check_jaccard_sharded.py — the
+  # same prefix-filtered formulation with the shard predicate pushed into
+  # the candidate join's left side; union of shards = the exact pair
+  # multiset, per-shard working set ~1/S). This restores content-exact
+  # verification past the single-run DuckDB capacity boundary that r12
+  # had papered over with a content-blind row-count pin. ~50 min.
+  ORACLE_MEM=60GB ORACLE_SPILL=60GB \
+    python3 tools/check_jaccard_sharded.py tmp/zipf-500k-h "$out" 4 \
+    | tee /tmp/round-gate-zipf500k-jaccard.report
+  grep -q "OK-AGG-SHARDED" /tmp/round-gate-zipf500k-jaccard.report \
+    || { echo "FAILING sharded jaccard oracle at Zipf-500k"; exit 1; }
 
   echo "=== [soak] media pair-family decade (10k synthesized images)"
   # The media twin of the Zipf decade: 10k doc ids = 10k deterministic
