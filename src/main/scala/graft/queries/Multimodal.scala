@@ -444,7 +444,10 @@ object Multimodal {
             """transform(sequence(0, 3),
                  k -> CAST(conv(substring(phash, 13 - 4*k, 4), 16, 10) AS INT))"""
           )).as(Seq("k", "band"))
-        ).repartition(32, col("k"), col("band"))
+          // Width from the session, not a literal 32: 2× total cores
+          // floored at shuffle parallelism (the Dedup pair-join rule) —
+          // a fixed count under-partitions the pair meet on wide clusters.
+        ).repartition(Dedup.pairShufflePartitions(s), col("k"), col("band"))
         val cand = bands.select(col("doc_id").as("d1"), col("k"), col("band"))
           .join(bands.select(col("doc_id").as("d2"), col("k"), col("band")), Seq("k", "band"))
           .filter(col("d1") < col("d2"))
