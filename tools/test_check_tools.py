@@ -206,6 +206,71 @@ def test_bench_no_json_line_fails():
     assert p.returncode == 1 and "no bench JSON line" in p.stdout
 
 
+def _sharded_fixture(tmp):
+    """Tiny corpus with one exact-dup clone pair and one J>=0.6 near-dup
+    pair per lang block, plus noise docs; returns (sf_dir, dump_dir).
+    The expected pair set is hand-derivable: clones pair at J=1, the
+    near-dup pair shares 3 of its 4-word union (J=0.75), noise pairs
+    nothing."""
+    sf = os.path.join(tmp, "sf"); os.makedirs(sf)
+    docs = [
+        (1, "en", "alpha beta gamma delta"),
+        (2, "en", "alpha beta gamma delta"),          # clone of 1 -> J=1
+        (3, "en", "alpha beta gamma epsilon"),        # J(1,3)=3/5=0.6
+        (4, "en", "zeta eta theta iota kappa"),       # noise
+        (5, "fr", "un deux trois quatre"),
+        (6, "fr", "un deux trois cinq"),              # J(5,6)=3/5=0.6
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "lang": [d[1] for d in docs],
+        "source": ["s"] * len(docs),
+        "text": [d[2] for d in docs],
+    }), f"{sf}/documents.parquet")
+    # Expected pairs (d1 < d2, jaccard): the engine-equivalent dump.
+    rows = [(1, 2, 1.0), (1, 3, 0.6), (2, 3, 0.6), (5, 6, 0.6)]
+    dump = os.path.join(tmp, "dump"); os.makedirs(f"{dump}/dedup_jaccard")
+    pq.write_table(pa.table({
+        "d1": pa.array([r[0] for r in rows], pa.int64()),
+        "d2": pa.array([r[1] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+    }), f"{dump}/dedup_jaccard/part-0.parquet")
+    return sf, dump
+
+
+def _run_sharded(sf, dump, tmp, shards=3):
+    return subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "check_jaccard_sharded.py"),
+         sf, dump, str(shards)],
+        capture_output=True, text=True,
+        env=dict(os.environ, PREP_DIR=os.path.join(tmp, "prep"),
+                 ORACLE_MEM="4GB", ORACLE_SPILL="4GB"),
+    )
+
+
+def test_sharded_jaccard_exact_dump_passes():
+    tmp = tempfile.mkdtemp(prefix="shardjac-ok-")
+    sf, dump = _sharded_fixture(tmp)
+    p = _run_sharded(sf, dump, tmp)
+    assert p.returncode == 0 and "OK-AGG-SHARDED (4 rows" in p.stdout, p.stdout
+
+
+def test_sharded_jaccard_content_regression_fails():
+    # The exact failure mode the r12 row-count pin was blind to: same
+    # NUMBER of pairs, one wrong value (a broken threshold trading pairs
+    # one-for-one). The sharded multiset hash must catch it.
+    tmp = tempfile.mkdtemp(prefix="shardjac-bad-")
+    sf, dump = _sharded_fixture(tmp)
+    rows = [(1, 2, 1.0), (1, 3, 0.6), (2, 4, 0.6), (5, 6, 0.6)]  # (2,3)->(2,4)
+    pq.write_table(pa.table({
+        "d1": pa.array([r[0] for r in rows], pa.int64()),
+        "d2": pa.array([r[1] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+    }), f"{dump}/dedup_jaccard/part-0.parquet")
+    p = _run_sharded(sf, dump, tmp)
+    assert p.returncode == 1 and "FAIL: engine" in p.stdout, p.stdout
+
+
 if __name__ == "__main__":
     # Plain-python runner (no pytest dependency in the gate path).
     fns = [(n, f) for n, f in sorted(globals().items())
