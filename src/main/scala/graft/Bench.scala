@@ -190,17 +190,28 @@ object Bench {
     val cotenantMax =
       try sys.env.getOrElse("SPARK_GRAFT_COTENANT_MAX", "0.1").toDouble
       catch { case _: Exception => 0.1 }
-    val waitAttempts = scala.collection.mutable.ListBuffer.empty[Double]
-    var slept = 0L
+    // Each wait gets its OWN attempts budget (r13 advice: a pre-sweep wait
+    // that exhausted the shared budget left the post-guard re-wait with a
+    // single un-waitable probe, so the extra sweeps ran into the very
+    // contention they exist to avoid). Waits are recorded separately.
+    final case class Wait(attempts: Seq[Double], sleptSec: Long, accepted: Double) {
+      def json: String = {
+        val a = attempts.map(x => f"$x%.2f").mkString("[", ",", "]")
+        f"""{"attempts":$a,"slept_sec":$sleptSec,"cotenant_at_accept":$accepted%.2f}"""
+      }
+    }
+    val waits = scala.collection.mutable.ListBuffer.empty[Wait]
     def waitForQuiet(): Double = {
+      val attempts = scala.collection.mutable.ListBuffer.empty[Double]
+      var slept = 5L
       var probe = cotenantOver(5000L)
-      slept += 5L
-      while (probe >= 0 && probe > cotenantMax && waitAttempts.size < maxWaits) {
-        waitAttempts += probe
+      while (probe >= 0 && probe > cotenantMax && attempts.size < maxWaits) {
+        attempts += probe
         Thread.sleep(25000L)
         probe = cotenantOver(5000L)
         slept += 30L
       }
+      waits += Wait(attempts.toList, slept, probe)
       probe
     }
     val probeAtAccept = waitForQuiet()
@@ -293,16 +304,26 @@ object Bench {
     // extra sweeps; a reason means the medians span 2× the sweeps and the
     // recorded loadavgs explain why.
     val waitJson = {
-      // `attempts` are MEASURED co-tenant cores per failed 5 s probe (not
-      // loadavg — the probe subtracts our own CPU).
-      val attempts = waitAttempts.map(a => f"$a%.2f").mkString("[", ",", "]")
-      s"""{"attempts":$attempts,"slept_sec":$slept,""" +
+      // `waits` are the separate quiet-box waits (pre-sweep, and the
+      // post-guard re-wait if the guard tripped), each with its own
+      // attempts budget; attempts are MEASURED co-tenant cores per failed
+      // 5 s probe (not loadavg — the probe subtracts our own CPU).
+      val ws = waits.map(_.json).mkString("[", ",", "]")
+      s"""{"waits":$ws,""" +
         f""""cotenant_at_accept":$probeAtAccept%.2f,"loadavg_at_accept":${load1(loadavg)}}"""
     }
     val guardJson =
       f"""{"triggered":${guardReason.nonEmpty},"reason":"$guardReason","cotenant_max":$cotenantMax%.2f,"cotenant_cores":$cotenant%.2f,"sweeps":${allSweeps.size},"wait":$waitJson}"""
+    // Two output lines (r13 verdict #1: the single giant samples-bearing
+    // line got truncated mid-token by the driver's tail-capture window,
+    // leaving the round's bench evidence unparseable). The bulky per-run
+    // samples go FIRST; the compact medians-only summary — everything the
+    // gate and the judge need — goes LAST, so any tail window that keeps
+    // even ~2 KB of stdout keeps the parseable line. check_bench.py takes
+    // the last line that parses with a "queries" key, which is this one.
+    println(f"""{"metric":"samples","samples":$samplesJson,"runs":$runs,"sf":"$sfDir"}""")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$samplesJson,"failed":$failedJson,"reran":$reranJson,"load_guard":$guardJson,"loadavg":"$loadavg","loadavg_after":"$loadavgAfter","cold_total":$coldTotal%.3f,"runs":$runs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"reran":$reranJson,"load_guard":$guardJson,"loadavg":"$loadavg","loadavg_after":"$loadavgAfter","cold_total":$coldTotal%.3f,"runs":$runs,"sf":"$sfDir"}"""
     )
     spark.stop()
     // Loud exit on any broken headline query — but only after the JSON line

@@ -206,6 +206,56 @@ def test_bench_no_json_line_fails():
     assert p.returncode == 1 and "no bench JSON line" in p.stdout
 
 
+def test_bench_tail_truncated_samples_line_still_parses():
+    # r13 verdict #1: the driver's tail-capture window truncated the single
+    # giant samples-bearing bench line mid-token, recording parsed=null.
+    # Bench now emits the bulky samples line FIRST and the compact summary
+    # LAST; this test replays the driver's failure mode — keep only the
+    # last 4 KB of stdout — and asserts the gate still finds the summary.
+    tmp = tempfile.mkdtemp(prefix="bench-trunc-")
+    baseline = os.path.join(tmp, "BASELINE.json")
+    with open(baseline, "w") as f:
+        json.dump({"per_query_pins_sec": {"q1": 0.9}}, f)
+    samples_line = json.dumps({
+        "metric": "samples",
+        "samples": {f"q{i}": [1.234] * 400 for i in range(40)},  # ~130 KB
+        "runs": 10, "sf": "sf0.1",
+    })
+    summary_line = json.dumps({
+        "metric": "total", "value": 1.0, "unit": "sec",
+        "queries": {"q1": 1.0}, "failed": [], "sf": "sf0.1",
+    })
+    full = "WARN noise\n" + samples_line + "\n" + summary_line + "\n"
+    assert len(samples_line) > 8192  # the samples line alone must overflow any tail window
+    inp = os.path.join(tmp, "bench.out")
+    with open(inp, "w") as f:
+        f.write(full[-4096:])  # the driver's tail window: summary survives, samples don't
+    p = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "check_bench.py"), inp],
+        capture_output=True, text=True, env=dict(os.environ, BASELINE_JSON=baseline),
+    )
+    assert p.returncode == 0 and "ok q1" in p.stdout, p.stdout
+
+
+def test_bench_samples_line_not_mistaken_for_summary():
+    # The samples line has no "queries" key; even when it parses cleanly it
+    # must not shadow the real summary (which precedes OR follows it).
+    tmp = tempfile.mkdtemp(prefix="bench-twoline-")
+    baseline = os.path.join(tmp, "BASELINE.json")
+    with open(baseline, "w") as f:
+        json.dump({"per_query_pins_sec": {"q1": 0.9}}, f)
+    inp = os.path.join(tmp, "bench.out")
+    with open(inp, "w") as f:
+        f.write(json.dumps({"metric": "samples", "samples": {"q1": [1.0, 1.1]}}) + "\n")
+        f.write(json.dumps({"metric": "total", "queries": {"q1": 1.0}, "failed": []}) + "\n")
+        f.write(json.dumps({"metric": "samples", "samples": {"q1": [9.9]}}) + "\n")
+    p = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "check_bench.py"), inp],
+        capture_output=True, text=True, env=dict(os.environ, BASELINE_JSON=baseline),
+    )
+    assert p.returncode == 0 and "ok q1: 1.000s" in p.stdout, p.stdout
+
+
 def _sharded_fixture(tmp):
     """Tiny corpus with one exact-dup clone pair and one J>=0.6 near-dup
     pair per lang block, plus noise docs; returns (sf_dir, dump_dir).
