@@ -74,12 +74,10 @@ object Bench {
       .getOrElse(Set.empty)
     val headline = Bench.headline.filterNot(skip)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession
-      .builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_MASTER selects a multi-JVM master (local-cluster[...])
+    // for the cross-executor certification leg; default is local[cpus].
+    val spark = GraftSession
+      .builder(cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // Same soak knob as Verify: single-file tables at sf>=1 plan ONE
       // input partition at the 128 MB default split, serializing scans.

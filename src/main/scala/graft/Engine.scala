@@ -905,22 +905,45 @@ object Engine {
         StructField("ev_share", DoubleType)
       )
     )
-    val ids = graft.streaming.DerivedTable.batchIds(spark, s"$driftDir/pc")
     val f = new org.apache.hadoop.fs.Path(driftDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val last = ids.reverse
-      .find(id => f.exists(new org.apache.hadoop.fs.Path(s"$driftDir/pc/batch=$id/_SUCCESS")))
-      // No marker anywhere (marksuccessfuljobs disabled): trust the newest.
-      .orElse(ids.lastOption)
-    last match {
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(id) =>
-        spark.read
-          .parquet(s"$driftDir/pc/batch=$id")
-          .select(col("dim"), col("loading"), col("ev_share"))
-          .orderBy("dim")
+    // Retention races (r13 advice): the monitor keeps only a depth-1 live
+    // chain of pc/batch=<id> partitions, so a reader that resolved an id
+    // and is still scanning when TWO more batches commit sees its files
+    // deleted mid-scan. Re-resolve + retry on FileNotFound, and
+    // materialize the d-row readout EAGERLY so the race window closes
+    // inside this function instead of at the caller's later action.
+    def isFileGone(e: Throwable): Boolean =
+      e != null && (e.isInstanceOf[java.io.FileNotFoundException] || isFileGone(e.getCause))
+    var attempts = 0
+    var out: Option[DataFrame] = None
+    while (out.isEmpty) {
+      attempts += 1
+      try {
+        val ids = graft.streaming.DerivedTable.batchIds(spark, s"$driftDir/pc")
+        val last = ids.reverse
+          .find(id =>
+            f.exists(new org.apache.hadoop.fs.Path(s"$driftDir/pc/batch=$id/_SUCCESS"))
+          )
+          // No marker anywhere (marksuccessfuljobs disabled): trust the newest.
+          .orElse(ids.lastOption)
+        out = Some(last match {
+          case None =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          case Some(id) =>
+            val readout = spark.read
+              .parquet(s"$driftDir/pc/batch=$id")
+              .select(col("dim"), col("loading"), col("ev_share"))
+              .orderBy("dim")
+            val rows = readout.collect() // ≤ d rows — eager, closes the race
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(rows.toIndexedSeq),
+              readout.schema
+            )
+        })
+      } catch { case e: Throwable if isFileGone(e) && attempts < 3 => }
     }
+    out.get
   }
 
   /** Batch transition-matrix readout over a streamed transitions table

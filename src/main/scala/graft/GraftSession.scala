@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session wiring shared by the driver-contract mains (Verify / Bench).
+  *
+  * Thirteen rounds of evidence ran in ONE JVM (`local[N]`), where shuffle
+  * blocks never serialize across a process boundary, broadcasts never ship
+  * over transport, and the registered codegen expressions never classload
+  * in a remote executor — while the scale story claims "scale OUT". The
+  * reference certifies its distribution story with a real 3-node test
+  * (reference: internal/log/distributed_test.go:19-106,
+  * internal/agent/agent_test.go:24-84); the Spark-side analog is
+  * `local-cluster[workers,coresPerWorker,memPerWorkerMB]`, which forks real
+  * executor JVMs behind the standalone scheduler. `SPARK_GRAFT_MASTER`
+  * selects it without touching the default single-JVM path.
+  *
+  * Multi-JVM masters need the application classes shipped to executors:
+  * the sbt classpath is invisible to a forked CoarseGrainedExecutorBackend,
+  * so we put the packaged library jar on `spark.jars` (fetched by each
+  * executor at launch and added to its classloader — the same mechanism a
+  * real cluster submit uses). `SPARK_GRAFT_JARS` overrides the default
+  * `target/scala-2.13/<artifact>.jar`.
+  */
+object GraftSession {
+
+  /** The packaged library jar, if the build has produced one. */
+  def packagedJar(): Option[String] = {
+    val dir = new java.io.File("target/scala-2.13")
+    Option(dir.listFiles())
+      .flatMap(_.find(f => f.getName.startsWith("proglogspark") && f.getName.endsWith(".jar")))
+      .map(_.getAbsolutePath)
+  }
+
+  /** Builder with master + executor-classpath wiring resolved from env.
+    * `cpus` sizes `spark.sql.shuffle.partitions` (the single-JVM thread
+    * count, or the cluster-wide core count for a local-cluster master).
+    */
+  def builder(cpus: String): SparkSession.Builder = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession
+      .builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster")) {
+      val jars = sys.env.get("SPARK_GRAFT_JARS").orElse(packagedJar())
+      jars.fold(
+        throw new IllegalStateException(
+          "local-cluster master needs the packaged jar: run `sbt package` or set SPARK_GRAFT_JARS"
+        )
+      )(j => b.config("spark.jars", j))
+      // Forked executors write shuffle/broadcast spill under java.io.tmpdir
+      // by default; keep their heap dumps and work dirs out of /opt/spark
+      // (read-only install) by routing local dirs to /tmp.
+      b.config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp/graft-local"))
+    }
+    b
+  }
+}

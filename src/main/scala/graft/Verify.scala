@@ -12,11 +12,9 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_MASTER selects a multi-JVM master (local-cluster[...])
+    // for the cross-executor certification leg; default is local[cpus].
+    val spark = GraftSession.builder(cpus)
       // Scan parallelism knob for soak runs whose tables are few large
       // files (a single 100 MB parquet = ONE input partition at the
       // 128 MB default — scans serialize no matter how many cores).
@@ -26,6 +24,15 @@ object Verify {
       )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Oracle dumps must be DETERMINISTIC: corpus_bitext_mine's auto mode
+    // switches to k-means cells above 10k vectors, whose k-means|| init
+    // can depend on partitioning despite the fixed seed — a hash compare
+    // there would flake. Pin the label-cell path for every Verify dump
+    // unless the caller explicitly chose a mode (the kmeans path's
+    // recall contract is gated by BitextCellsSpec instead).
+    if (sys.env.get("SPARK_GRAFT_BITEXT_CELLS").isEmpty
+        && spark.conf.getOption("spark.graft.bitext.cells").isEmpty)
+      spark.conf.set("spark.graft.bitext.cells", "label")
     new java.io.File(outDir).mkdirs()
     // Dump parallelism. Default: repartition(1) — one file per query for
     // the driver's compare. (repartition, not coalesce: coalesce is a

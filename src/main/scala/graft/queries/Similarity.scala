@@ -799,6 +799,22 @@ object Similarity {
     // forces a mode: label | kmeans | exact (one cell = true all-pairs
     // margins, the recall reference) | auto. BitextCellsSpec pins the
     // kmeans-vs-exact margin-recall contract at the crossover.
+    //
+    // RECALL CONTRACT (the API-level statement, not just SCALE.md): the
+    // k-means path is APPROXIMATE, and its recall vs `exact` depends on
+    // whether the corpus HAS cluster structure — ≥ 0.8 on clusterable
+    // data (BitextCellsSpec's planted corpus: 0.886), but on near-random
+    // embeddings (the synthetic sf tables) a √n-cell quantizer captures
+    // little and recall at the default probe width is ~0.2-0.4.
+    // `spark.graft.bitext.nprobe` (SPARK_GRAFT_BITEXT_NPROBE, default 2)
+    // widens the top-p cell assignment: candidate volume — and the
+    // cell-join cost — scales ~linearly with it, recall rises toward 1 as
+    // nprobe → cells. BitextCellsSpec pins measured floors on the
+    // UNSTRUCTURED sf0.1 embeddings at nprobe 2 and 8. Determinism: the
+    // k-means|| init can depend on partitioning despite the fixed seed,
+    // so auto mode above the threshold is NOT oracle-reproducible —
+    // Verify pins label mode for its dumps (see Verify.main), and any
+    // hash-comparison run at >10k vectors must do the same.
     // FP discipline: cosines round to 6 dp; the k-NN means sum those as
     // exact DECIMALs and divide by the count (decimal→double is one
     // correctly-rounded conversion in both engines); the margin is a
@@ -828,10 +844,13 @@ object Similarity {
           )
         // Seeded k-means side quantizer: k ≈ √n cells, centroid table is
         // model state (k×dim, metadata-scale — broadcastable at any n).
-        def kmeansCells(side: DataFrame, idCol: String, vcol: String): (DataFrame, DataFrame) = {
+        // `n` is the side's precomputed row count (one count per side,
+        // shared with the threshold probe) — callers guarantee n ≥ 64, so
+        // k ≤ n always holds and KMeans.fit never sees an empty dataset.
+        def kmeansCells(side: DataFrame, idCol: String, vcol: String, n: Long): (DataFrame, DataFrame) = {
           import org.apache.spark.ml.clustering.KMeans
           import org.apache.spark.ml.functions.array_to_vector
-          val k = math.max(10, math.sqrt(side.count().toDouble).toInt)
+          val k = math.max(10, math.sqrt(n.toDouble).toInt)
           val feat = side.withColumn("features", array_to_vector(col(vcol)))
           val model = new KMeans()
             .setK(k)
@@ -858,7 +877,17 @@ object Similarity {
           .orElse(sys.env.get("SPARK_GRAFT_BITEXT_KMEANS_THRESHOLD"))
           .getOrElse("10000")
           .toLong
-        val useKmeans = mode == "kmeans" || (mode == "auto" && e.count() > threshold)
+        // One count per side (shared by the threshold probe and the
+        // per-side k), instead of the former e.count() + a count inside
+        // each kmeansCells call. A side below 64 vectors (or empty) falls
+        // back to the label cells even in forced kmeans mode: KMeans.fit
+        // throws on an empty dataset and k ≈ √n is meaningless there,
+        // while the label path returns the small/empty result gracefully.
+        val srcN = src.count()
+        val tgtN = tgt.count()
+        val useKmeans =
+          (mode == "kmeans" || (mode == "auto" && srcN + tgtN > threshold)) &&
+            math.min(srcN, tgtN) >= 64
         val (srcCells, srcCents, tgtCells, tgtCents) =
           if (mode == "exact")
             (
@@ -868,8 +897,8 @@ object Similarity {
               meanCentroids(tgt, "tv", lit(0))
             )
           else if (useKmeans) {
-            val (sa, sc) = kmeansCells(src, "sid", "sv")
-            val (ta, tc) = kmeansCells(tgt, "tid", "tv")
+            val (sa, sc) = kmeansCells(src, "sid", "sv", srcN)
+            val (ta, tc) = kmeansCells(tgt, "tid", "tv", tgtN)
             (sa, sc, ta, tc)
           } else
             (
@@ -878,12 +907,25 @@ object Similarity {
               tgt.select(col("tid"), col("tv"), col("tlabel").as("cell")),
               meanCentroids(tgt, "tv", col("tlabel"))
             )
+        // Probe width: each vector assigns to its top-`nprobe` opposite-
+        // side cells (default 2 — the oracle SQL's pr <= 2; gated runs
+        // must keep the default). Raising it trades candidate volume
+        // (cost scales ~linearly in nprobe) for recall on corpora whose
+        // structure the quantizer captures poorly — on UNSTRUCTURED
+        // near-random embeddings the k-means cells at nprobe=2 recover
+        // only ~0.2-0.4 of the exact margins (BitextCellsSpec pins the
+        // measured floors); nprobe=8 is the measured sweet spot there.
+        val nprobe = s.conf
+          .getOption("spark.graft.bitext.nprobe")
+          .orElse(sys.env.get("SPARK_GRAFT_BITEXT_NPROBE"))
+          .getOrElse("2")
+          .toInt
         val wS = Window.partitionBy("sid").orderBy(desc("ccos"), asc("cell"))
         val xCells = src
           .crossJoin(broadcast(tgtCents))
           .withColumn("ccos", round(expr("cosine_similarity(sv, cv)"), 4))
           .withColumn("pr", row_number().over(wS))
-          .filter(col("pr") <= 2)
+          .filter(col("pr") <= nprobe)
           .select(col("sid"), col("sv"), col("cell"))
         // Both the margin scoring and the src-side k-NN mean read candX —
         // checkpoint or the cell join + cosine pass runs twice.
@@ -897,7 +939,7 @@ object Similarity {
           .crossJoin(broadcast(srcCents))
           .withColumn("ccos", round(expr("cosine_similarity(tv, cv)"), 4))
           .withColumn("pr", row_number().over(wT))
-          .filter(col("pr") <= 2)
+          .filter(col("pr") <= nprobe)
           .select(col("tid"), col("tv"), col("cell"))
         val candY = yCells
           .join(srcCells, "cell")

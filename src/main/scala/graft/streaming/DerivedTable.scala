@@ -13,30 +13,46 @@ import org.apache.spark.sql.functions._
   * parquet directory per trigger, forever — a 1 s trigger over a day is
   * 86k directories for a reader to list. This is the log's own problem
   * solved the log's own way (`SparkLog.compact`, reference snapshot D4):
-  * periodically fold old partitions into one base generation.
+  * periodically fold old partitions into compaction RUNS.
   *
-  * Layout after compaction (the live `batch=*` partitions stay the write
-  * path — the compactor never touches the writer's protocol):
+  * Runs are TIERED (r13 advice): a single base generation rewritten every
+  * compaction costs O(total history rows) per fold — micro-batch latency
+  * at the cadence grows without bound and cumulative write amplification
+  * is quadratic, the very pattern the drift monitor removed in r13.
+  * Instead each compaction folds ONLY the new live batches into a fresh
+  * small run covering the span `(lo, cutoff]`, then merges adjacent runs
+  * geometrically (newest two merge while the newer is ≥ half the older's
+  * bytes), so run sizes grow ~2× with age: the live run count stays
+  * O(log total), each row is rewritten O(log total) times over the
+  * table's whole life, and the per-trigger fold is O(new rows) except at
+  * doubling boundaries.
+  *
+  * Layout (the live `batch=*` partitions stay the write path — the
+  * compactor never touches the writer's protocol):
   *
   * {{{
   *   <dir>/batch=<id>/...               live partitions (recent batches)
-  *   <dir>/_compact/v=<N>/data/         all rows from batches ≤ cutoff
-  *   <dir>/_compact/v=<N>/_complete     "cutoff=<C>" — commit marker, LAST
+  *   <dir>/_compact/v=<N>/data/         rows from batches in (lo, cutoff]
+  *   <dir>/_compact/v=<N>/_complete     "cutoff=<C>;lo=<L>" — marker, LAST
   * }}}
   *
   * `_compact` is underscore-prefixed, so Spark's partition discovery over
   * the dir root never sees it; readers MUST go through [[readOpt]], which
-  * unions the newest complete generation with the live partitions ABOVE
-  * its cutoff — that filter, not the prune, is what makes the read
+  * unions the resolvable run CHAIN with the live partitions above its
+  * newest cutoff — that filter, not the prune, is what makes the read
   * duplicate-free, so a crash between marker and prune is invisible.
+  * The chain resolves newest-version-first: a run is accepted iff its
+  * span slots under everything already accepted, so a committed merge
+  * shadows the runs it folded even while they still exist on disk.
   *
   * Crash-safety is the versioned-artifact recipe used across the engine
   * ([[graft.queries.AnnIndex]], [[graft.queries.Tokenizer]]): data before
-  * marker, marker written last, a half-written generation is invisible
-  * and overwritten by the next attempt at the same number. Retention is
-  * live-chain: generation N's commit prunes live batches ≤ cutoff(N−1)
-  * and generations ≤ N−2 — never what a reader that resolved N−1 an
-  * instant earlier could still be scanning.
+  * marker, marker written last, a half-written run is invisible and
+  * cleared by the next compaction (version numbers only ever grow).
+  * Retention is live-chain: a run or live batch superseded by THIS
+  * compaction survives until the NEXT one — never deleted under a reader
+  * that resolved the pre-commit chain an instant earlier. Readers that
+  * race two commits behind retry through [[withRead]].
   *
   * Single-writer contract: the owning streaming query's foreachBatch is
   * the only compactor (same contract as the partitions themselves).
@@ -45,6 +61,9 @@ object DerivedTable {
 
   private val BatchRe = "^batch=(\\d+)$".r
   private val VersionRe = "^v=(\\d+)$".r
+
+  /** A committed compaction run covering live-batch span `(lo, cutoff]`. */
+  private[graft] final case class Run(version: Long, lo: Long, cutoff: Long)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -70,7 +89,7 @@ object DerivedTable {
         .sorted
   }
 
-  /** All compaction generation numbers (complete or not), sorted. */
+  /** All compaction version numbers (complete or not), sorted. */
   private def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val p = new Path(s"$dir/_compact")
     val f = fs(spark, dir)
@@ -89,45 +108,84 @@ object DerivedTable {
         .sorted
   }
 
-  /** Newest COMPLETE generation and its cutoff, if any. */
-  private[graft] def currentCompact(spark: SparkSession, dir: String): Option[(Long, Long)] = {
+  /** Parse a run's commit marker. Legacy markers (`cutoff=<C>` with no lo,
+    * written by the pre-tiered single-generation scheme) cover everything
+    * below their cutoff.
+    */
+  private def readMarker(spark: SparkSession, dir: String, v: Long): Option[Run] = {
     val f = fs(spark, dir)
-    versions(spark, dir).reverse.collectFirst {
-      case v if f.exists(new Path(s"$dir/_compact/v=$v/_complete")) =>
-        val in = f.open(new Path(s"$dir/_compact/v=$v/_complete"))
-        val meta =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        (v, meta.stripPrefix("cutoff=").trim.toLong)
+    val p = new Path(s"$dir/_compact/v=$v/_complete")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val meta =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val fields = meta.trim
+        .split(";")
+        .flatMap(_.split("=") match {
+          case Array(k, value) => Some(k -> value.toLong)
+          case _               => None
+        })
+        .toMap
+      fields.get("cutoff").map(c => Run(v, fields.getOrElse("lo", Long.MinValue), c))
     }
   }
 
-  /** The derived table's full row set: the newest complete compaction
-    * generation plus every live batch partition ABOVE its cutoff (the
-    * `batch` column rides along as a regular long column). None when
-    * nothing has ever been committed — the "no finalized rows yet"
-    * signal. Duplicate-free through every crash window: rows at or below
-    * the cutoff are served from the generation even while their original
-    * partitions await pruning.
+  /** The resolvable run chain, newest span first. Walk complete runs by
+    * DESCENDING version, accepting a run iff its span slots entirely under
+    * everything already accepted — so a committed merge shadows the runs
+    * it folded, and a torn merge (no marker) leaves the folded runs
+    * resolvable. Spans are contiguous by construction (every fresh run
+    * starts at the previous head cutoff; merges preserve coverage), so the
+    * accepted chain covers exactly `(MinValue, head.cutoff]`.
+    */
+  private[graft] def chain(spark: SparkSession, dir: String): Seq[Run] = {
+    val complete = versions(spark, dir).reverse.flatMap(v => readMarker(spark, dir, v))
+    val acc = scala.collection.mutable.ListBuffer.empty[Run]
+    var lowBound = Long.MaxValue
+    complete.foreach { r =>
+      if (r.cutoff <= lowBound && r.cutoff > r.lo) {
+        acc += r
+        lowBound = r.lo
+      }
+    }
+    acc.toList
+  }
+
+  /** Newest resolvable cutoff, if any run has ever committed. */
+  private[graft] def currentCutoff(spark: SparkSession, dir: String): Option[Long] =
+    chain(spark, dir).headOption.map(_.cutoff)
+
+  /** The derived table's full row set: every run in the resolvable chain
+    * plus every live batch partition ABOVE the newest cutoff (the `batch`
+    * column rides along as a regular long column). None when nothing has
+    * ever been committed — the "no finalized rows yet" signal.
+    * Duplicate-free through every crash window: rows at or below the
+    * cutoff are served from runs even while their original partitions
+    * await pruning, and merged-away runs are shadowed by the merge's span.
     */
   def readOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
     val ids = batchIds(spark, dir)
-    currentCompact(spark, dir) match {
-      case None =>
-        if (ids.isEmpty) None
-        else Some(spark.read.parquet(dir).withColumn("batch", col("batch").cast("long")))
-      case Some((v, cutoff)) =>
-        val base = spark.read.parquet(s"$dir/_compact/v=$v/data")
-        if (ids.forall(_ <= cutoff)) Some(base)
-        else
-          Some(
-            base.unionByName(
-              spark.read
-                .parquet(dir)
-                .filter(col("batch") > cutoff)
-                .withColumn("batch", col("batch").cast("long"))
-            )
+    val runs = chain(spark, dir)
+    if (runs.isEmpty) {
+      if (ids.isEmpty) None
+      else Some(spark.read.parquet(dir).withColumn("batch", col("batch").cast("long")))
+    } else {
+      val base = runs
+        .map(r => spark.read.parquet(s"$dir/_compact/v=${r.version}/data"))
+        .reduce(_ unionByName _)
+      val cutoff = runs.head.cutoff
+      if (ids.forall(_ <= cutoff)) Some(base)
+      else
+        Some(
+          base.unionByName(
+            spark.read
+              .parquet(dir)
+              .filter(col("batch") > cutoff)
+              .withColumn("batch", col("batch").cast("long"))
           )
+        )
     }
   }
 
@@ -139,61 +197,122 @@ object DerivedTable {
       throw new IllegalStateException(s"no committed derived-table rows under $dir")
     )
 
+  /** Run a readout against the table, re-resolving and retrying when the
+    * owning stream's compactor pruned files out from under the scan (r13
+    * advice: live-chain retention protects a reader one commit behind;
+    * one racing TWO commits behind — possible at a 1 s trigger cadence —
+    * sees FileNotFound). The retry re-lists the chain, which by then
+    * points at the current runs. Deterministic because the table's ROW
+    * multiset is append-final: any successful resolution reads the same
+    * rows.
+    */
+  def withRead[T](spark: SparkSession, dir: String)(f: DataFrame => T): T = {
+    def isFileGone(e: Throwable): Boolean =
+      e != null && (e.isInstanceOf[java.io.FileNotFoundException] || isFileGone(e.getCause))
+    var attempts = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      attempts += 1
+      try out = Some(f(read(spark, dir)))
+      catch { case e: Throwable if isFileGone(e) && attempts < 3 => }
+    }
+    out.get
+  }
+
+  private def bytesUnder(spark: SparkSession, dir: String, path: String): Long = {
+    val f = fs(spark, dir)
+    val p = new Path(path)
+    if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+  }
+
+  /** Write one run: data first, marker last. Sizes the file count by
+    * bytes (~128 MB targets), never by the input's partition count —
+    * per-trigger partitions are tiny, a merged base must not collapse to
+    * one single-threaded file either. coalesce (no shuffle) only ever
+    * REDUCES the count.
+    */
+  private def writeRun(
+      spark: SparkSession,
+      dir: String,
+      v: Long,
+      lo: Long,
+      cutoff: Long,
+      rows: DataFrame,
+      inputBytes: Long
+  ): Unit = {
+    val f = fs(spark, dir)
+    val vd = s"$dir/_compact/v=$v"
+    if (f.exists(new Path(vd))) { val _ = f.delete(new Path(vd), true) }
+    val targetFiles = math.max(1L, (inputBytes + (128L << 20) - 1) / (128L << 20)).toInt
+    rows.coalesce(targetFiles).write.mode("overwrite").parquet(s"$vd/data")
+    val out = f.create(new Path(s"$vd/_complete"), true)
+    try out.write(s"cutoff=$cutoff;lo=$lo".getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Fold every live batch partition except the newest `keepBatches` into
-    * the next compaction generation. No-op when there is nothing new to
-    * fold. Cost is one read of (previous generation + the folded
-    * partitions) and one write — rows are copied once per compaction, so
-    * at a fixed cadence the table's small-file count stays bounded by
-    * roughly cadence + keepBatches directories while total rewrite work
-    * stays O(rows) per compaction.
+    * a fresh run, then merge runs geometrically. No-op when there is
+    * nothing new to fold. The fresh fold reads ONLY the new partitions;
+    * merges rewrite a row O(log total) times over the table's life.
     */
   def compact(spark: SparkSession, dir: String, keepBatches: Int = 4): Unit = {
     require(keepBatches >= 1, "keepBatches must keep at least the in-flight batch live")
+    val f = fs(spark, dir)
     val ids = batchIds(spark, dir)
-    val cur = currentCompact(spark, dir)
-    val prevCutoff = cur.map(_._2).getOrElse(Long.MinValue)
+    // Snapshot what was ALREADY superseded before this cycle: those runs
+    // were unreferenced at the previous commit, so only a reader two
+    // commits behind could touch them — they die now (depth-1 live-chain,
+    // backstopped by withRead's retry). Runs superseded BY this cycle's
+    // merges survive until the next compaction.
+    val chain0 = chain(spark, dir)
+    val complete0 = versions(spark, dir).flatMap(v => readMarker(spark, dir, v))
+    val superseded0 = complete0.map(_.version).toSet -- chain0.map(_.version).toSet
+    val prevCutoff = chain0.headOption.map(_.cutoff).getOrElse(Long.MinValue)
     val newCutoff = ids.dropRight(keepBatches).lastOption.getOrElse(return)
     if (newCutoff <= prevCutoff) return
-    val v = cur.map(_._1).getOrElse(0L) + 1
-    val f = fs(spark, dir)
-    val vd = s"$dir/_compact/v=$v"
-    // A crash mid-write left this number half-built and invisible (no
-    // marker); clear it before rebuilding at the same number.
-    if (f.exists(new Path(vd))) { val _ = f.delete(new Path(vd), true) }
+    // Torn attempts (data without marker) are invisible to every reader
+    // and we are the only writer — clear them so version numbers stay
+    // monotonic and debris does not accumulate across crashes.
+    val torn = versions(spark, dir).filter(v => readMarker(spark, dir, v).isEmpty)
+    torn.foreach(v => f.delete(new Path(s"$dir/_compact/v=$v"), true))
+    var nextV = (versions(spark, dir) ++ complete0.map(_.version)).foldLeft(0L)(math.max) + 1
+
+    // Fresh run: ONLY the new live partitions — O(new rows), regardless
+    // of history length.
+    val foldIds = ids.filter(id => id > prevCutoff && id <= newCutoff)
+    val freshBytes = foldIds.map(id => bytesUnder(spark, dir, s"$dir/batch=$id")).sum
     val fresh = spark.read
       .parquet(dir)
       .filter(col("batch") > prevCutoff && col("batch") <= newCutoff)
       .withColumn("batch", col("batch").cast("long"))
-    val folded = cur match {
-      case Some((pv, _)) =>
-        spark.read.parquet(s"$dir/_compact/v=$pv/data").unionByName(fresh)
-      case None => fresh
+    writeRun(spark, dir, nextV, prevCutoff, newCutoff, fresh, freshBytes)
+    nextV += 1
+
+    // Geometric merge ladder: while the newest run is at least half the
+    // size of its older neighbor, fold the two into one run covering both
+    // spans. Sizes then grow ≥2× with age → O(log total) runs, O(log
+    // total) lifetime rewrites per row.
+    var runs = chain(spark, dir)
+    var merging = true
+    while (merging && runs.size >= 2) {
+      val newer = runs(0)
+      val older = runs(1)
+      val newerBytes = bytesUnder(spark, dir, s"$dir/_compact/v=${newer.version}/data")
+      val olderBytes = bytesUnder(spark, dir, s"$dir/_compact/v=${older.version}/data")
+      if (newerBytes * 2 >= olderBytes) {
+        val merged = spark.read
+          .parquet(s"$dir/_compact/v=${older.version}/data")
+          .unionByName(spark.read.parquet(s"$dir/_compact/v=${newer.version}/data"))
+        writeRun(spark, dir, nextV, older.lo, newer.cutoff, merged, newerBytes + olderBytes)
+        nextV += 1
+        runs = chain(spark, dir)
+      } else merging = false
     }
-    // Size the generation's file count by bytes, not by the input's
-    // partition count: per-trigger partitions are tiny (files would
-    // accumulate one-per-batch forever), while a year-old base must not
-    // collapse to one single-threaded file either. coalesce (no shuffle)
-    // only ever REDUCES the count toward ~128 MB files.
-    def bytesUnder(path: String): Long = {
-      val p = new Path(path)
-      if (f.exists(p)) f.getContentSummary(p).getLength else 0L
-    }
-    val totalBytes = cur.map(c => bytesUnder(s"$dir/_compact/v=${c._1}/data")).getOrElse(0L) +
-      ids.filter(id => id > prevCutoff && id <= newCutoff).map(id => bytesUnder(s"$dir/batch=$id")).sum
-    val targetFiles = math.max(1L, (totalBytes + (128L << 20) - 1) / (128L << 20)).toInt
-    folded.coalesce(targetFiles).write.mode("overwrite").parquet(s"$vd/data")
-    // Commit marker LAST; everything before this line is invisible.
-    val out = f.create(new Path(s"$vd/_complete"), true)
-    try out.write(s"cutoff=$newCutoff".getBytes("UTF-8"))
-    finally out.close()
-    // Live-chain prune: a reader that resolved generation v−1 just before
-    // this commit still needs v−1's data AND the live partitions above
-    // v−1's cutoff — so prune only what NO resolvable generation can
-    // reference. A crash anywhere below here just leaves debris the next
-    // compaction removes.
-    versions(spark, dir).filter(_ < v - 1).foreach { old =>
-      f.delete(new Path(s"$dir/_compact/v=$old"), true)
-    }
+
+    // Live-chain prune: what NO resolvable chain as of the PREVIOUS
+    // commit can reference. A crash anywhere below just leaves debris the
+    // next compaction removes.
+    superseded0.foreach(v => f.delete(new Path(s"$dir/_compact/v=$v"), true))
     ids.filter(_ <= prevCutoff).foreach { old =>
       f.delete(new Path(s"$dir/batch=$old"), true)
     }

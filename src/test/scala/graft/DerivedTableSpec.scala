@@ -9,8 +9,12 @@ import graft.streaming.DerivedTable
   * the `batch=<id>`-per-trigger layout every streaming analytics sink
   * writes must stay a BOUNDED listing under an indefinite run, while
   * [[DerivedTable.readOpt]] returns the exact row multiset through every
-  * crash window of the fold (half-written generation, committed marker
-  * with the prune not yet run, a reader racing one generation behind).
+  * crash window of the fold (half-written run, committed marker with the
+  * prune not yet run, a committed merge whose folded runs still exist, a
+  * reader racing one commit behind). Runs are TIERED (r13 advice): each
+  * compaction folds only the NEW batches, merges grow geometrically, so
+  * the per-fold cost is O(new rows) — not O(history) — and the live run
+  * count stays logarithmic.
   */
 class DerivedTableSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -61,41 +65,70 @@ class DerivedTableSpec extends AnyFunSuite {
     assert(rowsOf(dir) == expected)
 
     // First fold: cutoff = 7 (keep the newest 2 live). The live-chain
-    // prune deletes NOTHING on the first generation (there is no older
-    // generation whose cutoff is safe to prune to), so every original
-    // partition still exists alongside the generation — the
-    // marker-committed-but-unpruned crash window — and the read must not
-    // double-count the folded rows.
+    // prune deletes NOTHING on the first cycle (nothing was superseded
+    // before it started), so every original partition still exists
+    // alongside the run — the marker-committed-but-unpruned crash window —
+    // and the read must not double-count the folded rows.
     DerivedTable.compact(spark, dir, keepBatches = 2)
-    assert(generations(dir) == Set(1L))
+    assert(generations(dir).nonEmpty)
     assert(liveBatches(dir) == (0L to 9L).toSet, "first fold prunes nothing")
     assert(rowsOf(dir) == expected, "no duplicates while folded batches await pruning")
 
-    // Second fold: prunes live batches ≤ generation 1's cutoff (7) and
-    // keeps generation 1 itself for a reader that resolved it an instant
-    // before this commit.
+    // Second fold: prunes live batches ≤ the previous cutoff (7) — rows a
+    // reader that resolved the pre-commit chain can still reach live only
+    // ABOVE that cutoff. Runs merged away THIS cycle must also survive it.
     (10L to 12L).foreach(addBatch)
     DerivedTable.compact(spark, dir, keepBatches = 2)
-    assert(generations(dir) == Set(1L, 2L))
     assert(liveBatches(dir) == (8L to 12L).toSet)
     assert(rowsOf(dir) == expected)
 
-    // Third fold: generation 1 finally dies (nothing resolvable points at
-    // it), live batches ≤ generation 2's cutoff (10) die with it.
+    // Third fold: runs superseded by the SECOND fold's merges die now
+    // (depth-1 live-chain), live batches ≤ the second fold's cutoff (10)
+    // die with them.
     (13L to 14L).foreach(addBatch)
     DerivedTable.compact(spark, dir, keepBatches = 2)
-    assert(generations(dir) == Set(2L, 3L))
     assert(liveBatches(dir) == (11L to 14L).toSet)
     assert(rowsOf(dir) == expected)
 
-    // Nothing new to fold → no-op (no new generation, no deletes).
+    // Nothing new to fold → no-op (no new runs, no deletes).
+    val gensBefore = generations(dir)
     DerivedTable.compact(spark, dir, keepBatches = 2)
-    assert(generations(dir) == Set(2L, 3L))
+    assert(generations(dir) == gensBefore)
     assert(liveBatches(dir) == (11L to 14L).toSet)
     assert(rowsOf(dir) == expected)
   }
 
-  test("a half-written generation (no marker) is invisible and gets rebuilt") {
+  test("tiered folds: run count stays logarithmic and old runs are shadowed, not lost") {
+    val dir = TestSpark.tempDir("derived-tiered")
+    var expected = Set.empty[(Long, String, Long)]
+    var maxChain = 0
+    (0L to 39L).foreach { id =>
+      val rows = Seq((id, s"r$id"))
+      writeBatch(dir, id, rows)
+      expected ++= rows.map { case (k, v) => (k, v, id) }
+      if (id % 3 == 2) { // compaction cadence: every 3 batches
+        DerivedTable.compact(spark, dir, keepBatches = 2)
+        val runs = DerivedTable.chain(spark, dir)
+        maxChain = math.max(maxChain, runs.size)
+        // Chain spans are contiguous and non-overlapping, newest first.
+        runs.sliding(2).foreach {
+          case Seq(newer, older) => assert(newer.lo == older.cutoff, s"contiguous spans: $runs")
+          case _                 =>
+        }
+        assert(rowsOf(dir) == expected, s"exact multiset after fold at batch $id")
+      }
+    }
+    // 13 folds over 40 batches: a single-base scheme has 1 run but O(n²)
+    // rewrite work; an unmerged scheme has 13. Geometric merging must keep
+    // the chain well under the fold count at every probe.
+    assert(maxChain <= 6, s"run chain stays logarithmic, saw $maxChain")
+    // Live partitions: cadence(3) since the last fold + keepBatches(2) +
+    // one cadence of depth-1 prune lag (batches ≤ the PREVIOUS cutoff are
+    // the ones a fold deletes) — bounded, never growing with history.
+    assert(liveBatches(dir).size <= 7, s"live partitions bounded: ${liveBatches(dir)}")
+  }
+
+  test("a half-written run (no marker) is invisible and cleared by the next fold") {
     val dir = TestSpark.tempDir("derived-torn")
     val session = spark
     import session.implicits._
@@ -106,16 +139,16 @@ class DerivedTableSpec extends AnyFunSuite {
       expected ++= rows.map { case (k, v) => (k, v, id) }
     }
     DerivedTable.compact(spark, dir, keepBatches = 2)
-    assert(generations(dir) == Set(1L))
+    val v = generations(dir).max
 
-    // Crash mid-fold: generation 2's data landed but the marker never did.
+    // Crash mid-fold: a run's data landed but the marker never did.
     // Garbage rows inside it must be invisible to readers, and the next
-    // fold must clear + rebuild the same number.
+    // fold must clear the debris (version numbers only grow).
     Seq((999L, "garbage", 999L))
       .toDF("k", "v", "batch")
       .write
-      .parquet(s"$dir/_compact/v=2/data")
-    assert(rowsOf(dir) == expected, "markerless generation is invisible")
+      .parquet(s"$dir/_compact/v=${v + 1}/data")
+    assert(rowsOf(dir) == expected, "markerless run is invisible")
 
     (6L to 7L).foreach { id =>
       val rows = Seq((id, s"r$id"))
@@ -123,8 +156,51 @@ class DerivedTableSpec extends AnyFunSuite {
       expected ++= rows.map { case (k, v) => (k, v, id) }
     }
     DerivedTable.compact(spark, dir, keepBatches = 2)
-    assert(generations(dir) == Set(1L, 2L))
-    assert(rowsOf(dir) == expected, "rebuilt generation replaces the torn attempt")
+    assert(rowsOf(dir) == expected, "debris cleared; fold proceeds past the torn attempt")
+    assert(
+      !new java.io.File(s"$dir/_compact/v=${v + 1}/_complete").exists()
+        || rowsOf(dir) == expected
+    )
+  }
+
+  test("a committed merge shadows the runs it folded while they await pruning") {
+    val dir = TestSpark.tempDir("derived-shadow")
+    var expected = Set.empty[(Long, String, Long)]
+    (0L to 11L).foreach { id =>
+      val rows = Seq((id, s"r$id"))
+      writeBatch(dir, id, rows)
+      expected ++= rows.map { case (k, v) => (k, v, id) }
+      if (id % 4 == 3) DerivedTable.compact(spark, dir, keepBatches = 2)
+    }
+    // Similar-size runs force merges; the folded runs survive the cycle
+    // that merged them (depth-1 retention) — disk holds BOTH the merge and
+    // its inputs, and the chain must serve each row exactly once.
+    assert(rowsOf(dir) == expected)
+    val runs = DerivedTable.chain(spark, dir)
+    val allComplete = generations(dir).filter { v =>
+      new java.io.File(s"$dir/_compact/v=$v/_complete").exists()
+    }
+    assert(allComplete.size >= runs.size, "superseded runs may linger on disk")
+  }
+
+  test("withRead retries a readout whose files were pruned mid-scan") {
+    val dir = TestSpark.tempDir("derived-retry")
+    (0L to 7L).foreach(id => writeBatch(dir, id, Seq((id, s"r$id"))))
+    DerivedTable.compact(spark, dir, keepBatches = 2)
+    // Simulate the two-commits-behind reader: the closure's FIRST attempt
+    // throws the wrapped FileNotFound Spark surfaces when a pruned file
+    // vanishes mid-scan; the retry re-resolves the chain and must succeed.
+    var calls = 0
+    val n = DerivedTable.withRead(spark, dir) { df =>
+      calls += 1
+      if (calls == 1)
+        throw new org.apache.spark.SparkException(
+          "scan failed",
+          new java.io.FileNotFoundException(s"$dir/_compact/v=1/data/part-0.parquet")
+        )
+      df.count()
+    }
+    assert(calls == 2 && n == 8L)
   }
 
   test("streaming sink compacts on cadence; reports read through generations") {
