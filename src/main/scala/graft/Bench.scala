@@ -156,11 +156,41 @@ object Bench {
         val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
         f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
       } catch { case _: Exception => -1L }
+    // "Own" CPU must cover the whole PROCESS TREE, not just this JVM: on a
+    // local-cluster master the executors are forked child processes, and
+    // the r14 first cluster-bench run misread its own executors as a
+    // 5.8-core co-tenant. Sum utime+stime for this pid and every
+    // descendant from /proc/<pid>/stat (field layout: comm is
+    // parenthesized and may contain spaces — parse after the last ')');
+    // dead children fold into cutime/cstime of the parent, which we skip:
+    // executors outlive the timed window.
     def ownCpuNanos(): Long =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
-        case _                                            => -1L
-      }
+      try {
+        val procs = new java.io.File("/proc")
+          .listFiles()
+          .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+          .flatMap { d =>
+            try {
+              val stat = new String(
+                java.nio.file.Files.readAllBytes(d.toPath.resolve("stat")), "UTF-8")
+              val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+              // rest: state ppid pgrp session tty tpgid flags minflt cminflt
+              //       majflt cmajflt utime stime ...
+              Some((d.getName.toLong, rest(1).toLong, rest(11).toLong + rest(12).toLong))
+            } catch { case _: Exception => None }
+          }
+        val children = procs.groupBy(_._2).map { case (p, xs) => p -> xs.map(_._1) }
+        val cpuOf = procs.map(p => p._1 -> p._3).toMap
+        val self = ProcessHandle.current().pid()
+        var sum = 0L
+        val stack = scala.collection.mutable.Stack(self)
+        while (stack.nonEmpty) {
+          val pid = stack.pop()
+          sum += cpuOf.getOrElse(pid, 0L)
+          children.getOrElse(pid, Array.empty[Long]).foreach(stack.push)
+        }
+        sum * (1000000000L / 100L) // USER_HZ = 100 → nanos
+      } catch { case _: Exception => -1L }
     // Co-tenant cores over a bounded probe window — usable any time, even
     // mid-run, because our own consumption is subtracted out.
     def cotenantOver(ms: Long): Double = {

@@ -7,7 +7,11 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession
       .builder()
-      .master("local[4]")
+      // local[threads, maxTaskFailures]: plain local[4] treats the FIRST
+      // task failure as fatal, which would make the task-retry fault
+      // injection (TaskRetrySpec) impossible — 3 attempts lets an
+      // injected attempt-0 failure retry the way a real cluster would.
+      .master("local[4,3]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

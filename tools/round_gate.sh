@@ -99,6 +99,49 @@ if [ "$SOAK" = "1" ]; then
     python3 tools/check_correctness.py tmp/zipf-50k "$out" | tee "$report" | tail -3
   grep -q " 0 FAILING" "$report" || { echo "FAILING rows at Zipf-50k soak"; exit 1; }
 
+  echo "=== [soak] multi-executor certification (local-cluster[2,8] — a real JVM boundary)"
+  # Everything else in the gate runs in ONE JVM (local[N]); the scale
+  # story claims "scale OUT", so this leg re-runs the FULL query roster
+  # at sf0.01 and the heavy pair family at zipf-50k on a local-cluster
+  # master — forked executor JVMs behind the standalone scheduler, where
+  # shuffle blocks serialize across processes, broadcasts ship over
+  # transport, and the registered codegen expressions classload in remote
+  # executors — then multiset-compares each dump against the single-JVM
+  # dump this gate already verified against DuckDB (dump-to-dump, so the
+  # oracle is not re-run). SPARK_SCALA_VERSION: the standalone Worker
+  # builds the executor command via the launcher library outside
+  # bin/spark-class, which otherwise scans for a dev build tree and dies
+  # with "Cannot find any build directories".
+  sbt -batch package
+  mkdir -p /tmp/spark-worker /tmp/graft-local
+  SPARK_SCALA_VERSION=2.13 SPARK_WORKER_DIR=/tmp/spark-worker \
+    SPARK_LOG_DIR=/tmp/spark-worker/logs \
+    SPARK_GRAFT_MASTER='local-cluster[2,8,8192]' SPARK_GRAFT_CPUS=16 \
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/round-gate-lc"
+  python3 tools/check_dumps_equal.py /tmp/round-gate-sf0.01 /tmp/round-gate-lc \
+    | tee /tmp/round-gate-lc.report | tail -3
+  grep -q " 0 failing" /tmp/round-gate-lc.report \
+    || { echo "FAILING multi-executor full-roster compare"; exit 1; }
+  SPARK_SCALA_VERSION=2.13 SPARK_WORKER_DIR=/tmp/spark-worker \
+    SPARK_LOG_DIR=/tmp/spark-worker/logs \
+    SPARK_GRAFT_MASTER='local-cluster[2,8,16384]' SPARK_GRAFT_CPUS=16 \
+    SPARK_GRAFT_MAX_PARTITION_BYTES=16777216 SPARK_GRAFT_DUMP_PARTS=auto \
+    sbt -batch "runMain graft.Verify tmp/zipf-50k /tmp/round-gate-lc-z50 $Z50_QUERIES"
+  python3 tools/check_dumps_equal.py /tmp/round-gate-zipf50k /tmp/round-gate-lc-z50 \
+    | tee /tmp/round-gate-lc-z50.report | tail -3
+  grep -q " 0 failing" /tmp/round-gate-lc-z50.report \
+    || { echo "FAILING multi-executor zipf-50k pair compare"; exit 1; }
+
+  echo "=== [soak] cross-JVM task-retry fault drill (attempt-0 throws in remote executors)"
+  # TaskRetrySpec covers the same injections in-process (local[4,3]); this
+  # leg reruns them with the standalone scheduler + forked executors and
+  # speculation enabled, asserting byte-identical committed state. The
+  # duplicate-attempt commit race itself is API-driven in TaskRetrySpec
+  # (speculation never launches same-host duplicates — measured r14).
+  SPARK_SCALA_VERSION=2.13 SPARK_WORKER_DIR=/tmp/spark-worker \
+    SPARK_LOG_DIR=/tmp/spark-worker/logs \
+    sbt -batch "runMain graft.RetryDrill"
+
   echo "=== [soak] Zipf 150k-doc pair-family decade (Heaps-scaled vocabulary)"
   # One more decade-third past 50k, with the VOCABULARY scaled with the
   # corpus (150k words for 150k docs — Heaps-law-ish), keeping per-token

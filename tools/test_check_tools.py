@@ -256,6 +256,53 @@ def test_bench_samples_line_not_mistaken_for_summary():
     assert p.returncode == 0 and "ok q1: 1.000s" in p.stdout, p.stdout
 
 
+# --- check_dumps_equal.py ---------------------------------------------------
+
+def _dump_pair(tmp, rows_a, rows_b):
+    a = os.path.join(tmp, "a"); b = os.path.join(tmp, "b")
+    for d, rows in ((a, rows_a), (b, rows_b)):
+        os.makedirs(os.path.join(d, "q"), exist_ok=True)
+        pq.write_table(
+            pa.table({"k": pa.array([r[0] for r in rows], pa.int64()),
+                      "v": [r[1] for r in rows]}),
+            os.path.join(d, "q", "part-0.parquet"),
+        )
+    return a, b
+
+
+def _run_dumps_equal(a, b, only=None):
+    cmd = [sys.executable, os.path.join(TOOLS, "check_dumps_equal.py"), a, b]
+    if only:
+        cmd.append(only)
+    return subprocess.run(cmd, capture_output=True, text=True)
+
+
+def test_dumps_equal_same_multiset_different_order_passes():
+    tmp = tempfile.mkdtemp(prefix="dumps-ok-")
+    a, b = _dump_pair(tmp, [(1, "x"), (2, "y"), (2, "y")], [(2, "y"), (1, "x"), (2, "y")])
+    p = _run_dumps_equal(a, b)
+    assert p.returncode == 0 and "ok q: 3 rows multiset-equal" in p.stdout, p.stdout
+
+
+def test_dumps_equal_planted_content_diff_fails():
+    # Same row COUNT, one value differs — the cross-process divergence the
+    # multi-executor leg exists to catch must not pass on counts alone.
+    tmp = tempfile.mkdtemp(prefix="dumps-bad-")
+    a, b = _dump_pair(tmp, [(1, "x"), (2, "y")], [(1, "x"), (2, "z")])
+    p = _run_dumps_equal(a, b)
+    assert p.returncode == 1 and "CONTENT: q" in p.stdout, p.stdout
+
+
+def test_dumps_equal_missing_query_dir_fails():
+    tmp = tempfile.mkdtemp(prefix="dumps-miss-")
+    a, b = _dump_pair(tmp, [(1, "x")], [(1, "x")])
+    os.makedirs(os.path.join(a, "gone"))
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64())}),
+                   os.path.join(a, "gone", "part-0.parquet"))
+    p = _run_dumps_equal(a, b)
+    assert p.returncode == 1 and "MISSING: gone" in p.stdout, p.stdout
+
+
 def _sharded_fixture(tmp):
     """Tiny corpus with one exact-dup clone pair and one J>=0.6 near-dup
     pair per lang block, plus noise docs; returns (sf_dir, dump_dir).
