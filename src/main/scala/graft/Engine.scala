@@ -515,64 +515,7 @@ class Engine(
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        val session = df.sparkSession
-        // Scoped: the merge/assembly checkpoints free with this batch even
-        // when a caller composes the stream inside its own query build.
-        graft.queries.Checkpoints.scoped {
-          val quantized = df.select(
-            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
-              .as("q")
-          )
-          graft.queries.Similarity
-            .scatterPartials(quantized)
-            .groupBy("i", "j")
-            .agg(sum("p").as("p"))
-            .write
-            .mode("overwrite")
-            .parquet(s"$driftDir/gram/batch=$batchId")
-          // Highest committed merged partial below this batch. Every batch
-          // below batchId committed fully before this one started
-          // (structured streaming serializes batches), so prev's partition
-          // is complete; prev is None only on the very first batch of a
-          // drift dir.
-          val prev = graft.streaming.DerivedTable
-            .batchIds(session, s"$driftDir/merged")
-            .filter(_ < batchId)
-            .sorted
-            .lastOption
-          val gram = session.read.parquet(s"$driftDir/gram/batch=$batchId")
-          val merged = prev
-            .map(p => session.read.parquet(s"$driftDir/merged/batch=$p").unionByName(gram))
-            .getOrElse(gram)
-            .groupBy("i", "j")
-            .agg(sum("p").as("p"))
-            .pipe(graft.queries.Checkpoints.checkpoint)
-          merged.write.mode("overwrite").parquet(s"$driftDir/merged/batch=$batchId")
-          val scat = graft.queries.Similarity
-            .scatterAssemble(merged)
-            .pipe(graft.queries.Checkpoints.checkpoint)
-          graft.queries.Similarity
-            .pcaFromScatter(scat)
-            .write
-            .mode("overwrite")
-            .parquet(s"$driftDir/pc/batch=$batchId")
-          // Retention: batches below prev can never be read again — a
-          // retry of batchId needs only merged(prev) and its own batch —
-          // so drop them. Bounds every dir at ≤ 2 partitions forever.
-          prev.foreach { p =>
-            Seq("gram", "merged", "pc").foreach { sub =>
-              graft.streaming.DerivedTable
-                .batchIds(session, s"$driftDir/$sub")
-                .filter(_ < p)
-                .foreach { old =>
-                  val dirPath = new org.apache.hadoop.fs.Path(s"$driftDir/$sub/batch=$old")
-                  val f = dirPath.getFileSystem(session.sparkContext.hadoopConfiguration)
-                  f.delete(dirPath, true)
-                }
-            }
-          }
-        }
-        ()
+        Engine.driftStep(df, batchId, driftDir)
       }
       .start()
   }
@@ -885,6 +828,77 @@ object Engine {
         "the derived table lost exactly-once"
     )
     graft.queries.Temporal.anomalyOver(daily)
+  }
+
+  /** One micro-batch of the drift monitor ([[Engine!.pcaDriftFrom]]'s
+    * foreachBatch body, extracted so the objstore crash-point sweep can
+    * drive it directly — DriftCommitSpec crashes every PUT boundary of
+    * the gram-write → merged-write → pc-write → retention-delete chain
+    * and asserts torn state stays invisible and a retry converges).
+    *
+    * EXACTLY-ONCE by the band-index recipe: each write is a pure function
+    * of fully-committed predecessors (see pcaDriftFrom's doc), so a retry
+    * of `batchId` rewrites identical data at the same paths.
+    */
+  private[graft] def driftStep(df: DataFrame, batchId: Long, driftDir: String): Unit = {
+    val session = df.sparkSession
+    // Scoped: the merge/assembly checkpoints free with this batch even
+    // when a caller composes the stream inside its own query build.
+    graft.queries.Checkpoints.scoped {
+      val quantized = df.select(
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+          .as("q")
+      )
+      graft.queries.Similarity
+        .scatterPartials(quantized)
+        .groupBy("i", "j")
+        .agg(sum("p").as("p"))
+        .write
+        .mode("overwrite")
+        .parquet(s"$driftDir/gram/batch=$batchId")
+      // Highest committed merged partial below this batch. Every batch
+      // below batchId committed fully before this one started
+      // (structured streaming serializes batches), so prev's partition
+      // is complete; prev is None only on the very first batch of a
+      // drift dir.
+      val prev = graft.streaming.DerivedTable
+        .batchIds(session, s"$driftDir/merged")
+        .filter(_ < batchId)
+        .sorted
+        .lastOption
+      val gram = session.read.parquet(s"$driftDir/gram/batch=$batchId")
+      val merged = prev
+        .map(p => session.read.parquet(s"$driftDir/merged/batch=$p").unionByName(gram))
+        .getOrElse(gram)
+        .groupBy("i", "j")
+        .agg(sum("p").as("p"))
+        .pipe(graft.queries.Checkpoints.checkpoint)
+      merged.write.mode("overwrite").parquet(s"$driftDir/merged/batch=$batchId")
+      val scat = graft.queries.Similarity
+        .scatterAssemble(merged)
+        .pipe(graft.queries.Checkpoints.checkpoint)
+      graft.queries.Similarity
+        .pcaFromScatter(scat)
+        .write
+        .mode("overwrite")
+        .parquet(s"$driftDir/pc/batch=$batchId")
+      // Retention: batches below prev can never be read again — a
+      // retry of batchId needs only merged(prev) and its own batch —
+      // so drop them. Bounds every dir at ≤ 2 partitions forever.
+      prev.foreach { p =>
+        Seq("gram", "merged", "pc").foreach { sub =>
+          graft.streaming.DerivedTable
+            .batchIds(session, s"$driftDir/$sub")
+            .filter(_ < p)
+            .foreach { old =>
+              val dirPath = new org.apache.hadoop.fs.Path(s"$driftDir/$sub/batch=$old")
+              val f = dirPath.getFileSystem(session.sparkContext.hadoopConfiguration)
+              f.delete(dirPath, true)
+            }
+        }
+      }
+    }
+    ()
   }
 
   /** Latest drift readout over a streamed PCA table

@@ -30,25 +30,48 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
   private def uriDir(tag: String): String = "objstore://" + TestSpark.tempDir(tag)
   private def reset(): Unit = ObjectStoreFileSystem.failAfterPuts = -1
 
-  /** Run `op` against crash point `k`. Returns true when the op completed
-    * without the injection firing (sweep exhausted). Any non-injected
-    * exception fails the test.
+  /** Outcome of running an op against one crash point. Since TestSpark
+    * moved to local[4,3] (task-retry injection, r14), an injected crash
+    * INSIDE a write task can be absorbed by the scheduler's task retry —
+    * the boundary was still crashed (and the retry path exercised), but
+    * the op completes, so torn-state invariants don't apply.
     */
-  private def crashed(k: Int)(op: => Unit): Boolean = {
+  private sealed trait Outcome
+  private case object Completed extends Outcome // countdown never reached 0
+  private case object CrashedOut extends Outcome // injected crash propagated
+  private case object Absorbed extends Outcome // fired, but a task retry completed the op
+
+  /** Run `op` against crash point `k`. Any non-injected exception fails
+    * the test.
+    */
+  private def runAt(k: Int)(op: => Unit): Outcome = {
     ObjectStoreFileSystem.failAfterPuts = k
-    try { op; reset(); false }
-    catch {
-      case t: Throwable if ObjectStoreFileSystem.isInjected(t) => reset(); true
+    try {
+      op
+      // The injection sets the countdown to -1 when it fires; a countdown
+      // still ≥ 0 means the op had fewer PUT boundaries than k.
+      val fired = ObjectStoreFileSystem.failAfterPuts < 0
+      reset()
+      if (fired) Absorbed else Completed
+    } catch {
+      case t: Throwable if ObjectStoreFileSystem.isInjected(t) => reset(); CrashedOut
       case t: Throwable => reset(); throw t
     }
   }
+
+  private def crashed(k: Int)(op: => Unit): Boolean = runAt(k)(op) == CrashedOut
 
   private def sweep(maxPoints: Int)(op: => Unit)(afterCrash: Int => Unit): Int = {
     var k = 0
     var exhausted = false
     while (!exhausted && k < maxPoints) {
-      if (crashed(k)(op)) { afterCrash(k); k += 1 }
-      else exhausted = true
+      runAt(k)(op) match {
+        case Completed => exhausted = true
+        case CrashedOut => afterCrash(k); k += 1
+        // Absorbed: the op completed (its own success asserts ran); the
+        // torn-state checks don't apply, but the boundary counts.
+        case Absorbed => k += 1
+      }
     }
     assert(exhausted, s"operation still crashing at PUT boundary $k — raise maxPoints")
     k
@@ -158,16 +181,27 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
       .toSeq
 
     val idx = uriDir("objc-ann")
-    var committedOnce = false
-    val points = sweep(400) {
-      val v = AnnIndex.build(spark, emb, idx)
-      assert(AnnIndex.current(spark, idx).exists(_._1 == v))
-    } { _ =>
-      val cur = AnnIndex.current(spark, idx)
-      if (!committedOnce)
-        assert(cur.isEmpty, "a crashed first build must leave NO complete version")
-      committedOnce = committedOnce || cur.nonEmpty
+    // Own loop (not sweep()): each absorbed-or-clean iteration COMMITS a
+    // new version on top of the last, so the invariant is relative — a
+    // crash that propagates must leave the visible version EXACTLY what
+    // it was before the attempt (no publish, no unpublish).
+    var points = 0
+    var exhausted = false
+    while (!exhausted && points < 400) {
+      val before = AnnIndex.current(spark, idx).map(_._1)
+      runAt(points) {
+        val v = AnnIndex.build(spark, emb, idx)
+        assert(AnnIndex.current(spark, idx).exists(_._1 == v))
+      } match {
+        case Completed => exhausted = true
+        case CrashedOut =>
+          val cur = AnnIndex.current(spark, idx).map(_._1)
+          assert(cur == before, s"crash at PUT $points changed the visible version: $before -> $cur")
+          points += 1
+        case Absorbed => points += 1
+      }
     }
+    assert(exhausted, s"operation still crashing at PUT boundary $points — raise the bound")
     val probe = AnnIndex
       .probe(spark, idx, probes, nProbe = 3, k = 2)
       .orderBy("qid", "rank")
