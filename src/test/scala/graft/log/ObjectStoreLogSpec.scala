@@ -111,8 +111,12 @@ class ObjectStoreLogSpec extends AnyFunSuite {
       values.foreach(v => log.appendOne(bytes(v)))
       assert(log.segmentCount >= 3, "fixture must span several sealed segments")
       ObjectStoreFileSystem.failAfterPuts = crashPoint
+      // The sweep continues while the injection FIRED — whether the crash
+      // propagated (torn on-disk state) or was absorbed by a task retry
+      // inside compact's rewrite job (local[4,3] since r14): the countdown
+      // is -1 after firing, ≥ 0 when compact had fewer PUT boundaries.
       sawCrash =
-        try { log.compact(targetBytes = Long.MaxValue); false }
+        try { log.compact(targetBytes = Long.MaxValue); ObjectStoreFileSystem.failAfterPuts < 0 }
         catch { case _: Exception => true }
       resetInjection()
       // Reopen = crash recovery (journal roll-back or roll-forward).
