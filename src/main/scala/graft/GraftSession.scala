@@ -44,6 +44,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Soak-scale legs run single-box with ~100 GB heaps; a full-GC pause
+      // during a skewed task's spill can starve the executor heartbeat
+      // thread past the default 120 s and the HeartbeatReceiver then
+      // kills the whole context (measured at the zipf-1.5M winnow leg:
+      // "no recent heartbeats: 328909 ms exceeds timeout 120000 ms").
+      // Failure detection here guards nothing — there is no other node —
+      // so trade detection latency for pause tolerance.
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "60s")
     if (master.startsWith("local-cluster")) {
       val jars = sys.env.get("SPARK_GRAFT_JARS").orElse(packagedJar())
       jars.fold(
