@@ -148,6 +148,17 @@ object Bench {
     // quiet box (measured), so a loadavg-delta guard false-positives on
     // self-load; busy-minus-own cannot — whatever remains after
     // subtracting our own consumption IS someone else's.
+    // Kernel tick rate for jiffy→seconds: read once via getconf instead of
+    // assuming USER_HZ=100 — a different CLK_TCK would mis-scale the own-CPU
+    // subtraction that gates bench acceptance.
+    val clkTck: Double =
+      try {
+        val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        p.waitFor()
+        val v = out.toDouble
+        if (v > 0) v else 100.0
+      } catch { case _: Exception => 100.0 }
     def busyJiffies(): Long =
       try {
         val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
@@ -189,7 +200,7 @@ object Bench {
           sum += cpuOf.getOrElse(pid, 0L)
           children.getOrElse(pid, Array.empty[Long]).foreach(stack.push)
         }
-        sum * (1000000000L / 100L) // USER_HZ = 100 → nanos
+        (sum * 1e9 / clkTck).toLong // jiffies → nanos at the measured tick rate
       } catch { case _: Exception => -1L }
     // Co-tenant cores over a bounded probe window — usable any time, even
     // mid-run, because our own consumption is subtracted out.
@@ -199,7 +210,7 @@ object Bench {
       val b1 = busyJiffies(); val o1 = ownCpuNanos()
       val wall = (System.nanoTime() - t0) / 1e9
       if (b0 < 0 || b1 < 0 || o0 < 0 || o1 < 0 || wall <= 0) -1.0
-      else math.max(0.0, ((b1 - b0) / 100.0 - (o1 - o0) / 1e9) / wall)
+      else math.max(0.0, ((b1 - b0) / clkTck - (o1 - o0) / 1e9) / wall)
     }
 
     // Quiet-box wait, keyed on MEASURED co-tenant cores (r12 lesson: the
@@ -276,7 +287,7 @@ object Bench {
       val wallSec = (System.nanoTime() - wall0) / 1e9
       if (busy0 < 0 || busy1 < 0 || own0 < 0 || own1 < 0 || wallSec <= 0) -1.0
       else {
-        val busySec = (busy1 - busy0) / 100.0 // USER_HZ = 100 on Linux
+        val busySec = (busy1 - busy0) / clkTck
         val ownSec = (own1 - own0) / 1e9
         math.max(0.0, (busySec - ownSec) / wallSec)
       }

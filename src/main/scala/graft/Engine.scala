@@ -955,7 +955,12 @@ object Engine {
               readout.schema
             )
         })
-      } catch { case e: Throwable if isFileGone(e) && attempts < 3 => }
+      } catch {
+        case e: Throwable if isFileGone(e) && attempts < 3 =>
+          // Back off past the prune window (a back-to-back re-list at a
+          // 1 s trigger cadence can land in the same cycle it just raced).
+          Thread.sleep(300L * attempts)
+      }
     }
     out.get
   }

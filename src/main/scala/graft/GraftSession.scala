@@ -24,12 +24,28 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** The packaged library jar, if the build has produced one. */
+  /** The packaged library jar, if the build has produced one. Refuses a
+    * STALE jar (older than the newest compiled class): under local-cluster
+    * the forked executors run the jar while the driver runs sbt's fresh
+    * classes, so a stale jar silently certifies old executor code.
+    */
   def packagedJar(): Option[String] = {
     val dir = new java.io.File("target/scala-2.13")
-    Option(dir.listFiles())
+    val jar = Option(dir.listFiles())
       .flatMap(_.find(f => f.getName.startsWith("proglogspark") && f.getName.endsWith(".jar")))
-      .map(_.getAbsolutePath)
+    jar.foreach { j =>
+      def newestUnder(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.map(newestUnder).foldLeft(0L)(math.max)).getOrElse(0L)
+        else f.lastModified()
+      val classes = newestUnder(new java.io.File(dir, "classes"))
+      if (classes > j.lastModified())
+        throw new IllegalStateException(
+          s"${j.getName} is STALE (classes compiled after it was packaged): " +
+            "run `sbt package` before any multi-JVM master, or set SPARK_GRAFT_JARS"
+        )
+    }
+    jar.map(_.getAbsolutePath)
   }
 
   /** Builder with master + executor-classpath wiring resolved from env.

@@ -108,27 +108,37 @@ object DerivedTable {
         .sorted
   }
 
-  /** Parse a run's commit marker. Legacy markers (`cutoff=<C>` with no lo,
-    * written by the pre-tiered single-generation scheme) cover everything
-    * below their cutoff.
-    */
+  // Markers carry a terminator token so a crash-truncated PUT can never
+  // parse as a (shorter) valid marker, and the parse is a FULL-match
+  // regex: any anomaly — a missing `;end` (a truncated `cutoff=C;lo=L`
+  // prefix can carry a mid-digit-cut lo, claiming a broader span than its
+  // rows cover and shadowing older runs), a bare legacy `cutoff=12`
+  // (possibly truncated from `cutoff=123;…`, which the old lenient
+  // split-parse accepted with a wrong cutoff AND lo=MinValue), or a
+  // garbled numeric tail (NumberFormatException made chain()/compact()
+  // fail persistently) — reads as a TORN run (None), which the chain walk
+  // already handles: the folded runs stay resolvable.
+  private val MarkerRe = """cutoff=(-?\d+);lo=(-?\d+);end""".r
+
+  /** Parse a run's commit marker; None for absent OR torn/garbled. */
   private def readMarker(spark: SparkSession, dir: String, v: Long): Option[Run] = {
     val f = fs(spark, dir)
     val p = new Path(s"$dir/_compact/v=$v/_complete")
     if (!f.exists(p)) None
     else {
-      val in = f.open(p)
+      // An UNREADABLE marker (torn checksum sidecar, truncated stream) is
+      // torn, same as a failed parse: fall back to the folded runs, which
+      // still hold the exact row multiset.
       val meta =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val fields = meta.trim
-        .split(";")
-        .flatMap(_.split("=") match {
-          case Array(k, value) => Some(k -> value.toLong)
-          case _               => None
-        })
-        .toMap
-      fields.get("cutoff").map(c => Run(v, fields.getOrElse("lo", Long.MinValue), c))
+        try {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      meta.trim match {
+        case MarkerRe(c, lo) => Some(Run(v, lo.toLong, c.toLong))
+        case _               => None
+      }
     }
   }
 
@@ -214,7 +224,13 @@ object DerivedTable {
     while (out.isEmpty) {
       attempts += 1
       try out = Some(f(read(spark, dir)))
-      catch { case e: Throwable if isFileGone(e) && attempts < 3 => }
+      catch {
+        case e: Throwable if isFileGone(e) && attempts < 3 =>
+          // Back off past the prune window before re-listing: an immediate
+          // retry at a 1 s trigger cadence can land in the same compaction
+          // cycle it just raced and hit the identical FileNotFound.
+          Thread.sleep(300L * attempts)
+      }
     }
     out.get
   }
@@ -245,9 +261,15 @@ object DerivedTable {
     if (f.exists(new Path(vd))) { val _ = f.delete(new Path(vd), true) }
     val targetFiles = math.max(1L, (inputBytes + (128L << 20) - 1) / (128L << 20)).toInt
     rows.coalesce(targetFiles).write.mode("overwrite").parquet(s"$vd/data")
-    val out = f.create(new Path(s"$vd/_complete"), true)
-    try out.write(s"cutoff=$cutoff;lo=$lo".getBytes("UTF-8"))
+    // Marker gets the same atomic-PUT discipline as the data: write a temp
+    // name, then rename — a reader never observes a partially-written
+    // `_complete` (and the `;end` terminator catches non-atomic stores).
+    val tmp = new Path(s"$vd/_complete.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"cutoff=$cutoff;lo=$lo;end".getBytes("UTF-8"))
     finally out.close()
+    if (!f.rename(tmp, new Path(s"$vd/_complete")))
+      throw new java.io.IOException(s"marker rename failed under $vd")
   }
 
   /** Fold every live batch partition except the newest `keepBatches` into

@@ -163,6 +163,44 @@ class DerivedTableSpec extends AnyFunSuite {
     )
   }
 
+  test("a torn or garbled marker reads as absent — never as a wrong-span run") {
+    val dir = TestSpark.tempDir("derived-torn-marker")
+    var expected = Set.empty[(Long, String, Long)]
+    (0L to 11L).foreach { id =>
+      val rows = Seq((id, s"r$id"))
+      writeBatch(dir, id, rows)
+      expected ++= rows.map { case (k, v) => (k, v, id) }
+      if (id % 4 == 3) DerivedTable.compact(spark, dir, keepBatches = 2)
+    }
+    assert(rowsOf(dir) == expected)
+    val newest = DerivedTable.chain(spark, dir).head
+    val markerFile = new java.io.File(s"$dir/_compact/v=${newest.version}/_complete")
+    val intact = new String(
+      java.nio.file.Files.readAllBytes(markerFile.toPath), "UTF-8")
+    assert(intact.endsWith(";end"), "markers carry the truncation sentinel")
+    // Drop the LocalFileSystem checksum sidecar: the raw NIO mutations
+    // below would otherwise fail its CRC before the parser ever ran.
+    val _ = new java.io.File(markerFile.getParentFile, "._complete.crc").delete()
+
+    // Every truncation prefix of the real marker — including the ones the
+    // old lenient parse accepted (`cutoff=C` → legacy lo=MinValue;
+    // `cutoff=C;lo=4` with a mid-digit-cut lo → broader span than the
+    // run's rows) — must read as TORN: the chain falls back to the runs
+    // this one folded, so the row multiset is unchanged, and nothing
+    // throws on a garbled numeric tail.
+    (1 until intact.length).foreach { cut =>
+      java.nio.file.Files.write(markerFile.toPath, intact.take(cut).getBytes("UTF-8"))
+      assert(
+        !DerivedTable.chain(spark, dir).exists(_.version == newest.version),
+        s"prefix '${intact.take(cut)}' must parse as torn")
+      assert(rowsOf(dir) == expected, s"rows intact under truncation at $cut")
+    }
+    java.nio.file.Files.write(markerFile.toPath, "cutoff=12;lo=xx;end".getBytes("UTF-8"))
+    assert(rowsOf(dir) == expected, "garbled numeric tail is torn, not an exception")
+    java.nio.file.Files.write(markerFile.toPath, intact.getBytes("UTF-8"))
+    assert(DerivedTable.chain(spark, dir).head == newest, "restored marker resolves again")
+  }
+
   test("a committed merge shadows the runs it folded while they await pruning") {
     val dir = TestSpark.tempDir("derived-shadow")
     var expected = Set.empty[(Long, String, Long)]

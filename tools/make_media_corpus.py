@@ -29,5 +29,5 @@ table = pa.table(
 import os
 
 os.makedirs(dst, exist_ok=True)
-pq.write_table(table, f"{dst}/documents.parquet")
+pq.write_table(table, f"{dst}/documents.parquet", row_group_size=8192)  # see make_zipf_corpus: 1 row group = 1 scan task
 print(f"wrote {n} media doc ids to {dst}/documents.parquet")

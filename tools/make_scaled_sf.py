@@ -30,7 +30,7 @@ def match_source_schema(src_file, dst_file):
     want = pq.read_schema(src_file)
     t = pq.read_table(dst_file)
     if t.schema != want:
-        pq.write_table(t.cast(want), dst_file)
+        pq.write_table(t.cast(want), dst_file, row_group_size=65536)  # bounded groups: scan parallelism (see make_zipf_corpus)
 
 
 def main():

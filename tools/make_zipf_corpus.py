@@ -105,7 +105,15 @@ def main():
             "n_chars": pa.array([len(t) for t, _ in docs], type=pa.int64()),
         }
     )
-    pq.write_table(table.cast(want), os.path.join(dst, "documents.parquet"))
+    # Bounded row groups (r15): pyarrow's default is 1M-row groups, which
+    # made every soak corpus a 1-2 row-group file — and Spark assigns a
+    # task per ROW GROUP, so all scan-side map work (winnow hashing, token
+    # explode, signature compute) collapsed to 1-2 threads no matter the
+    # split size. The r14 "winnow 1.5M straggler" was THIS, not a dense
+    # reduce key. 8192-row groups ~ a few MB each: full scan parallelism
+    # at every leg, matching how real multi-file corpora split at 100 TB.
+    pq.write_table(table.cast(want), os.path.join(dst, "documents.parquet"),
+                   row_group_size=8192)
 
     con = duckdb.connect()
     stats = con.sql(
