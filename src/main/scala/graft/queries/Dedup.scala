@@ -1586,27 +1586,52 @@ object Dedup {
       (s, d) => {
         // The winnowing application: two documents sharing any long-enough
         // substring share winnowed fingerprints, so pair candidates meet on
-        // a fingerprint-equality shuffle key. The HOT-KEY GUARD is load-
-        // bearing at scale: boilerplate n-grams put one fingerprint in most
-        // of the corpus (measured max df = 3826/5000 docs at sf0.1 →
-        // Σdf² = 252M join rows), so fingerprints with document frequency
-        // > 50 are dropped before the self-join — they carry no near-dup
-        // signal and their groups grow quadratically. After the cap the
-        // join is ~1M rows at sf0.1.
+        // a fingerprint-equality key. The HOT-KEY GUARD is load-bearing at
+        // scale: boilerplate n-grams put one fingerprint in most of the
+        // corpus (zipf-1.5M measured: 417k distinct fingerprints, max
+        // df = 1,467,270 — and the 220k fingerprints with df > 50 carry
+        // 98.7% of all 252M (doc, fp) rows), so df > 50 fingerprints are
+        // dropped — they carry no near-dup signal and their groups grow
+        // quadratically. HOW they are dropped is the scale story:
+        //  - per-doc array_distinct BEFORE the explode makes (doc, fp)
+        //    rows distinct by construction — no corpus-sized distinct
+        //    shuffle (the r14 form shuffled all 252M rows for it);
+        //  - the df table aggregates through map-side partial counts onto
+        //    the tiny fingerprint space, and the dense set (fp count, not
+        //    row count — ~220k ids) BROADCASTS into a left-anti join, so
+        //    dense rows die map-side and never shuffle (the r14 rare-join
+        //    sort-merge-sorted all rows by fp — the densest fingerprint
+        //    was a single 1.47M-row sort key, the true residual skew);
+        //  - pairs enumerate per-bucket from a collect_list capped at 50
+        //    by the guard — no self-join, nothing quadratic off-bucket.
         graft.functions.GraftFunctions.register(s)
+        // Two consumers (df aggregation + anti-join probe) recompute this
+        // scan+hash map work — deliberately NOT checkpointed: fps is
+        // corpus-sized (252M rows at zipf-1.5M), and localCheckpoint
+        // blocks are unevictable, so pinning them starves the explode's
+        // execution memory (measured: UNABLE_TO_ACQUIRE_MEMORY at 500k
+        // under the default heap). Recomputing one codegen'd map pass
+        // beats pinning corpus-scale state — the rule that holds at 100 TB.
         val fps = t(s, d, "documents")
-          .select(col("doc_id"), explode(expr("winnow_hashes(lower(trim(text)))")).as("fp"))
-          .distinct()
-        val rare = fps
+          .select(
+            col("doc_id"),
+            explode(expr("array_distinct(winnow_hashes(lower(trim(text))))")).as("fp")
+          )
+        val dense = fps
           .groupBy("fp")
           .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 50)
+          .filter(col("df") > 50)
           .select("fp")
-        val kept = fps.join(rare, "fp")
-        kept
-          .select(col("doc_id").as("d1"), col("fp"))
-          .join(kept.select(col("doc_id").as("d2"), col("fp")), "fp")
-          .filter(col("d1") < col("d2"))
+        fps
+          .join(broadcast(dense), Seq("fp"), "left_anti")
+          .groupBy("fp")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .select(explode(expr(
+            """flatten(transform(ds,
+                 (a, i) -> transform(slice(ds, i + 2, size(ds)),
+                                     b -> struct(a AS d1, b AS d2))))"""
+          )).as("p"))
+          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
           .groupBy("d1", "d2")
           .agg(count(lit(1)).as("shared_fp"))
           .filter(col("shared_fp") >= 5)

@@ -176,28 +176,54 @@ object DerivedTable {
     * await pruning, and merged-away runs are shadowed by the merge's span.
     */
   def readOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val ids = batchIds(spark, dir)
+    val ids = committedBatchIds(spark, dir)
     val runs = chain(spark, dir)
     if (runs.isEmpty) {
       if (ids.isEmpty) None
-      else Some(spark.read.parquet(dir).withColumn("batch", col("batch").cast("long")))
+      else Some(liveRead(spark, dir, ids).withColumn("batch", col("batch").cast("long")))
     } else {
       val base = runs
         .map(r => spark.read.parquet(s"$dir/_compact/v=${r.version}/data"))
         .reduce(_ unionByName _)
       val cutoff = runs.head.cutoff
-      if (ids.forall(_ <= cutoff)) Some(base)
+      val above = ids.filter(_ > cutoff)
+      if (above.isEmpty) Some(base)
       else
         Some(
           base.unionByName(
-            spark.read
-              .parquet(dir)
+            liveRead(spark, dir, above)
               .filter(col("batch") > cutoff)
               .withColumn("batch", col("batch").cast("long"))
           )
         )
     }
   }
+
+  /** Live batch ids a reader may serve: only JOB-COMMITTED partitions.
+    * A `batch=<id>` directory is visible the moment its first task output
+    * moves into place, but the `_SUCCESS` marker lands only at job commit —
+    * a reader racing an in-flight trigger (found by the compaction soak's
+    * 50 ms read loop: count 10375 of a 500-row batch) must not see the
+    * partial task outputs. A crashed trigger replays under the same epoch
+    * id with mode=overwrite, so skipping unmarked partitions never drops
+    * committed rows. Fallback: if NO live partition carries a marker, the
+    * writer runs with marksuccessfuljobs disabled — serve them all (the
+    * pcaDriftReport convention; this repo's sinks keep markers on).
+    */
+  private def committedBatchIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val ids = batchIds(spark, dir)
+    val marked = ids.filter(id => f.exists(new Path(s"$dir/batch=$id/_SUCCESS")))
+    if (marked.nonEmpty) marked else ids
+  }
+
+  /** Read exactly the given live partitions, keeping `batch` a partition
+    * column (basePath) so the schema matches a whole-directory read.
+    */
+  private def liveRead(spark: SparkSession, dir: String, ids: Seq[Long]): DataFrame =
+    spark.read
+      .option("basePath", dir)
+      .parquet(ids.map(id => s"$dir/batch=$id"): _*)
 
   /** [[readOpt]] for callers that know the table exists (the Engine
     * report readouts, called after the owning stream committed batches).
@@ -280,7 +306,10 @@ object DerivedTable {
   def compact(spark: SparkSession, dir: String, keepBatches: Int = 4): Unit = {
     require(keepBatches >= 1, "keepBatches must keep at least the in-flight batch live")
     val f = fs(spark, dir)
-    val ids = batchIds(spark, dir)
+    // Fold only job-committed partitions (same rule as readOpt): a torn
+    // in-flight batch must neither fold partial rows into a run nor
+    // advance the cutoff past an epoch its writer will replay.
+    val ids = committedBatchIds(spark, dir)
     // Snapshot what was ALREADY superseded before this cycle: those runs
     // were unreferenced at the previous commit, so only a reader two
     // commits behind could touch them — they die now (depth-1 live-chain,
@@ -335,7 +364,10 @@ object DerivedTable {
     // commit can reference. A crash anywhere below just leaves debris the
     // next compaction removes.
     superseded0.foreach(v => f.delete(new Path(s"$dir/_compact/v=$v"), true))
-    ids.filter(_ <= prevCutoff).foreach { old =>
+    // Prune from the FULL listing (marked or not): unmarked debris below
+    // the cutoff is a dead crash remnant — its committed incarnation was
+    // folded long ago — and must not accumulate.
+    batchIds(spark, dir).filter(_ <= prevCutoff).foreach { old =>
       f.delete(new Path(s"$dir/batch=$old"), true)
     }
   }

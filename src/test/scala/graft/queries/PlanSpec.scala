@@ -66,6 +66,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_winnow_pairs: dense drop is a broadcast anti-join; pairs explode in-bucket") {
+    // The zipf-1.5M lesson (r15): 98.7% of (doc, fp) rows belong to dense
+    // fingerprints, and the densest is a 1.47M-row key — any plan that
+    // shuffles rows BY FINGERPRINT before the df guard sorts that key on
+    // one task. The guard must therefore be a broadcast left-anti join
+    // (dense rows die map-side), and pair enumeration must come from the
+    // bucketed collect_list explode — never a fingerprint self-join.
+    val df = SparkEntry.queries("dedup_winnow_pairs")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    Checkpoints.release()
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"dense-fp guard must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no fingerprint-keyed sort-merge join (1.47M-row sort key at zipf-1.5M):\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate explode"),
+      s"pairs must come from the in-bucket explode:\n$p")
+  }
+
   test("text_winnow is map-only: no exchange anywhere in the plan") {
     // Per-doc fingerprint stats are per-row expressions
     // (size(array_distinct)/array_min/array_max) — the plan must be a pure

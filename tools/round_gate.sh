@@ -285,6 +285,16 @@ if [ "$SOAK" = "1" ]; then
   # end bit-exact to the batch PCA arithmetic. ~35 min. Exits non-zero
   # on any violation.
   sbt -batch "runMain graft.DriftSoak 1000 tmp/drift-soak"
+
+  echo "=== [soak] tiered-compaction 1k-batch soak (O(log) rewrite amplification)"
+  # r15: measures the tiered derived-table claim — cumulative compaction
+  # I/O must stay within log2(cycles)+2 of ingested bytes (the O(history)
+  # design measures ~cycles/2), the run chain stays logarithmic, and a
+  # concurrent 50 ms read loop (the 1 s-trigger race drill, accelerated)
+  # must see only nondecreasing whole-batch counts — this drill found the
+  # torn in-flight-batch read readOpt now gates with _SUCCESS markers.
+  # Exits non-zero on any violation.
+  sbt -batch "runMain graft.CompactionSoak 1000 tmp/compaction-soak"
 fi
 
 echo "=== [4/4] Plan evidence is current?"
