@@ -874,11 +874,14 @@ object Engine {
         .agg(sum("p").as("p"))
         .pipe(graft.queries.Checkpoints.checkpoint)
       merged.write.mode("overwrite").parquet(s"$driftDir/merged/batch=$batchId")
-      val scat = graft.queries.Similarity
-        .scatterAssemble(merged)
-        .pipe(graft.queries.Checkpoints.checkpoint)
+      // r15: the funnel assembles S from the merged partials itself
+      // (exact integer identity inside one task) — the former
+      // scatterAssemble + its own checkpoint ran three broadcast joins
+      // and an extra materialization job per batch for ≤ d² metadata
+      // rows. Output bit-identical (StreamingPcaSpec / DriftSoak compare
+      // against the assembled-path truth).
       graft.queries.Similarity
-        .pcaFromScatter(scat)
+        .pcaFromPartials(merged)
         .write
         .mode("overwrite")
         .parquet(s"$driftDir/pc/batch=$batchId")

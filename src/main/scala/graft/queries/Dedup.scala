@@ -340,14 +340,29 @@ object Dedup {
       // pairs), so the triangle's lang key is a constant.
       val (enc, nBlocks) = bitmapEncode(docsTok.withColumn("lang", lit("")), smallVocab)
       val joined = triangleBitmapJoin(s, enc, nBlocks, sizeCond = (_, _) => lit(true))
-      val dir1 = joined.select(
-        col("ida").as("i"), col("idb").as("j"),
-        col("sz1").as("szA"), col("sz2").as("szB"), col("inter"))
-      val dir2 = joined.select(
-        col("idb").as("i"), col("ida").as("j"),
-        col("sz2").as("szA"), col("sz1").as("szB"), col("inter"))
-      dir1
-        .unionByName(dir2)
+      // Containment is asymmetric, so each met pair is tested in BOTH
+      // directions — but as ONE posexplode of the two orientations per
+      // join row, not a union of two selects over `joined`: Catalyst does
+      // not share subplans, so the union form ran the whole triangle join
+      // (the query's dominant stage — 2× ~64-task joins, ~17 s of the
+      // ~24 s total stage run time at sf0.1) TWICE for identical rows.
+      // Same row multiset, half the join work (r15; guide §2.4 "remove
+      // shuffles outright" — here a full duplicated join subtree).
+      joined
+        .select(
+          explode(
+            array(
+              struct(
+                col("ida").as("i"), col("idb").as("j"),
+                col("sz1").as("szA"), col("sz2").as("szB"), col("inter")),
+              struct(
+                col("idb").as("i"), col("ida").as("j"),
+                col("sz2").as("szA"), col("sz1").as("szB"), col("inter"))
+            )
+          ).as("dir")
+        )
+        .select(col("dir.i").as("i"), col("dir.j").as("j"),
+          col("dir.szA").as("szA"), col("dir.szB").as("szB"), col("dir.inter").as("inter"))
         .filter(col("inter") * 20 >= col("szA") * 19)
         .select(
           col("i").as("contained"),
@@ -2213,7 +2228,16 @@ object Dedup {
     Q(
       "dedup_containment",
       (s, d) =>
-        containmentPairsFrom(s, t(s, d, "documents")).orderBy("contained", "container"),
+        // localCheckpoint before the deterministic output sort (the
+        // dedup_jaccard precedent, applied here in r15): a global orderBy
+        // samples its child for range bounds, which RE-EXECUTED the whole
+        // triangle/prefix pair join once more (profiled at sf0.1: a
+        // second full ~5 s-run evaluation of the query's dominant stage).
+        // Materializing the pairs once makes the sampling pass a cheap
+        // scan of the checkpointed rows.
+        containmentPairsFrom(s, t(s, d, "documents"))
+          .pipe(graft.queries.Checkpoints.checkpoint)
+          .orderBy("contained", "container"),
       Some("""
         -- Prefix-filtered (r10): the naive all-co-occurring-pairs `inter`
         -- is ~n^2 and blew past 100 GB at 50k Zipf docs. Exact-complete

@@ -80,6 +80,29 @@ object Q {
     }
   }
 
+  /** Scale-adaptive widen for a frame about to be eagerly materialized
+    * and fanned out to many consumers (optimization guide §2.5 "input
+    * skew: one huge unsplittable file — repartition immediately after
+    * the read"). The gate corpora are ONE single-row-group parquet file
+    * per table, so a scan plans one task and every downstream stage that
+    * meets it through broadcast joins inherits that single partition —
+    * profiled at sf0.1, knn_recall ran its entire 3 s of scoring on one
+    * core. Only repartitions when the planned partition count is below
+    * the session's parallelism: at production scale the scan is already
+    * wide and this is the identity (never a local[32] constant). Use
+    * SELECTIVELY, on checkpointed bases with CPU-heavy fan-out — a
+    * blanket version measured net-negative (the exchange + 32-task
+    * stage overhead outweighs parallelism on cheap single-pass queries).
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val p = sc.defaultParallelism
+    val cur =
+      try df.rdd.getNumPartitions
+      catch { case _: Exception => p }
+    if (cur < p) df.repartition(p) else df
+  }
+
   /** Order-insensitive exact money sum: round to cents in DECIMAL (exact
     * arithmetic in both Spark and DuckDB, immune to partition-order FP
     * drift), surface as DOUBLE (identical final rounding in both engines).

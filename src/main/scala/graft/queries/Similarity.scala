@@ -824,8 +824,12 @@ object Similarity {
       "corpus_bitext_mine",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
+        // Q.widen (r15): same single-partition-scan hazard as knn_recall —
+        // both sides' cell assignment and candidate cosine scoring fan out
+        // from this checkpoint.
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("label").cast("int").as("label"), dbl(col("embedding")).as("v"))
+          .pipe(Q.widen)
           .pipe(graft.queries.Checkpoints.checkpoint)
         val src = e.filter(col("label") < 5)
           .select(col("vec_id").as("sid"), col("label").as("slabel"), col("v").as("sv"))
@@ -883,8 +887,17 @@ object Similarity {
         // back to the label cells even in forced kmeans mode: KMeans.fit
         // throws on an empty dataset and k ≈ √n is meaningless there,
         // while the label path returns the small/empty result gracefully.
-        val srcN = src.count()
-        val tgtN = tgt.count()
+        // Both side counts come from ONE aggregate job over the
+        // checkpointed base (r15: two back-to-back .count() actions were
+        // two scheduler round-trips over the same materialized rows).
+        val cntRow = e
+          .agg(
+            sum(when(col("label") < 5, 1L).otherwise(0L)).as("srcN"),
+            sum(when(col("label") >= 5, 1L).otherwise(0L)).as("tgtN")
+          )
+          .first()
+        val srcN = if (cntRow.isNullAt(0)) 0L else cntRow.getLong(0)
+        val tgtN = if (cntRow.isNullAt(1)) 0L else cntRow.getLong(1)
         val useKmeans =
           (mode == "kmeans" || (mode == "auto" && srcN + tgtN > threshold)) &&
             math.min(srcN, tgtN) >= 64
@@ -1176,10 +1189,17 @@ object Similarity {
         // Quantize + scatter via scatterFor: fresh checkpoints per
         // invocation by default, the pinned per-dir cache under
         // spark.graft.pca.reuseScatter=true (serving-shaped repeats).
-        // The iteration + readout half is the shared pcaFromScatter, so
-        // the streaming drift monitor (Engine.pcaDriftFrom) reproduces
-        // this query's arithmetic LITERALLY.
-        pcaFromScatter(scatterFor(s, d))
+        // The iteration + readout half is the shared funnel
+        // (pcaFromScatter / pcaFromPartials), so the streaming drift
+        // monitor (Engine.pcaDriftFrom) reproduces this query's
+        // arithmetic LITERALLY. Fresh invocations hand the funnel the
+        // checkpointed partial aggregate directly (the assembly identity
+        // folds into the same task); reuse mode keeps consuming the
+        // pinned ASSEMBLED S so cache entries stay the d²-row matrix.
+        scatterFor(s, d) match {
+          case Left(agg) => pcaFromPartials(agg)
+          case Right(scatS) => pcaFromScatter(scatS)
+        }
       },
       Some("""
         WITH base AS (
@@ -1396,9 +1416,15 @@ object Similarity {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val k = 5
+        // Q.widen (r15): the single-file scan plans ONE partition and all
+        // seven retrieval variants' broadcast-join scoring inherits it —
+        // the whole audit ran serially on one core (profiled: 33 stages,
+        // nearly all 1-task, ~3 s summed run at sf0.1).
         val e = Checkpoints.checkpoint(
-          t(s, d, "embeddings")
-            .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+          Q.widen(
+            t(s, d, "embeddings")
+              .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+          )
         )
         val q = e
           .filter(col("vec_id") < 8)
@@ -1647,7 +1673,14 @@ object Similarity {
     entries.mkString(";")
   }
 
-  private def scatterFor(s: SparkSession, d: String): DataFrame = {
+  /** Left(checkpointed partial aggregate) on the fresh path — the funnel
+    * assembles S itself, so no assembly joins and no second
+    * materialization run per invocation — or Right(pinned assembled S)
+    * in reuse mode, where the cache entry must stay the d²-row matrix
+    * the old contract pinned (PcaReuseSpec asserts the two paths emit
+    * bit-identical results).
+    */
+  private def scatterFor(s: SparkSession, d: String): Either[DataFrame, DataFrame] = {
     // No checkpoint: scatterFrom consumes the quantized corpus in exactly
     // ONE mapPartitions pass, so materializing it first would only add a
     // write+read of the whole corpus.
@@ -1659,8 +1692,16 @@ object Similarity {
     val reuse =
       try s.conf.get("spark.graft.pca.reuseScatter", "false").toBoolean
       catch { case _: IllegalArgumentException => false }
-    if (!reuse) scatterFrom(quantized).pipe(graft.queries.Checkpoints.checkpoint)
-    else {
+    if (!reuse)
+      Left(
+        scatterPartials(quantized)
+          .groupBy("i", "j")
+          .agg(sum("p").as("p"))
+          // ≤ d(d+1)/2 + d + 1 rows; the one materialization that
+          // guarantees the corpus pass runs exactly once.
+          .pipe(graft.queries.Checkpoints.checkpoint)
+      )
+    else Right {
       val key = s"${s.sparkContext.applicationId}|$d"
       val fp = embFingerprint(s, d)
       val hit = scatterCache.synchronized {
@@ -1740,54 +1781,145 @@ object Similarity {
   /** Three power-iteration steps + the (dim, loading, ev_share) readout
     * over a MATERIALIZED scatter matrix (the `vec_pca` query's iteration
     * half, factored out so the streaming drift monitor runs the literally
-    * same arithmetic over its merged cross-batch scatter). `scat` must be
-    * checkpointed/cached by the caller — it is consumed by the three
-    * iteration joins, v0, the Rayleigh numerator and the trace.
+    * same arithmetic over its merged cross-batch scatter).
+    *
+    * Optimization-round restructure (r15, guide §1.2/§5 — the driver
+    * should do almost no work, and this stage was ALL driver work): the
+    * iterations are metadata math over ≤ d² = 4096 rows, but the old
+    * declarative form ran them as ~25 Spark jobs (three join+aggregate
+    * steps, each with its own broadcast build, plus v3 checkpoint,
+    * Rayleigh, trace) — at sf0.1 the stages summed to 0.75 s of a 2.2 s
+    * wall, the rest pure driver planning/scheduling (measured with the
+    * Profile listener). The d²-row table now funnels through ONE
+    * single-partition mapPartitions task that runs the identical
+    * fixed-point arithmetic in unbounded BigInteger — exact integer ops
+    * are reorder-safe, so every intermediate equals the old DECIMAL
+    * column values digit-for-digit — and emits (i, v3, num, den, tr) raw;
+    * the two FP-sensitive readouts (decimal→double casts, the IEEE
+    * divisions, round 6 dp) stay in the LITERAL same Spark expressions as
+    * before, so the emitted doubles are bit-identical. The funnel is an
+    * Exchange SinglePartition fed by the caller's materialized aggregate
+    * — the bounded shape PlanSpec's single-partition guard admits; the
+    * volume-bearing scatter pass above is untouched.
     */
-  def pcaFromScatter(scat: DataFrame): DataFrame = {
-    def step(v: DataFrame): DataFrame = {
-      val u = scat
-        .join(broadcast(v.select(col("i").as("j"), col("v"))), "j")
-        .groupBy("i")
-        .agg(sum(col("sij") * col("v")).cast("decimal(38,0)").as("u"))
-      val m = u.agg(
-        greatest(max(abs(col("u"))), lit(1).cast("decimal(38,0)")).as("m")
-      )
-      u.crossJoin(broadcast(m))
-        .select(
-          col("i"),
-          (when(col("u") < 0, -1).otherwise(1).cast("long")
-            * expr("(abs(u) * 1000000) div m")).as("v")
-        )
-    }
-    // v0 = all-ones off the materialized diagonal — no extra pass over
-    // the corpus for the dimension ids.
-    val v0 = scat
-      .filter(col("i") === col("j"))
-      .select(col("i"), lit(1000000L).as("v"))
-    val v3 = step(step(step(v0)))
-      .pipe(graft.queries.Checkpoints.checkpoint)
-    val w = scat
-      .join(broadcast(v3.select(col("i").as("j"), col("v"))), "j")
-      .groupBy("i")
-      .agg(sum(col("sij") * col("v")).cast("decimal(38,0)").as("w"))
-    val scal = v3
-      .join(w, "i")
-      .agg(
-        sum(col("v") * col("w")).cast("decimal(38,0)").as("num"),
-        sum(col("v") * col("v")).cast("decimal(22,0)").as("den")
-      )
-    val trace = scat
-      .filter(col("i") === col("j"))
-      .agg(sum("sij").cast("decimal(28,0)").as("tr"))
-    v3.crossJoin(broadcast(scal))
-      .crossJoin(broadcast(trace))
+  def pcaFromScatter(scat: DataFrame): DataFrame =
+    pcaFunnel(
+      scat.select(col("i").cast("int"), col("j").cast("int"), col("sij").cast("string")),
+      assembled = true
+    )
+
+  /** The same iteration + readout straight off the MERGED (i, j, p)
+    * partial rows ([[scatterPartials]] key contract), folding the exact
+    * integer assembly S = n·Σqqᵀ − (Σq)(Σq)ᵀ into the same single
+    * funnel task — the declarative [[scatterAssemble]] ran three
+    * broadcast joins (each its own job + broadcast build) to compute a
+    * pure integer identity over ≤ d² metadata rows. Callers pass the
+    * checkpointed aggregate; the batch query and the streaming drift
+    * monitor both route here. [[scatterAssemble]] stays for consumers
+    * that need S itself.
+    */
+  def pcaFromPartials(agg: DataFrame): DataFrame =
+    pcaFunnel(
+      agg.select(col("i").cast("int"), col("j").cast("int"), col("p").cast("string")),
+      assembled = false
+    )
+
+  /** Shared single-task fixed-point funnel. Input rows are (i, j, value)
+    * strings: either the assembled S entries (`assembled = true`, full
+    * matrix or upper triangle — entries land where they fall) or the raw
+    * partial rows ((-1,-1,n), (i,-1,Σqᵢ), upper-triangle (i,j,Σqᵢqⱼ)).
+    * All arithmetic until the final readout is unbounded BigInteger —
+    * exact and reorder-safe, so every intermediate equals the old
+    * DECIMAL column values digit-for-digit (BigInteger.divide truncates
+    * toward zero ≡ Spark's integral `div` on the non-negative operands
+    * fed here); the FP-sensitive readouts (decimal→double casts, IEEE
+    * divisions, round 6 dp) stay in the literal same Spark expressions
+    * as the old declarative plan, so the emitted doubles are
+    * bit-identical.
+    */
+  private def pcaFunnel(rows3: DataFrame, assembled: Boolean): DataFrame = {
+    val spark = rows3.sparkSession
+    import spark.implicits._
+    val raw = rows3
+      .as[(Int, Int, String)]
+      .repartition(1)
+      .mapPartitions { it =>
+        import java.math.BigInteger
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val zero = BigInteger.ZERO
+          val d = rows.iterator.map(x => math.max(x._1, x._2)).max + 1
+          val s = Array.ofDim[BigInteger](d, d)
+          if (assembled) {
+            rows.foreach { case (i, j, v) => s(i)(j) = new BigInteger(v) }
+          } else {
+            var n = zero
+            val sums = Array.fill(d)(zero)
+            val sraw = Array.ofDim[BigInteger](d, d)
+            rows.foreach {
+              case (-1, -1, v) => n = new BigInteger(v)
+              case (i, -1, v) => sums(i) = new BigInteger(v)
+              case (i, j, v) => sraw(i)(j) = new BigInteger(v)
+            }
+            // S is symmetric; partials carry i ≤ j only — mirror, then
+            // S_ij = n·sraw_ij − s_i·s_j (the scatterAssemble identity).
+            var i = 0
+            while (i < d) {
+              var j = i
+              while (j < d) {
+                val r = if (sraw(i)(j) == null) zero else sraw(i)(j)
+                val sij = n.multiply(r).subtract(sums(i).multiply(sums(j)))
+                s(i)(j) = sij
+                s(j)(i) = sij
+                j += 1
+              }
+              i += 1
+            }
+          }
+          def sv(i: Int, j: Int): BigInteger = { val x = s(i)(j); if (x == null) zero else x }
+          val million = BigInteger.valueOf(1000000L)
+          def mult(v: Array[BigInteger]): Array[BigInteger] =
+            Array.tabulate(d) { i =>
+              var acc = zero
+              var j = 0
+              while (j < d) { acc = acc.add(sv(i, j).multiply(v(j))); j += 1 }
+              acc
+            }
+          def renorm(u: Array[BigInteger]): Array[BigInteger] = {
+            var m = BigInteger.ONE
+            u.foreach { x => val a = x.abs; if (a.compareTo(m) > 0) m = a }
+            u.map { x =>
+              val q = x.abs.multiply(million).divide(m)
+              if (x.signum < 0) q.negate else q
+            }
+          }
+          var v = Array.fill(d)(million)
+          var k = 0
+          while (k < 3) { v = renorm(mult(v)); k += 1 }
+          val w = mult(v)
+          var num = zero; var den = zero; var tr = zero
+          var i = 0
+          while (i < d) {
+            num = num.add(v(i).multiply(w(i)))
+            den = den.add(v(i).multiply(v(i)))
+            tr = tr.add(sv(i, i))
+            i += 1
+          }
+          Iterator.range(0, d).map { i =>
+            (i, v(i).longValueExact(), num.toString, den.toString, tr.toString)
+          }
+        }
+      }
+      .toDF("i", "v", "num", "den", "tr")
+    raw
       .select(
         col("i").cast("int").as("dim"),
         round(col("v").cast("double") / lit(1000000.0), 6).as("loading"),
         round(
-          (col("num").cast("double") / col("den").cast("double"))
-            / col("tr").cast("double"),
+          (col("num").cast("decimal(38,0)").cast("double")
+            / col("den").cast("decimal(22,0)").cast("double"))
+            / col("tr").cast("decimal(28,0)").cast("double"),
           6
         ).as("ev_share")
       )
